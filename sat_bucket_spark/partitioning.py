@@ -1,0 +1,649 @@
+"""Spatial partitioning as Spark Column-expression compilers.
+
+This module re-expresses the reference engine's spatial partitioning classes
+(reference: satbucket/partitioning.py — Base2DPartitioning :366, XYPartitioning
+:825, LonLatPartitioning :1089, TilePartitioning :960) as lightweight driver-side
+config objects whose query methods *compile to Spark Column expressions*.
+
+Design notes (Spark-first, 100 TB scale):
+
+- The reference materializes bounds/centroid/label numpy arrays and runs
+  vectorized kernels per backend (partitioning.py:237-250, dataframe.py:37-58).
+  In Spark, the binning math becomes closed-form Column expressions
+  (``ceil((v - vmin)/size) - 1`` with edge corrections) that run inside
+  whole-stage codegen on executors — no data structure is shipped, bounds are
+  folded into the plan as literals.
+- Partition *labels* are the physical partition columns of the bucket table, so
+  an extent query compiles to an ``isin(labels)`` predicate on partition columns
+  and Catalyst performs hive partition pruning — the Spark-native equivalent of
+  the reference's directory enumeration (partitioning.py:599-635).
+- Bin semantics are right-closed ``(lo, hi]`` with include_lowest, so
+  ``x == vmin`` falls in bin 0 and ``x == vmax`` in the last bin
+  (reference: partitioning.py:237-250; pinned by tests/test_partitioning.py:74-132
+  in the reference suite). The last bin may be narrower than ``size`` because
+  bounds are built with ``np.arange(vmin, vmax, size)`` + appended ``vmax``
+  (reference: partitioning.py:291-296).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from sat_bucket_spark.checks import check_extent, check_size
+
+__all__ = [
+    "Base2DPartitioning",
+    "LonLatPartitioning",
+    "TilePartitioning",
+    "XYPartitioning",
+    "get_bounds",
+    "get_centroids_from_bounds",
+    "get_n_decimals",
+    "get_partitioning_class",
+]
+
+
+# ---------------------------------------------------------------------------
+# Driver-side binning math (tiny arrays; mirrors reference semantics exactly)
+# ---------------------------------------------------------------------------
+
+
+def get_n_decimals(number: float) -> int:
+    """Number of decimal digits of ``number`` (reference: partitioning.py:279-288)."""
+    s = str(number)
+    i = s.find(".")
+    return 0 if i == -1 else len(s) - i - 1
+
+
+def get_bounds(size: float, vmin: float, vmax: float) -> np.ndarray:
+    """Partition edges: ``np.arange`` + appended vmax (reference: partitioning.py:291-296)."""
+    bounds = np.arange(vmin, vmax, size)
+    if bounds[-1] != vmax:
+        bounds = np.append(bounds, np.array([vmax]))
+    return bounds
+
+
+def get_centroids_from_bounds(bounds: np.ndarray) -> np.ndarray:
+    """Bin centroids ``(bounds[:-1] + bounds[1:]) / 2`` (reference: partitioning.py:231-234)."""
+    return (bounds[:-1] + bounds[1:]) / 2.0
+
+
+def _np_labels(centroids: np.ndarray, indices: np.ndarray, decimals: int) -> np.ndarray:
+    """Driver-side label strings for given bin indices (reference: partitioning.py:886-910)."""
+    values = np.round(centroids[indices], decimals)
+    if decimals == 0:
+        values = values.astype(int)
+    return values.astype(str)
+
+
+# ---------------------------------------------------------------------------
+# Column-expression kernels (executor side, whole-stage-codegen friendly)
+# ---------------------------------------------------------------------------
+
+
+def bin_index_expr(col: Column, vmin: float, vmax: float, size: float, n_bins: int) -> Column:
+    """Compile the 1-D bin index to a Column expression.
+
+    Right-closed ``(lo, hi]`` + include_lowest semantics of the reference's
+    ``query_indices`` (reference: partitioning.py:237-250, dataframe.py:37-58):
+    null / NaN / out-of-extent values map to null. Stays entirely inside
+    whole-stage codegen — no UDF.
+    """
+    v = col.cast("double")
+    valid = v.isNotNull() & ~F.isnan(v) & (v >= F.lit(vmin)) & (v <= F.lit(vmax))
+    raw = F.ceil((v - F.lit(vmin)) / F.lit(size)) - F.lit(1)
+    idx = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return F.when(valid, idx).otherwise(F.lit(None).cast("long"))
+
+
+def centroid_expr(idx: Column, vmin: float, vmax: float, size: float, n_bins: int) -> Column:
+    """Bin index -> centroid coordinate (reference: partitioning.py:447-462).
+
+    The last bin may be partial (bounds built by np.arange + appended vmax),
+    so its centroid is ``(vmin + (n-1)*size + vmax) / 2``.
+    """
+    regular = F.lit(vmin) + (idx.cast("double") + F.lit(0.5)) * F.lit(size)
+    last = F.lit((vmin + (n_bins - 1) * size + vmax) / 2.0)
+    return F.when(idx.isNull(), F.lit(None).cast("double")).when(
+        idx == F.lit(n_bins - 1),
+        last,
+    ).otherwise(regular)
+
+
+def format_label_expr(centroid: Column, decimals: int) -> Column:
+    """Format a centroid double into the reference's label string.
+
+    Mirrors Python ``str(np.round(centroid, decimals))`` with int cast at 0
+    decimals (reference: partitioning.py:886-910): ``"5.0"``, ``"-0.25"``,
+    ``"0.125"``, ``"1"``. Implemented with a decimal cast + trailing-zero strip
+    so the output matches Python float repr for label-magnitude values.
+    """
+    if decimals == 0:
+        return F.when(
+            centroid.isNotNull(),
+            F.round(centroid, 0).cast("long").cast("string"),
+        )
+    s = F.round(centroid, decimals).cast(DecimalType(38, decimals)).cast("string")
+    s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
+    s = F.regexp_replace(s, r"\.$", r".0")
+    return F.when(centroid.isNotNull(), s)
+
+
+def tile_label_expr(idx: Column, justify: bool, width: int) -> Column:
+    """Tile index -> string label with optional zero-justify (reference: partitioning.py:303-324)."""
+    s = idx.cast("string")
+    if justify:
+        s = F.lpad(s, width, "0")
+    return F.when(idx.isNotNull(), s)
+
+
+# ---------------------------------------------------------------------------
+# Partitioning classes
+# ---------------------------------------------------------------------------
+
+
+class Base2DPartitioning:
+    """2-D rectangular binning of an extent (reference: partitioning.py:366-823).
+
+    Subclasses provide the label compilation. All state is a handful of floats —
+    it lives on the driver and folds into Column expressions as literals.
+
+    Parameters mirror the reference: ``levels`` (partition column names),
+    ``flavor`` ("hive" -> ``name=label`` directories, None/"directory" -> bare
+    label directories; reference: partitioning.py:253-257), ``order`` (on-disk
+    partition order, may differ from levels; reference: partitioning.py:195-198).
+    """
+
+    def __init__(self, size, extent, levels, order=None, flavor=None):
+        self.extent = check_extent(extent)
+        self.size = check_size(size)
+        self.levels = list(levels)
+        if order is None:
+            order = list(self.levels)
+        if set(order) != set(self.levels):
+            raise ValueError(f"order {order} must be a permutation of levels {self.levels}")
+        self.order = list(order)
+        if flavor not in (None, "hive", "directory"):
+            raise ValueError(f"invalid flavor {flavor!r}")
+        self.flavor = flavor
+        # Bounds / centroids (tiny driver-side arrays; reference: partitioning.py:395-398)
+        self.x_bounds = get_bounds(self.size[0], self.extent.xmin, self.extent.xmax)
+        self.y_bounds = get_bounds(self.size[1], self.extent.ymin, self.extent.ymax)
+        self.x_centroids = get_centroids_from_bounds(self.x_bounds)
+        self.y_centroids = get_centroids_from_bounds(self.y_bounds)
+
+    # -- shape ---------------------------------------------------------------
+    @property
+    def n_x(self) -> int:
+        """Number of x bins (reference: partitioning.py:411-415)."""
+        return len(self.x_bounds) - 1
+
+    @property
+    def n_y(self) -> int:
+        """Number of y bins."""
+        return len(self.y_bounds) - 1
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        """(n_y, n_x) grid shape."""
+        return (self.n_y, self.n_x)
+
+    @property
+    def n_partitions(self) -> int:
+        """Total number of partitions."""
+        return self.n_x * self.n_y
+
+    @property
+    def n_levels(self) -> int:
+        """Number of partition levels."""
+        return len(self.levels)
+
+    # -- index / centroid expressions ---------------------------------------
+    def x_index_expr(self, x: Column | str) -> Column:
+        """x bin index Column (reference: partitioning.py:423-428)."""
+        x = F.col(x) if isinstance(x, str) else x
+        return bin_index_expr(x, self.extent.xmin, self.extent.xmax, self.size[0], self.n_x)
+
+    def y_index_expr(self, y: Column | str) -> Column:
+        """y bin index Column."""
+        y = F.col(y) if isinstance(y, str) else y
+        return bin_index_expr(y, self.extent.ymin, self.extent.ymax, self.size[1], self.n_y)
+
+    def x_centroid_expr(self, x: Column | str) -> Column:
+        """x centroid Column (reference: partitioning.py:447-462)."""
+        return centroid_expr(
+            self.x_index_expr(x), self.extent.xmin, self.extent.xmax, self.size[0], self.n_x
+        )
+
+    def y_centroid_expr(self, y: Column | str) -> Column:
+        """y centroid Column."""
+        return centroid_expr(
+            self.y_index_expr(y), self.extent.ymin, self.extent.ymax, self.size[1], self.n_y
+        )
+
+    # -- label expressions (subclass responsibility) ------------------------
+    def label_exprs(self, x: Column | str, y: Column | str) -> dict[str, Column]:
+        """Mapping level name -> label Column. Implemented by subclasses."""
+        raise NotImplementedError
+
+    # -- dataframe ops -------------------------------------------------------
+    def add_labels(
+        self,
+        df: DataFrame,
+        x: str = "x",
+        y: str = "y",
+        remove_invalid_rows: bool = True,
+    ) -> DataFrame:
+        """Append partition label column(s) (reference: partitioning.py:637-679).
+
+        Invalid coordinates (null/NaN/out-of-extent) yield null labels; with
+        ``remove_invalid_rows=True`` those rows are dropped (the reference's
+        default policy, partitioning.py:671-679).
+        """
+        exprs = self.label_exprs(x, y)
+        for name, expr in exprs.items():
+            df = df.withColumn(name, expr)
+        if remove_invalid_rows:
+            cond = None
+            for name in exprs:
+                c = F.col(name).isNotNull()
+                cond = c if cond is None else (cond & c)
+            df = df.where(cond)
+        return df
+
+    def add_centroids(
+        self,
+        df: DataFrame,
+        x: str = "x",
+        y: str = "y",
+        x_coord: str | None = None,
+        y_coord: str | None = None,
+        remove_invalid_rows: bool = False,
+    ) -> DataFrame:
+        """Append centroid columns (reference: partitioning.py:681-732).
+
+        Default output names are ``{x}_c`` / ``{y}_c`` (reference:
+        partitioning.py:420-421, 1141-1142).
+        """
+        x_coord = x_coord or f"{x}_c"
+        y_coord = y_coord or f"{y}_c"
+        df = df.withColumn(x_coord, self.x_centroid_expr(x))
+        df = df.withColumn(y_coord, self.y_centroid_expr(y))
+        if remove_invalid_rows:
+            df = df.where(F.col(x_coord).isNotNull() & F.col(y_coord).isNotNull())
+        return df
+
+    # -- partition pruning ---------------------------------------------------
+    def _index_ranges_by_extent(self, extent) -> tuple[np.ndarray, np.ndarray]:
+        """x/y index arrays of partitions intersecting ``extent`` (clamped).
+
+        Mirrors the centroid range scan of the reference
+        (partitioning.py:599-620): the query extent is clamped to the
+        partitioning extent, then every bin whose interval intersects it is kept.
+        """
+        extent = check_extent(extent)
+        xmin = max(extent.xmin, self.extent.xmin)
+        xmax = min(extent.xmax, self.extent.xmax)
+        ymin = max(extent.ymin, self.extent.ymin)
+        ymax = min(extent.ymax, self.extent.ymax)
+        if xmin > xmax or ymin > ymax:
+            return np.array([], dtype=int), np.array([], dtype=int)
+        x_idx = np.unique(
+            np.clip(
+                np.searchsorted(self.x_bounds, [xmin, xmax], side="left") - 1, 0, self.n_x - 1
+            )
+        )
+        x_idx = np.arange(x_idx[0], x_idx[-1] + 1)
+        y_idx = np.unique(
+            np.clip(
+                np.searchsorted(self.y_bounds, [ymin, ymax], side="left") - 1, 0, self.n_y - 1
+            )
+        )
+        y_idx = np.arange(y_idx[0], y_idx[-1] + 1)
+        return x_idx, y_idx
+
+    def get_partitions_by_extent(self, extent) -> dict[str, list[str]]:
+        """Level name -> sorted label list of partitions intersecting extent.
+
+        The Spark-native replacement for the reference's directory enumeration
+        (partitioning.py:599-635): feed the labels to :meth:`pruning_predicate`
+        and Catalyst prunes hive partitions before any file is opened.
+        """
+        raise NotImplementedError
+
+    def pruning_predicate(self, extent) -> Column:
+        """Partition-pruning Column predicate for an extent query.
+
+        Compiles to ``level.isin(labels) AND ...`` over partition columns —
+        Catalyst's PartitionPruning turns this into directory pruning, the exact
+        analogue of reference readers.py:246-271.
+        """
+        parts = self.get_partitions_by_extent(extent)
+        pred = None
+        for level, labels in parts.items():
+            c = F.col(level).isin(labels) if labels else F.lit(False)
+            pred = c if pred is None else (pred & c)
+        return pred if pred is not None else F.lit(False)
+
+    # -- directories (driver-side; used by tests and non-hive reads) ---------
+    def partition_directory(self, labels: dict[str, str]) -> str:
+        """Relative directory path for one partition, honoring order + flavor.
+
+        Reference: partitioning.py:253-272 (hive: ``name=label``; directory:
+        bare label), order applied per partitioning.py:195-198.
+        """
+        segs = []
+        for level in self.order:
+            lab = labels[level]
+            segs.append(f"{level}={lab}" if self.flavor == "hive" else f"{lab}")
+        return os.path.join(*segs)
+
+    @property
+    def directories(self) -> list[str]:
+        """All partition directory paths in write order (reference: partitioning.py:586-597)."""
+        out = []
+        for combo in self._iter_label_combos():
+            out.append(self.partition_directory(combo))
+        return out
+
+    def directories_by_extent(self, extent) -> list[str]:
+        """Partition directory paths intersecting an extent (reference: partitioning.py:627-635)."""
+        parts = self.get_partitions_by_extent(extent)
+        keys = list(parts.keys())
+        out = []
+        for combo_vals in itertools.product(*(parts[k] for k in keys)):
+            out.append(self.partition_directory(dict(zip(keys, combo_vals))))
+        return out
+
+    def _iter_label_combos(self):
+        raise NotImplementedError
+
+    # -- geometry (viz helpers; no shapely dependency) -----------------------
+    def quadmesh_corners(self) -> tuple[np.ndarray, np.ndarray]:
+        """(x_corners, y_corners) meshgrids of partition corners.
+
+        Reference: partitioning.py:494-570 — viz-only; kept dependency-free.
+        """
+        return np.meshgrid(self.x_bounds, self.y_bounds)
+
+    # -- serialization -------------------------------------------------------
+    def to_dict(self) -> dict:
+        """Partitioning spec dict (reference: partitioning.py:912-923)."""
+        raise NotImplementedError
+
+
+class XYPartitioning(Base2DPartitioning):
+    """Regular x/y binning with centroid-string labels (reference: partitioning.py:825-957).
+
+    Default levels ``["xbin", "ybin"]``; labels are centroids rounded to
+    ``labels_decimals`` (default ``n_decimals(size) + 1`` per axis,
+    reference: partitioning.py:870-872), int-cast when 0 decimals, stringified.
+    """
+
+    default_levels = ["xbin", "ybin"]
+    default_flavor = None  # "directory" flavor (reference: partitioning.py:206-207)
+
+    def __init__(self, size, extent, levels=None, order=None, flavor=None, labels_decimals=None):
+        size = check_size(size)
+        levels = list(levels) if levels is not None else list(self.default_levels)
+        if len(levels) != 2:
+            raise ValueError("XYPartitioning requires exactly 2 levels")
+        if flavor is None:
+            flavor = self.default_flavor
+        super().__init__(size=size, extent=extent, levels=levels, order=order, flavor=flavor)
+        if labels_decimals is None:
+            labels_decimals = (get_n_decimals(self.size[0]) + 1, get_n_decimals(self.size[1]) + 1)
+        elif isinstance(labels_decimals, int):
+            labels_decimals = (labels_decimals, labels_decimals)
+        self.labels_decimals = (int(labels_decimals[0]), int(labels_decimals[1]))
+
+    # -- labels --------------------------------------------------------------
+    def x_label_expr(self, x: Column | str) -> Column:
+        """x partition label Column (reference: partitioning.py:886-910)."""
+        return format_label_expr(self.x_centroid_expr(x), self.labels_decimals[0])
+
+    def y_label_expr(self, y: Column | str) -> Column:
+        """y partition label Column."""
+        return format_label_expr(self.y_centroid_expr(y), self.labels_decimals[1])
+
+    def label_exprs(self, x, y) -> dict[str, Column]:
+        """Level -> label Column mapping."""
+        return {self.levels[0]: self.x_label_expr(x), self.levels[1]: self.y_label_expr(y)}
+
+    # -- driver-side label grids (reference: partitioning.py:464-487) --------
+    @property
+    def x_labels(self) -> np.ndarray:
+        """All x labels in bin order."""
+        return _np_labels(self.x_centroids, np.arange(self.n_x), self.labels_decimals[0])
+
+    @property
+    def y_labels(self) -> np.ndarray:
+        """All y labels in bin order."""
+        return _np_labels(self.y_centroids, np.arange(self.n_y), self.labels_decimals[1])
+
+    def get_partitions_by_extent(self, extent) -> dict[str, list[str]]:
+        """Level -> labels of partitions intersecting extent (reference: partitioning.py:599-620)."""
+        x_idx, y_idx = self._index_ranges_by_extent(extent)
+        return {
+            self.levels[0]: _np_labels(self.x_centroids, x_idx, self.labels_decimals[0]).tolist(),
+            self.levels[1]: _np_labels(self.y_centroids, y_idx, self.labels_decimals[1]).tolist(),
+        }
+
+    def get_partitions_around_point(self, x: float, y: float, distance=None, size=None):
+        """Partitions intersecting a point neighborhood (reference: partitioning.py:622-625)."""
+        from sat_bucket_spark.filters import extent_around_point
+
+        extent = extent_around_point(x, y, distance=distance, size=size)
+        return self.get_partitions_by_extent(extent)
+
+    def _iter_label_combos(self):
+        for ylab in self.y_labels:
+            for xlab in self.x_labels:
+                yield {self.levels[0]: str(xlab), self.levels[1]: str(ylab)}
+
+    def to_dict(self) -> dict:
+        """Spec dict (reference: partitioning.py:912-923)."""
+        return {
+            "class": type(self).__name__,
+            "extent": list(self.extent),
+            "size": list(self.size),
+            "levels": list(self.levels),
+            "order": list(self.order),
+            "flavor": self.flavor,
+            "labels_decimals": list(self.labels_decimals),
+        }
+
+
+class LonLatPartitioning(XYPartitioning):
+    """Geographic partitioning over [-180,180,-90,90] by default.
+
+    Reference: partitioning.py:1089-1190 — default levels ``["lon_bin",
+    "lat_bin"]`` (:1106), default flavor "hive" (:1128), plus extent helpers for
+    country/continent/point queries (:1144-1177).
+    """
+
+    default_levels = ["lon_bin", "lat_bin"]
+    default_flavor = "hive"
+
+    def __init__(
+        self,
+        size,
+        extent=(-180.0, 180.0, -90.0, 90.0),
+        levels=None,
+        order=None,
+        flavor=None,
+        labels_decimals=None,
+    ):
+        super().__init__(
+            size=size,
+            extent=extent,
+            levels=levels,
+            order=order,
+            flavor=flavor,
+            labels_decimals=labels_decimals,
+        )
+
+    def get_partitions_by_country(self, name: str) -> dict[str, list[str]]:
+        """Partitions intersecting a country's bbox (reference: partitioning.py:1144-1152)."""
+        from sat_bucket_spark.extents import get_country_extent
+
+        return self.get_partitions_by_extent(get_country_extent(name))
+
+    def get_partitions_by_continent(self, name: str) -> dict[str, list[str]]:
+        """Partitions intersecting a continent's bbox (reference: partitioning.py:1154-1162)."""
+        from sat_bucket_spark.extents import get_continent_extent
+
+        return self.get_partitions_by_extent(get_continent_extent(name))
+
+
+class TilePartitioning(Base2DPartitioning):
+    """Tile partitioning with integer x/y or flat tile-id labels.
+
+    Reference: partitioning.py:960-1086 — ``n_levels=2`` gives (x, y) labels
+    (default level names ``["x", "y"]``), ``n_levels=1`` a single raveled id
+    (default ``["tile"]``). ``origin`` flips the y axis ("bottom" default,
+    Google-Maps style; "top" = TMS), ``direction`` picks row-major ("x") or
+    column-major ("y") raveling, ``justify`` zero-pads labels
+    (partitioning.py:310-348).
+    """
+
+    def __init__(
+        self,
+        size,
+        extent,
+        n_levels=2,
+        levels=None,
+        origin="bottom",
+        direction="x",
+        justify=False,
+        order=None,
+        flavor=None,
+    ):
+        if n_levels not in (1, 2):
+            raise ValueError("n_levels must be 1 or 2")
+        if origin not in ("top", "bottom"):
+            raise ValueError("origin must be 'top' or 'bottom'")
+        if direction not in ("x", "y"):
+            raise ValueError("direction must be 'x' or 'y'")
+        if levels is None:
+            levels = ["tile"] if n_levels == 1 else ["x", "y"]
+        levels = list(levels)
+        if len(levels) != n_levels:
+            raise ValueError(f"levels {levels} must have length n_levels={n_levels}")
+        super().__init__(size=size, extent=extent, levels=levels, order=order, flavor=flavor)
+        self.n_levels_tiles = n_levels
+        self.origin = origin
+        self.direction = direction
+        self.justify = justify
+
+    # -- label expressions ---------------------------------------------------
+    def _y_out_expr(self, y) -> Column:
+        """y index with origin flip (reference: partitioning.py:314-318)."""
+        y_idx = self.y_index_expr(y)
+        if self.origin == "top":
+            return y_idx
+        return F.when(y_idx.isNotNull(), F.lit(self.n_y - 1) - y_idx)
+
+    def tile_id_expr(self, x, y) -> Column:
+        """Flat tile id: row-major ('x') or column-major ('y') ravel.
+
+        Reference: partitioning.py:327-348 (np.ravel_multi_index order C/F over
+        (y, x) with optional bottom-origin flip).
+        """
+        x_idx = self.x_index_expr(x)
+        y_out = self._y_out_expr(y)
+        if self.direction == "x":
+            flat = y_out * F.lit(self.n_x) + x_idx
+        else:
+            flat = x_idx * F.lit(self.n_y) + y_out
+        return F.when(x_idx.isNotNull() & y_out.isNotNull(), flat)
+
+    def label_exprs(self, x, y) -> dict[str, Column]:
+        """Level -> label Column mapping (reference: partitioning.py:310-348)."""
+        if self.n_levels_tiles == 1:
+            width = len(str(self.n_x * self.n_y))
+            return {self.levels[0]: tile_label_expr(self.tile_id_expr(x, y), self.justify, width)}
+        x_idx = self.x_index_expr(x)
+        y_out = self._y_out_expr(y)
+        # Labels must be jointly null when either coordinate is invalid
+        # (reference: partitioning.py:101-158 mask decorator).
+        both = x_idx.isNotNull() & y_out.isNotNull()
+        x_lab = tile_label_expr(F.when(both, x_idx), self.justify, len(str(self.n_x)))
+        y_lab = tile_label_expr(F.when(both, y_out), self.justify, len(str(self.n_y)))
+        return {self.levels[0]: x_lab, self.levels[1]: y_lab}
+
+    # -- driver-side labels --------------------------------------------------
+    def _fmt(self, values: np.ndarray, width: int) -> np.ndarray:
+        labels = values.astype(str)
+        if self.justify:
+            labels = np.char.rjust(labels, width, "0")
+        return labels
+
+    def get_partitions_by_extent(self, extent) -> dict[str, list[str]]:
+        """Level -> labels of tiles intersecting extent."""
+        x_idx, y_idx = self._index_ranges_by_extent(extent)
+        if self.origin == "bottom":
+            y_out = self.n_y - 1 - y_idx
+        else:
+            y_out = y_idx
+        if self.n_levels_tiles == 2:
+            return {
+                self.levels[0]: self._fmt(x_idx, len(str(self.n_x))).tolist(),
+                self.levels[1]: self._fmt(np.sort(y_out), len(str(self.n_y))).tolist(),
+            }
+        xx, yy = np.meshgrid(x_idx, y_out)
+        if self.direction == "x":
+            flat = yy.ravel() * self.n_x + xx.ravel()
+        else:
+            flat = xx.ravel() * self.n_y + yy.ravel()
+        width = len(str(self.n_x * self.n_y))
+        return {self.levels[0]: sorted(self._fmt(np.unique(flat), width).tolist())}
+
+    def _iter_label_combos(self):
+        parts = self.get_partitions_by_extent(list(self.extent))
+        keys = list(parts.keys())
+        for combo_vals in itertools.product(*(parts[k] for k in keys)):
+            yield dict(zip(keys, combo_vals))
+
+    def to_dict(self) -> dict:
+        """Spec dict (reference: partitioning.py:1072-1086)."""
+        return {
+            "class": type(self).__name__,
+            "extent": list(self.extent),
+            "size": list(self.size),
+            "n_levels": self.n_levels_tiles,
+            "levels": list(self.levels),
+            "origin": self.origin,
+            "direction": self.direction,
+            "justify": self.justify,
+            "order": list(self.order),
+            "flavor": self.flavor,
+        }
+
+
+_CLASSES = {
+    "XYPartitioning": XYPartitioning,
+    "LonLatPartitioning": LonLatPartitioning,
+    "TilePartitioning": TilePartitioning,
+}
+
+
+def get_partitioning_class(name: str):
+    """Resolve a partitioning class by name (reference: io.py:42-49)."""
+    try:
+        return _CLASSES[name]
+    except KeyError:
+        raise ValueError(f"unknown partitioning class {name!r}; valid: {sorted(_CLASSES)}") from None
+
+
+def partitioning_from_dict(spec: dict):
+    """Instantiate a partitioning from its spec dict (reference: io.py:42-49)."""
+    spec = dict(spec)
+    cls = get_partitioning_class(spec.pop("class"))
+    return cls(**spec)

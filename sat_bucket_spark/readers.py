@@ -1,0 +1,159 @@
+"""The query entry point: ``read`` over a bucket archive.
+
+Re-expresses reference satbucket/readers.py:162-303 as ONE declarative Spark
+plan. Where the reference hand-implements plan/prune stages (partition label
+enumeration -> directory listing -> per-file scan -> post-filter;
+readers.py:239-279), we emit::
+
+    spark.read.parquet(bucket_dir)
+        .where(<partition-label predicate>)   # Catalyst hive partition pruning
+        .where(<exact bbox / point-radius>)   # row-level post filter
+        .where(<user filter expressions>)     # pushed to parquet scan
+        .select(columns).limit(n_rows)
+
+and Catalyst performs partition pruning, predicate pushdown, and column pruning
+(the scan shows PushedFilters/ReadSchema; verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from sat_bucket_spark.extents import get_continent_extent, get_country_extent
+from sat_bucket_spark.filters import (
+    extent_around_point,
+    filter_around_point,
+    filter_by_extent,
+)
+from sat_bucket_spark.io import get_bucket_spatial_partitioning
+
+__all__ = ["read", "read_bucket_dataframe"]
+
+
+def read_bucket_dataframe(
+    spark: SparkSession,
+    bucket_dir: str,
+    levels: list[str] | None = None,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """Open a bucket as a DataFrame with *string-typed* partition columns.
+
+    Spark's partition-type inference would parse ``lon_bin=-5.0`` as a double
+    and ``tile=007`` as an int, breaking the reference's string-label contract
+    (labels are strings; reference partitioning.py:899-910). We read the footer
+    schema once, force every partition level to StringType, and re-read with an
+    explicit schema (partition columns honor user-provided schemas).
+    """
+    reader = spark.read
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    df = reader.parquet(bucket_dir)
+    if levels:
+        fields = []
+        for f in df.schema.fields:
+            if f.name in levels:
+                fields.append(StructField(f.name, StringType(), True))
+            else:
+                fields.append(f)
+        reader = spark.read.schema(StructType(fields))
+        if path_glob:
+            reader = reader.option("pathGlobFilter", path_glob)
+        df = reader.parquet(bucket_dir)
+    return df
+
+
+def read(
+    spark: SparkSession,
+    bucket_dir: str,
+    *,
+    extent=None,
+    country: str | None = None,
+    continent: str | None = None,
+    point=None,
+    distance: float | None = None,
+    size=None,
+    columns: list[str] | None = None,
+    n_rows: int | None = None,
+    filter_expressions: list[Column | str] | None = None,
+    path_glob: str | None = None,
+    x: str = "lon",
+    y: str = "lat",
+    distance_type: str = "geodesic",
+    use_pruning: bool = True,
+    raise_if_empty: bool = False,
+    backend: str = "spark",
+):
+    """Query a bucket archive (reference: readers.py:162-303).
+
+    Exactly one (or none) of ``extent`` / ``country`` / ``continent`` / ``point``
+    may be given (reference: readers.py:239-242). ``point`` queries take either
+    ``distance`` (meters; exact radius filter + ``distance`` column, reference
+    filters.py:51-63) or ``size`` (degrees bbox around the point).
+
+    ``filter_expressions`` are arbitrary Column/SQL-string predicates applied
+    before the spatial post-filter (reference: readers.py:142-148 notes they
+    "reduce rows much more aggressively" — Catalyst pushes them into the scan).
+
+    ``backend``: "spark" (default, lazy DataFrame) or "pandas" (collect to
+    pandas, the reference's default backend; readers.py:91-98).
+    """
+    n_spatial = sum(v is not None for v in (extent, country, continent, point))
+    if n_spatial > 1:
+        raise ValueError("specify at most one of extent/country/continent/point")
+
+    partitioning = get_bucket_spatial_partitioning(bucket_dir)
+    df = read_bucket_dataframe(spark, bucket_dir, levels=partitioning.order, path_glob=path_glob)
+
+    # --- resolve the spatial query to an extent (driver-side planning) -----
+    query_extent = None
+    point_radius = None
+    if extent is not None:
+        query_extent = list(extent)
+    elif country is not None:
+        query_extent = get_country_extent(country)
+    elif continent is not None:
+        query_extent = get_continent_extent(continent)
+    elif point is not None:
+        lon0, lat0 = float(point[0]), float(point[1])
+        if (distance is None) == (size is None):
+            raise ValueError("point queries require exactly one of 'distance' or 'size'")
+        if distance is not None:
+            point_radius = (lon0, lat0, float(distance))
+            query_extent = extent_around_point(lon0, lat0, distance=distance)
+        else:
+            query_extent = extent_around_point(lon0, lat0, size=size)
+
+    # --- partition pruning predicate (hive pruning via Catalyst) -----------
+    if query_extent is not None and use_pruning:
+        df = df.where(partitioning.pruning_predicate(query_extent))
+
+    # --- user predicates (pushed into the parquet scan) --------------------
+    if filter_expressions:
+        for expr in filter_expressions:
+            df = df.where(F.expr(expr) if isinstance(expr, str) else expr)
+
+    # --- exact spatial post-filters ----------------------------------------
+    if point_radius is not None:
+        lon0, lat0, dist = point_radius
+        df = filter_around_point(df, lon0, lat0, dist, x=x, y=y, distance_type=distance_type)
+    elif query_extent is not None:
+        df = filter_by_extent(df, query_extent, x=x, y=y)
+
+    # --- projection / limit -------------------------------------------------
+    if columns is not None:
+        df = df.select(*columns)
+    if n_rows is not None:
+        df = df.limit(n_rows)
+
+    if raise_if_empty and df.isEmpty():
+        # Reference raises on empty result (readers.py:151-154); opt-in here
+        # because it forces an extra action on a 100 TB table.
+        raise ValueError("no data found for the specified query")
+
+    if backend == "pandas":
+        return df.toPandas()
+    if backend != "spark":
+        raise ValueError(f"invalid backend {backend!r} (use 'spark' or 'pandas')")
+    return df

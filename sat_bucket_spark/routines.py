@@ -1,0 +1,233 @@
+"""Ingest and compaction pipelines.
+
+Re-expresses reference satbucket/routines.py as three Spark jobs:
+
+- :func:`write_bucket` — one DataFrame -> labeled, hive-partitioned bucket
+  (reference: routines.py:253-316).
+- :func:`write_granules_bucket` — granule files -> bucket, the ingestion
+  "UDTF": a filepaths DataFrame mapped through the user's
+  ``granule_to_df_func`` with ``mapInPandas`` (reference: routines.py:66-139,
+  143-250; the dask block/restart machinery is obsolete under Spark's
+  scheduler).
+- :func:`merge_granule_buckets` — compaction: read staged granules, derive a
+  ``time_part`` partition column, shuffle once on (spatial, temporal) keys,
+  write large files (reference: routines.py:530-852). ``update=True`` maps to
+  dynamic partition overwrite, replacing delete-by-filename-prefix
+  (routines.py:791-810; SURVEY.md §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+import traceback
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from sat_bucket_spark.checks import check_start_end_time, check_temporal_partitioning
+from sat_bucket_spark.filters import interval_overlap_expr
+from sat_bucket_spark.functions.temporal import time_prefix_expr
+from sat_bucket_spark.info import filename_time_exprs
+from sat_bucket_spark.io import (
+    get_bucket_spatial_partitioning,
+    get_bucket_temporal_partitioning,
+    write_bucket_info,
+)
+from sat_bucket_spark.readers import read_bucket_dataframe
+from sat_bucket_spark.writers import write_partitioned_dataset
+
+__all__ = ["merge_granule_buckets", "write_bucket", "write_granules_bucket"]
+
+
+def write_bucket(
+    df: DataFrame,
+    bucket_dir: str,
+    partitioning,
+    x: str = "lon",
+    y: str = "lat",
+    remove_invalid_rows: bool = True,
+    mode: str = "append",
+    **writer_kwargs,
+) -> None:
+    """Write a DataFrame as a spatially partitioned bucket archive.
+
+    Reference: routines.py:253-316 (add labels -> partitioned write ->
+    bucket_info). Partition order follows ``partitioning.order``
+    (partitioning.py:195-198).
+    """
+    write_bucket_info(bucket_dir, partitioning)
+    labeled = partitioning.add_labels(df, x=x, y=y, remove_invalid_rows=remove_invalid_rows)
+    write_partitioned_dataset(
+        labeled, bucket_dir, partitions=list(partitioning.order), mode=mode, **writer_kwargs
+    )
+
+
+def write_granules_bucket(
+    spark: SparkSession,
+    filepaths: list[str],
+    bucket_dir: str,
+    partitioning,
+    granule_to_df_func: Callable[[str], "pd.DataFrame | None"],
+    schema: StructType,
+    x: str = "lon",
+    y: str = "lat",
+    mode: str = "append",
+    **writer_kwargs,
+):
+    """Ingest granule files into a staged bucket archive.
+
+    The reference schedules one dask task per file with per-file error capture
+    (routines.py:107-139, 211-250). Spark shape: a filepaths DataFrame is
+    repartitioned one-file-per-task and mapped through the user callable with
+    ``mapInPandas`` (Arrow-batched); per-granule failures are captured into an
+    ``_error`` side-channel column so one corrupt granule cannot kill a
+    100k-granule job (SURVEY.md §7 hard part 7). Returns the list of
+    ``(filepath, error)`` failures.
+
+    ``schema`` declares the output columns of ``granule_to_df_func`` (Spark
+    requires a static schema; the reference infers it later from a "template
+    file", routines.py:351-369).
+    """
+    write_bucket_info(bucket_dir, partitioning)
+
+    data_fields = list(schema.fields)
+    out_schema = StructType(data_fields).add("_src_path", "string").add("_error", "string")
+    data_cols = [f.name for f in data_fields]
+
+    def _ingest(batches):
+        import pandas as pd  # noqa: PLC0415 (executor-side import)
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                try:
+                    gdf = granule_to_df_func(path)
+                    if gdf is None or len(gdf) == 0:
+                        continue
+                    gdf = gdf[data_cols].copy()
+                    gdf["_src_path"] = path
+                    gdf["_error"] = None
+                    yield gdf
+                except Exception:
+                    err = pd.DataFrame({c: pd.Series(dtype="object") for c in data_cols})
+                    err = err.reindex(range(1))
+                    err["_src_path"] = path
+                    err["_error"] = traceback.format_exc(limit=5)
+                    yield err
+
+    paths_df = spark.createDataFrame([(p,) for p in filepaths], ["path"]).repartition(
+        max(len(filepaths), 1)
+    )
+    result = paths_df.mapInPandas(_ingest, schema=out_schema)
+
+    ok = result.where(F.col("_error").isNull()).drop("_error", "_src_path")
+    labeled = partitioning.add_labels(ok, x=x, y=y, remove_invalid_rows=True)
+    write_partitioned_dataset(
+        labeled, bucket_dir, partitions=list(partitioning.order), mode=mode, **writer_kwargs
+    )
+
+    errors = (
+        result.where(F.col("_error").isNotNull()).select("_src_path", "_error").collect()
+    )
+    return [(r["_src_path"], r["_error"]) for r in errors]
+
+
+def merge_granule_buckets(
+    spark: SparkSession,
+    src_bucket_dir: str,
+    dst_bucket_dir: str,
+    temporal_partitioning: str = "year",
+    start_time=None,
+    end_time=None,
+    update: bool = False,
+    time: str = "time",
+    **writer_kwargs,
+) -> None:
+    """Compact a staged granule bucket into the temporally grouped archive.
+
+    Reference: routines.py:530-852. The reference loops partitions serially and
+    encodes the temporal group in output *filenames* (``2021_0.parquet``); here
+    the group becomes a ``time_part`` partition column computed from the data's
+    ``time`` (same prefix strings — routines.py:372-384), and ONE shuffled write
+    compacts every partition in parallel. Catalyst then prunes time ranges for
+    free on read.
+
+    ``update=True`` -> dynamic partition overwrite of the touched
+    (spatial x temporal) partitions — the idempotent replacement for
+    delete-files-by-prefix (routines.py:791-810).
+    """
+    check_temporal_partitioning(temporal_partitioning)
+    partitioning = get_bucket_spatial_partitioning(src_bucket_dir)
+    write_bucket_info(dst_bucket_dir, partitioning, temporal_partitioning=temporal_partitioning)
+
+    df = read_bucket_dataframe(spark, src_bucket_dir, levels=partitioning.order)
+    if start_time is not None or end_time is not None:
+        start_time, end_time = check_start_end_time(
+            start_time if start_time is not None else "1970-01-01",
+            end_time if end_time is not None else "2100-01-01",
+        )
+        df = df.where((F.col(time) >= F.lit(start_time)) & (F.col(time) < F.lit(end_time)))
+
+    df = df.withColumn("time_part", time_prefix_expr(time, temporal_partitioning))
+    partitions = list(partitioning.order) + ["time_part"]
+
+    writer_kwargs.setdefault("max_file_size", "2GB")  # reference default, routines.py:543
+    if update:
+        # Dynamic partition overwrite: only partitions present in df are replaced.
+        base = df.repartition(*partitions)
+        writer = (
+            base.write.partitionBy(*partitions)
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", writer_kwargs.get("compression", "snappy"))
+            .mode("overwrite")
+        )
+        writer.parquet(dst_bucket_dir)
+    else:
+        write_partitioned_dataset(
+            df, dst_bucket_dir, partitions=partitions, mode="append", **writer_kwargs
+        )
+
+
+def assign_files_to_temporal_groups(
+    files_df: DataFrame,
+    groups_df: DataFrame,
+) -> DataFrame:
+    """Interval-overlap join of files to temporal groups (may multi-match).
+
+    Reference: routines.py:474-504 + filters.py:91-110 — a file belongs to every
+    group its ``[start_time, end_time]`` overlaps. The groups side is tiny
+    (years/months), so it is broadcast: a map-side range join, no shuffle.
+    Expects ``files_df(start_time, end_time, ...)`` and
+    ``groups_df(group_start, group_end, time_prefix)``.
+    """
+    return files_df.join(
+        F.broadcast(groups_df),
+        interval_overlap_expr("start_time", "end_time", "group_start", "group_end"),
+        "inner",
+    )
+
+
+def filter_filepaths_by_time(
+    files_df: DataFrame,
+    filename_pattern: str,
+    start_time,
+    end_time,
+    path: str = "path",
+) -> DataFrame:
+    """Keep files whose filename-encoded interval overlaps the query window.
+
+    Reference: filters.py:174-228 (driver loop) — here a Column-expression
+    filter over a files DataFrame using the compiled pattern
+    (:func:`sat_bucket_spark.info.filename_time_exprs`), fully distributed.
+    """
+    start_time, end_time = check_start_end_time(start_time, end_time)
+    exprs = filename_time_exprs(path, filename_pattern)
+    df = files_df.withColumn("start_time", exprs["start_time"]).withColumn(
+        "end_time", exprs["end_time"]
+    )
+    return df.where(
+        interval_overlap_expr(
+            F.col("start_time"), F.col("end_time"), F.lit(start_time), F.lit(end_time)
+        )
+    )

@@ -1,0 +1,102 @@
+"""Partitioned Parquet writers.
+
+Re-expresses reference satbucket/writers.py on Spark's writer: hive-partitioned
+layout via ``df.write.partitionBy``, file sizing via ``maxRecordsPerFile``
+(estimated from a target byte size, mirroring writers.py:95-112), snappy
+compression default (routines.py:544). Spark writes Parquet column statistics
+by default, replacing the optional ``_metadata`` sidecars (writers.py:131-142) —
+footers + stats give row-group skipping for free.
+
+Scale note: a single ``partitionBy`` write at 100 TB fans out to one file per
+(task x partition); we pre-``repartition`` on the partition columns so each
+spatial partition is written by few tasks, producing large well-sized files
+instead of thousands of small ones.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import DataFrame
+
+__all__ = ["estimate_row_size", "parse_size", "rows_for_target_size", "write_partitioned_dataset"]
+
+_SIZE_RE = re.compile(r"^\s*([0-9]*\.?[0-9]+)\s*([KMGT]?B?)\s*$", re.IGNORECASE)
+_UNIT = {"": 1, "B": 1, "KB": 1024, "MB": 1024**2, "GB": 1024**3, "TB": 1024**4}
+
+
+def parse_size(size: str | int | float) -> int:
+    """Parse a '200MB'-style size string to bytes (reference: writers.py:39-66)."""
+    if isinstance(size, (int, float)):
+        return int(size)
+    m = _SIZE_RE.match(str(size))
+    if not m:
+        raise ValueError(f"unparseable size {size!r}")
+    value, unit = m.groups()
+    unit = unit.upper()
+    if unit == "K":
+        unit = "KB"
+    elif unit == "M":
+        unit = "MB"
+    elif unit == "G":
+        unit = "GB"
+    elif unit == "T":
+        unit = "TB"
+    return int(float(value) * _UNIT[unit])
+
+
+def estimate_row_size(df: DataFrame, sample_rows: int = 10_000) -> float:
+    """Estimate serialized bytes/row by sampling (reference: writers.py:69-92).
+
+    Samples up to ``sample_rows`` rows to Arrow and measures their in-memory
+    footprint; coarse but only used to derive ``maxRecordsPerFile``.
+    """
+    pdf = df.limit(sample_rows).toPandas()
+    if len(pdf) == 0:
+        return 100.0
+    return max(float(pdf.memory_usage(index=False, deep=True).sum()) / len(pdf), 1.0)
+
+
+def rows_for_target_size(target_size: str | int, bytes_per_row: float) -> int:
+    """Target file size -> row count (reference: writers.py:95-112)."""
+    return max(int(math.floor(parse_size(target_size) / bytes_per_row)), 1)
+
+
+def write_partitioned_dataset(
+    df: DataFrame,
+    base_dir: str,
+    partitions: list[str] | None = None,
+    max_file_size: str | int | None = None,
+    max_records_per_file: int | None = None,
+    compression: str = "snappy",
+    mode: str = "append",
+    repartition_by_levels: bool = True,
+) -> None:
+    """Write a DataFrame as a partitioned Parquet dataset (reference: writers.py:327-369).
+
+    - ``partitions``: partition columns in on-disk order (reference order
+      semantics, partitioning.py:195-198); hive flavor (``name=label`` dirs) —
+      the "directory" flavor has no Spark writer equivalent and is normalized
+      to hive (SURVEY.md §7 hard part 5).
+    - File sizing: ``max_file_size`` (e.g. "2GB") is converted to
+      ``maxRecordsPerFile`` via a sampled bytes/row estimate (reference:
+      writers.py:95-112, 161-187); or pass ``max_records_per_file`` directly.
+    - ``repartition_by_levels``: shuffle rows so each spatial partition is
+      written by a single task — fewer, larger files (critical at scale).
+    """
+    writer_df = df
+    if partitions:
+        if repartition_by_levels:
+            writer_df = df.repartition(*partitions)
+        writer = writer_df.write.partitionBy(*partitions)
+    else:
+        writer = writer_df.write
+
+    if max_records_per_file is None and max_file_size is not None:
+        bytes_per_row = estimate_row_size(df)
+        max_records_per_file = rows_for_target_size(max_file_size, bytes_per_row)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+
+    writer.option("compression", compression).mode(mode).parquet(base_dir)

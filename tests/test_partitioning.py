@@ -1,0 +1,229 @@
+"""Partitioning expression tests — the most pinned surface of the engine.
+
+Oracles follow the reference suite's golden assertions
+(reference: satbucket/tests/test_partitioning.py; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sat_bucket_spark.partitioning import (
+    LonLatPartitioning,
+    TilePartitioning,
+    XYPartitioning,
+    get_n_decimals,
+    partitioning_from_dict,
+)
+
+
+class TestBinSemantics:
+    """Right-closed (lo,hi] + include_lowest (reference test_partitioning.py:70-132)."""
+
+    def test_xy_edge_cases(self, spark, xy_points_df):
+        # size (0.5, 0.25), extent [0,2,0,2] — FIXTURES.md §2
+        p = XYPartitioning(size=(0.5, 0.25), extent=[0, 2, 0, 2])
+        out = p.add_labels(xy_points_df, x="x", y="y", remove_invalid_rows=True)
+        rows = out.orderBy("x").collect()
+        assert [r["xbin"] for r in rows] == ["0.25", "0.25", "0.25", "0.75", "1.25", "1.75"]
+        assert [r["ybin"] for r in rows] == ["0.125", "0.125", "0.375", "0.875", "1.375", "1.875"]
+
+    def test_invalid_rows_kept_as_null(self, spark, xy_points_df):
+        p = XYPartitioning(size=(0.5, 0.25), extent=[0, 2, 0, 2])
+        out = p.add_labels(xy_points_df, x="x", y="y", remove_invalid_rows=False)
+        assert out.count() == 9
+        assert out.where(F.col("xbin").isNull()).count() == 3  # -0.001, 2.1, NaN
+
+    def test_boundary_membership(self, spark):
+        # vmin -> first bin; interior boundary -> lower bin; vmax -> last bin
+        p = XYPartitioning(size=1.0, extent=[0, 4, 0, 4])
+        df = spark.createDataFrame([(0.0, 0.0), (1.0, 1.0), (4.0, 4.0)], ["x", "y"])
+        got = [r["xbin"] for r in p.add_labels(df, "x", "y").orderBy("x").collect()]
+        assert got == ["0.5", "0.5", "3.5"]
+
+    def test_partial_last_bin(self, spark):
+        # extent not a multiple of size: last bin is narrower (np.arange semantics)
+        p = XYPartitioning(size=1.0, extent=[0, 2.5, 0, 2.5])
+        assert p.n_x == 3
+        assert p.x_bounds.tolist() == [0.0, 1.0, 2.0, 2.5]
+        df = spark.createDataFrame([(2.2, 2.2)], ["x", "y"])
+        row = p.add_labels(df, "x", "y").collect()[0]
+        assert row["xbin"] == "2.25"  # centroid of partial bin (2.0+2.5)/2
+
+    def test_label_matches_numpy_formatting(self, spark):
+        # Spark label strings == driver-side numpy label strings
+        p = LonLatPartitioning(size=10)
+        df = spark.createDataFrame(
+            [(float(lon), float(lat)) for lon in range(-175, 180, 35) for lat in range(-85, 90, 35)],
+            ["lon", "lat"],
+        )
+        got = (
+            p.add_labels(df, "lon", "lat")
+            .select("lon_bin", "lat_bin")
+            .distinct()
+            .collect()
+        )
+        valid_x = set(p.x_labels.tolist())
+        valid_y = set(p.y_labels.tolist())
+        for r in got:
+            assert r["lon_bin"] in valid_x
+            assert r["lat_bin"] in valid_y
+
+
+class TestLabels:
+    def test_zero_decimals_int_labels(self, spark):
+        p = XYPartitioning(size=2, extent=[0, 10, 0, 10], labels_decimals=0)
+        df = spark.createDataFrame([(0.5, 9.5)], ["x", "y"])
+        row = p.add_labels(df, "x", "y").collect()[0]
+        assert row["xbin"] == "1"  # int cast at 0 decimals (reference partitioning.py:899-910)
+        assert row["ybin"] == "9"
+
+    def test_default_decimals(self):
+        assert get_n_decimals(0.5) == 1
+        assert get_n_decimals(10) == 0
+        p = XYPartitioning(size=(0.5, 0.25), extent=[0, 2, 0, 2])
+        assert p.labels_decimals == (2, 3)
+
+    def test_negative_labels(self, spark):
+        p = LonLatPartitioning(size=10)
+        df = spark.createDataFrame([(-7.0, -3.0)], ["lon", "lat"])
+        row = p.add_labels(df, "lon", "lat").collect()[0]
+        assert row["lon_bin"] == "-5.0"
+        assert row["lat_bin"] == "-5.0"
+
+
+class TestCentroids:
+    def test_add_centroids(self, spark):
+        p = LonLatPartitioning(size=10)
+        df = spark.createDataFrame([(12.0, 47.0), (float("nan"), 1.0)], ["lon", "lat"])
+        out = p.add_centroids(df, x="lon", y="lat").orderBy("lat").collect()
+        assert out[1]["lon_c"] == 15.0
+        assert out[1]["lat_c"] == 45.0
+        assert out[0]["lon_c"] is None or np.isnan(out[0]["lon_c"])
+
+
+class TestTilePartitioning:
+    def test_two_level_origin_bottom(self, spark):
+        p = TilePartitioning(size=1.0, extent=[0, 4, 0, 4], n_levels=2)
+        df = spark.createDataFrame([(0.5, 0.5), (3.5, 3.5)], ["x", "y"])
+        rows = p.add_labels(df, "x", "y").orderBy("x").collect()
+        # origin=bottom (default): y index flipped (reference partitioning.py:314-318)
+        assert (rows[0]["x"], rows[0]["y"]) == ("0", "3")
+        assert (rows[1]["x"], rows[1]["y"]) == ("3", "0")
+
+    def test_two_level_origin_top(self, spark):
+        p = TilePartitioning(size=1.0, extent=[0, 4, 0, 4], n_levels=2, origin="top")
+        df = spark.createDataFrame([(0.5, 0.5)], ["x", "y"])
+        r = p.add_labels(df, "x", "y").collect()[0]
+        assert (r["x"], r["y"]) == ("0", "0")
+
+    def test_one_level_direction_x(self, spark):
+        p = TilePartitioning(size=1.0, extent=[0, 4, 0, 4], n_levels=1, origin="top")
+        df = spark.createDataFrame([(1.5, 0.5), (0.5, 1.5)], ["x", "y"])
+        rows = p.add_labels(df, "x", "y").orderBy("x").collect()
+        # row-major ravel over (y, x): (y=1,x=0)->4 ; (y=0,x=1)->1
+        assert rows[0]["tile"] == "4"
+        assert rows[1]["tile"] == "1"
+
+    def test_one_level_direction_y_justify(self, spark):
+        p = TilePartitioning(
+            size=1.0, extent=[0, 4, 0, 4], n_levels=1, origin="top", direction="y", justify=True
+        )
+        df = spark.createDataFrame([(1.5, 0.5)], ["x", "y"])
+        r = p.add_labels(df, "x", "y").collect()[0]
+        # column-major: x*n_y + y = 1*4+0 = 4, zero-padded to width len("16")=2
+        assert r["tile"] == "04"
+
+    def test_matches_numpy_ravel(self, spark):
+        # Cross-check tile ids against np.ravel_multi_index for all cells
+        for origin in ("top", "bottom"):
+            for direction in ("x", "y"):
+                p = TilePartitioning(
+                    size=1.0, extent=[0, 3, 0, 2], n_levels=1, origin=origin, direction=direction
+                )
+                pts = [(x + 0.5, y + 0.5) for x in range(3) for y in range(2)]
+                df = spark.createDataFrame(pts, ["x", "y"])
+                got = {
+                    (r["x"], r["y"]): r["tile"]
+                    for r in p.add_labels(df, "x", "y")
+                    .withColumn("x", F.col("x"))
+                    .collect()
+                }
+                for (px, py), tile in got.items():
+                    xi, yi = int(px - 0.5), int(py - 0.5)
+                    yo = yi if origin == "top" else p.n_y - 1 - yi
+                    order = "C" if direction == "x" else "F"
+                    expect = np.ravel_multi_index((yo, xi), (p.n_y, p.n_x), order=order)
+                    assert tile == str(expect), (origin, direction, px, py)
+
+
+class TestPruning:
+    def test_partitions_by_extent(self):
+        p = LonLatPartitioning(size=10)
+        parts = p.get_partitions_by_extent([5, 8, 0, 20])
+        assert parts["lon_bin"] == ["5.0"]
+        # endpoint 0 bins right-closed into (-10,0] so partition -5.0 is included
+        # (matches reference get_partitions_by_extent centroid-range scan,
+        # partitioning.py:599-620)
+        assert parts["lat_bin"] == ["-5.0", "5.0", "15.0"]
+
+    def test_partitions_by_extent_boundary(self):
+        p = LonLatPartitioning(size=10)
+        # extent touching a bin edge includes both neighbors of the edge? no:
+        # [0,10] spans exactly bin (0,10] plus bin containing 0 -> (-10,0]
+        parts = p.get_partitions_by_extent([0, 10, 0, 10])
+        assert "5.0" in parts["lon_bin"]
+
+    def test_pruning_predicate_filters(self, spark, orbit_df):
+        p = LonLatPartitioning(size=10)
+        labeled = p.add_labels(orbit_df, x="lon", y="lat")
+        pred = p.pruning_predicate([5, 8, 0, 20])
+        pruned = labeled.where(pred)
+        # pruned superset of exact bbox rows
+        exact = labeled.where(
+            (F.col("lon") >= 5) & (F.col("lon") <= 8) & (F.col("lat") >= 0) & (F.col("lat") <= 20)
+        )
+        assert pruned.count() >= exact.count() > 0
+
+    def test_disjoint_extent_empty(self):
+        p = LonLatPartitioning(size=10, extent=[-20, 20, -20, 20])
+        parts = p.get_partitions_by_extent([100, 110, 50, 60])
+        assert parts["lon_bin"] == [] and parts["lat_bin"] == []
+
+
+class TestSerialization:
+    def test_round_trip(self):
+        for p in [
+            LonLatPartitioning(size=(10, 5), labels_decimals=2),
+            XYPartitioning(size=(0.5, 0.25), extent=[0, 2, 0, 2]),
+            TilePartitioning(size=1.0, extent=[0, 4, 0, 4], n_levels=1, justify=True),
+        ]:
+            q = partitioning_from_dict(p.to_dict())
+            assert q.to_dict() == p.to_dict()
+
+    def test_directories_hive(self):
+        p = LonLatPartitioning(size=90)
+        dirs = p.directories
+        assert len(dirs) == p.n_partitions == 8
+        assert all("lon_bin=" in d and "lat_bin=" in d for d in dirs)
+
+    def test_order_differs_from_levels(self):
+        p = LonLatPartitioning(size=90, order=["lat_bin", "lon_bin"])
+        d = p.directories[0]
+        assert d.startswith("lat_bin=")
+
+
+class TestValidation:
+    def test_bad_extent(self):
+        with pytest.raises(ValueError):
+            XYPartitioning(size=1, extent=[2, 1, 0, 1])
+
+    def test_bad_size(self):
+        with pytest.raises(ValueError):
+            XYPartitioning(size=-1, extent=[0, 1, 0, 1])
+
+    def test_bad_order(self):
+        with pytest.raises(ValueError):
+            LonLatPartitioning(size=10, order=["a", "b"])
