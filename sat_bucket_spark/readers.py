@@ -45,11 +45,12 @@ def read_bucket_dataframe(
     (labels are strings; reference partitioning.py:899-910). We read the footer
     schema once, force every partition level to StringType, and re-read with an
     explicit schema (partition columns honor user-provided schemas).
+
+    The default glob skips the ``bucket_info.yaml`` metadata header sitting at
+    the table root (reference: io.py:58-73).
     """
-    reader = spark.read
-    if path_glob:
-        reader = reader.option("pathGlobFilter", path_glob)
-    df = reader.parquet(bucket_dir)
+    glob = path_glob or "*.parquet"
+    df = spark.read.option("pathGlobFilter", glob).parquet(bucket_dir)
     if levels:
         fields = []
         for f in df.schema.fields:
@@ -57,10 +58,11 @@ def read_bucket_dataframe(
                 fields.append(StructField(f.name, StringType(), True))
             else:
                 fields.append(f)
-        reader = spark.read.schema(StructType(fields))
-        if path_glob:
-            reader = reader.option("pathGlobFilter", path_glob)
-        df = reader.parquet(bucket_dir)
+        df = (
+            spark.read.schema(StructType(fields))
+            .option("pathGlobFilter", glob)
+            .parquet(bucket_dir)
+        )
     return df
 
 

@@ -1,0 +1,143 @@
+"""Bucket write -> read round-trip tests (reference: test_readers.py, test_routines.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sat_bucket_spark import (
+    LonLatPartitioning,
+    get_bucket_spatial_partitioning,
+    read,
+    write_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def bucket_dir(spark, orbit_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bucket"))
+    p = LonLatPartitioning(size=(10, 10))
+    write_bucket(orbit_df, d, p, x="lon", y="lat")
+    return d
+
+
+def _brute_count(orbit_df, extent):
+    x0, x1, y0, y1 = extent
+    return orbit_df.where(
+        (F.col("lon") >= x0) & (F.col("lon") <= x1) & (F.col("lat") >= y0) & (F.col("lat") <= y1)
+    ).count()
+
+
+class TestWriteBucket:
+    def test_hive_layout(self, bucket_dir):
+        # hive flavor (LonLatPartitioning default, reference partitioning.py:1128)
+        subdirs = [d for d in os.listdir(bucket_dir) if os.path.isdir(os.path.join(bucket_dir, d))]
+        assert subdirs and all(d.startswith("lon_bin=") for d in subdirs)
+
+    def test_bucket_info_round_trip(self, bucket_dir):
+        p = get_bucket_spatial_partitioning(bucket_dir)
+        assert isinstance(p, LonLatPartitioning)
+        assert p.size == (10.0, 10.0)
+        assert p.levels == ["lon_bin", "lat_bin"]
+
+
+class TestRead:
+    def test_full_read(self, spark, bucket_dir, orbit_df):
+        df = read(spark, bucket_dir)
+        # all rows, original 8 cols + 2 label cols (labels are partition columns)
+        assert df.count() == orbit_df.count() == 150
+        assert set(orbit_df.columns) <= set(df.columns)
+
+    def test_partition_labels_are_strings(self, spark, bucket_dir):
+        df = read(spark, bucket_dir)
+        types = dict(df.dtypes)
+        assert types["lon_bin"] == "string"
+        assert types["lat_bin"] == "string"
+
+    def test_extent_query_matches_bruteforce(self, spark, bucket_dir, orbit_df):
+        for extent in ([5, 8, 0, 20], [-10, 1, -10, 1], [-35, -15, -25, 5]):
+            got = read(spark, bucket_dir, extent=extent).count()
+            assert got == _brute_count(orbit_df, extent), extent
+
+    def test_extent_prunes_partitions(self, spark, bucket_dir):
+        df = read(spark, bucket_dir, extent=[5, 8, 0, 20])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # hive partition pruning: scan must not read every partition
+        assert "lon_bin" in plan
+
+    def test_columns_and_n_rows(self, spark, bucket_dir):
+        df = read(spark, bucket_dir, columns=["lon", "lat"], n_rows=3)
+        pdf = df.toPandas()
+        assert pdf.shape == (3, 2)
+
+    def test_filter_expressions(self, spark, bucket_dir):
+        df = read(spark, bucket_dir, filter_expressions=["gpm_granule_id = 0"])
+        assert df.count() == 50
+        df2 = read(spark, bucket_dir, filter_expressions=[F.col("gpm_granule_id") == 0])
+        assert df2.count() == 50
+
+    def test_point_radius_adds_distance(self, spark, bucket_dir):
+        df = read(spark, bucket_dir, point=(3, 3), distance=200_000)
+        assert "distance" in df.columns
+        rows = df.collect()
+        assert len(rows) > 0
+        assert all(r["distance"] <= 200_000 for r in rows)
+
+    def test_point_radius_haversine_close_to_geodesic(self, spark, bucket_dir):
+        exact = read(spark, bucket_dir, point=(3, 3), distance=200_000).count()
+        fast = read(
+            spark, bucket_dir, point=(3, 3), distance=200_000, distance_type="haversine"
+        ).count()
+        # spherical vs ellipsoidal deviate <0.6%; on this fixture counts match
+        assert abs(exact - fast) <= 1
+
+    def test_point_size_query(self, spark, bucket_dir, orbit_df):
+        got = read(spark, bucket_dir, point=(3, 3), size=20).count()
+        assert got == _brute_count(orbit_df, [-7, 13, -7, 13])
+
+    def test_country_query(self, spark, bucket_dir, orbit_df):
+        from sat_bucket_spark.extents import get_country_extent
+
+        got = read(spark, bucket_dir, country="Nigeria").count()
+        assert got == _brute_count(orbit_df, get_country_extent("Nigeria"))
+        assert got > 0
+
+    def test_continent_query(self, spark, bucket_dir, orbit_df):
+        from sat_bucket_spark.extents import get_continent_extent
+
+        got = read(spark, bucket_dir, continent="Africa").count()
+        assert got == _brute_count(orbit_df, get_continent_extent("Africa"))
+
+    def test_raise_if_empty(self, spark, bucket_dir):
+        with pytest.raises(ValueError, match="no data"):
+            read(spark, bucket_dir, extent=[100, 110, 50, 60], raise_if_empty=True)
+
+    def test_too_many_spatial_filters(self, spark, bucket_dir):
+        with pytest.raises(ValueError, match="at most one"):
+            read(spark, bucket_dir, extent=[0, 1, 0, 1], country="Nigeria")
+
+    def test_pandas_backend(self, spark, bucket_dir):
+        pdf = read(spark, bucket_dir, extent=[5, 8, 0, 20], backend="pandas")
+        import pandas as pd
+
+        assert isinstance(pdf, pd.DataFrame)
+
+
+class TestPlanQuality:
+    """Scale checks: pushdown + pruning must reach the parquet scan."""
+
+    def test_projection_pushdown(self, spark, bucket_dir):
+        df = read(spark, bucket_dir, columns=["lon", "lat"])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema" in plan
+        # only the 2 projected data columns are read from parquet
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "lon" in read_schema and "dummy_var" not in read_schema
+
+    def test_predicate_pushdown(self, spark, bucket_dir):
+        df = read(spark, bucket_dir, filter_expressions=["dummy_var > 0.5"])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        assert "dummy_var" in plan.split("PushedFilters:")[1].splitlines()[0]
