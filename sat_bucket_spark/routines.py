@@ -92,9 +92,9 @@ def write_granules_bucket(
     """
     write_bucket_info(bucket_dir, partitioning)
 
-    data_fields = list(schema.fields)
-    out_schema = StructType(data_fields).add("_src_path", "string").add("_error", "string")
-    data_cols = [f.name for f in data_fields]
+    data_cols = [f.name for f in schema.fields]
+    # copy the field list: StructType.add appends in place
+    out_schema = StructType(list(schema.fields)).add("_src_path", "string").add("_error", "string")
 
     def _ingest(batches):
         import pandas as pd  # noqa: PLC0415 (executor-side import)

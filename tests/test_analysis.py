@@ -1,0 +1,115 @@
+"""Sessionization + swath re-indexing tests (reference: analysis.py semantics)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sat_bucket_spark.analysis import (
+    add_overpass_count,
+    add_overpass_id,
+    add_swath_indices,
+    get_list_overpass_time,
+    split_by_overpass,
+)
+
+
+@pytest.fixture(scope="module")
+def gaps_df(spark):
+    """FIXTURES.md §5: clustered timesteps separated by gaps."""
+    base = datetime.datetime(2021, 1, 1)
+    times = (
+        # session 0: 3 steps, 1s apart
+        [base + datetime.timedelta(seconds=s) for s in (0, 1, 2)]
+        # session 1: 5 min later, 2 steps
+        + [base + datetime.timedelta(minutes=5, seconds=s) for s in (0, 30)]
+        # session 2: 2 hours later, 1 step
+        + [base + datetime.timedelta(hours=2)]
+    )
+    return spark.createDataFrame([(t,) for t in times], ["time"])
+
+
+class TestOverpassId:
+    def test_sessions_with_default_2min(self, spark, gaps_df):
+        out = add_overpass_id(gaps_df).orderBy("time").collect()
+        assert [r["overpass_id"] for r in out] == [0, 0, 0, 1, 1, 2]
+
+    def test_gap_equal_interval_does_not_split(self, spark):
+        # reference: dt <= interval keeps the session (analysis.py:272-276)
+        base = datetime.datetime(2021, 1, 1)
+        df = spark.createDataFrame(
+            [(base,), (base + datetime.timedelta(minutes=2),)], ["time"]
+        )
+        out = add_overpass_id(df).orderBy("time").collect()
+        assert [r["overpass_id"] for r in out] == [0, 0]
+
+    def test_partitioned_sessionization(self, spark):
+        base = datetime.datetime(2021, 1, 1)
+        rows = []
+        for sat in ("a", "b"):
+            rows += [(sat, base), (sat, base + datetime.timedelta(hours=1))]
+        df = spark.createDataFrame(rows, ["sat", "time"])
+        out = add_overpass_id(df, partition_by=["sat"]).collect()
+        for r in out:
+            assert r["overpass_id"] in (0, 1)
+        # each satellite gets its own 0-based numbering
+        per_sat = {(r["sat"], r["overpass_id"]) for r in out}
+        assert ("a", 0) in per_sat and ("b", 0) in per_sat
+
+    def test_overpass_count(self, spark, gaps_df):
+        out = add_overpass_count(gaps_df).orderBy("time").collect()
+        assert [r["count_overpass_occurence"] for r in out] == [3, 3, 3, 2, 2, 1]
+
+
+class TestOverpassPeriods:
+    def test_list_overpass_time_default_60min(self, spark, gaps_df):
+        # 60-min interval: first two clusters merge (5 min gap), third separate
+        periods = get_list_overpass_time(gaps_df)
+        base = datetime.datetime(2021, 1, 1)
+        assert len(periods) == 2
+        assert periods[0] == (base, base + datetime.timedelta(minutes=5, seconds=30))
+        assert periods[1][0] == base + datetime.timedelta(hours=2)
+
+    def test_list_overpass_time_custom_interval(self, spark, gaps_df):
+        periods = get_list_overpass_time(gaps_df, interval=datetime.timedelta(minutes=2))
+        assert len(periods) == 3
+
+    def test_single_timestep(self, spark):
+        t = datetime.datetime(2021, 1, 1)
+        df = spark.createDataFrame([(t,)], ["time"])
+        assert get_list_overpass_time(df) == [(t, t)]
+
+    def test_empty_raises(self, spark):
+        df = spark.createDataFrame([], "time timestamp")
+        with pytest.raises(ValueError, match="No timesteps"):
+            get_list_overpass_time(df)
+
+    def test_split_by_overpass(self, spark, gaps_df):
+        dfs = split_by_overpass(gaps_df, interval=datetime.timedelta(minutes=2))
+        assert [d.count() for d in dfs] == [3, 2, 1]
+        dfs = split_by_overpass(
+            gaps_df, interval=datetime.timedelta(minutes=2), max_overpass=2
+        )
+        assert len(dfs) == 2
+
+
+class TestSwathIndices:
+    def test_contiguous_renumbering(self, spark, orbit_df):
+        out = add_swath_indices(orbit_df)
+        rows = out.select("gpm_granule_id", "gpm_along_track_id", "x_index", "y_index").collect()
+        # granule g starts at offset g*10 (each granule has 10 along-track steps)
+        for r in rows:
+            assert r["x_index"] == r["gpm_granule_id"] * 10 + r["gpm_along_track_id"]
+            assert 0 <= r["y_index"] <= 4
+
+    def test_offset_with_partial_granule(self, spark):
+        # granule 0 tracks 3..5 (3 tracks), granule 2 tracks 10..11 (2 tracks)
+        rows = [("0-3", 0), ("0-5", 0), ("2-10", 1), ("2-11", 0)]
+        df = spark.createDataFrame(rows, ["gpm_id", "gpm_cross_track_id"])
+        out = {
+            r["gpm_id"]: r["x_index"]
+            for r in add_swath_indices(df).collect()
+        }
+        assert out == {"0-3": 0, "0-5": 2, "2-10": 3, "2-11": 4}
