@@ -1,0 +1,254 @@
+"""Deduplication operators: exact, near-exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB regime:
+
+- exact/fingerprint dedup is a hash ``groupBy`` (one shuffle on a short key);
+- MinHash signatures are computed with *portable* universal hashes
+  (operators/hashing.py) via explode -> min-aggregate, so the heavy shuffle
+  carries (doc_id, 31-bit ints), not text;
+- LSH banding turns all-pairs comparison into an equi-join on (band, band
+  signature) — candidate generation is linear in data size, never quadratic;
+- n-gram Jaccard verification runs only on LSH candidates (or directly on
+  small tables).
+
+Everything is Column expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sat_bucket_spark.operators.hashing import (
+    MERSENNE_P,
+    h31_expr,
+    minhash_params,
+    perm_hash_expr,
+)
+
+__all__ = [
+    "add_simhash",
+    "exact_duplicate_groups",
+    "dedup_exact",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "shingles_expr",
+]
+
+
+def exact_duplicate_groups(
+    df: DataFrame, key_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates: key -> (n_docs, representative min id, ids).
+
+    The representative is the minimum id — deterministic, unlike
+    ``dropDuplicates`` (which keeps an arbitrary row per key).
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per key — the one with the minimum id.
+
+    Window-free formulation would need a self-join; the window over the key
+    shuffle-partitions by key, so it scales (no global ordering).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles_expr(text: Column | str, k: int = 5) -> Column:
+    """Distinct character k-shingles of a lowercased document, as an array.
+
+    Generated with ``sequence`` + ``transform`` — JVM-side, no UDF. Documents
+    shorter than k yield a single shingle (the whole text), so no row is lost.
+    """
+    t = F.lower(F.col(text) if isinstance(text, str) else text)
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_size: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature array over character shingles.
+
+    Pipeline: explode distinct shingles -> portable 31-bit hash -> n universal
+    re-hashes -> min per document. The shuffle carries only
+    (id, n_hashes x int) — independent of document length, which is what makes
+    this viable at 100 TB.
+    """
+    params = minhash_params(n_hashes, seed=seed)
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, k=shingle_size)).alias("__shingle")
+    )
+    h = h31_expr(F.col("__shingle"))
+    aggs = [
+        F.min(perm_hash_expr(h, a, b)).alias(f"mh_{i}") for i, (a, b) in enumerate(params)
+    ]
+    sigs = exploded.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    signature_col: str = "signature",
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their signature become candidates.
+
+    Bands are equi-join keys, so candidate generation is a shuffle join on
+    (band_idx, band values) — never an all-pairs product. Returns distinct
+    (id_a < id_b) pairs with the fraction of matching signature positions
+    (the MinHash estimate of Jaccard similarity).
+    """
+    n_hashes = len(sigs.select(signature_col).first()[0])
+    rows_per_band = max(n_hashes // n_bands, 1)
+    bands = sigs.select(
+        F.col(id_col),
+        F.col(signature_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.slice(F.col(signature_col), i * rows_per_band + 1, rows_per_band).alias(
+                            "band_sig"
+                        ),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, signature_col, "band.band_idx", "band.band_sig")
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{signature_col}").alias("sig_a"),
+            F.col(f"r.{signature_col}").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(n_hashes))
+    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 5,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard similarity over character n-gram sets for all pairs
+    sharing at least one n-gram.
+
+    Shape: explode distinct shingles -> self-equi-join on shingle -> count
+    intersections -> join per-doc set sizes -> |A∩B| / (|A|+|B|-|A∩B|).
+    Pairs sharing nothing never materialize. At scale, run on LSH candidates
+    instead of the full corpus.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, k=shingle_size)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    if min_jaccard > 0:
+        out = out.where(F.col("jaccard") >= F.lit(min_jaccard))
+    return out
+
+
+def add_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "simhash",
+    n_bits: int = 24,
+) -> DataFrame:
+    """Per-document SimHash over whitespace tokens (default 24 bits).
+
+    Bit j of the signature is 1 when the sum over tokens of
+    ``(bit_j(h31(token)) * 2 - 1)`` is positive. Near-duplicates have small
+    Hamming distance. Pure expressions: one ``aggregate`` over the token
+    array per bit contribution — no shuffle at all (fully row-local), so this
+    scales linearly.
+    """
+    from sat_bucket_spark.operators.text import tokens_expr
+
+    toks = tokens_expr(text_col)
+
+    def _bit_merge(j: int):
+        # NB: a plain 2-arg lambda — extra default args would break PySpark's
+        # higher-order-function arity detection.
+        return lambda acc, x: acc + (F.shiftright(h31_expr(x), j) % 2) * 2 - 1
+
+    bit_sums = [
+        F.aggregate(toks, F.lit(0).cast("long"), _bit_merge(j)) for j in range(n_bits)
+    ]
+    sim = None
+    for j, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return df.withColumn(out, sim.cast("long"))

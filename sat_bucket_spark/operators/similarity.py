@@ -1,0 +1,163 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed scale path.
+
+Operates on a table with an ``array<float>`` embedding column (testdata:
+``embeddings(vec_id, embedding, label)``). The dot products are computed with
+``aggregate``/``zip_with`` — JVM-side, vectorized by codegen, no Python.
+
+Scale design: brute-force is O(N*Q) and exists as the exactness baseline and
+for broadcast-sized query sets; the production path buckets vectors with
+random-hyperplane LSH so candidate generation is an equi-join on bucket keys,
+then ranks exactly within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "brute_force_topk",
+    "cosine_expr",
+    "dot_expr",
+    "norm_expr",
+    "pairwise_near_duplicates",
+    "random_hyperplane_signature",
+    "lsh_topk",
+]
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two array columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    """L2 norm of an array column."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns (0 when either norm is 0)."""
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the vector table.
+
+    The query side is broadcast (top-k makes no sense for a huge query set in
+    one job), so the join is map-side: each vector partition scans the
+    broadcast queries — no shuffle of the big table. Ranking uses
+    ``row_number`` partitioned by query with a deterministic (similarity desc,
+    id asc) tiebreak.
+    """
+    joined = vectors.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def pairwise_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine >= threshold (embedding near-dup).
+
+    All-pairs on purpose — the exactness oracle for embedding dedup. At scale
+    use :func:`random_hyperplane_signature` buckets first and run this within
+    buckets only.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def random_hyperplane_signature(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    out: str = "lsh_bucket",
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-random-projection LSH bucket id per vector.
+
+    Bit i of the bucket = sign(v . h_i) for fixed seeded hyperplanes folded
+    into the plan as literal arrays. Cosine-similar vectors collide with high
+    probability (SimHash for real vectors).
+    """
+    planes = _hyperplanes(n_planes, dim, seed=seed)
+    bucket = None
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = (dot_expr(F.col(vec_col), plane) > 0).cast("long")
+        term = bit * F.lit(2**i)
+        bucket = term if bucket is None else (bucket + term)
+    return vectors.withColumn(out, bucket)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: rank exactly only within the query's LSH bucket.
+
+    The scale path: bucket both sides (an equi-join on the bucket id replaces
+    the cross product), then exact cosine + row_number within buckets. Recall
+    is tunable via n_planes (fewer planes -> bigger buckets -> higher recall).
+    """
+    v = random_hyperplane_signature(
+        vectors, dim, n_planes=n_planes, vec_col=vec_col, out="__bucket", seed=seed
+    )
+    q = random_hyperplane_signature(
+        queries, dim, n_planes=n_planes, vec_col=query_vec_col, out="__bucket", seed=seed
+    )
+    joined = v.join(F.broadcast(q), "__bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -1,0 +1,109 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All operators are pure Column-expression pipelines (JVM-side, whole-stage
+codegen, no Python in the hot path) over a documents table with a string
+``text`` column. Each has an exact ANSI-SQL equivalent used by the DuckDB
+correctness oracle (see __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "STOPWORDS",
+    "add_fingerprint",
+    "add_language_id",
+    "add_quality_score",
+    "add_token_count",
+    "tokens_expr",
+]
+
+# Compact stopword lists for the n-gram/stopword language-ID heuristic.
+# Public knowledge (most frequent function words per language).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "que", "une", "pour"],
+    "es": ["el", "la", "que", "de", "los", "una", "es", "por", "con", "para"],
+    "it": ["il", "la", "che", "di", "e", "un", "per", "una", "sono", "con"],
+}
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Whitespace tokenization with empty-string safety.
+
+    ``split`` of an empty string yields [""]; filter it out so token counts are
+    0 for empty documents (both engines agree on this formulation).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+
+
+def add_token_count(df: DataFrame, text: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace token count per document."""
+    return df.withColumn(out, F.size(tokens_expr(text)).cast("long"))
+
+
+def add_quality_score(df: DataFrame, text: str = "text", out: str = "quality_score") -> DataFrame:
+    """Heuristic document quality score in [0, 1].
+
+    Components (each a cheap JVM expression):
+    - length score: min(n_chars / 500, 1)
+    - punctuation ratio penalty: fraction of non-alphanumeric-non-space chars
+    - digit ratio penalty
+    - mean word length sanity (3..12 chars)
+    Combined: 0.4*length + 0.3*(1-punct) + 0.2*(1-digit) + 0.1*word_len_ok.
+    """
+    t = F.col(text)
+    n_chars = F.length(t).cast("double")
+    n_punct = (n_chars - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))).cast("double")
+    n_digit = (n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("double")
+    n_tokens = F.size(tokens_expr(text)).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1.0))
+    punct_ratio = n_punct / safe_chars
+    digit_ratio = n_digit / safe_chars
+    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    word_len_ok = F.when((mean_word_len >= 3.0) & (mean_word_len <= 12.0), 1.0).otherwise(0.0)
+    score = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * (F.lit(1.0) - digit_ratio)
+        + F.lit(0.1) * word_len_ok
+    )
+    return df.withColumn(out, F.round(score, 6))
+
+
+def add_language_id(df: DataFrame, text: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language identification.
+
+    For each language, count tokens that are stopwords of that language; pick
+    the argmax (ties and zero hits -> 'und' for undetermined). Entirely
+    JVM-side: lowercased token array intersected with literal arrays.
+    """
+    toks = F.transform(tokens_expr(text), lambda x: F.lower(x))
+    hits = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(words)))  # noqa: B023
+        for lang, words in STOPWORDS.items()
+    }
+    # argmax with deterministic tiebreak: language order as listed
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in STOPWORDS:  # insertion order fixed
+        cond = hits[lang] > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    return df.withColumn(out, best_lang)
+
+
+def add_fingerprint(df: DataFrame, text: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Normalization fingerprint: md5 of lowercased, punctuation-stripped,
+    whitespace-collapsed text — the classic near-exact dedup key.
+    """
+    t = F.col(text)
+    norm = F.lower(t)
+    norm = F.regexp_replace(norm, r"[^a-z0-9\s]", "")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return df.withColumn(out, F.md5(norm))

@@ -1,0 +1,225 @@
+"""Tests for the training-data-pipeline operators over the driver testdata."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sat_bucket_spark.operators.dedup import (
+    add_simhash,
+    dedup_exact,
+    exact_duplicate_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles_expr,
+)
+from sat_bucket_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    pairwise_near_duplicates,
+)
+from sat_bucket_spark.operators.text import (
+    add_fingerprint,
+    add_language_id,
+    add_quality_score,
+    add_token_count,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+class TestText:
+    def test_token_count_matches_python(self, spark, documents):
+        rows = add_token_count(documents).select("doc_id", "text", "n_tokens").limit(50).collect()
+        for r in rows:
+            assert r["n_tokens"] == len(r["text"].split()), r["doc_id"]
+
+    def test_token_count_empty(self, spark):
+        df = spark.createDataFrame([("",), ("   ",), ("a b",)], ["text"])
+        got = [r["n_tokens"] for r in add_token_count(df).collect()]
+        assert got == [0, 0, 2]
+
+    def test_quality_score_range(self, documents):
+        rows = add_quality_score(documents).select("quality_score").collect()
+        assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+
+    def test_language_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("the cat sat on the mat and it was happy",),
+                ("der hund ist nicht auf der strasse und das ist gut",),
+                ("xyzzy qwerty",),
+            ],
+            ["text"],
+        )
+        got = [r["lang_pred"] for r in add_language_id(df).collect()]
+        assert got == ["en", "de", "und"]
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [("Hello,  World!",), ("hello world",), ("different text",)], ["text"]
+        )
+        fps = [r["fingerprint"] for r in add_fingerprint(df).collect()]
+        assert fps[0] == fps[1] != fps[2]
+
+
+class TestExactDedup:
+    def test_duplicate_groups(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aa"), (2, "aa"), (3, "bb"), (4, "aa")], ["doc_id", "text"]
+        )
+        groups = exact_duplicate_groups(df, ["text"]).collect()
+        assert len(groups) == 1
+        g = groups[0]
+        assert g["n_docs"] == 3 and g["keep_id"] == 1 and g["doc_ids"] == [1, 2, 4]
+
+    def test_dedup_exact_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(4, "aa"), (2, "aa"), (3, "bb")], ["doc_id", "text"]
+        )
+        kept = sorted(r["doc_id"] for r in dedup_exact(df, ["text"]).collect())
+        assert kept == [2, 3]
+
+
+class TestMinHash:
+    def test_shingles(self, spark):
+        df = spark.createDataFrame([("abcdef",), ("ab",)], ["text"])
+        rows = df.select(shingles_expr("text", 3).alias("s")).collect()
+        assert rows[0]["s"] == ["abc", "bcd", "cde", "def"]
+        assert rows[1]["s"] == ["ab"]  # shorter than k -> whole text
+
+    def test_identical_docs_identical_signatures(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumps over the lazy dog"),
+             (3, "completely different content here")],
+            ["doc_id", "text"],
+        )
+        sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(df).collect()}
+        assert sigs[1] == sigs[2]
+        assert sigs[1] != sigs[3]
+
+    def test_lsh_finds_near_duplicates(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, "zzz totally unrelated qqq")],
+            ["doc_id", "text"],
+        )
+        sigs = minhash_signatures(df, n_hashes=16)
+        pairs = lsh_candidate_pairs(sigs, n_bands=8).collect()
+        pair_ids = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in pair_ids
+        est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+        assert est[(1, 2)] > 0.5
+
+    def test_minhash_estimates_jaccard(self, spark, documents):
+        # MinHash estimate should correlate with exact n-gram Jaccard
+        docs = documents.limit(30)
+        sigs = minhash_signatures(docs, n_hashes=32)
+        pairs = lsh_candidate_pairs(sigs, n_bands=16)
+        exact = ngram_jaccard_pairs(docs)
+        joined = pairs.join(exact, ["id_a", "id_b"]).collect()
+        for r in joined:
+            assert abs(r["est_jaccard"] - r["jaccard"]) < 0.45  # 32 hashes: coarse
+
+
+class TestNgramJaccard:
+    def test_exact_jaccard_values(self, spark):
+        df = spark.createDataFrame([(1, "abcd"), (2, "abcde"), (3, "zzzz")], ["doc_id", "text"])
+        # 3-shingles: doc1 {abc,bcd}, doc2 {abc,bcd,cde}, doc3 {zzz}
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, shingle_size=3).collect()
+        }
+        assert got == {(1, 2): round(2 / 3, 6)}
+
+    def test_min_jaccard_filter(self, spark):
+        df = spark.createDataFrame([(1, "abcd"), (2, "abcde")], ["doc_id", "text"])
+        assert ngram_jaccard_pairs(df, shingle_size=3, min_jaccard=0.9).count() == 0
+
+
+class TestSimHash:
+    def test_identical_equal_near_differs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "abc")],
+            ["doc_id", "text"],
+        )
+        h = {r["doc_id"]: r["simhash"] for r in add_simhash(df).collect()}
+        assert h[1] == h[2]
+        assert h[1] != h[3]
+
+    def test_near_duplicates_close_hamming(self, spark):
+        a = "the quick brown fox jumps over the lazy dog and runs far away today"
+        b = a + " tomorrow"
+        df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+        h = {r["doc_id"]: r["simhash"] for r in add_simhash(df, n_bits=24).collect()}
+        hamming = bin(h[1] ^ h[2]).count("1")
+        assert hamming <= 8
+
+
+class TestSimilarity:
+    def test_brute_force_topk_matches_numpy(self, spark, embeddings):
+        emb = embeddings.limit(100).cache()
+        queries = emb.limit(3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        got = brute_force_topk(emb, queries, k=5).collect()
+        # numpy oracle
+        pdf = emb.toPandas()
+        mat = np.array(pdf["embedding"].tolist(), dtype="float64")
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.linalg.norm(mat, axis=1)
+        for qid in {r["query_id"] for r in got}:
+            qv = mat[ids == qid][0]
+            sims = mat @ qv / (norms * np.linalg.norm(qv) + 1e-300)
+            order = sorted(zip(-np.round(sims, 6), ids))[:5]
+            expect = [int(i) for _, i in order]
+            mine = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == qid]
+            assert mine == expect, qid
+
+    def test_self_similarity_rank1(self, spark, embeddings):
+        emb = embeddings.limit(50)
+        queries = emb.limit(2).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        got = brute_force_topk(emb, queries, k=1).collect()
+        for r in got:
+            assert r["vec_id"] == r["query_id"]  # self is most similar
+            assert r["cosine"] == pytest.approx(1.0, abs=1e-5)
+
+    def test_lsh_topk_contains_self(self, spark, embeddings):
+        dim = len(embeddings.select("embedding").first()[0])
+        emb = embeddings.limit(100)
+        queries = emb.limit(3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        got = lsh_topk(emb, queries, dim=dim, k=5, n_planes=4).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+        for qid, ids in by_q.items():
+            assert qid in ids  # same bucket as itself, rank 1
+
+    def test_pairwise_near_duplicates_threshold(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0]),  # near-dup of 1
+            (3, [0.0, 1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = pairwise_near_duplicates(df, threshold=0.99).collect()
+        assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
