@@ -1,38 +1,999 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps the engine's operator inventory (SURVEY.md §2) onto the driver's
+TPC-H-ish testdata so every operator family has a DuckDB-checkable oracle:
+
+- spatial binning/labels/pruning run over *derived* lon/lat columns
+  (deterministic integer arithmetic on event_id) since the testdata has no
+  native coordinates — the binning math exercised is exactly the engine's;
+- sessionization / windows / joins / aggregations run on events + TPC-H tables;
+- the training-data operators (dedup, MinHash, SimHash, similarity, text)
+  run on documents/embeddings with portable md5-derived hashing so DuckDB
+  reproduces them bit-for-bit.
+
+Column aliases match between Spark and SQL (the driver sorts columns by name
+and hashes values). Floating outputs are rounded in BOTH engines; sums use
+decimal casts so accumulation order cannot diverge.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sat_bucket_spark.analysis import add_overpass_count, add_overpass_id
+from sat_bucket_spark.filters import haversine_expr
+from sat_bucket_spark.operators.dedup import (
+    add_simhash,
+    exact_duplicate_groups,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from sat_bucket_spark.operators.hashing import MERSENNE_P, minhash_params
+from sat_bucket_spark.operators.similarity import (
+    brute_force_topk,
+    pairwise_near_duplicates,
+    random_hyperplane_signature,
+    _hyperplanes,
+)
+from sat_bucket_spark.operators.text import (
+    STOPWORDS,
+    add_fingerprint,
+    add_language_id,
+    add_quality_score,
+    add_token_count,
+)
+from sat_bucket_spark.partitioning import LonLatPartitioning, TilePartitioning
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is Parquet TIMESTAMP(NANOS), which Spark refuses to read.
+
+    Read nanos as long and integer-divide to microseconds (truncation —
+    exactly what DuckDB's TIMESTAMP_NS -> TIMESTAMP cast does, so both engines
+    see identical microsecond timestamps). Integer ``div`` is mandatory:
+    float division of int64 nanos loses sub-microsecond bits.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# Derived deterministic coordinates over events (testdata has no geo columns).
+LON_SQL = "(CAST((event_id % 360) - 180 AS DOUBLE) + 0.5)"
+LAT_SQL = "(CAST((event_id % 180) - 90 AS DOUBLE) + 0.5)"
+
+
+def _with_coords(events: DataFrame) -> DataFrame:
+    return events.withColumn("lon", F.expr(LON_SQL)).withColumn("lat", F.expr(LAT_SQL))
+
+
+GRID10 = LonLatPartitioning(size=10)  # labels_decimals=(1,1)
+TILES10 = TilePartitioning(
+    size=10, extent=[-180, 180, -90, 90], n_levels=1, origin="bottom", direction="x", justify=True
+)
+
+
+def _bin_idx_sql(x: str, vmin: float, size: float, n: int) -> str:
+    """SQL mirror of partitioning.bin_index_expr (right-closed + include_lowest)."""
+    pos = f"(({x}) - ({vmin})) / ({size})"
+    raw = f"(CAST(CEIL({pos}) AS BIGINT) - 1)"
+    return f"LEAST(GREATEST({raw}, 0), {n - 1})"
+
+
+def _centroid_sql(idx: str, vmin: float, size: float) -> str:
+    return f"(({vmin}) + (CAST({idx} AS DOUBLE) + 0.5) * ({size}))"
+
+
+def _label_sql(centroid: str, decimals: int) -> str:
+    """SQL mirror of partitioning.format_label_expr."""
+    if decimals == 0:
+        return f"CAST(CAST(round({centroid}, 0) AS BIGINT) AS VARCHAR)"
+    s = f"CAST(CAST(round({centroid}, {decimals}) AS DECIMAL(38,{decimals})) AS VARCHAR)"
+    s = rf"regexp_replace({s}, '(\.\d*?)0+$', '\1')"
+    return rf"regexp_replace({s}, '\.$', '.0')"
+
+
+_LON_IDX = _bin_idx_sql("lon", -180.0, 10.0, 36)
+_LAT_IDX = _bin_idx_sql("lat", -90.0, 10.0, 18)
+_COORDS_CTE = f"""
+WITH coords AS (
+  SELECT event_id, event_type, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+)
+"""
+
+H31_TOKEN_SQL = f"(CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {MERSENNE_P})"
+H31_SHINGLE_SQL = f"(CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % {MERSENNE_P})"
+
+HAVERSINE_KM_SQL = """
+round(2.0 * 6371008.8 * asin(sqrt(
+    pow(sin((radians(lat) - radians(3.0)) / 2.0), 2)
+    + cos(radians(lat)) * cos(radians(3.0))
+      * pow(sin((radians(lon) - radians(3.0)) / 2.0), 2)
+)) / 1000.0, 3)
+"""
+
+_MINHASH_PARAMS = minhash_params(4)
+_PLANES = _hyperplanes(8, 64, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# queries (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_scan_project(spark, sf_dir):
+    """S1/S2/P1/P6: projected, predicate-pushed parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_sorted_limit(spark, sf_dir):
+    """O1/O3/P2: deterministic sorted limit."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+def q_extent_filter(spark, sf_dir):
+    """P3: closed-bounds bbox filter on derived coords."""
+    ev = _with_coords(_events(spark, sf_dir))
+    return ev.where(
+        (F.col("lon") >= -20) & (F.col("lon") <= 40) & (F.col("lat") >= 0) & (F.col("lat") <= 30)
+    ).select("event_id", "lon", "lat")
+
+
+def q_point_radius(spark, sf_dir):
+    """P4: haversine point-radius filter + distance column."""
+    ev = _with_coords(_events(spark, sf_dir))
+    dist_km = F.round(haversine_expr("lon", "lat", 3.0, 3.0) / 1000.0, 3)
+    return (
+        ev.withColumn("dist_km", dist_km)
+        .where(F.col("dist_km") <= 2000.0)
+        .select("event_id", "dist_km")
+    )
+
+
+def q_bin_index(spark, sf_dir):
+    """B1: right-closed uniform bin index."""
+    from sat_bucket_spark.partitioning import bin_index_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice") / F.lit(1000.0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        bin_index_expr(x, 0.0, 110.0, 2.5, 44).alias("bin_idx"),
+    )
+
+
+def q_lonlat_labels(spark, sf_dir):
+    """B3/B4/B8: centroid-string partition labels."""
+    ev = _with_coords(_events(spark, sf_dir))
+    return GRID10.add_labels(ev, x="lon", y="lat").select("event_id", "lon_bin", "lat_bin")
+
+
+def q_tile_labels(spark, sf_dir):
+    """B5/B6: raveled tile-id labels with origin flip + zero-justify."""
+    ev = _with_coords(_events(spark, sf_dir))
+    return TILES10.add_labels(ev, x="lon", y="lat").select("event_id", "tile")
+
+
+def q_centroids(spark, sf_dir):
+    """B7/B9: bin centroid coordinates."""
+    ev = _with_coords(_events(spark, sf_dir))
+    return GRID10.add_centroids(ev, x="lon", y="lat", x_coord="lon_c", y_coord="lat_c").select(
+        "event_id", "lon_c", "lat_c"
+    )
+
+
+def q_partition_pruning(spark, sf_dir):
+    """B12: extent -> label isin predicate -> per-partition counts."""
+    ev = _with_coords(_events(spark, sf_dir))
+    labeled = GRID10.add_labels(ev, x="lon", y="lat")
+    pred = GRID10.pruning_predicate([5, 8, 0, 20])
+    return (
+        labeled.where(pred)
+        .groupBy("lon_bin", "lat_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_invalid_policy(spark, sf_dir):
+    """P9: invalid coordinates -> null labels; count valid/invalid per type."""
+    ev = _with_coords(_events(spark, sf_dir))
+    stretched = ev.withColumn("lon", F.col("lon") * 1.5)  # some go out of extent
+    labeled = GRID10.add_labels(stretched, x="lon", y="lat", remove_invalid_rows=False)
+    return labeled.groupBy("event_type").agg(
+        F.sum(F.when(F.col("lon_bin").isNotNull(), 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(F.col("lon_bin").isNull(), 1).otherwise(0)).alias("n_invalid"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """A1 (TPC-H Q1 shape): grouped aggregation with exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """J4/A1: multi-way equi-join (nation broadcast) + decimal revenue."""
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(cu, od["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    """Deterministic top-k by aggregate (rank on exact decimal)."""
+    od = _t(spark, sf_dir, "orders")
+    agg = od.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("rev_dec")
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("o_custkey").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("o_custkey", F.col("rev_dec").cast("double").alias("revenue"), "rank")
+    )
+
+
+def q_dense_grid(spark, sf_dir):
+    """J1: dense axes cross product left-joined with aggregates (NaN/0 holes)."""
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy(
+        (F.dayofmonth("ts") % 7).alias("d"), F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    days = spark.range(7).select(F.col("id").cast("int").alias("d"))
+    hours = spark.range(24).select(F.col("id").cast("int").alias("h"))
+    return (
+        days.crossJoin(hours)
+        .join(agg, ["d", "h"], "left")
+        .select("d", "h", F.coalesce(F.col("cnt"), F.lit(0)).alias("n"))
+    )
+
+
+def q_interval_join(spark, sf_dir):
+    """J3: interval-overlap join of event intervals to literal time windows."""
+    ev = _events(spark, sf_dir)
+    groups = spark.createDataFrame(
+        [(i, f"2024-01-{1 + 5 * i:02d}", f"2024-01-{6 + 5 * i:02d}") for i in range(5)],
+        ["group_idx", "g_start", "g_end"],
+    ).select(
+        "group_idx",
+        F.to_timestamp("g_start").alias("g_start"),
+        F.to_timestamp("g_end").alias("g_end"),
+    )
+    iv = ev.select("event_id", F.col("ts").alias("s"), (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"))
+    joined = iv.join(
+        F.broadcast(groups), (F.col("s") <= F.col("g_end")) & (F.col("e") >= F.col("g_start"))
+    )
+    return joined.groupBy("group_idx").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_sessionize(spark, sf_dir):
+    """W1: per-user gap sessionization (30 min)."""
+    ev = _events(spark, sf_dir)
+    out = add_overpass_id(
+        ev, interval=1800, time="ts", partition_by=["user_id"], id_column="session_id"
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
+def q_session_count(spark, sf_dir):
+    """J2: per-session count joined back to rows (windowed count)."""
+    ev = _events(spark, sf_dir)
+    out = add_overpass_count(
+        ev,
+        interval=1800,
+        time="ts",
+        partition_by=["user_id"],
+        id_column="session_id",
+        count_column="n_events",
+    )
+    return out.select("event_id", "session_id", "n_events")
+
+
+def q_time_diff(spark, sf_dir):
+    """W3: ordered time delta per user."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    return ev.select("event_id", F.round(gap, 6).alias("gap_s"))
+
+
+def q_first_per_group(spark, sf_dir):
+    """W4: first row per group by time (deterministic tiebreak)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts")
+    )
+
+
+def q_swath_offsets(spark, sf_dir):
+    """W5: per-granule contiguous re-indexing with running offsets.
+
+    granule := user_id, along-track id := event_id (mirror of
+    analysis.add_swath_indices on the events table).
+    """
+    ev = _events(spark, sf_dir)
+    spans = ev.groupBy("user_id").agg(
+        F.min("event_id").alias("min_id"), F.max("event_id").alias("max_id")
+    )
+    w = Window.orderBy("user_id").rowsBetween(Window.unboundedPreceding, -1)
+    spans = spans.withColumn(
+        "offset", F.coalesce(F.sum(F.col("max_id") - F.col("min_id") + 1).over(w), F.lit(0))
+    )
+    return (
+        ev.join(spans, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("event_id") - F.col("min_id") + F.col("offset")).alias("x_index"),
+        )
+    )
+
+
+def q_distinct_sort(spark, sf_dir):
+    """A3: distinct + sort."""
+    ev = _events(spark, sf_dir)
+    return ev.select("event_type").distinct().orderBy("event_type")
+
+
+def q_global_minmax(spark, sf_dir):
+    """A5: global extremes."""
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+def q_count_by_type(spark, sf_dir):
+    """A4: count per group."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_distinct_pairs(spark, sf_dir):
+    """O4: deterministic dedup = distinct projection."""
+    ev = _events(spark, sf_dir)
+    return ev.select("user_id", "event_type").distinct()
+
+
+def q_union(spark, sf_dir):
+    """O5: union of two filtered branches + reaggregation."""
+    ev = _events(spark, sf_dir)
+    lo = ev.where(F.col("value") < 10).select("event_type", "value")
+    hi = ev.where(F.col("value") >= 90).select("event_type", "value")
+    return (
+        lo.unionByName(hi)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_time_prefixes(spark, sf_dir):
+    """Temporal partitioning labels (merge compaction keys)."""
+    from sat_bucket_spark.functions.temporal import time_prefix_expr
+
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.select(
+            time_prefix_expr("o_orderdate", "year").alias("p_year"),
+            time_prefix_expr("o_orderdate", "quarter").alias("p_quarter"),
+            time_prefix_expr("o_orderdate", "month").alias("p_month"),
+        )
+        .groupBy("p_year", "p_quarter", "p_month")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_filename_roundtrip(spark, sf_dir):
+    """U2: filename construction + pattern-compiled timestamp extraction."""
+    ev = _events(spark, sf_dir)
+    fname = F.concat(
+        F.lit("GR."),
+        F.col("event_id").cast("string"),
+        F.lit("."),
+        F.date_format("ts", "yyyyMMddHHmmss"),
+        F.lit(".h5"),
+    )
+    named = ev.withColumn("fname", fname)
+    parsed = F.to_timestamp(
+        F.regexp_extract(F.col("fname"), r"GR\.\d+\.(\d{14})\.h5", 1), "yyyyMMddHHmmss"
+    )
+    return named.select("event_id", parsed.alias("start_time"))
+
+
+def q_token_count(spark, sf_dir):
+    """Text: whitespace token count."""
+    docs = _t(spark, sf_dir, "documents")
+    return add_token_count(docs).select("doc_id", "n_tokens")
+
+
+def q_quality_score(spark, sf_dir):
+    """Text: heuristic quality scoring."""
+    docs = _t(spark, sf_dir, "documents")
+    return add_quality_score(docs).select("doc_id", "quality_score")
+
+
+def q_language_id(spark, sf_dir):
+    """Text: stopword-hit language identification."""
+    docs = _t(spark, sf_dir, "documents")
+    return add_language_id(docs).select("doc_id", "lang_pred")
+
+
+def q_fingerprint(spark, sf_dir):
+    """Text: normalization fingerprint (near-exact dedup key)."""
+    docs = _t(spark, sf_dir, "documents")
+    return add_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    """Dedup: exact duplicate groups over the fingerprint."""
+    docs = add_fingerprint(_t(spark, sf_dir, "documents"))
+    return exact_duplicate_groups(docs, ["fingerprint"]).select(
+        "fingerprint", "n_docs", "keep_id"
+    )
+
+
+def q_minhash(spark, sf_dir):
+    """Dedup: MinHash signatures (4 portable universal hashes, 5-shingles)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, n_hashes=4)
+    return sigs.select(
+        "doc_id",
+        *[F.col("signature")[i].alias(f"mh_{i}") for i in range(4)],
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """Dedup: 16-bit SimHash over tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    from sat_bucket_spark.operators.text import tokens_expr
+
+    nonempty = docs.where(F.size(tokens_expr("text")) > 0)
+    return add_simhash(nonempty, n_bits=16).select("doc_id", "simhash")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Dedup: exact n-gram Jaccard for co-shingled pairs above 0.1."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, shingle_size=8, min_jaccard=0.1)
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Similarity: brute-force cosine top-5 for 10 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Similarity: embedding near-duplicate pairs (cosine >= 0.3)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return pairwise_near_duplicates(emb, threshold=0.3)
+
+
+def q_lsh_buckets(spark, sf_dir):
+    """Similarity: sign-random-projection bucket histogram."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    b = random_hyperplane_signature(emb, dim=64, n_planes=8)
+    return b.groupBy("lsh_bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_overpass_global(spark, sf_dir):
+    """W1 (reference semantics): global gap sessionization of event times."""
+    ev = _events(spark, sf_dir)
+    out = add_overpass_id(ev, interval=600, time="ts", id_column="overpass_id")
+    return out.select("event_id", "overpass_id")
+
+
+def q_image_meta(spark, sf_dir):
+    """Multimodal: binary payload -> deterministic decode-stub dimensions."""
+    from sat_bucket_spark.operators.multimodal import decode_and_featurize_images
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    return decode_and_featurize_images(docs).select("doc_id", "width", "height")
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB side)
+# ---------------------------------------------------------------------------
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(list_transform(list_filter(string_split_regex(trim(text), '\\s+'),"
+        f" x -> x != ''), x -> lower(x)), x -> list_contains([{words}], x)))"
+    )
+
+
+def _langid_sql() -> str:
+    hits = {lang: f"h_{lang}" for lang in STOPWORDS}
+    inner = ", ".join(f"{_lang_hits_sql(lang)} AS h_{lang}" for lang in STOPWORDS)
+    # fold mirror of operators.text.add_language_id (same order, strict >)
+    best_l, best_h = "'und'", "0"
+    for lang in STOPWORDS:
+        cond = f"{hits[lang]} > {best_h}"
+        best_l = f"CASE WHEN {cond} THEN '{lang}' ELSE {best_l} END"
+        best_h = f"CASE WHEN {cond} THEN {hits[lang]} ELSE {best_h} END"
+    return f"SELECT doc_id, {best_l} AS lang_pred FROM (SELECT doc_id, {inner} FROM documents) t"
+
+
+def _tokens_sql(src: str = "text") -> str:
+    return f"list_filter(string_split_regex(trim({src}), '\\s+'), x -> x != '')"
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(t) - 4, 1)),"
+    " i -> substr(t, i, 5)))"
+)
+
+
+def _minhash_sql() -> str:
+    aggs = ", ".join(
+        f"min(({a} * {H31_SHINGLE_SQL} + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(_MINHASH_PARAMS)
+    )
+    return f"""
+SELECT doc_id, {aggs}
+FROM (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh
+  FROM (SELECT doc_id, lower(text) AS t FROM documents) s
+) e
+GROUP BY doc_id
+"""
+
+
+def _simhash_sql(n_bits: int = 16) -> str:
+    bit_sums = ", ".join(
+        f"SUM(((({H31_TOKEN_SQL}) >> {j}) % 2) * 2 - 1) AS s_{j}" for j in range(n_bits)
+    )
+    combine = " + ".join(f"CASE WHEN s_{j} > 0 THEN {2**j} ELSE 0 END" for j in range(n_bits))
+    return f"""
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash
+FROM (
+  SELECT doc_id, {bit_sums}
+  FROM (SELECT doc_id, unnest({_tokens_sql()}) AS tok FROM documents) e
+  GROUP BY doc_id
+) b
+"""
+
+
+_COSINE_SQL = (
+    "round(list_inner_product(a.emb, b.emb) /"
+    " (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))), 6)"
+)
+
+
+def _plane_sql(i: int) -> str:
+    return "[" + ", ".join(f"{float(x)!r}" for x in _PLANES[i]) + "]"
+
+
+def _lsh_bucket_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_inner_product(emb, {_plane_sql(i)}) > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+SELECT CAST({terms} AS BIGINT) AS lsh_bucket, count(*) AS n
+FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings) e
+GROUP BY 1
+"""
+
+
+_QUALITY_SQL = """
+SELECT doc_id, round(
+    0.4 * least(n_chars / 500.0, 1.0)
+  + 0.3 * (1.0 - n_punct / greatest(n_chars, 1.0))
+  + 0.2 * (1.0 - n_digit / greatest(n_chars, 1.0))
+  + 0.1 * (CASE WHEN n_toks > 0 AND n_chars / n_toks >= 3.0 AND n_chars / n_toks <= 12.0
+           THEN 1.0 ELSE 0.0 END)
+, 6) AS quality_score
+FROM (
+  SELECT doc_id,
+    CAST(len(text) AS DOUBLE) AS n_chars,
+    CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS DOUBLE) AS n_toks
+  FROM documents
+) t
+"""
+
+_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))
+  AS fingerprint
+FROM documents
+"""
+
+_ORACLES: dict[str, str] = {
+    "scan_project": """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+""",
+    "sorted_limit": """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_orderkey, l_linenumber LIMIT 100
+""",
+    "extent_filter": _COORDS_CTE
+    + """
+SELECT event_id, lon, lat FROM coords
+WHERE lon >= -20 AND lon <= 40 AND lat >= 0 AND lat <= 30
+""",
+    "point_radius": _COORDS_CTE
+    + f"""
+SELECT event_id, dist_km FROM (
+  SELECT event_id, {HAVERSINE_KM_SQL} AS dist_km FROM coords
+) t WHERE dist_km <= 2000.0
+""",
+    "bin_index": f"""
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN x IS NOT NULL AND NOT isnan(x) AND x >= 0.0 AND x <= 110.0
+       THEN {_bin_idx_sql("x", 0.0, 2.5, 44)} END AS bin_idx
+FROM (SELECT l_orderkey, l_linenumber, l_extendedprice / 1000.0 AS x FROM lineitem) t
+""",
+    "lonlat_labels": _COORDS_CTE
+    + f"""
+SELECT event_id,
+  {_label_sql(_centroid_sql(_LON_IDX, -180.0, 10.0), 1)} AS lon_bin,
+  {_label_sql(_centroid_sql(_LAT_IDX, -90.0, 10.0), 1)} AS lat_bin
+FROM coords
+""",
+    "tile_labels": _COORDS_CTE
+    + f"""
+SELECT event_id,
+  lpad(CAST((17 - {_LAT_IDX}) * 36 + {_LON_IDX} AS VARCHAR), 3, '0') AS tile
+FROM coords
+""",
+    "centroids": _COORDS_CTE
+    + f"""
+SELECT event_id,
+  {_centroid_sql(_LON_IDX, -180.0, 10.0)} AS lon_c,
+  {_centroid_sql(_LAT_IDX, -90.0, 10.0)} AS lat_c
+FROM coords
+""",
+    "partition_pruning": None,  # filled below (needs label lists)
+    "invalid_policy": _COORDS_CTE
+    + """
+SELECT event_type,
+  SUM(CASE WHEN lon * 1.5 >= -180 AND lon * 1.5 <= 180 THEN 1 ELSE 0 END) AS n_valid,
+  SUM(CASE WHEN lon * 1.5 >= -180 AND lon * 1.5 <= 180 THEN 0 ELSE 1 END) AS n_invalid
+FROM coords GROUP BY event_type
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "revenue_by_nation": """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "top_customers": """
+SELECT o_custkey, CAST(rev_dec AS DOUBLE) AS revenue, rank FROM (
+  SELECT o_custkey, rev_dec,
+    ROW_NUMBER() OVER (ORDER BY rev_dec DESC, o_custkey ASC) AS rank
+  FROM (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS rev_dec
+    FROM orders GROUP BY o_custkey
+  ) a
+) b WHERE rank <= 10
+""",
+    "dense_grid": """
+SELECT d.d, h.h, COALESCE(a.cnt, 0) AS n
+FROM (SELECT CAST(unnest(generate_series(0, 6)) AS INT) AS d) d
+CROSS JOIN (SELECT CAST(unnest(generate_series(0, 23)) AS INT) AS h) h
+LEFT JOIN (
+  SELECT day(ts) % 7 AS d, hour(ts) AS h, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+) a ON d.d = a.d AND h.h = a.h
+""",
+    "interval_join": """
+WITH groups AS (
+  SELECT i AS group_idx,
+    TIMESTAMP '2024-01-01' + to_days(CAST(5 * i AS INT)) AS g_start,
+    TIMESTAMP '2024-01-06' + to_days(CAST(5 * i AS INT)) AS g_end
+  FROM (SELECT unnest(generate_series(0, 4)) AS i) s
+)
+SELECT group_idx, COUNT(*) AS n
+FROM events JOIN groups
+  ON ts <= g_end AND ts + INTERVAL 1 HOUR >= g_start
+GROUP BY group_idx
+""",
+    "sessionize": """
+SELECT event_id, user_id,
+  SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) <= 1800.0 THEN 0 ELSE 1 END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+) t
+""",
+    "session_count": """
+WITH s AS (
+  SELECT event_id, user_id, ts,
+    SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) <= 1800.0 THEN 0 ELSE 1 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT event_id, user_id, ts,
+      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  ) t
+)
+SELECT event_id, session_id, COUNT(*) OVER (PARTITION BY user_id, session_id) AS n_events
+FROM s
+""",
+    "time_diff": """
+SELECT event_id,
+  round(epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 6) AS gap_s
+FROM events
+""",
+    "first_per_group": """
+SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+    "swath_offsets": """
+WITH spans AS (
+  SELECT user_id, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+  FROM events GROUP BY user_id
+),
+offs AS (
+  SELECT user_id, min_id,
+    COALESCE(SUM(max_id - min_id + 1) OVER (
+      ORDER BY user_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+  FROM spans
+)
+SELECT e.event_id, e.user_id, e.event_id - o.min_id + o."offset" AS x_index
+FROM events e JOIN offs o ON e.user_id = o.user_id
+""",
+    "distinct_sort": "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "global_minmax": """
+SELECT MIN(ts) AS min_ts, MAX(ts) AS max_ts, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events
+""",
+    "count_by_type": "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    "distinct_pairs": "SELECT DISTINCT user_id, event_type FROM events",
+    "union": """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT event_type, value FROM events WHERE value < 10
+  UNION ALL
+  SELECT event_type, value FROM events WHERE value >= 90
+) u GROUP BY event_type
+""",
+    "time_prefixes": """
+SELECT CAST(year(o_orderdate) AS VARCHAR) AS p_year,
+  CAST(year(o_orderdate) AS VARCHAR) || '_' || CAST(quarter(o_orderdate) AS VARCHAR) AS p_quarter,
+  CAST(year(o_orderdate) AS VARCHAR) || '_' || CAST(month(o_orderdate) AS VARCHAR) AS p_month,
+  COUNT(*) AS n
+FROM orders GROUP BY 1, 2, 3
+""",
+    "filename_roundtrip": r"""
+SELECT event_id,
+  strptime(regexp_extract(
+    'GR.' || CAST(event_id AS VARCHAR) || '.' || strftime(ts, '%Y%m%d%H%M%S') || '.h5',
+    'GR\.\d+\.(\d{14})\.h5', 1), '%Y%m%d%H%M%S') AS start_time
+FROM events
+""",
+    "token_count": f"SELECT doc_id, CAST(len({_tokens_sql()}) AS BIGINT) AS n_tokens FROM documents",
+    "quality_score": _QUALITY_SQL,
+    "language_id": _langid_sql(),
+    "fingerprint": _FINGERPRINT_SQL,
+    "exact_dup_groups": f"""
+SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM ({_FINGERPRINT_SQL}) f
+GROUP BY fingerprint HAVING COUNT(*) > 1
+""",
+    "minhash": _minhash_sql(),
+    "simhash": _simhash_sql(16),
+    "ngram_jaccard": f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 7, 1)), i -> substr(t, i, 8)))) AS shingle
+  FROM (SELECT doc_id, lower(text) AS t FROM documents) s
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+  round(n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE), 6) >= 0.1
+""",
+    "embedding_topk": f"""
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, {_COSINE_SQL} AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COSINE_SQL} DESC, b.vec_id ASC) AS rank
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 10) a
+  CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) b
+) t WHERE rank <= 5
+""",
+    "embedding_near_dup": f"""
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_SQL} AS cosine
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) a
+  JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) b ON a.vec_id < b.vec_id
+) t WHERE cosine >= 0.3
+""",
+    "lsh_buckets": _lsh_bucket_sql(),
+    "overpass_global": """
+SELECT event_id,
+  SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) <= 600.0 THEN 0 ELSE 1 END)
+    OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS overpass_id
+FROM (SELECT event_id, ts, LAG(ts) OVER (ORDER BY ts, event_id) AS prev_ts FROM events) t
+""",
+    "image_meta": """
+SELECT doc_id,
+  64 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 192 AS width,
+  64 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 192 AS height
+FROM documents
+""",
+}
+
+# partition_pruning oracle needs the pruned label lists (driver-side planning,
+# same values the Spark side folds into its isin predicate)
+_PRUNE_PARTS = GRID10.get_partitions_by_extent([5, 8, 0, 20])
+_ORACLES["partition_pruning"] = (
+    _COORDS_CTE
+    + f"""
+SELECT lon_bin, lat_bin, COUNT(*) AS n FROM (
+  SELECT event_id,
+    {_label_sql(_centroid_sql(_LON_IDX, -180.0, 10.0), 1)} AS lon_bin,
+    {_label_sql(_centroid_sql(_LAT_IDX, -90.0, 10.0), 1)} AS lat_bin
+  FROM coords
+) t
+WHERE lon_bin IN ({", ".join(repr(v) for v in _PRUNE_PARTS["lon_bin"])})
+  AND lat_bin IN ({", ".join(repr(v) for v in _PRUNE_PARTS["lat_bin"])})
+GROUP BY lon_bin, lat_bin
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the bucket-engine gridding pipeline on sf0.001.
+
+    Derived coords -> spatial partition labels -> per-partition aggregation
+    (the reference's read -> group-by-labels -> to_xarray contract,
+    SURVEY.md §3.1 + §2.5 A1).
+    """
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _with_coords(_events(spark, sf_dir))
+    labeled = GRID10.add_labels(ev, x="lon", y="lat")
+    return labeled.groupBy("lon_bin", "lat_bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator family from SURVEY.md §2."""
+    return {
+        "scan_project": q_scan_project,
+        "sorted_limit": q_sorted_limit,
+        "extent_filter": q_extent_filter,
+        "point_radius": q_point_radius,
+        "bin_index": q_bin_index,
+        "lonlat_labels": q_lonlat_labels,
+        "tile_labels": q_tile_labels,
+        "centroids": q_centroids,
+        "partition_pruning": q_partition_pruning,
+        "invalid_policy": q_invalid_policy,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers": q_top_customers,
+        "dense_grid": q_dense_grid,
+        "interval_join": q_interval_join,
+        "sessionize": q_sessionize,
+        "session_count": q_session_count,
+        "time_diff": q_time_diff,
+        "first_per_group": q_first_per_group,
+        "swath_offsets": q_swath_offsets,
+        "distinct_sort": q_distinct_sort,
+        "global_minmax": q_global_minmax,
+        "count_by_type": q_count_by_type,
+        "distinct_pairs": q_distinct_pairs,
+        "union": q_union,
+        "time_prefixes": q_time_prefixes,
+        "filename_roundtrip": q_filename_roundtrip,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash": q_minhash,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lsh_buckets": q_lsh_buckets,
+        "overpass_global": q_overpass_global,
+        "image_meta": q_image_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (tables pre-registered as views)."""
+    return dict(_ORACLES)
