@@ -502,9 +502,23 @@ def q_simhash(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Dedup: exact n-gram Jaccard for co-shingled pairs above 0.1."""
-    docs = _t(spark, sf_dir, "documents")
+    """Dedup: exact all-pairs n-gram Jaccard (the small-scale oracle).
+
+    Bounded to a fixed 500-doc subset: the all-pairs shingle self-join is
+    quadratic by design; the scale path is q_minhash_lsh_dedup.
+    """
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     return ngram_jaccard_pairs(docs, shingle_size=8, min_jaccard=0.1)
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """Dedup at scale: MinHash -> LSH banding -> exact verify on candidates."""
+    from sat_bucket_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup_pairs(
+        docs, n_hashes=8, n_bands=4, shingle_size=8, min_jaccard=0.1
+    )
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -863,7 +877,7 @@ GROUP BY fingerprint HAVING COUNT(*) > 1
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
     generate_series(1, greatest(len(t) - 7, 1)), i -> substr(t, i, 8)))) AS shingle
-  FROM (SELECT doc_id, lower(text) AS t FROM documents) s
+  FROM (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 500) s
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
 inter AS (
@@ -907,6 +921,44 @@ SELECT doc_id,
 FROM documents
 """,
 }
+
+def _minhash_lsh_dedup_sql() -> str:
+    """Oracle mirror of q_minhash_lsh_dedup: 8 minhashes, 4 bands of 2, exact
+    verify by shingle-set intersection — every step portable."""
+    params8 = minhash_params(8)
+    shingles8 = (
+        "list_distinct(list_transform(generate_series(1, greatest(len(t) - 7, 1)),"
+        " i -> substr(t, i, 8)))"
+    )
+    mh_aggs = ", ".join(
+        f"min(({a} * h + {b}) % {MERSENNE_P}) AS mh_{i}" for i, (a, b) in enumerate(params8)
+    )
+    band_conds = " OR ".join(
+        f"(a.mh_{2 * i} = b.mh_{2 * i} AND a.mh_{2 * i + 1} = b.mh_{2 * i + 1})"
+        for i in range(4)
+    )
+    return f"""
+WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+hs AS (
+  SELECT doc_id, (CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % {MERSENNE_P}) AS h
+  FROM (SELECT doc_id, unnest({shingles8}) AS sh FROM lowered) e
+),
+sigs AS (SELECT doc_id, {mh_aggs} FROM hs GROUP BY doc_id),
+cands AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({band_conds})
+),
+sets AS (SELECT doc_id, {shingles8} AS s FROM lowered)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+    round(len(list_intersect(sa.s, sb.s)) /
+      CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE), 6) AS jaccard
+  FROM cands JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+) v WHERE jaccard >= 0.1
+"""
+
+
+_ORACLES["minhash_lsh_dedup"] = _minhash_lsh_dedup_sql()
 
 # partition_pruning oracle needs the pruned label lists (driver-side planning,
 # same values the Spark side folds into its isin predicate)
@@ -986,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_buckets": q_lsh_buckets,

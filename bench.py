@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_sec", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries are materialized with the noop sink (full execution, no driver
+collect), so timings measure the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from sat_bucket_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family that matters at scale.
+HEADLINE = [
+    "scan_project",        # pushdown scan
+    "pricing_summary",     # shuffle aggregation
+    "revenue_by_nation",   # multi-join (broadcast dim)
+    "lonlat_labels",       # binning expression throughput
+    "partition_pruning",   # label pruning + agg
+    "point_radius",        # haversine filter
+    "sessionize",          # window sessionization
+    "session_count",       # windowed count
+    "swath_offsets",       # agg + window + join
+    "dense_grid",          # cross join + left join
+    "interval_join",       # range join
+    "token_count",         # text ops
+    "quality_score",
+    "minhash",             # explode + groupBy min
+    "simhash",             # row-local aggregate exprs
+    "minhash_lsh_dedup",   # LSH candidates + exact verify (scale path)
+    "embedding_topk",      # broadcast cross + window topk
+    "lsh_buckets",         # vector expression throughput
+]
+
+
+def _materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    spark = get_spark(
+        app_name="sat-bucket-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if str(cpus).isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+    # JVM/codegen warmup on a tiny query so q1 isn't charged for startup
+    _materialize(queries["distinct_sort"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -11,6 +11,7 @@ from sat_bucket_spark.operators.dedup import (
     dedup_exact,
     exact_duplicate_groups,
     lsh_candidate_pairs,
+    minhash_lsh_dedup_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "exact_duplicate_groups",
     "lsh_candidate_pairs",
     "lsh_topk",
+    "minhash_lsh_dedup_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "pairwise_near_duplicates",

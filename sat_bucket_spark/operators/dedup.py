@@ -31,6 +31,7 @@ __all__ = [
     "exact_duplicate_groups",
     "dedup_exact",
     "lsh_candidate_pairs",
+    "minhash_lsh_dedup_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "shingles_expr",
@@ -97,12 +98,15 @@ def minhash_signatures(
     this viable at 100 TB.
     """
     params = minhash_params(n_hashes, seed=seed)
+    # Project the shingle to its 31-bit hash BEFORE aggregating: one md5 per
+    # shingle total (not per hash function), and the map-side partial min
+    # shuffles only (id, int) pairs.
     exploded = df.select(
         F.col(id_col), F.explode(shingles_expr(text_col, k=shingle_size)).alias("__shingle")
-    )
-    h = h31_expr(F.col("__shingle"))
+    ).select(F.col(id_col), h31_expr(F.col("__shingle")).alias("__h"))
     aggs = [
-        F.min(perm_hash_expr(h, a, b)).alias(f"mh_{i}") for i, (a, b) in enumerate(params)
+        F.min(perm_hash_expr(F.col("__h"), a, b)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
     ]
     sigs = exploded.groupBy(id_col).agg(*aggs)
     return sigs.select(
@@ -219,6 +223,47 @@ def ngram_jaccard_pairs(
     if min_jaccard > 0:
         out = out.where(F.col("jaccard") >= F.lit(min_jaccard))
     return out
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_size: int = 8,
+    min_jaccard: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """The production near-dup pipeline: MinHash -> LSH banding -> exact verify.
+
+    Candidate pairs come from band collisions (equi-join, linear cost);
+    the *exact* n-gram Jaccard is then computed only for candidates via
+    array-intersection of the two shingle sets (JVM-side ``array_intersect``,
+    no shingle-level self-join). This is the shape that survives 100 TB —
+    all-pairs verification (``ngram_jaccard_pairs``) is the small-scale oracle.
+
+    Returns (id_a, id_b, jaccard) for candidates with jaccard >= min_jaccard.
+    """
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+        shingle_size=shingle_size, seed=seed,
+    )
+    cands = lsh_candidate_pairs(sigs, id_col=id_col, n_bands=n_bands).select("id_a", "id_b")
+    sets = df.select(
+        F.col(id_col), shingles_expr(text_col, k=shingle_size).alias("sh_set")
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union.cast("double"), 6))
+        .where(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def add_simhash(
