@@ -516,8 +516,10 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     from sat_bucket_spark.operators.dedup import minhash_lsh_dedup_pairs
 
     docs = _t(spark, sf_dir, "documents")
+    # 4-row bands: candidate probability ~ j^4 per band — selective enough
+    # that the exact-verify join stays linear-ish in corpus size.
     return minhash_lsh_dedup_pairs(
-        docs, n_hashes=8, n_bands=4, shingle_size=8, min_jaccard=0.1
+        docs, n_hashes=16, n_bands=4, shingle_size=8, min_jaccard=0.1
     )
 
 
@@ -922,20 +924,25 @@ FROM documents
 """,
 }
 
-def _minhash_lsh_dedup_sql() -> str:
-    """Oracle mirror of q_minhash_lsh_dedup: 8 minhashes, 4 bands of 2, exact
+def _minhash_lsh_dedup_sql(n_hashes: int = 16, n_bands: int = 4) -> str:
+    """Oracle mirror of q_minhash_lsh_dedup: n minhashes, banded, exact
     verify by shingle-set intersection — every step portable."""
-    params8 = minhash_params(8)
+    params = minhash_params(n_hashes)
+    rows = n_hashes // n_bands
     shingles8 = (
         "list_distinct(list_transform(generate_series(1, greatest(len(t) - 7, 1)),"
         " i -> substr(t, i, 8)))"
     )
     mh_aggs = ", ".join(
-        f"min(({a} * h + {b}) % {MERSENNE_P}) AS mh_{i}" for i, (a, b) in enumerate(params8)
+        f"min(({a} * h + {b}) % {MERSENNE_P}) AS mh_{i}" for i, (a, b) in enumerate(params)
     )
     band_conds = " OR ".join(
-        f"(a.mh_{2 * i} = b.mh_{2 * i} AND a.mh_{2 * i + 1} = b.mh_{2 * i + 1})"
-        for i in range(4)
+        "("
+        + " AND ".join(
+            f"a.mh_{i * rows + r} = b.mh_{i * rows + r}" for r in range(rows)
+        )
+        + ")"
+        for i in range(n_bands)
     )
     return f"""
 WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -71,6 +71,20 @@ def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> D
     )
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition tiny-partition-count inputs up to the cluster's parallelism.
+
+    A single small Parquet file arrives as ONE partition — on a 32-core
+    executor (or a 1000-executor cluster) every downstream shingle/hash/explode
+    runs serially. The repartition is a no-op condition at real scale (many
+    input splits) and a trivial 1-round shuffle when it fires.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def shingles_expr(text: Column | str, k: int = 5) -> Column:
     """Distinct character k-shingles of a lowercased document, as an array.
 
@@ -98,6 +112,7 @@ def minhash_signatures(
     this viable at 100 TB.
     """
     params = minhash_params(n_hashes, seed=seed)
+    df = _ensure_parallelism(df)
     # Project the shingle to its 31-bit hash BEFORE aggregating: one md5 per
     # shingle total (not per hash function), and the map-side partial min
     # shuffles only (id, int) pairs.
@@ -119,6 +134,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_bands: int = 4,
     signature_col: str = "signature",
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their signature become candidates.
 
@@ -126,8 +142,12 @@ def lsh_candidate_pairs(
     (band_idx, band values) — never an all-pairs product. Returns distinct
     (id_a < id_b) pairs with the fraction of matching signature positions
     (the MinHash estimate of Jaccard similarity).
+
+    Pass ``n_hashes`` when known — otherwise a probe job reads one row to
+    discover the signature length.
     """
-    n_hashes = len(sigs.select(signature_col).first()[0])
+    if n_hashes is None:
+        n_hashes = len(sigs.select(signature_col).first()[0])
     rows_per_band = max(n_hashes // n_bands, 1)
     bands = sigs.select(
         F.col(id_col),
@@ -188,6 +208,7 @@ def ngram_jaccard_pairs(
     Pairs sharing nothing never materialize. At scale, run on LSH candidates
     instead of the full corpus.
     """
+    df = _ensure_parallelism(df)
     sh = df.select(
         F.col(id_col), F.explode(shingles_expr(text_col, k=shingle_size)).alias("shingle")
     )
@@ -248,9 +269,11 @@ def minhash_lsh_dedup_pairs(
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
         shingle_size=shingle_size, seed=seed,
-    )
-    cands = lsh_candidate_pairs(sigs, id_col=id_col, n_bands=n_bands).select("id_a", "id_b")
-    sets = df.select(
+    ).localCheckpoint(eager=False)  # signatures are tiny; never recompute them
+    cands = lsh_candidate_pairs(
+        sigs, id_col=id_col, n_bands=n_bands, n_hashes=n_hashes
+    ).select("id_a", "id_b")
+    sets = _ensure_parallelism(df).select(
         F.col(id_col), shingles_expr(text_col, k=shingle_size).alias("sh_set")
     )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
@@ -282,6 +305,7 @@ def add_simhash(
     """
     from sat_bucket_spark.operators.text import tokens_expr
 
+    df = _ensure_parallelism(df)
     toks = tokens_expr(text_col)
 
     def _bit_merge(j: int):
