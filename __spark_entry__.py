@@ -96,10 +96,17 @@ def _centroid_sql(idx: str, vmin: float, size: float) -> str:
     return f"(({vmin}) + (CAST({idx} AS DOUBLE) + 0.5) * ({size}))"
 
 
-def _label_sql(centroid: str, decimals: int) -> str:
-    """SQL mirror of partitioning.format_label_expr."""
+def _label_sql(centroid: str, decimals: int, fast: bool = True) -> str:
+    """SQL mirror of the partitioning label formatter.
+
+    ``fast=True`` mirrors the validated double->string cast path the Spark
+    side uses for label-magnitude values (GRID10's labels all qualify);
+    ``fast=False`` mirrors the exact decimal + trailing-zero-strip pipeline.
+    """
     if decimals == 0:
         return f"CAST(CAST(round({centroid}, 0) AS BIGINT) AS VARCHAR)"
+    if fast:
+        return f"CAST(round({centroid}, {decimals}) AS VARCHAR)"
     s = f"CAST(CAST(round({centroid}, {decimals}) AS DECIMAL(38,{decimals})) AS VARCHAR)"
     s = rf"regexp_replace({s}, '(\.\d*?)0+$', '\1')"
     return rf"regexp_replace({s}, '\.$', '.0')"

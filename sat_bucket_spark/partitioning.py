@@ -116,6 +116,27 @@ def centroid_expr(idx: Column, vmin: float, vmax: float, size: float, n_bins: in
     ).otherwise(regular)
 
 
+def fast_label_path_ok(labels: np.ndarray) -> bool:
+    """True when a plain double->string cast reproduces every label exactly.
+
+    For label-magnitude decimals (|v| in [1e-3, 1e7) or 0), JVM, DuckDB and
+    Python all print the same shortest round-trip repr, so the 4-regex
+    formatting pipeline can be skipped in the per-row hot path. Validated
+    against the driver-side label grid at construction time — any value whose
+    repr differs falls back to the exact formatting path.
+    """
+    for lab in labels:
+        try:
+            v = float(lab)
+        except ValueError:
+            return False
+        if not (v == 0.0 or 1e-3 <= abs(v) < 1e7):
+            return False
+        if repr(v) != lab:
+            return False
+    return True
+
+
 def format_label_expr(centroid: Column, decimals: int) -> Column:
     """Format a centroid double into the reference's label string.
 
@@ -402,15 +423,27 @@ class XYPartitioning(Base2DPartitioning):
         elif isinstance(labels_decimals, int):
             labels_decimals = (labels_decimals, labels_decimals)
         self.labels_decimals = (int(labels_decimals[0]), int(labels_decimals[1]))
+        # Hot-path choice: plain double->string cast when provably exact
+        # (validated against the full driver-side label grid).
+        self._fast_label = (
+            self.labels_decimals[0] > 0 and fast_label_path_ok(self.x_labels),
+            self.labels_decimals[1] > 0 and fast_label_path_ok(self.y_labels),
+        )
 
     # -- labels --------------------------------------------------------------
+    def _label_expr(self, centroid: Column, axis: int) -> Column:
+        decimals = self.labels_decimals[axis]
+        if self._fast_label[axis]:
+            return F.when(centroid.isNotNull(), F.round(centroid, decimals).cast("string"))
+        return format_label_expr(centroid, decimals)
+
     def x_label_expr(self, x: Column | str) -> Column:
         """x partition label Column (reference: partitioning.py:886-910)."""
-        return format_label_expr(self.x_centroid_expr(x), self.labels_decimals[0])
+        return self._label_expr(self.x_centroid_expr(x), 0)
 
     def y_label_expr(self, y: Column | str) -> Column:
         """y partition label Column."""
-        return format_label_expr(self.y_centroid_expr(y), self.labels_decimals[1])
+        return self._label_expr(self.y_centroid_expr(y), 1)
 
     def label_exprs(self, x, y) -> dict[str, Column]:
         """Level -> label Column mapping."""

@@ -94,6 +94,28 @@ class TestLabels:
         assert row["lat_bin"] == "-5.0"
 
 
+class TestLabelFastPath:
+    def test_fast_and_slow_paths_agree(self, spark):
+        from sat_bucket_spark.partitioning import format_label_expr
+
+        p = LonLatPartitioning(size=10)
+        assert p._fast_label == (True, True)
+        df = spark.createDataFrame(
+            [(float(v), 0.0) for v in range(-175, 180, 15)], ["lon", "lat"]
+        )
+        both = df.select(
+            p.x_label_expr("lon").alias("fast"),
+            format_label_expr(p.x_centroid_expr("lon"), p.labels_decimals[0]).alias("slow"),
+        ).collect()
+        for r in both:
+            assert r["fast"] == r["slow"]
+
+    def test_slow_path_for_tiny_labels(self):
+        # labels below 1e-3 magnitude must use the exact formatting pipeline
+        p = XYPartitioning(size=0.0005, extent=[0, 0.002, 0, 0.002])
+        assert p._fast_label == (False, False)
+
+
 class TestCentroids:
     def test_add_centroids(self, spark):
         p = LonLatPartitioning(size=10)
