@@ -457,6 +457,30 @@ def q_filename_roundtrip(spark, sf_dir):
     return named.select("event_id", parsed.alias("start_time"))
 
 
+def q_time_regularize(spark, sf_dir):
+    """Time regularization: hourly grid with null holes (utils/time.py:279-332)."""
+    from sat_bucket_spark.functions.timeseries import regularize_timesteps
+
+    ev = _events(spark, sf_dir)
+    out = regularize_timesteps(ev, time="ts", freq_seconds=3600)
+    return out.select("ts", "n")
+
+
+def q_interpolate(spark, sf_dir):
+    """Linear gap interpolation over a regularized series."""
+    from sat_bucket_spark.functions.timeseries import (
+        interpolate_linear,
+        regularize_timesteps,
+    )
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 7 == 0)  # induce gaps
+    reg = regularize_timesteps(
+        ev, time="ts", freq_seconds=3600, agg_exprs={"v": F.round(F.avg("value"), 6)}
+    )
+    out = interpolate_linear(reg, time="ts", value="v", out="v_filled")
+    return out.select("ts", F.round("v_filled", 6).alias("v_filled"))
+
+
 def q_token_count(spark, sf_dir):
     """Text: whitespace token count."""
     docs = _t(spark, sf_dir, "documents")
@@ -871,6 +895,46 @@ SELECT event_id,
     'GR\.\d+\.(\d{14})\.h5', 1), '%Y%m%d%H%M%S') AS start_time
 FROM events
 """,
+    "time_regularize": """
+WITH b AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS step, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+span AS (SELECT MIN(step) AS lo, MAX(step) AS hi FROM b),
+grid AS (SELECT unnest(generate_series(lo, hi)) AS step FROM span)
+SELECT make_timestamp(grid.step * 3600 * 1000000) AS ts, b.n
+FROM grid LEFT JOIN b ON grid.step = b.step
+""",
+    "interpolate": """
+WITH src AS (SELECT ts, value FROM events WHERE event_id % 7 = 0),
+b AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS step, round(AVG(value), 6) AS v
+  FROM src GROUP BY 1
+),
+span AS (SELECT MIN(step) AS lo, MAX(step) AS hi FROM b),
+grid AS (SELECT unnest(generate_series(lo, hi)) AS step FROM span),
+reg AS (
+  SELECT grid.step, make_timestamp(grid.step * 3600 * 1000000) AS ts, b.v
+  FROM grid LEFT JOIN b ON grid.step = b.step
+),
+w AS (
+  SELECT ts, v,
+    epoch(ts) AS t,
+    LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN epoch(ts) END IGNORE NULLS)
+      OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN epoch(ts) END IGNORE NULLS)
+      OVER (ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM reg
+)
+SELECT ts, round(
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+         THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+  END, 6) AS v_filled
+FROM w
+""",
     "token_count": f"SELECT doc_id, CAST(len({_tokens_sql()}) AS BIGINT) AS n_tokens FROM documents",
     "quality_score": _QUALITY_SQL,
     "language_id": _langid_sql(),
@@ -1044,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union": q_union,
         "time_prefixes": q_time_prefixes,
         "filename_roundtrip": q_filename_roundtrip,
+        "time_regularize": q_time_regularize,
+        "interpolate": q_interpolate,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "language_id": q_language_id,

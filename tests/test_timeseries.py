@@ -1,0 +1,86 @@
+"""Time regularization + interpolation tests (reference utils/time.py semantics)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sat_bucket_spark.functions.timeseries import interpolate_linear, regularize_timesteps
+
+
+def test_regularize_fills_gaps(spark):
+    base = datetime.datetime(2021, 1, 1)
+    rows = [
+        (base, 1.0),
+        (base + datetime.timedelta(minutes=1), 2.0),
+        # minute 2, 3 missing
+        (base + datetime.timedelta(minutes=4), 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["time", "v"])
+    out = regularize_timesteps(
+        df, freq_seconds=60, agg_exprs={"v": F.avg("v"), "n": F.count(F.lit(1))}
+    ).orderBy("time")
+    got = out.collect()
+    assert len(got) == 5  # full grid minute 0..4
+    assert [r["n"] for r in got] == [1, 1, None, None, 1]
+    assert got[2]["v"] is None
+
+
+def test_regularize_partitioned(spark):
+    base = datetime.datetime(2021, 1, 1)
+    rows = [("a", base, 1.0), ("a", base + datetime.timedelta(minutes=2), 3.0), ("b", base, 9.0)]
+    df = spark.createDataFrame(rows, ["k", "time", "v"])
+    out = regularize_timesteps(df, freq_seconds=60, partition_by=["k"], agg_exprs={"v": F.avg("v")})
+    assert out.where(F.col("k") == "a").count() == 3
+    assert out.where(F.col("k") == "b").count() == 1
+
+
+class TestInterpolate:
+    def _make(self, spark, values):
+        base = datetime.datetime(2021, 1, 1)
+        rows = [
+            (base + datetime.timedelta(minutes=i), v) for i, v in enumerate(values)
+        ]
+        return spark.createDataFrame(rows, ["time", "v"])
+
+    def test_linear_fill(self, spark):
+        df = self._make(spark, [1.0, None, None, 4.0])
+        got = [
+            r["v"] for r in interpolate_linear(df, value="v").orderBy("time").collect()
+        ]
+        assert got == [1.0, 2.0, 3.0, 4.0]
+
+    def test_edges_stay_null(self, spark):
+        df = self._make(spark, [None, 2.0, None])
+        got = [
+            r["v"] for r in interpolate_linear(df, value="v").orderBy("time").collect()
+        ]
+        assert got == [None, 2.0, None]
+
+    def test_limit_caps_gap(self, spark):
+        df = self._make(spark, [1.0, None, None, None, 5.0, None, 7.0])
+        got = [
+            r["v"]
+            for r in interpolate_linear(df, value="v", limit=1).orderBy("time").collect()
+        ]
+        # 3-null gap not filled (limit=1); single-null gap filled
+        assert got == [1.0, None, None, None, 5.0, 6.0, 7.0]
+
+    def test_irregular_spacing_uses_time(self, spark):
+        base = datetime.datetime(2021, 1, 1)
+        rows = [
+            (base, 0.0),
+            (base + datetime.timedelta(minutes=1), None),
+            (base + datetime.timedelta(minutes=10), 10.0),
+        ]
+        df = spark.createDataFrame(rows, ["time", "v"])
+        got = [r["v"] for r in interpolate_linear(df, value="v").orderBy("time").collect()]
+        assert got[1] == pytest.approx(1.0)  # time-weighted, not row-weighted
+
+    def test_out_column(self, spark):
+        df = self._make(spark, [1.0, None, 3.0])
+        out = interpolate_linear(df, value="v", out="v_filled").orderBy("time").collect()
+        assert [r["v"] for r in out] == [1.0, None, 3.0]
+        assert [r["v_filled"] for r in out] == [1.0, 2.0, 3.0]
