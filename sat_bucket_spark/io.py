@@ -60,3 +60,30 @@ def get_bucket_spatial_partitioning(bucket_dir: str):
 def get_bucket_temporal_partitioning(bucket_dir: str) -> str | None:
     """Temporal partitioning granularity, if recorded (reference: io.py:50-55)."""
     return read_bucket_info(bucket_dir).get("temporal_partitioning")
+
+
+def get_partition_filepaths(
+    bucket_dir: str,
+    extent=None,
+    extension: str = ".parquet",
+) -> list[str]:
+    """List data files, optionally only partitions intersecting an extent.
+
+    Driver-side helper mirroring reference io.py:96-126 + readers.py:269-279.
+    The Spark query path never needs this (Catalyst prunes from predicates) —
+    it exists for inspection/maintenance tooling.
+    """
+    partitioning = get_bucket_spatial_partitioning(bucket_dir)
+    if extent is not None:
+        dirs = [os.path.join(bucket_dir, d) for d in partitioning.directories_by_extent(extent)]
+    else:
+        dirs = [os.path.join(bucket_dir, d) for d in partitioning.directories]
+    out: list[str] = []
+    for d in dirs:
+        if not os.path.isdir(d):
+            continue
+        for root, _, files in os.walk(d):
+            out.extend(
+                os.path.join(root, f) for f in files if f.endswith(extension)
+            )
+    return sorted(out)

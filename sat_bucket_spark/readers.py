@@ -156,6 +156,11 @@ def read(
 
     if backend == "pandas":
         return df.toPandas()
+    if backend == "arrow":
+        # Arrow interchange (reference's pyarrow backend, readers.py:91-98)
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(df.toPandas(), preserve_index=False)
     if backend != "spark":
-        raise ValueError(f"invalid backend {backend!r} (use 'spark' or 'pandas')")
+        raise ValueError(f"invalid backend {backend!r} (use 'spark', 'pandas' or 'arrow')")
     return df

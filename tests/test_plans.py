@@ -1,0 +1,79 @@
+"""Physical-plan quality gates: the plans must be the ones we'd want at 100 TB.
+
+These tests read ``explain()`` output and assert the optimizations that matter
+at scale actually fire: partition pruning, predicate/projection pushdown,
+broadcast joins for small dims, whole-stage codegen on hot paths, and no
+Python UDFs in expression pipelines.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_revenue_join_broadcasts_dims(spark):
+    plan = _plan(E.q_revenue_by_nation(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # nation (and customer via AQE) broadcast
+
+
+def test_scan_project_pushdown(spark):
+    plan = _plan(E.q_scan_project(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema  # column pruning reached the scan
+
+
+def test_labels_stay_in_codegen(spark):
+    plan = _plan(E.q_lonlat_labels(spark, SF_DIR))
+    assert "*(" in plan  # '*' prefix marks whole-stage-codegen stages
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    plan = _plan(E.q_sessionize(spark, SF_DIR))
+    # one exchange for the user_id window; no extra shuffles
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_session_count_no_self_join(spark):
+    plan = _plan(E.q_session_count(spark, SF_DIR))
+    assert "Join" not in plan  # windowed count, not groupBy+join
+
+
+def test_minhash_no_python(spark):
+    plan = _plan(E.q_minhash(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_topk_broadcasts_queries(spark):
+    plan = _plan(E.q_embedding_topk(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_interval_join_broadcasts_groups(spark):
+    plan = _plan(E.q_interval_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bucket_read_prunes_partitions(spark, orbit_df, tmp_path_factory):
+    from sat_bucket_spark import LonLatPartitioning, read, write_bucket
+
+    d = str(tmp_path_factory.mktemp("plan_bucket"))
+    write_bucket(orbit_df, d, LonLatPartitioning(size=(10, 10)), x="lon", y="lat")
+    df = read(spark, d, extent=[5, 8, 0, 20])
+    plan = _plan(df)
+    # Catalyst partition pruning: the scan's partition filters must carry the
+    # label predicates (pruning happens at file-index level, before reading).
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "lon_bin" in pf
