@@ -251,6 +251,16 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_median_by_group(spark, sf_dir):
+    """A1: the reference's documented grouped-median contract
+    (``df.groupby(levels).median()``, partitioning.py:737-740)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.round(F.median("l_discount"), 6).alias("median_disc"),
+    )
+
+
 def q_revenue_by_nation(spark, sf_dir):
     """J4/A1: multi-way equi-join (nation broadcast) + decimal revenue."""
     cu = _t(spark, sf_dir, "customer")
@@ -774,6 +784,12 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
+    "median_by_group": """
+SELECT l_returnflag,
+  round(median(l_quantity), 6) AS median_qty,
+  round(median(l_discount), 6) AS median_disc
+FROM lineitem GROUP BY l_returnflag
+""",
     "revenue_by_nation": """
 SELECT n_name,
   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
@@ -1092,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_pruning": q_partition_pruning,
         "invalid_policy": q_invalid_policy,
         "pricing_summary": q_pricing_summary,
+        "median_by_group": q_median_by_group,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
         "dense_grid": q_dense_grid,

@@ -28,9 +28,11 @@ from pyspark.sql.types import (
 )
 
 __all__ = [
+    "AUDIO_FEATURE_SCHEMA",
     "IMAGE_FEATURE_SCHEMA",
     "attach_binary_metadata",
     "decode_and_featurize_images",
+    "decode_audio_features",
     "sample_video_frames",
 ]
 
@@ -110,6 +112,44 @@ def decode_and_featurize_images(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(_decode, schema=IMAGE_FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms_energy", FloatType()),
+    ]
+)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """Audio decode + feature stage (sample rate, length, RMS) — codec stubbed.
+
+    Same plumbing contract as :func:`decode_and_featurize_images`; a real
+    implementation plugs soundfile/ffmpeg into the marked spot.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError("real audio decode requires soundfile/ffmpeg")
+            out = {"doc_id": [], "sample_rate": [], "n_samples": [], "rms_energy": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                digest = hashlib.md5(payload if payload is not None else b"").digest()
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(16000)
+                out["n_samples"].append(1000 + digest[2] * 100)
+                out["rms_energy"].append(digest[3] / 255.0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, schema=AUDIO_FEATURE_SCHEMA)
 
 
 VIDEO_FRAME_SCHEMA = StructType(

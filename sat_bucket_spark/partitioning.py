@@ -393,6 +393,33 @@ class Base2DPartitioning:
         """
         return np.meshgrid(self.x_bounds, self.y_bounds)
 
+    def vertices(self) -> np.ndarray:
+        """(n_partitions, 4, 2) counterclockwise corner vertices per partition.
+
+        Reference: partitioning.py:520-545 (quadmesh -> per-cell vertices).
+        """
+        xc, yc = self.quadmesh_corners()
+        cells = []
+        for j in range(self.n_y):
+            for i in range(self.n_x):
+                cells.append(
+                    [
+                        [xc[j, i], yc[j, i]],
+                        [xc[j, i + 1], yc[j, i + 1]],
+                        [xc[j + 1, i + 1], yc[j + 1, i + 1]],
+                        [xc[j + 1, i], yc[j + 1, i]],
+                    ]
+                )
+        return np.asarray(cells)
+
+    def to_shapely(self):
+        """Partition cell polygons (requires shapely; reference: partitioning.py:547-570)."""
+        try:
+            import shapely.geometry as geom  # noqa: PLC0415
+        except ImportError as e:  # pragma: no cover - shapely absent here
+            raise ImportError("shapely is required for to_shapely(); use vertices()") from e
+        return [geom.Polygon(v) for v in self.vertices()]
+
     # -- serialization -------------------------------------------------------
     def to_dict(self) -> dict:
         """Partitioning spec dict (reference: partitioning.py:912-923)."""
