@@ -72,6 +72,32 @@ def main() -> None:
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Bucket pipeline: the reference's core workload (ingest -> query -> merge)
+    import shutil
+    import tempfile
+
+    from sat_bucket_spark import LonLatPartitioning, merge_granule_buckets, read, write_bucket
+
+    work = tempfile.mkdtemp(prefix="bench_bucket_")
+    try:
+        ev = entry_mod._with_coords(entry_mod._events(spark, sf_dir)).withColumnRenamed(
+            "ts", "time"
+        )
+        p = LonLatPartitioning(size=(10, 10))
+        bucket = f"{work}/bucket"
+        merged = f"{work}/merged"
+        t0 = time.perf_counter()
+        write_bucket(ev, bucket, p, x="lon", y="lat")
+        timings["bucket_write"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        read(spark, bucket, extent=[-20, 40, 0, 30]).count()
+        timings["bucket_read_extent"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        merge_granule_buckets(spark, bucket, merged, temporal_partitioning="month")
+        timings["bucket_merge"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
