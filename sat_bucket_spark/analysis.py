@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "add_overpass_id",
+    "add_overpass_id_scalable",
     "add_overpass_count",
     "get_list_overpass_time",
     "add_swath_indices",
@@ -67,6 +68,91 @@ def add_overpass_id(
     run = Window.partitionBy(*keys).orderBy(time) if keys else Window.orderBy(time)
     session = F.sum(new_session).over(run.rowsBetween(Window.unboundedPreceding, 0))
     return df.withColumn(id_column, session.cast("long"))
+
+
+def add_overpass_id_scalable(
+    df: DataFrame,
+    interval=None,
+    time: str = "time",
+    partition_by: list[str] | None = None,
+    id_column: str = "overpass_id",
+    chunk_seconds: int = 86_400,
+) -> DataFrame:
+    """Distributed gap sessionization — no global-order window.
+
+    :func:`add_overpass_id` with no ``partition_by`` sorts everything in ONE
+    reducer; fine for regional query results (the reference's use case), fatal
+    at 100 TB. This variant:
+
+    1. buckets rows into coarse time chunks (``chunk_seconds``);
+    2. sessionizes *within* each (keys, chunk) via an ordinary window —
+       parallel across chunks;
+    3. collects one tiny row per chunk (first/last timestep, session count)
+       to the driver, stitches chunk-boundary sessions there (a session
+       continues across a boundary when the gap <= interval), and
+       broadcast-joins the resulting per-chunk offset + merge decision back.
+
+    Same output as the global version (pinned by tests over random inputs).
+    The driver-side state is O(#chunks), not O(#rows).
+    """
+    gap = _interval_seconds(interval)
+    keys = list(partition_by) if partition_by else []
+    chunk = F.floor(F.col(time).cast("double") / F.lit(float(chunk_seconds))).cast("long")
+    df2 = df.withColumn("__chunk", chunk)
+
+    w = Window.partitionBy(*keys, "__chunk").orderBy(time)
+    prev = F.lag(F.col(time)).over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col(time).cast("double") - prev.cast("double") <= F.lit(gap)),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    local = F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    df2 = df2.withColumn("__local", local.cast("long"))
+
+    # one row per (keys, chunk): tiny
+    stats = (
+        df2.groupBy(*keys, "__chunk")
+        .agg(
+            F.min(F.col(time).cast("double")).alias("__first"),
+            F.max(F.col(time).cast("double")).alias("__last"),
+            F.max("__local").alias("__n_sessions"),
+        )
+        .collect()
+    )
+    # stitch on the driver: per key group, walk chunks in order
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in stats:
+        k = tuple(r[c] for c in keys)
+        by_key[k].append(r)
+    offsets: dict[tuple, tuple[int, int]] = {}  # (keys..., chunk) -> (offset, merged_with_prev)
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r["__chunk"])
+        offset = 0
+        prev_last = None
+        for r in rows:
+            # A session continues across chunk boundaries (even over empty
+            # chunks) when the time gap between the last timestep of the
+            # previous non-empty chunk and this chunk's first is <= interval.
+            merged = int(prev_last is not None and (r["__first"] - prev_last) <= gap)
+            offsets[(*k, r["__chunk"])] = (offset, merged)
+            # next chunk's offset: sessions so far; if this chunk's first
+            # session merged into the previous, it doesn't open a new one
+            offset += int(r["__n_sessions"]) + 1 - merged
+            prev_last = r["__last"]
+
+    spark = df.sparkSession
+    offset_rows = [(*k_chunk, off, merged) for k_chunk, (off, merged) in offsets.items()]
+    offset_df = spark.createDataFrame(
+        offset_rows, [*keys, "__chunk", "__offset", "__merged"]
+    )
+    out = df2.join(F.broadcast(offset_df), [*keys, "__chunk"])
+    # local id 0 in a merged chunk belongs to the previous chunk's last session
+    session = (F.col("__local") + F.col("__offset") - F.col("__merged")).cast("long")
+    return out.withColumn(id_column, session).drop(
+        "__chunk", "__local", "__offset", "__merged"
+    )
 
 
 def add_overpass_count(
