@@ -53,6 +53,9 @@ from sat_bucket_spark.partitioning import LonLatPartitioning, TilePartitioning
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin UTC: the driver's session may have any timezone; DuckDB timestamps
+    # are naive, so timestamp collection must not apply a local-zone shift.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return df
 
@@ -65,6 +68,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     see identical microsecond timestamps). Integer ``div`` is mandatory:
     float division of int64 nanos loses sub-microsecond bits.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -76,6 +76,9 @@ def read(
     point=None,
     distance: float | None = None,
     size=None,
+    start_time=None,
+    end_time=None,
+    time: str = "time",
     columns: list[str] | None = None,
     n_rows: int | None = None,
     filter_expressions: list[Column | str] | None = None,
@@ -107,6 +110,31 @@ def read(
 
     partitioning = get_bucket_spatial_partitioning(bucket_dir)
     df = read_bucket_dataframe(spark, bucket_dir, levels=partitioning.order, path_glob=path_glob)
+
+    # --- time-window filter; prunes time_part partitions on merged buckets --
+    if start_time is not None or end_time is not None:
+        from sat_bucket_spark.checks import check_start_end_time
+        from sat_bucket_spark.functions.temporal import get_time_prefix
+        from sat_bucket_spark.io import get_bucket_temporal_partitioning
+
+        start_time, end_time = check_start_end_time(
+            start_time if start_time is not None else "1970-01-01",
+            end_time if end_time is not None else "2100-01-01",
+        )
+        temporal = get_bucket_temporal_partitioning(bucket_dir)
+        if temporal and "time_part" in df.columns:
+            from sat_bucket_spark.functions.temporal import get_partitioning_boundaries
+
+            prefixes = sorted(
+                {
+                    get_time_prefix(b, temporal)
+                    for b in get_partitioning_boundaries(start_time, end_time, temporal)
+                    if b < end_time  # a boundary at/after the exclusive end opens no needed period
+                }
+            )
+            # partition-column predicate -> Catalyst prunes time_part dirs
+            df = df.where(F.col("time_part").isin(prefixes))
+        df = df.where((F.col(time) >= F.lit(start_time)) & (F.col(time) < F.lit(end_time)))
 
     # --- resolve the spatial query to an extent (driver-side planning) -----
     query_extent = None

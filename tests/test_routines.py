@@ -120,6 +120,15 @@ class TestMerge:
         assert df.count() == 100  # granules 0+1 are 2021
         assert {r["time_part"] for r in df.select("time_part").distinct().collect()} == {"2021"}
 
+    def test_read_time_window_prunes_time_partitions(self, spark, staged, tmp_path):
+        dst = str(tmp_path / "merged_t")
+        merge_granule_buckets(spark, staged, dst, temporal_partitioning="year")
+        df = read(spark, dst, start_time="2021-01-01", end_time="2022-01-01")
+        assert df.count() == 100
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "time_part" in pf  # temporal partition pruning reached the scan
+
     def test_update_overwrites_only_touched_partitions(self, spark, staged, tmp_path):
         dst = str(tmp_path / "merged3")
         merge_granule_buckets(spark, staged, dst, temporal_partitioning="year")
