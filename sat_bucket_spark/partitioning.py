@@ -87,18 +87,48 @@ def _np_labels(centroids: np.ndarray, indices: np.ndarray, decimals: int) -> np.
 # ---------------------------------------------------------------------------
 
 
-def bin_index_expr(col: Column, vmin: float, vmax: float, size: float, n_bins: int) -> Column:
+# Embed true np.arange edges as a literal array (for ulp-edge correction) up
+# to this many bins per axis; covers 0.02-degree global grids (18000 bins).
+# Beyond it, values lying bit-exactly on a drifted edge may shift one bin —
+# a <1e-13-relative sliver, documented deviation.
+_MAX_EDGE_CORRECTION_BINS = 20_000
+
+
+def bin_index_expr(
+    col: Column,
+    vmin: float,
+    vmax: float,
+    size: float,
+    n_bins: int,
+    bounds: "np.ndarray | None" = None,
+) -> Column:
     """Compile the 1-D bin index to a Column expression.
 
     Right-closed ``(lo, hi]`` + include_lowest semantics of the reference's
     ``query_indices`` (reference: partitioning.py:237-250, dataframe.py:37-58):
     null / NaN / out-of-extent values map to null. Stays entirely inside
     whole-stage codegen — no UDF.
+
+    Edge-drift correction: the reference's edges come from ``np.arange``
+    (partitioning.py:291-296), which deviates from the ideal ``vmin + i*size``
+    by ulps, so the closed-form ``ceil`` can misplace values lying *exactly on*
+    a drifted edge. When ``bounds`` is given (and small enough to embed as a
+    literal array), a one-step O(1) correction against the true edges restores
+    bit-exact ``pd.cut`` parity; the drift is < 1 bin so one step suffices.
     """
     v = col.cast("double")
     valid = v.isNotNull() & ~F.isnan(v) & (v >= F.lit(vmin)) & (v <= F.lit(vmax))
     raw = F.ceil((v - F.lit(vmin)) / F.lit(size)) - F.lit(1)
     idx = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    if bounds is not None and len(bounds) <= _MAX_EDGE_CORRECTION_BINS + 1:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        b_lo = F.element_at(arr, (idx + F.lit(1)).cast("int"))
+        b_hi = F.element_at(arr, (idx + F.lit(2)).cast("int"))
+        idx = (
+            F.when((idx > 0) & (v <= b_lo), idx - 1)
+            .when((idx < n_bins - 1) & (v > b_hi), idx + 1)
+            .otherwise(idx)
+        )
     return F.when(valid, idx).otherwise(F.lit(None).cast("long"))
 
 
@@ -229,12 +259,18 @@ class Base2DPartitioning:
     def x_index_expr(self, x: Column | str) -> Column:
         """x bin index Column (reference: partitioning.py:423-428)."""
         x = F.col(x) if isinstance(x, str) else x
-        return bin_index_expr(x, self.extent.xmin, self.extent.xmax, self.size[0], self.n_x)
+        return bin_index_expr(
+            x, self.extent.xmin, self.extent.xmax, self.size[0], self.n_x,
+            bounds=self.x_bounds,
+        )
 
     def y_index_expr(self, y: Column | str) -> Column:
         """y bin index Column."""
         y = F.col(y) if isinstance(y, str) else y
-        return bin_index_expr(y, self.extent.ymin, self.extent.ymax, self.size[1], self.n_y)
+        return bin_index_expr(
+            y, self.extent.ymin, self.extent.ymax, self.size[1], self.n_y,
+            bounds=self.y_bounds,
+        )
 
     def x_centroid_expr(self, x: Column | str) -> Column:
         """x centroid Column (reference: partitioning.py:447-462)."""

@@ -1,0 +1,104 @@
+"""Property-based pin: Spark bin indices == pandas.cut (the reference kernel).
+
+The reference bins with ``pd.cut(values, bins=bounds, labels=False,
+include_lowest=True, right=True)`` (reference: partitioning.py:237-250). Our
+ceil-based Column expression must agree everywhere — including edges, the
+partial last bin, NaN/None, and out-of-extent values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sat_bucket_spark.partitioning import XYPartitioning, get_bounds
+
+
+def _pd_cut_reference(values: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    return pd.cut(values, bins=bounds, labels=False, include_lowest=True, right=True)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    vmin=st.floats(min_value=-1000, max_value=999, allow_nan=False),
+    span=st.floats(min_value=0.5, max_value=500, allow_nan=False),
+    size=st.floats(min_value=0.1, max_value=100, allow_nan=False),
+    points=st.lists(
+        st.floats(min_value=-1200, max_value=1200, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_bin_index_matches_pandas_cut(spark, vmin, span, size, points):
+    vmax = vmin + span
+    if size >= span:
+        size = span  # single bin
+    p = XYPartitioning(size=(size, size), extent=[vmin, vmax, vmin, vmax])
+    bounds = get_bounds(size, vmin, vmax)
+    # add the exact edge values — the risky spots
+    pts = np.array(points + [vmin, vmax, *bounds[: min(len(bounds), 5)].tolist()])
+    expected = _pd_cut_reference(pts, bounds)
+
+    df = spark.createDataFrame([(float(v), float(v)) for v in pts], ["x", "y"])
+    got = [
+        r["idx"]
+        for r in df.select(p.x_index_expr("x").alias("idx"), "x").orderBy("x").collect()
+    ]
+    order = np.argsort(pts, kind="stable")
+    exp_sorted = expected[order]
+    for g, e in zip(got, exp_sorted):
+        if e is None or (isinstance(e, float) and math.isnan(e)):
+            assert g is None
+        else:
+            assert g == int(e)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_points=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_labels_match_numpy_reference(spark, n_points, seed):
+    """Spark label strings == str(np.round(centroid, d)) for in-extent points."""
+    rng = np.random.default_rng(seed)
+    p = XYPartitioning(size=(0.5, 0.25), extent=[0, 2, 0, 2])
+    pts = rng.uniform(0, 2, size=(n_points, 2))
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in pts], ["x", "y"])
+    rows = (
+        p.add_labels(df, "x", "y", remove_invalid_rows=False)
+        .select("x", "y", "xbin", "ybin")
+        .collect()
+    )
+    bounds_x = get_bounds(0.5, 0.0, 2.0)
+    bounds_y = get_bounds(0.25, 0.0, 2.0)
+    for r in rows:
+        ix = _pd_cut_reference(np.array([r["x"]]), bounds_x)[0]
+        iy = _pd_cut_reference(np.array([r["y"]]), bounds_y)[0]
+        if math.isnan(ix) or math.isnan(iy):
+            assert r["xbin"] is None and r["ybin"] is None
+            continue
+        exp_x = str(np.round(p.x_centroids[int(ix)], p.labels_decimals[0]))
+        exp_y = str(np.round(p.y_centroids[int(iy)], p.labels_decimals[1]))
+        assert r["xbin"] == exp_x, (r["x"], r["xbin"], exp_x)
+        assert r["ybin"] == exp_y, (r["y"], r["ybin"], exp_y)
+
+
+@pytest.mark.parametrize("size,extent", [
+    ((0.1, 0.1), [0, 1, 0, 1]),
+    ((3.0, 7.0), [-10, 10, -20, 15]),   # partial last bins both axes
+    ((10, 10), [-180, 180, -90, 90]),
+])
+def test_all_centroids_bin_to_themselves(spark, size, extent):
+    """Every centroid must land in its own bin (self-consistency)."""
+    p = XYPartitioning(size=size, extent=extent)
+    pts = [(float(x), float(y)) for x in p.x_centroids for y in [p.y_centroids[0]]]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = [
+        r["idx"] for r in df.select(p.x_index_expr("x").alias("idx"), "x").orderBy("x").collect()
+    ]
+    assert got == list(range(p.n_x))
