@@ -17,8 +17,10 @@ multimodal column plumbing.
 from sat_bucket_spark.analysis import (
     add_overpass_count,
     add_overpass_id,
+    add_overpass_id_scalable,
     add_swath_indices,
     get_list_overpass_time,
+    overpass_to_grid,
     split_by_overpass,
 )
 from sat_bucket_spark.filters import (
@@ -54,6 +56,7 @@ __all__ = [
     "XYPartitioning",
     "add_overpass_count",
     "add_overpass_id",
+    "add_overpass_id_scalable",
     "add_swath_indices",
     "apply_spatial_filters",
     "filter_around_point",
@@ -63,6 +66,7 @@ __all__ = [
     "get_list_overpass_time",
     "get_spark",
     "merge_granule_buckets",
+    "overpass_to_grid",
     "read",
     "read_bucket_dataframe",
     "read_bucket_info",

@@ -29,6 +29,7 @@ __all__ = [
     "add_overpass_count",
     "get_list_overpass_time",
     "add_swath_indices",
+    "overpass_to_grid",
     "split_by_overpass",
 ]
 
@@ -213,6 +214,45 @@ def split_by_overpass(
         df.where((F.col(time) >= F.lit(start)) & (F.col(time) <= F.lit(end)))
         for start, end in periods
     ]
+
+
+def overpass_to_grid(
+    df: DataFrame,
+    variables: list[str],
+    x_index: str = "gpm_id",
+    y_index: str = "gpm_cross_track_id",
+):
+    """Reshape one overpass into dense 2-D (cross_track, along_track) arrays.
+
+    Reference: ``overpass_to_dataset`` (analysis.py:185-255): swath indices ->
+    duplicate (x, y) drop with warning (analysis.py:203-210) -> dense pivot
+    with NaN holes. Spark computes the indices; the pivot is a driver-side
+    reshape of one overpass (small by construction). Returns
+    ``{var: 2-D ndarray}`` plus the index axes; xarray wrapping is left to the
+    caller (xarray is optional here).
+    """
+    import warnings
+
+    import numpy as np
+
+    indexed = add_swath_indices(df, x_index=x_index, y_index=y_index)
+    pdf = indexed.select("x_index", "y_index", *variables).toPandas()
+    n_dup = pdf.duplicated(["x_index", "y_index"]).sum()
+    if n_dup:
+        warnings.warn(
+            f"dropping {n_dup} duplicated (x_index, y_index) footprints",
+            UserWarning,
+            stacklevel=2,
+        )
+        pdf = pdf.drop_duplicates(["x_index", "y_index"], keep="first")
+    n_x = int(pdf["x_index"].max()) + 1
+    n_y = int(pdf["y_index"].max()) + 1
+    out = {}
+    for var in variables:
+        arr = np.full((n_y, n_x), np.nan)
+        arr[pdf["y_index"].to_numpy(), pdf["x_index"].to_numpy()] = pdf[var].to_numpy()
+        out[var] = arr
+    return out, np.arange(n_x), np.arange(n_y)
 
 
 def add_swath_indices(

@@ -95,6 +95,29 @@ class TestOverpassPeriods:
         assert len(dfs) == 2
 
 
+class TestOverpassGrid:
+    def test_dense_swath_reconstruction(self, spark, orbit_df):
+        from sat_bucket_spark.analysis import overpass_to_grid
+
+        one = orbit_df.where(F.col("gpm_granule_id") == 0)
+        grids, x_idx, y_idx = overpass_to_grid(one, variables=["dummy_var"])
+        assert grids["dummy_var"].shape == (5, 10)  # (cross, along)
+        import numpy as np
+
+        assert not np.isnan(grids["dummy_var"]).any()  # complete granule
+
+    def test_duplicate_footprints_warn(self, spark):
+        import numpy as np
+        from sat_bucket_spark.analysis import overpass_to_grid
+
+        rows = [("0-0", 0, 1.0), ("0-0", 0, 2.0), ("0-1", 0, 3.0)]
+        df = spark.createDataFrame(rows, ["gpm_id", "gpm_cross_track_id", "v"])
+        with pytest.warns(UserWarning, match="duplicated"):
+            grids, _, _ = overpass_to_grid(df, variables=["v"])
+        assert grids["v"].shape == (1, 2)
+        assert grids["v"][0, 1] == 3.0
+
+
 class TestSwathIndices:
     def test_contiguous_renumbering(self, spark, orbit_df):
         out = add_swath_indices(orbit_df)
