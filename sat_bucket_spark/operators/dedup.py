@@ -85,15 +85,32 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-def shingles_expr(text: Column | str, k: int = 5) -> Column:
-    """Distinct character k-shingles of a lowercased document, as an array.
+def shingles_expr(text: Column | str, k: int = 5, unit: str = "char") -> Column:
+    """Distinct k-shingles of a lowercased document, as an array.
 
-    Generated with ``sequence`` + ``transform`` — JVM-side, no UDF. Documents
-    shorter than k yield a single shingle (the whole text), so no row is lost.
+    ``unit='char'``: character k-grams (reference MinHash style); documents
+    shorter than k yield one shingle (the whole text), so no row is lost.
+    ``unit='word'``: word n-grams joined with a space. Generated with
+    ``sequence`` + ``transform`` — JVM-side, no UDF.
     """
     t = F.lower(F.col(text) if isinstance(text, str) else text)
-    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k))))
+    if unit == "char":
+        n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+        )
+    if unit != "word":
+        raise ValueError(f"invalid shingle unit {unit!r}")
+    from sat_bucket_spark.operators.text import tokens_expr
+
+    toks = F.transform(tokens_expr(t), lambda x: F.lower(x))
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(k))),
+        )
+    )
 
 
 def minhash_signatures(

@@ -21,8 +21,10 @@ __all__ = [
     "cosine_expr",
     "dot_expr",
     "norm_expr",
+    "ivf_topk",
     "pairwise_near_duplicates",
     "random_hyperplane_signature",
+    "train_ivf_centroids",
     "lsh_topk",
 ]
 
@@ -124,6 +126,107 @@ def random_hyperplane_signature(
         term = bit * F.lit(2**i)
         bucket = term if bucket is None else (bucket + term)
     return vectors.withColumn(out, bucket)
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    seed: int = 42,
+    n_iter: int = 10,
+) -> np.ndarray:
+    """Driver-side k-means on a sample — the IVF coarse quantizer.
+
+    The codebook is tiny (k x dim floats) and folds into Column expressions as
+    literals; training on a bounded sample is the standard IVF recipe. Fully
+    deterministic (seeded init, fixed iterations).
+    """
+    pdf = vectors.select(vec_col).limit(sample_rows).toPandas()
+    X = np.array(pdf[vec_col].tolist(), dtype="float64")
+    rng = np.random.default_rng(seed)
+    centroids = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _nearest_centroid_expr(vec: Column, centroids: np.ndarray) -> Column:
+    """argmin_c ||v - c||^2 as a fold over literal centroid arrays (JVM-side).
+
+    Uses ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is common so the
+    argmin reduces to argmin_c (||c||^2 - 2 v.c) — one dot product per
+    centroid, no per-row allocation.
+    """
+    best_idx, best_score = None, None
+    for i in range(len(centroids)):
+        plane = F.array(*[F.lit(float(x)) for x in centroids[i]])
+        score = F.lit(float((centroids[i] ** 2).sum())) - 2.0 * dot_expr(vec, plane)
+        if best_idx is None:
+            best_idx, best_score = F.lit(i), score
+        else:
+            cond = score < best_score
+            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return best_idx.cast("int")
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize vectors into inverted lists,
+    scan only the query's ``n_probe`` nearest lists.
+
+    The scale path for ANN when hyperplane LSH recall is insufficient:
+    candidate volume is ~(n_probe / n_clusters) of the corpus, and cluster
+    assignment is a pure expression (no shuffle beyond the candidate join).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, dim, n_clusters=n_clusters, vec_col=vec_col, seed=seed
+        )
+    v = vectors.withColumn("__cluster", _nearest_centroid_expr(F.col(vec_col), centroids))
+
+    # Driver-side probe lists per query cluster: tiny (k x k distances)
+    d2 = ((centroids[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe_order = d2.argsort(axis=1)[:, :n_probe]
+    probes = [
+        (int(c), int(p)) for c in range(len(centroids)) for p in probe_order[c]
+    ]
+    spark = vectors.sparkSession
+    probe_df = spark.createDataFrame(probes, ["__qcluster", "__cluster"])
+
+    q = queries.withColumn(
+        "__qcluster", _nearest_centroid_expr(F.col(query_vec_col), centroids)
+    ).join(F.broadcast(probe_df), "__qcluster")
+    joined = v.join(F.broadcast(q), "__cluster").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
 
 
 def lsh_topk(

@@ -152,6 +152,42 @@ class TestNgramJaccard:
         assert ngram_jaccard_pairs(df, shingle_size=3, min_jaccard=0.9).count() == 0
 
 
+class TestWordShingles:
+    def test_word_ngrams(self, spark):
+        df = spark.createDataFrame([("The quick brown fox",)], ["text"])
+        rows = df.select(shingles_expr("text", 2, unit="word").alias("s")).collect()
+        assert rows[0]["s"] == ["the quick", "quick brown", "brown fox"]
+
+    def test_short_doc_single_shingle(self, spark):
+        df = spark.createDataFrame([("hello",)], ["text"])
+        rows = df.select(shingles_expr("text", 3, unit="word").alias("s")).collect()
+        assert rows[0]["s"] == ["hello"]
+
+
+class TestIVF:
+    def test_ivf_topk_contains_self_and_matches_brute(self, spark, embeddings):
+        from sat_bucket_spark.operators.similarity import ivf_topk
+
+        emb = embeddings.limit(200).withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: x.cast("double")),
+        ).cache()
+        queries = emb.limit(5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        got = ivf_topk(emb, queries, dim=64, k=3, n_clusters=8, n_probe=3)
+        rows = got.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+        brute = brute_force_topk(emb, queries, k=3).collect()
+        brute_top1 = {r["query_id"]: r["vec_id"] for r in brute if r["rank"] == 1}
+        for qid, pairs in by_q.items():
+            ids = [v for _, v in sorted(pairs)]
+            assert qid in ids  # self always in its own probed cluster
+            assert ids[0] == brute_top1[qid]  # rank-1 agrees with brute force
+
+
 class TestSimHash:
     def test_identical_equal_near_differs(self, spark):
         df = spark.createDataFrame(
