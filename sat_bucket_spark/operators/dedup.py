@@ -323,18 +323,24 @@ def add_simhash(
     from sat_bucket_spark.operators.text import tokens_expr
 
     df = _ensure_parallelism(df)
-    toks = tokens_expr(text_col)
+    # Hash each token ONCE into a materialized int-array column; the per-bit
+    # folds then operate on ints. The intermediate column keeps Catalyst from
+    # inlining (and re-evaluating) the md5 transform into all n_bits folds.
+    df2 = df.withColumn(
+        "__tok_h", F.transform(tokens_expr(text_col), lambda x: h31_expr(x))
+    )
 
     def _bit_merge(j: int):
         # NB: a plain 2-arg lambda — extra default args would break PySpark's
         # higher-order-function arity detection.
-        return lambda acc, x: acc + (F.shiftright(h31_expr(x), j) % 2) * 2 - 1
+        return lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1
 
     bit_sums = [
-        F.aggregate(toks, F.lit(0).cast("long"), _bit_merge(j)) for j in range(n_bits)
+        F.aggregate(F.col("__tok_h"), F.lit(0).cast("long"), _bit_merge(j))
+        for j in range(n_bits)
     ]
     sim = None
     for j, s in enumerate(bit_sums):
         term = F.when(s > 0, F.lit(2**j)).otherwise(F.lit(0))
         sim = term if sim is None else (sim + term)
-    return df.withColumn(out, sim.cast("long"))
+    return df2.withColumn(out, sim.cast("long")).drop("__tok_h")
