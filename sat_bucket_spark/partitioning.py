@@ -94,6 +94,23 @@ def _np_labels(centroids: np.ndarray, indices: np.ndarray, decimals: int) -> np.
 _MAX_EDGE_CORRECTION_BINS = 20_000
 
 
+def needs_edge_correction(bounds: np.ndarray, vmin: float, size: float, n_bins: int) -> bool:
+    """True when the closed-form ceil index misplaces any actual bin edge.
+
+    The closed form is monotone and the right-closed bin function only steps at
+    edges, so checking every edge value suffices: bound ``b_i`` (i >= 1) must
+    map to bin ``i-1`` and ``b_0`` to 0. For exact-multiple grids (size 10,
+    0.5, ...) ``np.arange`` edges equal the ideal ``vmin + i*size`` and this
+    returns False — the hot path then skips the literal-array correction
+    entirely (numpy doubles and JVM doubles round identically, so this
+    driver-side check is authoritative for executor arithmetic).
+    """
+    idx = np.ceil((bounds - vmin) / size) - 1
+    idx = np.clip(idx, 0, n_bins - 1).astype(int)
+    expected = np.clip(np.arange(len(bounds)) - 1, 0, n_bins - 1)
+    return not np.array_equal(idx, expected)
+
+
 def bin_index_expr(
     col: Column,
     vmin: float,
@@ -120,6 +137,10 @@ def bin_index_expr(
     valid = v.isNotNull() & ~F.isnan(v) & (v >= F.lit(vmin)) & (v <= F.lit(vmax))
     raw = F.ceil((v - F.lit(vmin)) / F.lit(size)) - F.lit(1)
     idx = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    if bounds is not None and not needs_edge_correction(
+        np.asarray(bounds), vmin, size, n_bins
+    ):
+        bounds = None  # closed form is already edge-exact — skip the arrays
     if bounds is not None and len(bounds) <= _MAX_EDGE_CORRECTION_BINS + 1:
         arr = F.array(*[F.lit(float(b)) for b in bounds])
         b_lo = F.element_at(arr, (idx + F.lit(1)).cast("int"))
