@@ -471,6 +471,17 @@ def q_filename_roundtrip(spark, sf_dir):
     return named.select("event_id", parsed.alias("start_time"))
 
 
+def q_json_extract(spark, sf_dir):
+    """Semi-structured props: JSON field extraction + aggregation."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
 def q_time_regularize(spark, sf_dir):
     """Time regularization: hourly grid with null holes (utils/time.py:279-332)."""
     from sat_bucket_spark.functions.timeseries import regularize_timesteps
@@ -915,6 +926,11 @@ SELECT event_id,
     'GR\.\d+\.(\d{14})\.h5', 1), '%Y%m%d%H%M%S') AS start_time
 FROM events
 """,
+    "json_extract": """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+  COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY 1
+""",
     "time_regularize": """
 WITH b AS (
   SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS step, COUNT(*) AS n
@@ -1129,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union": q_union,
         "time_prefixes": q_time_prefixes,
         "filename_roundtrip": q_filename_roundtrip,
+        "json_extract": q_json_extract,
         "time_regularize": q_time_regularize,
         "interpolate": q_interpolate,
         "token_count": q_token_count,
