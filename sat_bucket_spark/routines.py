@@ -74,6 +74,7 @@ def write_granules_bucket(
     x: str = "lon",
     y: str = "lat",
     mode: str = "append",
+    skip_ingested: bool = True,
     **writer_kwargs,
 ):
     """Ingest granule files into a staged bucket archive.
@@ -86,11 +87,29 @@ def write_granules_bucket(
     100k-granule job (SURVEY.md §7 hard part 7). Returns the list of
     ``(filepath, error)`` failures.
 
+    Idempotency: the reference names stage files after the granule so re-runs
+    overwrite (routines.py:100-104); Spark cannot control output basenames, so
+    an ingest *manifest* (``_ingest_manifest.json`` at the bucket root) records
+    successfully ingested source paths and ``skip_ingested=True`` filters them
+    from re-runs — re-running the same file list is a no-op
+    (SURVEY.md §7 hard part 4).
+
     ``schema`` declares the output columns of ``granule_to_df_func`` (Spark
     requires a static schema; the reference infers it later from a "template
     file", routines.py:351-369).
     """
+    import json
+    import os
+
     write_bucket_info(bucket_dir, partitioning)
+    manifest_path = os.path.join(bucket_dir, "_ingest_manifest.json")
+    already: set[str] = set()
+    if skip_ingested and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            already = set(json.load(f))
+    filepaths = [p for p in filepaths if p not in already]
+    if not filepaths:
+        return []
 
     data_cols = [f.name for f in schema.fields]
     # copy the field list: StructType.add appends in place
@@ -130,6 +149,11 @@ def write_granules_bucket(
     errors = (
         result.where(F.col("_error").isNotNull()).select("_src_path", "_error").collect()
     )
+    failed = {r["_src_path"] for r in errors}
+    if skip_ingested:
+        ingested = sorted(already | {p for p in filepaths if p not in failed})
+        with open(manifest_path, "w") as f:
+            json.dump(ingested, f)
     return [(r["_src_path"], r["_error"]) for r in errors]
 
 

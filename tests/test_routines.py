@@ -193,3 +193,18 @@ class TestGranuleIngest:
         # 3 good granules x 1 in-extent row (lon=200 dropped as invalid)
         assert df.count() == 3
         assert {r["value"] for r in df.select("value").collect()} == {0.0, 1.0, 2.0}
+
+        # idempotent re-ingest: the manifest filters already-ingested granules
+        errors2 = write_granules_bucket(
+            spark,
+            paths,
+            bucket,
+            LonLatPartitioning(size=(10, 10)),
+            granule_to_df_func,
+            schema,
+            x="lon",
+            y="lat",
+        )
+        assert read(spark, bucket).count() == 3  # no duplication
+        # the previously failed granule is retried (not in the manifest)
+        assert len(errors2) == 1 and "broken" in errors2[0][0]
