@@ -125,6 +125,19 @@ class TestRead:
         assert isinstance(pdf, pd.DataFrame)
 
 
+class TestPartitionOrder:
+    def test_swapped_order_round_trip(self, spark, orbit_df, tmp_path_factory):
+        """On-disk partition order may differ from levels (reference
+        partitioning.py:195-198); reads must be unaffected."""
+        d = str(tmp_path_factory.mktemp("swapped"))
+        p = LonLatPartitioning(size=(10, 10), order=["lat_bin", "lon_bin"])
+        write_bucket(orbit_df, d, p, x="lon", y="lat")
+        subdirs = [x for x in os.listdir(d) if os.path.isdir(os.path.join(d, x))]
+        assert all(s.startswith("lat_bin=") for s in subdirs)  # outer dir = lat
+        df = read(spark, d, extent=[5, 8, 0, 20])
+        assert df.count() == _brute_count(orbit_df, [5, 8, 0, 20])
+
+
 class TestPlanQuality:
     """Scale checks: pushdown + pruning must reach the parquet scan."""
 
