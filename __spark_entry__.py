@@ -786,8 +786,8 @@ FROM coords
     "invalid_policy": _COORDS_CTE
     + """
 SELECT event_type,
-  SUM(CASE WHEN lon * 1.5 >= -180 AND lon * 1.5 <= 180 THEN 1 ELSE 0 END) AS n_valid,
-  SUM(CASE WHEN lon * 1.5 >= -180 AND lon * 1.5 <= 180 THEN 0 ELSE 1 END) AS n_invalid
+  CAST(SUM(CASE WHEN lon * 1.5 >= -180 AND lon * 1.5 <= 180 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+  CAST(SUM(CASE WHEN lon * 1.5 >= -180 AND lon * 1.5 <= 180 THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
 FROM coords GROUP BY event_type
 """,
     "pricing_summary": """
@@ -846,9 +846,9 @@ GROUP BY group_idx
 """,
     "sessionize": """
 SELECT event_id, user_id,
-  SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) <= 1800.0 THEN 0 ELSE 1 END)
+  CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) <= 1800.0 THEN 0 ELSE 1 END)
     OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM (
   SELECT event_id, user_id, ts,
     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -858,16 +858,17 @@ FROM (
     "session_count": """
 WITH s AS (
   SELECT event_id, user_id, ts,
-    SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) <= 1800.0 THEN 0 ELSE 1 END)
+    CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) <= 1800.0 THEN 0 ELSE 1 END)
       OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM (
     SELECT event_id, user_id, ts,
       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
     FROM events
   ) t
 )
-SELECT event_id, session_id, COUNT(*) OVER (PARTITION BY user_id, session_id) AS n_events
+SELECT event_id, session_id,
+  CAST(COUNT(*) OVER (PARTITION BY user_id, session_id) AS BIGINT) AS n_events
 FROM s
 """,
     "time_diff": """
@@ -889,8 +890,8 @@ WITH spans AS (
 ),
 offs AS (
   SELECT user_id, min_id,
-    COALESCE(SUM(max_id - min_id + 1) OVER (
-      ORDER BY user_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+    CAST(COALESCE(SUM(max_id - min_id + 1) OVER (
+      ORDER BY user_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
   FROM spans
 )
 SELECT e.event_id, e.user_id, e.event_id - o.min_id + o."offset" AS x_index
@@ -928,7 +929,8 @@ FROM events
 """,
     "json_extract": """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
-  COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY 1
 """,
     "time_regularize": """
@@ -1019,8 +1021,8 @@ SELECT id_a, id_b, cosine FROM (
     "lsh_buckets": _lsh_bucket_sql(),
     "overpass_global": """
 SELECT event_id,
-  SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) <= 600.0 THEN 0 ELSE 1 END)
-    OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS overpass_id
+  CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) <= 600.0 THEN 0 ELSE 1 END)
+    OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS overpass_id
 FROM (SELECT event_id, ts, LAG(ts) OVER (ORDER BY ts, event_id) AS prev_ts FROM events) t
 """,
     "image_meta": """

@@ -1,13 +1,22 @@
 """Pre-flight of the driver's correctness gate: every queries() entry must
 match its oracle_sql() on DuckDB — row count, column names, sorted values.
+
+Comparison is DTYPE-STRICT and goes through pandas on both sides, mirroring
+the driver's value-hash path: DuckDB returns SUM(BIGINT) as HUGEINT which
+pandas renders as float64, so an un-cast oracle produces 3.0 where Spark
+produces 3 — Python tuple equality would hide that (3 == 3.0), a typed
+tuple does not.
 """
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -30,25 +39,35 @@ def duck():
     return con
 
 
-def _normalize(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    try:
-        import decimal
+def _typed(v):
+    """Normalize a cell to a (kind, value) pair so int vs float is a mismatch."""
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("list", tuple(_typed(x) for x in v))
+    if v is None:
+        return ("null", None)
+    if isinstance(v, (bool, np.bool_)):
+        return ("bool", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("int", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("null", None)
+        return ("float", round(f, 9))
+    if isinstance(v, decimal.Decimal):
+        return ("float", round(float(v), 9))
+    if pd.isna(v):  # NaT
+        return ("null", None)
+    return (type(v).__name__, v)
 
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
-    except ImportError:
-        pass
-    return v
 
-
-def _sorted_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_normalize(r[i]) for i in idx) for r in rows]
-    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+def _typed_rows(pdf):
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_typed(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=lambda t: tuple(str(x) for x in t))
 
 
 def test_every_query_has_oracle():
@@ -59,19 +78,18 @@ def test_every_query_has_oracle():
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     sdf = QUERIES[name](spark, SF_DIR)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = sdf.toPandas()
 
     if name not in ORACLES or ORACLES[name] is None:
         pytest.skip(f"{name}: rows-only check (no oracle)")
-    res = duck.execute(ORACLES[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    dpdf = duck.execute(ORACLES[name]).df()
 
-    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
-    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
-    sn = _sorted_rows(scols, srows)
-    dn = _sorted_rows(dcols, drows)
+    assert sorted(spdf.columns) == sorted(dpdf.columns), (
+        f"{name}: column mismatch {list(spdf.columns)} vs {list(dpdf.columns)}"
+    )
+    assert len(spdf) == len(dpdf), f"{name}: row count {len(spdf)} vs {len(dpdf)}"
+    sn = _typed_rows(spdf)
+    dn = _typed_rows(dpdf)
     mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} value mismatches; first: {mismatches[:3]}"
 
