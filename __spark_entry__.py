@@ -75,8 +75,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Derived deterministic coordinates over events (testdata has no geo columns).
+# lat uses event_id div 360 so the axes are NOT correlated: any polynomial of
+# event_id mod 180 would be fully determined by the lon residue, making every
+# 2-D spatial predicate either vacuous or degenerate. With div-360 the lat
+# sweep advances one bin per full lon revolution (event_id 0..999 -> lat in
+# {-89.5,-88.5,-87.5}; 0..9999 -> [-89.5,-62.5]), so bbox / radius windows
+# below are chosen to intersect that locus at every test SF.
 LON_SQL = "(CAST((event_id % 360) - 180 AS DOUBLE) + 0.5)"
-LAT_SQL = "(CAST((event_id % 180) - 90 AS DOUBLE) + 0.5)"
+LAT_SQL = "(CAST(CAST(FLOOR(event_id / 360.0) AS BIGINT) % 180 AS DOUBLE) - 90.0 + 0.5)"
 
 
 def _with_coords(events: DataFrame) -> DataFrame:
@@ -129,8 +135,8 @@ H31_SHINGLE_SQL = f"(CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % {MERSENN
 
 HAVERSINE_KM_SQL = """
 round(2.0 * 6371008.8 * asin(sqrt(
-    pow(sin((radians(lat) - radians(3.0)) / 2.0), 2)
-    + cos(radians(lat)) * cos(radians(3.0))
+    pow(sin((radians(lat) - radians(-88.0)) / 2.0), 2)
+    + cos(radians(lat)) * cos(radians(-88.0))
       * pow(sin((radians(lon) - radians(3.0)) / 2.0), 2)
 )) / 1000.0, 3)
 """
@@ -163,17 +169,17 @@ def q_sorted_limit(spark, sf_dir):
 
 
 def q_extent_filter(spark, sf_dir):
-    """P3: closed-bounds bbox filter on derived coords."""
+    """P3: closed-bounds bbox filter on derived coords (non-empty at all SFs)."""
     ev = _with_coords(_events(spark, sf_dir))
     return ev.where(
-        (F.col("lon") >= -20) & (F.col("lon") <= 40) & (F.col("lat") >= 0) & (F.col("lat") <= 30)
+        (F.col("lon") >= -20) & (F.col("lon") <= 40) & (F.col("lat") >= -90) & (F.col("lat") <= -85)
     ).select("event_id", "lon", "lat")
 
 
 def q_point_radius(spark, sf_dir):
     """P4: haversine point-radius filter + distance column."""
     ev = _with_coords(_events(spark, sf_dir))
-    dist_km = F.round(haversine_expr("lon", "lat", 3.0, 3.0) / 1000.0, 3)
+    dist_km = F.round(haversine_expr("lon", "lat", 3.0, -88.0) / 1000.0, 3)
     return (
         ev.withColumn("dist_km", dist_km)
         .where(F.col("dist_km") <= 2000.0)
@@ -218,7 +224,7 @@ def q_partition_pruning(spark, sf_dir):
     """B12: extent -> label isin predicate -> per-partition counts."""
     ev = _with_coords(_events(spark, sf_dir))
     labeled = GRID10.add_labels(ev, x="lon", y="lat")
-    pred = GRID10.pruning_predicate([5, 8, 0, 20])
+    pred = GRID10.pruning_predicate([5, 25, -90, -80])
     return (
         labeled.where(pred)
         .groupBy("lon_bin", "lat_bin")
@@ -748,7 +754,7 @@ ORDER BY l_orderkey, l_linenumber LIMIT 100
     "extent_filter": _COORDS_CTE
     + """
 SELECT event_id, lon, lat FROM coords
-WHERE lon >= -20 AND lon <= 40 AND lat >= 0 AND lat <= 30
+WHERE lon >= -20 AND lon <= 40 AND lat >= -90 AND lat <= -85
 """,
     "point_radius": _COORDS_CTE
     + f"""
@@ -1078,7 +1084,7 @@ _ORACLES["minhash_lsh_dedup"] = _minhash_lsh_dedup_sql()
 
 # partition_pruning oracle needs the pruned label lists (driver-side planning,
 # same values the Spark side folds into its isin predicate)
-_PRUNE_PARTS = GRID10.get_partitions_by_extent([5, 8, 0, 20])
+_PRUNE_PARTS = GRID10.get_partitions_by_extent([5, 25, -90, -80])
 _ORACLES["partition_pruning"] = (
     _COORDS_CTE
     + f"""

@@ -56,12 +56,25 @@ def haversine_expr(
     return F.lit(2.0 * _EARTH_RADIUS_M) * F.asin(F.sqrt(a))
 
 
+def _haversine_np(lons: np.ndarray, lats: np.ndarray, lon0: float, lat0: float) -> np.ndarray:
+    """Numpy spherical (haversine) distance in meters — fallback for Vincenty."""
+    rlat = np.radians(lats)
+    rlat0 = np.radians(lat0)
+    dlat = (rlat - rlat0) / 2.0
+    dlon = np.radians(lons - lon0) / 2.0
+    h = np.sin(dlat) ** 2 + np.cos(rlat) * np.cos(rlat0) * np.sin(dlon) ** 2
+    return 2.0 * _EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
 def _vincenty_inverse(lons: np.ndarray, lats: np.ndarray, lon0: float, lat0: float) -> np.ndarray:
     """Vectorized Vincenty inverse distance on the WGS84 ellipsoid (meters).
 
     Pure-numpy replacement for pyproj ``Geod(ellps="WGS84").inv`` (reference:
-    filters.py:43-48); classic published algorithm (Vincenty 1975). Converges in
-    <=100 iterations for non-antipodal points; antipodal fallback is haversine.
+    filters.py:43-48); classic published algorithm (Vincenty 1975). The lambda
+    iteration does not converge for near-antipodal pairs; elements whose last
+    iteration step is still >= tol after 100 iterations fall back to the
+    spherical haversine distance (error <=0.56% — vs a silently wrong Vincenty
+    result).
     """
     lons = np.asarray(lons, dtype="float64")
     lats = np.asarray(lats, dtype="float64")
@@ -73,6 +86,7 @@ def _vincenty_inverse(lons: np.ndarray, lats: np.ndarray, lon0: float, lat0: flo
     sinU2, cosU2 = np.sin(U2), np.cos(U2)
 
     lam = L.copy()
+    step = np.full_like(lam, np.inf)
     for _ in range(100):
         sin_lam, cos_lam = np.sin(lam), np.cos(lam)
         sin_sigma = np.sqrt(
@@ -91,10 +105,10 @@ def _vincenty_inverse(lons: np.ndarray, lats: np.ndarray, lon0: float, lat0: flo
             sigma
             + C * sin_sigma * (cos2sigma_m + C * cos_sigma * (-1.0 + 2.0 * cos2sigma_m**2))
         )
-        if np.all(np.abs(lam_new - lam) < 1e-12):
-            lam = lam_new
-            break
+        step = np.abs(lam_new - lam)
         lam = lam_new
+        if np.all(step < 1e-12):
+            break
 
     sin_lam, cos_lam = np.sin(lam), np.cos(lam)
     sin_sigma = np.sqrt((cosU2 * sin_lam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam) ** 2)
@@ -129,6 +143,10 @@ def _vincenty_inverse(lons: np.ndarray, lats: np.ndarray, lon0: float, lat0: flo
     dist = b * A * (sigma - delta_sigma)
     # identical points -> 0
     dist = np.where(sin_sigma == 0, 0.0, dist)
+    # non-converged (near-antipodal) elements: haversine, not a wrong Vincenty
+    nonconverged = ~(step < 1e-12)
+    if np.any(nonconverged):
+        dist = np.where(nonconverged, _haversine_np(lons, lats, lon0, lat0), dist)
     return dist
 
 

@@ -31,7 +31,7 @@ import itertools
 import os
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
@@ -172,9 +172,12 @@ def fast_label_path_ok(labels: np.ndarray) -> bool:
 
     For label-magnitude decimals (|v| in [1e-3, 1e7) or 0), JVM, DuckDB and
     Python all print the same shortest round-trip repr, so the 4-regex
-    formatting pipeline can be skipped in the per-row hot path. Validated
-    against the driver-side label grid at construction time — any value whose
-    repr differs falls back to the exact formatting path.
+    formatting pipeline can be skipped in the per-row hot path. This is the
+    driver-side (Python repr) precheck; the executed path is a JVM
+    double->string cast, which :func:`jvm_fast_label_ok` verifies against the
+    running JVM (pre-JDK19 ``Double.toString`` can emit non-shortest digits —
+    a silent mismatch would desync written labels from driver-side pruning
+    labels and make extent reads drop partitions).
     """
     for lab in labels:
         try:
@@ -186,6 +189,38 @@ def fast_label_path_ok(labels: np.ndarray) -> bool:
         if repr(v) != lab:
             return False
     return True
+
+
+# One tiny Spark job per distinct (label grid, decimals) per process.
+_JVM_FAST_LABEL_CACHE: dict[tuple, bool] = {}
+
+
+def jvm_fast_label_ok(labels: np.ndarray, centroids: np.ndarray, decimals: int) -> bool:
+    """Authoritative fast-path check: format the full label grid in the running
+    JVM (one-row-per-centroid job) and compare to the driver-side labels.
+
+    Returns False (exact formatting path) when no session is active or any
+    label differs; the verdict is cached per grid so the job runs once per
+    process, not per query.
+    """
+    key = (decimals, tuple(str(lab) for lab in labels))
+    if key in _JVM_FAST_LABEL_CACHE:
+        return _JVM_FAST_LABEL_CACHE[key]
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False  # cannot verify this JVM — do not cache, use exact path
+    import pandas as pd
+
+    pdf = pd.DataFrame({"c": np.asarray(centroids, dtype=float)})
+    got = [
+        r[0]
+        for r in spark.createDataFrame(pdf)
+        .select(F.round(F.col("c"), decimals).cast("string"))
+        .collect()
+    ]
+    ok = got == [str(lab) for lab in labels]
+    _JVM_FAST_LABEL_CACHE[key] = ok
+    return ok
 
 
 def format_label_expr(centroid: Column, decimals: int) -> Column:
@@ -518,7 +553,10 @@ class XYPartitioning(Base2DPartitioning):
     def _label_expr(self, centroid: Column, axis: int) -> Column:
         decimals = self.labels_decimals[axis]
         if self._fast_label[axis]:
-            return F.when(centroid.isNotNull(), F.round(centroid, decimals).cast("string"))
+            labels = self.x_labels if axis == 0 else self.y_labels
+            cents = self.x_centroids if axis == 0 else self.y_centroids
+            if jvm_fast_label_ok(labels, cents, decimals):
+                return F.when(centroid.isNotNull(), F.round(centroid, decimals).cast("string"))
         return format_label_expr(centroid, decimals)
 
     def x_label_expr(self, x: Column | str) -> Column:

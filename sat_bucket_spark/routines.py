@@ -36,7 +36,11 @@ from sat_bucket_spark.io import (
     write_bucket_info,
 )
 from sat_bucket_spark.readers import read_bucket_dataframe
-from sat_bucket_spark.writers import write_partitioned_dataset
+from sat_bucket_spark.writers import (
+    estimate_row_size,
+    rows_for_target_size,
+    write_partitioned_dataset,
+)
 
 __all__ = ["merge_granule_buckets", "write_bucket", "write_granules_bucket"]
 
@@ -138,17 +142,24 @@ def write_granules_bucket(
     paths_df = spark.createDataFrame([(p,) for p in filepaths], ["path"]).repartition(
         max(len(filepaths), 1)
     )
-    result = paths_df.mapInPandas(_ingest, schema=out_schema)
+    # Persist: the partitioned write and the error collect are two actions on
+    # this plan; without materialization every granule would be parsed twice,
+    # and a granule that succeeded in the write pass but failed transiently in
+    # the error pass would be recorded as failed while its rows were already
+    # appended — the next skip_ingested re-run would then duplicate its data.
+    result = paths_df.mapInPandas(_ingest, schema=out_schema).persist()
+    try:
+        ok = result.where(F.col("_error").isNull()).drop("_error", "_src_path")
+        labeled = partitioning.add_labels(ok, x=x, y=y, remove_invalid_rows=True)
+        write_partitioned_dataset(
+            labeled, bucket_dir, partitions=list(partitioning.order), mode=mode, **writer_kwargs
+        )
 
-    ok = result.where(F.col("_error").isNull()).drop("_error", "_src_path")
-    labeled = partitioning.add_labels(ok, x=x, y=y, remove_invalid_rows=True)
-    write_partitioned_dataset(
-        labeled, bucket_dir, partitions=list(partitioning.order), mode=mode, **writer_kwargs
-    )
-
-    errors = (
-        result.where(F.col("_error").isNotNull()).select("_src_path", "_error").collect()
-    )
+        errors = (
+            result.where(F.col("_error").isNotNull()).select("_src_path", "_error").collect()
+        )
+    finally:
+        result.unpersist()
     failed = {r["_src_path"] for r in errors}
     if skip_ingested:
         ingested = sorted(already | {p for p in filepaths if p not in failed})
@@ -199,6 +210,14 @@ def merge_granule_buckets(
     writer_kwargs.setdefault("max_file_size", "2GB")  # reference default, routines.py:543
     if update:
         # Dynamic partition overwrite: only partitions present in df are replaced.
+        # File sizing applies here too — compactions must honor max_file_size,
+        # not emit arbitrarily sized files.
+        max_records = writer_kwargs.get("max_records_per_file")
+        if max_records is None and writer_kwargs.get("max_file_size") is not None:
+            max_records = rows_for_target_size(
+                writer_kwargs["max_file_size"],
+                estimate_row_size(df, compression=writer_kwargs.get("compression", "snappy")),
+            )
         base = df.repartition(*partitions)
         writer = (
             base.write.partitionBy(*partitions)
@@ -206,6 +225,8 @@ def merge_granule_buckets(
             .option("compression", writer_kwargs.get("compression", "snappy"))
             .mode("overwrite")
         )
+        if max_records is not None:
+            writer = writer.option("maxRecordsPerFile", int(max_records))
         writer.parquet(dst_bucket_dir)
     else:
         write_partitioned_dataset(

@@ -46,16 +46,32 @@ def parse_size(size: str | int | float) -> int:
     return int(float(value) * _UNIT[unit])
 
 
-def estimate_row_size(df: DataFrame, sample_rows: int = 10_000) -> float:
-    """Estimate serialized bytes/row by sampling (reference: writers.py:69-92).
+def estimate_row_size(
+    df: DataFrame, sample_rows: int = 10_000, compression: str = "snappy"
+) -> float:
+    """Estimate parquet-ENCODED bytes/row by sampling (reference: writers.py:69-92).
 
-    Samples up to ``sample_rows`` rows to Arrow and measures their in-memory
-    footprint; coarse but only used to derive ``maxRecordsPerFile``.
+    Samples up to ``sample_rows`` rows and writes them to an in-memory parquet
+    buffer with the target compression — measuring encoded bytes, not pandas
+    in-memory bytes, which overestimate by the encoding+compression factor
+    (3-10x) and would make "2GB" targets produce far smaller files.
+    Falls back to the in-memory estimate if Arrow encoding fails.
     """
     pdf = df.limit(sample_rows).toPandas()
     if len(pdf) == 0:
         return 100.0
-    return max(float(pdf.memory_usage(index=False, deep=True).sum()) / len(pdf), 1.0)
+    try:
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        buf = io.BytesIO()
+        pq.write_table(table, buf, compression=compression)
+        return max(float(buf.tell()) / len(pdf), 1.0)
+    except Exception:
+        return max(float(pdf.memory_usage(index=False, deep=True).sum()) / len(pdf), 1.0)
 
 
 def rows_for_target_size(target_size: str | int, bytes_per_row: float) -> int:
@@ -69,6 +85,7 @@ def write_partitioned_dataset(
     partitions: list[str] | None = None,
     max_file_size: str | int | None = None,
     max_records_per_file: int | None = None,
+    row_group_size: str | int | None = None,
     compression: str = "snappy",
     mode: str = "append",
     repartition_by_levels: bool = True,
@@ -80,8 +97,12 @@ def write_partitioned_dataset(
       the "directory" flavor has no Spark writer equivalent and is normalized
       to hive (SURVEY.md §7 hard part 5).
     - File sizing: ``max_file_size`` (e.g. "2GB") is converted to
-      ``maxRecordsPerFile`` via a sampled bytes/row estimate (reference:
-      writers.py:95-112, 161-187); or pass ``max_records_per_file`` directly.
+      ``maxRecordsPerFile`` via a sampled parquet-encoded bytes/row estimate
+      (reference: writers.py:95-112, 161-187); or pass ``max_records_per_file``
+      directly.
+    - ``row_group_size``: target row-group byte size (e.g. "200MB") passed to
+      the parquet writer as ``parquet.block.size`` (reference: writers.py:161-187
+      derives min/max rows per row group from the same byte target).
     - ``repartition_by_levels``: shuffle rows so each spatial partition is
       written by a single task — fewer, larger files (critical at scale).
     """
@@ -94,9 +115,11 @@ def write_partitioned_dataset(
         writer = writer_df.write
 
     if max_records_per_file is None and max_file_size is not None:
-        bytes_per_row = estimate_row_size(df)
+        bytes_per_row = estimate_row_size(df, compression=compression)
         max_records_per_file = rows_for_target_size(max_file_size, bytes_per_row)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    if row_group_size is not None:
+        writer = writer.option("parquet.block.size", parse_size(row_group_size))
 
     writer.option("compression", compression).mode(mode).parquet(base_dir)
