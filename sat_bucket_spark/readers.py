@@ -37,19 +37,33 @@ def read_bucket_dataframe(
     bucket_dir: str,
     levels: list[str] | None = None,
     path_glob: str | None = None,
+    partitioning=None,
+    subdirs: list[str] | None = None,
 ) -> DataFrame:
     """Open a bucket as a DataFrame with *string-typed* partition columns.
 
-    Spark's partition-type inference would parse ``lon_bin=-5.0`` as a double
-    and ``tile=007`` as an int, breaking the reference's string-label contract
-    (labels are strings; reference partitioning.py:899-910). We read the footer
-    schema once, force every partition level to StringType, and re-read with an
-    explicit schema (partition columns honor user-provided schemas).
+    Hive-flavor buckets (``name=label`` dirs): Spark's partition-type inference
+    would parse ``lon_bin=-5.0`` as a double and ``tile=007`` as an int,
+    breaking the reference's string-label contract (labels are strings;
+    reference partitioning.py:899-910). We read the footer schema once, force
+    every partition level to StringType, and re-read with an explicit schema
+    (partition columns honor user-provided schemas).
+
+    Directory-flavor buckets (bare label dirs — the reference *default* for
+    XY/Tile partitionings, reference partitioning.py:206-207, 253-257) carry no
+    hive metadata on disk, so Spark partition discovery cannot see the labels:
+    pass ``partitioning`` (flavor != "hive") and the read globs depth-n data
+    files and reconstructs the label columns from ``input_file_name()``,
+    honoring ``partitioning.order``. ``subdirs`` optionally restricts such a
+    read to specific partition directories — driver-side pruning, mirroring
+    the reference's own directory enumeration (readers.py:269-279).
 
     The default glob skips the ``bucket_info.yaml`` metadata header sitting at
     the table root (reference: io.py:58-73).
     """
     glob = path_glob or "*.parquet"
+    if partitioning is not None and getattr(partitioning, "flavor", "hive") != "hive":
+        return _read_directory_bucket(spark, bucket_dir, partitioning, glob, subdirs)
     df = spark.read.option("pathGlobFilter", glob).parquet(bucket_dir)
     if levels:
         fields = []
@@ -63,6 +77,41 @@ def read_bucket_dataframe(
             .option("pathGlobFilter", glob)
             .parquet(bucket_dir)
         )
+    return df
+
+
+def _read_directory_bucket(
+    spark: SparkSession,
+    bucket_dir: str,
+    partitioning,
+    glob: str,
+    subdirs: list[str] | None,
+) -> DataFrame:
+    """Directory-flavor read: depth-n glob + label reconstruction from paths.
+
+    Labels become plain string columns (not hive partition columns), so
+    Catalyst cannot directory-prune them; extent pruning happens driver-side
+    via ``subdirs`` (the reference's strategy: enumerate intersecting
+    partition dirs, readers.py:269-279) — the same file-skipping outcome.
+    """
+    import os
+
+    order = list(partitioning.order)
+    n = len(order)
+    if subdirs is not None:
+        paths = [os.path.join(bucket_dir, d) for d in subdirs]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            # No partition dir intersects: empty frame with the full schema.
+            full = _read_directory_bucket(spark, bucket_dir, partitioning, glob, None)
+            return full.where(F.lit(False))
+    else:
+        paths = [os.path.join(bucket_dir, *(["*"] * n))]
+    df = spark.read.option("pathGlobFilter", glob).parquet(*paths)
+    # .../<label_order0>/<label_order1>/part-*.parquet
+    segs = F.split(F.input_file_name(), "/")
+    for i, level in enumerate(order):
+        df = df.withColumn(level, F.element_at(segs, F.lit(i - n - 1)))
     return df
 
 
@@ -109,7 +158,44 @@ def read(
         raise ValueError("specify at most one of extent/country/continent/point")
 
     partitioning = get_bucket_spatial_partitioning(bucket_dir)
-    df = read_bucket_dataframe(spark, bucket_dir, levels=partitioning.order, path_glob=path_glob)
+
+    # --- resolve the spatial query to an extent (driver-side planning) -----
+    query_extent = None
+    point_radius = None
+    if extent is not None:
+        query_extent = list(extent)
+    elif country is not None:
+        query_extent = get_country_extent(country)
+    elif continent is not None:
+        query_extent = get_continent_extent(continent)
+    elif point is not None:
+        lon0, lat0 = float(point[0]), float(point[1])
+        if (distance is None) == (size is None):
+            raise ValueError("point queries require exactly one of 'distance' or 'size'")
+        if distance is not None:
+            point_radius = (lon0, lat0, float(distance))
+            query_extent = extent_around_point(lon0, lat0, distance=distance)
+        else:
+            query_extent = extent_around_point(lon0, lat0, size=size)
+
+    # Directory-flavor buckets prune driver-side: only intersecting partition
+    # dirs are opened (labels are not hive partition columns there).
+    subdirs = None
+    if (
+        query_extent is not None
+        and use_pruning
+        and getattr(partitioning, "flavor", "hive") != "hive"
+    ):
+        subdirs = partitioning.directories_by_extent(query_extent)
+
+    df = read_bucket_dataframe(
+        spark,
+        bucket_dir,
+        levels=partitioning.order,
+        path_glob=path_glob,
+        partitioning=partitioning,
+        subdirs=subdirs,
+    )
 
     # --- time-window filter; prunes time_part partitions on merged buckets --
     if start_time is not None or end_time is not None:
@@ -136,27 +222,9 @@ def read(
             df = df.where(F.col("time_part").isin(prefixes))
         df = df.where((F.col(time) >= F.lit(start_time)) & (F.col(time) < F.lit(end_time)))
 
-    # --- resolve the spatial query to an extent (driver-side planning) -----
-    query_extent = None
-    point_radius = None
-    if extent is not None:
-        query_extent = list(extent)
-    elif country is not None:
-        query_extent = get_country_extent(country)
-    elif continent is not None:
-        query_extent = get_continent_extent(continent)
-    elif point is not None:
-        lon0, lat0 = float(point[0]), float(point[1])
-        if (distance is None) == (size is None):
-            raise ValueError("point queries require exactly one of 'distance' or 'size'")
-        if distance is not None:
-            point_radius = (lon0, lat0, float(distance))
-            query_extent = extent_around_point(lon0, lat0, distance=distance)
-        else:
-            query_extent = extent_around_point(lon0, lat0, size=size)
-
     # --- partition pruning predicate (hive pruning via Catalyst) -----------
-    if query_extent is not None and use_pruning:
+    # Skipped when subdirs already restricted a directory-flavor read.
+    if query_extent is not None and use_pruning and subdirs is None:
         df = df.where(partitioning.pruning_predicate(query_extent))
 
     # --- user predicates (pushed into the parquet scan) --------------------

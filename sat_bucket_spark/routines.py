@@ -64,7 +64,12 @@ def write_bucket(
     write_bucket_info(bucket_dir, partitioning)
     labeled = partitioning.add_labels(df, x=x, y=y, remove_invalid_rows=remove_invalid_rows)
     write_partitioned_dataset(
-        labeled, bucket_dir, partitions=list(partitioning.order), mode=mode, **writer_kwargs
+        labeled,
+        bucket_dir,
+        partitions=list(partitioning.order),
+        mode=mode,
+        flavor=partitioning.flavor,
+        **writer_kwargs,
     )
 
 
@@ -152,7 +157,12 @@ def write_granules_bucket(
         ok = result.where(F.col("_error").isNull()).drop("_error", "_src_path")
         labeled = partitioning.add_labels(ok, x=x, y=y, remove_invalid_rows=True)
         write_partitioned_dataset(
-            labeled, bucket_dir, partitions=list(partitioning.order), mode=mode, **writer_kwargs
+            labeled,
+            bucket_dir,
+            partitions=list(partitioning.order),
+            mode=mode,
+            flavor=partitioning.flavor,
+            **writer_kwargs,
         )
 
         errors = (
@@ -194,9 +204,17 @@ def merge_granule_buckets(
     """
     check_temporal_partitioning(temporal_partitioning)
     partitioning = get_bucket_spatial_partitioning(src_bucket_dir)
-    write_bucket_info(dst_bucket_dir, partitioning, temporal_partitioning=temporal_partitioning)
+    # The merged archive adds a time_part level and is always written hive
+    # (dynamic partition overwrite + Catalyst pruning need hive metadata);
+    # normalize the recorded flavor so reads use the hive path.
+    from sat_bucket_spark.partitioning import partitioning_from_dict
 
-    df = read_bucket_dataframe(spark, src_bucket_dir, levels=partitioning.order)
+    dst_partitioning = partitioning_from_dict({**partitioning.to_dict(), "flavor": "hive"})
+    write_bucket_info(dst_bucket_dir, dst_partitioning, temporal_partitioning=temporal_partitioning)
+
+    df = read_bucket_dataframe(
+        spark, src_bucket_dir, levels=partitioning.order, partitioning=partitioning
+    )
     if start_time is not None or end_time is not None:
         start_time, end_time = check_start_end_time(
             start_time if start_time is not None else "1970-01-01",

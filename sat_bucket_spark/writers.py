@@ -16,11 +16,18 @@ instead of thousands of small ones.
 from __future__ import annotations
 
 import math
+import os
 import re
 
 from pyspark.sql import DataFrame
 
-__all__ = ["estimate_row_size", "parse_size", "rows_for_target_size", "write_partitioned_dataset"]
+__all__ = [
+    "dehive_partition_directories",
+    "estimate_row_size",
+    "parse_size",
+    "rows_for_target_size",
+    "write_partitioned_dataset",
+]
 
 _SIZE_RE = re.compile(r"^\s*([0-9]*\.?[0-9]+)\s*([KMGT]?B?)\s*$", re.IGNORECASE)
 _UNIT = {"": 1, "B": 1, "KB": 1024, "MB": 1024**2, "GB": 1024**3, "TB": 1024**4}
@@ -79,6 +86,36 @@ def rows_for_target_size(target_size: str | int, bytes_per_row: float) -> int:
     return max(int(math.floor(parse_size(target_size) / bytes_per_row)), 1)
 
 
+def dehive_partition_directories(base_dir: str, partition_names: list[str]) -> None:
+    """Rename hive ``name=label`` dirs to bare ``label`` dirs ("directory" flavor).
+
+    Local-filesystem post-pass producing the reference's default XY/Tile bucket
+    layout (reference: partitioning.py:206-207, 253-257 — bare label
+    directories). Merges into an existing label dir so ``mode='append'`` writes
+    compose. Scale note: on object stores a rename is a copy — prefer hive
+    flavor there; directory flavor exists for reference layout parity.
+    """
+    names = set(partition_names)
+    for root, _dirs, _files in os.walk(base_dir, topdown=False):
+        base = os.path.basename(root)
+        if "=" not in base:
+            continue
+        level, label = base.split("=", 1)
+        if level not in names:
+            continue
+        _merge_move(root, os.path.join(os.path.dirname(root), label))
+
+
+def _merge_move(src: str, dst: str) -> None:
+    """Move ``src`` to ``dst``, recursively merging into existing directories."""
+    if not os.path.isdir(dst):
+        os.rename(src, dst)
+        return
+    for entry in os.listdir(src):
+        _merge_move(os.path.join(src, entry), os.path.join(dst, entry))
+    os.rmdir(src)
+
+
 def write_partitioned_dataset(
     df: DataFrame,
     base_dir: str,
@@ -89,13 +126,15 @@ def write_partitioned_dataset(
     compression: str = "snappy",
     mode: str = "append",
     repartition_by_levels: bool = True,
+    flavor: str | None = "hive",
 ) -> None:
     """Write a DataFrame as a partitioned Parquet dataset (reference: writers.py:327-369).
 
     - ``partitions``: partition columns in on-disk order (reference order
-      semantics, partitioning.py:195-198); hive flavor (``name=label`` dirs) —
-      the "directory" flavor has no Spark writer equivalent and is normalized
-      to hive (SURVEY.md §7 hard part 5).
+      semantics, partitioning.py:195-198).
+    - ``flavor``: "hive" (default) keeps Spark's ``name=label`` dirs;
+      None/"directory" post-renames them to bare label dirs — the reference's
+      default XY/Tile layout (SURVEY.md §7 hard part 5); local-FS only.
     - File sizing: ``max_file_size`` (e.g. "2GB") is converted to
       ``maxRecordsPerFile`` via a sampled parquet-encoded bytes/row estimate
       (reference: writers.py:95-112, 161-187); or pass ``max_records_per_file``
@@ -123,3 +162,5 @@ def write_partitioned_dataset(
         writer = writer.option("parquet.block.size", parse_size(row_group_size))
 
     writer.option("compression", compression).mode(mode).parquet(base_dir)
+    if partitions and flavor != "hive":
+        dehive_partition_directories(base_dir, partitions)
