@@ -1,0 +1,72 @@
+"""Country/continent extent table tests (reference: test_readers.py:211-227 analogues)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sat_bucket_spark.extents import (
+    CONTINENT_EXTENTS,
+    COUNTRY_ALIASES,
+    COUNTRY_EXTENTS,
+    get_continent_extent,
+    get_country_extent,
+)
+
+
+class TestTableShape:
+    def test_coverage(self):
+        # full public table, not a demo subset
+        assert len(COUNTRY_EXTENTS) >= 190
+
+    def test_all_extents_valid(self):
+        for name, (x0, x1, y0, y1) in {**COUNTRY_EXTENTS, **CONTINENT_EXTENTS}.items():
+            assert -180.0 <= x0 <= x1 <= 180.0, name
+            assert -90.0 <= y0 <= y1 <= 90.0, name
+
+    def test_aliases_resolve(self):
+        for alias, target in COUNTRY_ALIASES.items():
+            assert target in COUNTRY_EXTENTS, alias
+            assert get_country_extent(alias) == COUNTRY_EXTENTS[target]
+
+
+class TestLookup:
+    @pytest.mark.parametrize(
+        "name", ["Kenya", "Nigeria", "Vanuatu", "san marino", " ICELAND ", "Usa", "Burma"]
+    )
+    def test_arbitrary_countries_resolve(self, name):
+        x0, x1, y0, y1 = get_country_extent(name)
+        assert x0 < x1 and y0 < y1
+
+    def test_spot_values(self):
+        ke = get_country_extent("Kenya")
+        # Nairobi (36.8, -1.3) inside
+        assert ke[0] <= 36.8 <= ke[1] and ke[2] <= -1.3 <= ke[3]
+        nz = get_country_extent("New Zealand")
+        # Wellington (174.8, -41.3) inside
+        assert nz[0] <= 174.8 <= nz[1] and nz[2] <= -41.3 <= nz[3]
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError, match="unknown country"):
+            get_country_extent("Atlantis")
+        with pytest.raises(ValueError, match="unknown continent"):
+            get_continent_extent("Lemuria")
+
+
+class TestBucketCountryQuery:
+    """Country queries on a synthetic bucket match brute-force bbox counts
+    (reference: test_readers.py:211-227)."""
+
+    @pytest.mark.parametrize("name", ["Nigeria", "Ghana", "Kenya", "Brazil"])
+    def test_country_counts(self, spark, orbit_df, tmp_path_factory, name):
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark import LonLatPartitioning, read, write_bucket
+
+        d = str(tmp_path_factory.mktemp("cbucket"))
+        write_bucket(orbit_df, d, LonLatPartitioning(size=(10, 10)), x="lon", y="lat")
+        x0, x1, y0, y1 = get_country_extent(name)
+        want = orbit_df.where(
+            (F.col("lon") >= x0) & (F.col("lon") <= x1)
+            & (F.col("lat") >= y0) & (F.col("lat") <= y1)
+        ).count()
+        assert read(spark, d, country=name).count() == want
