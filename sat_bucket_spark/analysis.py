@@ -267,8 +267,12 @@ def add_swath_indices(
     Reference: analysis.py:141-174 — ``gpm_id`` is ``"{granule_id}-{along_track_id}"``
     (fake_datasets.py:90, split on "-" analysis.py:138); each granule's
     along-track block is renumbered to start at a running offset so granules
-    concatenate contiguously. Implemented as: per-granule min/max aggregate
-    (tiny) -> running offset window -> broadcast join back.
+    concatenate contiguously. Implemented as: ONE per-granule aggregate (tiny;
+    also carries the global y-min, so plan construction launches no job and a
+    single scan feeds everything) -> running offset window -> broadcast join
+    back. The offset window is unpartitioned by necessity (a running sum over
+    granule order) but runs over the spans table, which is small enough to
+    broadcast by construction.
     """
     parts = F.split(F.col(x_index), "-")
     df2 = df.withColumn("__granule", parts.getItem(0).cast("long")).withColumn(
@@ -276,16 +280,25 @@ def add_swath_indices(
     )
     spans = (
         df2.groupBy("__granule")
-        .agg(F.min("__along").alias("__min_track"), F.max("__along").alias("__max_track"))
+        .agg(
+            F.min("__along").alias("__min_track"),
+            F.max("__along").alias("__max_track"),
+            F.min(F.col(y_index)).alias("__granule_y_min"),
+        )
         .withColumn("__n_tracks", F.col("__max_track") - F.col("__min_track") + F.lit(1))
     )
     w = Window.orderBy("__granule").rowsBetween(Window.unboundedPreceding, -1)
-    spans = spans.withColumn("__offset", F.coalesce(F.sum("__n_tracks").over(w), F.lit(0)))
-    joined = df2.join(
-        F.broadcast(spans.select("__granule", "__min_track", "__offset")), "__granule"
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    y_min = df.agg(F.min(F.col(y_index))).collect()[0][0]
+    spans = spans.withColumn(
+        "__offset", F.coalesce(F.sum("__n_tracks").over(w), F.lit(0))
+    ).withColumn("__y_min", F.min("__granule_y_min").over(w_all))
+    joined = df2.join(
+        F.broadcast(spans.select("__granule", "__min_track", "__offset", "__y_min")),
+        "__granule",
+    )
     out = joined.withColumn(
         out_x, F.col("__along") - F.col("__min_track") + F.col("__offset")
-    ).withColumn(out_y, F.col(y_index) - F.lit(y_min))
-    return out.drop("__granule", "__along", "__min_track", "__offset")
+    ).withColumn(out_y, F.col(y_index) - F.col("__y_min"))
+    return out.drop("__granule", "__along", "__min_track", "__offset", "__y_min")

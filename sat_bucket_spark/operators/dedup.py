@@ -152,13 +152,20 @@ def lsh_candidate_pairs(
     n_bands: int = 4,
     signature_col: str = "signature",
     n_hashes: int | None = None,
+    with_estimate: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their signature become candidates.
 
     Bands are equi-join keys, so candidate generation is a shuffle join on
     (band_idx, band values) — never an all-pairs product. Returns distinct
-    (id_a < id_b) pairs with the fraction of matching signature positions
-    (the MinHash estimate of Jaccard similarity).
+    (id_a < id_b) pairs, with the fraction of matching signature positions
+    (the MinHash Jaccard estimate) when ``with_estimate``.
+
+    Shuffle discipline: the band rows and the dedup exchange carry ONLY ids
+    and the joined band — never the full signature arrays (at 100 TB the
+    candidate volume times a signature payload is real shuffle weight). The
+    estimate is computed afterwards by re-joining the per-doc signature table
+    (one short row per doc, broadcastable / AQE-planned).
 
     Pass ``n_hashes`` when known — otherwise a probe job reads one row to
     discover the signature length.
@@ -168,7 +175,6 @@ def lsh_candidate_pairs(
     rows_per_band = max(n_hashes // n_bands, 1)
     bands = sigs.select(
         F.col(id_col),
-        F.col(signature_col),
         F.explode(
             F.array(
                 *[
@@ -182,7 +188,7 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, signature_col, "band.band_idx", "band.band_sig")
+    ).select(id_col, "band.band_idx", "band.band_sig")
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -196,18 +202,24 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{signature_col}").alias("sig_a"),
-            F.col(f"r.{signature_col}").alias("sig_b"),
         )
         .distinct()
     )
+    if not with_estimate:
+        return pairs
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col(signature_col).alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col(signature_col).alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     ) / F.lit(float(n_hashes))
-    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -288,8 +300,8 @@ def minhash_lsh_dedup_pairs(
         shingle_size=shingle_size, seed=seed,
     ).localCheckpoint(eager=False)  # signatures are tiny; never recompute them
     cands = lsh_candidate_pairs(
-        sigs, id_col=id_col, n_bands=n_bands, n_hashes=n_hashes
-    ).select("id_a", "id_b")
+        sigs, id_col=id_col, n_bands=n_bands, n_hashes=n_hashes, with_estimate=False
+    )
     sets = _ensure_parallelism(df).select(
         F.col(id_col), shingles_expr(text_col, k=shingle_size).alias("sh_set")
     )

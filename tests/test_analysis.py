@@ -127,6 +127,21 @@ class TestSwathIndices:
             assert r["x_index"] == r["gpm_granule_id"] * 10 + r["gpm_along_track_id"]
             assert 0 <= r["y_index"] <= 4
 
+    def test_plan_construction_is_lazy(self, spark):
+        # The y-min is folded into the spans aggregate: building the plan must
+        # launch NO Spark job (the old code ran a full-scan collect here). A
+        # poisoned column proves nothing executes at construction time.
+        from pyspark.sql import functions as F
+
+        @F.udf("long")
+        def boom(v):
+            raise RuntimeError("must not execute at plan-construction time")
+
+        df = spark.createDataFrame([("0-1",)], ["gpm_id"]).withColumn(
+            "gpm_cross_track_id", boom(F.lit(1))
+        )
+        add_swath_indices(df)  # no action -> no job -> no raise
+
     def test_offset_with_partial_granule(self, spark):
         # granule 0 tracks 3..5 (3 tracks), granule 2 tracks 10..11 (2 tracks)
         rows = [("0-3", 0), ("0-5", 0), ("2-10", 1), ("2-11", 0)]

@@ -55,6 +55,19 @@ def test_minhash_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_lsh_dedup_exchange_carries_no_signatures(spark):
+    """The candidate-dedup shuffle must move bare (id_a, id_b) pairs.
+
+    A distinct over (ids + signature arrays) would ship every signature
+    through the exchange — at 100 TB candidate volume that payload dominates.
+    """
+    plan = _plan(E.q_minhash_lsh_dedup(spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "sig" not in line, line
+            assert "signature" not in line, line
+
+
 def test_topk_broadcasts_queries(spark):
     plan = _plan(E.q_embedding_topk(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
