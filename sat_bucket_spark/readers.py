@@ -7,9 +7,10 @@ readers.py:239-279), we emit::
 
     spark.read.parquet(bucket_dir)
         .where(<partition-label predicate>)   # Catalyst hive partition pruning
+        .limit(n_rows)                        # scan-time row cap (reference parity)
         .where(<exact bbox / point-radius>)   # row-level post filter
         .where(<user filter expressions>)     # pushed to parquet scan
-        .select(columns).limit(n_rows)
+        .select(columns)
 
 and Catalyst performs partition pruning, predicate pushdown, and column pruning
 (the scan shows PushedFilters/ReadSchema; verified in tests/test_plans.py).
@@ -150,6 +151,11 @@ def read(
     before the spatial post-filter (reference: readers.py:142-148 notes they
     "reduce rows much more aggressively" — Catalyst pushes them into the scan).
 
+    ``n_rows`` caps the rows *read* (scan-time stop after partition pruning,
+    before row-level filters — reference readers.py:229 semantics); a filtered
+    query may therefore return fewer than ``n_rows`` rows. Use ``.limit()`` on
+    the returned DataFrame to cap result rows instead.
+
     ``backend``: "spark" (default, lazy DataFrame) or "pandas" (collect to
     pandas, the reference's default backend; readers.py:91-98).
     """
@@ -197,7 +203,7 @@ def read(
         subdirs=subdirs,
     )
 
-    # --- time-window filter; prunes time_part partitions on merged buckets --
+    # --- partition-level pruning (before the n_rows scan cap) --------------
     if start_time is not None or end_time is not None:
         from sat_bucket_spark.checks import check_start_end_time
         from sat_bucket_spark.functions.temporal import get_time_prefix
@@ -220,12 +226,25 @@ def read(
             )
             # partition-column predicate -> Catalyst prunes time_part dirs
             df = df.where(F.col("time_part").isin(prefixes))
-        df = df.where((F.col(time) >= F.lit(start_time)) & (F.col(time) < F.lit(end_time)))
 
-    # --- partition pruning predicate (hive pruning via Catalyst) -----------
-    # Skipped when subdirs already restricted a directory-flavor read.
+    # hive pruning via Catalyst; skipped when subdirs already restricted a
+    # directory-flavor read.
     if query_extent is not None and use_pruning and subdirs is None:
         df = df.where(partitioning.pruning_predicate(query_extent))
+
+    # --- n_rows: cap on rows READ, not on result rows -----------------------
+    # Reference parity (readers.py:229): n_rows is a scan-time stop — it
+    # applies after directory/partition pruning but BEFORE every row-level
+    # filter, so a filtered query returns the matching subset of the first
+    # n_rows read (possibly fewer than n_rows). Spark plans this as a
+    # LocalLimit directly above the pruned scan (early stop, no full read).
+    # For a cap on *result* rows, call .limit() on the returned DataFrame.
+    if n_rows is not None:
+        df = df.limit(n_rows)
+
+    # --- row-level time filter ----------------------------------------------
+    if start_time is not None or end_time is not None:
+        df = df.where((F.col(time) >= F.lit(start_time)) & (F.col(time) < F.lit(end_time)))
 
     # --- user predicates (pushed into the parquet scan) --------------------
     if filter_expressions:
@@ -239,11 +258,9 @@ def read(
     elif query_extent is not None:
         df = filter_by_extent(df, query_extent, x=x, y=y)
 
-    # --- projection / limit -------------------------------------------------
+    # --- projection ---------------------------------------------------------
     if columns is not None:
         df = df.select(*columns)
-    if n_rows is not None:
-        df = df.limit(n_rows)
 
     if raise_if_empty and df.isEmpty():
         # Reference raises on empty result (readers.py:151-154); opt-in here

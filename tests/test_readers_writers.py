@@ -68,9 +68,23 @@ class TestRead:
         assert "lon_bin" in plan
 
     def test_columns_and_n_rows(self, spark, bucket_dir):
+        # reference test_readers.py:111-114: (3, 2) shape with columns+n_rows
         df = read(spark, bucket_dir, columns=["lon", "lat"], n_rows=3)
         pdf = df.toPandas()
         assert pdf.shape == (3, 2)
+
+    def test_n_rows_caps_rows_read_not_result(self, spark, bucket_dir):
+        # n_rows is a scan cap applied BEFORE row filters (reference
+        # readers.py:229): an always-true filter still sees <= n_rows rows,
+        # and a selective filter returns the matching subset of those rows
+        # (possibly fewer than n_rows) — never n_rows matching rows gathered
+        # from deeper in the scan.
+        total = read(spark, bucket_dir).count()
+        assert total == 150
+        capped = read(spark, bucket_dir, n_rows=10, filter_expressions=["dummy_var >= 0"])
+        assert capped.count() == 10
+        selective = read(spark, bucket_dir, n_rows=10, filter_expressions=["dummy_var < 0.3"])
+        assert selective.count() < 10
 
     def test_filter_expressions(self, spark, bucket_dir):
         df = read(spark, bucket_dir, filter_expressions=["gpm_granule_id = 0"])
