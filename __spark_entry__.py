@@ -144,6 +144,13 @@ round(2.0 * 6371008.8 * asin(sqrt(
 _MINHASH_PARAMS = minhash_params(4)
 _PLANES = _hyperplanes(8, 64, seed=42)
 
+# Fixed IVF codebook (seeded draw, 8 centroids x dim 64): deterministic and
+# literal-foldable in BOTH engines. Probe lists use the same argsort the
+# operator computes internally, so Spark and the oracle agree exactly.
+_IVF_CENTROIDS = _hyperplanes(8, 64, seed=7)
+_IVF_D2 = ((_IVF_CENTROIDS[:, None, :] - _IVF_CENTROIDS[None, :, :]) ** 2).sum(axis=2)
+_IVF_PROBES = [(int(c), int(p)) for c in range(8) for p in _IVF_D2[c].argsort()[:2]]
+
 
 # ---------------------------------------------------------------------------
 # queries (Spark side)
@@ -613,6 +620,27 @@ def q_lsh_buckets(spark, sf_dir):
     return b.groupBy("lsh_bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    """Similarity scale path: IVF approximate top-5 with a fixed seeded codebook.
+
+    The codebook is a deterministic seeded draw (not data-trained) so DuckDB
+    can replay cluster assignment, probe lists, and within-list ranking
+    bit-for-bit; recall-vs-brute-force is covered by
+    tests/test_operators.py::TestIVF.
+    """
+    from sat_bucket_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(
+        emb, queries, dim=64, k=5, n_clusters=8, n_probe=2, centroids=_IVF_CENTROIDS
+    )
+
+
 def q_overpass_global(spark, sf_dir):
     """W1 (reference semantics): global gap sessionization of event times."""
     ev = _events(spark, sf_dir)
@@ -703,6 +731,43 @@ _COSINE_SQL = (
 
 def _plane_sql(i: int) -> str:
     return "[" + ", ".join(f"{float(x)!r}" for x in _PLANES[i]) + "]"
+
+
+def _centroid_arr_sql(v) -> str:
+    return "[" + ", ".join(f"{float(x)!r}" for x in v) + "]"
+
+
+def _ivf_topk_sql(k: int = 5) -> str:
+    """Oracle mirror of q_ivf_topk: literal-codebook cluster assignment
+    (argmin of ||c||^2 - 2 v.c, first-min tie-break = list_position), inlined
+    probe pairs, exact cosine + row_number within probed lists."""
+    scores = ", ".join(
+        f"({float((c ** 2).sum())!r} - 2.0 * list_inner_product(emb, {_centroid_arr_sql(c)}))"
+        for c in _IVF_CENTROIDS
+    )
+    probes = ", ".join(f"({q}, {c})" for q, c in _IVF_PROBES)
+    cos = (
+        "round(list_inner_product(v.emb, q.qemb) / "
+        "(sqrt(list_inner_product(v.emb, v.emb)) * sqrt(list_inner_product(q.qemb, q.qemb))), 6)"
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cl AS (
+  SELECT vec_id, emb, CAST(list_position(scores, list_min(scores)) - 1 AS INT) AS cluster
+  FROM (SELECT vec_id, emb, [{scores}] AS scores FROM emb) s
+),
+probes(qcluster, cluster) AS (VALUES {probes}),
+q AS (
+  SELECT c.vec_id AS query_id, c.emb AS qemb, p.cluster
+  FROM cl c JOIN probes p ON p.qcluster = c.cluster
+  WHERE c.vec_id < 10
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT q.query_id, v.vec_id, {cos} AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {cos} DESC, v.vec_id ASC) AS rank
+  FROM cl v JOIN q ON v.cluster = q.cluster
+) t WHERE rank <= {k}
+"""
 
 
 def _lsh_bucket_sql() -> str:
@@ -1081,6 +1146,7 @@ SELECT id_a, id_b, jaccard FROM (
 
 
 _ORACLES["minhash_lsh_dedup"] = _minhash_lsh_dedup_sql()
+_ORACLES["ivf_topk"] = _ivf_topk_sql()
 
 # partition_pruning oracle needs the pruned label lists (driver-side planning,
 # same values the Spark side folds into its isin predicate)
@@ -1168,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_buckets": q_lsh_buckets,
+        "ivf_topk": q_ivf_topk,
         "overpass_global": q_overpass_global,
         "image_meta": q_image_meta,
     }
