@@ -649,13 +649,34 @@ def q_overpass_global(spark, sf_dir):
 
 
 def q_image_meta(spark, sf_dir):
-    """Multimodal: binary payload -> deterministic decode-stub dimensions."""
+    """Multimodal: REAL PNG header parse over synthesized PNG payloads.
+
+    The payload column is a valid PNG signature + IHDR chunk built in-plan
+    (width/height derived from md5(text), big-endian encoded via
+    hex/lpad/unhex); the operator extracts the dimensions by parsing those
+    actual bytes, and the oracle recomputes the same md5 derivation as
+    fixture truth — so a parser bug (endianness, offsets) hash-mismatches.
+    """
     from sat_bucket_spark.operators.multimodal import decode_and_featurize_images
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "payload", F.encode("text", "utf-8")
+    docs = _t(spark, sf_dir, "documents")
+    w = F.lit(64) + F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long") % 192
+    h = F.lit(64) + F.conv(F.substring(F.md5("text"), 3, 2), 16, 10).cast("long") % 192
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    payload = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG signature
+        F.unhex(F.lit("0000000D")),  # IHDR data length (13)
+        F.unhex(F.lit("49484452")),  # "IHDR"
+        be32(w),
+        be32(h),
+        F.unhex(F.lit("0806000000")),  # bit depth 8, color type 6, comp/filter/interlace
+        F.unhex(F.lit("00000000")),  # CRC (not validated by a header parse)
     )
-    return decode_and_featurize_images(docs).select("doc_id", "width", "height")
+    docs = docs.withColumn("payload", payload)
+    return decode_and_featurize_images(docs, strict=True).select("doc_id", "width", "height")
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,7 @@ __all__ = [
     "attach_binary_metadata",
     "decode_and_featurize_images",
     "decode_audio_features",
+    "parse_png_header",
     "sample_video_frames",
 ]
 
@@ -61,6 +62,31 @@ def attach_binary_metadata(
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def parse_png_header(payload: bytes | None) -> tuple[int, int, int] | None:
+    """(width, height, channels) from a PNG IHDR chunk — pure struct parsing.
+
+    The PNG container format is public and trivially parseable without a codec
+    library: an 8-byte signature, then chunks of (length BE32, type, data,
+    crc); IHDR is required to be first and carries width/height (BE32 each),
+    bit depth and color type. Returns None for anything that is not a valid
+    PNG header (callers fall back or raise per their ``strict`` setting).
+    """
+    if payload is None or len(payload) < 26 or not payload.startswith(_PNG_SIG):
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    width = int.from_bytes(payload[16:20], "big")
+    height = int.from_bytes(payload[20:24], "big")
+    channels = _PNG_CHANNELS.get(payload[25])
+    if channels is None or width == 0 or height == 0:
+        return None
+    return width, height, channels
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic fake decode: dimensions/features derived from the bytes.
 
@@ -84,9 +110,13 @@ def decode_and_featurize_images(
 ) -> DataFrame:
     """Decode image payloads and emit (dims, feature vector) per document.
 
-    Real Spark plumbing: Arrow-batched ``mapInPandas`` with a declared output
-    schema; the decode call itself is a stub (``strict=True`` raises
-    ``NotImplementedError`` exactly where a codec would plug in).
+    Arrow-batched ``mapInPandas`` with a declared output schema. PNG payloads
+    get REAL metadata extraction — a pure-Python IHDR parse
+    (:func:`parse_png_header`), no codec library needed. Non-PNG payloads fall
+    back to the deterministic fake (``strict=True`` raises
+    ``NotImplementedError`` instead — that is the plug-in point for a pixel
+    codec like PIL/libvips). The feature vector remains a payload-derived
+    stub in both paths (a real featurizer needs pixel decoding).
 
     Scale note: payload columns dominate partition size — upstream should set
     ``spark.sql.files.maxPartitionBytes`` so a partition of payloads fits in
@@ -96,14 +126,21 @@ def decode_and_featurize_images(
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real image decode requires a codec library (PIL/libvips); "
-                    "not available in this environment"
-                )
             out = {"doc_id": [], "width": [], "height": [], "channels": [], "feature": []}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, c, feat = _fake_decode(payload)
+                payload = bytes(payload) if payload is not None else None
+                hdr = parse_png_header(payload)
+                if hdr is not None:
+                    w, h, c = hdr
+                    digest = hashlib.md5(payload).digest()
+                    feat = [b / 255.0 for b in digest[:8]]
+                elif strict:
+                    raise NotImplementedError(
+                        "payload is not a PNG; decoding other formats requires "
+                        "a codec library (PIL/libvips), unavailable here"
+                    )
+                else:
+                    w, h, c, feat = _fake_decode(payload)
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)
