@@ -97,13 +97,13 @@ _MAX_EDGE_CORRECTION_BINS = 20_000
 def needs_edge_correction(bounds: np.ndarray, vmin: float, size: float, n_bins: int) -> bool:
     """True when the closed-form ceil index misplaces any actual bin edge.
 
-    The closed form is monotone and the right-closed bin function only steps at
-    edges, so checking every edge value suffices: bound ``b_i`` (i >= 1) must
-    map to bin ``i-1`` and ``b_0`` to 0. For exact-multiple grids (size 10,
-    0.5, ...) ``np.arange`` edges equal the ideal ``vmin + i*size`` and this
-    returns False — the hot path then skips the literal-array correction
-    entirely (numpy doubles and JVM doubles round identically, so this
-    driver-side check is authoritative for executor arithmetic).
+    NOTE: a False result is NOT sufficient to skip the correction — the edges
+    mapping correctly does not cover values within one ulp of an edge
+    (catastrophic cancellation in ``(v - vmin)/size`` can collapse
+    ``edge + tiny`` onto the edge itself; hypothesis counterexample:
+    extent [-1, 1], size 1, v = 1.4e-45 must bin right of edge 0 but the
+    quotient rounds to exactly 1.0). Kept for diagnostics; the hot path now
+    always applies the O(1) correction when bounds are embeddable.
     """
     idx = np.ceil((bounds - vmin) / size) - 1
     idx = np.clip(idx, 0, n_bins - 1).astype(int)
@@ -137,19 +137,32 @@ def bin_index_expr(
     valid = v.isNotNull() & ~F.isnan(v) & (v >= F.lit(vmin)) & (v <= F.lit(vmax))
     raw = F.ceil((v - F.lit(vmin)) / F.lit(size)) - F.lit(1)
     idx = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
-    if bounds is not None and not needs_edge_correction(
-        np.asarray(bounds), vmin, size, n_bins
-    ):
-        bounds = None  # closed form is already edge-exact — skip the arrays
-    if bounds is not None and len(bounds) <= _MAX_EDGE_CORRECTION_BINS + 1:
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
-        b_lo = F.element_at(arr, (idx + F.lit(1)).cast("int"))
-        b_hi = F.element_at(arr, (idx + F.lit(2)).cast("int"))
-        idx = (
-            F.when((idx > 0) & (v <= b_lo), idx - 1)
-            .when((idx < n_bins - 1) & (v > b_hi), idx + 1)
-            .otherwise(idx)
-        )
+    # The correction is ALWAYS needed when bounds are known: even with
+    # bit-exact edges, a value within one ulp above an edge collapses onto it
+    # in (v - vmin)/size (catastrophic cancellation) and would bin LEFT of a
+    # right-closed edge. When the arange edges equal the ideal vmin + i*size
+    # (exact-multiple grids), the true edge is recomputed in-expression — two
+    # fused multiply-adds, no literal arrays; drifted grids embed the true
+    # edges as a literal array (bounded by _MAX_EDGE_CORRECTION_BINS).
+    arr_bounds = np.asarray(bounds, dtype=float) if bounds is not None else None
+    if arr_bounds is not None:
+        ideal = vmin + np.arange(len(arr_bounds)) * size
+        exact_edges = np.array_equal(arr_bounds[:-1], ideal[:-1])
+        if exact_edges:
+            b_lo = F.lit(vmin) + idx.cast("double") * F.lit(size)
+            b_hi = F.lit(vmin) + (idx + F.lit(1)).cast("double") * F.lit(size)
+        elif len(arr_bounds) <= _MAX_EDGE_CORRECTION_BINS + 1:
+            arr = F.array(*[F.lit(float(b)) for b in arr_bounds])
+            b_lo = F.element_at(arr, (idx + F.lit(1)).cast("int"))
+            b_hi = F.element_at(arr, (idx + F.lit(2)).cast("int"))
+        else:
+            b_lo = b_hi = None
+        if b_lo is not None:
+            idx = (
+                F.when((idx > 0) & (v <= b_lo), idx - 1)
+                .when((idx < n_bins - 1) & (v > b_hi), idx + 1)
+                .otherwise(idx)
+            )
     return F.when(valid, idx).otherwise(F.lit(None).cast("long"))
 
 
@@ -191,17 +204,56 @@ def fast_label_path_ok(labels: np.ndarray) -> bool:
     return True
 
 
-# One tiny Spark job per distinct (label grid, decimals) per process.
+# Verdict cache per distinct (label grid, decimals) per process.
 _JVM_FAST_LABEL_CACHE: dict[tuple, bool] = {}
 
 
+def _jvm_format_labels(spark, centroids: np.ndarray, decimals: int) -> list[str]:
+    """Format centroids exactly as the executed fast path does, in the running
+    JVM, without launching a job.
+
+    The fast path is ``round(c, decimals).cast("string")``: Spark's Round is
+    ``BigDecimal.valueOf(x).setScale(d, HALF_UP)`` and the double->string cast
+    prints ``java.lang.Double.toString``. The JVM-specific step —
+    ``Double.toString``, which pre-JDK19 can emit non-shortest digits — is
+    invoked directly over py4j against the running JVM; the BigDecimal
+    rounding is replicated with Python's exact decimal arithmetic
+    (``BigDecimal.valueOf`` parses ``Double.toString(x)``, so seeding
+    ``Decimal`` from that same string is bit-identical).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    to_string = spark.sparkContext._jvm.java.lang.Double.toString
+    quantum = Decimal(1).scaleb(-decimals)
+    out = []
+    for c in np.asarray(centroids, dtype=float):
+        rounded = Decimal(to_string(float(c))).quantize(quantum, rounding=ROUND_HALF_UP)
+        out.append(to_string(float(rounded)))
+    return out
+
+
+def _jvm_format_labels_job(spark, centroids: np.ndarray, decimals: int) -> list[str]:
+    """Job-based equivalent of :func:`_jvm_format_labels` (fallback + test
+    cross-check): evaluates the actual Column expression on one row per
+    centroid."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"c": np.asarray(centroids, dtype=float)})
+    return [
+        r[0]
+        for r in spark.createDataFrame(pdf)
+        .select(F.round(F.col("c"), decimals).cast("string"))
+        .collect()
+    ]
+
+
 def jvm_fast_label_ok(labels: np.ndarray, centroids: np.ndarray, decimals: int) -> bool:
-    """Authoritative fast-path check: format the full label grid in the running
-    JVM (one-row-per-centroid job) and compare to the driver-side labels.
+    """Authoritative fast-path check against the running JVM's formatting.
 
     Returns False (exact formatting path) when no session is active or any
-    label differs; the verdict is cached per grid so the job runs once per
-    process, not per query.
+    label differs; the verdict is cached per grid. Uses direct py4j calls into
+    the JVM's BigDecimal/Double.toString (no Spark job); falls back to a
+    one-row-per-centroid job if the gateway calls fail.
     """
     key = (decimals, tuple(str(lab) for lab in labels))
     if key in _JVM_FAST_LABEL_CACHE:
@@ -209,15 +261,10 @@ def jvm_fast_label_ok(labels: np.ndarray, centroids: np.ndarray, decimals: int) 
     spark = SparkSession.getActiveSession()
     if spark is None:
         return False  # cannot verify this JVM — do not cache, use exact path
-    import pandas as pd
-
-    pdf = pd.DataFrame({"c": np.asarray(centroids, dtype=float)})
-    got = [
-        r[0]
-        for r in spark.createDataFrame(pdf)
-        .select(F.round(F.col("c"), decimals).cast("string"))
-        .collect()
-    ]
+    try:
+        got = _jvm_format_labels(spark, centroids, decimals)
+    except Exception:
+        got = _jvm_format_labels_job(spark, centroids, decimals)
     ok = got == [str(lab) for lab in labels]
     _JVM_FAST_LABEL_CACHE[key] = ok
     return ok
@@ -363,12 +410,27 @@ class Base2DPartitioning:
         for name, expr in exprs.items():
             df = df.withColumn(name, expr)
         if remove_invalid_rows:
-            cond = None
-            for name in exprs:
-                c = F.col(name).isNotNull()
-                cond = c if cond is None else (cond & c)
-            df = df.where(cond)
+            # Filter on the raw coordinate validity, NOT on label IS NOT NULL:
+            # Catalyst pushes the predicate below the projection, re-deriving
+            # the whole label expression tree inside the filter — a 4-5x
+            # slowdown of the labeling stage. Labels are null exactly when a
+            # coordinate is invalid (bin_index_expr), so this is equivalent.
+            df = df.where(self.coordinate_validity_expr(x, y))
         return df
+
+    def coordinate_validity_expr(self, x: Column | str, y: Column | str) -> Column:
+        """True where both coordinates yield labels: non-null, non-NaN, inside
+        the extent (the exact ``valid`` condition of :func:`bin_index_expr`) —
+        cheap comparisons that stay cheap when pushed into the scan."""
+        cond = None
+        for col, vmin, vmax in (
+            (x, self.extent.xmin, self.extent.xmax),
+            (y, self.extent.ymin, self.extent.ymax),
+        ):
+            v = (F.col(col) if isinstance(col, str) else col).cast("double")
+            c = v.isNotNull() & ~F.isnan(v) & (v >= F.lit(vmin)) & (v <= F.lit(vmax))
+            cond = c if cond is None else (cond & c)
+        return cond
 
     def add_centroids(
         self,

@@ -236,7 +236,9 @@ def merge_granule_buckets(
                 writer_kwargs["max_file_size"],
                 estimate_row_size(df, compression=writer_kwargs.get("compression", "snappy")),
             )
-        base = df.repartition(*partitions)
+        from sat_bucket_spark.writers import _repartition_for_write
+
+        base = _repartition_for_write(df, partitions)
         writer = (
             base.write.partitionBy(*partitions)
             .option("partitionOverwriteMode", "dynamic")

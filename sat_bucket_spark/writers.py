@@ -116,6 +116,14 @@ def _merge_move(src: str, dst: str) -> None:
     os.rmdir(src)
 
 
+def _repartition_for_write(df: DataFrame, partitions: list[str]) -> DataFrame:
+    """Co-locate rows of each output partition, letting AQE pick the task count."""
+    spark = df.sparkSession
+    if spark.conf.get("spark.sql.adaptive.enabled", "true").lower() == "true":
+        return df.hint("rebalance", *partitions)
+    return df.repartition(*partitions)
+
+
 def write_partitioned_dataset(
     df: DataFrame,
     base_dir: str,
@@ -144,11 +152,16 @@ def write_partitioned_dataset(
       derives min/max rows per row group from the same byte target).
     - ``repartition_by_levels``: shuffle rows so each spatial partition is
       written by a single task — fewer, larger files (critical at scale).
+      Uses the AQE ``REBALANCE`` hint so the runtime sizes the task count to
+      the actual shuffle volume (a small table coalesces to a handful of
+      write tasks instead of ``spark.sql.shuffle.partitions`` mostly-idle
+      ones, each paying per-directory writer setup; a 100 TB table fans out
+      to thousands). Falls back to a plain ``repartition`` when AQE is off.
     """
     writer_df = df
     if partitions:
         if repartition_by_levels:
-            writer_df = df.repartition(*partitions)
+            writer_df = _repartition_for_write(df, partitions)
         writer = writer_df.write.partitionBy(*partitions)
     else:
         writer = writer_df.write

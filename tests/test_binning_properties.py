@@ -58,6 +58,25 @@ def test_bin_index_matches_pandas_cut(spark, vmin, span, size, points):
             assert g == int(e)
 
 
+def test_subnormal_above_edge_bins_right(spark):
+    """Pinned hypothesis counterexample: v = 1.4e-45 on extent [-1, 1], size 1.
+
+    (v - vmin)/size rounds to exactly 1.0 (the subnormal vanishes), so the
+    closed-form ceil collapses v onto edge 0 and bins it LEFT; right-closed
+    semantics demand bin 1. The always-on edge correction (v > b_hi -> idx+1)
+    must restore pd.cut parity even though every edge value itself maps
+    correctly (which is why gating the correction on edge-exactness was
+    unsound).
+    """
+    p = XYPartitioning(size=(1.0, 1.0), extent=[-1.0, 1.0, -1.0, 1.0])
+    pts = [1.401298464324817e-45, 0.0, -0.0, 5e-324, -5e-324]
+    bounds = get_bounds(1.0, -1.0, 1.0)
+    expected = _pd_cut_reference(np.array(pts), bounds)
+    df = spark.createDataFrame([(float(v),) for v in pts], ["x"])
+    got = [r["idx"] for r in df.select(p.x_index_expr("x").alias("idx")).collect()]
+    assert got == [int(e) for e in expected]
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     n_points=st.integers(min_value=1, max_value=40),

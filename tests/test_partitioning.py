@@ -115,6 +115,41 @@ class TestLabelFastPath:
         p = XYPartitioning(size=0.0005, extent=[0, 0.002, 0, 0.002])
         assert p._fast_label == (False, False)
 
+    def test_py4j_validation_matches_expression_job(self, spark):
+        # The job-free validation (direct BigDecimal/Double.toString calls)
+        # must agree with evaluating the actual round().cast(string) Column —
+        # they are supposed to be the same JVM code.
+        import numpy as np
+
+        from sat_bucket_spark.partitioning import (
+            _jvm_format_labels,
+            _jvm_format_labels_job,
+        )
+
+        grids = [
+            (np.array([-175.0, -5.05, 0.25, 9.999, 123.456, 179.95]), 1),
+            (np.array([-175.0, -5.05, 0.25, 9.999, 123.456, 179.95]), 2),
+            (np.array([0.001, 0.5, 1048576.0, 9999999.0]), 3),
+        ]
+        for cents, dec in grids:
+            assert _jvm_format_labels(spark, cents, dec) == _jvm_format_labels_job(
+                spark, cents, dec
+            ), (cents, dec)
+
+    def test_jvm_validation_runs_no_job(self, spark):
+        from sat_bucket_spark.partitioning import (
+            _JVM_FAST_LABEL_CACHE,
+            jvm_fast_label_ok,
+        )
+
+        p = LonLatPartitioning(size=(20, 20))
+        tracker = spark.sparkContext.statusTracker()
+        before = max(tracker.getJobIdsForGroup() or [-1])
+        ok = jvm_fast_label_ok(p.x_labels, p.x_centroids, p.labels_decimals[0])
+        after = max(tracker.getJobIdsForGroup() or [-1])
+        assert ok is True
+        assert after == before  # py4j path: zero Spark jobs
+
 
 class TestCentroids:
     def test_add_centroids(self, spark):
