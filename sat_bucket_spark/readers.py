@@ -40,6 +40,7 @@ def read_bucket_dataframe(
     path_glob: str | None = None,
     partitioning=None,
     subdirs: list[str] | None = None,
+    paths: list[str] | None = None,
 ) -> DataFrame:
     """Open a bucket as a DataFrame with *string-typed* partition columns.
 
@@ -64,8 +65,15 @@ def read_bucket_dataframe(
     """
     glob = path_glob or "*.parquet"
     if partitioning is not None and getattr(partitioning, "flavor", "hive") != "hive":
-        return _read_directory_bucket(spark, bucket_dir, partitioning, glob, subdirs)
-    df = spark.read.option("pathGlobFilter", glob).parquet(bucket_dir)
+        return _read_directory_bucket(spark, bucket_dir, partitioning, glob, subdirs, paths)
+    if paths is not None:
+        # Explicit file list (filename-level filtering): basePath keeps the
+        # hive partition columns discoverable from the file paths.
+        reader = spark.read.option("basePath", bucket_dir)
+        df = reader.parquet(*paths)
+    else:
+        reader = spark.read.option("pathGlobFilter", glob)
+        df = reader.parquet(bucket_dir)
     if levels:
         fields = []
         for f in df.schema.fields:
@@ -74,9 +82,9 @@ def read_bucket_dataframe(
             else:
                 fields.append(f)
         df = (
-            spark.read.schema(StructType(fields))
-            .option("pathGlobFilter", glob)
-            .parquet(bucket_dir)
+            reader.schema(StructType(fields)).parquet(*paths)
+            if paths is not None
+            else reader.schema(StructType(fields)).parquet(bucket_dir)
         )
     return df
 
@@ -87,6 +95,7 @@ def _read_directory_bucket(
     partitioning,
     glob: str,
     subdirs: list[str] | None,
+    paths: list[str] | None = None,
 ) -> DataFrame:
     """Directory-flavor read: depth-n glob + label reconstruction from paths.
 
@@ -99,15 +108,16 @@ def _read_directory_bucket(
 
     order = list(partitioning.order)
     n = len(order)
-    if subdirs is not None:
-        paths = [os.path.join(bucket_dir, d) for d in subdirs]
-        paths = [p for p in paths if os.path.isdir(p)]
-        if not paths:
-            # No partition dir intersects: empty frame with the full schema.
-            full = _read_directory_bucket(spark, bucket_dir, partitioning, glob, None)
-            return full.where(F.lit(False))
-    else:
-        paths = [os.path.join(bucket_dir, *(["*"] * n))]
+    if paths is None:
+        if subdirs is not None:
+            paths = [os.path.join(bucket_dir, d) for d in subdirs]
+            paths = [p for p in paths if os.path.isdir(p)]
+            if not paths:
+                # No partition dir intersects: empty frame with the full schema.
+                full = _read_directory_bucket(spark, bucket_dir, partitioning, glob, None)
+                return full.where(F.lit(False))
+        else:
+            paths = [os.path.join(bucket_dir, *(["*"] * n))]
     df = spark.read.option("pathGlobFilter", glob).parquet(*paths)
     # .../<label_order0>/<label_order1>/part-*.parquet
     segs = F.split(F.input_file_name(), "/")
@@ -133,6 +143,9 @@ def read(
     n_rows: int | None = None,
     filter_expressions: list[Column | str] | None = None,
     path_glob: str | None = None,
+    file_extension: str | None = None,
+    glob_pattern: str | None = None,
+    regex_pattern: str | None = None,
     x: str = "lon",
     y: str = "lat",
     distance_type: str = "geodesic",
@@ -155,6 +168,13 @@ def read(
     before row-level filters — reference readers.py:229 semantics); a filtered
     query may therefore return fewer than ``n_rows`` rows. Use ``.limit()`` on
     the returned DataFrame to cap result rows instead.
+
+    ``file_extension`` / ``glob_pattern`` / ``regex_pattern`` filter data
+    FILES by basename before the scan (reference: readers.py:218-221 +
+    utils/directories.py:75-100 — extension endswith, start-anchored
+    ``re.match``, Unix glob), listed driver-side in parallel over the
+    (extent-pruned) partition directories; raises when nothing matches,
+    mirroring the reference's "No files available" error.
 
     ``backend``: "spark" (default, lazy DataFrame) or "pandas" (collect to
     pandas, the reference's default backend; readers.py:91-98).
@@ -194,6 +214,21 @@ def read(
     ):
         subdirs = partitioning.directories_by_extent(query_extent)
 
+    paths = None
+    if file_extension is not None or glob_pattern is not None or regex_pattern is not None:
+        from sat_bucket_spark.io import get_partition_filepaths
+
+        paths = get_partition_filepaths(
+            bucket_dir,
+            extent=query_extent if use_pruning else None,
+            extension=file_extension if file_extension is not None else ".parquet",
+            glob_pattern=glob_pattern,
+            regex_pattern=regex_pattern,
+        )
+        if not paths:
+            raise ValueError("No files available matching your request.")
+        subdirs = None  # the explicit file list already encodes the pruning
+
     df = read_bucket_dataframe(
         spark,
         bucket_dir,
@@ -201,6 +236,7 @@ def read(
         path_glob=path_glob,
         partitioning=partitioning,
         subdirs=subdirs,
+        paths=paths,
     )
 
     # --- partition-level pruning (before the n_rows scan cap) --------------
