@@ -16,7 +16,34 @@ pruning and bbox filtering correct, just less selective.
 
 from __future__ import annotations
 
-__all__ = ["get_continent_extent", "get_country_extent"]
+__all__ = ["extend_extent", "get_continent_extent", "get_country_extent"]
+
+
+def extend_extent(extent: list[float], padding) -> list[float]:
+    """Extend an [xmin, xmax, ymin, ymax] extent by degrees of padding.
+
+    Reference: readers.py:209-215 — a single number pads every direction;
+    two values are (x, y) padding; four values follow the extent order.
+    The result is clamped to the valid geographic domain.
+    """
+    if isinstance(padding, (int, float)):
+        px0 = px1 = py0 = py1 = float(padding)
+    else:
+        vals = [float(v) for v in padding]
+        if len(vals) == 2:
+            px0 = px1 = vals[0]
+            py0 = py1 = vals[1]
+        elif len(vals) == 4:
+            px0, px1, py0, py1 = vals
+        else:
+            raise ValueError("padding must be a number or a 2- or 4-element sequence")
+    x0, x1, y0, y1 = (float(v) for v in extent)
+    return [
+        max(x0 - px0, -180.0),
+        min(x1 + px1, 180.0),
+        max(y0 - py0, -90.0),
+        min(y1 + py1, 90.0),
+    ]
 
 # [xmin(lon_min), xmax(lon_max), ymin(lat_min), ymax(lat_max)]
 CONTINENT_EXTENTS: dict[str, list[float]] = {

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-from sat_bucket_spark.extents import get_continent_extent, get_country_extent
+from sat_bucket_spark.extents import extend_extent, get_continent_extent, get_country_extent
 from sat_bucket_spark.filters import (
     extent_around_point,
     filter_around_point,
@@ -136,6 +136,7 @@ def read(
     point=None,
     distance: float | None = None,
     size=None,
+    padding=0,
     start_time=None,
     end_time=None,
     time: str = "time",
@@ -191,9 +192,9 @@ def read(
     if extent is not None:
         query_extent = list(extent)
     elif country is not None:
-        query_extent = get_country_extent(country)
+        query_extent = extend_extent(get_country_extent(country), padding)
     elif continent is not None:
-        query_extent = get_continent_extent(continent)
+        query_extent = extend_extent(get_continent_extent(continent), padding)
     elif point is not None:
         lon0, lat0 = float(point[0]), float(point[1])
         if (distance is None) == (size is None):

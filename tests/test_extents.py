@@ -52,6 +52,39 @@ class TestLookup:
             get_continent_extent("Lemuria")
 
 
+class TestPadding:
+    def test_scalar_padding(self):
+        from sat_bucket_spark.extents import extend_extent
+
+        assert extend_extent([0, 10, 0, 10], 2) == [-2.0, 12.0, -2.0, 12.0]
+
+    def test_xy_padding(self):
+        from sat_bucket_spark.extents import extend_extent
+
+        assert extend_extent([0, 10, 0, 10], (1, 2)) == [-1.0, 11.0, -2.0, 12.0]
+
+    def test_four_sided_padding_and_clamp(self):
+        from sat_bucket_spark.extents import extend_extent
+
+        assert extend_extent([0, 10, 0, 10], (1, 2, 3, 4)) == [-1.0, 12.0, -3.0, 14.0]
+        assert extend_extent([-179, 179, -89, 89], 5) == [-180.0, 180.0, -90.0, 90.0]
+
+    def test_invalid_padding_raises(self):
+        from sat_bucket_spark.extents import extend_extent
+
+        with pytest.raises(ValueError, match="padding"):
+            extend_extent([0, 10, 0, 10], (1, 2, 3))
+
+    def test_read_country_padding_widens_result(self, spark, orbit_df, tmp_path_factory):
+        from sat_bucket_spark import LonLatPartitioning, read, write_bucket
+
+        d = str(tmp_path_factory.mktemp("padbucket"))
+        write_bucket(orbit_df, d, LonLatPartitioning(size=(10, 10)), x="lon", y="lat")
+        base = read(spark, d, country="Ghana").count()
+        padded = read(spark, d, country="Ghana", padding=30).count()
+        assert padded > base
+
+
 class TestBucketCountryQuery:
     """Country queries on a synthetic bucket match brute-force bbox counts
     (reference: test_readers.py:211-227)."""
