@@ -45,19 +45,61 @@ def _interval_seconds(interval) -> float:
     return float(interval)
 
 
+# Above this Catalyst-estimated input size, an un-partitioned sessionization
+# routes to the chunked scalable variant instead of a single-reducer window.
+_GLOBAL_SESSION_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _estimated_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's driver-side size estimate (no job); None when unavailable.
+
+    Catalyst reports UNKNOWN sizes as Long.MaxValue (e.g. above an aggregate
+    with no file statistics) — treated as None here so routing never keys off
+    a sentinel.
+    """
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+    if est >= (1 << 60):  # Long.MaxValue-ish sentinel: statistics unknown
+        return None
+    return est
+
+
 def add_overpass_id(
     df: DataFrame,
     interval=None,
     time: str = "time",
     partition_by: list[str] | None = None,
     id_column: str = "overpass_id",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Assign a 0-based session id; a new session starts when the time gap
     from the previous row exceeds ``interval`` (default 2 minutes).
 
     Reference: analysis.py:258-280 (``dt <= interval`` keeps the session, so
     the boundary gap exactly equal to the interval does NOT split).
+
+    ``strategy``: "global" forces the single-window formulation (one reducer
+    when ``partition_by`` is empty — the reference's semantics, fine for the
+    regional query results it was built for); "scalable" forces the chunked
+    two-phase variant (:func:`add_overpass_id_scalable`, identical output);
+    "auto" (default) picks "scalable" for un-partitioned inputs whose
+    Catalyst-estimated size exceeds ~256 MB — a driver-side plan statistic,
+    no job — so the reference API stays safe when pointed at a 100 TB table.
     """
+    if strategy not in ("auto", "global", "scalable"):
+        raise ValueError(f"invalid strategy {strategy!r}")
+    if strategy == "scalable":
+        return add_overpass_id_scalable(
+            df, interval=interval, time=time, partition_by=partition_by, id_column=id_column
+        )
+    if strategy == "auto" and not partition_by:
+        est = _estimated_size_bytes(df)
+        if est is not None and est > _GLOBAL_SESSION_MAX_BYTES:
+            return add_overpass_id_scalable(
+                df, interval=interval, time=time, partition_by=partition_by, id_column=id_column
+            )
     gap = _interval_seconds(interval)
     keys = list(partition_by) if partition_by else []
     w = Window.partitionBy(*keys).orderBy(time) if keys else Window.orderBy(time)
@@ -145,6 +187,8 @@ def add_overpass_id_scalable(
 
     spark = df.sparkSession
     offset_rows = [(*k_chunk, off, merged) for k_chunk, (off, merged) in offsets.items()]
+    if not offset_rows:  # empty input: schema-preserving empty result
+        return df.withColumn(id_column, F.lit(None).cast("long"))
     offset_df = spark.createDataFrame(
         offset_rows, [*keys, "__chunk", "__offset", "__merged"]
     )

@@ -63,6 +63,40 @@ class TestOverpassId:
         assert [r["count_overpass_occurence"] for r in out] == [3, 3, 3, 2, 2, 1]
 
 
+class TestAutoStrategy:
+    def test_small_input_stays_global(self, spark, gaps_df):
+        # small Catalyst estimate -> single-window plan (one hash exchange for
+        # lag+sum, no chunk column)
+        out = add_overpass_id(gaps_df, interval=600, time="time")
+        assert "__chunk" not in out.columns
+
+    def test_forced_scalable_matches_global(self, spark, gaps_df):
+        g = add_overpass_id(gaps_df, interval=600, time="time", strategy="global")
+        s = add_overpass_id(gaps_df, interval=600, time="time", strategy="scalable")
+        assert sorted(map(tuple, g.collect())) == sorted(map(tuple, s.collect()))
+
+    def test_invalid_strategy(self, spark, gaps_df):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="strategy"):
+            add_overpass_id(gaps_df, strategy="nope")
+
+    def test_huge_estimate_routes_to_scalable(self, spark, gaps_df, monkeypatch):
+        import sat_bucket_spark.analysis as mod
+
+        monkeypatch.setattr(mod, "_estimated_size_bytes", lambda df: 10**12)
+        calls = {}
+        orig = mod.add_overpass_id_scalable
+
+        def spy(*a, **k):
+            calls["hit"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(mod, "add_overpass_id_scalable", spy)
+        mod.add_overpass_id(gaps_df, interval=600, time="time")
+        assert calls.get("hit")
+
+
 class TestOverpassPeriods:
     def test_list_overpass_time_default_60min(self, spark, gaps_df):
         # 60-min interval: first two clusters merge (5 min gap), third separate
