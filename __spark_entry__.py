@@ -620,6 +620,41 @@ def q_lsh_buckets(spark, sf_dir):
     return b.groupBy("lsh_bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_dedup_exact(spark, sf_dir):
+    """O4: deterministic keep-min-id dedup over a colliding key.
+
+    The testdata has no exact text duplicates, so a coarse derived key
+    (token_count mod 10) provides real collisions; the operator must keep
+    exactly the minimum doc_id per key (window semantics, not an arbitrary
+    dropDuplicates row).
+    """
+    from sat_bucket_spark.operators.dedup import dedup_exact
+    from sat_bucket_spark.operators.text import add_token_count
+
+    docs = add_token_count(_t(spark, sf_dir, "documents")).withColumn(
+        "key", F.col("n_tokens") % 10
+    )
+    return dedup_exact(docs, ["key"], id_col="doc_id").select("doc_id", "key")
+
+
+def q_audio_meta(spark, sf_dir):
+    """Multimodal audio stub: payload-derived (sample_rate, n_samples, rms).
+
+    Codec stubbed (no soundfile/ffmpeg); the Arrow plumbing and the
+    deterministic md5-derived outputs are what the oracle checks.
+    """
+    from sat_bucket_spark.operators.multimodal import decode_audio_features
+
+    docs = _t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "utf-8"))
+    out = decode_audio_features(docs)
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round(F.col("rms_energy").cast("double"), 4).alias("rms4"),
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """Similarity scale path: IVF approximate top-5 with a fixed seeded codebook.
 
@@ -1066,6 +1101,21 @@ SELECT ts, round(
 FROM w
 """,
     "token_count": f"SELECT doc_id, CAST(len({_tokens_sql()}) AS BIGINT) AS n_tokens FROM documents",
+    "dedup_exact": f"""
+SELECT doc_id, key FROM (
+  SELECT doc_id, key, ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id ASC) AS rn
+  FROM (
+    SELECT doc_id, CAST(len({_tokens_sql()}) AS BIGINT) % 10 AS key FROM documents
+  ) t
+) u WHERE rn = 1
+""",
+    "audio_meta": """
+SELECT doc_id,
+  CAST(16000 AS BIGINT) AS sample_rate,
+  CAST(1000 + CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) * 100 AS BIGINT) AS n_samples,
+  round(CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT) / 255.0, 4) AS rms4
+FROM documents
+""",
     "quality_score": _QUALITY_SQL,
     "language_id": _langid_sql(),
     "fingerprint": _FINGERPRINT_SQL,
@@ -1256,6 +1306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_buckets": q_lsh_buckets,
         "ivf_topk": q_ivf_topk,
+        "dedup_exact": q_dedup_exact,
+        "audio_meta": q_audio_meta,
         "overpass_global": q_overpass_global,
         "image_meta": q_image_meta,
     }

@@ -39,7 +39,8 @@ HEADLINE = [
     "minhash",             # explode + groupBy min
     "simhash",             # row-local aggregate exprs
     "minhash_lsh_dedup",   # LSH candidates + exact verify (scale path)
-    "embedding_topk",      # broadcast cross + window topk
+    "embedding_topk",      # broadcast cross + window topk (exactness baseline)
+    "ivf_topk",            # IVF ANN (scale path; added r2)
     "lsh_buckets",         # vector expression throughput
 ]
 
