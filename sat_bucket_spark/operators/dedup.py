@@ -78,9 +78,21 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     executor (or a 1000-executor cluster) every downstream shingle/hash/explode
     runs serially. The repartition is a no-op condition at real scale (many
     input splits) and a trivial 1-round shuffle when it fires.
+
+    The check is metadata-only in the common at-scale case: ``inputFiles()``
+    (a driver-side listing of the scan's files) bounds the split count from
+    below, so a many-file input never converts the plan to an RDD. Only the
+    ambiguous few-files case (files may still be split by maxPartitionBytes)
+    falls back to ``rdd.getNumPartitions()`` for an exact answer.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    threshold = max(target // 2, 2)
+    try:
+        if len(df.inputFiles()) >= threshold:
+            return df  # >= 1 partition per file: parallel enough, no RDD touch
+    except Exception:
+        pass  # non-file source: fall through to the exact check
+    if df.rdd.getNumPartitions() < threshold:
         return df.repartition(target)
     return df
 

@@ -34,6 +34,7 @@ __all__ = [
     "decode_and_featurize_images",
     "decode_audio_features",
     "parse_png_header",
+    "parse_wav",
     "sample_video_frames",
 ]
 
@@ -161,29 +162,95 @@ AUDIO_FEATURE_SCHEMA = StructType(
 )
 
 
+def parse_wav(payload: bytes | None) -> tuple[int, int, float] | None:
+    """(sample_rate, n_samples, rms) from a RIFF/WAVE payload — pure parsing.
+
+    The WAV container is public and needs no codec library: a 12-byte RIFF
+    header, then word-aligned chunks of (id, size LE32, data). ``fmt `` carries
+    channel count / sample rate / block align / bit depth (little-endian);
+    ``data`` carries raw samples. For 16-bit PCM the RMS is computed from the
+    actual samples (a REAL decode — int16 needs no library); other encodings
+    report RMS as NaN for the caller to handle. Returns None for anything that
+    is not a parseable WAV (reference stub contract: satbucket has no audio
+    path; this is the training-pipeline extension surface).
+    """
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[0:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    pos = 12
+    fmt: tuple[int, int, int, int] | None = None  # (rate, channels, block, bits)
+    n_samples: int | None = None
+    rms: float | None = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            block = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if channels == 0 or rate == 0 or block == 0:
+                return None
+            fmt = (rate, channels, block, bits)
+        elif cid == b"data" and fmt is not None:
+            rate, channels, block, bits = fmt
+            n_samples = len(body) // block
+            if bits == 16 and n_samples > 0:
+                import numpy as np
+
+                samples = np.frombuffer(
+                    body[: n_samples * block], dtype="<i2"
+                ).astype("float64")
+                rms = float(np.sqrt((samples**2).mean()) / 32768.0)
+            else:
+                rms = float("nan")
+        pos += 8 + size + (size % 2)  # chunks are 2-byte aligned
+    if fmt is None or n_samples is None:
+        return None
+    return fmt[0], n_samples, rms
+
+
 def decode_audio_features(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
     strict: bool = False,
 ) -> DataFrame:
-    """Audio decode + feature stage (sample rate, length, RMS) — codec stubbed.
+    """Audio decode + feature stage (sample rate, length, RMS).
 
-    Same plumbing contract as :func:`decode_and_featurize_images`; a real
-    implementation plugs soundfile/ffmpeg into the marked spot.
+    Same plumbing contract as :func:`decode_and_featurize_images`. WAV/PCM16
+    payloads get a REAL decode — :func:`parse_wav` walks the RIFF chunks and
+    computes RMS from the actual int16 samples, no codec library needed.
+    Compressed formats (mp3/ogg/flac) are the stub boundary: ``strict=True``
+    raises ``NotImplementedError`` (the soundfile/ffmpeg plug-in point),
+    otherwise a deterministic payload-derived fake keeps pipelines testable.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError("real audio decode requires soundfile/ffmpeg")
             out = {"doc_id": [], "sample_rate": [], "n_samples": [], "rms_energy": []}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                digest = hashlib.md5(payload if payload is not None else b"").digest()
+                payload = bytes(payload) if payload is not None else None
+                wav = parse_wav(payload)
+                if wav is not None:
+                    rate, n, rms = wav
+                elif strict:
+                    raise NotImplementedError(
+                        "payload is not a WAV; decoding compressed audio requires "
+                        "soundfile/ffmpeg, unavailable here"
+                    )
+                else:
+                    digest = hashlib.md5(payload if payload is not None else b"").digest()
+                    rate, n, rms = 16000, 1000 + digest[2] * 100, digest[3] / 255.0
                 out["doc_id"].append(doc_id)
-                out["sample_rate"].append(16000)
-                out["n_samples"].append(1000 + digest[2] * 100)
-                out["rms_energy"].append(digest[3] / 255.0)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["rms_energy"].append(rms)
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(_decode, schema=AUDIO_FEATURE_SCHEMA)

@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 from sat_bucket_spark.operators.multimodal import (
     attach_binary_metadata,
     decode_and_featurize_images,
+    decode_audio_features,
     parse_png_header,
+    parse_wav,
     sample_video_frames,
 )
 
@@ -97,6 +99,65 @@ class TestPngHeader:
         }
         assert rows[1] == (77, 88)  # real parse
         assert 64 <= rows[2][0] < 256  # deterministic fake
+
+
+def _wav(rate: int, samples: "list[int]", channels: int = 1, bits: int = 16) -> bytes:
+    """Minimal valid RIFF/WAVE: fmt + data chunks, PCM16 little-endian."""
+    import struct
+
+    block = channels * bits // 8
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+class TestWav:
+    def test_parse_real_wav(self):
+        out = parse_wav(_wav(44100, [0, 32767, -32768, 0]))
+        assert out is not None
+        rate, n, rms = out
+        assert rate == 44100 and n == 4
+        # RMS of [0, 32767, -32768, 0] / 32768 ~= sqrt(2 * 1.0**2 / 4)
+        assert abs(rms - (0.5**0.5)) < 1e-3
+
+    def test_silence_has_zero_rms(self):
+        out = parse_wav(_wav(8000, [0] * 100))
+        assert out == (8000, 100, 0.0)
+
+    def test_rejects_garbage(self):
+        assert parse_wav(None) is None
+        assert parse_wav(b"not audio") is None
+        assert parse_wav(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+        # data before fmt: stream order violation -> unparseable
+        bad = b"RIFF" + (12).to_bytes(4, "little") + b"WAVE" + b"data" + (0).to_bytes(4, "little")
+        assert parse_wav(bad) is None
+
+    def test_spark_decodes_real_wav_strict(self, spark):
+        df = spark.createDataFrame(
+            [(1, _wav(16000, [100, -100] * 50)), (2, _wav(48000, [0] * 10))],
+            ["doc_id", "payload"],
+        )
+        rows = {
+            r["doc_id"]: (r["sample_rate"], r["n_samples"])
+            for r in decode_audio_features(df, strict=True).collect()
+        }
+        assert rows == {1: (16000, 100), 2: (48000, 10)}
+
+    def test_strict_raises_on_non_wav(self, spark):
+        df = spark.createDataFrame([(1, b"mp3-ish-bytes")], ["doc_id", "payload"])
+        with pytest.raises(Exception, match="NotImplementedError|soundfile|WAV"):
+            decode_audio_features(df, strict=True).collect()
+
+    def test_mixed_payloads_fall_back_when_not_strict(self, spark):
+        df = spark.createDataFrame(
+            [(1, _wav(22050, [5] * 7)), (2, b"not-wav"), (3, None)],
+            ["doc_id", "payload"],
+        )
+        rows = {r["doc_id"]: r["sample_rate"] for r in decode_audio_features(df).collect()}
+        assert rows[1] == 22050  # real parse
+        assert rows[2] == 16000 and rows[3] == 16000  # deterministic fake
 
 
 def test_video_fan_out(spark, payload_df):
