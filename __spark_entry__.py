@@ -341,6 +341,59 @@ def q_interval_join(spark, sf_dir):
     return joined.groupBy("group_idx").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: latest prior error per user for each click event.
+
+    DuckDB's native ASOF JOIN is the oracle; the Spark plan is the tagged
+    union + single window pass from joins.asof_join (one shuffle on user_id,
+    no range join). Nulls (no prior error) are coalesced to sentinels so the
+    hash compare is dtype-stable in both engines.
+    """
+    from sat_bucket_spark.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("event_id").alias("err_id"),
+        F.col("value").alias("err_value"),
+    )
+    out = asof_join(clicks, errors, on="ts", right_on="err_ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce("err_id", F.lit(-1)).alias("err_id"),
+        F.round(F.coalesce("err_value", F.lit(0.0)), 2).alias("err_value"),
+    )
+
+
+def q_interval_binned(spark, sf_dir):
+    """Large-large interval overlap via grid binning (scale path of J3).
+
+    Both sides are event-derived 10-minute intervals (no broadcastable small
+    side); the binned equi-join on 600 s grid cells replaces the theta join.
+    Oracle is the naive overlap join, feasible at sf0.01.
+    """
+    from sat_bucket_spark.joins import interval_join_binned
+
+    ev = _events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTE")).alias("a_e"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTE")).alias("b_e"),
+    )
+    pairs = interval_join_binned(
+        views, errors, "a_s", "a_e", "b_s", "b_e", bin_width=600.0
+    )
+    return pairs.select("a_id", "b_id")
+
+
 def q_sessionize(spark, sf_dir):
     """W1: per-user gap sessionization (30 min)."""
     ev = _events(spark, sf_dir)
@@ -971,6 +1024,22 @@ FROM events JOIN groups
   ON ts <= g_end AND ts + INTERVAL 1 HOUR >= g_start
 GROUP BY group_idx
 """,
+    "asof_join": """
+SELECT l.event_id AS event_id, l.user_id AS user_id,
+  COALESCE(r.event_id, -1) AS err_id,
+  round(COALESCE(r.value, 0.0), 2) AS err_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+    "interval_binned": """
+SELECT a.event_id AS a_id, b.event_id AS b_id
+FROM (SELECT event_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+      FROM events WHERE event_type = 'view') a
+JOIN (SELECT event_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+      FROM events WHERE event_type = 'error') b
+  ON a.s <= b.e AND a.e >= b.s
+""",
     "sessionize": """
 SELECT event_id, user_id,
   CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) <= 1800.0 THEN 0 ELSE 1 END)
@@ -1278,6 +1347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "dense_grid": q_dense_grid,
         "interval_join": q_interval_join,
+        "asof_join": q_asof_join,
+        "interval_binned": q_interval_binned,
         "sessionize": q_sessionize,
         "session_count": q_session_count,
         "time_diff": q_time_diff,

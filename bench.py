@@ -33,7 +33,9 @@ HEADLINE = [
     "session_count",       # windowed count
     "swath_offsets",       # agg + window + join
     "dense_grid",          # cross join + left join
-    "interval_join",       # range join
+    "interval_join",       # range join (broadcast small side)
+    "asof_join",           # as-of join: union + single window pass (added r2)
+    "interval_binned",     # large-large overlap join via grid binning (added r2)
     "token_count",         # text ops
     "quality_score",
     "minhash",             # explode + groupBy min

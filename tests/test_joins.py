@@ -1,0 +1,211 @@
+"""As-of join and binned interval join: oracles are pandas merge_asof and a
+naive cross-join overlap filter."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sat_bucket_spark.joins import asof_join, interval_join_binned
+
+
+def _frames(seed: int = 7, n_left: int = 400, n_right: int = 150, n_keys: int = 5):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_left),
+            "t": np.round(rng.uniform(0, 1000, n_left), 3),
+            "lv": np.arange(n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_right),
+            "t": np.round(rng.uniform(0, 1000, n_right), 3),
+            "rv": np.arange(n_right) * 10,
+        }
+    )
+    return left, right
+
+
+def _merge_asof(left, right, direction, tolerance=None):
+    kwargs = {"tolerance": tolerance} if tolerance is not None else {}
+    out = pd.merge_asof(
+        left.sort_values(["t", "lv"]),
+        right.sort_values("t").rename(columns={"t": "rt"}),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction=direction,
+        **kwargs,
+    )
+    return out.sort_values("lv").reset_index(drop=True)
+
+
+class TestAsofJoin:
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_matches_pandas_merge_asof(self, spark, direction):
+        left, right = _frames()
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right.rename(columns={"t": "rt"})),
+                on="t",
+                right_on="rt",
+                by="k",
+                direction=direction,
+            )
+            .toPandas()
+            .sort_values("lv")
+            .reset_index(drop=True)
+        )
+        exp = _merge_asof(left, right, direction)
+        pd.testing.assert_series_equal(got["rv"], exp["rv"], check_dtype=False)
+
+    def test_tolerance(self, spark):
+        left, right = _frames(seed=11)
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right.rename(columns={"t": "rt"})),
+                on="t",
+                right_on="rt",
+                by="k",
+                tolerance=25.0,
+            )
+            .toPandas()
+            .sort_values("lv")
+            .reset_index(drop=True)
+        )
+        exp = _merge_asof(left, right, "backward", tolerance=25.0)
+        pd.testing.assert_series_equal(got["rv"], exp["rv"], check_dtype=False)
+
+    def test_exact_tie_matches(self, spark):
+        left = spark.createDataFrame([(1, 10.0, "L")], ["k", "t", "lv"])
+        right = spark.createDataFrame([(1, 10.0, "R")], ["k", "rt", "rv"])
+        out = asof_join(left, right, on="t", right_on="rt", by="k").collect()
+        assert out[0]["rv"] == "R"
+        fwd = asof_join(
+            left, right, on="t", right_on="rt", by="k", direction="forward"
+        ).collect()
+        assert fwd[0]["rv"] == "R"
+
+    def test_no_match_is_null(self, spark):
+        left = spark.createDataFrame([(1, 5.0, 0)], ["k", "t", "lv"])
+        right = spark.createDataFrame([(1, 9.0, 1)], ["k", "rt", "rv"])
+        assert asof_join(left, right, on="t", right_on="rt", by="k").collect()[0][
+            "rv"
+        ] is None
+
+    def test_name_collision_suffixed(self, spark):
+        left = spark.createDataFrame([(1, 5.0, 7)], ["k", "t", "value"])
+        right = spark.createDataFrame([(1, 4.0, 8)], ["k", "t", "value"])
+        out = asof_join(left, right, on="t", by="k")
+        assert "value_right" in out.columns
+        row = out.collect()[0]
+        assert row["value"] == 7 and row["value_right"] == 8
+
+    def test_timestamps(self, spark):
+        from datetime import datetime
+
+        left = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1, 0, 5), 0)], ["k", "t", "lv"]
+        )
+        right = spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 1, 0, 1), 1),
+                (1, datetime(2024, 1, 1, 0, 4), 2),
+                (1, datetime(2024, 1, 1, 0, 6), 3),
+            ],
+            ["k", "rt", "rv"],
+        )
+        assert (
+            asof_join(left, right, on="t", right_on="rt", by="k").collect()[0]["rv"]
+            == 2
+        )
+        # tolerance in seconds over timestamps
+        assert (
+            asof_join(
+                left, right, on="t", right_on="rt", by="k", tolerance=30.0
+            ).collect()[0]["rv"]
+            is None
+        )
+
+    def test_plan_is_single_window_no_python(self, spark):
+        left, right = _frames()
+        out = asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right.rename(columns={"t": "rt"})),
+            on="t",
+            right_on="rt",
+            by="k",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan
+        assert "Python" not in plan  # pure Column expressions
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+class TestIntervalJoinBinned:
+    @staticmethod
+    def _intervals(seed, n, span, name):
+        rng = np.random.default_rng(seed)
+        start = rng.uniform(0, 500, n)
+        return pd.DataFrame(
+            {
+                f"{name}_id": np.arange(n),
+                f"{name}_s": np.round(start, 3),
+                f"{name}_e": np.round(start + rng.uniform(0, span, n), 3),
+            }
+        )
+
+    @pytest.mark.parametrize("bin_width", [1.0, 7.0, 50.0])
+    def test_matches_naive_overlap(self, spark, bin_width):
+        lp = self._intervals(1, 200, 20, "a")
+        rp = self._intervals(2, 120, 35, "b")
+        got = (
+            interval_join_binned(
+                spark.createDataFrame(lp),
+                spark.createDataFrame(rp),
+                "a_s",
+                "a_e",
+                "b_s",
+                "b_e",
+                bin_width=bin_width,
+            )
+            .select("a_id", "b_id")
+            .toPandas()
+        )
+        cross = lp.merge(rp, how="cross")
+        exp = cross[(cross.a_s <= cross.b_e) & (cross.a_e >= cross.b_s)][
+            ["a_id", "b_id"]
+        ]
+        got_set = set(map(tuple, got.values))
+        exp_set = set(map(tuple, exp.values))
+        assert got_set == exp_set
+        assert len(got) == len(got_set)  # each pair exactly once
+
+    def test_plan_is_equi_join(self, spark):
+        lp = self._intervals(3, 50, 10, "a")
+        rp = self._intervals(4, 50, 10, "b")
+        out = interval_join_binned(
+            spark.createDataFrame(lp),
+            spark.createDataFrame(rp),
+            "a_s",
+            "a_e",
+            "b_s",
+            "b_e",
+            bin_width=10.0,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # hash join on the bin id, never a nested-loop/cartesian theta join
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+    def test_rejects_bad_args(self, spark):
+        df = spark.createDataFrame([(0.0, 1.0)], ["s", "e"])
+        with pytest.raises(ValueError):
+            interval_join_binned(df, df, "s", "e", "s", "e", bin_width=0)
+        with pytest.raises(ValueError):
+            interval_join_binned(df, df, "s", "e", "s", "e", bin_width=1, how="left")
