@@ -623,6 +623,20 @@ def q_simhash(spark, sf_dir):
     return add_simhash(nonempty, n_bits=16).select("doc_id", "simhash")
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """Dedup scale path: banded SimHash near-dup pairs (hamming <= 3).
+
+    The banding equi-join is EXACT for k < n_bands (pigeonhole), so the
+    quadratic all-pairs scan is a true oracle, not an approximation target.
+    """
+    from sat_bucket_spark.operators.dedup import simhash_near_dup_pairs
+    from sat_bucket_spark.operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    nonempty = docs.where(F.size(tokens_expr("text")) > 0)
+    return simhash_near_dup_pairs(nonempty, n_bits=24, max_hamming=3, n_bands=4)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Dedup: exact all-pairs n-gram Jaccard (the small-scale oracle).
 
@@ -1195,6 +1209,13 @@ GROUP BY fingerprint HAVING COUNT(*) > 1
 """,
     "minhash": _minhash_sql(),
     "simhash": _simhash_sql(16),
+    "simhash_near_dup": f"""
+WITH sh AS ({_simhash_sql(24)})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
     "ngram_jaccard": f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1371,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "minhash": q_minhash,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "embedding_topk": q_embedding_topk,

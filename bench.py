@@ -41,6 +41,7 @@ HEADLINE = [
     "minhash",             # explode + groupBy min
     "simhash",             # row-local aggregate exprs
     "minhash_lsh_dedup",   # LSH candidates + exact verify (scale path)
+    "simhash_near_dup",    # banded hamming join, exact-recall scale path (added r2)
     "embedding_topk",      # broadcast cross + window topk (exactness baseline)
     "ivf_topk",            # IVF ANN (scale path; added r2)
     "lsh_buckets",         # vector expression throughput

@@ -35,6 +35,7 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "shingles_expr",
+    "simhash_near_dup_pairs",
 ]
 
 
@@ -368,3 +369,87 @@ def add_simhash(
         term = F.when(s > 0, F.lit(2**j)).otherwise(F.lit(0))
         sim = term if sim is None else (sim + term)
     return df2.withColumn(out, sim.cast("long")).drop("__tok_h")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 24,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """All pairs with SimHash Hamming distance <= ``max_hamming`` — scale path.
+
+    EXACT result (same rows as the quadratic all-pairs scan) without the
+    quadratic join, by the pigeonhole banding argument: split the ``n_bits``
+    signature into ``n_bands`` contiguous bit bands; a pair differing in at
+    most ``max_hamming`` bits has all its differing bits in at most
+    ``max_hamming`` bands, so with ``n_bands > max_hamming`` at least one band
+    is bit-identical and the pair surfaces in that band's equi-join. The
+    verify step (``bit_count(a XOR b) <= k`` on the rejoined signatures)
+    removes band-collision false positives, restoring exact precision.
+
+    Shuffle shape at 100 TB: candidates come from an equi-join on
+    ``(band_idx, band_bits)`` — never an all-pairs product; the candidate
+    distinct carries only ``(id_a, id_b)``; the verify joins move one long
+    per id. Band width (``n_bits / n_bands``) sets bucket selectivity: wider
+    bands = fewer false candidates but a hard recall floor at
+    ``n_bands - 1`` Hamming; size n_bits so that width >= ~16 bits at
+    billion-doc scale to keep per-bucket fan-in bounded.
+    """
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands ({n_bands}) must exceed max_hamming ({max_hamming}) "
+            "for the banding recall guarantee"
+        )
+    if n_bits % n_bands:
+        raise ValueError(f"n_bits ({n_bits}) must be divisible by n_bands ({n_bands})")
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+
+    sigs = add_simhash(df, text_col=text_col, n_bits=n_bits).select(id_col, "simhash")
+
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        (
+                            F.shiftright(F.col("simhash"), b * width)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_bits")
+
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_bits"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_bits"
+    )
+    cand = (
+        a.join(b, on=["band_idx", "band_bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # ids only — no signature payload through the shuffle
+    )
+
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b"))).cast("int"),
+        )
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

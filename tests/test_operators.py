@@ -206,6 +206,43 @@ class TestSimHash:
         hamming = bin(h[1] ^ h[2]).count("1")
         assert hamming <= 8
 
+    def test_banded_pairs_match_bruteforce(self, spark, documents):
+        from sat_bucket_spark.operators.dedup import simhash_near_dup_pairs
+
+        docs = documents.limit(200)
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_dup_pairs(
+                docs, n_bits=24, max_hamming=5, n_bands=6
+            ).collect()
+        }
+        sigs = {r["doc_id"]: r["simhash"] for r in add_simhash(docs, n_bits=24).collect()}
+        ids = sorted(sigs)
+        exp = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 5
+        }
+        assert got == exp
+        assert exp  # non-vacuous: the fixture must produce at least one pair
+
+    def test_banded_pairs_validation(self, spark, documents):
+        from sat_bucket_spark.operators.dedup import simhash_near_dup_pairs
+
+        with pytest.raises(ValueError, match="n_bands"):
+            simhash_near_dup_pairs(documents, max_hamming=4, n_bands=4)
+        with pytest.raises(ValueError, match="divisible"):
+            simhash_near_dup_pairs(documents, n_bits=24, max_hamming=3, n_bands=5)
+
+    def test_banded_pairs_plan_no_cartesian(self, spark, documents):
+        from sat_bucket_spark.operators.dedup import simhash_near_dup_pairs
+
+        out = simhash_near_dup_pairs(documents.limit(50))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+        assert "Python" not in plan
+
 
 class TestSimilarity:
     def test_brute_force_topk_matches_numpy(self, spark, embeddings):
