@@ -11,8 +11,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
-__all__ = ["streaming_overpass_counts", "streaming_time_partition_counts"]
+__all__ = [
+    "streaming_overpass_counts",
+    "streaming_sessionize_stateful",
+    "streaming_time_partition_counts",
+]
 
 
 def streaming_overpass_counts(
@@ -52,6 +62,114 @@ def streaming_overpass_counts(
     if drop_key:
         out = out.drop(drop_key)
     return out
+
+
+def streaming_sessionize_stateful(
+    stream: DataFrame,
+    key_cols: list[str],
+    time: str = "time",
+    gap=None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful sessionizer: emits FINISHED sessions as they close.
+
+    ``session_window`` (streaming_overpass_counts) covers windowed counts;
+    this operator is the ``applyInPandasWithState`` form for when session
+    payloads go beyond what a grouped agg can express. Per key it keeps one
+    open session in state ``(start_us, last_us, n_rows)``; each micro-batch
+    sorts its rows, splits on gaps (> gap splits, == gap does not — same rule
+    as analysis.add_overpass_id, reference analysis.py:258-280), emits the
+    closed sessions downstream (append semantics), and re-arms an event-time
+    timeout at ``last + gap`` so the trailing session closes when the
+    watermark passes it with no new data.
+
+    Scale: state is O(1) per live key (three longs), batch work is O(rows in
+    batch) per key, Arrow-batched. Rows older than the watermark are dropped
+    by Spark before the function runs, so state never grows backwards.
+
+    ``gap`` accepts seconds or a ``datetime.timedelta`` (default 2 minutes).
+    """
+    from sat_bucket_spark.analysis import _interval_seconds
+
+    gap_s = _interval_seconds(gap) if gap is not None else 120.0
+    gap_us = int(gap_s * 1_000_000)
+
+    key_fields = [stream.schema[k] for k in key_cols]
+    out_schema = StructType(
+        list(key_fields)
+        + [
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_rows", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n_rows", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        def _emit(sessions):
+            if not sessions:
+                return iter([])
+            out = {k: [] for k in key_cols}
+            out.update({"session_start": [], "session_end": [], "n_rows": []})
+            for start_us, last_us, n in sessions:
+                for kc, kv in zip(key_cols, key):
+                    out[kc].append(kv)
+                out["session_start"].append(pd.Timestamp(start_us, unit="us"))
+                out["session_end"].append(pd.Timestamp(last_us, unit="us"))
+                out["n_rows"].append(n)
+            return iter([pd.DataFrame(out)])
+
+        if state.hasTimedOut:
+            closed = []
+            if state.exists:
+                closed.append(tuple(state.get))
+                state.remove()
+            return _emit(closed)
+
+        chunks = [pdf[time] for pdf in pdfs]
+        if not chunks:
+            return _emit([])
+        times = pd.concat(chunks)
+        # int64 epoch-µs regardless of pandas ns/µs datetime unit
+        unit_div = 1000 if times.dtype == "datetime64[ns]" else 1
+        ts_us = sorted(times.astype("int64") // unit_div)
+
+        open_session = tuple(state.get) if state.exists else None
+        closed = []
+        for t in ts_us:
+            if open_session is None:
+                open_session = (t, t, 1)
+            elif t - open_session[1] <= gap_us:
+                open_session = (open_session[0], max(open_session[1], t), open_session[2] + 1)
+            else:
+                closed.append(open_session)
+                open_session = (t, t, 1)
+        if open_session is not None:
+            state.update(open_session)
+            state.setTimeoutTimestamp(open_session[1] // 1000 + int(gap_s * 1000))
+        return _emit(closed)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.withWatermark(time, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def streaming_time_partition_counts(

@@ -51,6 +51,101 @@ def test_streaming_overpass_counts(spark, stream_source_dir):
     assert counts == [2, 3]
 
 
+class TestStatefulSessionize:
+    @staticmethod
+    def _mk(spark, tmp_path, rows, n_files=1):
+        import os
+
+        d = str(tmp_path)
+        df = spark.createDataFrame(rows, ["user", "time"])
+        if n_files == 1:
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+        else:
+            # one file per time-ordered slice, mtimes staggered so the file
+            # stream processes them as separate ordered micro-batches
+            os.makedirs(d, exist_ok=True)
+            per = (len(rows) + n_files - 1) // n_files
+            for i in range(n_files):
+                part = spark.createDataFrame(
+                    rows[i * per : (i + 1) * per], ["user", "time"]
+                )
+                sub = f"{d}/batch{i}"
+                part.coalesce(1).write.mode("overwrite").parquet(sub)
+                src = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+                os.rename(f"{sub}/{src}", f"{d}/{i:03d}.parquet")
+                os.utime(f"{d}/{i:03d}.parquet", (1e9 + i * 100, 1e9 + i * 100))
+        return d
+
+    def _run(self, spark, src_dir, name, max_files=None, gap=120.0):
+        from sat_bucket_spark.streaming.sessions import streaming_sessionize_stateful
+
+        schema = spark.read.parquet(src_dir).schema
+        reader = spark.readStream.schema(schema)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        stream = reader.parquet(src_dir)
+        out = streaming_sessionize_stateful(
+            stream, ["user"], gap=gap, watermark="0 seconds"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    def test_in_batch_gap_closure_holds_trailing(self, spark, tmp_path):
+        base = datetime.datetime(2021, 1, 1)
+        rows = []
+        # user a: 3 tight rows, 10-min gap, 2 tight rows, 10-min gap, 1 trailing
+        for s in (0, 30, 60):
+            rows.append(("a", base + datetime.timedelta(seconds=s)))
+        for s in (0, 45):
+            rows.append(("a", base + datetime.timedelta(minutes=10, seconds=s)))
+        rows.append(("a", base + datetime.timedelta(minutes=20)))
+        # user b: one lone session (trailing, never closed)
+        rows.append(("b", base))
+        d = self._mk(spark, tmp_path, rows)
+        got = self._run(spark, d, "stateful_s1")
+        sessions = {(r["user"], r["n_rows"]) for r in got}
+        # a's first two sessions close by in-batch gap; b's lone session closes
+        # by event-time timeout once the finalizing batch advances the
+        # watermark to base+20min (> b's timeout at base+2min). a's trailing
+        # session (timeout base+22min) stays open in state.
+        assert sessions == {("a", 3), ("a", 2), ("b", 1)}
+        row3 = next(r for r in got if r["n_rows"] == 3)
+        assert row3["session_start"] == base
+        assert row3["session_end"] == base + datetime.timedelta(seconds=60)
+
+    def test_watermark_timeout_emits_trailing(self, spark, tmp_path):
+        base = datetime.datetime(2021, 1, 1)
+        rows = [
+            ("a", base),
+            ("a", base + datetime.timedelta(seconds=30)),
+            # second batch far in the future: watermark passes a's timeout
+            ("c", base + datetime.timedelta(hours=2)),
+        ]
+        d = self._mk(spark, tmp_path, rows, n_files=2)
+        got = self._run(spark, d, "stateful_s2", max_files=1)
+        sessions = {(r["user"], r["n_rows"]) for r in got}
+        # a's session closed by event-time timeout; c's still open
+        assert sessions == {("a", 2)}
+
+    def test_exact_gap_does_not_split(self, spark, tmp_path):
+        base = datetime.datetime(2021, 1, 1)
+        rows = [
+            ("a", base),
+            ("a", base + datetime.timedelta(seconds=120)),  # == gap: same session
+            ("a", base + datetime.timedelta(seconds=361)),  # > gap from 120: split
+        ]
+        d = self._mk(spark, tmp_path, rows)
+        got = self._run(spark, d, "stateful_s3")
+        assert {(r["user"], r["n_rows"]) for r in got} == {("a", 2)}
+
+
 def test_streaming_partition_counts(spark, stream_source_dir):
     schema = spark.read.parquet(stream_source_dir).schema
     stream = spark.readStream.schema(schema).parquet(stream_source_dir)
