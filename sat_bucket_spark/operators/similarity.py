@@ -22,6 +22,7 @@ __all__ = [
     "dot_expr",
     "norm_expr",
     "ivf_topk",
+    "lsh_near_dup_pairs",
     "pairwise_near_duplicates",
     "random_hyperplane_signature",
     "train_ivf_centroids",
@@ -99,9 +100,80 @@ def pairwise_near_duplicates(
     )
 
 
+def lsh_near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs — the bucketed scale path of
+    :func:`pairwise_near_duplicates`.
+
+    Candidates come from ``n_bands`` independent sign-random-projection
+    bucketings (seeds ``seed..seed+n_bands-1``): a pair is a candidate when it
+    shares a full bucket in ANY band — an equi-join per band, never the
+    all-pairs product. The exact cosine verify restores precision; recall is
+    probabilistic (a cosine-``t`` pair survives one band with
+    ``(1 - acos(t)/pi)^n_planes``, so more bands raise recall, more planes cut
+    candidates). Fully deterministic given ``seed`` — an external engine can
+    replay bucket assignment from the same literal hyperplanes, which is how
+    the driver oracle reproduces it bit-for-bit.
+
+    Shuffle shape: per band, (id, bucket) pairs only; the candidate distinct
+    carries (id_a, id_b); vectors travel only in the two verify joins.
+    """
+    cand = None
+    for band in range(n_bands):
+        sig = random_hyperplane_signature(
+            vectors, dim=dim, n_planes=n_planes, vec_col=vec_col,
+            out="__lsh_b", seed=seed + band,
+        ).select(id_col, "__lsh_b")
+        a = sig.select(F.col(id_col).alias("id_a"), "__lsh_b")
+        b = sig.select(F.col(id_col).alias("id_b"), "__lsh_b")
+        pairs = (
+            a.join(b, "__lsh_b")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()  # ids only — no vector payload through the shuffle
+
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
+
+
+def _literal_vector(v) -> Column:
+    """A literal double array as ONE parsed expression.
+
+    ``F.array(*[F.lit(x) ...])`` costs one py4j round-trip per element —
+    ~1 ms each, so a 16x64 codebook burns >1 s of driver time just building
+    the plan. A single ``F.expr`` string is one round-trip; ``repr(float)``
+    round-trips exactly, so the values are bit-identical.
+    """
+    return F.expr("array(" + ", ".join(f"{float(x)!r}D" for x in v) + ")")
+
+
+def _literal_matrix(mat) -> Column:
+    rows = ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in row) + ")" for row in mat
+    )
+    return F.expr(f"array({rows})")
 
 
 def random_hyperplane_signature(
@@ -121,7 +193,7 @@ def random_hyperplane_signature(
     planes = _hyperplanes(n_planes, dim, seed=seed)
     bucket = None
     for i in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        plane = _literal_vector(planes[i])
         bit = (dot_expr(F.col(vec_col), plane) > 0).cast("long")
         term = bit * F.lit(2**i)
         bucket = term if bucket is None else (bucket + term)
@@ -164,17 +236,25 @@ def _nearest_centroid_expr(vec: Column, centroids: np.ndarray) -> Column:
     argmin reduces to argmin_c (||c||^2 - 2 v.c) — one dot product per
     centroid, no per-row allocation.
     """
-    best_idx, best_score = None, None
-    for i in range(len(centroids)):
-        plane = F.array(*[F.lit(float(x)) for x in centroids[i]])
-        score = F.lit(float((centroids[i] ** 2).sum())) - 2.0 * dot_expr(vec, plane)
-        if best_idx is None:
-            best_idx, best_score = F.lit(i), score
-        else:
-            cond = score < best_score
-            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-            best_score = F.when(cond, score).otherwise(best_score)
-    return best_idx.cast("int")
+    # Materialize all scores into ONE array column, then take the index of the
+    # min. A chained when(score_i < best, ...) alternative duplicates best
+    # (which embeds every earlier score) at each step — an O(2^n_clusters)
+    # expression tree that Janino can't codegen and the interpreter re-evaluates.
+    # The codebook is a single nested literal array folded by ONE shared
+    # transform/aggregate lambda (||c||^2 - 2 v.c accumulated element-wise), so
+    # the plan holds n_clusters*dim literal leaves but only a constant number
+    # of operator nodes — analyzer/optimizer passes stay fast as the codebook
+    # grows. First-min tie-break (array_position) matches DuckDB list_position.
+    cents = _literal_matrix(centroids)
+    scores = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(c, vec, lambda a, b: a * a - 2.0 * a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
 
 
 def ivf_topk(

@@ -117,10 +117,30 @@ def _merge_move(src: str, dst: str) -> None:
 
 
 def _repartition_for_write(df: DataFrame, partitions: list[str]) -> DataFrame:
-    """Co-locate rows of each output partition, letting AQE pick the task count."""
+    """Co-locate rows of each output partition with parallel writers.
+
+    Two regimes:
+    - Large input (>= one AQE advisory chunk per core): ``REBALANCE`` — AQE
+      sizes the task count to the shuffle volume and splits skewed partitions,
+      the right shape for a 100 TB write.
+    - Small input: AQE would coalesce the rebalanced shuffle to ~1 task, and
+      that single task then writes every partition DIRECTORY serially — with
+      many dirs the per-file writer setup dominates wall clock (648 dirs ~=
+      7 s serial vs <1 s across 32 writers). Hash ``repartition`` on the
+      partition columns keeps all cores writing while still producing one
+      file per directory.
+    """
     spark = df.sparkSession
     if spark.conf.get("spark.sql.adaptive.enabled", "true").lower() == "true":
-        return df.hint("rebalance", *partitions)
+        from sat_bucket_spark.analysis import _estimated_size_bytes
+
+        est = _estimated_size_bytes(df)
+        advisory = parse_size(
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        )
+        cores = spark.sparkContext.defaultParallelism
+        if est is None or est >= advisory * cores:
+            return df.hint("rebalance", *partitions)
     return df.repartition(*partitions)
 
 
@@ -167,8 +187,18 @@ def write_partitioned_dataset(
         writer = writer_df.write
 
     if max_records_per_file is None and max_file_size is not None:
-        bytes_per_row = estimate_row_size(df, compression=compression)
-        max_records_per_file = rows_for_target_size(max_file_size, bytes_per_row)
+        # Sampling for bytes/row costs a Spark job (limit+collect+encode).
+        # Skip it when Catalyst's driver-side estimate says the WHOLE input is
+        # far below one target file — the cap can't bind, so no cap is needed.
+        # Catalyst sizes are uncompressed-leaning (>= parquet-encoded), and the
+        # 4x margin covers label columns added between estimate and write;
+        # being wrong only splits a file early, never violates the max.
+        from sat_bucket_spark.analysis import _estimated_size_bytes
+
+        est = _estimated_size_bytes(df)
+        if est is None or est * 4 > parse_size(max_file_size):
+            bytes_per_row = estimate_row_size(df, compression=compression)
+            max_records_per_file = rows_for_target_size(max_file_size, bytes_per_row)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     if row_group_size is not None:
