@@ -143,6 +143,9 @@ round(2.0 * 6371008.8 * asin(sqrt(
 
 _MINHASH_PARAMS = minhash_params(4)
 _PLANES = _hyperplanes(8, 64, seed=42)
+# Second independent bucketing for the banded LSH near-dup query (seed 43 =
+# lsh_near_dup_pairs band 1 with base seed 42).
+_PLANES_B1 = _hyperplanes(8, 64, seed=43)
 
 # Fixed IVF codebook (seeded draw, 8 centroids x dim 64): deterministic and
 # literal-foldable in BOTH engines. Probe lists use the same argsort the
@@ -722,6 +725,21 @@ def q_audio_meta(spark, sf_dir):
     )
 
 
+def q_lsh_near_dup(spark, sf_dir):
+    """Similarity scale path: LSH-bucketed near-dup pairs + exact verify.
+
+    Candidates from two independent seeded sign-projection bucketings (union),
+    exact cosine verify >= 0.3. Deterministic given the seeds, so the oracle
+    replays bucket assignment from the same literal hyperplanes.
+    """
+    from sat_bucket_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return lsh_near_dup_pairs(emb, dim=64, threshold=0.3, n_planes=8, n_bands=2)
+
+
 def q_ivf_topk(spark, sf_dir):
     """Similarity scale path: IVF approximate top-5 with a fixed seeded codebook.
 
@@ -902,6 +920,33 @@ def _lsh_bucket_sql() -> str:
 SELECT CAST({terms} AS BIGINT) AS lsh_bucket, count(*) AS n
 FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings) e
 GROUP BY 1
+"""
+
+
+def _bucket_terms_sql(planes) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_inner_product(emb, {_centroid_arr_sql(p)}) > 0 THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def _lsh_near_dup_sql(threshold: float = 0.3) -> str:
+    cos = (
+        "round(list_inner_product(va.emb, vb.emb) / "
+        "(sqrt(list_inner_product(va.emb, va.emb)) * sqrt(list_inner_product(vb.emb, vb.emb))), 6)"
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+b0 AS (SELECT vec_id, CAST({_bucket_terms_sql(_PLANES)} AS BIGINT) AS b FROM emb),
+b1 AS (SELECT vec_id, CAST({_bucket_terms_sql(_PLANES_B1)} AS BIGINT) AS b FROM emb),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM b0 a JOIN b0 b ON a.b = b.b AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM b1 a JOIN b1 b ON a.b = b.b AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, {cos} AS cosine
+FROM cand c JOIN emb va ON va.vec_id = c.id_a JOIN emb vb ON vb.vec_id = c.id_b
+WHERE {cos} >= {threshold!r}
 """
 
 
@@ -1251,6 +1296,7 @@ SELECT id_a, id_b, cosine FROM (
 ) t WHERE cosine >= 0.3
 """,
     "lsh_buckets": _lsh_bucket_sql(),
+    "lsh_near_dup": _lsh_near_dup_sql(0.3),
     "overpass_global": """
 SELECT event_id,
   CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) <= 600.0 THEN 0 ELSE 1 END)
@@ -1399,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_buckets": q_lsh_buckets,
         "ivf_topk": q_ivf_topk,
+        "lsh_near_dup": q_lsh_near_dup,
         "dedup_exact": q_dedup_exact,
         "audio_meta": q_audio_meta,
         "overpass_global": q_overpass_global,
