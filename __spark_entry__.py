@@ -740,6 +740,25 @@ def q_lsh_near_dup(spark, sf_dir):
     return lsh_near_dup_pairs(emb, dim=64, threshold=0.3, n_planes=8, n_bands=2)
 
 
+def q_video_meta(spark, sf_dir):
+    """Multimodal video metadata: real MP4 parse with deterministic fallback.
+
+    Text payloads are not MP4s, so every row takes the md5-derived fake path —
+    the oracle checks the Arrow plumbing + deterministic fallback math, the
+    REAL ISO-BMFF parse is covered by tests/test_multimodal.py::TestMp4.
+    """
+    from sat_bucket_spark.operators.multimodal import video_metadata
+
+    docs = _t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "utf-8"))
+    out = video_metadata(docs)
+    return out.select(
+        "doc_id",
+        "major_brand",
+        F.round(F.col("duration_s"), 4).alias("duration_s"),
+        "n_tracks",
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """Similarity scale path: IVF approximate top-5 with a fixed seeded codebook.
 
@@ -1244,6 +1263,12 @@ SELECT doc_id,
   round(CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT) / 255.0, 4) AS rms4
 FROM documents
 """,
+    "video_meta": """
+SELECT doc_id, 'fake' AS major_brand,
+  round(CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT) / 10.0, 4) AS duration_s,
+  CAST(1 + CAST(('0x' || substr(md5(text), 11, 2)) AS BIGINT) % 3 AS BIGINT) AS n_tracks
+FROM documents
+""",
     "quality_score": _QUALITY_SQL,
     "language_id": _langid_sql(),
     "fingerprint": _FINGERPRINT_SQL,
@@ -1448,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_near_dup": q_lsh_near_dup,
         "dedup_exact": q_dedup_exact,
         "audio_meta": q_audio_meta,
+        "video_meta": q_video_meta,
         "overpass_global": q_overpass_global,
         "image_meta": q_image_meta,
     }

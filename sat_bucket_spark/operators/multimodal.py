@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -33,9 +34,11 @@ __all__ = [
     "attach_binary_metadata",
     "decode_and_featurize_images",
     "decode_audio_features",
+    "parse_mp4",
     "parse_png_header",
     "parse_wav",
     "sample_video_frames",
+    "video_metadata",
 ]
 
 IMAGE_FEATURE_SCHEMA = StructType(
@@ -254,6 +257,106 @@ def decode_audio_features(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(_decode, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def parse_mp4(payload: bytes | None) -> tuple[str, float, int] | None:
+    """(major_brand, duration_seconds, n_tracks) from an ISO-BMFF/MP4 payload.
+
+    Pure container parsing — the box structure (u32 BE size + 4-byte type,
+    ``size==1`` -> u64 largesize, ``size==0`` -> to end) is public spec and
+    needs no codec: ``ftyp`` carries the major brand, ``moov/mvhd`` the
+    timescale + duration (v0: u32 fields, v1: u64), and each ``moov/trak``
+    is one track. Returns None for anything that is not a parseable MP4.
+    """
+    if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+    brand = payload[8:12].decode("ascii", "replace").strip()
+    timescale = duration = None
+    n_tracks = 0
+
+    def boxes(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > end:
+                    return
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                body = pos + 16
+            elif size == 0:
+                size = end - pos
+            if size < 8 or pos + size > end:
+                return
+            yield btype, body, pos + size
+            pos += size
+
+    for btype, body, bend in boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, _cend in boxes(payload, body, bend):
+            if ctype == b"trak":
+                n_tracks += 1
+            elif ctype == b"mvhd" and cbody + 4 <= bend:
+                version = payload[cbody]
+                if version == 1 and cbody + 28 <= bend:
+                    timescale = int.from_bytes(payload[cbody + 20 : cbody + 24], "big")
+                    duration = int.from_bytes(payload[cbody + 24 : cbody + 32], "big")
+                elif version == 0 and cbody + 20 <= bend:
+                    timescale = int.from_bytes(payload[cbody + 12 : cbody + 16], "big")
+                    duration = int.from_bytes(payload[cbody + 16 : cbody + 20], "big")
+    if not timescale:
+        return None
+    return brand, float(duration) / float(timescale), n_tracks
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("major_brand", StringType()),
+        StructField("duration_s", DoubleType()),
+        StructField("n_tracks", LongType()),
+    ]
+)
+
+
+def video_metadata(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """Video metadata stage: REAL MP4 container parse, no codec library.
+
+    Same stub contract as the image/audio stages: parseable MP4 payloads get
+    :func:`parse_mp4` (brand, duration, track count); non-MP4 payloads raise
+    under ``strict=True`` (the ffmpeg plug-in point) or fall back to a
+    deterministic payload-derived fake.
+    """
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "major_brand": [], "duration_s": [], "n_tracks": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else None
+                meta = parse_mp4(payload)
+                if meta is not None:
+                    brand, dur, n_tracks = meta
+                elif strict:
+                    raise NotImplementedError(
+                        "payload is not an MP4; decoding other containers "
+                        "requires ffmpeg, unavailable here"
+                    )
+                else:
+                    digest = hashlib.md5(payload if payload is not None else b"").digest()
+                    brand, dur, n_tracks = "fake", digest[4] / 10.0, 1 + digest[5] % 3
+                out["doc_id"].append(doc_id)
+                out["major_brand"].append(brand)
+                out["duration_s"].append(dur)
+                out["n_tracks"].append(n_tracks)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(_meta, schema=VIDEO_META_SCHEMA)
 
 
 VIDEO_FRAME_SCHEMA = StructType(

@@ -9,9 +9,11 @@ from sat_bucket_spark.operators.multimodal import (
     attach_binary_metadata,
     decode_and_featurize_images,
     decode_audio_features,
+    parse_mp4,
     parse_png_header,
     parse_wav,
     sample_video_frames,
+    video_metadata,
 )
 
 
@@ -158,6 +160,59 @@ class TestWav:
         rows = {r["doc_id"]: r["sample_rate"] for r in decode_audio_features(df).collect()}
         assert rows[1] == 22050  # real parse
         assert rows[2] == 16000 and rows[3] == 16000  # deterministic fake
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _mp4(timescale: int, duration: int, n_tracks: int = 2, version: int = 0) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov(mvhd + n_tracks x trak)."""
+    if version == 0:
+        mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8  # version/flags + ctime/mtime
+        mvhd += timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+        mvhd += b"\x00" * 80
+    else:
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16  # v1: 64-bit ctime/mtime
+        mvhd += timescale.to_bytes(4, "big") + duration.to_bytes(8, "big")
+        mvhd += b"\x00" * 80
+    moov = _box(b"mvhd", mvhd) + b"".join(_box(b"trak", b"\x00" * 16) for _ in range(n_tracks))
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _box(b"moov", moov)
+
+
+class TestMp4:
+    def test_parse_real_mp4(self):
+        assert parse_mp4(_mp4(1000, 5500, n_tracks=2)) == ("isom", 5.5, 2)
+        assert parse_mp4(_mp4(90000, 90000 * 3, n_tracks=1)) == ("isom", 3.0, 1)
+        # 64-bit mvhd version 1
+        assert parse_mp4(_mp4(600, 1500, n_tracks=3, version=1)) == ("isom", 2.5, 3)
+
+    def test_rejects_garbage(self):
+        assert parse_mp4(None) is None
+        assert parse_mp4(b"not a video") is None
+        assert parse_mp4(_box(b"ftyp", b"isom")) is None  # no moov/mvhd
+        assert parse_mp4(_png(10, 10)) is None
+
+    def test_spark_strict_real_parse(self, spark):
+        df = spark.createDataFrame(
+            [(1, _mp4(1000, 2000, 2)), (2, _mp4(24, 48, 1))], ["doc_id", "payload"]
+        )
+        rows = {
+            r["doc_id"]: (r["major_brand"], r["duration_s"], r["n_tracks"])
+            for r in video_metadata(df, strict=True).collect()
+        }
+        assert rows == {1: ("isom", 2.0, 2), 2: ("isom", 2.0, 1)}
+
+    def test_strict_raises_on_non_mp4(self, spark):
+        df = spark.createDataFrame([(1, b"avi-ish")], ["doc_id", "payload"])
+        with pytest.raises(Exception, match="NotImplementedError|ffmpeg|MP4"):
+            video_metadata(df, strict=True).collect()
+
+    def test_fake_fallback_deterministic(self, spark):
+        df = spark.createDataFrame([(1, b"xx"), (2, None)], ["doc_id", "payload"])
+        a = {r["doc_id"]: r["duration_s"] for r in video_metadata(df).collect()}
+        b = {r["doc_id"]: r["duration_s"] for r in video_metadata(df).collect()}
+        assert a == b
 
 
 def test_video_fan_out(spark, payload_df):
