@@ -19,10 +19,28 @@ from pyspark.sql.types import (
 )
 
 __all__ = [
+    "streaming_dedup_exact",
     "streaming_overpass_counts",
     "streaming_sessionize_stateful",
     "streaming_time_partition_counts",
 ]
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    key_cols: list[str],
+    time: str = "time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Continuous exact dedup — streaming counterpart of operators.dedup_exact.
+
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST row seen per key and
+    bounds state by the watermark: a duplicate arriving within the watermark
+    window is dropped even when its event time differs (the fingerprint-dedup
+    contract for continuous document ingest); state for keys older than the
+    watermark is evicted, so memory is O(keys per window), not O(all keys).
+    """
+    return stream.withWatermark(time, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
 def streaming_overpass_counts(

@@ -146,6 +146,36 @@ class TestStatefulSessionize:
         assert {(r["user"], r["n_rows"]) for r in got} == {("a", 2)}
 
 
+def test_streaming_dedup_exact(spark, tmp_path):
+    from sat_bucket_spark.streaming.sessions import streaming_dedup_exact
+
+    base = datetime.datetime(2021, 1, 1)
+    rows = [
+        ("fp1", base, 1),
+        ("fp1", base + datetime.timedelta(minutes=5), 2),  # dup within watermark
+        ("fp2", base + datetime.timedelta(minutes=1), 3),
+        ("fp2", base + datetime.timedelta(minutes=2), 4),  # dup
+        ("fp3", base, 5),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, ["fingerprint", "time", "doc"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = streaming_dedup_exact(stream, ["fingerprint"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT fingerprint FROM sdedup").collect()
+    assert sorted(r["fingerprint"] for r in got) == ["fp1", "fp2", "fp3"]
+
+
 def test_streaming_partition_counts(spark, stream_source_dir):
     schema = spark.read.parquet(stream_source_dir).schema
     stream = spark.readStream.schema(schema).parquet(stream_source_dir)
