@@ -35,6 +35,7 @@ from sat_bucket_spark.io import (
     read_bucket_info,
     write_bucket_info,
 )
+from sat_bucket_spark.joins import asof_join, interval_join_binned
 from sat_bucket_spark.partitioning import (
     LonLatPartitioning,
     TilePartitioning,
@@ -59,12 +60,14 @@ __all__ = [
     "add_overpass_id_scalable",
     "add_swath_indices",
     "apply_spatial_filters",
+    "asof_join",
     "filter_around_point",
     "filter_by_extent",
     "get_bucket_spatial_partitioning",
     "get_bucket_temporal_partitioning",
     "get_list_overpass_time",
     "get_spark",
+    "interval_join_binned",
     "merge_granule_buckets",
     "overpass_to_grid",
     "read",
