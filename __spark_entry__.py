@@ -740,6 +740,24 @@ def q_lsh_near_dup(spark, sf_dir):
     return lsh_near_dup_pairs(emb, dim=64, threshold=0.3, n_planes=8, n_bands=2)
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic content-hash sampling (stable across engines/runs)."""
+    from sat_bucket_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.2, salt="s1").select("doc_id", "lang")
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split labels keyed on doc_id."""
+    from sat_bucket_spark.operators.sampling import assign_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_splits(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
 def q_video_meta(spark, sf_dir):
     """Multimodal video metadata: real MP4 parse with deterministic fallback.
 
@@ -1263,6 +1281,21 @@ SELECT doc_id,
   round(CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT) / 255.0, 4) AS rms4
 FROM documents
 """,
+    "hash_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(CAST(('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % {MERSENNE_P} AS DOUBLE) / {MERSENNE_P}.0 < 0.2
+""",
+    "split_assign": f"""
+SELECT doc_id,
+  CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % {MERSENNE_P} AS DOUBLE) / {MERSENNE_P}.0 AS f
+  FROM documents
+) t
+""",
     "video_meta": """
 SELECT doc_id, 'fake' AS major_brand,
   round(CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT) / 10.0, 4) AS duration_s,
@@ -1474,6 +1507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "audio_meta": q_audio_meta,
         "video_meta": q_video_meta,
+        "hash_sample": q_hash_sample,
+        "split_assign": q_split_assign,
         "overpass_global": q_overpass_global,
         "image_meta": q_image_meta,
     }

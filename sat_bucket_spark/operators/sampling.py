@@ -1,0 +1,86 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+Random sampling (``df.sample``) is non-reproducible across engines, runs, and
+partitionings — useless for a 100 TB corpus where the train/val/test split
+must be stable under re-ingest, backfill, and engine migration. These
+operators derive the decision from a content hash of a stable id
+(operators.hashing: md5-based, bit-identical in DuckDB), so:
+
+- the same row always lands in the same sample/split, on any engine;
+- sampling composes with incremental ingest (new rows don't reshuffle old);
+- a salt namespaces independent draws (two 10% samples with different salts
+  overlap ~1%, same salt = identical).
+
+Everything is a Column expression — codegen'd, zero shuffle, oracle-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sat_bucket_spark.operators.hashing import MERSENNE_P, h31_expr
+
+__all__ = ["assign_splits", "hash_fraction_expr", "hash_sample"]
+
+
+def hash_fraction_expr(col: Column | str, salt: str = "") -> Column:
+    """Uniform-ish [0, 1) value derived from a stable id — the decision knob.
+
+    ``h31(salt || id) / (2^31 - 1)``; the md5-derived h31 is engine-portable,
+    so DuckDB replays the exact same fractions.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = F.concat(F.lit(salt), c.cast("string"))
+    return h31_expr(keyed).cast("double") / F.lit(float(MERSENNE_P))
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic ``fraction`` sample keyed on ``id_col``.
+
+    Unlike ``df.sample`` this is stable across runs/partitionings/engines and
+    consistent under incremental ingest. The filter is a pure expression, so
+    Catalyst pushes it into the scan where the id is a top-level column.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(hash_fraction_expr(id_col, salt=salt) < F.lit(float(fraction)))
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Attach a deterministic train/val/test (or any) split label.
+
+    ``weights`` maps label -> fraction (must sum to ~1); rows are assigned by
+    which cumulative-weight interval their hash fraction falls in, so the
+    assignment is total (every row gets a label), disjoint, and stable. Label
+    interval order follows dict insertion order.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    frac = hash_fraction_expr(id_col, salt=salt)
+    expr = None
+    acc = 0.0
+    labels = list(weights.items())
+    for name, w in labels[:-1]:
+        acc += w
+        expr = (
+            F.when(frac < F.lit(acc), F.lit(name))
+            if expr is None
+            else expr.when(frac < F.lit(acc), F.lit(name))
+        )
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out, expr)
