@@ -740,6 +740,14 @@ def q_lsh_near_dup(spark, sf_dir):
     return lsh_near_dup_pairs(emb, dim=64, threshold=0.3, n_planes=8, n_bands=2)
 
 
+def q_vocabulary(spark, sf_dir):
+    """Corpus vocabulary: top-100 tokens by document frequency."""
+    from sat_bucket_spark.operators.text import vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary(docs, top_k=100)
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic content-hash sampling (stable across engines/runs)."""
     from sat_bucket_spark.operators.sampling import hash_sample
@@ -1281,6 +1289,16 @@ SELECT doc_id,
   round(CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT) / 255.0, 4) AS rms4
 FROM documents
 """,
+    "vocabulary": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_tokens_sql("lower(text)")}) AS token FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS term_freq,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM tok GROUP BY token
+ORDER BY doc_freq DESC, term_freq DESC, token ASC
+LIMIT 100
+""",
     "hash_sample": f"""
 SELECT doc_id, lang FROM documents
 WHERE CAST(CAST(('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -1507,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "audio_meta": q_audio_meta,
         "video_meta": q_video_meta,
+        "vocabulary": q_vocabulary,
         "hash_sample": q_hash_sample,
         "split_assign": q_split_assign,
         "overpass_global": q_overpass_global,

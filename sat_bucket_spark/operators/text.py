@@ -18,6 +18,7 @@ __all__ = [
     "add_quality_score",
     "add_token_count",
     "tokens_expr",
+    "vocabulary",
 ]
 
 # Compact stopword lists for the n-gram/stopword language-ID heuristic.
@@ -107,3 +108,38 @@ def add_fingerprint(df: DataFrame, text: str = "text", out: str = "fingerprint")
     norm = F.regexp_replace(norm, r"[^a-z0-9\s]", "")
     norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
     return df.withColumn(out, F.md5(norm))
+
+
+def vocabulary(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    min_doc_freq: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: per-token document frequency + total occurrences.
+
+    The tokenizer-building primitive for a training corpus: explode tokens,
+    count total occurrences (term frequency) and distinct documents (document
+    frequency) per token in ONE aggregation pass — `count(1)` + partial-agg
+    `count(distinct id)` over the exploded tokens, a single shuffle keyed by
+    token. At 100 TB the skew concern is stopword-heavy tokens; map-side
+    partial aggregation absorbs most of it, and AQE splits residual skew.
+
+    ``top_k`` orders by (doc_freq, term_freq, token) descending-count for a
+    deterministic cut.
+    """
+    t = F.lower(F.col(text)) if lowercase else F.col(text)
+    tok = df.select(F.col(id_col), F.explode(tokens_expr(t)).alias("token"))
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+    if min_doc_freq > 1:
+        agg = agg.where(F.col("doc_freq") >= F.lit(min_doc_freq))
+    if top_k is not None:
+        agg = agg.orderBy(
+            F.col("doc_freq").desc(), F.col("term_freq").desc(), F.col("token").asc()
+        ).limit(top_k)
+    return agg

@@ -133,6 +133,34 @@ class TestAsofJoin:
             is None
         )
 
+    def test_keyless_global_asof(self, spark):
+        left, right = _frames(n_keys=1)
+        left = left.drop(columns=["k"])
+        right = right.drop(columns=["k"])
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right.rename(columns={"t": "rt"})),
+                on="t",
+                right_on="rt",
+            )
+            .toPandas()
+            .sort_values("lv")
+            .reset_index(drop=True)
+        )
+        exp = (
+            pd.merge_asof(
+                left.sort_values(["t", "lv"]),
+                right.sort_values("t").rename(columns={"t": "rt"}),
+                left_on="t",
+                right_on="rt",
+                direction="backward",
+            )
+            .sort_values("lv")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_series_equal(got["rv"], exp["rv"], check_dtype=False)
+
     def test_plan_is_single_window_no_python(self, spark):
         left, right = _frames()
         out = asof_join(

@@ -77,6 +77,38 @@ class TestText:
         assert fps[0] == fps[1] != fps[2]
 
 
+class TestVocabulary:
+    def test_matches_python_counts(self, spark, documents):
+        from collections import Counter
+
+        from sat_bucket_spark.operators.text import vocabulary
+
+        docs = documents.limit(100).cache()
+        got = {
+            r["token"]: (r["term_freq"], r["doc_freq"])
+            for r in vocabulary(docs).collect()
+        }
+        tf, df_ = Counter(), Counter()
+        for r in docs.select("doc_id", "text").collect():
+            toks = [t for t in (r["text"] or "").lower().split() if t]
+            tf.update(toks)
+            df_.update(set(toks))
+        assert got == {t: (tf[t], df_[t]) for t in tf}
+
+    def test_top_k_deterministic_cut(self, spark, documents):
+        from sat_bucket_spark.operators.text import vocabulary
+
+        a = [tuple(r) for r in vocabulary(documents, top_k=10).collect()]
+        b = [tuple(r) for r in vocabulary(documents, top_k=10).collect()]
+        assert a == b and len(a) <= 10
+
+    def test_min_doc_freq(self, spark, documents):
+        from sat_bucket_spark.operators.text import vocabulary
+
+        out = vocabulary(documents, min_doc_freq=5).collect()
+        assert all(r["doc_freq"] >= 5 for r in out)
+
+
 class TestExactDedup:
     def test_duplicate_groups(self, spark):
         df = spark.createDataFrame(
