@@ -44,8 +44,11 @@ def main(sf_dir: str) -> None:
     docs = docs.where((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 5))
     n1 = docs.count()
 
-    # 2. exact dedup on the normalization fingerprint (keep min doc_id)
-    docs = dedup_exact(add_fingerprint(docs), ["fingerprint"], id_col="doc_id")
+    # 2. exact dedup on the normalization fingerprint (keep min doc_id).
+    # Cache here: every later stage (near-dup join, split counts, vocabulary)
+    # is an action over this lineage — without the cache each one would re-run
+    # quality scoring + the dedup window from the scan.
+    docs = dedup_exact(add_fingerprint(docs), ["fingerprint"], id_col="doc_id").cache()
     n2 = docs.count()
 
     # 3. near-dup removal: MinHash signatures -> LSH banding -> exact verify;

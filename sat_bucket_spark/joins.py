@@ -60,6 +60,13 @@ def asof_join(
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     by = [by] if isinstance(by, str) else list(by or [])
     r_on = right_on or on
+    reserved = {"__asof_t", "__asof_side", "__asof_payload", "__asof_match"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"columns {sorted(clash)} collide with asof_join internals")
+    # Null-time right rows can never be a valid match; null-time left rows
+    # must get a null match (enforced by nulls-first ordering below).
+    right = right.where(F.col(r_on).isNotNull())
 
     payload_cols = [c for c in right.columns if c not in set(by) | {r_on}]
     out_names = {
@@ -100,21 +107,18 @@ def asof_join(
 
     unioned = left_tag.unionByName(right_tag)
 
+    # Null-time LEFT rows must sort before every right row in BOTH directions
+    # (nulls-first), so the running last(payload) is still null there — a
+    # desc default (nulls last) would hand them the final right row as a
+    # spurious "match".
     if direction == "backward":
-        w = (
-            Window.partitionBy(*by).orderBy(F.col("__asof_t").asc(), F.col("__asof_side").asc())
-            if by
-            else Window.orderBy(F.col("__asof_t").asc(), F.col("__asof_side").asc())
-        )
+        order = [F.col("__asof_t").asc_nulls_first(), F.col("__asof_side").asc()]
     else:
         # Forward: scan time descending so "last non-null" is the EARLIEST
         # right row at-or-after; side stays ascending so right rows (side 0)
         # still precede left rows within an exact-tie timestamp.
-        w = (
-            Window.partitionBy(*by).orderBy(F.col("__asof_t").desc(), F.col("__asof_side").asc())
-            if by
-            else Window.orderBy(F.col("__asof_t").desc(), F.col("__asof_side").asc())
-        )
+        order = [F.col("__asof_t").desc_nulls_first(), F.col("__asof_side").asc()]
+    w = Window.partitionBy(*by).orderBy(*order) if by else Window.orderBy(*order)
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     matched = unioned.withColumn(
@@ -167,6 +171,16 @@ def interval_join_binned(
         raise ValueError("interval_join_binned supports how='inner'")
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    reserved = {"__bin", "__ls", "__le", "__rs", "__re"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"columns {sorted(clash)} collide with interval join internals")
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        raise ValueError(
+            f"left/right share column names {sorted(shared)}; rename one side "
+            "(the joined output would be ambiguous)"
+        )
 
     def _bins(s: Column, e: Column) -> Column:
         lo = F.floor(s / F.lit(bin_width))

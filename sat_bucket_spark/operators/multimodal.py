@@ -294,15 +294,18 @@ def parse_mp4(payload: bytes | None) -> tuple[str, float, int] | None:
     for btype, body, bend in boxes(payload, 0, len(payload)):
         if btype != b"moov":
             continue
-        for ctype, cbody, _cend in boxes(payload, body, bend):
+        for ctype, cbody, cend in boxes(payload, body, bend):
+            # Field reads are bounds-checked against the mvhd box's OWN end
+            # (cend), not the enclosing moov: a truncated mvhd followed by a
+            # sibling trak must be rejected, not read into the next box.
             if ctype == b"trak":
                 n_tracks += 1
-            elif ctype == b"mvhd" and cbody + 4 <= bend:
+            elif ctype == b"mvhd" and cbody + 1 <= cend:
                 version = payload[cbody]
-                if version == 1 and cbody + 28 <= bend:
+                if version == 1 and cbody + 32 <= cend:
                     timescale = int.from_bytes(payload[cbody + 20 : cbody + 24], "big")
                     duration = int.from_bytes(payload[cbody + 24 : cbody + 32], "big")
-                elif version == 0 and cbody + 20 <= bend:
+                elif version == 0 and cbody + 20 <= cend:
                     timescale = int.from_bytes(payload[cbody + 12 : cbody + 16], "big")
                     duration = int.from_bytes(payload[cbody + 16 : cbody + 20], "big")
     if not timescale:

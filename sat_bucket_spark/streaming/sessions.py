@@ -160,16 +160,32 @@ def streaming_sessionize_stateful(
         unit_div = 1000 if times.dtype == "datetime64[ns]" else 1
         ts_us = sorted(times.astype("int64") // unit_div)
 
-        open_session = tuple(state.get) if state.exists else None
+        # Interval merge over (batch rows + the open session from state),
+        # ordered by interval start — late-but-within-watermark rows (allowed
+        # through by Spark when the watermark delay exceeds the gap) correctly
+        # extend the open session BACKWARDS (min start) or form their own
+        # earlier session, instead of being folded forward into the current
+        # one with an inflated count. Caveat (inherent to emit-on-close
+        # streaming): a late row bridging a session that already closed in a
+        # prior batch cannot retract it; the row starts a fresh session.
+        intervals = [(t, t, 1) for t in ts_us]
+        if state.exists:
+            intervals.append(tuple(state.get))
+        intervals.sort(key=lambda s: (s[0], s[1]))
         closed = []
-        for t in ts_us:
+        open_session = None
+        for start, last, n in intervals:
             if open_session is None:
-                open_session = (t, t, 1)
-            elif t - open_session[1] <= gap_us:
-                open_session = (open_session[0], max(open_session[1], t), open_session[2] + 1)
+                open_session = (start, last, n)
+            elif start - open_session[1] <= gap_us:
+                open_session = (
+                    open_session[0],
+                    max(open_session[1], last),
+                    open_session[2] + n,
+                )
             else:
                 closed.append(open_session)
-                open_session = (t, t, 1)
+                open_session = (start, last, n)
         if open_session is not None:
             state.update(open_session)
             state.setTimeoutTimestamp(open_session[1] // 1000 + int(gap_s * 1000))

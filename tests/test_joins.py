@@ -161,6 +161,29 @@ class TestAsofJoin:
         )
         pd.testing.assert_series_equal(got["rv"], exp["rv"], check_dtype=False)
 
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_null_times_never_match(self, spark, direction):
+        left = spark.createDataFrame(
+            [(1, None, 0), (1, 5.0, 1)], "k: long, t: double, lv: long"
+        )
+        right = spark.createDataFrame(
+            [(1, 1.0, 10), (1, None, 99), (1, 9.0, 30)], "k: long, rt: double, rv: long"
+        )
+        rows = {
+            r["lv"]: r["rv"]
+            for r in asof_join(
+                left, right, on="t", right_on="rt", by="k", direction=direction
+            ).collect()
+        }
+        assert rows[0] is None  # null left time: no match in either direction
+        assert rows[1] == (10 if direction == "backward" else 30)  # null rt skipped
+
+    def test_reserved_names_rejected(self, spark):
+        df = spark.createDataFrame([(1, 1.0)], ["k", "t"])
+        bad = df.withColumn("__asof_t", F.lit(0))
+        with pytest.raises(ValueError, match="__asof_t"):
+            asof_join(bad, df, on="t", by="k")
+
     def test_plan_is_single_window_no_python(self, spark):
         left, right = _frames()
         out = asof_join(
@@ -237,3 +260,6 @@ class TestIntervalJoinBinned:
             interval_join_binned(df, df, "s", "e", "s", "e", bin_width=0)
         with pytest.raises(ValueError):
             interval_join_binned(df, df, "s", "e", "s", "e", bin_width=1, how="left")
+        # shared column names would make the joined output ambiguous
+        with pytest.raises(ValueError, match="share column names"):
+            interval_join_binned(df, df, "s", "e", "s", "e", bin_width=1)

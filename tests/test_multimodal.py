@@ -193,6 +193,18 @@ class TestMp4:
         assert parse_mp4(_box(b"ftyp", b"isom")) is None  # no moov/mvhd
         assert parse_mp4(_png(10, 10)) is None
 
+    def test_truncated_mvhd_rejected_not_misread(self):
+        # v1 mvhd cut to 24 body bytes, followed by a trak sibling: the field
+        # guard must use the mvhd box's own end, not read into the trak header
+        short_mvhd = _box(b"mvhd", bytes([1, 0, 0, 0]) + b"\x00" * 20)
+        moov = _box(b"moov", short_mvhd + _box(b"trak", b"\x00" * 16))
+        payload = _box(b"ftyp", b"isom\x00\x00\x02\x00") + moov
+        assert parse_mp4(payload) is None
+        # v0 mvhd with only 16 body bytes (duration field missing)
+        short_v0 = _box(b"mvhd", bytes([0, 0, 0, 0]) + b"\x00" * 12)
+        moov2 = _box(b"moov", short_v0 + _box(b"trak", b"\x00" * 16))
+        assert parse_mp4(_box(b"ftyp", b"isom\x00\x00\x02\x00") + moov2) is None
+
     def test_spark_strict_real_parse(self, spark):
         df = spark.createDataFrame(
             [(1, _mp4(1000, 2000, 2)), (2, _mp4(24, 48, 1))], ["doc_id", "payload"]

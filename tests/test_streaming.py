@@ -134,6 +134,46 @@ class TestStatefulSessionize:
         # a's session closed by event-time timeout; c's still open
         assert sessions == {("a", 2)}
 
+    def test_late_row_not_folded_into_open_session(self, spark, tmp_path):
+        base = datetime.datetime(2021, 1, 1)
+        rows = [
+            # batch 1: open session [t0, t0+30s] for a
+            ("a", base),
+            ("a", base + datetime.timedelta(seconds=30)),
+            # batch 2: a row 30 min EARLIER (within the 1h watermark) + a far
+            # future row for c that advances the watermark past a's timeout
+            ("a", base - datetime.timedelta(minutes=30)),
+            ("c", base + datetime.timedelta(hours=3)),
+        ]
+        d = self._mk(spark, tmp_path, rows, n_files=2)
+        from sat_bucket_spark.streaming.sessions import streaming_sessionize_stateful
+
+        schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        out = streaming_sessionize_stateful(
+            stream, ["user"], gap=120.0, watermark="1 hour"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stateful_late")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql("SELECT * FROM stateful_late").collect()
+        sessions = {
+            (r["user"], r["n_rows"], r["session_start"]) for r in got if r["user"] == "a"
+        }
+        # the late row forms its OWN earlier session (n=1); the open session
+        # [t0, t0+30s] closes by timeout with n=2 — NOT one folded n=3 session
+        assert sessions == {
+            ("a", 1, base - datetime.timedelta(minutes=30)),
+            ("a", 2, base),
+        }
+
     def test_exact_gap_does_not_split(self, spark, tmp_path):
         base = datetime.datetime(2021, 1, 1)
         rows = [
