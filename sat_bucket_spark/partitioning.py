@@ -388,9 +388,19 @@ class Base2DPartitioning:
         )
 
     # -- label expressions (subclass responsibility) ------------------------
-    def label_exprs(self, x: Column | str, y: Column | str) -> dict[str, Column]:
-        """Mapping level name -> label Column. Implemented by subclasses."""
+    def label_exprs_from_indices(self, xi: Column, yi: Column) -> dict[str, Column]:
+        """Mapping level name -> label Column, given bin-INDEX Columns.
+
+        Subclasses implement labels in terms of the indices so callers can
+        materialize the (expensive, multiply-referenced) index expression
+        once — see :meth:`add_labels`.
+        """
         raise NotImplementedError
+
+    def label_exprs(self, x: Column | str, y: Column | str) -> dict[str, Column]:
+        """Mapping level name -> label Column from raw coordinates (inline
+        form — each label re-derives its bin index; prefer add_labels)."""
+        return self.label_exprs_from_indices(self.x_index_expr(x), self.y_index_expr(y))
 
     # -- dataframe ops -------------------------------------------------------
     def add_labels(
@@ -405,10 +415,22 @@ class Base2DPartitioning:
         Invalid coordinates (null/NaN/out-of-extent) yield null labels; with
         ``remove_invalid_rows=True`` those rows are dropped (the reference's
         default policy, partitioning.py:671-679).
+
+        The bin indices are materialized as intermediate columns so each is
+        computed ONCE per row: the index expression (ceil + clamp + two
+        near-edge correction branches) is referenced several times by the
+        centroid/label layers, and inlining it multiplies per-row work ~6x
+        (Catalyst's CollapseProject keeps the staging projection because
+        collapsing would duplicate a non-cheap expression).
         """
-        exprs = self.label_exprs(x, y)
+        xi_col, yi_col = "__sbs_x_idx", "__sbs_y_idx"
+        df = df.withColumn(xi_col, self.x_index_expr(x)).withColumn(
+            yi_col, self.y_index_expr(y)
+        )
+        exprs = self.label_exprs_from_indices(F.col(xi_col), F.col(yi_col))
         for name, expr in exprs.items():
             df = df.withColumn(name, expr)
+        df = df.drop(xi_col, yi_col)
         if remove_invalid_rows:
             # Filter on the raw coordinate validity, NOT on label IS NOT NULL:
             # Catalyst pushes the predicate below the projection, re-deriving
@@ -629,9 +651,14 @@ class XYPartitioning(Base2DPartitioning):
         """y partition label Column."""
         return self._label_expr(self.y_centroid_expr(y), 1)
 
-    def label_exprs(self, x, y) -> dict[str, Column]:
-        """Level -> label Column mapping."""
-        return {self.levels[0]: self.x_label_expr(x), self.levels[1]: self.y_label_expr(y)}
+    def label_exprs_from_indices(self, xi: Column, yi: Column) -> dict[str, Column]:
+        """Level -> label Column mapping from materialized bin indices."""
+        xc = centroid_expr(xi, self.extent.xmin, self.extent.xmax, self.size[0], self.n_x)
+        yc = centroid_expr(yi, self.extent.ymin, self.extent.ymax, self.size[1], self.n_y)
+        return {
+            self.levels[0]: self._label_expr(xc, 0),
+            self.levels[1]: self._label_expr(yc, 1),
+        }
 
     # -- driver-side label grids (reference: partitioning.py:464-487) --------
     @property
@@ -760,12 +787,22 @@ class TilePartitioning(Base2DPartitioning):
         self.justify = justify
 
     # -- label expressions ---------------------------------------------------
-    def _y_out_expr(self, y) -> Column:
-        """y index with origin flip (reference: partitioning.py:314-318)."""
-        y_idx = self.y_index_expr(y)
+    def _y_flip(self, y_idx: Column) -> Column:
+        """Origin flip over a y bin-index Column (reference: partitioning.py:314-318)."""
         if self.origin == "top":
             return y_idx
         return F.when(y_idx.isNotNull(), F.lit(self.n_y - 1) - y_idx)
+
+    def _y_out_expr(self, y) -> Column:
+        """y index with origin flip, from the raw coordinate."""
+        return self._y_flip(self.y_index_expr(y))
+
+    def _tile_id_from_indices(self, x_idx: Column, y_out: Column) -> Column:
+        if self.direction == "x":
+            flat = y_out * F.lit(self.n_x) + x_idx
+        else:
+            flat = x_idx * F.lit(self.n_y) + y_out
+        return F.when(x_idx.isNotNull() & y_out.isNotNull(), flat)
 
     def tile_id_expr(self, x, y) -> Column:
         """Flat tile id: row-major ('x') or column-major ('y') ravel.
@@ -773,25 +810,23 @@ class TilePartitioning(Base2DPartitioning):
         Reference: partitioning.py:327-348 (np.ravel_multi_index order C/F over
         (y, x) with optional bottom-origin flip).
         """
-        x_idx = self.x_index_expr(x)
-        y_out = self._y_out_expr(y)
-        if self.direction == "x":
-            flat = y_out * F.lit(self.n_x) + x_idx
-        else:
-            flat = x_idx * F.lit(self.n_y) + y_out
-        return F.when(x_idx.isNotNull() & y_out.isNotNull(), flat)
+        return self._tile_id_from_indices(self.x_index_expr(x), self._y_out_expr(y))
 
-    def label_exprs(self, x, y) -> dict[str, Column]:
-        """Level -> label Column mapping (reference: partitioning.py:310-348)."""
+    def label_exprs_from_indices(self, xi: Column, yi: Column) -> dict[str, Column]:
+        """Level -> label Column mapping from materialized bin indices
+        (reference: partitioning.py:310-348)."""
+        y_out = self._y_flip(yi)
         if self.n_levels_tiles == 1:
             width = len(str(self.n_x * self.n_y))
-            return {self.levels[0]: tile_label_expr(self.tile_id_expr(x, y), self.justify, width)}
-        x_idx = self.x_index_expr(x)
-        y_out = self._y_out_expr(y)
+            return {
+                self.levels[0]: tile_label_expr(
+                    self._tile_id_from_indices(xi, y_out), self.justify, width
+                )
+            }
         # Labels must be jointly null when either coordinate is invalid
         # (reference: partitioning.py:101-158 mask decorator).
-        both = x_idx.isNotNull() & y_out.isNotNull()
-        x_lab = tile_label_expr(F.when(both, x_idx), self.justify, len(str(self.n_x)))
+        both = xi.isNotNull() & y_out.isNotNull()
+        x_lab = tile_label_expr(F.when(both, xi), self.justify, len(str(self.n_x)))
         y_lab = tile_label_expr(F.when(both, y_out), self.justify, len(str(self.n_y)))
         return {self.levels[0]: x_lab, self.levels[1]: y_lab}
 
