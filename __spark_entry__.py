@@ -740,6 +740,25 @@ def q_lsh_near_dup(spark, sf_dir):
     return lsh_near_dup_pairs(emb, dim=64, threshold=0.3, n_planes=8, n_bands=2)
 
 
+def q_rolling_stats(spark, sf_dir):
+    """Trailing 30-min rolling features per user (rangeBetween window)."""
+    from sat_bucket_spark.functions.timeseries import add_rolling_features
+
+    ev = _events(spark, sf_dir)
+    out = add_rolling_features(
+        ev, time="ts", value="value", window_seconds=1800.0, partition_by=["user_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "roll_count",
+        F.round(F.col("roll_sum").cast("double"), 6).alias("roll_sum"),
+        "roll_min",
+        "roll_max",
+        "roll_mean",
+    )
+
+
 def q_vocabulary(spark, sf_dir):
     """Corpus vocabulary: top-100 tokens by document frequency."""
     from sat_bucket_spark.operators.text import vocabulary
@@ -1289,6 +1308,17 @@ SELECT doc_id,
   round(CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT) / 255.0, 4) AS rms4
 FROM documents
 """,
+    "rolling_stats": """
+SELECT event_id, user_id,
+  CAST(COUNT(*) OVER w AS BIGINT) AS roll_count,
+  round(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE), 6) AS roll_sum,
+  MIN(value) OVER w AS roll_min,
+  MAX(value) OVER w AS roll_max,
+  round(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) / (COUNT(*) OVER w), 6) AS roll_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+""",
     "vocabulary": f"""
 WITH tok AS (
   SELECT doc_id, unnest({_tokens_sql("lower(text)")}) AS token FROM documents
@@ -1525,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "audio_meta": q_audio_meta,
         "video_meta": q_video_meta,
+        "rolling_stats": q_rolling_stats,
         "vocabulary": q_vocabulary,
         "hash_sample": q_hash_sample,
         "split_assign": q_split_assign,

@@ -32,6 +32,7 @@ HEADLINE = [
     "sessionize",          # window sessionization
     "session_count",       # windowed count
     "swath_offsets",       # agg + window + join
+    "rolling_stats",       # rangeBetween event-time rolling features (added r2)
     "dense_grid",          # cross join + left join
     "interval_join",       # range join (broadcast small side)
     "asof_join",           # as-of join: union + single window pass (added r2)

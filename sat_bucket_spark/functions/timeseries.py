@@ -13,7 +13,50 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["interpolate_linear", "regularize_timesteps"]
+__all__ = ["add_rolling_features", "interpolate_linear", "regularize_timesteps"]
+
+
+def add_rolling_features(
+    df: DataFrame,
+    time: str = "time",
+    value: str = "value",
+    window_seconds: float = 3600.0,
+    partition_by: list[str] | None = None,
+    prefix: str = "roll_",
+) -> DataFrame:
+    """Trailing event-time rolling features per row: count / sum / mean / min /
+    max of ``value`` over ``[t - window_seconds, t]``.
+
+    The classic feature-engineering primitive for event streams (per-user
+    activity rates, rolling spend, burst detection). Implemented as ONE
+    ``rangeBetween`` window over the epoch-seconds ordering — a single
+    shuffle on ``partition_by``, no self-join, no UDF; with keys the windows
+    parallelize per key (the keyless form is a global single-reducer window,
+    same caveat as global sessionization).
+
+    The sum accumulates in DECIMAL(28,6), not double, so the result is exact
+    and independent of accumulation order — both for determinism across
+    engines (the DuckDB oracle replays it) and across Spark retries.
+    """
+    keys = list(partition_by) if partition_by else []
+    # Long epoch-µs ordering: rangeBetween takes integer bounds, and µs
+    # resolution reproduces timestamp-INTERVAL frame membership exactly.
+    t = F.unix_micros(F.col(time).cast("timestamp"))
+    w_base = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    w = w_base.orderBy(t).rangeBetween(-int(window_seconds * 1_000_000), 0)
+    dec = F.col(value).cast("decimal(28,6)")
+    out = (
+        df.withColumn(f"{prefix}count", F.count(F.lit(1)).over(w))
+        .withColumn(f"{prefix}sum", F.sum(dec).over(w))
+        .withColumn(f"{prefix}min", F.min(F.col(value)).over(w))
+        .withColumn(f"{prefix}max", F.max(F.col(value)).over(w))
+    )
+    return out.withColumn(
+        f"{prefix}mean",
+        F.round(
+            F.col(f"{prefix}sum").cast("double") / F.col(f"{prefix}count"), 6
+        ),
+    )
 
 
 def regularize_timesteps(

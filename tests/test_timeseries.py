@@ -84,3 +84,61 @@ class TestInterpolate:
         out = interpolate_linear(df, value="v", out="v_filled").orderBy("time").collect()
         assert [r["v"] for r in out] == [1.0, None, 3.0]
         assert [r["v_filled"] for r in out] == [1.0, 2.0, 3.0]
+
+
+class TestRollingFeatures:
+    def test_matches_pandas_rolling(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from sat_bucket_spark.functions.timeseries import add_rolling_features
+
+        rng = np.random.default_rng(3)
+        base = pd.Timestamp("2021-01-01")
+        pdf = pd.DataFrame(
+            {
+                "k": rng.integers(0, 3, 200),
+                "time": base + pd.to_timedelta(rng.integers(0, 36000, 200), unit="s"),
+                "value": np.round(rng.uniform(0, 100, 200), 2),
+            }
+        )
+        out = (
+            add_rolling_features(
+                spark.createDataFrame(pdf),
+                window_seconds=600.0,
+                partition_by=["k"],
+            )
+            .toPandas()
+            .sort_values(["k", "time"])
+            .reset_index(drop=True)
+        )
+        # pandas oracle: trailing 600s window, closed on both ends
+        exp = pdf.sort_values(["k", "time"]).reset_index(drop=True)
+        for col, fn in (("roll_count", "count"), ("roll_sum", "sum"), ("roll_min", "min"), ("roll_max", "max")):
+            r = (
+                exp.set_index("time")
+                .groupby("k")["value"]
+                .rolling("600s", closed="both")
+                .agg(fn)
+                .reset_index(drop=True)
+            )
+            got_col = out[col].astype("float64")
+            assert np.allclose(got_col, r.to_numpy(), atol=1e-6), col
+
+    def test_keyless_global_window(self, spark):
+        import pandas as pd
+
+        from sat_bucket_spark.functions.timeseries import add_rolling_features
+
+        base = pd.Timestamp("2021-01-01")
+        pdf = pd.DataFrame(
+            {"time": [base, base + pd.Timedelta(seconds=30), base + pd.Timedelta(seconds=3000)],
+             "value": [1.0, 2.0, 4.0]}
+        )
+        out = (
+            add_rolling_features(spark.createDataFrame(pdf), window_seconds=60.0)
+            .toPandas()
+            .sort_values("time")
+        )
+        assert list(out["roll_count"]) == [1, 2, 1]
+        assert [float(x) for x in out["roll_sum"]] == [1.0, 3.0, 4.0]
