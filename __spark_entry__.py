@@ -740,6 +740,24 @@ def q_lsh_near_dup(spark, sf_dir):
     return lsh_near_dup_pairs(emb, dim=64, threshold=0.3, n_planes=8, n_bands=2)
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish (letter/digit/punct runs) token counts — LLM budget metric."""
+    from sat_bucket_spark.operators.text import add_bpe_token_count
+
+    return add_bpe_token_count(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp fold)."""
+    from sat_bucket_spark.operators.text import add_rolling_fingerprint
+
+    return add_rolling_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "rhash"
+    )
+
+
 def q_rolling_stats(spark, sf_dir):
     """Trailing 30-min rolling features per user (rangeBetween window)."""
     from sat_bucket_spark.functions.timeseries import add_rolling_features
@@ -1308,6 +1326,19 @@ SELECT doc_id,
   round(CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT) / 255.0, 4) AS rms4
 FROM documents
 """,
+    "bpe_token_count": r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT)
+    AS n_bpe_tokens
+FROM documents
+""",
+    "rolling_fingerprint": """
+SELECT doc_id,
+  COALESCE(list_reduce(
+    list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+    (acc, x) -> (acc * 31 + x) % 1000000007), 0) AS rhash
+FROM documents
+""",
     "rolling_stats": """
 SELECT event_id, user_id,
   CAST(COUNT(*) OVER w AS BIGINT) AS roll_count,
@@ -1555,6 +1586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "audio_meta": q_audio_meta,
         "video_meta": q_video_meta,
+        "bpe_token_count": q_bpe_token_count,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "rolling_stats": q_rolling_stats,
         "vocabulary": q_vocabulary,
         "hash_sample": q_hash_sample,

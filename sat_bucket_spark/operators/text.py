@@ -12,14 +12,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "BPE_TOKEN_PATTERN",
     "STOPWORDS",
+    "add_bpe_token_count",
     "add_fingerprint",
     "add_language_id",
     "add_quality_score",
+    "add_rolling_fingerprint",
     "add_token_count",
+    "bpe_tokens_expr",
+    "rolling_hash_expr",
     "tokens_expr",
     "vocabulary",
 ]
+
+# GPT-2-style segmentation, simplified to the portable common core (Java regex
+# and RE2 agree on it): letter runs | digit runs | punctuation runs, over
+# lowercased text. Real BPE merges within these pre-token boundaries, so this
+# count upper-bounds (and tracks) BPE token counts far better than whitespace.
+BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
 
 # Compact stopword lists for the n-gram/stopword language-ID heuristic.
 # Public knowledge (most frequent function words per language).
@@ -45,6 +56,46 @@ def tokens_expr(text: Column | str) -> Column:
 def add_token_count(df: DataFrame, text: str = "text", out: str = "n_tokens") -> DataFrame:
     """Whitespace token count per document."""
     return df.withColumn(out, F.size(tokens_expr(text)).cast("long"))
+
+
+def bpe_tokens_expr(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization: letter/digit/punctuation runs (lowercased)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(t), F.lit(BPE_TOKEN_PATTERN), 0)
+
+
+def add_bpe_token_count(
+    df: DataFrame, text: str = "text", out: str = "n_bpe_tokens"
+) -> DataFrame:
+    """BPE-ish token count — the budget metric for LLM training data."""
+    return df.withColumn(out, F.size(bpe_tokens_expr(text)).cast("long"))
+
+
+def rolling_hash_expr(
+    text: Column | str, base: int = 31, mod: int = 1_000_000_007
+) -> Column:
+    """Polynomial rolling hash of the full text: fold of ``acc*base + code``.
+
+    The Rabin-Karp primitive — one pass over the char codes, pure expressions
+    (``split``-to-chars + ``aggregate`` fold), engine-portable (DuckDB replays
+    it with ``list_reduce``). ``acc < mod`` keeps ``acc*base + code`` well
+    inside int64. Unlike md5 it composes incrementally, which is what makes
+    windowed/content-defined chunking variants possible downstream.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    codes = F.transform(F.split(t, ""), lambda c: F.ascii(c))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(base) + c) % F.lit(mod),
+    )
+
+
+def add_rolling_fingerprint(
+    df: DataFrame, text: str = "text", out: str = "rhash"
+) -> DataFrame:
+    """Rolling-hash document fingerprint (companion to the md5 fingerprint)."""
+    return df.withColumn(out, rolling_hash_expr(text))
 
 
 def add_quality_score(df: DataFrame, text: str = "text", out: str = "quality_score") -> DataFrame:

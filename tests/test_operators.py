@@ -77,6 +77,39 @@ class TestText:
         assert fps[0] == fps[1] != fps[2]
 
 
+class TestBpeTokensAndRollingHash:
+    def test_bpe_tokens_runs(self, spark):
+        from sat_bucket_spark.operators.text import bpe_tokens_expr
+
+        df = spark.createDataFrame([(1, "Hello, world42! don't")], ["i", "text"])
+        toks = df.select(bpe_tokens_expr("text").alias("t")).collect()[0]["t"]
+        assert toks == ["hello", ",", "world", "42", "!", "don", "'", "t"]
+
+    def test_bpe_count_vs_whitespace(self, spark, documents):
+        from sat_bucket_spark.operators.text import add_bpe_token_count, add_token_count
+
+        out = add_bpe_token_count(add_token_count(documents.limit(50))).collect()
+        # punctuation splits mean BPE-ish count >= whitespace count
+        assert all(r["n_bpe_tokens"] >= r["n_tokens"] for r in out)
+
+    def test_rolling_hash_matches_python(self, spark, documents):
+        from sat_bucket_spark.operators.text import add_rolling_fingerprint
+
+        rows = add_rolling_fingerprint(documents.limit(30)).select("text", "rhash").collect()
+        for r in rows:
+            h = 0
+            for ch in r["text"]:
+                h = (h * 31 + ord(ch)) % 1_000_000_007
+            assert r["rhash"] == h
+
+    def test_rolling_hash_empty(self, spark):
+        from sat_bucket_spark.operators.text import rolling_hash_expr
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1, "")], ["i", "text"])
+        assert df.select(rolling_hash_expr("text").alias("h")).collect()[0]["h"] == 0
+
+
 class TestVocabulary:
     def test_matches_python_counts(self, spark, documents):
         from collections import Counter
