@@ -126,11 +126,14 @@ def _repartition_for_write(df: DataFrame, partitions: list[str]) -> DataFrame:
     - Small input: AQE would coalesce the rebalanced shuffle to ~1 task, and
       that single task then writes every partition DIRECTORY serially — with
       many dirs the per-file writer setup dominates wall clock (648 dirs ~=
-      7 s serial vs <1 s across 32 writers). Hash ``repartition`` on the
-      partition columns keeps all cores writing while still producing one
+      7 s serial vs <1 s across 32 writers). Hash ``repartition`` with an
+      EXPLICIT partition count keeps all cores writing (AQE coalesces a
+      bare ``repartition(*cols)`` just like a rebalance — a user-specified
+      count is the only shape it leaves alone) while still producing one
       file per directory.
     """
     spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
     if spark.conf.get("spark.sql.adaptive.enabled", "true").lower() == "true":
         from sat_bucket_spark.analysis import _estimated_size_bytes
 
@@ -138,10 +141,9 @@ def _repartition_for_write(df: DataFrame, partitions: list[str]) -> DataFrame:
         advisory = parse_size(
             spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
         )
-        cores = spark.sparkContext.defaultParallelism
         if est is None or est >= advisory * cores:
             return df.hint("rebalance", *partitions)
-    return df.repartition(*partitions)
+    return df.repartition(cores, *partitions)
 
 
 def write_partitioned_dataset(
