@@ -803,6 +803,29 @@ def q_split_assign(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Train-test decontamination: word-3-gram overlap vs an eval slice.
+
+    Every 20th document plays the eval corpus; the remainder is the training
+    corpus. The eval n-gram set is broadcast (the at-scale shape: eval sets
+    are MBs, training corpora TBs).
+    """
+    from sat_bucket_spark.operators.dedup import decontamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    return decontamination_report(train, ev, ngram_size=3, threshold=0.35)
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per document."""
+    from sat_bucket_spark.operators.text import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
 def q_video_meta(spark, sf_dir):
     """Multimodal video metadata: real MP4 parse with deterministic fallback.
 
@@ -1375,6 +1398,45 @@ FROM (
   FROM documents
 ) t
 """,
+    "decontaminate": f"""
+WITH toks AS (
+  SELECT doc_id, {_tokens_sql("lower(text)")} AS toks FROM documents
+), ngt AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+         i -> array_to_string(toks[i:i+2], ' '))) AS ngs
+  FROM toks
+), tr AS (
+  SELECT doc_id, unnest(ngs) AS ng FROM ngt WHERE doc_id % 20 != 0
+), evs AS (
+  SELECT DISTINCT unnest(ngs) AS ng FROM ngt WHERE doc_id % 20 = 0
+)
+SELECT tr.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+  CAST(COUNT(evs.ng) AS BIGINT) AS n_contaminated,
+  round(CAST(COUNT(evs.ng) AS DOUBLE) / COUNT(*), 6) AS contamination,
+  round(CAST(COUNT(evs.ng) AS DOUBLE) / COUNT(*), 6) >= 0.35 AS is_contaminated
+FROM tr LEFT JOIN evs ON tr.ng = evs.ng
+GROUP BY tr.doc_id
+""",
+    "repetition": f"""
+WITH toks AS (
+  SELECT doc_id, {_tokens_sql("lower(text)")} AS toks FROM documents
+), stats AS (
+  SELECT doc_id, len(toks) AS n_words, len(list_distinct(toks)) AS n_distinct, toks FROM toks
+), bg AS (
+  SELECT doc_id, n_words, n_distinct,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                i -> array_to_string(toks[i:i+1], ' '))) AS bg
+  FROM stats
+), c AS (
+  SELECT doc_id, n_words, n_distinct, bg, COUNT(*) AS c
+  FROM bg GROUP BY doc_id, n_words, n_distinct, bg
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+  round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_frac
+FROM c GROUP BY doc_id, n_words, n_distinct
+""",
     "video_meta": """
 SELECT doc_id, 'fake' AS major_brand,
   round(CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT) / 10.0, 4) AS duration_s,
@@ -1592,6 +1654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "hash_sample": q_hash_sample,
         "split_assign": q_split_assign,
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
         "overpass_global": q_overpass_global,
         "image_meta": q_image_meta,
     }

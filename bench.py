@@ -39,6 +39,8 @@ HEADLINE = [
     "interval_binned",     # large-large overlap join via grid binning (added r2)
     "token_count",         # text ops
     "quality_score",
+    "repetition",          # Gopher repetition signals: two keyed aggs (added r2)
+    "decontaminate",       # broadcast eval n-gram semi-probe (added r2)
     "minhash",             # explode + groupBy min
     "simhash",             # row-local aggregate exprs
     "minhash_lsh_dedup",   # LSH candidates + exact verify (scale path)

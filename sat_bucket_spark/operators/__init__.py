@@ -8,6 +8,7 @@ in Arrow-batched multimodal stubs.
 
 from sat_bucket_spark.operators.dedup import (
     add_simhash,
+    decontamination_report,
     dedup_exact,
     exact_duplicate_groups,
     lsh_candidate_pairs,
@@ -26,6 +27,7 @@ from sat_bucket_spark.operators.text import (
     add_language_id,
     add_quality_score,
     add_token_count,
+    repetition_signals,
 )
 
 __all__ = [
@@ -35,6 +37,7 @@ __all__ = [
     "add_simhash",
     "add_token_count",
     "brute_force_topk",
+    "decontamination_report",
     "dedup_exact",
     "exact_duplicate_groups",
     "lsh_candidate_pairs",
@@ -44,4 +47,5 @@ __all__ = [
     "ngram_jaccard_pairs",
     "pairwise_near_duplicates",
     "random_hyperplane_signature",
+    "repetition_signals",
 ]

@@ -28,6 +28,7 @@ from sat_bucket_spark.operators.hashing import (
 
 __all__ = [
     "add_simhash",
+    "decontamination_report",
     "exact_duplicate_groups",
     "dedup_exact",
     "lsh_candidate_pairs",
@@ -462,4 +463,53 @@ def simhash_near_dup_pairs(
         )
         .where(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def decontamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-training-document n-gram overlap against an evaluation corpus.
+
+    Train-test decontamination for LLM data pipelines: a training document
+    whose word n-grams largely appear in the eval/benchmark corpus leaks the
+    benchmark and must be dropped. Returns one row per training document:
+    ``(id, n_ngrams, n_contaminated, contamination, is_contaminated)`` where
+    ``contamination`` is the fraction of the document's DISTINCT word
+    n-grams found anywhere in the eval corpus.
+
+    Shape (the one that survives 100 TB of training data): the eval n-gram
+    set is aggregated to DISTINCT n-grams and **broadcast** — eval corpora
+    are a few MB where training corpora are TB — so the per-doc overlap is
+    a map-side broadcast-hash semi-probe plus one groupBy on the training
+    document id. No shuffle ever carries eval-side rows, and training text
+    is reduced to exploded n-grams before the join.
+
+    The flag derives from the ROUNDED fraction so engines computing the
+    division in double agree at the threshold boundary.
+    """
+    ng = F.explode(shingles_expr(text_col, k=ngram_size, unit="word")).alias("__ng")
+    ev = (
+        eval_df.select(F.explode(shingles_expr(text_col, k=ngram_size, unit="word")).alias("__ng"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    tr = train.select(F.col(id_col), ng)
+    joined = tr.join(F.broadcast(ev), "__ng", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("__hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated").cast("double") / F.col("n_ngrams"), 6),
+        )
+        .withColumn("is_contaminated", F.col("contamination") >= F.lit(threshold))
     )

@@ -21,6 +21,7 @@ __all__ = [
     "add_rolling_fingerprint",
     "add_token_count",
     "bpe_tokens_expr",
+    "repetition_signals",
     "rolling_hash_expr",
     "tokens_expr",
     "vocabulary",
@@ -194,3 +195,61 @@ def vocabulary(
             F.col("doc_freq").desc(), F.col("term_freq").desc(), F.col("token").asc()
         ).limit(top_k)
     return agg
+
+
+def repetition_signals(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style within-document repetition quality signals.
+
+    Per document: ``n_words`` (whitespace tokens), ``dup_word_frac``
+    (1 - distinct/total words — high for word-salad spam), and
+    ``top_bigram_frac`` (occurrences of the most frequent word bigram over
+    all bigram occurrences — high for templated/repeated boilerplate).
+    The standard repetition filters from the Gopher/MassiveText quality
+    rules, re-expressed relationally.
+
+    Shape: word-level stats are per-row array expressions (codegen, no
+    shuffle); the bigram mode needs a (doc, bigram) count -> per-doc max,
+    i.e. two aggregations keyed by (id, bigram) then id. Both shuffles
+    carry short rows; map-side partial aggregation absorbs the repetition
+    skew that motivates the signal in the first place.
+
+    Single-word documents have one degenerate "bigram" (the word itself),
+    giving top_bigram_frac 1.0 — consistent across engines rather than
+    null-prone.
+    """
+    # Stage the tokenization once: Spark does not CSE the regex split across
+    # sibling expressions, and re-splitting per derived column dominates.
+    toks = F.col("__toks")
+    n_bg = F.greatest(F.size(toks) - F.lit(1), F.lit(1))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_bg), lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(2)))
+    )
+    staged = df.select(
+        F.col(id_col), tokens_expr(F.lower(F.col(text))).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("__n_distinct"),
+        F.explode(bigrams).alias("__bg"),
+    )
+    per_bigram = staged.groupBy(id_col, "n_words", "__n_distinct", "__bg").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        per_bigram.groupBy(id_col, "n_words", "__n_distinct")
+        .agg(F.max("__c").alias("__top"), F.sum("__c").alias("__total"))
+        .select(
+            id_col,
+            "n_words",
+            F.round(
+                F.lit(1.0) - F.col("__n_distinct").cast("double") / F.col("n_words"), 6
+            ).alias("dup_word_frac"),
+            F.round(F.col("__top").cast("double") / F.col("__total"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )

@@ -410,3 +410,68 @@ class TestSimilarity:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan and "NestedLoop" not in plan
         assert "Python" not in plan
+
+
+class TestDecontamination:
+    def test_overlap_fractions(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "a b c d e"),          # 3-grams: abc bcd cde
+                (2, "x y z w"),            # 3-grams: xyz yzw — no overlap
+                (3, "a b c"),              # single 3-gram, fully contaminated
+            ],
+            ["doc_id", "text"],
+        )
+        ev = spark.createDataFrame([(100, "a b c d q")], ["doc_id", "text"])
+        from sat_bucket_spark.operators.dedup import decontamination_report
+
+        rows = {
+            r["doc_id"]: r
+            for r in decontamination_report(
+                train, ev, ngram_size=3, threshold=0.5
+            ).collect()
+        }
+        assert rows[1]["n_ngrams"] == 3 and rows[1]["n_contaminated"] == 2
+        assert rows[1]["contamination"] == pytest.approx(2 / 3, abs=1e-6)
+        assert rows[1]["is_contaminated"]
+        assert rows[2]["n_contaminated"] == 0 and not rows[2]["is_contaminated"]
+        assert rows[3]["contamination"] == 1.0 and rows[3]["is_contaminated"]
+
+    def test_short_docs_survive(self, spark):
+        train = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+        ev = spark.createDataFrame([(2, "solo")], ["doc_id", "text"])
+        from sat_bucket_spark.operators.dedup import decontamination_report
+
+        row = decontamination_report(train, ev, ngram_size=3).collect()[0]
+        assert row["n_ngrams"] == 1 and row["contamination"] == 1.0
+
+
+class TestRepetitionSignals:
+    def test_signals(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a a a a"),        # all dup words; top bigram "a a" = 3/3
+                (2, "a b c d"),        # no dups; every bigram unique -> 1/3
+                (3, "go go go stop"),  # 2 dup of 4; bigrams: "go go" x2 of 3
+            ],
+            ["doc_id", "text"],
+        )
+        from sat_bucket_spark.operators.text import repetition_signals
+
+        rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+        assert rows[1]["n_words"] == 4
+        assert rows[1]["dup_word_frac"] == pytest.approx(0.75)
+        assert rows[1]["top_bigram_frac"] == pytest.approx(1.0)
+        assert rows[2]["dup_word_frac"] == pytest.approx(0.0)
+        assert rows[2]["top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+        assert rows[3]["dup_word_frac"] == pytest.approx(0.5)
+        assert rows[3]["top_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+
+    def test_single_word_doc(self, spark):
+        df = spark.createDataFrame([(1, "word")], ["doc_id", "text"])
+        from sat_bucket_spark.operators.text import repetition_signals
+
+        row = repetition_signals(df).collect()[0]
+        assert row["n_words"] == 1
+        assert row["dup_word_frac"] == 0.0
+        assert row["top_bigram_frac"] == 1.0

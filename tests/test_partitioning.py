@@ -284,3 +284,38 @@ class TestValidation:
     def test_bad_order(self):
         with pytest.raises(ValueError):
             LonLatPartitioning(size=10, order=["a", "b"])
+
+
+class TestQuadmeshGeometry:
+    """B15: quadmesh corners / per-cell vertices (viz helpers)."""
+
+    def test_quadmesh_corners_shape_and_bounds(self):
+        p = LonLatPartitioning(size=(90, 45))  # 4 x 4 cells
+        xc, yc = p.quadmesh_corners()
+        assert xc.shape == (p.n_y + 1, p.n_x + 1)
+        assert yc.shape == (p.n_y + 1, p.n_x + 1)
+        assert xc[0, 0] == -180 and xc[0, -1] == 180
+        assert yc[0, 0] == -90 and yc[-1, 0] == 90
+
+    def test_vertices_ccw_and_cell_extent(self):
+        p = LonLatPartitioning(size=(90, 45))
+        v = p.vertices()
+        assert v.shape == (p.n_x * p.n_y, 4, 2)
+        # first cell is the lower-left: [-180,-90] .. [-90,-45]
+        cell = v[0]
+        assert cell[:, 0].min() == -180 and cell[:, 0].max() == -90
+        assert cell[:, 1].min() == -90 and cell[:, 1].max() == -45
+        # counterclockwise: shoelace area positive for every cell
+        x, y = v[:, :, 0], v[:, :, 1]
+        area2 = np.sum(x * np.roll(y, -1, axis=1) - np.roll(x, -1, axis=1) * y, axis=1)
+        assert (area2 > 0).all()
+
+    def test_vertices_cover_extent_exactly(self):
+        p = LonLatPartitioning(size=(60, 30))
+        v = p.vertices()
+        assert v[:, :, 0].min() == -180 and v[:, :, 0].max() == 180
+        assert v[:, :, 1].min() == -90 and v[:, :, 1].max() == 90
+        # total shoelace area == full extent area
+        x, y = v[:, :, 0], v[:, :, 1]
+        area = np.sum(x * np.roll(y, -1, axis=1) - np.roll(x, -1, axis=1) * y) / 2
+        assert area == 360 * 180
