@@ -32,6 +32,7 @@ from sat_bucket_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 from sat_bucket_spark.operators.hashing import MERSENNE_P, minhash_params
+from sat_bucket_spark.operators.pii import PII_PATTERNS
 from sat_bucket_spark.operators.similarity import (
     brute_force_topk,
     pairwise_near_duplicates,
@@ -826,6 +827,96 @@ def q_repetition(spark, sf_dir):
     return repetition_signals(docs)
 
 
+def q_pii_scan(spark, sf_dir):
+    """PII detection + redaction over documents with injected patterns.
+
+    The synthetic corpus contains no PII, which would make this parity check
+    vacuous (0 == 0 proves nothing); the query deterministically injects
+    emails / phones / IPv4s derived from doc_id into a subset of documents,
+    then counts and redacts them. Both engines run the identical regexes.
+    """
+    from sat_bucket_spark.operators.pii import add_pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" from 10.0.0."), (F.col("doc_id") % 255).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    types = ["email", "phone", "ipv4"]
+    counted = add_pii_counts(injected, types=types)
+    red = redact_pii(counted, types=types, out="redacted")
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping character-window chunking (1->N map-only fan-out)."""
+    from sat_bucket_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=48, overlap=8)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language corpus rebalancing (hash-thresholded)."""
+    from sat_bucket_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "es": 0.25, "zh": 0.1},
+        default_fraction=0.05,
+        salt="s2",
+    ).select("doc_id", "lang")
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact per-user top-2 event types, deterministic tie-break."""
+    from sat_bucket_spark.operators.sketches import heavy_hitters
+
+    ev = _events(spark, sf_dir)
+    return heavy_hitters(ev, "event_type", k=2, group_by=["user_id"])
+
+
+def q_approx_stats(spark, sf_dir):
+    """Sketch aggregates: HLL distinct users + quantile sketch per type.
+
+    Estimator outputs are implementation-specific, so there is no DuckDB
+    oracle (rows-only check): the tolerance-vs-exact validation lives in
+    tests/test_curation_ops.py::TestSketches.
+    """
+    from sat_bucket_spark.operators.sketches import approx_distinct, approx_quantiles
+
+    ev = _events(spark, sf_dir)
+    d = approx_distinct(ev, ["user_id"], group_by=["event_type"])
+    q = approx_quantiles(ev, "value", [0.5, 0.9], group_by=["event_type"])
+    return d.join(q, "event_type")
+
+
 def q_video_meta(spark, sf_dir):
     """Multimodal video metadata: real MP4 parse with deterministic fallback.
 
@@ -1437,6 +1528,70 @@ SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
   round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_frac
 FROM c GROUP BY doc_id, n_words, n_distinct
 """,
+    "pii_scan": """
+WITH injected AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' from 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '"""
+    + PII_PATTERNS["email"]
+    + """')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '"""
+    + PII_PATTERNS["phone"]
+    + """')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '"""
+    + PII_PATTERNS["ipv4"]
+    + """')) AS BIGINT) AS n_ipv4,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+    '"""
+    + PII_PATTERNS["email"]
+    + """', '[EMAIL]', 'g'),
+    '"""
+    + PII_PATTERNS["phone"]
+    + """', '[PHONE]', 'g'),
+    '"""
+    + PII_PATTERNS["ipv4"]
+    + """', '[IPV4]', 'g')) AS redacted_md5
+FROM injected
+""",
+    "doc_chunks": """
+WITH n AS (
+  SELECT doc_id, text,
+    greatest(CAST(ceil((len(text) - 48) / 40.0) AS BIGINT) + 1, 1) AS n_chunks
+  FROM documents
+),
+e AS (
+  SELECT doc_id, text, n_chunks,
+    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM n
+)
+SELECT doc_id, chunk_id, n_chunks,
+  substr(text, CAST(chunk_id * 40 + 1 AS INT), 48) AS chunk
+FROM e
+""",
+    "stratified_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(CAST(('0x' || substr(md5('s2' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % {MERSENNE_P} AS DOUBLE) / {MERSENNE_P}.0 <
+  CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'es' THEN 0.25
+       WHEN lang = 'zh' THEN 0.1 ELSE 0.05 END
+""",
+    "heavy_hitters": """
+SELECT user_id, event_type, n, rank FROM (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type ASC) AS rank
+  FROM events GROUP BY user_id, event_type
+) t WHERE rank <= 2
+""",
+    # Sketch estimates are estimator-specific; no cross-engine oracle exists
+    # (rows-only driver check; tolerance tests live in test_curation_ops).
+    "approx_stats": None,
     "video_meta": """
 SELECT doc_id, 'fake' AS major_brand,
   round(CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT) / 10.0, 4) AS duration_s,
@@ -1656,6 +1811,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
+        "pii_scan": q_pii_scan,
+        "doc_chunks": q_doc_chunks,
+        "stratified_sample": q_stratified_sample,
+        "heavy_hitters": q_heavy_hitters,
+        "approx_stats": q_approx_stats,
         "overpass_global": q_overpass_global,
         "image_meta": q_image_meta,
     }

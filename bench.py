@@ -39,8 +39,11 @@ HEADLINE = [
     "interval_binned",     # large-large overlap join via grid binning (added r2)
     "token_count",         # text ops
     "quality_score",
-    "repetition",          # Gopher repetition signals: two keyed aggs (added r2)
+    "repetition",          # Gopher repetition signals, row-local fold (added r2)
     "decontaminate",       # broadcast eval n-gram semi-probe (added r2)
+    "pii_scan",            # regex detect + redact chain (added r2)
+    "doc_chunks",          # 1->N chunk fan-out, map-only (added r2)
+    "heavy_hitters",       # (group,value) count + bounded rank (added r2)
     "minhash",             # explode + groupBy min
     "simhash",             # row-local aggregate exprs
     "minhash_lsh_dedup",   # LSH candidates + exact verify (scale path)

@@ -6,6 +6,7 @@ engine. All hot paths are Column expressions (JVM-side); Python appears only
 in Arrow-batched multimodal stubs.
 """
 
+from sat_bucket_spark.operators.chunking import chunk_documents
 from sat_bucket_spark.operators.dedup import (
     add_simhash,
     decontamination_report,
@@ -15,6 +16,17 @@ from sat_bucket_spark.operators.dedup import (
     minhash_lsh_dedup_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+)
+from sat_bucket_spark.operators.pii import add_pii_counts, pii_summary, redact_pii
+from sat_bucket_spark.operators.sampling import (
+    assign_splits,
+    hash_sample,
+    stratified_hash_sample,
+)
+from sat_bucket_spark.operators.sketches import (
+    approx_distinct,
+    approx_quantiles,
+    heavy_hitters,
 )
 from sat_bucket_spark.operators.similarity import (
     brute_force_topk,
@@ -33,19 +45,29 @@ from sat_bucket_spark.operators.text import (
 __all__ = [
     "add_fingerprint",
     "add_language_id",
+    "add_pii_counts",
     "add_quality_score",
     "add_simhash",
     "add_token_count",
+    "approx_distinct",
+    "approx_quantiles",
+    "assign_splits",
     "brute_force_topk",
+    "chunk_documents",
     "decontamination_report",
     "dedup_exact",
     "exact_duplicate_groups",
+    "hash_sample",
+    "heavy_hitters",
     "lsh_candidate_pairs",
     "lsh_topk",
     "minhash_lsh_dedup_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "pairwise_near_duplicates",
+    "pii_summary",
     "random_hyperplane_signature",
+    "redact_pii",
     "repetition_signals",
+    "stratified_hash_sample",
 ]

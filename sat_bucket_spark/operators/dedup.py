@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sat_bucket_spark.operators.parallel import ensure_parallelism
 from sat_bucket_spark.operators.hashing import (
     MERSENNE_P,
     h31_expr,
@@ -73,40 +74,9 @@ def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> D
     )
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition tiny-partition-count inputs up to the cluster's parallelism.
-
-    A single small Parquet file arrives as ONE partition — on a 32-core
-    executor (or a 1000-executor cluster) every downstream shingle/hash/explode
-    runs serially. The repartition is a no-op condition at real scale (many
-    input splits) and a trivial 1-round shuffle when it fires.
-
-    The check is metadata-only in the common at-scale case. ``inputFiles()``
-    alone is NOT a lower bound on scan partitions — Spark bin-packs small
-    files (each padded by ``openCostInBytes``) into ``maxPartitionBytes``
-    chunks, so 200 tiny files can become ~7 partitions. The packing itself
-    gives the sound bound: every partition holds at most
-    ``maxPartitionBytes / openCostInBytes`` files, so
-    ``partitions >= n_files * openCost / maxPartitionBytes``. Only when that
-    bound is inconclusive do we pay the exact ``rdd.getNumPartitions()``
-    plan-to-RDD conversion.
-    """
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    threshold = max(target // 2, 2)
-    try:
-        from sat_bucket_spark.writers import parse_size
-
-        max_bytes = parse_size(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-        open_cost = parse_size(spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
-        files_per_partition = max(max_bytes // max(open_cost, 1), 1)
-        if len(df.inputFiles()) >= threshold * files_per_partition:
-            return df  # packing bound guarantees >= threshold partitions
-    except Exception:
-        pass  # non-file source: fall through to the exact check
-    if df.rdd.getNumPartitions() < threshold:
-        return df.repartition(target)
-    return df
+# Shared with text/similarity operators; kept importable from here for
+# backward compatibility.
+_ensure_parallelism = ensure_parallelism
 
 
 def shingles_expr(text: Column | str, k: int = 5, unit: str = "char") -> Column:
@@ -499,7 +469,7 @@ def decontamination_report(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    tr = train.select(F.col(id_col), ng)
+    tr = _ensure_parallelism(train).select(F.col(id_col), ng)
     joined = tr.join(F.broadcast(ev), "__ng", "left")
     return (
         joined.groupBy(id_col)

@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from sat_bucket_spark.operators.hashing import MERSENNE_P, h31_expr
 
-__all__ = ["assign_splits", "hash_fraction_expr", "hash_sample"]
+__all__ = [
+    "assign_splits",
+    "hash_fraction_expr",
+    "hash_sample",
+    "stratified_hash_sample",
+]
 
 
 def hash_fraction_expr(col: Column | str, salt: str = "") -> Column:
@@ -84,3 +89,46 @@ def assign_splits(
     last = labels[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out, expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling (rebalancing a skewed corpus).
+
+    ``fractions`` maps stratum value -> keep fraction; strata absent from the
+    map keep ``default_fraction``. The decision is the same content-hash
+    fraction as :func:`hash_sample`, compared against a per-stratum threshold
+    chosen by a CASE expression — still a pure, pushdown-friendly filter with
+    zero shuffle, unlike ``df.sampleBy`` (seed- and partitioning-dependent).
+
+    Up/down-weighting languages or sources to a target mix is THE
+    corpus-composition operation at 100 TB; doing it with a stable hash means
+    the kept set is reproducible across engines and incremental re-ingests
+    (a re-run keeps exactly the same documents).
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in [0, 1], got {v}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    thresh = None
+    s = F.col(strata_col)
+    for k, v in fractions.items():
+        cond = s == F.lit(k)
+        thresh = (
+            F.when(cond, F.lit(float(v)))
+            if thresh is None
+            else thresh.when(cond, F.lit(float(v)))
+        )
+    thresh = (
+        F.lit(float(default_fraction))
+        if thresh is None
+        else thresh.otherwise(F.lit(float(default_fraction)))
+    )
+    return df.where(hash_fraction_expr(id_col, salt=salt) < thresh)

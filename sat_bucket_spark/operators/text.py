@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sat_bucket_spark.operators.parallel import ensure_parallelism
+
 __all__ = [
     "BPE_TOKEN_PATTERN",
     "STOPWORDS",
@@ -211,11 +213,13 @@ def repetition_signals(
     The standard repetition filters from the Gopher/MassiveText quality
     rules, re-expressed relationally.
 
-    Shape: word-level stats are per-row array expressions (codegen, no
-    shuffle); the bigram mode needs a (doc, bigram) count -> per-doc max,
-    i.e. two aggregations keyed by (id, bigram) then id. Both shuffles
-    carry short rows; map-side partial aggregation absorbs the repetition
-    skew that motivates the signal in the first place.
+    Shape: everything is row-local — the bigram mode (max bigram count /
+    total bigrams) is computed by sorting the per-row bigram array and
+    folding the longest run of equal adjacent elements with ``aggregate``.
+    No explode, no shuffle, no aggregation: a pure map operator whose cost
+    is O(m log m) per document in codegen, vs the relational alternative
+    (explode -> (doc, bigram) count -> per-doc max) whose shuffle carries
+    every bigram occurrence of the corpus.
 
     Single-word documents have one degenerate "bigram" (the word itself),
     giving top_bigram_frac 1.0 — consistent across engines rather than
@@ -228,28 +232,33 @@ def repetition_signals(
     bigrams = F.transform(
         F.sequence(F.lit(1), n_bg), lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(2)))
     )
-    staged = df.select(
+
+    # Longest run of equal adjacent elements in the SORTED bigram array ==
+    # the max occurrence count of any bigram. Fold state: (prev, run, best).
+    def _run_step(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), new_run.alias("run"), F.greatest(acc["best"], new_run).alias("best")
+        )
+
+    top_count = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        _run_step,
+        lambda acc: acc["best"],
+    )
+    return ensure_parallelism(df).select(
         F.col(id_col), tokens_expr(F.lower(F.col(text))).alias("__toks")
     ).select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_words"),
-        F.size(F.array_distinct(toks)).cast("long").alias("__n_distinct"),
-        F.explode(bigrams).alias("__bg"),
-    )
-    per_bigram = staged.groupBy(id_col, "n_words", "__n_distinct", "__bg").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    return (
-        per_bigram.groupBy(id_col, "n_words", "__n_distinct")
-        .agg(F.max("__c").alias("__top"), F.sum("__c").alias("__total"))
-        .select(
-            id_col,
-            "n_words",
-            F.round(
-                F.lit(1.0) - F.col("__n_distinct").cast("double") / F.col("n_words"), 6
-            ).alias("dup_word_frac"),
-            F.round(F.col("__top").cast("double") / F.col("__total"), 6).alias(
-                "top_bigram_frac"
-            ),
-        )
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("dup_word_frac"),
+        F.round(top_count.cast("double") / n_bg, 6).alias("top_bigram_frac"),
     )

@@ -1,0 +1,225 @@
+"""Tests for round-2 curation operators: PII, chunking, stratified sampling,
+sketches/heavy-hitters."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sat_bucket_spark.operators.chunking import chunk_documents
+from sat_bucket_spark.operators.pii import (
+    PII_TYPES,
+    add_pii_counts,
+    pii_summary,
+    redact_pii,
+)
+from sat_bucket_spark.operators.sampling import stratified_hash_sample
+from sat_bucket_spark.operators.sketches import (
+    approx_distinct,
+    approx_quantiles,
+    heavy_hitters,
+)
+
+
+class TestPII:
+    SAMPLES = [
+        (1, "reach me at alice.smith+work@example.co.uk today"),
+        (2, "card 4111-1111-1111-1111 expires soon"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "call (555) 867-5309 or 555.867.5309"),
+        (5, "host 192.168.0.1 and 10.0.0.255"),
+        (6, "nothing sensitive here"),
+        (7, "two mails: a@b.io and c@d.org; ip 1.2.3.4"),
+    ]
+
+    def test_counts(self, spark):
+        df = spark.createDataFrame(self.SAMPLES, ["doc_id", "text"])
+        rows = {r["doc_id"]: r for r in add_pii_counts(df).collect()}
+        assert rows[1]["n_email"] == 1
+        assert rows[2]["n_credit_card"] == 1
+        assert rows[3]["n_ssn"] == 1
+        assert rows[4]["n_phone"] == 2
+        assert rows[5]["n_ipv4"] == 2
+        assert all(rows[6][f"n_{t}"] == 0 for t in PII_TYPES)
+        assert rows[7]["n_email"] == 2 and rows[7]["n_ipv4"] == 1
+
+    def test_redact(self, spark):
+        df = spark.createDataFrame(self.SAMPLES, ["doc_id", "text"])
+        out = {r["doc_id"]: r["text"] for r in redact_pii(df).collect()}
+        assert out[1] == "reach me at [EMAIL] today"
+        assert out[2] == "card [CREDIT_CARD] expires soon"
+        assert out[3] == "ssn [SSN] on file"
+        assert out[4] == "call [PHONE] or [PHONE]"
+        assert out[5] == "host [IPV4] and [IPV4]"
+        assert out[6] == "nothing sensitive here"
+        # redacted text carries no residual digits/@ from the original PII
+        assert "@" not in out[7] and "1.2.3.4" not in out[7]
+
+    def test_redact_subset_and_out_col(self, spark):
+        df = spark.createDataFrame(self.SAMPLES, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r["clean"]
+            for r in redact_pii(df, types=["email"], out="clean").collect()
+        }
+        assert out[1] == "reach me at [EMAIL] today"
+        assert out[3] == "ssn 123-45-6789 on file"  # ssn untouched
+
+    def test_unknown_type_raises(self, spark):
+        df = spark.createDataFrame(self.SAMPLES, ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            add_pii_counts(df, types=["email", "passport"])
+        with pytest.raises(ValueError):
+            redact_pii(df, types=["nope"])
+
+    def test_summary(self, spark):
+        df = spark.createDataFrame(self.SAMPLES, ["doc_id", "text"])
+        row = pii_summary(df).collect()[0]
+        assert row["docs_email"] == 2 and row["total_email"] == 3
+        assert row["docs_ipv4"] == 2 and row["total_ipv4"] == 3
+        assert row["docs_ssn"] == 1
+
+
+class TestChunking:
+    def test_char_chunks_cover_text(self, spark):
+        text = "abcdefghijklmnopqrstuvwxyz"  # 26 chars
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        rows = sorted(
+            chunk_documents(df, chunk_size=10, overlap=0).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert [r["chunk"] for r in rows] == ["abcdefghij", "klmnopqrst", "uvwxyz"]
+        assert all(r["n_chunks"] == 3 for r in rows)
+        assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+
+    def test_overlap(self, spark):
+        df = spark.createDataFrame([(1, "0123456789")], ["doc_id", "text"])
+        rows = sorted(
+            chunk_documents(df, chunk_size=4, overlap=2).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        chunks = [r["chunk"] for r in rows]
+        # stride 2: starts 0,2,4,6,8 -> ceil((10-4)/2)+1 = 4 chunks
+        assert chunks == ["0123", "2345", "4567", "6789"]
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[-2:] == b[:2]
+
+    def test_exact_fit_no_trailing_chunk(self, spark):
+        df = spark.createDataFrame([(1, "12345678")], ["doc_id", "text"])
+        rows = chunk_documents(df, chunk_size=4, overlap=0).collect()
+        assert sorted(r["chunk"] for r in rows) == ["1234", "5678"]
+
+    def test_empty_doc_yields_one_empty_chunk(self, spark):
+        df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+        rows = chunk_documents(df, chunk_size=4).collect()
+        assert len(rows) == 1 and rows[0]["chunk"] == "" and rows[0]["n_chunks"] == 1
+
+    def test_word_unit_normalizes_whitespace(self, spark):
+        df = spark.createDataFrame([(1, "a  b\tc d e")], ["doc_id", "text"])
+        rows = sorted(
+            chunk_documents(df, chunk_size=2, overlap=0, unit="word").collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert [r["chunk"] for r in rows] == ["a b", "c d", "e"]
+
+    def test_keep_cols_passthrough(self, spark):
+        df = spark.createDataFrame([(1, "abcd", "en")], ["doc_id", "text", "lang"])
+        rows = chunk_documents(df, chunk_size=2, keep_cols=["lang"]).collect()
+        assert all(r["lang"] == "en" for r in rows)
+
+    def test_bad_params(self, spark):
+        df = spark.createDataFrame([(1, "abcd")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_size=0)
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_size=4, overlap=4)
+        with pytest.raises(ValueError):
+            chunk_documents(df, unit="sentence")
+
+
+class TestStratifiedSample:
+    def _docs(self, spark, n=3000):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, "en")
+            .when(F.col("id") % 3 == 1, "de")
+            .otherwise("fr")
+            .alias("lang"),
+        )
+
+    def test_fractions_and_determinism(self, spark):
+        df = self._docs(spark)
+        out = stratified_hash_sample(
+            df, "doc_id", "lang", {"en": 0.5, "de": 0.2}, default_fraction=0.0
+        )
+        counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert "fr" not in counts  # default 0 drops unmapped strata
+        assert counts["en"] == pytest.approx(500, rel=0.15)
+        assert counts["de"] == pytest.approx(200, rel=0.25)
+        # deterministic: identical plan -> identical rows
+        ids1 = sorted(r["doc_id"] for r in out.collect())
+        ids2 = sorted(r["doc_id"] for r in out.collect())
+        assert ids1 == ids2
+
+    def test_nested_samples(self, spark):
+        df = self._docs(spark)
+        small = stratified_hash_sample(df, "doc_id", "lang", {"en": 0.2}, 0.0)
+        big = stratified_hash_sample(df, "doc_id", "lang", {"en": 0.6}, 0.0)
+        s = {r["doc_id"] for r in small.collect()}
+        b = {r["doc_id"] for r in big.collect()}
+        assert s <= b  # same salt -> monotone thresholds nest
+
+    def test_validation(self, spark):
+        df = self._docs(spark, 10)
+        with pytest.raises(ValueError):
+            stratified_hash_sample(df, "doc_id", "lang", {"en": 1.5})
+        with pytest.raises(ValueError):
+            stratified_hash_sample(df, "doc_id", "lang", {}, default_fraction=-0.1)
+
+
+class TestSketches:
+    def test_approx_distinct_tolerance(self, spark):
+        df = spark.range(20000).select((F.col("id") % 3777).alias("v"))
+        est = approx_distinct(df, ["v"], rsd=0.02).collect()[0]["n_distinct_v"]
+        assert est == pytest.approx(3777, rel=0.1)
+
+    def test_approx_distinct_grouped(self, spark):
+        df = spark.range(10000).select(
+            (F.col("id") % 2).alias("g"), (F.col("id") % 500).alias("v")
+        )
+        rows = {r["g"]: r["n_distinct_v"] for r in approx_distinct(df, ["v"], group_by=["g"]).collect()}
+        for g in (0, 1):
+            assert rows[g] == pytest.approx(250, rel=0.1)
+
+    def test_approx_quantiles(self, spark):
+        df = spark.range(1, 10001).select(F.col("id").cast("double").alias("x"))
+        row = approx_quantiles(df, "x", [0.5, 0.9], accuracy=10000).collect()[0]
+        assert row["q_0_5"] == pytest.approx(5000, rel=0.01)
+        assert row["q_0_9"] == pytest.approx(9000, rel=0.01)
+        with pytest.raises(ValueError):
+            approx_quantiles(df, "x", [1.5])
+
+    def test_heavy_hitters_global_exact(self, spark):
+        data = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 30 + [("d",)] * 5
+        df = spark.createDataFrame(data, ["v"])
+        rows = heavy_hitters(df, "v", k=3).orderBy("rank").collect()
+        # tie between b and c broken by value asc
+        assert [(r["v"], r["n"], r["rank"]) for r in rows] == [
+            ("a", 50, 1), ("b", 30, 2), ("c", 30, 3),
+        ]
+
+    def test_heavy_hitters_global_plan_is_take_ordered(self, spark):
+        df = spark.createDataFrame([("a",)] * 10, ["v"])
+        plan = heavy_hitters(df, "v", k=2)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrdered" in plan
+
+    def test_heavy_hitters_grouped(self, spark):
+        data = [(1, "x")] * 4 + [(1, "y")] * 2 + [(2, "z")] * 3 + [(2, "x")] * 3
+        df = spark.createDataFrame(data, ["g", "v"])
+        rows = heavy_hitters(df, "v", k=1, group_by=["g"]).collect()
+        got = {r["g"]: (r["v"], r["n"]) for r in rows}
+        assert got == {1: ("x", 4), 2: ("x", 3)}  # tie at g=2 -> value asc
+
+    def test_heavy_hitters_validation(self, spark):
+        df = spark.createDataFrame([("a",)], ["v"])
+        with pytest.raises(ValueError):
+            heavy_hitters(df, "v", k=0)
