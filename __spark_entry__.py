@@ -87,7 +87,14 @@ LAT_SQL = "(CAST(CAST(FLOOR(event_id / 360.0) AS BIGINT) % 180 AS DOUBLE) - 90.0
 
 
 def _with_coords(events: DataFrame) -> DataFrame:
-    return events.withColumn("lon", F.expr(LON_SQL)).withColumn("lat", F.expr(LAT_SQL))
+    # The sf0.x events table is ONE parquet file (one scan partition); the
+    # label/bin expression work downstream is per-row heavy, so spread it
+    # across cores first. No-op on multi-split inputs (real scale).
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    return ensure_parallelism(events).withColumn("lon", F.expr(LON_SQL)).withColumn(
+        "lat", F.expr(LAT_SQL)
+    )
 
 
 GRID10 = LonLatPartitioning(size=10)  # labels_decimals=(1,1)
@@ -825,6 +832,34 @@ def q_repetition(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return repetition_signals(docs)
+
+
+def q_seq_pack(spark, sf_dir):
+    """Greedy sequence packing into fixed-capacity bins (applyInPandas).
+
+    Order-dependent running state (fill resets at bin breaks) is a
+    recurrence, not a window aggregate — the Spark side is the Arrow-batched
+    per-group pandas kernel; DuckDB replays it with a recursive CTE.
+    """
+    from sat_bucket_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, id_col="doc_id", size_col="n_chars", capacity=4096, n_groups=8
+    )
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup clusters: MinHash-LSH pairs -> distributed connected
+    components (alternating star rounds) -> keep-lowest-id policy."""
+    from sat_bucket_spark.operators.dedup import minhash_lsh_dedup_pairs
+    from sat_bucket_spark.operators.graph import near_duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(
+        docs, n_hashes=16, n_bands=4, shingle_size=8, min_jaccard=0.1
+    )
+    return near_duplicate_clusters(pairs.select("id_a", "id_b"))
 
 
 def q_pii_scan(spark, sf_dir):
@@ -1592,6 +1627,28 @@ SELECT user_id, event_type, n, rank FROM (
     # Sketch estimates are estimator-specific; no cross-engine oracle exists
     # (rows-only driver check; tolerance tests live in test_curation_ops).
     "approx_stats": None,
+    "seq_pack": f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+     % {MERSENNE_P}) % 8 AS "group"
+  FROM documents
+),
+t AS (
+  SELECT *, row_number() OVER (PARTITION BY "group" ORDER BY doc_id) AS rn
+  FROM base
+),
+p AS (
+  SELECT "group", doc_id, n_chars, rn, CAST(0 AS BIGINT) AS bin, n_chars AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t."group", t.doc_id, t.n_chars, t.rn,
+    CASE WHEN p.fill + t.n_chars > 4096 THEN p.bin + 1 ELSE p.bin END,
+    CASE WHEN p.fill + t.n_chars > 4096 THEN t.n_chars ELSE p.fill + t.n_chars END
+  FROM t JOIN p ON t."group" = p."group" AND t.rn = p.rn + 1
+)
+SELECT doc_id, n_chars, "group", bin FROM p
+""",
     "video_meta": """
 SELECT doc_id, 'fake' AS major_brand,
   round(CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT) / 10.0, 4) AS duration_s,
@@ -1707,6 +1764,25 @@ SELECT id_a, id_b, jaccard FROM (
 
 
 _ORACLES["minhash_lsh_dedup"] = _minhash_lsh_dedup_sql()
+
+# Connected components over the same pair graph: DuckDB replays the cluster
+# assignment with a recursive transitive-closure CTE (tractable at oracle
+# scale; the Spark side is the O(log n)-round star algorithm).
+_ORACLES["dup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_dedup_sql()}),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS r FROM und
+  UNION
+  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster_id, node = cluster_id AS is_kept FROM comp
+"""
 _ORACLES["ivf_topk"] = _ivf_topk_sql()
 
 # partition_pruning oracle needs the pruned label lists (driver-side planning,
@@ -1811,6 +1887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
+        "dup_clusters": q_dup_clusters,
+        "seq_pack": q_seq_pack,
         "pii_scan": q_pii_scan,
         "doc_chunks": q_doc_chunks,
         "stratified_sample": q_stratified_sample,

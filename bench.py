@@ -47,6 +47,8 @@ HEADLINE = [
     "minhash",             # explode + groupBy min
     "simhash",             # row-local aggregate exprs
     "minhash_lsh_dedup",   # LSH candidates + exact verify (scale path)
+    "dup_clusters",        # iterative star-round connected components (added r2)
+    "seq_pack",            # applyInPandas greedy packing recurrence (added r2)
     "simhash_near_dup",    # banded hamming join, exact-recall scale path (added r2)
     "embedding_topk",      # broadcast cross + window topk (exactness baseline)
     "ivf_topk",            # IVF ANN (scale path; added r2)

@@ -17,6 +17,11 @@ from sat_bucket_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
 )
+from sat_bucket_spark.operators.graph import (
+    connected_components,
+    near_duplicate_clusters,
+)
+from sat_bucket_spark.operators.packing import pack_sequences
 from sat_bucket_spark.operators.pii import add_pii_counts, pii_summary, redact_pii
 from sat_bucket_spark.operators.sampling import (
     assign_splits,
@@ -54,6 +59,7 @@ __all__ = [
     "assign_splits",
     "brute_force_topk",
     "chunk_documents",
+    "connected_components",
     "decontamination_report",
     "dedup_exact",
     "exact_duplicate_groups",
@@ -63,7 +69,9 @@ __all__ = [
     "lsh_topk",
     "minhash_lsh_dedup_pairs",
     "minhash_signatures",
+    "near_duplicate_clusters",
     "ngram_jaccard_pairs",
+    "pack_sequences",
     "pairwise_near_duplicates",
     "pii_summary",
     "random_hyperplane_signature",

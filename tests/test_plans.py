@@ -19,6 +19,18 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _final_plan(df) -> str:
+    """Execute (noop sink) and return the AQE-final physical plan.
+
+    Plans containing an exchange are wrapped in AdaptiveSparkPlan; codegen
+    annotations ('*(n)') only appear once the final plan is materialized.
+    The action must run on the DataFrame's OWN query execution (a
+    write/count builds a new one), hence collect().
+    """
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_revenue_join_broadcasts_dims(spark):
     plan = _plan(E.q_revenue_by_nation(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan  # nation (and customer via AQE) broadcast
@@ -34,7 +46,7 @@ def test_scan_project_pushdown(spark):
 
 
 def test_labels_stay_in_codegen(spark):
-    plan = _plan(E.q_lonlat_labels(spark, SF_DIR))
+    plan = _final_plan(E.q_lonlat_labels(spark, SF_DIR))
     assert "*(" in plan  # '*' prefix marks whole-stage-codegen stages
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
