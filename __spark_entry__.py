@@ -834,6 +834,36 @@ def q_repetition(spark, sf_dir):
     return repetition_signals(docs)
 
 
+def q_normalize(spark, sf_dir):
+    """Text normalization: control strip + punct fold + whitespace collapse.
+
+    Messy characters (curly quotes, em-dash, ellipsis, NBSP, control chars)
+    are injected deterministically — the synthetic corpus is clean ASCII, and
+    a no-op normalization would be a vacuous parity check.
+    """
+    from sat_bucket_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("“q” – ")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("… end\x01\x7f")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    norm = normalize_text(injected, out="norm")
+    return norm.select(
+        "doc_id",
+        F.length("norm").cast("long").alias("n_chars_norm"),
+        F.md5("norm").alias("norm_md5"),
+    )
+
+
 def q_seq_pack(spark, sf_dir):
     """Greedy sequence packing into fixed-capacity bins (applyInPandas).
 
@@ -1627,6 +1657,30 @@ SELECT user_id, event_type, n, rank FROM (
     # Sketch estimates are estimator-specific; no cross-engine oracle exists
     # (rows-only driver check; tolerance tests live in test_curation_ops).
     "approx_stats": None,
+    "normalize": """
+WITH injected AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN '“q”' || chr(160) || '– ' ELSE '' END
+    || text ||
+    CASE WHEN doc_id % 3 = 0 THEN '… end' || chr(1) || chr(127) ELSE '' END AS t
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      replace(
+        translate(
+          regexp_replace(t, '[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g'),
+          '‘’“”–—' || chr(160),
+          chr(39) || chr(39) || '""-- '
+        ),
+        '…', '...'),
+      '\\s+', ' ', 'g')) AS norm
+  FROM injected
+)
+SELECT doc_id, CAST(len(norm) AS BIGINT) AS n_chars_norm, md5(norm) AS norm_md5
+FROM n
+""",
     "seq_pack": f"""
 WITH RECURSIVE base AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
@@ -1888,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
         "dup_clusters": q_dup_clusters,
+        "normalize": q_normalize,
         "seq_pack": q_seq_pack,
         "pii_scan": q_pii_scan,
         "doc_chunks": q_doc_chunks,

@@ -42,6 +42,7 @@ HEADLINE = [
     "repetition",          # Gopher repetition signals, row-local fold (added r2)
     "decontaminate",       # broadcast eval n-gram semi-probe (added r2)
     "pii_scan",            # regex detect + redact chain (added r2)
+    "normalize",           # control/punct/whitespace normalization pass (added r2)
     "doc_chunks",          # 1->N chunk fan-out, map-only (added r2)
     "heavy_hitters",       # (group,value) count + bounded rank (added r2)
     "minhash",             # explode + groupBy min

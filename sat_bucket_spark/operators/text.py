@@ -23,6 +23,7 @@ __all__ = [
     "add_rolling_fingerprint",
     "add_token_count",
     "bpe_tokens_expr",
+    "normalize_text",
     "repetition_signals",
     "rolling_hash_expr",
     "tokens_expr",
@@ -262,3 +263,42 @@ def repetition_signals(
         ).alias("dup_word_frac"),
         F.round(top_count.cast("double") / n_bg, 6).alias("top_bigram_frac"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text: str = "text",
+    out: str | None = None,
+    lowercase: bool = False,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    normalize_punct: bool = True,
+) -> DataFrame:
+    """Canonical text cleanup for corpus ingestion.
+
+    Composable regex/translate passes, all JVM-side single-scan expressions:
+
+    - ``strip_control``: remove C0/C1 control characters (keep \\t \\n);
+    - ``normalize_punct``: fold typographic variants to ASCII — curly
+      single/double quotes, en/em dashes, ellipsis, non-breaking space;
+    - ``collapse_whitespace``: any whitespace run -> one space, trimmed;
+    - ``lowercase``: optional case fold (off by default — case is signal
+      for quality scoring and language ID).
+
+    The standard first stage of a crawl-to-corpus pipeline: downstream
+    fingerprints, shingles, and token counts all assume normalized input.
+    ``out=None`` rewrites the text column in place.
+    """
+    t: Column = F.col(text)
+    if strip_control:
+        t = F.regexp_replace(t, r"[\x00-\x08\x0b-\x1f\x7f-\x9f]", "")
+    if normalize_punct:
+        # translate: 1:1 codepoint mapping, cheaper than a regex alternation.
+        # curly quotes -> ascii, en/em dash -> '-', NBSP -> space.
+        t = F.translate(t, "‘’“”–— ", "''\"\"-- ")
+        t = F.regexp_replace(t, "…", "...")
+    if collapse_whitespace:
+        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    if lowercase:
+        t = F.lower(t)
+    return df.withColumn(out or text, t)

@@ -223,3 +223,26 @@ class TestSketches:
         df = spark.createDataFrame([("a",)], ["v"])
         with pytest.raises(ValueError):
             heavy_hitters(df, "v", k=0)
+
+
+class TestNormalizeText:
+    def test_all_passes(self, spark):
+        from sat_bucket_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "“Hi” – there…  \tok\x01\x7f  end")],
+            ["doc_id", "text"],
+        )
+        out = normalize_text(df).collect()[0]["text"]
+        assert out == '"Hi" - there... ok end'
+
+    def test_flags_off(self, spark):
+        from sat_bucket_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame([(1, "A  B’s")], ["doc_id", "text"])
+        out = normalize_text(
+            df, collapse_whitespace=False, normalize_punct=False
+        ).collect()[0]["text"]
+        assert out == "A  B’s"
+        low = normalize_text(df, lowercase=True, out="norm").collect()[0]["norm"]
+        assert low == "a b's"
