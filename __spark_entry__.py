@@ -239,15 +239,16 @@ def q_centroids(spark, sf_dir):
 
 
 def q_partition_pruning(spark, sf_dir):
-    """B12: extent -> label isin predicate -> per-partition counts."""
+    """B12: extent -> partition filter -> per-partition counts.
+
+    Row-level analogue of hive partition pruning (labels are derived, not
+    partition columns here): filter on cheap bin indices first, label only
+    the survivors (partitioning.filter_by_extent_partitions). The file-level
+    pruning path is asserted on a real bucket in tests/test_plans.py.
+    """
     ev = _with_coords(_events(spark, sf_dir))
-    labeled = GRID10.add_labels(ev, x="lon", y="lat")
-    pred = GRID10.pruning_predicate([5, 25, -90, -80])
-    return (
-        labeled.where(pred)
-        .groupBy("lon_bin", "lat_bin")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    filtered = GRID10.filter_by_extent_partitions(ev, [5, 25, -90, -80], x="lon", y="lat")
+    return filtered.groupBy("lon_bin", "lat_bin").agg(F.count(F.lit(1)).alias("n"))
 
 
 def q_invalid_policy(spark, sf_dir):

@@ -528,6 +528,40 @@ class Base2DPartitioning:
             pred = c if pred is None else (pred & c)
         return pred if pred is not None else F.lit(False)
 
+    def filter_by_extent_partitions(
+        self, df: DataFrame, extent, x: str = "x", y: str = "y"
+    ) -> DataFrame:
+        """Row-level partition filter for frames WITHOUT materialized labels.
+
+        Appends the partition label columns restricted to the partitions
+        intersecting ``extent`` — same result as ``add_labels`` +
+        ``where(pruning_predicate(extent))``, but ordered for cost: the
+        filter runs on the staged (cheap) bin-index expressions via an
+        integer ``isin``, and the (expensive: round + format + cast) label
+        strings are derived only for the surviving rows. The naive order
+        computes the full label tree for every row because Catalyst pushes
+        the label predicate below the label projection, re-deriving it
+        row-wide inside the filter.
+
+        On a real bucket the labels are hive partition columns and
+        :meth:`pruning_predicate` prunes at the file index; this method is
+        the analogue for label-less frames (e.g. pre-write classification).
+        """
+        x_idx, y_idx = self._index_ranges_by_extent(extent)
+        xi_col, yi_col = "__sbs_x_idx", "__sbs_y_idx"
+        staged = df.withColumn(xi_col, self.x_index_expr(x)).withColumn(
+            yi_col, self.y_index_expr(y)
+        )
+        cond = F.col(xi_col).isin([int(i) for i in x_idx]) & F.col(yi_col).isin(
+            [int(i) for i in y_idx]
+        )
+        staged = staged.where(cond)
+        for name, expr in self.label_exprs_from_indices(
+            F.col(xi_col), F.col(yi_col)
+        ).items():
+            staged = staged.withColumn(name, expr)
+        return staged.drop(xi_col, yi_col)
+
     # -- directories (driver-side; used by tests and non-hive reads) ---------
     def partition_directory(self, labels: dict[str, str]) -> str:
         """Relative directory path for one partition, honoring order + flavor.

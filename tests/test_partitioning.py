@@ -319,3 +319,34 @@ class TestQuadmeshGeometry:
         x, y = v[:, :, 0], v[:, :, 1]
         area = np.sum(x * np.roll(y, -1, axis=1) - np.roll(x, -1, axis=1) * y) / 2
         assert area == 360 * 180
+
+
+class TestFilterByExtentPartitions:
+    def test_matches_label_filter(self, spark):
+        import numpy as np
+
+        p = LonLatPartitioning(size=10)
+        rng = np.random.default_rng(3)
+        rows = [
+            (int(i), float(lon), float(lat))
+            for i, (lon, lat) in enumerate(
+                zip(rng.uniform(-180, 180, 500), rng.uniform(-90, 90, 500))
+            )
+        ]
+        df = spark.createDataFrame(rows, ["id", "x", "y"])
+        extent = [5, 25, -90, -80]
+        naive = (
+            p.add_labels(df, x="x", y="y")
+            .where(p.pruning_predicate(extent))
+            .select("id", "lon_bin", "lat_bin")
+        )
+        fast = p.filter_by_extent_partitions(df, extent, x="x", y="y").select(
+            "id", "lon_bin", "lat_bin"
+        )
+        assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, fast.collect()))
+
+    def test_empty_extent_intersection(self, spark):
+        p = LonLatPartitioning(size=10)
+        df = spark.createDataFrame([(1, 0.0, 0.0)], ["id", "x", "y"])
+        out = p.filter_by_extent_partitions(df, [200, 210, 95, 99], x="x", y="y")
+        assert out.count() == 0
