@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Training-data curation pipeline over the documents/embeddings tables:
 
-    quality filter -> fingerprint dedup -> MinHash-LSH near-dup removal ->
-    deterministic train/val/test split -> vocabulary + language stats,
-    plus embedding near-dup detection on the vectors side.
+    normalize + PII-redact -> quality filter -> fingerprint dedup ->
+    MinHash-LSH near-dup clustering (connected components, keep-lowest-id) ->
+    deterministic train/val/test split -> chunk -> pack into context bins ->
+    vocabulary + language stats, plus embedding near-dup detection on the
+    vectors side.
 
 Every stage is a Column-expression plan (no Python UDFs); run:
 
@@ -20,7 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from sat_bucket_spark import get_spark
+from sat_bucket_spark.operators.chunking import chunk_documents
 from sat_bucket_spark.operators.dedup import dedup_exact, minhash_lsh_dedup_pairs
+from sat_bucket_spark.operators.graph import near_duplicate_clusters
+from sat_bucket_spark.operators.packing import pack_sequences
+from sat_bucket_spark.operators.pii import redact_pii
 from sat_bucket_spark.operators.sampling import assign_splits
 from sat_bucket_spark.operators.similarity import lsh_near_dup_pairs
 from sat_bucket_spark.operators.text import (
@@ -28,6 +34,7 @@ from sat_bucket_spark.operators.text import (
     add_language_id,
     add_quality_score,
     add_token_count,
+    normalize_text,
     vocabulary,
 )
 
@@ -38,6 +45,9 @@ def main(sf_dir: str) -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
+
+    # 0. ingestion hygiene: canonical text + PII scrubbing, both map-only
+    docs = redact_pii(normalize_text(docs))
 
     # 1. quality + language annotation, low-quality filter
     docs = add_language_id(add_quality_score(add_token_count(docs)))
@@ -51,10 +61,13 @@ def main(sf_dir: str) -> None:
     docs = dedup_exact(add_fingerprint(docs), ["fingerprint"], id_col="doc_id").cache()
     n2 = docs.count()
 
-    # 3. near-dup removal: MinHash signatures -> LSH banding -> exact verify;
-    #    drop the higher id of each confirmed pair
+    # 3. near-dup removal: MinHash -> LSH banding -> exact verify -> connected
+    #    components. Clustering (not pairwise loser-dropping) is what makes the
+    #    policy transitive: A~B and B~C keeps exactly one of {A,B,C}.
     pairs = minhash_lsh_dedup_pairs(docs, min_jaccard=0.5)
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    losers = near_duplicate_clusters(pairs.select("id_a", "id_b")).where(
+        ~F.col("is_kept")
+    ).select("doc_id")
     docs = docs.join(losers, "doc_id", "left_anti")
     n3 = docs.count()
 
@@ -62,11 +75,22 @@ def main(sf_dir: str) -> None:
     docs = assign_splits(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
     split_counts = dict(docs.groupBy("split").count().collect())
 
-    # 5. corpus stats on the surviving train set
+    # 5. chunk long documents and pack chunks into fixed-capacity bins
     train = docs.where(F.col("split") == "train")
+    chunks = chunk_documents(train, chunk_size=256, overlap=32)
+    sized = chunks.select(
+        F.concat_ws("_", "doc_id", "chunk_id").alias("chunk_key"),
+        F.length("chunk").cast("long").alias("n_chars"),
+    )
+    packed = pack_sequences(
+        sized, id_col="chunk_key", size_col="n_chars", capacity=2048, n_groups=16
+    )
+    n_bins = packed.select("group", "bin").distinct().count()
+
+    # 6. corpus stats on the surviving train set
     vocab = vocabulary(train, top_k=10).collect()
 
-    # 6. embedding-side near-dup detection (bucketed LSH + exact cosine verify)
+    # 7. embedding-side near-dup detection (bucketed LSH + exact cosine verify)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
@@ -74,6 +98,7 @@ def main(sf_dir: str) -> None:
 
     print(f"documents: {n0} -> quality {n1} -> exact-dedup {n2} -> near-dedup {n3}")
     print(f"splits: {split_counts}")
+    print(f"train chunks: {packed.count()} packed into {n_bins} bins")
     print("top tokens:", [(r["token"], r["doc_freq"]) for r in vocab])
     print(f"embedding near-dup pairs (cos>=0.3): {near}")
 

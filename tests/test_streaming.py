@@ -225,3 +225,36 @@ def test_streaming_partition_counts(spark, stream_source_dir):
     got = {(r["lon_bin"], r["lat_bin"]): r["n"] for r in result}
     # right-closed bins: 10.0 -> (0,10] centroid 5.0; -10.0 -> (-20,-10] centroid -15.0
     assert got == {("5.0", "5.0"): 3, ("-15.0", "-15.0"): 2}
+
+
+def test_streaming_curate(spark, tmp_path):
+    from sat_bucket_spark.streaming.curation import streaming_curate
+
+    base = datetime.datetime(2021, 1, 1)
+    rows = [
+        # same content after normalization -> same fingerprint -> dedup
+        (1, "Hello  world, mail me at a@b.io", base),
+        (2, "Hello world, mail me at a@b.io", base + datetime.timedelta(minutes=3)),
+        (3, "Entirely different document text", base + datetime.timedelta(minutes=1)),
+    ]
+    d = str(tmp_path / "src")
+    spark.createDataFrame(rows, ["doc_id", "text", "time"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = streaming_curate(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scurate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM scurate").collect()}
+    # docs 1 and 2 normalize to identical text -> one survives (first-seen)
+    assert len(got) == 2 and 3 in got
+    survivor = got[1 if 1 in got else 2]
+    assert "[EMAIL]" in survivor["text"] and "@" not in survivor["text"]
+    assert survivor["n_tokens"] > 0 and 0.0 <= survivor["quality_score"] <= 1.0
