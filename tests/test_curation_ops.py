@@ -246,3 +246,36 @@ class TestNormalizeText:
         assert out == "A  B’s"
         low = normalize_text(df, lowercase=True, out="norm").collect()[0]["norm"]
         assert low == "a b's"
+
+
+class TestChunkingProperties:
+    def test_random_coverage_roundtrip(self, spark):
+        """Non-overlapping chunks concatenate back to the original text;
+        overlapping chunks agree on their shared prefix/suffix."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        alphabet = np.array(list("abcdefgh "))
+        rows = []
+        for i in range(40):
+            n = int(rng.integers(0, 200))
+            rows.append((i, "".join(rng.choice(alphabet, n))))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        texts = dict(rows)
+
+        out = chunk_documents(df, chunk_size=30, overlap=0).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk"]
+        for doc, chunks in by_doc.items():
+            joined = "".join(chunks[i] for i in range(len(chunks)))
+            assert joined == texts[doc]
+
+        out2 = chunk_documents(df, chunk_size=30, overlap=10).collect()
+        by_doc2 = {}
+        for r in out2:
+            by_doc2.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk"]
+        for doc, chunks in by_doc2.items():
+            for i in range(len(chunks) - 1):
+                a, b = chunks[i], chunks[i + 1]
+                assert a[20:] == b[: len(a[20:])]  # stride-20 overlap agrees

@@ -64,3 +64,29 @@ class TestPackSequences:
             pack_sequences(df, capacity=0)
         with pytest.raises(ValueError):
             pack_sequences(df, n_groups=0)
+
+
+class TestPackingProperties:
+    def test_random_invariants(self, spark):
+        """Hypothesis-style randomized invariants (fixed seeds for CI speed):
+        totality, fill bound, bin density per group."""
+        import numpy as np
+
+        for seed in (0, 7):
+            rng = np.random.default_rng(seed)
+            n = int(rng.integers(50, 400))
+            cap = int(rng.integers(50, 500))
+            sizes = rng.integers(1, cap * 2, n)  # some oversized
+            df = spark.createDataFrame(
+                [(int(i), int(s)) for i, s in enumerate(sizes)],
+                ["doc_id", "n_tokens"],
+            )
+            out = pack_sequences(df, capacity=cap, n_groups=5).toPandas()
+            assert len(out) == n  # total: nothing dropped
+            for (g, b), grp in out.groupby(["group", "bin"]):
+                # a bin exceeding capacity must be a single oversized doc
+                if grp["n_tokens"].sum() > cap:
+                    assert len(grp) == 1 and grp["n_tokens"].iloc[0] > cap
+            for g, grp in out.groupby("group"):
+                bins = sorted(grp["bin"].unique())
+                assert bins == list(range(len(bins)))  # dense 0..k

@@ -102,3 +102,39 @@ def test_bucket_read_prunes_partitions(spark, orbit_df, tmp_path_factory):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "lon_bin" in pf
+
+
+def test_curation_map_ops_no_shuffle_no_python(spark):
+    """normalize / pii_scan / doc_chunks are map-only: no exchange beyond the
+    small-input parallelism spread, no Python nodes."""
+    for name in ("normalize", "pii_scan", "doc_chunks"):
+        plan = _plan(getattr(E, f"q_{name}")(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "Exchange hashpartitioning" not in plan, name
+
+
+def test_repetition_row_local(spark):
+    """repetition computes its statistics without any keyed shuffle."""
+    plan = _plan(E.q_repetition(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    plan = _plan(E.q_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_bounded_rank(spark):
+    plan = _plan(E.q_heavy_hitters(spark, SF_DIR))
+    # per-group path: one shuffle for the count, one for the rank window max
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_seq_pack_single_group_shuffle(spark):
+    """packing = one exchange on the group key feeding the Arrow kernel."""
+    plan = _plan(E.q_seq_pack(spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan  # the applyInPandas kernel, by design
+    assert plan.count("Exchange hashpartitioning") == 1
