@@ -48,6 +48,7 @@ from sat_bucket_spark.routines import (
     write_granules_bucket,
 )
 from sat_bucket_spark.session import get_spark
+from sat_bucket_spark.sources import read_corpus
 
 __version__ = "0.1.0"
 
@@ -73,6 +74,7 @@ __all__ = [
     "read",
     "read_bucket_dataframe",
     "read_bucket_info",
+    "read_corpus",
     "split_by_overpass",
     "to_grid_arrays",
     "to_pandas_grid",
