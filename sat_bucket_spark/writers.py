@@ -26,6 +26,7 @@ __all__ = [
     "estimate_row_size",
     "parse_size",
     "rows_for_target_size",
+    "write_colocated_table",
     "write_partitioned_dataset",
 ]
 
@@ -209,3 +210,34 @@ def write_partitioned_dataset(
     writer.option("compression", compression).mode(mode).parquet(base_dir)
     if partitions and flavor != "hive":
         dehive_partition_directories(base_dir, partitions)
+
+
+def write_colocated_table(
+    df,
+    name: str,
+    keys: list[str],
+    n_buckets: int = 256,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a catalog table hash-bucketed on ``keys``.
+
+    Spark bucketing pre-shuffles the data ONCE at write time: every
+    subsequent equi-join or aggregation keyed on ``keys`` between tables
+    bucketed with the same (keys, n_buckets) runs with ZERO exchanges (and,
+    with ``sort=True``, zero sorts on the sort-merge path) — the join
+    co-location strategy for repeatedly-joined 100 TB fact tables where a
+    broadcast is impossible and per-query shuffles dominate.
+
+    Plan contract (asserted in tests/test_plans.py): joining two co-bucketed
+    tables on the bucket keys shows no Exchange. Pick ``n_buckets`` ~ target
+    parallelism at full scale (buckets are the max join parallelism).
+
+    Requires a catalog (``saveAsTable``): bucketing metadata lives in the
+    table catalog, not in parquet files — plain ``.parquet(path)`` reads do
+    not see it.
+    """
+    writer = df.write.bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.mode(mode).saveAsTable(name)

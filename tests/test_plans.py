@@ -138,3 +138,30 @@ def test_seq_pack_single_group_shuffle(spark):
     plan = _plan(E.q_seq_pack(spark, SF_DIR))
     assert "FlatMapGroupsInPandas" in plan  # the applyInPandas kernel, by design
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_colocated_tables_join_without_exchange(spark, tmp_path):
+    """bucketBy co-location: equi-join of two same-bucketed tables runs with
+    zero exchanges (the at-scale repeated-join strategy when broadcast is
+    impossible)."""
+    from sat_bucket_spark.writers import write_colocated_table
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    write_colocated_table(docs, "t_docs_b", ["doc_id"], n_buckets=8)
+    write_colocated_table(emb, "t_emb_b", ["doc_id"], n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the co-located sort-merge path is observable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_docs_b").join(spark.table("t_emb_b"), "doc_id")
+        plan = _final_plan(j)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_emb_b")
