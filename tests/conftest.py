@@ -16,9 +16,19 @@ from pyspark.sql import SparkSession
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from sat_bucket_spark.session import get_spark
 
-    spark = get_spark(app_name="sat-bucket-spark-tests", master="local[4]", shuffle_partitions=4)
+    spark = get_spark(
+        app_name="sat-bucket-spark-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            # keep saveAsTable warehouses (bucketed-table tests) out of cwd
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="sbs-warehouse-"),
+        },
+    )
     yield spark
 
 
