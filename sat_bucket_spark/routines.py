@@ -201,6 +201,12 @@ def merge_granule_buckets(
     ``update=True`` -> dynamic partition overwrite of the touched
     (spatial x temporal) partitions — the idempotent replacement for
     delete-files-by-prefix (routines.py:791-810).
+
+    Rows are clustered by ``time`` inside each output file (a local
+    per-task sort, no extra shuffle): row-group min/max time stats become
+    tight, so time-window reads skip whole row groups within the large
+    per-partition files — intra-file pruning under the ``time_part``
+    directory pruning.
     """
     check_temporal_partitioning(temporal_partitioning)
     partitioning = get_bucket_spatial_partitioning(src_bucket_dir)
@@ -238,7 +244,9 @@ def merge_granule_buckets(
             )
         from sat_bucket_spark.writers import _repartition_for_write
 
-        base = _repartition_for_write(df, partitions)
+        base = _repartition_for_write(df, partitions).sortWithinPartitions(
+            *partitions, time
+        )
         writer = (
             base.write.partitionBy(*partitions)
             .option("partitionOverwriteMode", "dynamic")
@@ -250,7 +258,12 @@ def merge_granule_buckets(
         writer.parquet(dst_bucket_dir)
     else:
         write_partitioned_dataset(
-            df, dst_bucket_dir, partitions=partitions, mode="append", **writer_kwargs
+            df,
+            dst_bucket_dir,
+            partitions=partitions,
+            mode="append",
+            sort_within_by=[time],
+            **writer_kwargs,
         )
 
 

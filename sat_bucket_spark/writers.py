@@ -158,6 +158,7 @@ def write_partitioned_dataset(
     mode: str = "append",
     repartition_by_levels: bool = True,
     flavor: str | None = "hive",
+    sort_within_by: list[str] | None = None,
 ) -> None:
     """Write a DataFrame as a partitioned Parquet dataset (reference: writers.py:327-369).
 
@@ -180,13 +181,24 @@ def write_partitioned_dataset(
       write tasks instead of ``spark.sql.shuffle.partitions`` mostly-idle
       ones, each paying per-directory writer setup; a 100 TB table fans out
       to thousands). Falls back to a plain ``repartition`` when AQE is off.
+    - ``sort_within_by``: cluster rows inside each output file by these
+      columns (``sortWithinPartitions`` — a local per-task sort, NO extra
+      shuffle). Sorting by event time makes parquet row-group min/max stats
+      tight, so time-window reads skip whole row groups inside the big
+      per-partition files — the intra-file analogue of ``time_part``
+      directory pruning, and the difference between scanning a 2 GB file
+      and scanning one 200 MB row group of it.
     """
     writer_df = df
     if partitions:
         if repartition_by_levels:
             writer_df = _repartition_for_write(df, partitions)
+        if sort_within_by:
+            writer_df = writer_df.sortWithinPartitions(*(partitions + sort_within_by))
         writer = writer_df.write.partitionBy(*partitions)
     else:
+        if sort_within_by:
+            writer_df = writer_df.sortWithinPartitions(*sort_within_by)
         writer = writer_df.write
 
     if max_records_per_file is None and max_file_size is not None:

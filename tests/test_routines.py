@@ -120,6 +120,21 @@ class TestMerge:
         assert df.count() == 100  # granules 0+1 are 2021
         assert {r["time_part"] for r in df.select("time_part").distinct().collect()} == {"2021"}
 
+    def test_merged_files_time_clustered(self, spark, staged, tmp_path):
+        """Rows inside each merged parquet file are time-sorted, so row-group
+        min/max stats are tight (intra-file time pruning)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        dst = str(tmp_path / "merged_sorted")
+        merge_granule_buckets(spark, staged, dst, temporal_partitioning="year")
+        files = glob.glob(os.path.join(dst, "**", "*.parquet"), recursive=True)
+        assert files
+        for f in files:
+            t = pq.read_table(f, columns=["time"])["time"].to_pylist()
+            assert t == sorted(t), f
+
     def test_read_time_window_prunes_time_partitions(self, spark, staged, tmp_path):
         dst = str(tmp_path / "merged_t")
         merge_granule_buckets(spark, staged, dst, temporal_partitioning="year")
