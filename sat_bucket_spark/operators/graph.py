@@ -78,11 +78,32 @@ def _small_star(e: DataFrame) -> DataFrame:
     return _canonical(out)
 
 
+def _union_find_local(pairs: list) -> list:
+    """Driver-side union-find with path halving; returns (node, min-root)."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components of an undirected edge list.
 
@@ -91,9 +112,18 @@ def connected_components(
     needed); ``component`` is the component's minimum node id. Node ids may
     be any orderable type (long doc ids, string fingerprints).
 
-    Stops when a full large+small round leaves the edge set unchanged
-    (count + commutative hash-sum fingerprint — one aggregate action); at
-    that point the graph is a star forest, which both passes map to itself.
+    Edge sets at or below ``driver_threshold`` (after dedup) are solved
+    with driver-side union-find — the same small-side reasoning as a
+    broadcast join: a graph of a few hundred thousand edges is MBs, and one
+    collect beats 2-5 distributed rounds of shuffles by an order of
+    magnitude. Above the threshold the alternating star rounds run fully
+    distributed; both paths produce the identical (node, min-id) output.
+    Set ``driver_threshold=0`` to force the distributed path.
+
+    The distributed loop stops when a full large+small round leaves the
+    edge set unchanged (count + commutative hash fingerprint — one
+    aggregate action); at that point the graph is a star forest, which both
+    passes map to itself.
     """
     e = (
         edges.select(
@@ -104,6 +134,19 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if driver_threshold and e.count() <= driver_threshold:
+        from pyspark.sql.types import StructField, StructType
+
+        pairs = [(r["u"], r["v"]) for r in e.collect()]
+        assignment = _union_find_local(pairs)
+        node_type = e.schema["u"].dataType
+        schema = StructType(
+            [
+                StructField("node", node_type, False),
+                StructField("component", node_type, False),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(assignment, schema=schema)
 
     def _fingerprint(df: DataFrame) -> tuple:
         row = df.agg(

@@ -47,18 +47,27 @@ class TestConnectedComponents:
         df = spark.createDataFrame([("b", "a"), ("b", "c"), ("x", "y")], ["src", "dst"])
         got = {r["node"]: r["component"] for r in connected_components(df).collect()}
         assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, driver_threshold=0).collect()
+        }
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
     def test_long_chain_converges_fast(self, spark):
         # a 200-node path is the adversarial case for label propagation;
         # star rounds handle it in O(log n)
         edges = [(i, i + 1) for i in range(200)]
         df = spark.createDataFrame(edges, ["src", "dst"])
-        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, driver_threshold=0).collect()
+        }
         assert set(got.values()) == {0}
         assert len(got) == 201
 
     @pytest.mark.parametrize("seed", [0, 1, 2])
-    def test_random_vs_union_find(self, spark, seed):
+    @pytest.mark.parametrize("threshold", [200_000, 0])  # driver and distributed paths
+    def test_random_vs_union_find(self, spark, seed, threshold):
         rng = np.random.default_rng(seed)
         n, m = 300, 260
         edges = [
@@ -68,7 +77,10 @@ class TestConnectedComponents:
         ]
         expected = _union_find(edges)
         df = spark.createDataFrame(edges, ["src", "dst"])
-        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, driver_threshold=threshold).collect()
+        }
         assert got == expected
 
 
