@@ -389,7 +389,14 @@ def simhash_near_dup_pairs(
     width = n_bits // n_bands
     mask = (1 << width) - 1
 
-    sigs = add_simhash(df, text_col=text_col, n_bits=n_bits).select(id_col, "simhash")
+    # (id, long) — tiny; the plan references it 4x (two band sides + two
+    # verify rejoins) and without materialization each reference re-runs the
+    # full per-token hashing of add_simhash.
+    sigs = (
+        add_simhash(df, text_col=text_col, n_bits=n_bits)
+        .select(id_col, "simhash")
+        .localCheckpoint(eager=False)
+    )
 
     bands = sigs.select(
         F.col(id_col),
