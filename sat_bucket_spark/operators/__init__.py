@@ -44,7 +44,9 @@ from sat_bucket_spark.operators.text import (
     add_language_id,
     add_quality_score,
     add_token_count,
+    normalize_text,
     repetition_signals,
+    vocabulary,
 )
 
 __all__ = [
@@ -71,6 +73,7 @@ __all__ = [
     "minhash_signatures",
     "near_duplicate_clusters",
     "ngram_jaccard_pairs",
+    "normalize_text",
     "pack_sequences",
     "pairwise_near_duplicates",
     "pii_summary",
@@ -78,4 +81,5 @@ __all__ = [
     "redact_pii",
     "repetition_signals",
     "stratified_hash_sample",
+    "vocabulary",
 ]
