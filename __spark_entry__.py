@@ -835,6 +835,14 @@ def q_repetition(spark, sf_dir):
     return repetition_signals(docs)
 
 
+def q_tf_idf(spark, sf_dir):
+    """TF-IDF relevance scores for a 3-term query over the corpus."""
+    from sat_bucket_spark.operators.relevance import tf_idf_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf_scores(docs, ["query", "window", "scan"])
+
+
 def q_normalize(spark, sf_dir):
     """Text normalization: control strip + punct fold + whitespace collapse.
 
@@ -1658,6 +1666,23 @@ SELECT user_id, event_type, n, rank FROM (
     # Sketch estimates are estimator-specific; no cross-engine oracle exists
     # (rows-only driver check; tolerance tests live in test_curation_ops).
     "approx_stats": None,
+    "tf_idf": f"""
+WITH matched AS (
+  SELECT doc_id, unnest(list_filter({_tokens_sql("lower(text)")},
+         t -> t IN ('query', 'window', 'scan'))) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM matched GROUP BY doc_id, term),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM matched GROUP BY term)
+SELECT tf.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_matched,
+  round(CAST(SUM(CAST(tf.tf * ln(CAST(stats.n AS DOUBLE) / dfreq.df)
+                      AS DECIMAL(28,10))) AS DOUBLE), 6) AS score
+FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+GROUP BY tf.doc_id
+""",
     "normalize": """
 WITH injected AS (
   SELECT doc_id,
@@ -1944,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "dup_clusters": q_dup_clusters,
         "normalize": q_normalize,
+        "tf_idf": q_tf_idf,
         "seq_pack": q_seq_pack,
         "pii_scan": q_pii_scan,
         "doc_chunks": q_doc_chunks,

@@ -45,6 +45,7 @@ HEADLINE = [
     "normalize",           # control/punct/whitespace normalization pass (added r2)
     "doc_chunks",          # 1->N chunk fan-out, map-only (added r2)
     "heavy_hitters",       # (group,value) count + bounded rank (added r2)
+    "tf_idf",              # query-filtered token explode + keyed agg (added r2)
     "minhash",             # explode + groupBy min
     "simhash",             # row-local aggregate exprs
     "minhash_lsh_dedup",   # LSH candidates + exact verify (scale path)

@@ -22,6 +22,7 @@ from sat_bucket_spark.operators.graph import (
     near_duplicate_clusters,
 )
 from sat_bucket_spark.operators.packing import pack_sequences
+from sat_bucket_spark.operators.relevance import bm25_scores, tf_idf_scores
 from sat_bucket_spark.operators.pii import add_pii_counts, pii_summary, redact_pii
 from sat_bucket_spark.operators.sampling import (
     assign_splits,
@@ -59,6 +60,7 @@ __all__ = [
     "approx_distinct",
     "approx_quantiles",
     "assign_splits",
+    "bm25_scores",
     "brute_force_topk",
     "chunk_documents",
     "connected_components",
@@ -81,5 +83,6 @@ __all__ = [
     "redact_pii",
     "repetition_signals",
     "stratified_hash_sample",
+    "tf_idf_scores",
     "vocabulary",
 ]

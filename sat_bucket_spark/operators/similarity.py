@@ -128,10 +128,16 @@ def lsh_near_dup_pairs(
     """
     cand = None
     for band in range(n_bands):
-        sig = random_hyperplane_signature(
-            vectors, dim=dim, n_planes=n_planes, vec_col=vec_col,
-            out="__lsh_b", seed=seed + band,
-        ).select(id_col, "__lsh_b")
+        # (id, int) — materialize so the a/b join sides don't each re-run
+        # the dim x n_planes projection fold.
+        sig = (
+            random_hyperplane_signature(
+                vectors, dim=dim, n_planes=n_planes, vec_col=vec_col,
+                out="__lsh_b", seed=seed + band,
+            )
+            .select(id_col, "__lsh_b")
+            .localCheckpoint(eager=False)
+        )
         a = sig.select(F.col(id_col).alias("id_a"), "__lsh_b")
         b = sig.select(F.col(id_col).alias("id_b"), "__lsh_b")
         pairs = (
