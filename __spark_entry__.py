@@ -835,6 +835,23 @@ def q_repetition(spark, sf_dir):
     return repetition_signals(docs)
 
 
+def q_cluster_sizes(spark, sf_dir):
+    """Embedding cluster occupancy under a fixed literal codebook.
+
+    The assignment expression is the same literal-codebook argmin the IVF
+    path uses (and distributed k-means iterates); with fixed centroids the
+    whole query is deterministic and SQL-replayable.
+    """
+    from sat_bucket_spark.operators.clustering import assign_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        assign_clusters(emb, _IVF_CENTROIDS)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_tf_idf(spark, sf_dir):
     """TF-IDF relevance scores for a 3-term query over the corpus."""
     from sat_bucket_spark.operators.relevance import tf_idf_scores
@@ -1666,6 +1683,7 @@ SELECT user_id, event_type, n, rank FROM (
     # Sketch estimates are estimator-specific; no cross-engine oracle exists
     # (rows-only driver check; tolerance tests live in test_curation_ops).
     "approx_stats": None,
+    "cluster_sizes": None,  # filled below (needs the centroid literal helper)
     "tf_idf": f"""
 WITH matched AS (
   SELECT doc_id, unnest(list_filter({_tokens_sql("lower(text)")},
@@ -1845,6 +1863,24 @@ SELECT id_a, id_b, jaccard FROM (
 
 _ORACLES["minhash_lsh_dedup"] = _minhash_lsh_dedup_sql()
 
+
+def _cluster_sizes_sql() -> str:
+    scores = ", ".join(
+        f"({float((c ** 2).sum())!r} - 2.0 * list_inner_product(emb, {_centroid_arr_sql(c)}))"
+        for c in _IVF_CENTROIDS
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cl AS (
+  SELECT vec_id, CAST(list_position(scores, list_min(scores)) - 1 AS INT) AS cluster
+  FROM (SELECT vec_id, emb, [{scores}] AS scores FROM emb) s
+)
+SELECT cluster, COUNT(*) AS n FROM cl GROUP BY cluster
+"""
+
+
+_ORACLES["cluster_sizes"] = _cluster_sizes_sql()
+
 # Connected components over the same pair graph: DuckDB replays the cluster
 # assignment with a recursive transitive-closure CTE (tractable at oracle
 # scale; the Spark side is the O(log n)-round star algorithm).
@@ -1970,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "normalize": q_normalize,
         "tf_idf": q_tf_idf,
+        "cluster_sizes": q_cluster_sizes,
         "seq_pack": q_seq_pack,
         "pii_scan": q_pii_scan,
         "doc_chunks": q_doc_chunks,

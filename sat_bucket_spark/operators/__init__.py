@@ -7,6 +7,7 @@ in Arrow-batched multimodal stubs.
 """
 
 from sat_bucket_spark.operators.chunking import chunk_documents
+from sat_bucket_spark.operators.clustering import assign_clusters, kmeans_fit
 from sat_bucket_spark.operators.dedup import (
     add_simhash,
     decontamination_report,
@@ -59,6 +60,7 @@ __all__ = [
     "add_token_count",
     "approx_distinct",
     "approx_quantiles",
+    "assign_clusters",
     "assign_splits",
     "bm25_scores",
     "brute_force_topk",
@@ -69,6 +71,7 @@ __all__ = [
     "exact_duplicate_groups",
     "hash_sample",
     "heavy_hitters",
+    "kmeans_fit",
     "lsh_candidate_pairs",
     "lsh_topk",
     "minhash_lsh_dedup_pairs",
