@@ -26,6 +26,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sat_bucket_spark.operators.parallel import ensure_parallelism
 from sat_bucket_spark.operators.text import tokens_expr
 
 __all__ = ["bm25_scores", "tf_idf_scores"]
@@ -33,6 +34,7 @@ __all__ = ["bm25_scores", "tf_idf_scores"]
 
 def _doc_terms(df: DataFrame, id_col: str, text: str, terms: list[str]) -> DataFrame:
     toks = F.transform(tokens_expr(F.lower(F.col(text))), lambda t: t)
+    df = ensure_parallelism(df)
     exploded = df.select(
         F.col(id_col),
         F.size(tokens_expr(F.lower(F.col(text)))).cast("double").alias("__dl"),
