@@ -835,6 +835,14 @@ def q_repetition(spark, sf_dir):
     return repetition_signals(docs)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted index with df bounds (skew-capped posting lists)."""
+    from sat_bucket_spark.operators.relevance import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=3, max_df=400)
+
+
 def q_cluster_sizes(spark, sf_dir):
     """Embedding cluster occupancy under a fixed literal codebook.
 
@@ -1684,6 +1692,16 @@ SELECT user_id, event_type, n, rank FROM (
     # (rows-only driver check; tolerance tests live in test_curation_ops).
     "approx_stats": None,
     "cluster_sizes": None,  # filled below (needs the centroid literal helper)
+    "inverted_index": f"""
+WITH e AS (
+  SELECT doc_id, unnest(list_distinct({_tokens_sql("lower(text)")})) AS term
+  FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+  list_sort(list(doc_id)) AS postings
+FROM e GROUP BY term
+HAVING COUNT(*) >= 3 AND COUNT(*) <= 400
+""",
     "tf_idf": f"""
 WITH matched AS (
   SELECT doc_id, unnest(list_filter({_tokens_sql("lower(text)")},
@@ -2007,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize": q_normalize,
         "tf_idf": q_tf_idf,
         "cluster_sizes": q_cluster_sizes,
+        "inverted_index": q_inverted_index,
         "seq_pack": q_seq_pack,
         "pii_scan": q_pii_scan,
         "doc_chunks": q_doc_chunks,

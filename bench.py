@@ -46,6 +46,8 @@ HEADLINE = [
     "doc_chunks",          # 1->N chunk fan-out, map-only (added r2)
     "heavy_hitters",       # (group,value) count + bounded rank (added r2)
     "tf_idf",              # query-filtered token explode + keyed agg (added r2)
+    "inverted_index",      # df-bounded posting lists (added r2)
+    "cluster_sizes",       # literal-codebook assignment + count (added r2)
     "minhash",             # explode + groupBy min
     "simhash",             # row-local aggregate exprs
     "minhash_lsh_dedup",   # LSH candidates + exact verify (scale path)

@@ -23,7 +23,7 @@ from sat_bucket_spark.operators.graph import (
     near_duplicate_clusters,
 )
 from sat_bucket_spark.operators.packing import pack_sequences
-from sat_bucket_spark.operators.relevance import bm25_scores, tf_idf_scores
+from sat_bucket_spark.operators.relevance import bm25_scores, inverted_index, tf_idf_scores
 from sat_bucket_spark.operators.pii import add_pii_counts, pii_summary, redact_pii
 from sat_bucket_spark.operators.sampling import (
     assign_splits,
@@ -71,6 +71,7 @@ __all__ = [
     "exact_duplicate_groups",
     "hash_sample",
     "heavy_hitters",
+    "inverted_index",
     "kmeans_fit",
     "lsh_candidate_pairs",
     "lsh_topk",

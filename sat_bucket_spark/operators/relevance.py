@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from sat_bucket_spark.operators.parallel import ensure_parallelism
 from sat_bucket_spark.operators.text import tokens_expr
 
-__all__ = ["bm25_scores", "tf_idf_scores"]
+__all__ = ["bm25_scores", "inverted_index", "tf_idf_scores"]
 
 
 def _doc_terms(df: DataFrame, id_col: str, text: str, terms: list[str]) -> DataFrame:
@@ -151,3 +151,39 @@ def tf_idf_scores(
             ).alias("score"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Term -> sorted posting list (doc ids), with document-frequency bounds.
+
+    The retrieval-side materialization of :func:`~sat_bucket_spark.operators.
+    text.vocabulary`: one shuffle keyed by term builds
+    ``(term, df, postings)``; ``min_df`` prunes hapax noise, ``max_df``
+    prunes stopword-grade terms whose posting lists are the classic skew
+    hazard (a term in every document collects the whole corpus into one
+    group — cap it out before the collect_list).
+
+    Postings are sorted ascending for deterministic, merge-friendly output.
+    """
+    toks = F.explode(
+        F.array_distinct(tokens_expr(F.lower(F.col(text))))
+    ).alias("term")
+    per_term = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), toks)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.array_sort(F.collect_list(id_col)).alias("postings"),
+        )
+    )
+    out = per_term.where(F.col("df") >= F.lit(min_df))
+    if max_df is not None:
+        out = out.where(F.col("df") <= F.lit(max_df))
+    return out

@@ -165,3 +165,15 @@ def test_colocated_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_emb_b")
+
+
+def test_tf_idf_single_keyed_agg_chain(spark):
+    plan = _plan(E.q_tf_idf(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_assignment_codegen(spark):
+    plan = _plan(E.q_cluster_sizes(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one exchange: the per-cluster count
+    assert plan.count("Exchange hashpartitioning") <= 1

@@ -59,3 +59,22 @@ class TestBM25:
         rows = {r["doc_id"]: r["score"] for r in bm25_scores(df, ["spark"]).collect()}
         assert rows[4] > rows[1]
         assert rows[4] < 3 * rows[1]
+
+
+class TestInvertedIndex:
+    def test_postings(self, spark):
+        from sat_bucket_spark.operators.relevance import inverted_index
+
+        df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        rows = {r["term"]: r for r in inverted_index(df).collect()}
+        assert rows["query"]["postings"] == [1, 2]
+        assert rows["query"]["df"] == 2  # distinct docs, not occurrences
+        assert rows["spark"]["postings"] == [1, 4]
+        assert rows["engine"]["postings"] == [1, 2]
+
+    def test_df_bounds(self, spark):
+        from sat_bucket_spark.operators.relevance import inverted_index
+
+        df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        terms = {r["term"] for r in inverted_index(df, min_df=2, max_df=2).collect()}
+        assert terms == {"spark", "query", "engine"}
