@@ -860,6 +860,20 @@ def q_cluster_sizes(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: within-cluster cosine pruning.
+
+    Clusters come from the fixed literal codebook (deterministic); a row is
+    dropped when a smaller-id row in its cluster has cosine >= 0.3 with it.
+    Survivors are the per-neighborhood representatives.
+    """
+    from sat_bucket_spark.operators.clustering import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, _IVF_CENTROIDS, threshold=0.3)
+    return out.select("vec_id", F.col("label").cast("int").alias("label"))
+
+
 def q_tf_idf(spark, sf_dir):
     """TF-IDF relevance scores for a 3-term query over the corpus."""
     from sat_bucket_spark.operators.relevance import tf_idf_scores
@@ -1899,6 +1913,33 @@ SELECT cluster, COUNT(*) AS n FROM cl GROUP BY cluster
 
 _ORACLES["cluster_sizes"] = _cluster_sizes_sql()
 
+
+def _semantic_dedup_sql(threshold: float = 0.3) -> str:
+    """Oracle mirror of q_semantic_dedup: literal-codebook cluster assignment,
+    within-cluster cosine pairs, drop rows with a smaller-id near-dup."""
+    scores = ", ".join(
+        f"({float((c ** 2).sum())!r} - 2.0 * list_inner_product(emb, {_centroid_arr_sql(c)}))"
+        for c in _IVF_CENTROIDS
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+cl AS (
+  SELECT vec_id, label, emb,
+    CAST(list_position(scores, list_min(scores)) - 1 AS INT) AS cluster
+  FROM (SELECT vec_id, label, emb, [{scores}] AS scores FROM emb) s
+),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_COSINE_SQL} >= {threshold!r}
+)
+SELECT vec_id, CAST(label AS INT) AS label FROM cl
+WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+"""
+
+
+_ORACLES["semantic_dedup"] = _semantic_dedup_sql()
+
 # Connected components over the same pair graph: DuckDB replays the cluster
 # assignment with a recursive transitive-closure CTE (tractable at oracle
 # scale; the Spark side is the O(log n)-round star algorithm).
@@ -2025,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize": q_normalize,
         "tf_idf": q_tf_idf,
         "cluster_sizes": q_cluster_sizes,
+        "semantic_dedup": q_semantic_dedup,
         "inverted_index": q_inverted_index,
         "seq_pack": q_seq_pack,
         "pii_scan": q_pii_scan,

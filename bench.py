@@ -48,6 +48,7 @@ HEADLINE = [
     "tf_idf",              # query-filtered token explode + keyed agg (added r2)
     "inverted_index",      # df-bounded posting lists (added r2)
     "cluster_sizes",       # literal-codebook assignment + count (added r2)
+    "semantic_dedup",      # within-cluster cosine pruning, SemDeDup (added r2)
     "minhash",             # explode + groupBy min
     "simhash",             # row-local aggregate exprs
     "minhash_lsh_dedup",   # LSH candidates + exact verify (scale path)
@@ -63,6 +64,19 @@ HEADLINE = [
 
 def _materialize(df):
     df.write.format("noop").mode("overwrite").save()
+
+
+def _release_state(spark) -> None:
+    """Benchmark hygiene: measure every query from a clean executor state.
+
+    Operators that break lineage (localCheckpoint in the LSH/SimHash paths,
+    persist in the ingest routine) pin executor memory until the caller
+    releases them; across 35+ sequential queries that accumulation degrades
+    later queries 2-4x (GC pressure), which would charge query N for query
+    N-1's retained state."""
+    spark.catalog.clearCache()
+    for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+        rdd.unpersist()
 
 
 def main() -> None:
@@ -88,6 +102,7 @@ def main() -> None:
         t0 = time.perf_counter()
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        _release_state(spark)
 
     # Bucket pipeline: the reference's core workload (ingest -> query -> merge)
     import shutil

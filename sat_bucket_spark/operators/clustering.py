@@ -26,9 +26,9 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sat_bucket_spark.operators.similarity import _nearest_centroid_expr
+from sat_bucket_spark.operators.similarity import _nearest_centroid_expr, cosine_expr
 
-__all__ = ["assign_clusters", "kmeans_fit"]
+__all__ = ["assign_clusters", "kmeans_fit", "semantic_dedup", "semantic_dup_pairs"]
 
 
 def kmeans_fit(
@@ -92,3 +92,67 @@ def assign_clusters(
     expression (codegen, zero shuffle); compose freely with any plan."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return vectors.withColumn(out, _nearest_centroid_expr(v, np.asarray(centroids, dtype="float64")))
+
+
+def semantic_dup_pairs(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster cosine near-dup pairs (SemDeDup-style candidates).
+
+    Semantic dedup prunes documents whose embeddings nearly coincide with
+    another document *in the same k-means cluster* — the cluster structure
+    bounds the pairwise work: candidates come from an equi-join on the
+    cluster id (pairwise only within a cluster), never the corpus-level
+    all-pairs product. With k clusters over n docs the pair volume drops
+    from n^2 to ~n^2/k; pick k ~ sqrt(n) (SemDeDup uses tens of thousands
+    of clusters for web-scale corpora) so each cluster's pairwise block
+    stays executor-sized. Assignment itself is a literal-codebook argmin
+    expression — codegen, zero shuffle; the only shuffle is the equi-join
+    on cluster id. Skew note: at small k the join hashes few distinct
+    keys — AQE skew-join splits oversized clusters at runtime.
+
+    Returns ``(id_a, id_b, cluster, cosine)`` with ``id_a < id_b`` and
+    ``cosine >= threshold`` (rounded to 6 decimals for portability).
+    """
+    assigned = assign_clusters(vectors, centroids, vec_col=vec_col, out="__cluster").select(
+        id_col, "__cluster", vec_col
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("__cluster"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("__cluster"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        a.join(b, "__cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", F.col("__cluster").alias("cluster"), "cosine")
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Keep one representative per semantic near-dup neighborhood.
+
+    Drop rule (deterministic, SemDeDup's anchor approximation): a row is
+    dropped when some *smaller-id* row in its cluster has cosine >=
+    ``threshold`` with it; min-id rows always survive as representatives.
+    The drop set is just ``id_b`` of :func:`semantic_dup_pairs` — ids only
+    through the shuffle — and survivors come from a left-anti join, so the
+    full rows (embedding payloads included) move exactly once.
+    """
+    dropped = semantic_dup_pairs(
+        vectors, centroids, threshold=threshold, id_col=id_col, vec_col=vec_col
+    ).select(F.col("id_b").alias(id_col)).distinct()
+    return vectors.join(dropped, id_col, "left_anti")

@@ -5,7 +5,12 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from sat_bucket_spark.operators.clustering import assign_clusters, kmeans_fit
+from sat_bucket_spark.operators.clustering import (
+    assign_clusters,
+    kmeans_fit,
+    semantic_dedup,
+    semantic_dup_pairs,
+)
 
 
 def _local_lloyd(X, init, n_iter):
@@ -62,3 +67,55 @@ class TestKMeans:
         a = kmeans_fit(df, dim=X.shape[1], n_clusters=3, n_iter=2, seed=7)
         b = kmeans_fit(df, dim=X.shape[1], n_clusters=3, n_iter=2, seed=7)
         np.testing.assert_array_equal(a, b)
+
+
+class TestSemanticDedup:
+    THRESHOLD = 0.3
+
+    def _local(self, X, centroids):
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        norm = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cos = np.round(norm @ norm.T, 6)
+        return cl, cos
+
+    def test_matches_local_reference(self, spark, emb):
+        df, X = emb
+        centroids = X[:6].copy()
+        ids = [r["vec_id"] for r in df.select("vec_id").collect()]
+        cl, cos = self._local(X, centroids)
+        dropped = {
+            ids[j]
+            for j in range(len(ids))
+            for i in range(len(ids))
+            if ids[i] < ids[j] and cl[i] == cl[j] and cos[i, j] >= self.THRESHOLD
+        }
+        want = sorted(set(ids) - dropped)
+        got = sorted(
+            r["vec_id"]
+            for r in semantic_dedup(df, centroids, threshold=self.THRESHOLD).collect()
+        )
+        assert got == want
+
+    def test_survivor_invariants(self, spark, emb):
+        df, X = emb
+        centroids = X[:6].copy()
+        surv = semantic_dedup(df, centroids, threshold=self.THRESHOLD)
+        pairs = semantic_dup_pairs(df, centroids, threshold=self.THRESHOLD)
+        # min-id of every cluster survives; no survivor pair is a dup pair
+        surv_ids = {r["vec_id"] for r in surv.collect()}
+        for r in pairs.collect():
+            assert not (r["id_a"] in surv_ids and r["id_b"] in surv_ids)
+        cl, _ = self._local(X, centroids)
+        ids = np.array([r["vec_id"] for r in df.select("vec_id").collect()])
+        for k in set(cl):
+            assert ids[cl == k].min() in surv_ids
+
+    def test_pair_volume_bounded_by_clusters(self, spark, emb):
+        df, X = emb
+        # one cluster -> all-pairs; many clusters -> strictly fewer candidates
+        one = semantic_dup_pairs(df, X[:1].copy(), threshold=-1.0).count()
+        many = semantic_dup_pairs(df, X[:8].copy(), threshold=-1.0).count()
+        n = df.count()
+        assert one == n * (n - 1) // 2
+        assert many < one
