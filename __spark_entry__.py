@@ -860,6 +860,23 @@ def q_cluster_sizes(spark, sf_dir):
     )
 
 
+def q_classifier_score(spark, sf_dir):
+    """Hashed linear (fastText-style) quality classifier scoring.
+
+    Frozen seeded weights stand in for an offline-trained model; scoring is
+    the production plan — literal weight table folded over the token array,
+    map-only, zero shuffle.
+    """
+    from sat_bucket_spark.operators.classify import (
+        classify_documents,
+        seeded_classifier_weights,
+    )
+
+    w, bias = seeded_classifier_weights()
+    docs = _t(spark, sf_dir, "documents")
+    return classify_documents(docs, w, bias).select("doc_id", "quality_prob", "keep")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup: within-cluster cosine pruning.
 
@@ -1940,6 +1957,22 @@ WHERE vec_id NOT IN (SELECT vec_id FROM drops)
 
 _ORACLES["semantic_dedup"] = _semantic_dedup_sql()
 
+
+def _classifier_score_sql() -> str:
+    from sat_bucket_spark.operators.classify import (
+        classifier_score_sql,
+        seeded_classifier_weights,
+    )
+
+    w, bias = seeded_classifier_weights()
+    score = classifier_score_sql(w, bias)
+    return f"""
+SELECT doc_id, {score} AS quality_prob, ({score}) >= 0.5 AS keep FROM documents
+"""
+
+
+_ORACLES["classifier_score"] = _classifier_score_sql()
+
 # Connected components over the same pair graph: DuckDB replays the cluster
 # assignment with a recursive transitive-closure CTE (tractable at oracle
 # scale; the Spark side is the O(log n)-round star algorithm).
@@ -2067,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf": q_tf_idf,
         "cluster_sizes": q_cluster_sizes,
         "semantic_dedup": q_semantic_dedup,
+        "classifier_score": q_classifier_score,
         "inverted_index": q_inverted_index,
         "seq_pack": q_seq_pack,
         "pii_scan": q_pii_scan,

@@ -49,6 +49,7 @@ HEADLINE = [
     "inverted_index",      # df-bounded posting lists (added r2)
     "cluster_sizes",       # literal-codebook assignment + count (added r2)
     "semantic_dedup",      # within-cluster cosine pruning, SemDeDup (added r2)
+    "classifier_score",    # hashed linear model scoring, map-only (added r2)
     "minhash",             # explode + groupBy min
     "simhash",             # row-local aggregate exprs
     "minhash_lsh_dedup",   # LSH candidates + exact verify (scale path)

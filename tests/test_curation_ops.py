@@ -3,6 +3,7 @@ sketches/heavy-hitters."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -279,3 +280,61 @@ class TestChunkingProperties:
             for i in range(len(chunks) - 1):
                 a, b = chunks[i], chunks[i + 1]
                 assert a[20:] == b[: len(a[20:])]  # stride-20 overlap agrees
+
+
+class TestClassifier:
+    def test_matches_local_reference(self, spark):
+        import hashlib
+
+        from sat_bucket_spark.operators.classify import (
+            classify_documents,
+            seeded_classifier_weights,
+        )
+
+        w, bias = seeded_classifier_weights(n_features=16, seed=3)
+        rows = [
+            (0, "the quick brown fox"),
+            (1, ""),
+            (2, "  spaced   out   tokens "),
+            (3, "Repeat repeat REPEAT"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["quality_prob"], r["keep"])
+            for r in classify_documents(df, w, bias, threshold=0.5).collect()
+        }
+
+        def h31(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % (2**31 - 1)
+
+        for doc_id, text in rows:
+            toks = [t.lower() for t in text.split()]
+            mean = sum(w[h31(t) % 16] for t in toks) / len(toks) if toks else 0.0
+            score = round(1.0 / (1.0 + np.exp(-(bias + mean))), 6)
+            assert got[doc_id][0] == pytest.approx(score, abs=1e-9)
+            assert got[doc_id][1] == (score >= 0.5)
+
+    def test_map_only_plan(self, spark):
+        from sat_bucket_spark.operators.classify import (
+            classify_documents,
+            seeded_classifier_weights,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        w, bias = seeded_classifier_weights()
+        out = classify_documents(docs, w, bias)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+    def test_empty_doc_scores_prior(self, spark):
+        from sat_bucket_spark.operators.classify import (
+            classifier_score_expr,
+            seeded_classifier_weights,
+        )
+        from pyspark.sql import functions as F
+
+        w, bias = seeded_classifier_weights()
+        df = spark.createDataFrame([("",), ("   ",)], ["text"])
+        prior = round(float(1.0 / (1.0 + np.exp(-bias))), 6)
+        for r in df.select(classifier_score_expr("text", w, bias).alias("s")).collect():
+            assert r["s"] == pytest.approx(prior, abs=1e-9)
