@@ -860,6 +860,42 @@ def q_cluster_sizes(spark, sf_dir):
     )
 
 
+def q_resolve_dups(spark, sf_dir):
+    """Source-priority duplicate resolution over near-dup clusters.
+
+    The same clusters as ``dup_clusters``, but the survivor is chosen by
+    source preference (src3 beats src1 beats everything), min-id tie-break —
+    the policy real corpora need when a curated dump and a noisy crawl carry
+    the same document.
+    """
+    from sat_bucket_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+        resolve_duplicates,
+    )
+    from sat_bucket_spark.operators.graph import near_duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(
+        docs, n_hashes=16, n_bands=4, shingle_size=8, min_jaccard=0.1
+    )
+    clusters = near_duplicate_clusters(pairs.select("id_a", "id_b"))
+    out = resolve_duplicates(docs, clusters, priority=["src3", "src1"])
+    return out.select("doc_id", "source")
+
+
+def q_mix_sources(spark, sf_dir):
+    """Deterministic downsample to a 4:3:2:1 source mixture (no upsampling)."""
+    from sat_bucket_spark.operators.sampling import mix_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_sources(
+        docs,
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        id_col="doc_id",
+    )
+    return out.select("doc_id", "source")
+
+
 def q_classifier_score(spark, sf_dir):
     """Hashed linear (fastText-style) quality classifier scoring.
 
@@ -1973,6 +2009,60 @@ SELECT doc_id, {score} AS quality_prob, ({score}) >= 0.5 AS keep FROM documents
 
 _ORACLES["classifier_score"] = _classifier_score_sql()
 
+# Source-priority resolution over the same recursive-CTE components the
+# dup_clusters oracle computes; singletons coalesce to their own id.
+_ORACLES["resolve_dups"] = f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_dedup_sql()}),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS r FROM und
+  UNION
+  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, source FROM (
+  SELECT d.doc_id, d.source,
+    ROW_NUMBER() OVER (
+      PARTITION BY COALESCE(c.cluster_id, d.doc_id)
+      ORDER BY CASE d.source WHEN 'src3' THEN 0 WHEN 'src1' THEN 1 ELSE 2 END,
+               d.doc_id
+    ) AS rn
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+) t WHERE rn = 1
+"""
+
+
+def _mix_sources_sql() -> str:
+    """Oracle mirror of q_mix_sources: per-source counts -> binding-source
+    scale T = min(n/w) -> keep-rate (w*T)/n -> hash-fraction filter. Weight
+    literals are pre-normalized in Python so both engines share them; the
+    rate arithmetic follows the same (w*T)/n association as the Spark side."""
+    weights = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    total = sum(weights.values())
+    norm = {s: w / total for s, w in weights.items()}
+    wvals = ", ".join(f"('{s}', {w!r})" for s, w in norm.items())
+    frac = f"(CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {MERSENNE_P}) / CAST({MERSENNE_P} AS DOUBLE)"
+    return f"""
+WITH w(source, wt) AS (VALUES {wvals}),
+cnt AS (
+  SELECT d.source, wt, COUNT(*) AS n
+  FROM documents d JOIN w ON w.source = d.source
+  GROUP BY d.source, wt
+),
+t AS (SELECT MIN(n / wt) AS tv FROM cnt),
+rates AS (SELECT source, (wt * (SELECT tv FROM t)) / n AS rate FROM cnt)
+SELECT doc_id, d.source FROM documents d
+JOIN rates r ON r.source = d.source
+WHERE {frac} < r.rate
+"""
+
+
+_ORACLES["mix_sources"] = _mix_sources_sql()
+
 # Connected components over the same pair graph: DuckDB replays the cluster
 # assignment with a recursive transitive-closure CTE (tractable at oracle
 # scale; the Spark side is the O(log n)-round star algorithm).
@@ -2101,6 +2191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sizes": q_cluster_sizes,
         "semantic_dedup": q_semantic_dedup,
         "classifier_score": q_classifier_score,
+        "resolve_dups": q_resolve_dups,
+        "mix_sources": q_mix_sources,
         "inverted_index": q_inverted_index,
         "seq_pack": q_seq_pack,
         "pii_scan": q_pii_scan,

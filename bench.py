@@ -50,6 +50,7 @@ HEADLINE = [
     "cluster_sizes",       # literal-codebook assignment + count (added r2)
     "semantic_dedup",      # within-cluster cosine pruning, SemDeDup (added r2)
     "classifier_score",    # hashed linear model scoring, map-only (added r2)
+    "mix_sources",         # target-mixture downsampling, map-only (added r2)
     "minhash",             # explode + groupBy min
     "simhash",             # row-local aggregate exprs
     "minhash_lsh_dedup",   # LSH candidates + exact verify (scale path)

@@ -36,6 +36,7 @@ __all__ = [
     "minhash_lsh_dedup_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "resolve_duplicates",
     "shingles_expr",
     "simhash_near_dup_pairs",
 ]
@@ -489,4 +490,46 @@ def decontamination_report(
             F.round(F.col("n_contaminated").cast("double") / F.col("n_ngrams"), 6),
         )
         .withColumn("is_contaminated", F.col("contamination") >= F.lit(threshold))
+    )
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    clusters: DataFrame,
+    priority: list[str],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    cluster_id_col: str = "cluster_id",
+) -> DataFrame:
+    """Keep one representative per duplicate cluster, by source preference.
+
+    Min-id dedup treats every copy of a duplicated document as equal; real
+    corpora are not — when the same article appears in a curated dump and a
+    noisy crawl, the curated copy should win. ``priority`` lists sources in
+    preference order (earlier wins); unlisted sources rank after all listed
+    ones, and ties fall back to the minimum id, so the choice is total and
+    deterministic.
+
+    ``clusters`` is ``(id, cluster_id)`` — e.g. the near-dup components from
+    :func:`~sat_bucket_spark.operators.graph.near_duplicate_clusters`.
+    Documents in no cluster are singletons: their cluster id coalesces to
+    their own id, so one window pass (shuffle keyed on cluster — clusters are
+    tiny relative to the corpus, no skew concentration) ranks everything.
+    The cluster table carries ids only; full rows move once.
+    """
+    rank = F.lit(len(priority))
+    for i in reversed(range(len(priority))):
+        rank = F.when(F.col(source_col) == F.lit(priority[i]), F.lit(i)).otherwise(rank)
+    joined = df.join(
+        clusters.select(
+            F.col(id_col), F.col(cluster_id_col).alias("__cluster")
+        ),
+        id_col,
+        "left",
+    ).withColumn("__cluster", F.coalesce(F.col("__cluster"), F.col(id_col)))
+    w = Window.partitionBy("__cluster").orderBy(rank.asc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__cluster")
     )

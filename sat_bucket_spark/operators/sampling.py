@@ -25,6 +25,7 @@ __all__ = [
     "assign_splits",
     "hash_fraction_expr",
     "hash_sample",
+    "mix_sources",
     "stratified_hash_sample",
 ]
 
@@ -132,3 +133,50 @@ def stratified_hash_sample(
         else thresh.otherwise(F.lit(float(default_fraction)))
     )
     return df.where(hash_fraction_expr(id_col, salt=salt) < thresh)
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str,
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministically downsample to a target source mixture.
+
+    Training mixtures are specified as proportions ("50% web, 30% wiki,
+    20% books"); given the actual per-source counts this computes the
+    largest dataset achieving the target ratios WITHOUT upsampling — the
+    binding source (smallest ``count/weight``) keeps everything, every other
+    source downsamples to match. Sources absent from ``weights`` are
+    dropped.
+
+    One tiny counting aggregate (O(#sources) rows to the driver — planning
+    metadata, same as the reference's file-listing collects) fixes the
+    per-source keep rates; the filter itself is the hash-fraction expression
+    keyed on ``id_col``, so the sample is stable across runs, engines, and
+    re-partitionings, and the full scan stays map-only.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    norm = {s: w / total for s, w in weights.items()}
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.where(F.col(source_col).isin(list(weights)))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    present = {s: w for s, w in norm.items() if counts.get(s)}
+    if not present:
+        return df.where(F.lit(False))
+    t = min(counts[s] / w for s, w in present.items())
+    rates = {s: w * t / counts[s] for s, w in present.items()}
+    frac = hash_fraction_expr(id_col, salt=salt)
+    keep = F.lit(False)
+    for s, rate in rates.items():
+        keep = F.when(
+            F.col(source_col) == F.lit(s), frac < F.lit(float(rate))
+        ).otherwise(keep)
+    return df.where(keep)

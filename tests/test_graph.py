@@ -95,3 +95,34 @@ class TestNearDuplicateClusters:
         assert rows[9]["cluster_id"] == 3 and not rows[9]["is_kept"]
         assert rows[12]["cluster_id"] == 12 and rows[12]["is_kept"]
         assert rows[15]["cluster_id"] == 12 and not rows[15]["is_kept"]
+
+
+class TestResolveDuplicates:
+    def test_priority_and_singletons(self, spark):
+        from sat_bucket_spark.operators.dedup import resolve_duplicates
+
+        docs = spark.createDataFrame(
+            [
+                (1, "crawl"), (2, "wiki"), (3, "crawl"),   # cluster A
+                (4, "crawl"), (5, "crawl"),                # cluster B (tie -> min id)
+                (9, "crawl"),                              # singleton
+            ],
+            ["doc_id", "source"],
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], ["doc_id", "cluster_id"]
+        )
+        out = resolve_duplicates(docs, clusters, priority=["wiki", "crawl"])
+        got = sorted(r["doc_id"] for r in out.collect())
+        # cluster A -> wiki doc 2; cluster B -> min-id 4; singleton 9 survives
+        assert got == [2, 4, 9]
+
+    def test_unlisted_sources_rank_last(self, spark):
+        from sat_bucket_spark.operators.dedup import resolve_duplicates
+
+        docs = spark.createDataFrame(
+            [(1, "mystery"), (2, "wiki")], ["doc_id", "source"]
+        )
+        clusters = spark.createDataFrame([(1, 1), (2, 1)], ["doc_id", "cluster_id"])
+        out = resolve_duplicates(docs, clusters, priority=["wiki"])
+        assert [r["doc_id"] for r in out.collect()] == [2]

@@ -76,3 +76,41 @@ class TestAssignSplits:
         out = assign_splits(hash_sample(documents, "doc_id", 0.5), "doc_id")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Exchange" not in plan  # no shuffle, no UDF
+
+
+class TestMixSources:
+    def _docs(self, spark):
+        rows = [(i, f"s{i % 4}") for i in range(400)] + [(1000 + i, "other") for i in range(50)]
+        return spark.createDataFrame(rows, ["doc_id", "source"])
+
+    def test_mixture_and_binding_source(self, spark):
+        from sat_bucket_spark.operators.sampling import mix_sources
+
+        df = self._docs(spark)
+        # equal 100-row sources, weights 4:3:2:1 -> s-with-0.4 binds (keeps all 100)
+        out = mix_sources(
+            df, {"s0": 0.4, "s1": 0.3, "s2": 0.2, "s3": 0.1}, id_col="doc_id"
+        )
+        got = {r["source"]: r["n"] for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+        assert got["s0"] == 100  # binding source keeps everything
+        assert "other" not in got  # unlisted sources dropped
+        # hash sampling is approximate: rate*n +- a loose binomial bound
+        for s, target in [("s1", 75), ("s2", 50), ("s3", 25)]:
+            assert abs(got.get(s, 0) - target) <= 30
+
+    def test_deterministic(self, spark):
+        from sat_bucket_spark.operators.sampling import mix_sources
+
+        df = self._docs(spark)
+        w = {"s0": 0.5, "s1": 0.5}
+        a = sorted(r["doc_id"] for r in mix_sources(df, w, id_col="doc_id").collect())
+        b = sorted(r["doc_id"] for r in mix_sources(df, w, id_col="doc_id").collect())
+        assert a == b and len(a) > 0
+
+    def test_absent_source_ignored(self, spark):
+        from sat_bucket_spark.operators.sampling import mix_sources
+
+        df = self._docs(spark)
+        out = mix_sources(df, {"s0": 0.5, "nope": 0.5}, id_col="doc_id")
+        got = {r["source"] for r in out.select("source").distinct().collect()}
+        assert got == {"s0"}
