@@ -860,6 +860,70 @@ def q_cluster_sizes(spark, sf_dir):
     )
 
 
+def q_line_filter(spark, sf_dir):
+    """C4-style line filtering over documents with injected structure.
+
+    The synthetic corpus is single-line, which would make line rules vacuous;
+    newlines are injected deterministically (break before each 'merge') and
+    every 7th document gets a boilerplate 'cookie policy' line — the rules
+    then have real work: short lines and boilerplate-marker lines drop.
+    """
+    from sat_bucket_spark.operators.text import filter_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 7 == 0, F.lit("cookie policy\n")).otherwise(F.lit("")),
+            F.regexp_replace("text", " merge ", "\nmerge "),
+        ).alias("text"),
+    )
+    out = filter_lines(injected, min_words=3)
+    return out.select(
+        "doc_id",
+        F.size(F.split("text", r"\n")).cast("long").alias("n_lines_kept"),
+        F.md5("text").alias("clean_md5"),
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-level repeated-paragraph removal (boilerplate spans).
+
+    Newlines are injected (break before each 'batch') and every 3rd document
+    carries a shared license footer — exactly the cross-document boilerplate
+    the operator removes; naturally repeated short spans in the synthetic
+    corpus drop too.
+    """
+    from sat_bucket_spark.operators.dedup import remove_repeated_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", " batch ", "\nbatch "),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\n(c) common footer license")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = remove_repeated_paragraphs(injected, max_occurrences=1)
+    return out.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_clean"),
+        F.md5("text").alias("clean_md5"),
+    )
+
+
+def q_shard_assign(spark, sf_dir):
+    """Deterministic global shuffle into 8 training shards with in-shard order."""
+    from sat_bucket_spark.operators.sampling import assign_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_shards(docs, "doc_id", n_shards=8).select(
+        "doc_id", "shard", "shard_pos"
+    )
+
+
 def q_resolve_dups(spark, sf_dir):
     """Source-priority duplicate resolution over near-dup clusters.
 
@@ -2063,6 +2127,77 @@ WHERE {frac} < r.rate
 
 _ORACLES["mix_sources"] = _mix_sources_sql()
 
+# C4-style line filter: same injection, same keep rules (>=3 words, no
+# boilerplate marker), same rebuild.
+_LINE_KEEP = (
+    "len(list_filter(string_split_regex(trim(l), '\\s+'), x -> x != '')) >= 3"
+    " AND NOT contains(lower(l), 'lorem ipsum')"
+    " AND NOT contains(lower(l), 'javascript')"
+    " AND NOT contains(lower(l), 'cookie')"
+)
+_ORACLES["line_filter"] = f"""
+WITH injected AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 7 = 0 THEN 'cookie policy' || chr(10) ELSE '' END)
+      || replace(text, ' merge ', chr(10) || 'merge ') AS t
+  FROM documents
+),
+kept AS (
+  SELECT doc_id,
+    array_to_string(list_filter(string_split(t, chr(10)), l -> {_LINE_KEEP}), chr(10)) AS clean
+  FROM injected
+)
+SELECT doc_id,
+  CAST(len(string_split(clean, chr(10))) AS BIGINT) AS n_lines_kept,
+  md5(clean) AS clean_md5
+FROM kept
+"""
+
+# Repeated-paragraph removal: per-document-distinct occurrence counts, spans
+# above the cap removed everywhere, docs rebuilt in original order
+# (unnest + generate_subscripts recovers positions).
+_ORACLES["paragraph_dedup"] = f"""
+WITH injected AS (
+  SELECT doc_id,
+    replace(text, ' batch ', chr(10) || 'batch ')
+      || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '(c) common footer license' ELSE '' END) AS t
+  FROM documents
+),
+pars AS (
+  SELECT doc_id, unnest(ls) AS p, generate_subscripts(ls, 1) AS i
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM injected) s
+),
+common AS (
+  SELECT p FROM (SELECT DISTINCT doc_id, p FROM pars) d
+  GROUP BY p HAVING COUNT(*) > 1
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(p, chr(10) ORDER BY i) AS clean
+  FROM pars WHERE p NOT IN (SELECT p FROM common)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(len(COALESCE(r.clean, '')) AS BIGINT) AS n_chars_clean,
+  md5(COALESCE(r.clean, '')) AS clean_md5
+FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+"""
+
+_SHARD_H = (
+    f"(CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    f" % {MERSENNE_P})"
+)
+_SHARD_ORDER_H = (
+    f"(CAST(('0x' || substr(md5('shard:order' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    f" % {MERSENNE_P})"
+)
+_ORACLES["shard_assign"] = f"""
+SELECT doc_id, CAST({_SHARD_H} % 8 AS INT) AS shard,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY {_SHARD_H} % 8 ORDER BY {_SHARD_ORDER_H}, doc_id
+  ) AS BIGINT) AS shard_pos
+FROM documents
+"""
+
 # Connected components over the same pair graph: DuckDB replays the cluster
 # assignment with a recursive transitive-closure CTE (tractable at oracle
 # scale; the Spark side is the O(log n)-round star algorithm).
@@ -2193,6 +2328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "resolve_dups": q_resolve_dups,
         "mix_sources": q_mix_sources,
+        "line_filter": q_line_filter,
+        "paragraph_dedup": q_paragraph_dedup,
+        "shard_assign": q_shard_assign,
         "inverted_index": q_inverted_index,
         "seq_pack": q_seq_pack,
         "pii_scan": q_pii_scan,

@@ -23,6 +23,7 @@ from sat_bucket_spark.operators.parallel import ensure_parallelism
 from sat_bucket_spark.operators.hashing import (
     MERSENNE_P,
     h31_expr,
+    h64_expr,
     minhash_params,
     perm_hash_expr,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "minhash_lsh_dedup_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "remove_repeated_paragraphs",
     "resolve_duplicates",
     "shingles_expr",
     "simhash_near_dup_pairs",
@@ -532,4 +534,65 @@ def resolve_duplicates(
         joined.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn", "__cluster")
+    )
+
+
+def remove_repeated_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str | None = None,
+    sep: str = "\n",
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Corpus-level repeated-paragraph removal (C4/Dolma-style span dedup).
+
+    A paragraph occurring in more than ``max_occurrences`` documents is
+    boilerplate (nav text, license headers, SEO spam) and is removed from
+    EVERY document; each document is rebuilt from its surviving paragraphs
+    in original order (fully-emptied documents keep an empty string).
+
+    Scale shape: paragraphs are reduced to 60-bit hashes *before* any
+    shuffle — the occurrence count aggregates (hash, doc) pairs with
+    map-side combine, and the boilerplate set (counts above the cap —
+    small by construction: only genuinely repeated spans survive the
+    filter) broadcasts back as a hash-only anti-join probe. The rebuild
+    re-aggregates (doc, position, paragraph) — the one unavoidable
+    shuffle, keyed on the document id, so it scales with corpus size and
+    never concentrates. Dedup counts are per-document (a paragraph
+    repeated inside ONE document counts once), matching the
+    cross-document boilerplate semantics.
+    """
+    out = out or text_col
+    pars = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__par"),
+    )
+    h = h64_expr(F.col("__par"))
+    # per-document distinct: a span repeated within one doc is not boilerplate
+    occurrences = (
+        pars.select(h.alias("__h"), F.col(id_col))
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > F.lit(max_occurrences))
+        .select("__h")
+    )
+    kept = pars.join(
+        F.broadcast(occurrences), h == F.col("__h"), "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__par"))),
+                lambda s: s["__par"],
+            ),
+            sep,
+        ).alias("__rebuilt")
+    )
+    return (
+        df.drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(out, F.coalesce(F.col("__rebuilt"), F.lit("")))
+        .drop("__rebuilt")
     )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from sat_bucket_spark.operators.hashing import MERSENNE_P, h31_expr
 
 __all__ = [
+    "assign_shards",
     "assign_splits",
     "hash_fraction_expr",
     "hash_sample",
@@ -180,3 +181,41 @@ def mix_sources(
             F.col(source_col) == F.lit(s), frac < F.lit(float(rate))
         ).otherwise(keep)
     return df.where(keep)
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shard",
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards.
+
+    Training runs read shards sequentially, so the *global* row order must be
+    random w.r.t. the corpus's natural order (source, crawl date, partition)
+    or the loss curve sees distribution drift within an epoch. Assigning
+    ``shard = h31(salt||id) % n`` and ordering within shards by a second
+    independent hash gives a reproducible permutation: stable across engines
+    and re-runs, no ``rand()`` (which changes under retries/speculation).
+
+    The shard is a pure expression (map-only); the within-shard position is
+    a window keyed ON THE SHARD — n_shards reducers, each sorting its own
+    shard locally, never a global sort. Feed the result to a
+    ``partitionBy(shard)`` + ``sortWithinPartitions(order hash)`` write for
+    training-ready output files.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    shard = (h31_expr(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % n_shards).cast(
+        "int"
+    )
+    order = h31_expr(F.concat(F.lit(salt + ":order"), F.col(id_col).cast("string")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(shard_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w).cast("long"))
+    )

@@ -23,6 +23,8 @@ __all__ = [
     "add_rolling_fingerprint",
     "add_token_count",
     "bpe_tokens_expr",
+    "filter_lines",
+    "line_keep_expr",
     "normalize_text",
     "repetition_signals",
     "rolling_hash_expr",
@@ -302,3 +304,57 @@ def normalize_text(
     if lowercase:
         t = F.lower(t)
     return df.withColumn(out or text, t)
+
+
+def line_keep_expr(
+    line: Column,
+    min_words: int = 3,
+    require_terminal_punct: bool = False,
+    drop_substrings: tuple[str, ...] = ("lorem ipsum", "javascript", "cookie"),
+) -> Column:
+    """C4-style per-line keep predicate (reference pipeline: C4/RefinedWeb
+    line rules, public knowledge).
+
+    A line survives when it has >= ``min_words`` whitespace tokens, contains
+    none of the boilerplate markers (case-insensitive substring match), and —
+    if required — ends in terminal punctuation. Pure expression; usable
+    inside ``filter`` over a split-lines array.
+    """
+    lw = F.lower(line)
+    words = F.filter(F.split(F.trim(line), r"\s+"), lambda x: x != F.lit(""))
+    keep = F.size(words) >= F.lit(min_words)
+    for s in drop_substrings:
+        keep = keep & ~lw.contains(s)
+    if require_terminal_punct:
+        keep = keep & F.trim(line).rlike(r"[.!?\"']$")
+    return keep
+
+
+def filter_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str | None = None,
+    min_words: int = 3,
+    require_terminal_punct: bool = False,
+    drop_substrings: tuple[str, ...] = ("lorem ipsum", "javascript", "cookie"),
+) -> DataFrame:
+    """Rebuild each document from only its surviving lines.
+
+    The C4 cleaning stage: split on newline, apply :func:`line_keep_expr`,
+    rejoin. Entirely row-local (split -> array filter -> array_join), so the
+    pass is map-only: no shuffle, no Python, and it composes with any scan
+    pushdown. Documents whose lines all drop become empty strings (callers
+    typically follow with a min-length filter).
+    """
+    out = out or text_col
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(
+        lines,
+        lambda l: line_keep_expr(
+            l,
+            min_words=min_words,
+            require_terminal_punct=require_terminal_punct,
+            drop_substrings=drop_substrings,
+        ),
+    )
+    return df.withColumn(out, F.array_join(kept, "\n"))

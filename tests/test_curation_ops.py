@@ -338,3 +338,103 @@ class TestClassifier:
         prior = round(float(1.0 / (1.0 + np.exp(-bias))), 6)
         for r in df.select(classifier_score_expr("text", w, bias).alias("s")).collect():
             assert r["s"] == pytest.approx(prior, abs=1e-9)
+
+
+class TestLineFilter:
+    def test_rules(self, spark):
+        from sat_bucket_spark.operators.text import filter_lines
+
+        rows = [
+            (1, "this line stays fine\nno\nanother good line here"),
+            (2, "enable javascript to view\nreal content with words"),
+            (3, "Lorem Ipsum dolor sit\nplain words in a line"),
+            (4, "x"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: r["text"] for r in filter_lines(df).collect()}
+        assert got[1] == "this line stays fine\nanother good line here"
+        assert got[2] == "real content with words"
+        assert got[3] == "plain words in a line"  # case-insensitive marker
+        assert got[4] == ""  # everything dropped -> empty
+
+    def test_terminal_punct_rule(self, spark):
+        from sat_bucket_spark.operators.text import filter_lines
+
+        df = spark.createDataFrame(
+            [(1, "a proper sentence ends here.\nno terminal punctuation line")],
+            ["doc_id", "text"],
+        )
+        out = filter_lines(df, require_terminal_punct=True).collect()[0]["text"]
+        assert out == "a proper sentence ends here."
+
+    def test_map_only_plan(self, spark):
+        from sat_bucket_spark.operators.text import filter_lines
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = filter_lines(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestParagraphDedup:
+    def test_boilerplate_removed_everywhere(self, spark):
+        from sat_bucket_spark.operators.dedup import remove_repeated_paragraphs
+
+        rows = [
+            (1, "unique alpha\nCOMMON FOOTER\nunique beta"),
+            (2, "other text\nCOMMON FOOTER"),
+            (3, "only unique content"),
+            (4, "COMMON FOOTER"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: r["text"] for r in remove_repeated_paragraphs(df).collect()}
+        assert got[1] == "unique alpha\nunique beta"
+        assert got[2] == "other text"
+        assert got[3] == "only unique content"
+        assert got[4] == ""  # fully boilerplate -> empty, row kept
+
+    def test_within_doc_repeat_not_boilerplate(self, spark):
+        from sat_bucket_spark.operators.dedup import remove_repeated_paragraphs
+
+        # "twice" repeats only WITHIN doc 1 -> not cross-document boilerplate
+        df = spark.createDataFrame(
+            [(1, "twice\ntwice\nmiddle"), (2, "unrelated")], ["doc_id", "text"]
+        )
+        got = {r["doc_id"]: r["text"] for r in remove_repeated_paragraphs(df).collect()}
+        assert got[1] == "twice\ntwice\nmiddle"
+
+    def test_max_occurrences(self, spark):
+        from sat_bucket_spark.operators.dedup import remove_repeated_paragraphs
+
+        df = spark.createDataFrame(
+            [(1, "shared"), (2, "shared"), (3, "shared")], ["doc_id", "text"]
+        )
+        kept2 = remove_repeated_paragraphs(df, max_occurrences=3).collect()
+        assert all(r["text"] == "shared" for r in kept2)
+
+
+class TestAssignShards:
+    def test_partition_and_determinism(self, spark):
+        from sat_bucket_spark.operators.sampling import assign_shards
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = assign_shards(docs, "doc_id", n_shards=4).select("doc_id", "shard", "shard_pos")
+        rows = a.collect()
+        assert {r["shard"] for r in rows} <= set(range(4))
+        # positions within each shard are 1..n_shard, no gaps
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+        b = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in assign_shards(
+            docs, "doc_id", n_shards=4
+        ).select("doc_id", "shard", "shard_pos").collect()}
+        assert b == {(r["doc_id"], r["shard"], r["shard_pos"]) for r in rows}
+
+    def test_order_decorrelated_from_id(self, spark):
+        from sat_bucket_spark.operators.sampling import assign_shards
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = assign_shards(docs, "doc_id", n_shards=1).collect()
+        ordered_ids = [r["doc_id"] for r in sorted(rows, key=lambda r: r["shard_pos"])]
+        assert ordered_ids != sorted(ordered_ids)  # hash order, not id order
