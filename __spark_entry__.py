@@ -62,17 +62,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is Parquet TIMESTAMP(NANOS), which Spark refuses to read.
+    """Load events with ``ts`` normalized to session-local TIMESTAMP (UTC).
 
-    Read nanos as long and integer-divide to microseconds (truncation —
-    exactly what DuckDB's TIMESTAMP_NS -> TIMESTAMP cast does, so both engines
-    see identical microsecond timestamps). Integer ``div`` is mandatory:
-    float division of int64 nanos loses sub-microsecond bits.
+    The driver's testdata has shipped ``ts`` under different physical types
+    across rounds (TIMESTAMP(NANOS), TIMESTAMP(MICROS)/NTZ), so adapt to
+    whatever the footer declares instead of assuming one encoding:
+
+    - bigint (nanos read via nanosAsLong): integer-divide to micros —
+      truncation, exactly DuckDB's TIMESTAMP_NS -> TIMESTAMP cast, and
+      integer ``div`` is mandatory (float division loses sub-us bits);
+    - timestamp_ntz (micros, isAdjustedToUTC=false): cast to TIMESTAMP —
+      value-identical under the pinned UTC session zone;
+    - timestamp: already what every query expects.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 # Derived deterministic coordinates over events (testdata has no geo columns).
