@@ -690,7 +690,7 @@ def q_embedding_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return brute_force_topk(emb, queries, k=5)
+    return brute_force_topk(emb, queries, k=5, dim=64)
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -698,7 +698,7 @@ def q_embedding_near_dup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    return pairwise_near_duplicates(emb, threshold=0.3)
+    return pairwise_near_duplicates(emb, threshold=0.3, dim=64)
 
 
 def q_lsh_buckets(spark, sf_dir):

@@ -26,7 +26,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sat_bucket_spark.operators.similarity import _nearest_centroid_expr, cosine_expr
+from sat_bucket_spark.operators.similarity import (
+    _cosine_prenormed,
+    _nearest_centroid_expr,
+    dot_expr,
+    norm_expr,
+)
 
 __all__ = ["assign_clusters", "kmeans_fit", "semantic_dedup", "semantic_dup_pairs"]
 
@@ -58,8 +63,8 @@ def kmeans_fit(
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     for _ in range(n_iter):
-        assigned = vectors.select(
-            _nearest_centroid_expr(v, centroids).alias("__c"), v.alias("__v")
+        assigned = vectors.select(v.alias("__v")).select(
+            _nearest_centroid_expr("__v", centroids).alias("__c"), "__v"
         )
         cells = (
             assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
@@ -90,8 +95,9 @@ def assign_clusters(
 ) -> DataFrame:
     """Append the nearest-centroid cluster id — a pure literal-codebook
     expression (codegen, zero shuffle); compose freely with any plan."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return vectors.withColumn(out, _nearest_centroid_expr(v, np.asarray(centroids, dtype="float64")))
+    return vectors.withColumn(
+        out, _nearest_centroid_expr(vec_col, np.asarray(centroids, dtype="float64"))
+    )
 
 
 def semantic_dup_pairs(
@@ -100,6 +106,7 @@ def semantic_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
     """Within-cluster cosine near-dup pairs (SemDeDup-style candidates).
 
@@ -110,29 +117,80 @@ def semantic_dup_pairs(
     all-pairs product. With k clusters over n docs the pair volume drops
     from n^2 to ~n^2/k; pick k ~ sqrt(n) (SemDeDup uses tens of thousands
     of clusters for web-scale corpora) so each cluster's pairwise block
-    stays executor-sized. Assignment itself is a literal-codebook argmin
-    expression — codegen, zero shuffle; the only shuffle is the equi-join
-    on cluster id. Skew note: at small k the join hashes few distinct
-    keys — AQE skew-join splits oversized clusters at runtime.
+    stays executor-sized.
+
+    Physical plan (output-identical for any ``n_blocks``):
+
+    - assignment is a literal-codebook argmin expression — codegen, no
+      shuffle; per-row L2 norms are also computed BEFORE the join, so each
+      candidate pair evaluates one unrolled dot product, not dot + 2 norms;
+    - the within-cluster self-join is **triangle-tiled**: rows hash into
+      ``n_blocks`` blocks, the pair space decomposes into the
+      B*(B+1)/2 block tiles, and the join key becomes
+      (cluster, tile_i, tile_j). Real clusters are Zipf-skewed and a plain
+      equi-join on cluster id concentrates the biggest cluster's O(n_c^2)
+      work in ONE reducer — tiling multiplies join-key cardinality by ~B^2/2
+      so the same work spreads over that many tasks, at the cost of each
+      side's rows shuffling ~B/2 times. Every unordered pair lands in
+      exactly one tile: for (bx != by) the pair appears once with roles
+      fixed by block order; within a diagonal tile (i == i) the id order
+      dedups. AQE's skew-join is a complement, not a substitute: it splits
+      by partition, and a single hot KEY is unsplittable without this
+      key-space refinement;
+    - the streamed side is **explicitly repartitioned on the tile key**
+      (fixed partition count — exempt from AQE coalescing, which would
+      otherwise merge these byte-tiny but CPU-heavy partitions). Catalyst
+      broadcasts the smaller side here, and a broadcast join inherits the
+      STREAM side's partitioning — without the repartition a single-file
+      scan runs every tile in one task and the tiling buys nothing.
 
     Returns ``(id_a, id_b, cluster, cosine)`` with ``id_a < id_b`` and
     ``cosine >= threshold`` (rounded to 6 decimals for portability).
     """
-    assigned = assign_clusters(vectors, centroids, vec_col=vec_col, out="__cluster").select(
-        id_col, "__cluster", vec_col
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    dim = int(np.asarray(centroids).shape[1])
+    # Spread a single-split scan first: whichever side Catalyst decides to
+    # stream (it broadcasts the other) must arrive with real parallelism.
+    assigned = assign_clusters(
+        ensure_parallelism(vectors), centroids, vec_col=vec_col, out="__cluster"
+    ).select(
+        F.col(id_col).alias("__id"),
+        "__cluster",
+        F.col(vec_col).alias("__v"),
+        norm_expr(vec_col, dim).alias("__n"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
     )
+    # Left role owns tiles (blk, j >= blk); right role owns tiles (i <= blk, blk).
+    n_part = int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col("__cluster"), F.col(vec_col).alias("__va")
-    )
+        F.col("__id").alias("id_a"),
+        "__cluster",
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        F.col("__blk").alias("__ti"),
+        F.explode(F.sequence(F.col("__blk"), F.lit(n_blocks - 1))).alias("__tj"),
+    ).repartition(n_part, "__cluster", "__ti", "__tj")
     b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col("__cluster"), F.col(vec_col).alias("__vb")
+        F.col("__id").alias("id_b"),
+        "__cluster",
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.explode(F.sequence(F.lit(0), F.col("__blk"))).alias("__ti"),
+        F.col("__blk").alias("__tj"),
     )
+    cos = _cosine_prenormed(dot_expr("__va", "__vb", dim), F.col("__na"), F.col("__nb"))
     return (
-        a.join(b, "__cluster")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6))
+        a.join(b, ["__cluster", "__ti", "__tj"])
+        .where((F.col("__ti") < F.col("__tj")) | (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine", F.round(cos, 6))
         .where(F.col("cosine") >= F.lit(threshold))
-        .select("id_a", "id_b", F.col("__cluster").alias("cluster"), "cosine")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.col("__cluster").alias("cluster"),
+            "cosine",
+        )
     )
 
 
@@ -142,6 +200,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Keep one representative per semantic near-dup neighborhood.
 
@@ -153,6 +212,7 @@ def semantic_dedup(
     full rows (embedding payloads included) move exactly once.
     """
     dropped = semantic_dup_pairs(
-        vectors, centroids, threshold=threshold, id_col=id_col, vec_col=vec_col
+        vectors, centroids, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        n_blocks=n_blocks,
     ).select(F.col("id_b").alias(id_col)).distinct()
     return vectors.join(dropped, id_col, "left_anti")

@@ -30,22 +30,83 @@ __all__ = [
 ]
 
 
-def dot_expr(a: Column, b: Column) -> Column:
-    """Dot product of two array columns (JVM-side)."""
+# Static-unroll budget: higher-order array functions (aggregate/zip_with/
+# transform) are INTERPRETED per element — whole-stage codegen treats the
+# lambda as a black box — so a 64-dim dot product costs ~25 us/row inside a
+# pairwise join. When the dimension is known at plan time, unrolling into a
+# flat `a[0]*b[0] + ...` sum keeps the arithmetic inside codegen (~10-30x
+# faster in the pair hot path). Above this element budget the expression tree
+# (and Janino method size) stops paying off, so fall back to the HOF fold.
+_UNROLL_MAX_TERMS = 4096
+
+
+def _q(name: str) -> str:
+    return f"`{name}`"
+
+
+def _dot_sql(a_name: str, b_name: str, dim: int) -> str:
+    """Unrolled dot-product SQL over two array columns, built as ONE string
+    (one py4j round-trip; per-element Column arithmetic would cost hundreds).
+
+    Bit-compat with the HOF fold: the product happens in the arrays' element
+    type (float32 for raw embeddings), each term is then cast and accumulated
+    in DOUBLE left-to-right — exactly ``aggregate(zip_with(a,b,x*y), 0D, +)``.
+    """
+    a, b = _q(a_name), _q(b_name)
+    return "(" + " + ".join(
+        f"CAST({a}[{i}] * {b}[{i}] AS DOUBLE)" for i in range(dim)
+    ) + ")"
+
+
+def _norm_sql(a_name: str, dim: int) -> str:
+    a = _q(a_name)
+    body = " + ".join(f"CAST({a}[{i}] * {a}[{i}] AS DOUBLE)" for i in range(dim))
+    return f"sqrt({body})"
+
+
+def dot_expr(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Dot product of two array columns (JVM-side).
+
+    Pass ``dim`` (and plain column NAMES for ``a``/``b``) to get the unrolled
+    codegen form; Column inputs or unknown dim use the interpreted fold.
+    """
+    if (
+        dim is not None
+        and dim <= _UNROLL_MAX_TERMS
+        and isinstance(a, str)
+        and isinstance(b, str)
+    ):
+        return F.expr(_dot_sql(a, b, dim))
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
-def norm_expr(a: Column) -> Column:
-    """L2 norm of an array column."""
+def norm_expr(a: Column | str, dim: int | None = None) -> Column:
+    """L2 norm of an array column (unrolled codegen when ``dim`` + name given)."""
+    if dim is not None and dim <= _UNROLL_MAX_TERMS and isinstance(a, str):
+        return F.expr(_norm_sql(a, dim))
+    a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
+def cosine_expr(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Cosine similarity of two array columns (0 when either norm is 0)."""
-    denom = norm_expr(a) * norm_expr(b)
-    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+    denom = norm_expr(a, dim) * norm_expr(b, dim)
+    return F.when(denom > 0, dot_expr(a, b, dim) / denom).otherwise(F.lit(0.0))
+
+
+def _cosine_prenormed(dot: Column, na: Column, nb: Column) -> Column:
+    """Cosine from a pair dot + per-ROW norms computed before the pair join.
+
+    Value-identical to :func:`cosine_expr` (same norm expression, same
+    division) but the two norm folds run once per row instead of once per
+    candidate pair — in a near-dup join with P pairs over N rows that is
+    2N norm evaluations instead of 2P."""
+    denom = na * nb
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -56,6 +117,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of every query against the vector table.
 
@@ -65,10 +127,14 @@ def brute_force_topk(
     ``row_number`` partitioned by query with a deterministic (similarity desc,
     id asc) tiebreak.
     """
-    joined = vectors.crossJoin(F.broadcast(queries)).select(
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    # Broadcast joins inherit the stream side's partitioning; spread a
+    # single-split vectors scan before the N x Q cosine work.
+    joined = ensure_parallelism(vectors).crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+        F.round(cosine_expr(vec_col, query_vec_col, dim), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -83,18 +149,35 @@ def pairwise_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold (embedding near-dup).
 
     All-pairs on purpose — the exactness oracle for embedding dedup. At scale
     use :func:`random_hyperplane_signature` buckets first and run this within
-    buckets only.
+    buckets only. Pass ``dim`` to keep the per-pair cosine in codegen and the
+    norms per-row (value-identical; see :func:`_cosine_prenormed`).
     """
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    # The non-equi join plans as BroadcastNestedLoop, which inherits the
+    # STREAM side's partitioning — a single-file scan would evaluate every
+    # pair in one task.
+    a = ensure_parallelism(vectors).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if dim is not None:
+        a = a.withColumn("__na", norm_expr("va", dim))
+        b = b.withColumn("__nb", norm_expr("vb", dim))
+        cos = _cosine_prenormed(
+            dot_expr("va", "vb", dim), F.col("__na"), F.col("__nb")
+        )
+    else:
+        cos = cosine_expr(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine", F.round(cos, 6))
         .where(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
@@ -148,12 +231,21 @@ def lsh_near_dup_pairs(
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = cand.distinct()  # ids only — no vector payload through the shuffle
 
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    va = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm_expr(vec_col, dim).alias("__na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm_expr(vec_col, dim).alias("__nb"),
+    )
+    cos = _cosine_prenormed(dot_expr("__va", "__vb", dim), F.col("__na"), F.col("__nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6))
+        .withColumn("cosine", F.round(cos, 6))
         .where(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
@@ -196,6 +288,11 @@ def random_hyperplane_signature(
     into the plan as literal arrays. Cosine-similar vectors collide with high
     probability (SimHash for real vectors).
     """
+    # Deliberately the HOF fold, not the static unroll: this is a per-ROW
+    # expression, and a fully unrolled n_planes*dim literal expression costs
+    # seconds of parse + Janino compile per fresh plan — more than the
+    # interpreted fold costs to execute. The unroll budget is reserved for
+    # per-PAIR paths where the expression runs |candidates| >> |rows| times.
     planes = _hyperplanes(n_planes, dim, seed=seed)
     bucket = None
     for i in range(n_planes):
@@ -235,23 +332,28 @@ def train_ivf_centroids(
     return centroids
 
 
-def _nearest_centroid_expr(vec: Column, centroids: np.ndarray) -> Column:
-    """argmin_c ||v - c||^2 as a fold over literal centroid arrays (JVM-side).
+def _nearest_centroid_expr(vec: Column | str, centroids: np.ndarray) -> Column:
+    """argmin_c ||v - c||^2 as a literal-codebook expression (JVM-side).
 
     Uses ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is common so the
     argmin reduces to argmin_c (||c||^2 - 2 v.c) — one dot product per
     centroid, no per-row allocation.
+
+    Per-ROW expression, so the shared-lambda fold beats a static unroll: the
+    plan holds k*dim literal leaves but only a constant number of operator
+    nodes (analyzer + Janino stay fast — an unrolled k*dim expression costs
+    seconds of parse/compile per fresh plan, far more than the interpreted
+    fold costs to run once per row). First-min tie-break (array_position)
+    matches DuckDB list_position.
     """
-    # Materialize all scores into ONE array column, then take the index of the
-    # min. A chained when(score_i < best, ...) alternative duplicates best
-    # (which embeds every earlier score) at each step — an O(2^n_clusters)
-    # expression tree that Janino can't codegen and the interpreter re-evaluates.
-    # The codebook is a single nested literal array folded by ONE shared
-    # transform/aggregate lambda (||c||^2 - 2 v.c accumulated element-wise), so
-    # the plan holds n_clusters*dim literal leaves but only a constant number
-    # of operator nodes — analyzer/optimizer passes stay fast as the codebook
-    # grows. First-min tie-break (array_position) matches DuckDB list_position.
-    cents = _literal_matrix(centroids)
+    C = np.asarray(centroids, dtype="float64")
+    if isinstance(vec, str):
+        vec = F.transform(F.col(vec), lambda x: x.cast("double"))
+    # A chained when(score_i < best, ...) alternative duplicates best (which
+    # embeds every earlier score) at each step — an O(2^n_clusters) expression
+    # tree that Janino can't codegen and the interpreter re-evaluates; the
+    # shared transform/aggregate lambda below avoids that.
+    cents = _literal_matrix(C)
     scores = F.transform(
         cents,
         lambda c: F.aggregate(
@@ -288,7 +390,11 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             vectors, dim, n_clusters=n_clusters, vec_col=vec_col, seed=seed
         )
-    v = vectors.withColumn("__cluster", _nearest_centroid_expr(F.col(vec_col), centroids))
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    v = ensure_parallelism(vectors).withColumn(
+        "__cluster", _nearest_centroid_expr(vec_col, centroids)
+    )
 
     # Driver-side probe lists per query cluster: tiny (k x k distances)
     d2 = ((centroids[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
@@ -300,12 +406,12 @@ def ivf_topk(
     probe_df = spark.createDataFrame(probes, ["__qcluster", "__cluster"])
 
     q = queries.withColumn(
-        "__qcluster", _nearest_centroid_expr(F.col(query_vec_col), centroids)
+        "__qcluster", _nearest_centroid_expr(query_vec_col, centroids)
     ).join(F.broadcast(probe_df), "__qcluster")
     joined = v.join(F.broadcast(q), "__cluster").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+        F.round(cosine_expr(vec_col, query_vec_col, dim), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -333,8 +439,11 @@ def lsh_topk(
     the cross product), then exact cosine + row_number within buckets. Recall
     is tunable via n_planes (fewer planes -> bigger buckets -> higher recall).
     """
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
     v = random_hyperplane_signature(
-        vectors, dim, n_planes=n_planes, vec_col=vec_col, out="__bucket", seed=seed
+        ensure_parallelism(vectors), dim, n_planes=n_planes, vec_col=vec_col,
+        out="__bucket", seed=seed,
     )
     q = random_hyperplane_signature(
         queries, dim, n_planes=n_planes, vec_col=query_vec_col, out="__bucket", seed=seed
@@ -342,7 +451,7 @@ def lsh_topk(
     joined = v.join(F.broadcast(q), "__bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+        F.round(cosine_expr(vec_col, query_vec_col, dim), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
