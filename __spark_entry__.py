@@ -727,6 +727,43 @@ def q_dedup_exact(spark, sf_dir):
     return dedup_exact(docs, ["key"], id_col="doc_id").select("doc_id", "key")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup: drop batch rows whose key exists in the corpus.
+
+    Every 4th document plays the incoming batch; the rest is the standing
+    corpus. The derived key (n_tokens mod 200) gives real collisions (the
+    synthetic corpus has no exact text duplicates) while leaving some batch
+    keys novel — survivors are non-empty AND non-trivial.
+    """
+    from sat_bucket_spark.operators.dedup import dedup_exact_against
+    from sat_bucket_spark.operators.text import add_token_count
+
+    docs = add_token_count(_t(spark, sf_dir, "documents")).withColumn(
+        "key", F.col("n_tokens") % 200
+    )
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    return dedup_exact_against(batch, corpus, ["key"]).select("doc_id", "key")
+
+
+def q_dedup_against_near(spark, sf_dir):
+    """Incremental near-dup dedup: batch docs near-duplicating the corpus drop.
+
+    Cross-batch MinHash-LSH — the same banded pipeline as
+    ``minhash_lsh_dedup`` but candidates pair batch bands against corpus
+    bands only, and the output is the surviving batch slice.
+    """
+    from sat_bucket_spark.operators.dedup import minhash_dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    out = minhash_dedup_against(
+        batch, corpus, n_hashes=16, n_bands=4, shingle_size=8, min_jaccard=0.1
+    )
+    return out.select("doc_id", "source")
+
+
 def q_audio_meta(spark, sf_dir):
     """Multimodal audio stub: payload-derived (sample_rate, n_samples, rms).
 
@@ -2023,6 +2060,63 @@ SELECT id_a, id_b, jaccard FROM (
 
 _ORACLES["minhash_lsh_dedup"] = _minhash_lsh_dedup_sql()
 
+_ORACLES["dedup_incremental"] = f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(len({_tokens_sql()}) AS BIGINT) % 200 AS key FROM documents
+)
+SELECT doc_id, key FROM keyed
+WHERE doc_id % 4 = 0
+  AND key NOT IN (SELECT key FROM keyed WHERE doc_id % 4 != 0)
+"""
+
+
+def _dedup_against_near_sql(n_hashes: int = 16, n_bands: int = 4) -> str:
+    """Oracle mirror of q_dedup_against_near: identical seeded signatures on
+    both sides, batch-vs-corpus band join, exact shingle-set verify, anti."""
+    params = minhash_params(n_hashes)
+    rows = n_hashes // n_bands
+    shingles8 = (
+        "list_distinct(list_transform(generate_series(1, greatest(len(t) - 7, 1)),"
+        " i -> substr(t, i, 8)))"
+    )
+    mh_aggs = ", ".join(
+        f"min(({a} * h + {b}) % {MERSENNE_P}) AS mh_{i}" for i, (a, b) in enumerate(params)
+    )
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh_{i * rows + r} = b.mh_{i * rows + r}" for r in range(rows)
+        )
+        + ")"
+        for i in range(n_bands)
+    )
+    return f"""
+WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+hs AS (
+  SELECT doc_id, (CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % {MERSENNE_P}) AS h
+  FROM (SELECT doc_id, unnest({shingles8}) AS sh FROM lowered) e
+),
+sigs AS (SELECT doc_id, {mh_aggs} FROM hs GROUP BY doc_id),
+cands AS (
+  SELECT a.doc_id AS bid, b.doc_id AS cid
+  FROM sigs a JOIN sigs b
+    ON a.doc_id % 4 = 0 AND b.doc_id % 4 != 0 AND ({band_conds})
+),
+sets AS (SELECT doc_id, {shingles8} AS s FROM lowered),
+bad AS (
+  SELECT DISTINCT bid FROM cands
+  JOIN sets sa ON sa.doc_id = bid
+  JOIN sets sb ON sb.doc_id = cid
+  WHERE round(len(list_intersect(sa.s, sb.s)) /
+    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE), 6) >= 0.1
+)
+SELECT doc_id, source FROM documents
+WHERE doc_id % 4 = 0 AND doc_id NOT IN (SELECT bid FROM bad)
+"""
+
+
+_ORACLES["dedup_against_near"] = _dedup_against_near_sql()
+
 
 def _cluster_sizes_sql() -> str:
     scores = ", ".join(
@@ -2321,6 +2415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "lsh_near_dup": q_lsh_near_dup,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_against_near": q_dedup_against_near,
         "audio_meta": q_audio_meta,
         "video_meta": q_video_meta,
         "bpe_token_count": q_bpe_token_count,

@@ -31,9 +31,11 @@ from sat_bucket_spark.operators.hashing import (
 __all__ = [
     "add_simhash",
     "decontamination_report",
-    "exact_duplicate_groups",
     "dedup_exact",
+    "dedup_exact_against",
+    "exact_duplicate_groups",
     "lsh_candidate_pairs",
+    "minhash_dedup_against",
     "minhash_lsh_dedup_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
@@ -143,6 +145,33 @@ def minhash_signatures(
     )
 
 
+def _band_rows(
+    sigs: DataFrame,
+    id_col: str,
+    n_bands: int,
+    n_hashes: int,
+    signature_col: str = "signature",
+) -> DataFrame:
+    """(id, band_idx, band_sig) rows — the LSH banding equi-join key."""
+    rows_per_band = max(n_hashes // n_bands, 1)
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.slice(
+                            F.col(signature_col), i * rows_per_band + 1, rows_per_band
+                        ).alias("band_sig"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_sig")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -169,23 +198,7 @@ def lsh_candidate_pairs(
     """
     if n_hashes is None:
         n_hashes = len(sigs.select(signature_col).first()[0])
-    rows_per_band = max(n_hashes // n_bands, 1)
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.slice(F.col(signature_col), i * rows_per_band + 1, rows_per_band).alias(
-                            "band_sig"
-                        ),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_sig")
+    bands = _band_rows(sigs, id_col, n_bands, n_hashes, signature_col)
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -313,6 +326,78 @@ def minhash_lsh_dedup_pairs(
         .where(F.col("jaccard") >= F.lit(min_jaccard))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_exact_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Drop batch rows whose exact key already exists in the corpus.
+
+    The incremental form of :func:`dedup_exact`: a production pipeline
+    ingests batch N against the N-1 corpus, it does not re-deduplicate the
+    whole archive. The corpus side reduces to DISTINCT keys before the
+    left-anti join — at 100 TB the corpus rows never move, only its
+    (far smaller, often broadcastable) key set does.
+    """
+    keys = corpus.select(*key_cols).distinct()
+    return batch.join(keys, key_cols, "left_anti")
+
+
+def minhash_dedup_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_size: int = 8,
+    min_jaccard: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Drop batch docs that near-duplicate ANY corpus doc (cross-batch LSH).
+
+    The incremental form of :func:`minhash_lsh_dedup_pairs`: both sides get
+    the SAME seeded signature pipeline, candidates come from a band equi-join
+    of batch bands against corpus bands (cross product never materializes,
+    and batch-internal / corpus-internal collisions are never generated),
+    the exact n-gram Jaccard verify runs only on candidates, and survivors
+    come from one left-anti join on the batch id. Corpus text is touched
+    exactly twice (signature scan + verify-side gather of candidate ids'
+    shingle sets); nothing corpus-sized ever shuffles.
+    """
+    sig_kwargs = dict(
+        id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+        shingle_size=shingle_size, seed=seed,
+    )
+    bands_b = _band_rows(
+        minhash_signatures(batch, **sig_kwargs), id_col, n_bands, n_hashes
+    ).select(F.col(id_col).alias("__bid"), "band_idx", "band_sig")
+    bands_c = _band_rows(
+        minhash_signatures(corpus, **sig_kwargs), id_col, n_bands, n_hashes
+    ).select(F.col(id_col).alias("__cid"), "band_idx", "band_sig")
+    cands = (
+        bands_b.join(bands_c, ["band_idx", "band_sig"])
+        .select("__bid", "__cid")
+        .distinct()  # ids only through the dedup exchange
+    )
+    set_b = _ensure_parallelism(batch).select(
+        F.col(id_col).alias("__bid"), shingles_expr(text_col, k=shingle_size).alias("__set_b")
+    )
+    set_c = _ensure_parallelism(corpus).select(
+        F.col(id_col).alias("__cid"), shingles_expr(text_col, k=shingle_size).alias("__set_c")
+    )
+    inter = F.size(F.array_intersect(F.col("__set_b"), F.col("__set_c")))
+    union = F.size(F.col("__set_b")) + F.size(F.col("__set_c")) - inter
+    contaminated = (
+        cands.join(set_b, "__bid")
+        .join(set_c, "__cid")
+        .where(F.round(inter / union.cast("double"), 6) >= F.lit(min_jaccard))
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    return batch.join(contaminated, id_col, "left_anti")
 
 
 def add_simhash(

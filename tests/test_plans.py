@@ -177,3 +177,40 @@ def test_cluster_assignment_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # one exchange: the per-cluster count
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_semantic_dedup_tiles_the_pair_join(spark):
+    """The within-cluster self-join must partition on the BLOCK-TILE key.
+
+    A plain equi-join on cluster id serializes the biggest (Zipf-skewed)
+    cluster's O(n_c^2) cosine work into one reducer, and a broadcast join
+    would inherit the stream side's (possibly single-split) partitioning —
+    the explicit tile-key repartition is what spreads the work.
+    """
+    plan = _plan(E.q_semantic_dedup(spark, SF_DIR))
+    assert "hashpartitioning(__cluster" in plan
+    assert "__ti" in plan and "__tj" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pairwise_embedding_ops_spread_single_split_scans(spark):
+    """Broadcast/nested-loop joins inherit the stream side's partitioning;
+    a single-file embeddings scan must be spread before per-pair work."""
+    for q in (E.q_embedding_near_dup, E.q_embedding_topk):
+        plan = _plan(q(spark, SF_DIR))
+        assert "Exchange RoundRobinPartitioning" in plan, plan.splitlines()[:5]
+
+
+def test_pair_cosine_unrolled_not_interpreted(spark):
+    """The per-PAIR cosine must be the statically unrolled form (codegen),
+    not a higher-order `aggregate(zip_with(...))` fold (interpreted).
+
+    The per-ROW ops (cluster assignment, signatures) legitimately keep the
+    fold, so the assertion targets the join output expression: the unrolled
+    dot references both pair-side arrays in ONE arithmetic chain."""
+    plan = _plan(E.q_embedding_near_dup(spark, SF_DIR))
+    join_lines = [
+        ln for ln in plan.splitlines() if "va" in ln and "vb" in ln and "+" in ln
+    ]
+    assert join_lines, "no unrolled pair-dot expression found in the plan"
+    assert all("zip_with" not in ln for ln in join_lines)
