@@ -173,6 +173,10 @@ _IVF_CENTROIDS = _hyperplanes(8, 64, seed=7)
 _IVF_D2 = ((_IVF_CENTROIDS[:, None, :] - _IVF_CENTROIDS[None, :, :]) ** 2).sum(axis=2)
 _IVF_PROBES = [(int(c), int(p)) for c in range(8) for p in _IVF_D2[c].argsort()[:2]]
 
+# Fixed PQ codebooks (m=4 subspaces x ksub=8 centroids x dsub=16), seeded
+# draws so encode + LUT ranking replay bit-for-bit in both engines.
+_PQ_BOOKS = [_hyperplanes(8, 16, seed=11 + j) for j in range(4)]
+
 
 # ---------------------------------------------------------------------------
 # queries (Spark side)
@@ -1233,6 +1237,27 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(
         emb, queries, dim=64, k=5, n_clusters=8, n_probe=2, centroids=_IVF_CENTROIDS
     )
+
+
+def q_pq_topk(spark, sf_dir):
+    """ANN memory path: product-quantization ADC top-5 with fixed codebooks.
+
+    Vectors compress to 4 subspace codes (argmin against the literal
+    codebook); each query precomputes a 4x8 lookup table and ranks the whole
+    code table by the summed lookups — the scan side never touches raw
+    embeddings. Codebooks are a deterministic seeded draw so DuckDB replays
+    encode + LUT + ranking bit-for-bit; ADC semantics vs a numpy oracle are
+    covered by tests/test_operators.py::TestPQ.
+    """
+    from sat_bucket_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_topk(emb, queries, dim=64, k=5, codebooks=_PQ_BOOKS)
 
 
 def q_overpass_global(spark, sf_dir):
@@ -2323,6 +2348,44 @@ SELECT node AS doc_id, cluster_id, node = cluster_id AS is_kept FROM comp
 """
 _ORACLES["ivf_topk"] = _ivf_topk_sql()
 
+
+def _pq_topk_sql(k: int = 5) -> str:
+    """Oracle mirror of q_pq_topk: per-subspace literal-codebook score lists
+    (cc - 2*list_inner_product on the 1-based subspace slice), argmin codes
+    via list_position, per-query LUT = the SAME score lists, ADC = left-to-
+    right sum of code-indexed lookups, ascending rank."""
+    m, dsub = len(_PQ_BOOKS), 16
+    score_lists = []
+    for j, Cj in enumerate(_PQ_BOOKS):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        terms = ", ".join(
+            f"({float((c ** 2).sum())!r} - 2.0 * "
+            f"list_inner_product(emb[{lo}:{hi}], {_centroid_arr_sql(c)}))"
+            for c in Cj
+        )
+        score_lists.append(f"[{terms}] AS s{j}")
+    s_cols = ", ".join(score_lists)
+    enc = ", ".join(
+        f"CAST(list_position(s{j}, list_min(s{j})) - 1 AS INT) AS c{j}" for j in range(m)
+    )
+    adist = " + ".join(f"q.s{j}q[e.c{j} + 1]" for j in range(m))
+    qsel = ", ".join(f"s{j} AS s{j}q" for j in range(m))
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (SELECT vec_id, {s_cols} FROM emb),
+enc AS (SELECT vec_id, {enc} FROM s),
+q AS (SELECT vec_id AS query_id, {qsel} FROM s WHERE vec_id < 10)
+SELECT query_id, vec_id, adist, rank FROM (
+  SELECT q.query_id, e.vec_id, round({adist}, 6) AS adist,
+    ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY round({adist}, 6) ASC, e.vec_id ASC) AS rank
+  FROM enc e CROSS JOIN q
+) t WHERE rank <= {k}
+"""
+
+
+_ORACLES["pq_topk"] = _pq_topk_sql()
+
 # partition_pruning oracle needs the pruned label lists (driver-side planning,
 # same values the Spark side folds into its isin predicate)
 _PRUNE_PARTS = GRID10.get_partitions_by_extent([5, 25, -90, -80])
@@ -2413,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_buckets": q_lsh_buckets,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "lsh_near_dup": q_lsh_near_dup,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,

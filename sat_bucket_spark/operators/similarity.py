@@ -24,8 +24,11 @@ __all__ = [
     "ivf_topk",
     "lsh_near_dup_pairs",
     "pairwise_near_duplicates",
+    "pq_encode",
+    "pq_topk",
     "random_hyperplane_signature",
     "train_ivf_centroids",
+    "train_pq_codebooks",
     "lsh_topk",
 ]
 
@@ -458,4 +461,160 @@ def lsh_topk(
         joined.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    seed: int = 42,
+    n_iter: int = 10,
+) -> np.ndarray:
+    """Driver-side product-quantization training: k-means per subspace.
+
+    Product quantization (Jegou et al., "Product Quantization for Nearest
+    Neighbor Search") splits the ``dim``-dimensional space into ``m``
+    subspaces of ``dim/m`` components and learns an independent ``ksub``-way
+    codebook in each — a vector compresses to ``m`` small ints (one byte per
+    subspace at ksub<=256), an ``(m * ksub * dim/m)``-float codebook
+    replaces N * dim floats at scan time. Trained on a bounded sample like
+    :func:`train_ivf_centroids`; fully deterministic (seeded init, fixed
+    iterations). Returns shape ``(m, ksub, dim // m)``.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    pdf = vectors.select(vec_col).limit(sample_rows).toPandas()
+    X = np.array(pdf[vec_col].tolist(), dtype="float64")
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        Xj = X[:, j * dsub : (j + 1) * dsub]
+        C = Xj[rng.choice(len(Xj), size=min(ksub, len(Xj)), replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                members = Xj[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
+def _subspace_scores_expr(vec_slice: Column, C_j: np.ndarray) -> Column:
+    """Per-centroid scores ``||c||^2 - 2 c.v_j`` for ONE subspace slice.
+
+    Equals squared L2 distance minus the slice's own ``||v_j||^2`` (constant
+    within a subspace, so argmin and cross-subspace SUM ranking are
+    unaffected). Bit-compat with the DuckDB oracle form
+    ``cc - 2 * list_inner_product(slice, c)``: the centroid squared-norm is
+    a Python-folded literal on both sides and the dot accumulates
+    left-to-right in double.
+    """
+    C_j = np.asarray(C_j, dtype="float64")
+    cents = _literal_matrix(C_j)
+    ccs = _literal_vector([float((row**2).sum()) for row in C_j])
+    return F.zip_with(
+        cents,
+        ccs,
+        lambda c, cc: cc
+        - 2.0
+        * F.aggregate(
+            F.zip_with(c, vec_slice, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out: str = "pq_code",
+) -> DataFrame:
+    """Attach the PQ code array: per subspace, the argmin-centroid index.
+
+    Pure literal-codebook Column expressions (no shuffle, no Python) — the
+    same shared-lambda shape as IVF cluster assignment, once per subspace.
+    First-min tie-break (array_position) matches DuckDB list_position. At
+    scale this runs ONCE at ingest and the codes persist next to the table;
+    every later ANN scan reads m ints per row instead of dim floats.
+    """
+    books = np.asarray(codebooks, dtype="float64")
+    m, _ksub, dsub = books.shape
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    codes = []
+    for j in range(m):
+        s = _subspace_scores_expr(F.slice(v, j * dsub + 1, dsub), books[j])
+        codes.append((F.array_position(s, F.array_min(s)) - 1).cast("int"))
+    return df.withColumn(out, F.array(*codes))
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 16,
+    codebooks: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: rank by summed LUT lookups.
+
+    The memory-bound scale path (complements IVF's compute-bound pruning):
+    each query precomputes an ``m x ksub`` lookup table of subspace scores
+    against the literal codebook, and every corpus vector scores as the SUM
+    of m table lookups indexed by its PQ code — the scan side touches only
+    ``(id, pq_code)``, never the raw embeddings, so a 100 TB embedding
+    corpus ANN-scans from a ~100x smaller code table (64 float32 -> 4-8
+    bytes/row). Returns ``(query_id, vec_id, adist, rank)`` ranked ASCENDING
+    by ``adist`` (squared-distance surrogate: ||q_j||^2 terms are per-query
+    constants and drop out of the ranking). Combine with IVF coarse pruning
+    (IVFADC) by filtering the code table on cluster id first.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            vectors, dim, m=m, ksub=ksub, vec_col=vec_col, seed=seed
+        )
+    books = np.asarray(codebooks, dtype="float64")
+    m, _ksub, dsub = books.shape
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    codes = pq_encode(ensure_parallelism(vectors), books, vec_col=vec_col).select(
+        F.col(id_col), F.col("pq_code")
+    )
+    qv = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    lut = F.array(
+        *[
+            _subspace_scores_expr(F.slice(qv, j * dsub + 1, dsub), books[j])
+            for j in range(m)
+        ]
+    )
+    q = queries.select(F.col(query_id_col), lut.alias("__lut"))
+    score = F.aggregate(
+        F.zip_with(F.col("pq_code"), F.col("__lut"), lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    joined = codes.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col), F.col(id_col), F.round(score, 6).alias("adist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adist", "rank")
     )

@@ -253,6 +253,95 @@ class TestIVF:
             assert ids[0] == brute_top1[qid]  # rank-1 agrees with brute force
 
 
+class TestPQ:
+    def test_codebooks_shape_and_determinism(self, spark, embeddings):
+        from sat_bucket_spark.operators.similarity import train_pq_codebooks
+
+        b1 = train_pq_codebooks(embeddings, dim=64, m=4, ksub=8, sample_rows=100)
+        b2 = train_pq_codebooks(embeddings, dim=64, m=4, ksub=8, sample_rows=100)
+        assert b1.shape == (4, 8, 16)
+        assert (b1 == b2).all()
+
+    def test_encode_codes_in_range(self, spark, embeddings):
+        import numpy as np
+
+        from sat_bucket_spark.operators.similarity import _hyperplanes, pq_encode
+
+        books = np.stack([_hyperplanes(8, 16, seed=11 + j) for j in range(4)])
+        out = pq_encode(embeddings.limit(50), books).select("pq_code").collect()
+        for r in out:
+            assert len(r["pq_code"]) == 4
+            assert all(0 <= c < 8 for c in r["pq_code"])
+
+    def test_pq_topk_matches_numpy_adc(self, spark, embeddings):
+        """Exact-semantics oracle: same codebooks, same encode argmin, same
+        ADC sum and (adist, id) ranking recomputed in numpy."""
+        import numpy as np
+
+        from sat_bucket_spark.operators.similarity import _hyperplanes, pq_topk
+
+        books = np.stack([_hyperplanes(8, 16, seed=11 + j) for j in range(4)])
+        emb = embeddings.limit(200).withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        got = pq_topk(emb, queries, dim=64, k=5, codebooks=books).collect()
+
+        pdf = emb.select("vec_id", "embedding").toPandas()
+        X = np.array(pdf["embedding"].tolist())
+        ids = pdf["vec_id"].to_numpy()
+        m, ksub, dsub = books.shape
+        codes = np.zeros((len(X), m), dtype=int)
+        for j in range(m):
+            Xj = X[:, j * dsub : (j + 1) * dsub]
+            scores = (books[j] ** 2).sum(axis=1)[None, :] - 2 * Xj @ books[j].T
+            codes[:, j] = scores.argmin(axis=1)
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["adist"]))
+        for qid, rows in by_q.items():
+            qv = X[ids == qid][0]
+            lut = np.stack(
+                [
+                    (books[j] ** 2).sum(axis=1)
+                    - 2 * (qv[j * dsub : (j + 1) * dsub] @ books[j].T)
+                    for j in range(m)
+                ]
+            )
+            ad = np.round(
+                [sum(lut[j][codes[i, j]] for j in range(m)) for i in range(len(X))], 6
+            )
+            order = sorted(range(len(X)), key=lambda i: (ad[i], ids[i]))[:5]
+            expected = [(r + 1, int(ids[i]), float(ad[i])) for r, i in enumerate(order)]
+            assert sorted(rows) == expected
+
+    def test_pq_scan_side_carries_codes_not_vectors(self, spark, embeddings):
+        """The ADC join must stream (id, pq_code) — the raw embedding array
+        must not appear in the join output (that is the whole memory win)."""
+        import numpy as np
+
+        from sat_bucket_spark.operators.similarity import _hyperplanes, pq_topk
+
+        books = np.stack([_hyperplanes(8, 16, seed=11 + j) for j in range(4)])
+        emb = embeddings.withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        queries = emb.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        plan = (
+            pq_topk(emb, queries, dim=64, k=3, codebooks=books)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+        assert join_lines and all("embedding" not in ln for ln in join_lines)
+
+
 class TestSimHash:
     def test_identical_equal_near_differs(self, spark):
         df = spark.createDataFrame(
