@@ -854,6 +854,37 @@ def q_hash_sample(spark, sf_dir):
     return hash_sample(docs, "doc_id", 0.2, salt="s1").select("doc_id", "lang")
 
 
+def q_cap_per_source(spark, sf_dir):
+    """Domain-cap curation: at most 50 docs per source, hash-rank selected.
+
+    Deterministic under re-runs and engine migration (md5-derived rank, id
+    tie-break) — the Zipf-skew guard every training mixture applies.
+    """
+    from sat_bucket_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(docs, ["source"], 50, "doc_id", salt="cap").select(
+        "doc_id", "source"
+    )
+
+
+def q_embedding_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination: max cosine vs a broadcast eval set.
+
+    Every 50th vector plays the held-out benchmark; the rest is training.
+    Flags training vectors whose nearest eval cosine >= 0.35 — paraphrase
+    leakage that n-gram decontamination misses.
+    """
+    from sat_bucket_spark.operators.similarity import embedding_decontamination
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    ev = emb.where(F.col("vec_id") % 50 == 0)
+    tr = emb.where(F.col("vec_id") % 50 != 0)
+    return embedding_decontamination(tr, ev, dim=64, threshold=0.35)
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic train/val/test split labels keyed on doc_id."""
     from sat_bucket_spark.operators.sampling import assign_splits
@@ -2386,6 +2417,31 @@ SELECT query_id, vec_id, adist, rank FROM (
 
 _ORACLES["pq_topk"] = _pq_topk_sql()
 
+_ORACLES["cap_per_source"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, ROW_NUMBER() OVER (
+    PARTITION BY source
+    ORDER BY CAST(('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % {MERSENNE_P} ASC, doc_id ASC) AS r
+  FROM documents
+) t WHERE r <= 50
+"""
+
+_EMB_COS = (
+    "round(list_inner_product(t.emb, ev.e) / "
+    "(sqrt(list_inner_product(t.emb, t.emb)) * sqrt(list_inner_product(ev.e, ev.e))), 6)"
+)
+_ORACLES["embedding_decontaminate"] = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ev AS (SELECT emb AS e FROM emb WHERE vec_id % 50 = 0),
+tr AS (SELECT vec_id, emb FROM emb WHERE vec_id % 50 != 0)
+SELECT vec_id, max_cosine, max_cosine >= 0.35 AS is_contaminated FROM (
+  SELECT t.vec_id, MAX({_EMB_COS}) AS max_cosine
+  FROM tr t CROSS JOIN ev
+  GROUP BY t.vec_id
+) m
+"""
+
 # partition_pruning oracle needs the pruned label lists (driver-side planning,
 # same values the Spark side folds into its isin predicate)
 _PRUNE_PARTS = GRID10.get_partitions_by_extent([5, 25, -90, -80])
@@ -2488,6 +2544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": q_rolling_stats,
         "vocabulary": q_vocabulary,
         "hash_sample": q_hash_sample,
+        "cap_per_source": q_cap_per_source,
+        "embedding_decontaminate": q_embedding_decontaminate,
         "split_assign": q_split_assign,
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,

@@ -51,6 +51,8 @@ HEADLINE = [
     "semantic_dedup",      # within-cluster cosine pruning, SemDeDup (added r2)
     "classifier_score",    # hashed linear model scoring, map-only (added r2)
     "mix_sources",         # target-mixture downsampling, map-only (added r2)
+    "cap_per_source",      # domain cap: group-keyed bounded rank (added r3)
+    "embedding_decontaminate",  # broadcast eval set, map-side max cosine (added r3)
     "line_filter",         # C4 line rules, row-local rebuild (added r2)
     "paragraph_dedup",     # corpus-level boilerplate spans (added r2)
     "shard_assign",        # deterministic training-shard shuffle (added r2)

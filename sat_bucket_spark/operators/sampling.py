@@ -24,6 +24,7 @@ from sat_bucket_spark.operators.hashing import MERSENNE_P, h31_expr
 __all__ = [
     "assign_shards",
     "assign_splits",
+    "cap_per_group",
     "hash_fraction_expr",
     "hash_sample",
     "mix_sources",
@@ -218,4 +219,46 @@ def assign_shards(
     return (
         df.withColumn(shard_col, shard)
         .withColumn(pos_col, F.row_number().over(w).cast("long"))
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    n_max: int,
+    id_col: str,
+    salt: str = "",
+    rank_col: Column | None = None,
+) -> DataFrame:
+    """Keep at most ``n_max`` rows per group, chosen deterministically.
+
+    The domain-cap curation rule: web corpora are Zipf-skewed over domains /
+    sources, and training mixtures cap any single origin's contribution so
+    one boilerplate-heavy site cannot dominate an epoch. Selection is a
+    hash-rank within the group — stable across engines, runs, and
+    partitionings, and fair (hash order is uncorrelated with the corpus's
+    natural order). Pass ``rank_col`` to keep the BEST rows instead
+    (e.g. ``F.col("quality").desc()``); the id remains the tie-break, so the
+    result stays deterministic under duplicate scores.
+
+    Shape: one shuffle on the group key; each reducer ranks its own groups
+    (bounded top-n, no global sort). Hot groups are exactly the rows the cap
+    discards, so the skew a plain window would suffer shrinks with the
+    output; for pathological single-domain corpora, pre-filter with
+    ``hash_sample`` to bound the reducer input first.
+    """
+    if n_max <= 0:
+        raise ValueError(f"n_max must be positive, got {n_max}")
+    from pyspark.sql import Window
+
+    order = (
+        rank_col
+        if rank_col is not None
+        else h31_expr(F.concat(F.lit(salt), F.col(id_col).cast("string"))).asc()
+    )
+    w = Window.partitionBy(*group_cols).orderBy(order, F.col(id_col).asc())
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= n_max)
+        .drop("__r")
     )

@@ -20,6 +20,7 @@ __all__ = [
     "brute_force_topk",
     "cosine_expr",
     "dot_expr",
+    "embedding_decontamination",
     "norm_expr",
     "ivf_topk",
     "lsh_near_dup_pairs",
@@ -617,4 +618,52 @@ def pq_topk(
         joined.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "adist", "rank")
+    )
+
+
+def embedding_decontamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-training-vector max cosine against an evaluation embedding set.
+
+    The embedding-space counterpart of :func:`~sat_bucket_spark.operators.
+    dedup.decontamination_report`: a training document whose embedding nearly
+    coincides with a benchmark document leaks the benchmark even when the
+    surface text differs (paraphrases, translations). Returns one row per
+    training vector: ``(id, max_cosine, is_contaminated)``.
+
+    Scale shape: eval corpora are benchmark-sized (thousands of rows) where
+    training corpora are TB — the eval side reduces to (vector, norm) and is
+    **broadcast**, the per-pair cosine is an unrolled codegen dot against
+    pre-computed per-row norms, and partial max aggregation runs map-side so
+    the only shuffle carries ``(id, partial max)``. Training embeddings
+    never move. Training rows vanish from the output only if the eval set is
+    empty (cross join); callers should treat an empty eval set as "nothing
+    to check".
+
+    The flag derives from the ROUNDED max (6 decimals) so engines computing
+    the division in double agree at the threshold boundary.
+    """
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    t = ensure_parallelism(train).select(
+        F.col(id_col), F.col(vec_col).alias("__tv")
+    ).withColumn("__tn", norm_expr("__tv", dim))
+    ev = eval_df.select(F.col(eval_vec_col).alias("__ev")).withColumn(
+        "__en", norm_expr("__ev", dim)
+    )
+    cos = _cosine_prenormed(dot_expr("__tv", "__ev", dim), F.col("__tn"), F.col("__en"))
+    pairs = t.crossJoin(F.broadcast(ev)).select(
+        F.col(id_col), F.round(cos, 6).alias("__cos")
+    )
+    return (
+        pairs.groupBy(id_col)
+        .agg(F.max("__cos").alias("max_cosine"))
+        .withColumn("is_contaminated", F.col("max_cosine") >= F.lit(threshold))
     )

@@ -564,3 +564,64 @@ class TestRepetitionSignals:
         assert row["n_words"] == 1
         assert row["dup_word_frac"] == 0.0
         assert row["top_bigram_frac"] == 1.0
+
+
+class TestEmbeddingDecontamination:
+    def test_self_contamination_is_exact(self, spark, embeddings):
+        """A train vector identical to an eval vector must flag at cosine 1."""
+        from sat_bucket_spark.operators.similarity import embedding_decontamination
+
+        emb = embeddings.limit(50).withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        ev = emb.where(F.col("vec_id") < 3).select("embedding")
+        out = embedding_decontamination(emb, ev, dim=64, threshold=0.99)
+        got = {r["vec_id"]: (r["max_cosine"], r["is_contaminated"]) for r in out.collect()}
+        for vid in (0, 1, 2):
+            assert got[vid][0] == 1.0 and got[vid][1]
+        assert len(got) == 50  # every train row reported
+
+    def test_matches_numpy_max_cosine(self, spark, embeddings):
+        import numpy as np
+
+        from sat_bucket_spark.operators.similarity import embedding_decontamination
+
+        emb = embeddings.limit(80).withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        ev = emb.where(F.col("vec_id") % 7 == 0).select("embedding")
+        tr = emb.where(F.col("vec_id") % 7 != 0)
+        got = {
+            r["vec_id"]: r["max_cosine"]
+            for r in embedding_decontamination(tr, ev, dim=64, threshold=0.5).collect()
+        }
+        pdf = emb.select("vec_id", "embedding").toPandas()
+        X = np.array(pdf["embedding"].tolist())
+        ids = pdf["vec_id"].to_numpy()
+        E = X[ids % 7 == 0]
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        for i, vid in enumerate(ids):
+            if vid % 7 == 0:
+                continue
+            v = X[i] / np.linalg.norm(X[i])
+            expected = np.round(En @ v, 6).max()
+            assert abs(got[int(vid)] - expected) < 1e-6
+
+    def test_plan_broadcasts_eval_no_python(self, spark, embeddings):
+        from sat_bucket_spark.operators.similarity import embedding_decontamination
+
+        emb = embeddings.withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        ev = emb.where(F.col("vec_id") < 5).select("embedding")
+        plan = (
+            embedding_decontamination(emb, ev, dim=64)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Broadcast" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # partial max runs before the exchange: the shuffle carries no arrays
+        exch = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+        assert exch and all("__tv" not in ln and "embedding" not in ln for ln in exch)

@@ -114,3 +114,45 @@ class TestMixSources:
         out = mix_sources(df, {"s0": 0.5, "nope": 0.5}, id_col="doc_id")
         got = {r["source"] for r in out.select("source").distinct().collect()}
         assert got == {"s0"}
+
+
+class TestCapPerGroup:
+    def test_caps_each_group(self, spark, documents):
+        from sat_bucket_spark.operators.sampling import cap_per_group
+
+        out = cap_per_group(documents, ["source"], 5, "doc_id")
+        counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        orig = {r["source"]: r["n"] for r in documents.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert counts
+        for s, n in counts.items():
+            assert n == min(orig[s], 5)
+
+    def test_deterministic_and_salted(self, spark, documents):
+        from sat_bucket_spark.operators.sampling import cap_per_group
+
+        a = sorted(r["doc_id"] for r in cap_per_group(documents, ["source"], 5, "doc_id").collect())
+        b = sorted(r["doc_id"] for r in cap_per_group(documents, ["source"], 5, "doc_id").collect())
+        c = sorted(r["doc_id"] for r in cap_per_group(documents, ["source"], 5, "doc_id", salt="x").collect())
+        assert a == b
+        assert a != c  # different salt -> different deterministic pick
+
+    def test_rank_col_keeps_best(self, spark, documents):
+        from sat_bucket_spark.operators.sampling import cap_per_group
+
+        ranked = cap_per_group(
+            documents, ["source"], 3, "doc_id", rank_col=F.col("n_chars").desc()
+        )
+        kept = {(r["source"], r["doc_id"]) for r in ranked.collect()}
+        pdf = documents.select("source", "doc_id", "n_chars").toPandas()
+        for s, grp in pdf.groupby("source"):
+            top = set(
+                grp.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+                .head(3)["doc_id"]
+            )
+            assert {d for (src, d) in kept if src == s} == top
+
+    def test_rejects_nonpositive_cap(self, spark, documents):
+        from sat_bucket_spark.operators.sampling import cap_per_group
+
+        with pytest.raises(ValueError):
+            cap_per_group(documents, ["source"], 0, "doc_id")
