@@ -233,6 +233,24 @@ def q_bin_index(spark, sf_dir):
     )
 
 
+def q_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering index over 1-degree lon/lat bins.
+
+    The row-group-level complement to directory partitioning: files sorted
+    by this index carry tight parquet min/max stats in BOTH axes, so 2-D
+    extent scans prune inside partitions. Pure shift/and bit math — the
+    oracle replays it with the same ``>> & <<`` expression.
+    """
+    from sat_bucket_spark.partitioning import bin_index_expr, zorder_index_expr
+
+    ev = _with_coords(_events(spark, sf_dir))
+    return ev.select(
+        "event_id",
+        bin_index_expr(F.col("lon"), -180.0, 180.0, 1.0, 360).alias("x_bin"),
+        bin_index_expr(F.col("lat"), -90.0, 90.0, 1.0, 180).alias("y_bin"),
+    ).withColumn("zorder", zorder_index_expr("x_bin", "y_bin", bits=9))
+
+
 def q_lonlat_labels(spark, sf_dir):
     """B3/B4/B8: centroid-string partition labels."""
     ev = _with_coords(_events(spark, sf_dir))
@@ -2417,6 +2435,23 @@ SELECT query_id, vec_id, adist, rank FROM (
 
 _ORACLES["pq_topk"] = _pq_topk_sql()
 
+_ZORDER_TERMS = " + ".join(
+    f"(((x_bin >> {b}) & 1) << {2 * b}) + (((y_bin >> {b}) & 1) << {2 * b + 1})"
+    for b in range(9)
+)
+_ORACLES["zorder"] = f"""
+WITH coords AS (
+  SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+),
+bins AS (
+  SELECT event_id,
+    {_bin_idx_sql("lon", -180.0, 1.0, 360)} AS x_bin,
+    {_bin_idx_sql("lat", -90.0, 1.0, 180)} AS y_bin
+  FROM coords
+)
+SELECT event_id, x_bin, y_bin, CAST({_ZORDER_TERMS} AS BIGINT) AS zorder FROM bins
+"""
+
 _ORACLES["cap_per_source"] = f"""
 SELECT doc_id, source FROM (
   SELECT doc_id, source, ROW_NUMBER() OVER (
@@ -2545,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "hash_sample": q_hash_sample,
         "cap_per_source": q_cap_per_source,
+        "zorder": q_zorder,
         "embedding_decontaminate": q_embedding_decontaminate,
         "split_assign": q_split_assign,
         "decontaminate": q_decontaminate,

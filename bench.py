@@ -27,6 +27,7 @@ HEADLINE = [
     "pricing_summary",     # shuffle aggregation
     "revenue_by_nation",   # multi-join (broadcast dim)
     "lonlat_labels",       # binning expression throughput
+    "zorder",              # Morton bit-interleave clustering index (added r3)
     "partition_pruning",   # label pruning + agg
     "point_radius",        # haversine filter
     "sessionize",          # window sessionization

@@ -46,6 +46,7 @@ __all__ = [
     "get_centroids_from_bounds",
     "get_n_decimals",
     "get_partitioning_class",
+    "zorder_index_expr",
 ]
 
 
@@ -933,3 +934,36 @@ def partitioning_from_dict(spec: dict):
     spec = dict(spec)
     cls = get_partitioning_class(spec.pop("class"))
     return cls(**spec)
+
+
+def zorder_index_expr(
+    x_bin: "Column | str", y_bin: "Column | str", bits: int = 16
+) -> Column:
+    """Morton (Z-order) index of two non-negative bin indices.
+
+    Interleaves the low ``bits`` bits of ``x_bin`` (even positions) and
+    ``y_bin`` (odd positions) into one long. Sorting or range-partitioning a
+    write by this value clusters rows that are close in BOTH spatial
+    dimensions into the same files and row groups — so a 2-D extent query
+    prunes on parquet min/max stats in both axes at once, where a
+    lexicographic (x, y) sort clusters only x. This is the single-column
+    clustering complement to directory-level spatial partitioning: partition
+    pruning skips directories, Z-ordering skips row groups *inside* each
+    directory's files. Pass the result to
+    ``write_partitioned_dataset(sort_within_by=[...])`` or
+    ``DataFrame.sortWithinPartitions``.
+
+    Pure bit arithmetic (shift/and/or) — whole-stage codegen, engine-portable
+    (DuckDB: the same ``>> & <<`` expression). Null bin indices propagate to
+    a null index. ``bits`` must cover the larger bin count (default 16 =
+    grids up to 65536 x 65536).
+    """
+    x = (F.col(x_bin) if isinstance(x_bin, str) else x_bin).cast("long")
+    y = (F.col(y_bin) if isinstance(y_bin, str) else y_bin).cast("long")
+    out: Column | None = None
+    for b in range(bits):
+        xb = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+        yb = F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        term = xb + yb
+        out = term if out is None else out + term
+    return out

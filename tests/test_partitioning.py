@@ -350,3 +350,75 @@ class TestFilterByExtentPartitions:
         df = spark.createDataFrame([(1, 0.0, 0.0)], ["id", "x", "y"])
         out = p.filter_by_extent_partitions(df, [200, 210, 95, 99], x="x", y="y")
         assert out.count() == 0
+
+
+class TestZorder:
+    def test_matches_numpy_interleave(self, spark):
+        import numpy as np
+
+        from sat_bucket_spark.partitioning import zorder_index_expr
+
+        xy = [(i, (i * 7) % 64, (i * 13) % 64) for i in range(256)]
+        df = spark.createDataFrame(xy, ["id", "x", "y"])
+        got = {
+            r["id"]: r["z"]
+            for r in df.withColumn("z", zorder_index_expr("x", "y", bits=6)).collect()
+        }
+
+        def interleave(x, y):
+            z = 0
+            for b in range(6):
+                z |= ((x >> b) & 1) << (2 * b)
+                z |= ((y >> b) & 1) << (2 * b + 1)
+            return z
+
+        for i, x, y in xy:
+            assert got[i] == interleave(x, y)
+
+    def test_null_bins_propagate(self, spark):
+        from sat_bucket_spark.partitioning import zorder_index_expr
+
+        df = spark.createDataFrame([(1, None, 3), (2, 2, 3)], "id int, x int, y int")
+        got = {r["id"]: r["z"] for r in df.withColumn(
+            "z", zorder_index_expr("x", "y", bits=4)).collect()}
+        assert got[1] is None and got[2] is not None
+
+    def test_zorder_sort_tightens_rowgroup_stats(self, spark, tmp_path):
+        """Files written in z-order must carry tighter per-file x AND y ranges
+        than the natural (x-major) order — the row-group pruning win."""
+        import itertools
+
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.partitioning import zorder_index_expr
+
+        grid = list(itertools.product(range(32), range(32)))
+        df = (
+            spark.createDataFrame(grid, ["x", "y"])
+            .withColumn("z", zorder_index_expr("x", "y", bits=5))
+            .coalesce(1)
+        )
+
+        def avg_span(path):
+            out = (
+                spark.read.parquet(path)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(
+                    (F.max("x") - F.min("x")).alias("sx"),
+                    (F.max("y") - F.min("y")).alias("sy"),
+                )
+                .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+                .first()
+            )
+            return out["ax"], out["ay"]
+
+        opts = {"maxRecordsPerFile": "64"}
+        zp, xp = str(tmp_path / "zsort"), str(tmp_path / "xsort")
+        df.sortWithinPartitions("z").write.options(**opts).parquet(zp)
+        df.sortWithinPartitions("x", "y").write.options(**opts).parquet(xp)
+        zx, zy = avg_span(zp)
+        xx, xy_ = avg_span(xp)
+        # x-major sort: each 64-row file spans 2 x-values but ALL 32 y values;
+        # z-order: each file is an 8x8 tile. Both axes must be bounded tight.
+        assert zx <= 8 and zy <= 8
+        assert xy_ >= 16  # the comparison baseline really is y-unbounded
