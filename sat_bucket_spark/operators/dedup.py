@@ -93,23 +93,37 @@ def shingles_expr(text: Column | str, k: int = 5, unit: str = "char") -> Column:
     ``sequence`` + ``transform`` — JVM-side, no UDF.
     """
     t = F.lower(F.col(text) if isinstance(text, str) else text)
+    # A subexpression referenced inside a transform lambda is re-evaluated
+    # PER ELEMENT (higher-order functions don't share subtrees with the
+    # enclosing row scope) — so `transform(sequence(1, n), i -> f(t, i))`
+    # recomputes lower(text)/the token split at every shingle position:
+    # O(positions * doc_len) per row, measured 11x slower at sf0.1.
+    # Binding the value as the element of a one-row array makes it a lambda
+    # variable, evaluated once per row.
     if unit == "char":
-        n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
-        return F.array_distinct(
-            F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+        gen = F.transform(
+            F.array(t),
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
+                ),
+                lambda i: s.substr(i, F.lit(k)),
+            ),
         )
+        return F.array_distinct(F.element_at(gen, 1))
     if unit != "word":
         raise ValueError(f"invalid shingle unit {unit!r}")
     from sat_bucket_spark.operators.text import tokens_expr
 
     toks = F.transform(tokens_expr(t), lambda x: F.lower(x))
-    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(k))),
-        )
+    gen = F.transform(
+        F.array(toks),
+        lambda ts: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ts) - F.lit(k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(ts, i, F.lit(k))),
+        ),
     )
+    return F.array_distinct(F.element_at(gen, 1))
 
 
 def minhash_signatures(
