@@ -352,13 +352,22 @@ def _nearest_centroid_expr(vec: Column | str, centroids: np.ndarray) -> Column:
     # tree that Janino can't codegen and the interpreter re-evaluates; the
     # shared transform/aggregate lambda below avoids that.
     cents = _literal_matrix(C)
-    scores = F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(c, vec, lambda a, b: a * a - 2.0 * a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # Bind the (possibly cast-transformed) vector as a lambda variable so it
+    # is evaluated once per row, not once per centroid — a subexpression
+    # referenced inside a HOF lambda re-evaluates per element.
+    scores = F.element_at(
+        F.transform(
+            F.array(vec),
+            lambda v: F.transform(
+                cents,
+                lambda c: F.aggregate(
+                    F.zip_with(c, v, lambda a, b: a * a - 2.0 * a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ),
         ),
+        1,
     )
     return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
 
@@ -514,16 +523,24 @@ def _subspace_scores_expr(vec_slice: Column, C_j: np.ndarray) -> Column:
     C_j = np.asarray(C_j, dtype="float64")
     cents = _literal_matrix(C_j)
     ccs = _literal_vector([float((row**2).sum()) for row in C_j])
-    return F.zip_with(
-        cents,
-        ccs,
-        lambda c, cc: cc
-        - 2.0
-        * F.aggregate(
-            F.zip_with(c, vec_slice, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # Bind the slice once per row (not once per centroid) — HOF lambdas
+    # re-evaluate closed-over subexpressions per element.
+    return F.element_at(
+        F.transform(
+            F.array(vec_slice),
+            lambda v: F.zip_with(
+                cents,
+                ccs,
+                lambda c, cc: cc
+                - 2.0
+                * F.aggregate(
+                    F.zip_with(c, v, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ),
         ),
+        1,
     )
 
 
