@@ -1309,6 +1309,27 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(emb, queries, dim=64, k=5, codebooks=_PQ_BOOKS)
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVFADC composition: coarse-cluster pruning + PQ ADC ranking.
+
+    Corpus rows reduce to (cluster, pq_code); queries probe 2 inverted lists
+    and rank candidates by summed LUT lookups. Both codebooks fixed seeded
+    draws — DuckDB replays assignment, probes, encode, and ranking exactly.
+    """
+    from sat_bucket_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk(
+        emb, queries, dim=64, k=5, n_probe=2,
+        centroids=_IVF_CENTROIDS, codebooks=_PQ_BOOKS,
+    )
+
+
 def q_overpass_global(spark, sf_dir):
     """W1 (reference semantics): global gap sessionization of event times."""
     ev = _events(spark, sf_dir)
@@ -2452,6 +2473,56 @@ bins AS (
 SELECT event_id, x_bin, y_bin, CAST({_ZORDER_TERMS} AS BIGINT) AS zorder FROM bins
 """
 
+def _ivfpq_topk_sql(k: int = 5) -> str:
+    """Oracle mirror of q_ivfpq_topk: IVF cluster assignment + probe pairs
+    (same CTE pieces as _ivf_topk_sql) composed with PQ encode + per-query
+    LUT ranking (same pieces as _pq_topk_sql)."""
+    m, dsub = len(_PQ_BOOKS), 16
+    ivf_scores = ", ".join(
+        f"({float((c ** 2).sum())!r} - 2.0 * list_inner_product(emb, {_centroid_arr_sql(c)}))"
+        for c in _IVF_CENTROIDS
+    )
+    probes = ", ".join(f"({q}, {c})" for q, c in _IVF_PROBES)
+    score_lists = []
+    for j, Cj in enumerate(_PQ_BOOKS):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        terms = ", ".join(
+            f"({float((c ** 2).sum())!r} - 2.0 * "
+            f"list_inner_product(emb[{lo}:{hi}], {_centroid_arr_sql(c)}))"
+            for c in Cj
+        )
+        score_lists.append(f"[{terms}] AS s{j}")
+    s_cols = ", ".join(score_lists)
+    enc = ", ".join(
+        f"CAST(list_position(s{j}, list_min(s{j})) - 1 AS INT) AS c{j}" for j in range(m)
+    )
+    adist = " + ".join(f"q.s{j}q[e.c{j} + 1]" for j in range(m))
+    qsel = ", ".join(f"s.s{j} AS s{j}q" for j in range(m))
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cl AS (
+  SELECT vec_id, CAST(list_position(scores, list_min(scores)) - 1 AS INT) AS cluster
+  FROM (SELECT vec_id, [{ivf_scores}] AS scores FROM emb) t
+),
+s AS (SELECT vec_id, {s_cols} FROM emb),
+enc AS (SELECT vec_id, {enc} FROM s),
+probes(qcluster, cluster) AS (VALUES {probes}),
+q AS (
+  SELECT cl.vec_id AS query_id, {qsel}, p.cluster
+  FROM cl JOIN s ON s.vec_id = cl.vec_id JOIN probes p ON p.qcluster = cl.cluster
+  WHERE cl.vec_id < 10
+)
+SELECT query_id, vec_id, adist, rank FROM (
+  SELECT q.query_id, e.vec_id, round({adist}, 6) AS adist,
+    ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY round({adist}, 6) ASC, e.vec_id ASC) AS rank
+  FROM enc e JOIN cl v ON v.vec_id = e.vec_id JOIN q ON v.cluster = q.cluster
+) t WHERE rank <= {k}
+"""
+
+
+_ORACLES["ivfpq_topk"] = _ivfpq_topk_sql()
+
 _ORACLES["cap_per_source"] = f"""
 SELECT doc_id, source FROM (
   SELECT doc_id, source, ROW_NUMBER() OVER (
@@ -2568,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": q_lsh_buckets,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "lsh_near_dup": q_lsh_near_dup,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,

@@ -66,6 +66,7 @@ HEADLINE = [
     "embedding_topk",      # broadcast cross + window topk (exactness baseline)
     "ivf_topk",            # IVF ANN (scale path; added r2)
     "pq_topk",             # PQ ADC ANN: codes-only scan, LUT ranking (added r3)
+    "ivfpq_topk",          # IVFADC: coarse pruning + ADC over codes (added r3)
     "lsh_near_dup",        # bucketed embedding near-dup + exact verify (added r2)
     "lsh_buckets",         # vector expression throughput
 ]

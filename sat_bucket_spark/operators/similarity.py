@@ -23,6 +23,7 @@ __all__ = [
     "embedding_decontamination",
     "norm_expr",
     "ivf_topk",
+    "ivfpq_topk",
     "lsh_near_dup_pairs",
     "pairwise_near_duplicates",
     "pq_encode",
@@ -677,4 +678,91 @@ def embedding_decontamination(
         pairs.groupBy(id_col)
         .agg(F.max("__cos").alias("max_cosine"))
         .withColumn("is_contaminated", F.col("max_cosine") >= F.lit(threshold))
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVFADC-style top-k: IVF coarse pruning + PQ ADC ranking over codes.
+
+    The composition both halves exist for (Jegou et al.'s IVFADC): corpus
+    rows carry ``(coarse cluster, pq_code)`` — in production computed ONCE at
+    ingest and persisted next to the table — queries probe their ``n_probe``
+    nearest inverted lists and rank only those candidates, by summed
+    lookup-table entries. Candidate volume is ~``n_probe / n_clusters`` of
+    the corpus AND the scanned payload is m small ints per row; raw
+    embeddings appear nowhere in the join. This variant quantizes raw
+    vectors (not residuals v - centroid): scores replay exactly in any
+    engine from the two literal codebooks, at some recall cost vs residual
+    encoding — swap in residual codes at ingest if recall ever needs it.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, dim, n_clusters=n_clusters, vec_col=vec_col, seed=seed
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            vectors, dim, m=m, ksub=ksub, vec_col=vec_col, seed=seed
+        )
+    books = np.asarray(codebooks, dtype="float64")
+    m, _ksub, dsub = books.shape
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    v = pq_encode(
+        ensure_parallelism(vectors).withColumn(
+            "__cluster", _nearest_centroid_expr(vec_col, centroids)
+        ),
+        books,
+        vec_col=vec_col,
+    ).select(F.col(id_col), F.col("__cluster"), F.col("pq_code"))
+
+    d2 = ((centroids[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe_order = d2.argsort(axis=1)[:, :n_probe]
+    probes = [(int(c), int(p)) for c in range(len(centroids)) for p in probe_order[c]]
+    spark = vectors.sparkSession
+    probe_df = spark.createDataFrame(probes, ["__qcluster", "__cluster"])
+
+    qv = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    lut = F.array(
+        *[
+            _subspace_scores_expr(F.slice(qv, j * dsub + 1, dsub), books[j])
+            for j in range(m)
+        ]
+    )
+    q = (
+        queries.withColumn("__qcluster", _nearest_centroid_expr(query_vec_col, centroids))
+        .withColumn("__lut", lut)
+        .join(F.broadcast(probe_df), "__qcluster")
+        .select(F.col(query_id_col), F.col("__cluster"), F.col("__lut"))
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("pq_code"), F.col("__lut"), lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    joined = v.join(F.broadcast(q), "__cluster").select(
+        F.col(query_id_col), F.col(id_col), F.round(score, 6).alias("adist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adist", "rank")
     )

@@ -625,3 +625,56 @@ class TestEmbeddingDecontamination:
         # partial max runs before the exchange: the shuffle carries no arrays
         exch = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
         assert exch and all("__tv" not in ln and "embedding" not in ln for ln in exch)
+
+
+class TestIVFPQ:
+    def test_matches_numpy_composition(self, spark, embeddings):
+        """ivfpq == (IVF probe filter) ∘ (PQ ADC ranking), recomputed in numpy."""
+        import numpy as np
+
+        from sat_bucket_spark.operators.similarity import _hyperplanes, ivfpq_topk
+
+        cents = _hyperplanes(8, 64, seed=7)
+        books = np.stack([_hyperplanes(8, 16, seed=11 + j) for j in range(4)])
+        emb = embeddings.limit(200).withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        got = ivfpq_topk(
+            emb, queries, dim=64, k=5, n_probe=2, centroids=cents, codebooks=books
+        ).collect()
+
+        pdf = emb.select("vec_id", "embedding").toPandas()
+        X = np.array(pdf["embedding"].tolist())
+        ids = pdf["vec_id"].to_numpy()
+        cl = (
+            (cents**2).sum(axis=1)[None, :] - 2 * X @ cents.T
+        ).argmin(axis=1)
+        m, ksub, dsub = books.shape
+        codes = np.zeros((len(X), m), dtype=int)
+        for j in range(m):
+            Xj = X[:, j * dsub : (j + 1) * dsub]
+            scores = (books[j] ** 2).sum(axis=1)[None, :] - 2 * Xj @ books[j].T
+            codes[:, j] = scores.argmin(axis=1)
+        d2 = ((cents[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        probes = {c: set(d2[c].argsort()[:2]) for c in range(8)}
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["adist"]))
+        for qid, rows in by_q.items():
+            qi = int(np.where(ids == qid)[0][0])
+            qv = X[qi]
+            lut = np.stack(
+                [
+                    (books[j] ** 2).sum(axis=1)
+                    - 2 * (qv[j * dsub : (j + 1) * dsub] @ books[j].T)
+                    for j in range(m)
+                ]
+            )
+            cand = [i for i in range(len(X)) if cl[i] in probes[cl[qi]]]
+            ad = {i: round(sum(lut[j][codes[i, j]] for j in range(m)), 6) for i in cand}
+            order = sorted(cand, key=lambda i: (ad[i], ids[i]))[:5]
+            expected = [(r + 1, int(ids[i]), float(ad[i])) for r, i in enumerate(order)]
+            assert sorted(rows) == expected
