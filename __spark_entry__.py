@@ -872,6 +872,19 @@ def q_hash_sample(spark, sf_dir):
     return hash_sample(docs, "doc_id", 0.2, salt="s1").select("doc_id", "lang")
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking: cut where the 8-char window hash % 64 == 0.
+
+    Unlike fixed windows, an edit shifts boundaries only until the next cut
+    (FastCDC/rsync property) — chunk-level dedup survives document edits.
+    Map-only 1->N fan-out; chunks concatenate back to the original text.
+    """
+    from sat_bucket_spark.operators.chunking import chunk_documents_cdc
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents_cdc(docs, window=8, mask=63)
+
+
 def q_cap_per_source(spark, sf_dir):
     """Domain-cap curation: at most 50 docs per source, hash-rank selected.
 
@@ -2523,6 +2536,38 @@ SELECT query_id, vec_id, adist, rank FROM (
 
 _ORACLES["ivfpq_topk"] = _ivfpq_topk_sql()
 
+_CDC_MULTS = [pow(257, j, 1_000_000_007) for j in range(8)]
+_CDC_HASH = " + ".join(f"cs[i + {j}] * {m}" for j, m in enumerate(_CDC_MULTS))
+_ORACLES["cdc_chunks"] = f"""
+WITH src AS (
+  SELECT doc_id, text,
+    list_transform(generate_series(1, len(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS cs
+  FROM documents
+),
+b AS (
+  SELECT doc_id, text, flatten([
+      [CAST(0 AS BIGINT)],
+      list_filter(
+        list_transform(
+          generate_series(1, greatest(len(cs) - 7, 1)),
+          i -> CASE WHEN i <= len(cs) - 7
+                 AND ({_CDC_HASH}) % 1000000007 % 64 = 0
+               THEN CAST(i + 7 AS BIGINT) END),
+        x -> x IS NOT NULL AND x < len(text)),
+      [CAST(len(text) AS BIGINT)]]) AS bs
+  FROM src
+),
+e AS (
+  SELECT doc_id, text, bs,
+    unnest(generate_series(1, greatest(len(bs) - 1, 1))) AS i
+  FROM b
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+  CAST(greatest(len(bs) - 1, 1) AS BIGINT) AS n_chunks,
+  substr(text, CAST(bs[i] + 1 AS INT), CAST(coalesce(bs[i + 1], bs[i]) - bs[i] AS INT)) AS chunk
+FROM e
+"""
+
 _ORACLES["cap_per_source"] = f"""
 SELECT doc_id, source FROM (
   SELECT doc_id, source, ROW_NUMBER() OVER (
@@ -2672,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "pii_scan": q_pii_scan,
         "doc_chunks": q_doc_chunks,
+        "cdc_chunks": q_cdc_chunks,
         "stratified_sample": q_stratified_sample,
         "heavy_hitters": q_heavy_hitters,
         "approx_stats": q_approx_stats,

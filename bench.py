@@ -45,6 +45,7 @@ HEADLINE = [
     "pii_scan",            # regex detect + redact chain (added r2)
     "normalize",           # control/punct/whitespace normalization pass (added r2)
     "doc_chunks",          # 1->N chunk fan-out, map-only (added r2)
+    "cdc_chunks",          # content-defined boundaries, edit-robust (added r3)
     "heavy_hitters",       # (group,value) count + bounded rank (added r2)
     "tf_idf",              # query-filtered token explode + keyed agg (added r2)
     "inverted_index",      # df-bounded posting lists (added r2)

@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from sat_bucket_spark.operators.text import tokens_expr
 
-__all__ = ["chunk_documents", "chunk_offsets_expr"]
+__all__ = [
+    "cdc_boundaries_expr",
+    "chunk_documents",
+    "chunk_documents_cdc",
+    "chunk_offsets_expr",
+]
 
 
 def chunk_offsets_expr(total_len: Column, chunk_size: int, stride: int) -> Column:
@@ -115,4 +120,129 @@ def chunk_documents(
         F.col("chunk_id"),
         n_chunks.alias("n_chunks"),
         chunk.alias("chunk"),
+    )
+
+
+def _window_hash_terms(base: int, window: int, mod: int) -> list[int]:
+    """Precomputed ``base^j % mod`` multipliers for the window polynomial."""
+    return [pow(base, j, mod) for j in range(window)]
+
+
+def cdc_boundaries_expr(
+    text: Column | str,
+    window: int = 8,
+    mask: int = 63,
+    base: int = 257,
+    mod: int = 1_000_000_007,
+) -> Column:
+    """Content-defined cut points (1-based char positions) of a document.
+
+    A cut is placed after position ``i + window - 1`` whenever the
+    polynomial hash of the ``window`` chars starting at ``i`` satisfies
+    ``h % (mask+1) == 0`` — the FastCDC/rsync boundary rule. Expected chunk
+    length is ~``mask+1`` chars. Because the decision depends only on a
+    local window, an insertion early in a document shifts boundaries only
+    until the next cut — unlike fixed-size chunking, where every later
+    chunk changes — so chunk-level dedup survives edits.
+
+    Engine-portable by construction: ``h = sum_j code(c[i+j]) * base^j %
+    mod`` with literal multipliers, identical arithmetic in DuckDB. The char
+    codes are bound once per row (HOF lambda-variable pattern); each
+    position costs ``window`` multiply-adds.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    terms = _window_hash_terms(base, window, mod)
+    codes = F.transform(F.split(t, ""), lambda c: F.ascii(c))
+
+    def hash_at(cs: Column, i: Column) -> Column:
+        h = None
+        for j, mult in enumerate(terms):
+            term = F.element_at(cs, (i + F.lit(j)).cast("int")).cast("long") * F.lit(
+                mult
+            )
+            h = term if h is None else h + term
+        return h % F.lit(mod)
+
+    def positions(cs: Column) -> Column:
+        # Documents shorter than the window have no positions. sequence()
+        # with stop < start infers a DESCENDING range, so clamp the stop to 1
+        # and guard each element instead; the inner when() evaluates the
+        # window hash only when the position is valid (no out-of-bounds
+        # element_at on short docs).
+        n_pos = F.size(cs) - F.lit(window - 1)
+        return F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
+                lambda i: F.when(
+                    i <= n_pos,
+                    F.when(
+                        hash_at(cs, i) % F.lit(mask + 1) == 0,
+                        (i + F.lit(window - 1)).cast("long"),
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+
+    return F.element_at(F.transform(F.array(codes), positions), 1)
+
+
+def chunk_documents_cdc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    mask: int = 63,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split documents at content-defined boundaries; one row per chunk.
+
+    Returns ``(id, chunk_id, n_chunks, chunk)`` (+ ``keep_cols``). Cut
+    points come from :func:`cdc_boundaries_expr`; the text is sliced
+    between consecutive cuts (document start and end are implicit bounds,
+    so every document yields >= 1 chunk and chunks concatenate back to the
+    original text). Map-only 1->N fan-out like :func:`chunk_documents` —
+    no shuffle, scales with scan bandwidth; downstream exact-hash dedup of
+    chunks removes repeated spans that survive document-level dedup.
+    """
+    t = F.col(text_col)
+    # A boundary at the exact document end would duplicate the implicit
+    # final cut; filter it rather than array_distinct (DuckDB's list_distinct
+    # does not preserve order, so the oracle could not mirror a distinct).
+    cuts = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.filter(
+            cdc_boundaries_expr(t, window=window, mask=mask),
+            lambda x: x < F.length(t).cast("long"),
+        ),
+        F.array(F.length(t).cast("long")),
+    )
+    keep = list(keep_cols or [])
+    # Stage text + cut points once; explode the chunk ORDINAL; derive the
+    # substring after the explode (same shape as chunk_documents: the explode
+    # carries one small array per row, never per-chunk text copies; map-only).
+    staged = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        t.alias("__src"),
+        cuts.alias("__b"),
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        "__src",
+        "__b",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("__b") - F.lit(1), F.lit(1)))
+        ).alias("__i"),
+    )
+    lo = F.element_at(F.col("__b"), F.col("__i").cast("int"))
+    hi = F.coalesce(
+        F.element_at(F.col("__b"), (F.col("__i") + F.lit(1)).cast("int")), lo
+    )
+    return staged.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        (F.col("__i") - F.lit(1)).cast("long").alias("chunk_id"),
+        F.greatest(F.size("__b") - F.lit(1), F.lit(1)).cast("long").alias("n_chunks"),
+        F.col("__src").substr((lo + F.lit(1)).cast("int"), (hi - lo).cast("int")).alias("chunk"),
     )

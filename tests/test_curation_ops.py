@@ -438,3 +438,55 @@ class TestAssignShards:
         rows = assign_shards(docs, "doc_id", n_shards=1).collect()
         ordered_ids = [r["doc_id"] for r in sorted(rows, key=lambda r: r["shard_pos"])]
         assert ordered_ids != sorted(ordered_ids)  # hash order, not id order
+
+
+class TestCDCChunking:
+    def test_chunks_concatenate_to_original(self, spark):
+        from sat_bucket_spark.operators.chunking import chunk_documents_cdc
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = chunk_documents_cdc(docs).collect()
+        rebuilt = {}
+        for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+            rebuilt[r["doc_id"]] = rebuilt.get(r["doc_id"], "") + r["chunk"]
+        orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+        assert rebuilt == orig
+        assert len(out) > len(orig)  # non-vacuous: real splitting happened
+
+    def test_edge_documents(self, spark):
+        """Empty, shorter-than-window, and uniform docs each yield one chunk."""
+        from sat_bucket_spark.operators.chunking import chunk_documents_cdc
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "ab"), (3, "x" * 7)], ["doc_id", "text"]
+        )
+        out = chunk_documents_cdc(df).collect()
+        got = {r["doc_id"]: (r["n_chunks"], r["chunk"]) for r in out}
+        assert got == {1: (1, ""), 2: (1, "ab"), 3: (1, "x" * 7)}
+
+    def test_boundaries_resync_after_edit(self, spark):
+        """The CDC property: a 1-char prefix insert shifts boundaries only
+        until the next cut — most docs' later boundaries re-align (+1)."""
+        from sat_bucket_spark.operators.chunking import cdc_boundaries_expr
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        edited = docs.withColumn("text", F.concat(F.lit("X"), F.col("text")))
+        b1 = {r["doc_id"]: r["b"] for r in docs.select(
+            "doc_id", cdc_boundaries_expr("text").alias("b")).collect()}
+        b2 = {r["doc_id"]: r["b"] for r in edited.select(
+            "doc_id", cdc_boundaries_expr("text").alias("b")).collect()}
+        multi = [d for d in b1 if len(b1[d]) >= 2]
+        resynced = sum(
+            1 for d in multi if set(x + 1 for x in b1[d][1:]) & set(b2[d])
+        )
+        assert resynced / len(multi) > 0.8
+
+    def test_map_only_no_shuffle(self, spark):
+        from sat_bucket_spark.operators.chunking import chunk_documents_cdc
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            chunk_documents_cdc(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
