@@ -885,6 +885,36 @@ def q_cdc_chunks(spark, sf_dir):
     return chunk_documents_cdc(docs, window=8, mask=63)
 
 
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """Repeated-span detection over content-defined chunks.
+
+    The pipeline CDC chunking exists for: hash every chunk, find spans that
+    repeat across the corpus (boilerplate, templated passages). Injected
+    duplicate spans (every 10th doc shares a footer) make the check
+    non-vacuous on the synthetic corpus. Returns repeated chunk groups with
+    their frequency and the min doc carrying them.
+    """
+    from sat_bucket_spark.operators.chunking import chunk_documents_cdc
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" subscribe to our newsletter for the latest updates and exclusive offers delivered straight to your inbox every single week without fail and share this page with all of your friends and colleagues today")),
+        ).otherwise(F.col("text")),
+    )
+    chunks = chunk_documents_cdc(docs, window=8, mask=63)
+    return (
+        chunks.where(F.length("chunk") >= 16)
+        .groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_occurrences") >= 5)
+    )
+
+
 def q_cap_per_source(spark, sf_dir):
     """Domain-cap curation: at most 50 docs per source, hash-rank selected.
 
@@ -2568,6 +2598,48 @@ SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
 FROM e
 """
 
+_ORACLES["cdc_chunk_dedup"] = f"""
+WITH docs2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 0
+         THEN text || ' subscribe to our newsletter for the latest updates and exclusive offers delivered straight to your inbox every single week without fail and share this page with all of your friends and colleagues today'
+         ELSE text END AS text
+  FROM documents
+),
+src AS (
+  SELECT doc_id, text,
+    list_transform(generate_series(1, len(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS cs
+  FROM docs2
+),
+b AS (
+  SELECT doc_id, text, flatten([
+      [CAST(0 AS BIGINT)],
+      list_filter(
+        list_transform(
+          generate_series(1, greatest(len(cs) - 7, 1)),
+          i -> CASE WHEN i <= len(cs) - 7
+                 AND ({_CDC_HASH}) % 1000000007 % 64 = 0
+               THEN CAST(i + 7 AS BIGINT) END),
+        x -> x IS NOT NULL AND x < len(text)),
+      [CAST(len(text) AS BIGINT)]]) AS bs
+  FROM src
+),
+e AS (
+  SELECT doc_id, text, bs,
+    unnest(generate_series(1, greatest(len(bs) - 1, 1))) AS i
+  FROM b
+),
+ch AS (
+  SELECT doc_id,
+    substr(text, CAST(bs[i] + 1 AS INT), CAST(coalesce(bs[i + 1], bs[i]) - bs[i] AS INT)) AS chunk
+  FROM e
+)
+SELECT md5(chunk) AS chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+  MIN(doc_id) AS first_doc
+FROM ch WHERE len(chunk) >= 16
+GROUP BY 1 HAVING COUNT(*) >= 5
+"""
+
 _ORACLES["cap_per_source"] = f"""
 SELECT doc_id, source FROM (
   SELECT doc_id, source, ROW_NUMBER() OVER (
@@ -2718,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "doc_chunks": q_doc_chunks,
         "cdc_chunks": q_cdc_chunks,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "stratified_sample": q_stratified_sample,
         "heavy_hitters": q_heavy_hitters,
         "approx_stats": q_approx_stats,
