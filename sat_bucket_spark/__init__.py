@@ -47,12 +47,15 @@ from sat_bucket_spark.routines import (
     write_bucket,
     write_granules_bucket,
 )
+from sat_bucket_spark.maintenance import bucket_file_stats, compact_bucket
 from sat_bucket_spark.session import get_spark
 from sat_bucket_spark.sources import read_corpus
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "bucket_file_stats",
+    "compact_bucket",
     "LonLatPartitioning",
     "TilePartitioning",
     "XYPartitioning",

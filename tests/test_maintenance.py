@@ -1,0 +1,114 @@
+"""Tests for archive maintenance: file stats and selective compaction."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sat_bucket_spark import write_bucket
+from sat_bucket_spark.maintenance import bucket_file_stats, compact_bucket
+from sat_bucket_spark.partitioning import LonLatPartitioning
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def fragmented_bucket(spark, tmp_path):
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("lon", (F.col("event_id") % 360 - 180 + 0.5).cast("double"))
+        .withColumn(
+            "lat",
+            (F.floor(F.col("event_id") / 360) % 180 - 90 + 0.5).cast("double"),
+        )
+        .withColumn("time", F.current_timestamp())
+    )
+    b = str(tmp_path / "bucket")
+    p = LonLatPartitioning(size=(90, 90))
+    for i in range(3):
+        write_bucket(ev.where(F.col("event_id") % 3 == i), b, p, x="lon", y="lat")
+    return b, ev
+
+
+class TestBucketFileStats:
+    def test_matches_filesystem_truth(self, spark, fragmented_bucket):
+        b, ev = fragmented_bucket
+        stats = bucket_file_stats(spark, b).collect()
+        fs_files = glob.glob(f"{b}/**/*.parquet", recursive=True)
+        assert sum(r["n_files"] for r in stats) == len(fs_files)
+        assert sum(r["total_bytes"] for r in stats) == sum(
+            os.path.getsize(f) for f in fs_files
+        )
+        assert sum(r["n_rows"] for r in stats) == ev.count()
+
+    def test_scan_reads_no_data_columns(self, spark, fragmented_bucket):
+        b, _ = fragmented_bucket
+        plan = (
+            bucket_file_stats(spark, b)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+        assert scan and "ReadSchema: struct<>" in scan[0]
+
+
+class TestCompactBucket:
+    def test_compacts_and_preserves_data(self, spark, fragmented_bucket):
+        b, _ = fragmented_bucket
+        rd = lambda: spark.read.option("pathGlobFilter", "*.parquet").parquet(b)
+        before_rows = sorted(
+            tuple(r) for r in rd().select("event_id", "lon_bin", "lat_bin").collect()
+        )
+        before_files = len(glob.glob(f"{b}/**/*.parquet", recursive=True))
+        n = compact_bucket(spark, b, target_file_size="64MB")
+        after_files = len(glob.glob(f"{b}/**/*.parquet", recursive=True))
+        after_rows = sorted(
+            tuple(r) for r in rd().select("event_id", "lon_bin", "lat_bin").collect()
+        )
+        assert n > 0
+        assert after_files < before_files
+        assert after_rows == before_rows
+
+    def test_untouched_partitions_keep_their_files(self, spark, fragmented_bucket):
+        """Dynamic overwrite must not rewrite partitions that don't qualify:
+        pre-compact one partition to a single file; its file must survive
+        compaction of the others byte-identically (same path, same mtime)."""
+        b, _ = fragmented_bucket
+        parts = sorted(glob.glob(f"{b}/lon_bin=*/lat_bin=*"))
+        target = parts[0]
+        kv = dict(
+            seg.split("=") for seg in target.split(os.sep)[-2:]
+        )
+        # compact ONLY that partition first (restrict via partition_cols filter)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        one = (
+            spark.read.option("pathGlobFilter", "*.parquet").parquet(b)
+            .where(
+                (F.col("lon_bin") == kv["lon_bin"]) & (F.col("lat_bin") == kv["lat_bin"])
+            )
+        )
+        from sat_bucket_spark.writers import write_partitioned_dataset
+
+        write_partitioned_dataset(
+            one, b, partitions=["lon_bin", "lat_bin"], mode="overwrite"
+        )
+        files_before = {
+            f: os.path.getmtime(f) for f in glob.glob(f"{target}/*.parquet")
+        }
+        assert len(files_before) == 1
+        n = compact_bucket(spark, b, target_file_size="64MB")
+        assert n > 0  # the OTHER partitions qualified
+        files_after = {
+            f: os.path.getmtime(f) for f in glob.glob(f"{target}/*.parquet")
+        }
+        assert files_after == files_before  # byte-for-byte untouched
+
+    def test_noop_when_nothing_qualifies(self, spark, fragmented_bucket):
+        b, _ = fragmented_bucket
+        assert compact_bucket(spark, b, target_file_size="64MB") > 0
+        # second pass: everything already at one file per partition
+        assert compact_bucket(spark, b, target_file_size="64MB") == 0
