@@ -258,3 +258,73 @@ def test_streaming_curate(spark, tmp_path):
     survivor = got[1 if 1 in got else 2]
     assert "[EMAIL]" in survivor["text"] and "@" not in survivor["text"]
     assert survivor["n_tokens"] > 0 and 0.0 <= survivor["quality_score"] <= 1.0
+
+
+class TestStreamingMapOnlyOps:
+    """Round-3 map-only operators must compose with Structured Streaming
+    unchanged: pure expressions have no batch-only dependency (no windows,
+    no global agg), so a readStream source flows straight through them."""
+
+    def _docs_stream(self, spark, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("stream_docs"))
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+            50
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        return spark.readStream.schema(schema).parquet(d)
+
+    def test_cdc_chunking_streams(self, spark, tmp_path_factory):
+        from sat_bucket_spark.operators.chunking import chunk_documents_cdc
+
+        stream = self._docs_stream(spark, tmp_path_factory)
+        out = chunk_documents_cdc(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cdc_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM cdc_stream").collect()
+        assert len(got) >= 50
+        rebuilt = {}
+        for r in sorted(got, key=lambda r: (r["doc_id"], r["chunk_id"])):
+            rebuilt[r["doc_id"]] = rebuilt.get(r["doc_id"], "") + r["chunk"]
+        orig = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(50)
+            .collect()
+        }
+        assert rebuilt == orig
+
+    def test_pq_encode_streams(self, spark, tmp_path_factory):
+        import numpy as np
+
+        from sat_bucket_spark.operators.similarity import _hyperplanes, pq_encode
+
+        d = str(tmp_path_factory.mktemp("stream_emb"))
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").coalesce(
+            1
+        ).write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = spark.readStream.schema(schema).parquet(d)
+        books = np.stack([_hyperplanes(8, 16, seed=11 + j) for j in range(4)])
+        out = pq_encode(stream, books).select("vec_id", "pq_code")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("pq_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["vec_id"]: r["pq_code"] for r in spark.sql("SELECT * FROM pq_stream").collect()}
+        batch = {
+            r["vec_id"]: r["pq_code"]
+            for r in pq_encode(spark.read.parquet(d), books)
+            .select("vec_id", "pq_code")
+            .collect()
+        }
+        assert got == batch  # streaming == batch, row for row
