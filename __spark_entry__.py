@@ -915,6 +915,35 @@ def q_cdc_chunk_dedup(spark, sf_dir):
     )
 
 
+def q_quality_filter(spark, sf_dir):
+    """Per-language quality-quantile filter: keep each language's top 60%.
+
+    A global cutoff over-prunes groups whose score distribution sits lower;
+    the curation rule thresholds WITHIN the group (percent_rank window, one
+    shuffle, no driver percentile collection).
+    """
+    from sat_bucket_spark.operators.sampling import filter_by_group_quantile
+    from sat_bucket_spark.operators.text import add_quality_score
+
+    docs = add_quality_score(_t(spark, sf_dir, "documents"))
+    out = filter_by_group_quantile(
+        docs, "quality_score", 0.4, group_cols=["lang"], id_col="doc_id"
+    )
+    return out.select("doc_id", "lang", "quality_score")
+
+
+def q_quality_buckets(spark, sf_dir):
+    """Curriculum buckets: equal-frequency quality quartiles per language."""
+    from sat_bucket_spark.operators.sampling import assign_quality_buckets
+    from sat_bucket_spark.operators.text import add_quality_score
+
+    docs = add_quality_score(_t(spark, sf_dir, "documents"))
+    out = assign_quality_buckets(
+        docs, "quality_score", n_buckets=4, group_cols=["lang"], id_col="doc_id"
+    )
+    return out.select("doc_id", "lang", F.col("quality_bucket").cast("int").alias("quality_bucket"))
+
+
 def q_cap_per_source(spark, sf_dir):
     """Domain-cap curation: at most 50 docs per source, hash-rank selected.
 
@@ -2640,6 +2669,33 @@ FROM ch WHERE len(chunk) >= 16
 GROUP BY 1 HAVING COUNT(*) >= 5
 """
 
+_QF_CTE = f"""
+WITH q AS ({_QUALITY_SQL}),
+j AS (
+  SELECT d.doc_id, d.lang, q.quality_score
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+)
+"""
+_ORACLES["quality_filter"] = (
+    _QF_CTE
+    + """
+SELECT doc_id, lang, quality_score FROM (
+  SELECT doc_id, lang, quality_score,
+    PERCENT_RANK() OVER (PARTITION BY lang
+                         ORDER BY quality_score ASC, doc_id ASC) AS pr
+  FROM j
+) t WHERE pr >= 0.4
+"""
+)
+_ORACLES["quality_buckets"] = (
+    _QF_CTE
+    + """
+SELECT doc_id, lang,
+  NTILE(4) OVER (PARTITION BY lang ORDER BY quality_score ASC, doc_id ASC) AS quality_bucket
+FROM j
+"""
+)
+
 _ORACLES["cap_per_source"] = f"""
 SELECT doc_id, source FROM (
   SELECT doc_id, source, ROW_NUMBER() OVER (
@@ -2769,6 +2825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "hash_sample": q_hash_sample,
         "cap_per_source": q_cap_per_source,
+        "quality_filter": q_quality_filter,
+        "quality_buckets": q_quality_buckets,
         "zorder": q_zorder,
         "embedding_decontaminate": q_embedding_decontaminate,
         "split_assign": q_split_assign,

@@ -54,6 +54,7 @@ HEADLINE = [
     "classifier_score",    # hashed linear model scoring, map-only (added r2)
     "mix_sources",         # target-mixture downsampling, map-only (added r2)
     "cap_per_source",      # domain cap: group-keyed bounded rank (added r3)
+    "quality_filter",      # per-group percent_rank threshold (added r3)
     "embedding_decontaminate",  # broadcast eval set, map-side max cosine (added r3)
     "line_filter",         # C4 line rules, row-local rebuild (added r2)
     "paragraph_dedup",     # corpus-level boilerplate spans (added r2)

@@ -24,7 +24,9 @@ from sat_bucket_spark.operators.hashing import MERSENNE_P, h31_expr
 __all__ = [
     "assign_shards",
     "assign_splits",
+    "assign_quality_buckets",
     "cap_per_group",
+    "filter_by_group_quantile",
     "hash_fraction_expr",
     "hash_sample",
     "mix_sources",
@@ -262,3 +264,71 @@ def cap_per_group(
         .where(F.col("__r") <= n_max)
         .drop("__r")
     )
+
+
+def filter_by_group_quantile(
+    df: DataFrame,
+    score_col: str,
+    quantile: float,
+    group_cols: list[str] | None = None,
+    id_col: str | None = None,
+    keep: str = "top",
+) -> DataFrame:
+    """Keep rows whose score sits in the top (or bottom) ``1 - quantile`` of
+    their group.
+
+    The per-language quality-threshold rule: a fixed global cutoff
+    over-prunes low-resource languages whose score distribution sits lower,
+    so curation thresholds are quantiles WITHIN each group. Implemented as
+    ``percent_rank`` over the group — one shuffle on the group key, no
+    driver-side percentile collection, deterministic for duplicate scores
+    when ``id_col`` is given (rank ties break on id).
+
+    ``keep="top"`` retains rows with ``percent_rank >= quantile`` (e.g.
+    0.4 keeps the top 60%); ``keep="bottom"`` retains ``< quantile``.
+    """
+    if not 0.0 <= quantile <= 1.0:
+        raise ValueError(f"quantile must be in [0, 1], got {quantile}")
+    if keep not in ("top", "bottom"):
+        raise ValueError(f"keep must be 'top' or 'bottom', got {keep!r}")
+    from pyspark.sql import Window
+
+    order = [F.col(score_col).asc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    w = Window.partitionBy(*(group_cols or [])).orderBy(*order)
+    staged = df.withColumn("__pr", F.percent_rank().over(w))
+    cond = (
+        F.col("__pr") >= F.lit(float(quantile))
+        if keep == "top"
+        else F.col("__pr") < F.lit(float(quantile))
+    )
+    return staged.where(cond).drop("__pr")
+
+
+def assign_quality_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 4,
+    group_cols: list[str] | None = None,
+    id_col: str | None = None,
+    out: str = "quality_bucket",
+) -> DataFrame:
+    """Assign each row an equal-frequency quality bucket within its group.
+
+    Curriculum-style data ordering: training mixtures schedule buckets
+    (e.g. highest-quality quartile late in training) rather than applying a
+    hard filter. ``ntile`` over the group score order — same single-shuffle
+    shape as :func:`filter_by_group_quantile`; bucket 1 is the LOWEST
+    scoring tile, ``n_buckets`` the highest. Ties break on ``id_col`` when
+    given, keeping the assignment deterministic across runs and engines.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    from pyspark.sql import Window
+
+    order = [F.col(score_col).asc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    w = Window.partitionBy(*(group_cols or [])).orderBy(*order)
+    return df.withColumn(out, F.ntile(n_buckets).over(w))

@@ -156,3 +156,61 @@ class TestCapPerGroup:
 
         with pytest.raises(ValueError):
             cap_per_group(documents, ["source"], 0, "doc_id")
+
+
+class TestQuantileCuration:
+    def test_filter_keeps_top_fraction_per_group(self, spark, documents):
+        from sat_bucket_spark.operators.sampling import filter_by_group_quantile
+        from sat_bucket_spark.operators.text import add_quality_score
+
+        docs = add_quality_score(documents)
+        out = filter_by_group_quantile(
+            docs, "quality_score", 0.4, group_cols=["lang"], id_col="doc_id"
+        )
+        per_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        orig = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        for lang, n in per_lang.items():
+            # top ~60% kept per group (percent_rank >= 0.4)
+            assert abs(n - 0.6 * orig[lang]) <= max(2, 0.05 * orig[lang])
+        # the kept minimum per group must be >= the dropped maximum per group
+        kept_min = {r["lang"]: r["m"] for r in out.groupBy("lang").agg(F.min("quality_score").alias("m")).collect()}
+        dropped = docs.join(out.select("doc_id"), "doc_id", "left_anti")
+        dropped_max = {r["lang"]: r["m"] for r in dropped.groupBy("lang").agg(F.max("quality_score").alias("m")).collect()}
+        for lang in dropped_max:
+            assert kept_min[lang] >= dropped_max[lang]
+
+    def test_bucket_sizes_equal_frequency(self, spark, documents):
+        from sat_bucket_spark.operators.sampling import assign_quality_buckets
+        from sat_bucket_spark.operators.text import add_quality_score
+
+        docs = add_quality_score(documents)
+        out = assign_quality_buckets(
+            docs, "quality_score", n_buckets=4, group_cols=["lang"], id_col="doc_id"
+        )
+        sizes = out.groupBy("lang", "quality_bucket").agg(F.count("*").alias("n")).collect()
+        by_lang = {}
+        for r in sizes:
+            by_lang.setdefault(r["lang"], []).append(r["n"])
+        for lang, ns in by_lang.items():
+            assert len(ns) == 4
+            assert max(ns) - min(ns) <= 1  # NTILE equal-frequency contract
+        # bucket 4 holds the best: its min must be >= bucket 1's max per lang
+        b = out.groupBy("lang").agg(
+            F.min(F.when(F.col("quality_bucket") == 4, F.col("quality_score"))).alias("hi_min"),
+            F.max(F.when(F.col("quality_bucket") == 1, F.col("quality_score"))).alias("lo_max"),
+        ).collect()
+        for r in b:
+            assert r["hi_min"] >= r["lo_max"]
+
+    def test_validation(self, spark, documents):
+        from sat_bucket_spark.operators.sampling import (
+            assign_quality_buckets,
+            filter_by_group_quantile,
+        )
+
+        with pytest.raises(ValueError):
+            filter_by_group_quantile(documents, "n_chars", 1.5)
+        with pytest.raises(ValueError):
+            filter_by_group_quantile(documents, "n_chars", 0.5, keep="middle")
+        with pytest.raises(ValueError):
+            assign_quality_buckets(documents, "n_chars", 0)
