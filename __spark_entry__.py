@@ -915,6 +915,18 @@ def q_cdc_chunk_dedup(spark, sf_dir):
     )
 
 
+def q_embedding_pool(spark, sf_dir):
+    """Mean-pool embeddings per label: one partial-agg shuffle, no
+    collect_list — group size never inflates reducer memory."""
+    from sat_bucket_spark.operators.similarity import pool_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pool_embeddings(emb, ["label"], dim=64)
+    return out.select(
+        F.col("label").cast("int").alias("label"), "pooled", "n_members"
+    )
+
+
 def q_quality_filter(spark, sf_dir):
     """Per-language quality-quantile filter: keep each language's top 60%.
 
@@ -2669,6 +2681,16 @@ FROM ch WHERE len(chunk) >= 16
 GROUP BY 1 HAVING COUNT(*) >= 5
 """
 
+_POOL_ELEMS = ", ".join(
+    f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6)" for i in range(64)
+)
+_ORACLES["embedding_pool"] = f"""
+SELECT CAST(label AS INT) AS label,
+  [{_POOL_ELEMS}] AS pooled,
+  CAST(COUNT(*) AS BIGINT) AS n_members
+FROM embeddings GROUP BY label
+"""
+
 _QF_CTE = f"""
 WITH q AS ({_QUALITY_SQL}),
 j AS (
@@ -2825,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "hash_sample": q_hash_sample,
         "cap_per_source": q_cap_per_source,
+        "embedding_pool": q_embedding_pool,
         "quality_filter": q_quality_filter,
         "quality_buckets": q_quality_buckets,
         "zorder": q_zorder,

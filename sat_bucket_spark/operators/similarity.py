@@ -24,8 +24,10 @@ __all__ = [
     "norm_expr",
     "ivf_topk",
     "ivfpq_topk",
+    "l2_normalize",
     "lsh_near_dup_pairs",
     "pairwise_near_duplicates",
+    "pool_embeddings",
     "pq_encode",
     "pq_topk",
     "random_hyperplane_signature",
@@ -765,4 +767,58 @@ def ivfpq_topk(
         joined.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "adist", "rank")
+    )
+
+
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", out: str | None = None
+) -> DataFrame:
+    """Unit-normalize an embedding column (map-only expression).
+
+    Zero vectors pass through unchanged (no NaN poisoning downstream
+    cosine math). Normalizing at ingest turns every later cosine into a
+    plain dot product — worth one pass over 100 TB exactly once.
+    """
+    out = out or vec_col
+    v = F.col(vec_col)
+    n = norm_expr(v)
+    return df.withColumn(
+        out,
+        F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v),
+    )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_cols: list[str],
+    dim: int,
+    vec_col: str = "embedding",
+    mode: str = "mean",
+    out: str = "pooled",
+) -> DataFrame:
+    """Pool per-row embeddings to one vector per group (mean or sum).
+
+    The chunk->document direction of the pipeline: documents are embedded
+    in model-context-sized chunks, then pooled back to a document vector
+    for dedup/clustering/search. Expressed as ``dim`` per-element aggregate
+    expressions (``avg(v[i])``/``sum(v[i])``) reassembled into an array —
+    ONE partial-aggregating shuffle carrying (group, dim doubles), fully
+    inside codegen; no collect_list materialization of all member vectors
+    on a reducer, so a group with millions of members costs the same
+    shuffle bytes as a group of two. Elements are rounded to 6 decimals so
+    engines replaying the division agree.
+    """
+    if mode not in ("mean", "sum"):
+        raise ValueError(f"mode must be 'mean' or 'sum', got {mode!r}")
+    agg_fn = F.avg if mode == "mean" else F.sum
+    v = F.col(vec_col)
+    aggs = [
+        F.round(agg_fn(F.element_at(v, i + 1).cast("double")), 6).alias(f"__p{i}")
+        for i in range(dim)
+    ]
+    grouped = df.groupBy(*group_cols).agg(*aggs, F.count(F.lit(1)).alias("n_members"))
+    return grouped.select(
+        *group_cols,
+        F.array(*[F.col(f"__p{i}") for i in range(dim)]).alias(out),
+        "n_members",
     )

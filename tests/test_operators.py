@@ -678,3 +678,46 @@ class TestIVFPQ:
             order = sorted(cand, key=lambda i: (ad[i], ids[i]))[:5]
             expected = [(r + 1, int(ids[i]), float(ad[i])) for r, i in enumerate(order)]
             assert sorted(rows) == expected
+
+
+class TestEmbeddingPooling:
+    def test_mean_pool_matches_numpy(self, spark, embeddings):
+        import numpy as np
+
+        from sat_bucket_spark.operators.similarity import pool_embeddings
+
+        got = {
+            r["label"]: (r["pooled"], r["n_members"])
+            for r in pool_embeddings(embeddings, ["label"], dim=64).collect()
+        }
+        pdf = embeddings.select("label", "embedding").toPandas()
+        for label, grp in pdf.groupby("label"):
+            X = np.array(grp["embedding"].tolist(), dtype="float64")
+            expected = np.round(X.mean(axis=0), 6)
+            pooled, n = got[label]
+            assert n == len(X)
+            assert np.allclose(pooled, expected, atol=1e-6)
+
+    def test_no_collect_list_one_exchange(self, spark, embeddings):
+        from sat_bucket_spark.operators.similarity import pool_embeddings
+
+        plan = (
+            pool_embeddings(embeddings, ["label"], dim=64)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "collect_list" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "partial_avg" in plan or "partial" in plan.lower()
+
+    def test_l2_normalize(self, spark):
+        from sat_bucket_spark.operators.similarity import l2_normalize, norm_expr
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["id", "embedding"]
+        )
+        out = {r["id"]: r["embedding"] for r in l2_normalize(df).collect()}
+        assert out[1] == [0.6, 0.8]
+        assert out[2] == [0.0, 0.0]  # zero vector passes through, no NaN
