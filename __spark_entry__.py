@@ -915,6 +915,25 @@ def q_cdc_chunk_dedup(spark, sf_dir):
     )
 
 
+def q_nb_classifier(spark, sf_dir):
+    """Trainable model-based filtering: one-pass Naive Bayes, then score.
+
+    Fit is a single token-count aggregation (no gradient loop); the label
+    is lang=='en' so training is self-contained and the oracle replays fit
+    AND scoring. Per-doc sums run in decimal so accumulation order cannot
+    diverge between engines.
+    """
+    from sat_bucket_spark.operators.classify import (
+        score_with_token_weights,
+        train_token_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn("is_en", (F.col("lang") == "en").cast("int"))
+    weights, prior = train_token_classifier(labeled, "is_en")
+    return score_with_token_weights(docs, weights, prior=prior)
+
+
 def q_embedding_pool(spark, sf_dir):
     """Mean-pool embeddings per label: one partial-agg shuffle, no
     collect_list — group size never inflates reducer memory."""
@@ -2681,6 +2700,37 @@ FROM ch WHERE len(chunk) >= 16
 GROUP BY 1 HAVING COUNT(*) >= 5
 """
 
+_ORACLES["nb_classifier"] = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
+    unnest({_tokens_sql("lower(text)")}) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, CAST(SUM(y) AS DOUBLE) AS pos, CAST(SUM(1 - y) AS DOUBLE) AS neg
+  FROM toks GROUP BY token
+),
+tot AS (SELECT SUM(pos) AS p_tot, SUM(neg) AS n_tot, CAST(COUNT(*) AS DOUBLE) AS v FROM counts),
+w AS (
+  SELECT token,
+    round(ln((pos + 1.0) / (p_tot + v)) - ln((neg + 1.0) / (n_tot + v)), 6) AS weight
+  FROM counts, tot
+),
+pri AS (
+  SELECT round(ln((SUM(CAST(lang = 'en' AS INT)) + 1.0)
+             / (SUM(CAST(lang != 'en' AS INT)) + 1.0)), 6) AS prior
+  FROM documents
+),
+dtok AS (
+  SELECT doc_id, unnest({_tokens_sql("lower(text)")}) AS token FROM documents
+)
+SELECT d.doc_id,
+  round(CAST(SUM(CAST(coalesce(w.weight, 0) AS DECIMAL(26,6))) AS DOUBLE)
+        + (SELECT prior FROM pri), 6) AS nb_score
+FROM dtok d LEFT JOIN w ON w.token = d.token
+GROUP BY d.doc_id
+"""
+
 _POOL_ELEMS = ", ".join(
     f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6)" for i in range(64)
 )
@@ -2848,6 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "cap_per_source": q_cap_per_source,
         "embedding_pool": q_embedding_pool,
+        "nb_classifier": q_nb_classifier,
         "quality_filter": q_quality_filter,
         "quality_buckets": q_quality_buckets,
         "zorder": q_zorder,

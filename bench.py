@@ -52,6 +52,7 @@ HEADLINE = [
     "cluster_sizes",       # literal-codebook assignment + count (added r2)
     "semantic_dedup",      # within-cluster cosine pruning, SemDeDup (added r2)
     "classifier_score",    # hashed linear model scoring, map-only (added r2)
+    "nb_classifier",       # one-pass NB fit + broadcast-weight scoring (added r3)
     "mix_sources",         # target-mixture downsampling, map-only (added r2)
     "cap_per_source",      # domain cap: group-keyed bounded rank (added r3)
     "quality_filter",      # per-group percent_rank threshold (added r3)

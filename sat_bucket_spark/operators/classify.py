@@ -37,7 +37,9 @@ from sat_bucket_spark.operators.text import tokens_expr
 __all__ = [
     "classifier_score_expr",
     "classify_documents",
+    "score_with_token_weights",
     "seeded_classifier_weights",
+    "train_token_classifier",
 ]
 
 
@@ -112,3 +114,91 @@ def classifier_score_sql(
     n = f"len({toks})"
     mean = f"(CASE WHEN {n} > 0 THEN {fold} / CAST({n} AS DOUBLE) ELSE 0.0 END)"
     return f"round(1.0 / (1.0 + exp(-({float(bias)!r} + {mean}))), 6)"
+
+
+def train_token_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> tuple[DataFrame, float]:
+    """One-pass multinomial Naive Bayes: per-token log-odds weights.
+
+    The trainABLE counterpart of the frozen hashed scorer: NB training is
+    nothing but token counting, so the whole fit is ONE aggregation over
+    the corpus — `explode tokens -> groupBy(token) -> per-class counts` —
+    and scales like any other shuffle-by-token job (no gradient loop, no
+    parameter server, deterministic). Laplace-smoothed log-odds:
+
+        w(t) = log((pos_t + a) / (POS + a*V)) - log((neg_t + a) / (NEG + a*V))
+        prior = log((n_pos + a) / (n_neg + a))
+
+    ``label_col`` must be 0/1-coercible. Returns ``(weights_df(token,
+    weight), prior)``; the three scalar totals collected on the driver are
+    O(1). Feed the result to :func:`score_with_token_weights`.
+    """
+    lab = F.col(label_col).cast("int")
+    toks = df.select(
+        lab.alias("__y"),
+        F.explode(F.transform(tokens_expr(text_col), lambda t: F.lower(t))).alias(
+            "token"
+        ),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.col("__y")).alias("__pos"),
+        F.sum(F.lit(1) - F.col("__y")).alias("__neg"),
+    )
+    tot = counts.agg(
+        F.sum("__pos").alias("P"),
+        F.sum("__neg").alias("N"),
+        F.count(F.lit(1)).alias("V"),
+    ).first()
+    P, N, V = float(tot["P"]), float(tot["N"]), float(tot["V"])
+    w = F.log((F.col("__pos") + F.lit(alpha)) / F.lit(P + alpha * V)) - F.log(
+        (F.col("__neg") + F.lit(alpha)) / F.lit(N + alpha * V)
+    )
+    weights = counts.select(F.col("token"), F.round(w, 6).alias("weight"))
+    docs = df.agg(
+        F.sum(lab).alias("p"), F.sum(F.lit(1) - lab).alias("n")
+    ).first()
+    prior = float(
+        np.log((docs["p"] + alpha) / (docs["n"] + alpha))
+    )
+    return weights, round(prior, 6)
+
+
+def score_with_token_weights(
+    df: DataFrame,
+    weights: DataFrame,
+    prior: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Log-odds score per document from a (token, weight) table.
+
+    The weights table is vocabulary-sized (MBs) and **broadcast**; scoring
+    is explode -> broadcast-join -> per-document sum — the shuffle carries
+    only (id, partial sum). Unknown tokens contribute 0 (left join). The
+    per-document sum is ordered by token then weight before accumulation
+    cannot be guaranteed cross-engine, so the score sums in DECIMAL (exact,
+    order-free) and rounds to 6 — bit-stable in any engine.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens_expr(text_col), lambda t: F.lower(t))).alias(
+            "token"
+        ),
+    )
+    joined = toks.join(F.broadcast(weights), "token", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("weight"), F.lit(0.0)).cast("decimal(26,6)")
+                ).cast("double")
+                + F.lit(prior),
+                6,
+            ).alias("nb_score")
+        )
+    )
