@@ -313,6 +313,25 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Hierarchical subtotals in one pass: ROLLUP (returnflag, linestatus).
+
+    Spark plans grouping sets as a single Expand + one shuffled aggregation
+    — subtotal rows cost one extra map-side replica per level, not a second
+    scan per level. grouping_id disambiguates subtotal NULLs from data
+    NULLs; decimal sums keep accumulation exact across engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
 def q_median_by_group(spark, sf_dir):
     """A1: the reference's documented grouped-median contract
     (``df.groupby(levels).median()``, partitioning.py:737-740)."""
@@ -2700,6 +2719,15 @@ FROM ch WHERE len(chunk) >= 16
 GROUP BY 1 HAVING COUNT(*) >= 5
 """
 
+_ORACLES["rollup_revenue"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
 _ORACLES["nb_classifier"] = f"""
 WITH toks AS (
   SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
@@ -2899,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "embedding_pool": q_embedding_pool,
         "nb_classifier": q_nb_classifier,
+        "rollup_revenue": q_rollup_revenue,
         "quality_filter": q_quality_filter,
         "quality_buckets": q_quality_buckets,
         "zorder": q_zorder,

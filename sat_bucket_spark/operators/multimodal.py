@@ -35,6 +35,8 @@ __all__ = [
     "decode_and_featurize_images",
     "decode_audio_features",
     "parse_mp4",
+    "parse_image_header",
+    "parse_jpeg_header",
     "parse_png_header",
     "parse_wav",
     "sample_video_frames",
@@ -91,6 +93,53 @@ def parse_png_header(payload: bytes | None) -> tuple[int, int, int] | None:
     return width, height, channels
 
 
+def parse_jpeg_header(payload: bytes | None) -> tuple[int, int, int] | None:
+    """(width, height, channels) from JPEG SOF markers — pure struct parsing.
+
+    JPEG is a public marker-segment container: 0xFFD8 (SOI), then segments
+    of (0xFF, marker, length BE16, data). Frame dimensions live in the
+    first SOFn segment (0xC0-0xCF except DHT 0xC4 / DNL 0xC8 / DAC 0xCC):
+    [precision u8, height BE16, width BE16, components u8]. Walks the
+    segment chain without decoding any entropy data; returns None for
+    anything that is not a parseable JPEG.
+    """
+    if payload is None or len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn: bare
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seg_len < 8:
+                return None
+            height = int.from_bytes(payload[i + 5 : i + 7], "big")
+            width = int.from_bytes(payload[i + 7 : i + 9], "big")
+            channels = payload[i + 9]
+            if width == 0 or height == 0 or channels == 0:
+                return None
+            return width, height, channels
+        i += 2 + seg_len
+    return None
+
+
+def parse_image_header(payload: bytes | None) -> tuple[int, int, int] | None:
+    """Dispatch on magic bytes: PNG IHDR or JPEG SOF, else None."""
+    hdr = parse_png_header(payload)
+    if hdr is not None:
+        return hdr
+    return parse_jpeg_header(payload)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic fake decode: dimensions/features derived from the bytes.
 
@@ -133,7 +182,7 @@ def decode_and_featurize_images(
             out = {"doc_id": [], "width": [], "height": [], "channels": [], "feature": []}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload) if payload is not None else None
-                hdr = parse_png_header(payload)
+                hdr = parse_image_header(payload)
                 if hdr is not None:
                     w, h, c = hdr
                     digest = hashlib.md5(payload).digest()

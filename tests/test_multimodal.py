@@ -232,3 +232,52 @@ def test_video_fan_out(spark, payload_df):
     assert out.count() == 9  # 3 docs x 3 frames
     per_doc = out.groupBy("doc_id").count().collect()
     assert all(r["count"] == 3 for r in per_doc)
+
+
+class TestJpegHeader:
+    @staticmethod
+    def _jpeg(width, height, channels=3, extra_segments=True):
+        """Minimal valid JPEG prefix: SOI, optional APP0+DQT, SOF0."""
+        out = b"\xff\xd8"
+        if extra_segments:
+            app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+            out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+            dqt = bytes(65)
+            out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
+        sof = (
+            b"\x08"
+            + height.to_bytes(2, "big")
+            + width.to_bytes(2, "big")
+            + bytes([channels])
+            + bytes(3 * channels)
+        )
+        out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+        return out
+
+    def test_parses_sof_dimensions(self):
+        from sat_bucket_spark.operators.multimodal import parse_jpeg_header
+
+        assert parse_jpeg_header(self._jpeg(640, 480)) == (640, 480, 3)
+        assert parse_jpeg_header(self._jpeg(31, 17, channels=1)) == (31, 17, 1)
+        # progressive marker (SOF2) also carries dimensions
+        p = self._jpeg(100, 50).replace(b"\xff\xc0", b"\xff\xc2")
+        assert parse_jpeg_header(p) == (100, 50, 3)
+
+    def test_rejects_non_jpeg(self):
+        from sat_bucket_spark.operators.multimodal import parse_jpeg_header
+
+        assert parse_jpeg_header(None) is None
+        assert parse_jpeg_header(b"") is None
+        assert parse_jpeg_header(b"\x89PNG\r\n\x1a\n" + bytes(30)) is None
+        assert parse_jpeg_header(b"\xff\xd8\xff\xd9") is None  # SOI then EOI
+        # DHT (0xC4) must NOT be mistaken for a SOF
+        dht = b"\xff\xd8\xff\xc4\x00\x04\x00\x00"
+        assert parse_jpeg_header(dht) is None
+
+    def test_decode_routes_jpeg(self, spark):
+        from sat_bucket_spark.operators.multimodal import decode_and_featurize_images
+
+        payload = self._jpeg(320, 200)
+        df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+        row = decode_and_featurize_images(df).collect()[0]
+        assert (row["width"], row["height"], row["channels"]) == (320, 200, 3)
