@@ -273,6 +273,8 @@ def filter_by_group_quantile(
     group_cols: list[str] | None = None,
     id_col: str | None = None,
     keep: str = "top",
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Keep rows whose score sits in the top (or bottom) ``1 - quantile`` of
     their group.
@@ -286,11 +288,38 @@ def filter_by_group_quantile(
 
     ``keep="top"`` retains rows with ``percent_rank >= quantile`` (e.g.
     0.4 keeps the top 60%); ``keep="bottom"`` retains ``< quantile``.
+
+    ``exact=False`` switches to the SCALE path: the per-group threshold
+    comes from a ``percentile_approx`` sketch (partial-aggregated, bounded
+    state set by ``accuracy``) joined back broadcast — no group is ever
+    sorted on one reducer, at the cost of a boundary-resolution error of
+    ~``1/accuracy`` of the group. Use it when any single group is bigger
+    than one executor's comfortable sort.
     """
     if not 0.0 <= quantile <= 1.0:
         raise ValueError(f"quantile must be in [0, 1], got {quantile}")
     if keep not in ("top", "bottom"):
         raise ValueError(f"keep must be 'top' or 'bottom', got {keep!r}")
+    if not exact:
+        # Scale path: percent_rank sorts each group on ONE reducer — a group
+        # holding most of a 100 TB corpus (lang='en'...) serializes there.
+        # The sketch path aggregates a per-group approximate-percentile
+        # threshold (partial-merged map-side, tiny state), broadcasts the
+        # per-group thresholds back, and filters — no group ever sorts.
+        thr = df.groupBy(*(group_cols or [])).agg(
+            F.percentile_approx(score_col, float(quantile), accuracy).alias("__thr")
+        )
+        joined = (
+            df.join(F.broadcast(thr), group_cols)
+            if group_cols
+            else df.crossJoin(F.broadcast(thr))
+        )
+        cond = (
+            F.col(score_col) >= F.col("__thr")
+            if keep == "top"
+            else F.col(score_col) < F.col("__thr")
+        )
+        return joined.where(cond).drop("__thr")
     from pyspark.sql import Window
 
     order = [F.col(score_col).asc()]
@@ -313,6 +342,8 @@ def assign_quality_buckets(
     group_cols: list[str] | None = None,
     id_col: str | None = None,
     out: str = "quality_bucket",
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Assign each row an equal-frequency quality bucket within its group.
 
@@ -325,6 +356,27 @@ def assign_quality_buckets(
     """
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if not exact:
+        # Scale path (same reasoning as filter_by_group_quantile): sketch the
+        # k-1 interior boundaries per group, broadcast back, and derive the
+        # bucket as 1 + #boundaries strictly below the score — a pure
+        # expression, no per-group sort. Tiles are approximately (not
+        # exactly) equal-frequency.
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        thr = df.groupBy(*(group_cols or [])).agg(
+            F.percentile_approx(
+                score_col, F.array(*[F.lit(q) for q in qs]), accuracy
+            ).alias("__bnds")
+        )
+        joined = (
+            df.join(F.broadcast(thr), group_cols)
+            if group_cols
+            else df.crossJoin(F.broadcast(thr))
+        )
+        bucket = F.lit(1) + F.size(
+            F.filter(F.col("__bnds"), lambda b: F.col(score_col) > b)
+        )
+        return joined.withColumn(out, bucket.cast("int")).drop("__bnds")
     from pyspark.sql import Window
 
     order = [F.col(score_col).asc()]

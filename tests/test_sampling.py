@@ -214,3 +214,44 @@ class TestQuantileCuration:
             filter_by_group_quantile(documents, "n_chars", 0.5, keep="middle")
         with pytest.raises(ValueError):
             assign_quality_buckets(documents, "n_chars", 0)
+
+
+class TestQuantileScalePath:
+    def test_approx_filter_close_to_exact(self, spark, documents):
+        from sat_bucket_spark.operators.sampling import filter_by_group_quantile
+        from sat_bucket_spark.operators.text import add_quality_score
+
+        docs = add_quality_score(documents)
+        exact = filter_by_group_quantile(
+            docs, "quality_score", 0.4, group_cols=["lang"], id_col="doc_id"
+        )
+        approx = filter_by_group_quantile(
+            docs, "quality_score", 0.4, group_cols=["lang"], exact=False
+        )
+        ne, na = exact.count(), approx.count()
+        assert abs(ne - na) <= max(3, 0.1 * ne)
+        # the approx plan must have NO window sort: only agg + broadcast join
+        plan = approx._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "percentile_approx" in plan and "Broadcast" in plan
+
+    def test_approx_buckets_close_to_exact(self, spark, documents):
+        from sat_bucket_spark.operators.sampling import assign_quality_buckets
+        from sat_bucket_spark.operators.text import add_quality_score
+
+        docs = add_quality_score(documents)
+        exact = {
+            r["doc_id"]: r["quality_bucket"]
+            for r in assign_quality_buckets(
+                docs, "quality_score", 4, group_cols=["lang"], id_col="doc_id"
+            ).collect()
+        }
+        approx = {
+            r["doc_id"]: r["quality_bucket"]
+            for r in assign_quality_buckets(
+                docs, "quality_score", 4, group_cols=["lang"], exact=False
+            ).collect()
+        }
+        assert set(approx.values()) <= {1, 2, 3, 4}
+        agree = sum(1 for d in exact if exact[d] == approx[d]) / len(exact)
+        assert agree > 0.8  # ties at boundaries may land one tile apart
