@@ -953,6 +953,20 @@ def q_nb_classifier(spark, sf_dir):
     return score_with_token_weights(docs, weights, prior=prior)
 
 
+def q_lsh_dedup_against(spark, sf_dir):
+    """Incremental embedding dedup: batch vectors near-duplicating the
+    standing corpus drop (bucketed batch-vs-corpus LSH, exact verify)."""
+    from sat_bucket_spark.operators.similarity import lsh_dedup_against
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    batch = emb.where(F.col("vec_id") % 4 == 0)
+    corpus = emb.where(F.col("vec_id") % 4 != 0)
+    out = lsh_dedup_against(batch, corpus, dim=64, threshold=0.3)
+    return out.select("vec_id", F.col("label").cast("int").alias("label"))
+
+
 def q_embedding_pool(spark, sf_dir):
     """Mean-pool embeddings per label: one partial-agg shuffle, no
     collect_list — group size never inflates reducer memory."""
@@ -2719,6 +2733,30 @@ FROM ch WHERE len(chunk) >= 16
 GROUP BY 1 HAVING COUNT(*) >= 5
 """
 
+_LSH_AGAINST_COS = (
+    "round(list_inner_product(va.emb, vc.emb) / "
+    "(sqrt(list_inner_product(va.emb, va.emb)) * sqrt(list_inner_product(vc.emb, vc.emb))), 6)"
+)
+_ORACLES["lsh_dedup_against"] = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+b0 AS (SELECT vec_id, CAST({_bucket_terms_sql(_PLANES)} AS BIGINT) AS b FROM emb),
+b1 AS (SELECT vec_id, CAST({_bucket_terms_sql(_PLANES_B1)} AS BIGINT) AS b FROM emb),
+cand AS (
+  SELECT a.vec_id AS bid, c.vec_id AS cid
+  FROM b0 a JOIN b0 c ON a.b = c.b AND a.vec_id % 4 = 0 AND c.vec_id % 4 != 0
+  UNION
+  SELECT a.vec_id, c.vec_id
+  FROM b1 a JOIN b1 c ON a.b = c.b AND a.vec_id % 4 = 0 AND c.vec_id % 4 != 0
+),
+bad AS (
+  SELECT DISTINCT bid FROM cand
+  JOIN emb va ON va.vec_id = bid JOIN emb vc ON vc.vec_id = cid
+  WHERE {_LSH_AGAINST_COS} >= 0.3
+)
+SELECT vec_id, CAST(label AS INT) AS label FROM embeddings
+WHERE vec_id % 4 = 0 AND vec_id NOT IN (SELECT bid FROM bad)
+"""
+
 _ORACLES["rollup_revenue"] = """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
@@ -2926,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "cap_per_source": q_cap_per_source,
         "embedding_pool": q_embedding_pool,
+        "lsh_dedup_against": q_lsh_dedup_against,
         "nb_classifier": q_nb_classifier,
         "rollup_revenue": q_rollup_revenue,
         "quality_filter": q_quality_filter,

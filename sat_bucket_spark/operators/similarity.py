@@ -25,6 +25,7 @@ __all__ = [
     "ivf_topk",
     "ivfpq_topk",
     "l2_normalize",
+    "lsh_dedup_against",
     "lsh_near_dup_pairs",
     "pairwise_near_duplicates",
     "pool_embeddings",
@@ -822,3 +823,68 @@ def pool_embeddings(
         F.array(*[F.col(f"__p{i}") for i in range(dim)]).alias(out),
         "n_members",
     )
+
+
+def lsh_dedup_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Drop batch vectors that near-duplicate ANY corpus vector (bucketed).
+
+    The embedding cell of the incremental-dedup matrix (exact keys ->
+    ``dedup_exact_against``; text shingles -> ``minhash_dedup_against``;
+    this -> embeddings): ingest batch N against the standing corpus without
+    re-deduplicating the archive. Both sides are bucketed with the SAME
+    seeded hyperplanes per band; candidates come from batch-bucket x
+    corpus-bucket equi-joins (batch-internal and corpus-internal collisions
+    are never generated), exact cosine verifies candidates, and survivors
+    come from one left-anti join on the batch id. Shuffle shape: (id,
+    bucket) ints per band, (batch_id, corpus_id) candidates, vectors only
+    in the verify joins. Contrast with
+    :func:`embedding_decontamination` — that broadcasts a benchmark-sized
+    eval set; this side handles a corpus too big to broadcast.
+    """
+    cand = None
+    for band in range(n_bands):
+        kw = dict(dim=dim, n_planes=n_planes, vec_col=vec_col, out="__lsh_b",
+                  seed=seed + band)
+        sb = (
+            random_hyperplane_signature(batch, **kw)
+            .select(F.col(id_col).alias("__bid"), "__lsh_b")
+            .localCheckpoint(eager=False)
+        )
+        sc = (
+            random_hyperplane_signature(corpus, **kw)
+            .select(F.col(id_col).alias("__cid"), "__lsh_b")
+            .localCheckpoint(eager=False)
+        )
+        pairs = sb.join(sc, "__lsh_b").select("__bid", "__cid")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()  # ids only through the dedup exchange
+
+    vb = batch.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__va"),
+        norm_expr(vec_col, dim).alias("__na"),
+    )
+    vc = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__vb"),
+        norm_expr(vec_col, dim).alias("__nb"),
+    )
+    cos = _cosine_prenormed(dot_expr("__va", "__vb", dim), F.col("__na"), F.col("__nb"))
+    contaminated = (
+        cand.join(vb, "__bid")
+        .join(vc, "__cid")
+        .where(F.round(cos, 6) >= F.lit(threshold))
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    return batch.join(contaminated, id_col, "left_anti")

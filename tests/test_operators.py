@@ -765,3 +765,44 @@ class TestNaiveBayes:
         w2, p2 = train_token_classifier(docs, "y")
         assert p1 == p2
         assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+
+
+class TestLshDedupAgainst:
+    def test_drops_known_near_dups_keeps_rest(self, spark, embeddings):
+        """A batch vector IDENTICAL to a corpus vector must drop (same bucket
+        in every band, cosine 1); an orthogonal-ish vector must survive."""
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.operators.similarity import lsh_dedup_against
+
+        emb = embeddings.limit(60).withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        corpus = emb.where(F.col("vec_id") >= 10)
+        # batch: clones of corpus vectors 10..14 under new ids + 5 originals <10
+        clones = corpus.where(F.col("vec_id") < 15).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+        )
+        batch = emb.where(F.col("vec_id") < 5).unionByName(clones)
+        out = lsh_dedup_against(batch, corpus, dim=64, threshold=0.99)
+        kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+        assert not (kept & {1000, 1001, 1002, 1003, 1004})  # clones dropped
+        assert {0, 1, 2, 3, 4} <= kept | {1000}  # originals judged on cosine only
+
+    def test_candidates_never_batch_internal(self, spark, embeddings):
+        """Two identical vectors INSIDE the batch must both survive when the
+        corpus holds nothing similar — cross-set semantics, not self-dedup."""
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.operators.similarity import lsh_dedup_against
+
+        emb = embeddings.limit(30).withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        one = emb.where(F.col("vec_id") == 0)
+        dup = one.select((F.col("vec_id") + 7777).alias("vec_id"), "embedding", "label")
+        batch = one.unionByName(dup)
+        corpus = emb.where(F.col("vec_id") >= 20)
+        out = lsh_dedup_against(batch, corpus, dim=64, threshold=0.999999)
+        kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+        assert kept == {0, 7777}
