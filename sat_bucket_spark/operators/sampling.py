@@ -231,6 +231,7 @@ def cap_per_group(
     id_col: str,
     salt: str = "",
     rank_col: Column | None = None,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Keep at most ``n_max`` rows per group, chosen deterministically.
 
@@ -258,6 +259,27 @@ def cap_per_group(
         if rank_col is not None
         else h31_expr(F.concat(F.lit(salt), F.col(id_col).cast("string"))).asc()
     )
+    if salt_buckets > 1:
+        # Skew-proof two-phase rank, OUTPUT-IDENTICAL to the single window:
+        # phase 1 ranks within (group, hash-salt) cells and keeps each
+        # cell's top n_max — a superset of the group's true top n_max,
+        # because any row in the global top-n is also in the top-n of
+        # whatever cell it hashed into. Phase 2 ranks exactly over the
+        # <= salt_buckets * n_max survivors per group. The hot group's sort
+        # spreads across salt_buckets reducers; the exact pass touches a
+        # bounded residue, not the group.
+        cell = F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(salt_buckets)
+        )
+        w1 = Window.partitionBy(*group_cols, "__cell").orderBy(
+            order, F.col(id_col).asc()
+        )
+        df = (
+            df.withColumn("__cell", cell)
+            .withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= n_max)
+            .drop("__cell", "__r1")
+        )
     w = Window.partitionBy(*group_cols).orderBy(order, F.col(id_col).asc())
     return (
         df.withColumn("__r", F.row_number().over(w))

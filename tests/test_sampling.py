@@ -255,3 +255,47 @@ class TestQuantileScalePath:
         assert set(approx.values()) <= {1, 2, 3, 4}
         agree = sum(1 for d in exact if exact[d] == approx[d]) / len(exact)
         assert agree > 0.8  # ties at boundaries may land one tile apart
+
+
+class TestSaltedCap:
+    def test_two_phase_output_identical(self, spark, documents):
+        """salt_buckets changes only the physical sort distribution: the
+        selected row set must equal the single-phase rank exactly, for both
+        the hash rank and a caller-supplied quality rank."""
+        from sat_bucket_spark.operators.sampling import cap_per_group
+
+        a = sorted(r["doc_id"] for r in cap_per_group(documents, ["source"], 7, "doc_id").collect())
+        b = sorted(
+            r["doc_id"]
+            for r in cap_per_group(
+                documents, ["source"], 7, "doc_id", salt_buckets=8
+            ).collect()
+        )
+        assert a == b
+        c = sorted(
+            r["doc_id"]
+            for r in cap_per_group(
+                documents, ["source"], 7, "doc_id",
+                rank_col=F.col("n_chars").desc(), salt_buckets=8,
+            ).collect()
+        )
+        d = sorted(
+            r["doc_id"]
+            for r in cap_per_group(
+                documents, ["source"], 7, "doc_id", rank_col=F.col("n_chars").desc()
+            ).collect()
+        )
+        assert c == d
+
+    def test_phase_one_spreads_partitioning(self, spark, documents):
+        from sat_bucket_spark.operators.sampling import cap_per_group
+
+        plan = (
+            cap_per_group(documents, ["source"], 5, "doc_id", salt_buckets=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # two ranking exchanges: (group, cell) then (group)
+        assert "__cell" in plan
+        assert plan.count("Exchange hashpartitioning") >= 2
