@@ -96,6 +96,32 @@ def main(sf_dir: str) -> None:
     )
     near = lsh_near_dup_pairs(emb, dim=64, threshold=0.3, n_bands=2).count()
 
+    # 8. round-3 curation stages: per-language quantile filter, domain cap,
+    #    trained NB scoring, content-defined chunk dedup
+    from sat_bucket_spark.operators.chunking import chunk_documents_cdc
+    from sat_bucket_spark.operators.classify import (
+        score_with_token_weights,
+        train_token_classifier,
+    )
+    from sat_bucket_spark.operators.sampling import (
+        cap_per_group,
+        filter_by_group_quantile,
+    )
+
+    scored = add_quality_score(docs)
+    q60 = filter_by_group_quantile(
+        scored, "quality_score", 0.4, group_cols=["lang"], id_col="doc_id"
+    )
+    capped = cap_per_group(q60, ["source"], 40, "doc_id")
+    labeled = docs.withColumn("is_en", (F.col("lang") == "en").cast("int"))
+    weights, prior = train_token_classifier(labeled, "is_en")
+    nb = score_with_token_weights(capped, weights, prior=prior)
+    n_cdc = chunk_documents_cdc(capped).count()
+    print(
+        f"quantile-filter {q60.count()} -> domain-cap {capped.count()}"
+        f" | NB-scored {nb.count()} | CDC chunks {n_cdc}"
+    )
+
     print(f"documents: {n0} -> quality {n1} -> exact-dedup {n2} -> near-dedup {n3}")
     print(f"splits: {split_counts}")
     print(f"train chunks: {packed.count()} packed into {n_bins} bins")
