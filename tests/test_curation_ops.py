@@ -490,3 +490,31 @@ class TestCDCChunking:
         )
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestCDCAdversarialRoundtrip:
+    def test_roundtrip_on_adversarial_strings(self, spark):
+        """One batched check over hand-built adversarial inputs: marker-dense
+        text, window-length runs, newline/tab soup, high-codepoint chars,
+        exact multiples of the window, and boundary-at-end shapes."""
+        cases = [
+            "", "a", "ab" * 3, "x" * 8, "x" * 9, "x" * 64,
+            "\n\t " * 40, "abcdefgh" * 16,
+            "".join(chr(33 + (i * 7) % 90) for i in range(500)),
+            "é" * 30 + "中文" * 20 + "🙂" * 5,
+            "a b c d e f g h " * 32,
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(cases)], ["doc_id", "text"]
+        )
+        from sat_bucket_spark.operators.chunking import chunk_documents_cdc
+
+        out = chunk_documents_cdc(df).collect()
+        rebuilt = {}
+        for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+            rebuilt[r["doc_id"]] = rebuilt.get(r["doc_id"], "") + r["chunk"]
+        for i, t in enumerate(cases):
+            assert rebuilt[i] == t, f"case {i} failed roundtrip"
+        # chunk_id density and n_chunks consistency
+        for r in out:
+            assert 0 <= r["chunk_id"] < r["n_chunks"]

@@ -422,3 +422,46 @@ class TestZorder:
         # z-order: each file is an 8x8 tile. Both axes must be bounded tight.
         assert zx <= 8 and zy <= 8
         assert xy_ >= 16  # the comparison baseline really is y-unbounded
+
+
+class TestZorderProperties:
+    def test_bijective_on_grid(self, spark):
+        """Every (x, y) in a 64x64 grid maps to a distinct z value whose
+        python-side decode returns the original pair (bit-exact bijection)."""
+        import itertools
+
+        from sat_bucket_spark.partitioning import zorder_index_expr
+
+        grid = list(itertools.product(range(64), range(64)))
+        df = spark.createDataFrame(grid, ["x", "y"])
+        rows = df.withColumn("z", zorder_index_expr("x", "y", bits=6)).collect()
+
+        def decode(z):
+            x = y = 0
+            for b in range(6):
+                x |= ((z >> (2 * b)) & 1) << b
+                y |= ((z >> (2 * b + 1)) & 1) << b
+            return x, y
+
+        zs = set()
+        for r in rows:
+            assert decode(r["z"]) == (r["x"], r["y"])
+            zs.add(r["z"])
+        assert len(zs) == len(grid)  # injective
+        assert min(zs) == 0 and max(zs) == 4095  # onto [0, 4^6)
+
+    def test_monotone_in_each_axis_prefix(self, spark):
+        """Fixing y, z is strictly increasing in x (and vice versa) —
+        the property row-group min/max pruning relies on."""
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.partitioning import zorder_index_expr
+
+        df = spark.createDataFrame([(x, 21) for x in range(256)], ["x", "y"])
+        zs = [
+            r["z"]
+            for r in df.withColumn("z", zorder_index_expr("x", "y", bits=8))
+            .orderBy("x")
+            .collect()
+        ]
+        assert all(a < b for a, b in zip(zs, zs[1:]))
