@@ -2789,12 +2789,16 @@ pri AS (
 ),
 dtok AS (
   SELECT doc_id, unnest({_tokens_sql("lower(text)")}) AS token FROM documents
+),
+scores AS (
+  SELECT d.doc_id,
+    CAST(SUM(CAST(coalesce(w.weight, 0) AS DECIMAL(26,6))) AS DOUBLE) AS sumw
+  FROM dtok d LEFT JOIN w ON w.token = d.token
+  GROUP BY d.doc_id
 )
-SELECT d.doc_id,
-  round(CAST(SUM(CAST(coalesce(w.weight, 0) AS DECIMAL(26,6))) AS DOUBLE)
-        + (SELECT prior FROM pri), 6) AS nb_score
-FROM dtok d LEFT JOIN w ON w.token = d.token
-GROUP BY d.doc_id
+SELECT doc.doc_id,
+  round(coalesce(s.sumw, 0.0) + (SELECT prior FROM pri), 6) AS nb_score
+FROM documents doc LEFT JOIN scores s ON s.doc_id = doc.doc_id
 """
 
 _POOL_ELEMS = ", ".join(

@@ -153,7 +153,12 @@ def train_token_classifier(
         F.sum("__neg").alias("N"),
         F.count(F.lit(1)).alias("V"),
     ).first()
-    P, N, V = float(tot["P"]), float(tot["N"]), float(tot["V"])
+    if not tot["V"]:
+        raise ValueError(
+            "train_token_classifier: corpus tokenized to an empty vocabulary "
+            "(no rows, or no text survives tokenization) — nothing to fit"
+        )
+    P, N, V = float(tot["P"] or 0.0), float(tot["N"] or 0.0), float(tot["V"])
     w = F.log((F.col("__pos") + F.lit(alpha)) / F.lit(P + alpha * V)) - F.log(
         (F.col("__neg") + F.lit(alpha)) / F.lit(N + alpha * V)
     )
@@ -177,17 +182,20 @@ def score_with_token_weights(
     """Log-odds score per document from a (token, weight) table.
 
     The weights table is vocabulary-sized (MBs) and **broadcast**; scoring
-    is explode -> broadcast-join -> per-document sum — the shuffle carries
-    only (id, partial sum). Unknown tokens contribute 0 (left join). The
+    is explode_outer -> broadcast-join -> per-document sum — the shuffle
+    carries only (id, partial sum). Unknown tokens contribute 0 (left
+    join); documents whose token array is EMPTY still get a row (outer
+    explode yields a NULL token) and score exactly ``prior`` instead of
+    silently vanishing from the output. The
     per-document sum is ordered by token then weight before accumulation
     cannot be guaranteed cross-engine, so the score sums in DECIMAL (exact,
     order-free) and rounds to 6 — bit-stable in any engine.
     """
     toks = df.select(
         F.col(id_col),
-        F.explode(F.transform(tokens_expr(text_col), lambda t: F.lower(t))).alias(
-            "token"
-        ),
+        F.explode_outer(
+            F.transform(tokens_expr(text_col), lambda t: F.lower(t))
+        ).alias("token"),
     )
     joined = toks.join(F.broadcast(weights), "token", "left")
     return (

@@ -123,7 +123,7 @@ def semantic_dup_pairs(
 
     - assignment is a literal-codebook argmin expression — codegen, no
       shuffle; per-row L2 norms are also computed BEFORE the join, so each
-      candidate pair evaluates one unrolled dot product, not dot + 2 norms;
+      candidate pair evaluates one dot-product fold, not dot + 2 norms;
     - the within-cluster self-join is **triangle-tiled**: rows hash into
       ``n_blocks`` blocks, the pair space decomposes into the
       B*(B+1)/2 block tiles, and the join key becomes

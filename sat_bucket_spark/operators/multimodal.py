@@ -110,6 +110,12 @@ def parse_jpeg_header(payload: bytes | None) -> tuple[int, int, int] | None:
     while i + 4 <= n:
         if payload[i] != 0xFF:
             return None
+        # The standard allows any number of 0xFF fill bytes before a
+        # marker; skip them so the marker byte is read correctly.
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            return None
         marker = payload[i + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn: bare
             i += 2

@@ -655,8 +655,10 @@ def embedding_decontamination(
 
     Scale shape: eval corpora are benchmark-sized (thousands of rows) where
     training corpora are TB — the eval side reduces to (vector, norm) and is
-    **broadcast**, the per-pair cosine is an unrolled codegen dot against
-    pre-computed per-row norms, and partial max aggregation runs map-side so
+    **broadcast**, the per-pair cosine is a codegen aggregate/zip_with dot
+    fold against pre-computed per-row norms (the fold measured faster than a
+    static unroll on this JVM — see the dot_expr strategy note), and partial
+    max aggregation runs map-side so
     the only shuffle carries ``(id, partial max)``. Training embeddings
     never move. Training rows vanish from the output only if the eval set is
     empty (cross join); callers should treat an empty eval set as "nothing
@@ -779,13 +781,23 @@ def l2_normalize(
     Zero vectors pass through unchanged (no NaN poisoning downstream
     cosine math). Normalizing at ingest turns every later cosine into a
     plain dot product — worth one pass over 100 TB exactly once.
+
+    The norm is bound ONCE per row via the array-wrap lambda-variable
+    pattern (transform over a 1-element array) — closing over the fold
+    directly inside the division lambda would re-evaluate the O(dim) norm
+    per element, turning normalization O(dim^2) per row.
     """
     out = out or vec_col
     v = F.col(vec_col)
-    n = norm_expr(v)
     return df.withColumn(
         out,
-        F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v),
+        F.element_at(
+            F.transform(
+                F.array(norm_expr(v)),
+                lambda n: F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v),
+            ),
+            1,
+        ),
     )
 
 

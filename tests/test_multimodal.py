@@ -274,6 +274,21 @@ class TestJpegHeader:
         dht = b"\xff\xd8\xff\xc4\x00\x04\x00\x00"
         assert parse_jpeg_header(dht) is None
 
+    def test_fill_bytes_before_marker(self):
+        """The standard permits any number of 0xFF fill bytes before a
+        marker; a valid JPEG using them must still parse."""
+        from sat_bucket_spark.operators.multimodal import parse_jpeg_header
+
+        base = self._jpeg(320, 200)
+        # inject two fill bytes before the SOF0 marker
+        padded = base.replace(b"\xff\xc0", b"\xff\xff\xff\xc0")
+        assert parse_jpeg_header(padded) == (320, 200, 3)
+        # fill bytes before an intermediate segment too
+        padded2 = self._jpeg(64, 32, extra_segments=True).replace(
+            b"\xff\xdb", b"\xff\xff\xdb", 1
+        )
+        assert parse_jpeg_header(padded2) == (64, 32, 3)
+
     def test_decode_routes_jpeg(self, spark):
         from sat_bucket_spark.operators.multimodal import decode_and_featurize_images
 

@@ -722,6 +722,16 @@ class TestEmbeddingPooling:
         assert out[1] == [0.6, 0.8]
         assert out[2] == [0.0, 0.0]  # zero vector passes through, no NaN
 
+    def test_l2_normalize_binds_norm_once(self, spark):
+        """The O(dim) norm fold must appear ONCE in the plan (bound via the
+        array-wrap lambda variable), not re-evaluated per element inside the
+        division lambda — that would make normalization O(dim^2) per row."""
+        from sat_bucket_spark.operators.similarity import l2_normalize
+
+        df = spark.createDataFrame([(1, [3.0, 4.0])], ["id", "embedding"])
+        plan = str(l2_normalize(df)._jdf.queryExecution().analyzed())
+        assert plan.lower().count("aggregate(") == 1
+
 
 class TestNaiveBayes:
     def test_separates_classes(self, spark):
@@ -754,6 +764,35 @@ class TestNaiveBayes:
             if rng.choice(en) > rng.choice(other)
         )
         assert wins / 2000 > 0.6
+
+    def test_empty_token_docs_score_prior(self, spark):
+        """A document whose token array is empty must still get an output
+        row scoring exactly `prior` (explode_outer), not silently vanish."""
+        from sat_bucket_spark.operators.classify import score_with_token_weights
+
+        df = spark.createDataFrame(
+            [(1, "good text here"), (2, "   "), (3, None)],
+            ["doc_id", "text"],
+        )
+        weights = spark.createDataFrame(
+            [("good", 1.5), ("text", 0.25)], ["token", "weight"]
+        )
+        out = {
+            r["doc_id"]: r["nb_score"]
+            for r in score_with_token_weights(df, weights, prior=-0.5).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert out[1] == 1.25  # 1.5 + 0.25 + 0 (unknown 'here') - 0.5
+        assert out[2] == -0.5
+        assert out[3] == -0.5
+
+    def test_empty_corpus_raises(self, spark):
+        from sat_bucket_spark.operators.classify import train_token_classifier
+        import pytest
+
+        empty = spark.createDataFrame([(1, "  ", 1)], ["doc_id", "text", "y"])
+        with pytest.raises(ValueError, match="empty vocabulary"):
+            train_token_classifier(empty, "y")
 
     def test_deterministic(self, spark):
         from sat_bucket_spark.operators.classify import train_token_classifier
