@@ -163,11 +163,23 @@ def _band_rows(
     sigs: DataFrame,
     id_col: str,
     n_bands: int,
-    n_hashes: int,
+    n_hashes: int | None,
     signature_col: str = "signature",
 ) -> DataFrame:
-    """(id, band_idx, band_sig) rows — the LSH banding equi-join key."""
-    rows_per_band = max(n_hashes // n_bands, 1)
+    """(id, band_idx, band_sig) rows — the LSH banding equi-join key.
+
+    When ``n_hashes`` is unknown the band width is derived IN-PLAN from
+    ``size(signature)`` (slice start/length accept Columns) — no probe job.
+    """
+    if n_hashes is not None:
+        starts = [F.lit(i * max(n_hashes // n_bands, 1) + 1) for i in range(n_bands)]
+        length = F.lit(max(n_hashes // n_bands, 1))
+    else:
+        rpb = F.greatest(
+            F.floor(F.size(F.col(signature_col)) / F.lit(n_bands)), F.lit(1)
+        ).cast("int")
+        starts = [(F.lit(i) * rpb + F.lit(1)).cast("int") for i in range(n_bands)]
+        length = rpb
     return sigs.select(
         F.col(id_col),
         F.explode(
@@ -175,9 +187,9 @@ def _band_rows(
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.slice(
-                            F.col(signature_col), i * rows_per_band + 1, rows_per_band
-                        ).alias("band_sig"),
+                        F.slice(F.col(signature_col), starts[i], length).alias(
+                            "band_sig"
+                        ),
                     )
                     for i in range(n_bands)
                 ]
@@ -207,11 +219,11 @@ def lsh_candidate_pairs(
     estimate is computed afterwards by re-joining the per-doc signature table
     (one short row per doc, broadcastable / AQE-planned).
 
-    Pass ``n_hashes`` when known — otherwise a probe job reads one row to
-    discover the signature length.
+    ``n_hashes`` is optional either way: when omitted, both the band width
+    and the estimate denominator derive from ``size(signature)`` inside the
+    plan — zero extra jobs (an extra probe job per operator call is noise
+    locally, real at scale).
     """
-    if n_hashes is None:
-        n_hashes = len(sigs.select(signature_col).first()[0])
     bands = _band_rows(sigs, id_col, n_bands, n_hashes, signature_col)
 
     left = bands.alias("l")
@@ -233,12 +245,17 @@ def lsh_candidate_pairs(
         return pairs
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col(signature_col).alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col(signature_col).alias("sig_b"))
+    denom = (
+        F.lit(float(n_hashes))
+        if n_hashes is not None
+        else F.size(F.col("sig_a")).cast("double")
+    )
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
-    ) / F.lit(float(n_hashes))
+    ) / denom
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")

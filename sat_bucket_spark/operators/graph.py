@@ -134,7 +134,20 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    if driver_threshold and e.count() <= driver_threshold:
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold: order-independent and overflow-free (ANSI mode)
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    # One aggregate serves BOTH the driver-threshold gate (its count) and
+    # the distributed loop's round-0 convergence state — no separate
+    # e.count() job just to decide the route.
+    prev = _fingerprint(e)
+    if driver_threshold and prev[0] <= driver_threshold:
         from pyspark.sql.types import StructField, StructType
 
         pairs = [(r["u"], r["v"]) for r in e.collect()]
@@ -148,15 +161,6 @@ def connected_components(
         )
         return edges.sparkSession.createDataFrame(assignment, schema=schema)
 
-    def _fingerprint(df: DataFrame) -> tuple:
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            # xor-fold: order-independent and overflow-free (ANSI mode)
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
-    prev = _fingerprint(e)
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint()
         cur = _fingerprint(e)

@@ -216,3 +216,50 @@ def test_pair_cosine_is_fold_not_unrolled(spark):
         if ln.count("__va") > 8 and ln.count("__vb") > 8 and "zip_with" not in ln
     ]
     assert not unrolled, "found a statically unrolled pair-dot expression"
+
+
+def _jobs_in_group(spark, group: str) -> int:
+    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
+
+
+def test_lsh_candidates_no_probe_job(spark):
+    """lsh_candidate_pairs with unknown n_hashes must derive the band width
+    in-plan from size(signature) — constructing the DataFrame launches ZERO
+    jobs (the old path ran a one-row probe per operator call)."""
+    from sat_bucket_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    sigs = minhash_signatures(docs, n_hashes=16)
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh-probe-gate", "construction must launch no jobs")
+    implicit = lsh_candidate_pairs(sigs, n_bands=4)  # n_hashes unknown
+    sc.setJobGroup("lsh-probe-gate-done", "")
+    assert _jobs_in_group(spark, "lsh-probe-gate") == 0
+    # and the in-plan derivation is value-identical to the explicit width
+    explicit = lsh_candidate_pairs(sigs, n_bands=4, n_hashes=16)
+    assert sorted(map(tuple, implicit.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
+def test_connected_components_gate_costs_no_extra_job(spark):
+    """The driver-threshold gate must reuse the convergence fingerprint's
+    count instead of a separate e.count() action. Measured job anatomy
+    under AQE (each shuffle materializes as its own job): localCheckpoint
+    of the deduped edges = 2, fingerprint aggregate = 2, edge collect = 1
+    — 5 total on the driver path; the old separate count added 2 more."""
+    from sat_bucket_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("cc-gate", "route gate + collect")
+    out = connected_components(edges)
+    sc.setJobGroup("cc-gate-done", "")
+    assert _jobs_in_group(spark, "cc-gate") <= 5
+    rows = {(r["node"], r["component"]) for r in out.collect()}
+    assert rows == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
