@@ -23,6 +23,11 @@ import datetime
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sat_bucket_spark.plan_stats import (
+    estimated_size_bytes as _estimated_size_bytes_impl,
+    warn_if_unpartitioned_window,
+)
+
 __all__ = [
     "add_overpass_id",
     "add_overpass_id_scalable",
@@ -47,23 +52,18 @@ def _interval_seconds(interval) -> float:
 
 # Above this Catalyst-estimated input size, an un-partitioned sessionization
 # routes to the chunked scalable variant instead of a single-reducer window.
+# Shared with the warn-only guard in plan_stats (same bound, same estimator).
 _GLOBAL_SESSION_MAX_BYTES = 256 * 1024 * 1024
 
+# Estimator lives in plan_stats so every single-reducer-window guard keys
+# off the identical Catalyst statistic.
+_estimated_size_bytes = _estimated_size_bytes_impl
 
-def _estimated_size_bytes(df: DataFrame) -> int | None:
-    """Catalyst's driver-side size estimate (no job); None when unavailable.
-
-    Catalyst reports UNKNOWN sizes as Long.MaxValue (e.g. above an aggregate
-    with no file statistics) — treated as None here so routing never keys off
-    a sentinel.
-    """
-    try:
-        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-    except Exception:
-        return None
-    if est >= (1 << 60):  # Long.MaxValue-ish sentinel: statistics unknown
-        return None
-    return est
+# add_swath_indices' offset window runs over ONE row per granule, so its
+# guard keys off the raw input with a proportionally larger bound: ~1 TiB
+# of raw swath data (≈10^5-10^6 granules) is where the spans sort stops
+# being trivially single-task.
+_SWATH_RAW_INPUT_MAX_BYTES = 1 << 40
 
 
 def add_overpass_id(
@@ -100,6 +100,15 @@ def add_overpass_id(
             return add_overpass_id_scalable(
                 df, interval=interval, time=time, partition_by=partition_by, id_column=id_column
             )
+    if strategy == "global":
+        # the caller forced the single-window formulation; still make the
+        # cliff visible when the input is past the single-reducer bound
+        warn_if_unpartitioned_window(
+            df,
+            "add_overpass_id(strategy='global')",
+            partition_by,
+            detail="or use strategy='scalable' (identical output)",
+        )
     gap = _interval_seconds(interval)
     keys = list(partition_by) if partition_by else []
     w = Window.partitionBy(*keys).orderBy(time) if keys else Window.orderBy(time)
@@ -315,9 +324,20 @@ def add_swath_indices(
     also carries the global y-min, so plan construction launches no job and a
     single scan feeds everything) -> running offset window -> broadcast join
     back. The offset window is unpartitioned by necessity (a running sum over
-    granule order) but runs over the spans table, which is small enough to
-    broadcast by construction.
+    granule order) but runs over the spans table — ONE row per granule, so
+    it is bounded by granule count, not row count. Catalyst can't estimate
+    post-aggregation sizes, so the guard keys off the RAW input with a
+    proportionally larger bound (granules ≈ input files; a petabyte-scale
+    input implies a spans table past comfortable single-task sorting).
     """
+    warn_if_unpartitioned_window(
+        df,
+        "add_swath_indices",
+        None,
+        max_bytes=_SWATH_RAW_INPUT_MAX_BYTES,
+        detail="the running-offset window sorts one row per granule in a "
+        "single task; beyond ~10^7 granules split by orbit/day first",
+    )
     parts = F.split(F.col(x_index), "-")
     df2 = df.withColumn("__granule", parts.getItem(0).cast("long")).withColumn(
         "__along", parts.getItem(1).cast("long")

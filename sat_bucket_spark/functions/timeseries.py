@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sat_bucket_spark.plan_stats import warn_if_unpartitioned_window
+
 __all__ = ["add_rolling_features", "interpolate_linear", "regularize_timesteps"]
 
 
@@ -39,6 +41,7 @@ def add_rolling_features(
     engines (the DuckDB oracle replays it) and across Spark retries.
     """
     keys = list(partition_by) if partition_by else []
+    warn_if_unpartitioned_window(df, "add_rolling_features", keys)
     # Long epoch-µs ordering: rangeBetween takes integer bounds, and µs
     # resolution reproduces timestamp-INTERVAL frame membership exactly.
     t = F.unix_micros(F.col(time).cast("timestamp"))
@@ -73,8 +76,14 @@ def regularize_timesteps(
     ``agg_exprs`` maps output column -> aggregate expression (default: count).
 
     Reference: utils/time.py:279-332 (pandas reindex on date_range).
+
+    Scale note: keyless use produces ONE series whose grid generation and
+    left join are bounded by the observed time span, but the downstream
+    consumer (typically :func:`interpolate_linear`) sorts it in one task —
+    the guard below flags large keyless inputs at plan time.
     """
     keys = list(partition_by) if partition_by else []
+    warn_if_unpartitioned_window(df, "regularize_timesteps", keys)
     step = F.floor(F.col(time).cast("double") / freq_seconds).cast("long")
     bucketed = df.withColumn("__step", step)
     aggs = agg_exprs or {"n": F.count(F.lit(1))}
@@ -108,8 +117,14 @@ def interpolate_linear(
     Edge nulls (no neighbor on one side) stay null — matching the reference's
     ``limit_area='inside'`` default (utils/time.py:132-201). ``limit`` caps the
     gap length (in rows) that gets filled.
+
+    Scale note: with no ``partition_by`` all three windows are global —
+    designed for bounded post-aggregation series (a regularized sensor
+    channel, a per-orbit profile), not raw tables; the guard flags
+    Catalyst-estimated inputs past the single-reducer bound at plan time.
     """
     keys = list(partition_by) if partition_by else []
+    warn_if_unpartitioned_window(df, "interpolate_linear", keys)
     out = out or value
     fwd = (
         Window.partitionBy(*keys).orderBy(time).rowsBetween(Window.unboundedPreceding, 0)

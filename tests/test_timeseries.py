@@ -142,3 +142,73 @@ class TestRollingFeatures:
         )
         assert list(out["roll_count"]) == [1, 2, 1]
         assert [float(x) for x in out["roll_sum"]] == [1.0, 3.0, 4.0]
+
+
+class TestSingleReducerGuard:
+    """The unpartitioned-window cliff must be flagged at plan time."""
+
+    def _big(self, spark):
+        # spark.range carries an exact Catalyst size estimate (8 bytes/row)
+        # with no job: 100M rows ~ 800 MB > the 256 MB guard bound.
+        return (
+            spark.range(100_000_000)
+            .select(
+                F.col("id").cast("double").alias("time"),
+                F.col("id").cast("double").alias("value"),
+            )
+        )
+
+    def test_interpolate_warns_keyless_on_large_input(self, spark):
+        from sat_bucket_spark.plan_stats import SingleReducerWindowWarning
+
+        with pytest.warns(SingleReducerWindowWarning, match="interpolate_linear"):
+            interpolate_linear(self._big(spark))
+
+    def test_regularize_warns_keyless_on_large_input(self, spark):
+        from sat_bucket_spark.plan_stats import SingleReducerWindowWarning
+
+        with pytest.warns(SingleReducerWindowWarning, match="regularize_timesteps"):
+            regularize_timesteps(self._big(spark))
+
+    def test_rolling_warns_keyless_on_large_input(self, spark):
+        from sat_bucket_spark.functions.timeseries import add_rolling_features
+        from sat_bucket_spark.plan_stats import SingleReducerWindowWarning
+
+        with pytest.warns(SingleReducerWindowWarning, match="add_rolling_features"):
+            add_rolling_features(self._big(spark))
+
+    def test_no_warning_when_partitioned_or_small(self, spark, recwarn):
+        from sat_bucket_spark.functions.timeseries import add_rolling_features
+        from sat_bucket_spark.plan_stats import SingleReducerWindowWarning
+
+        interpolate_linear(self._big(spark), partition_by=["value"])
+        add_rolling_features(self._big(spark), partition_by=["value"])
+        small = self._big(spark).limit(10)
+        interpolate_linear(small)
+        assert not [
+            w for w in recwarn.list
+            if issubclass(w.category, SingleReducerWindowWarning)
+        ]
+
+    def test_forced_global_sessionization_warns(self, spark):
+        from sat_bucket_spark.analysis import add_overpass_id
+        from sat_bucket_spark.plan_stats import SingleReducerWindowWarning
+
+        big = self._big(spark)
+        with pytest.warns(SingleReducerWindowWarning, match="scalable"):
+            add_overpass_id(big, interval=60, time="time", strategy="global")
+
+    def test_auto_still_routes_scalable_not_warn(self, spark, recwarn):
+        """auto on a big keyless input must REROUTE (no warning needed)."""
+        from sat_bucket_spark.analysis import add_overpass_id
+        from sat_bucket_spark.plan_stats import SingleReducerWindowWarning
+
+        out = add_overpass_id(
+            self._big(spark).limit(1000).localCheckpoint(),
+            interval=60, time="time", strategy="auto",
+        )
+        assert "overpass_id" in out.columns
+        assert not [
+            w for w in recwarn.list
+            if issubclass(w.category, SingleReducerWindowWarning)
+        ]
