@@ -70,11 +70,36 @@ def read_bucket_dataframe(
         # Explicit file list (filename-level filtering): basePath keeps the
         # hive partition columns discoverable from the file paths.
         reader = spark.read.option("basePath", bucket_dir)
-        df = reader.parquet(*paths)
     else:
         reader = spark.read.option("pathGlobFilter", glob)
-        df = reader.parquet(bucket_dir)
     if levels:
+        # String-typing the partition levels needs a schema up front. Reading
+        # the bucket once to inspect df.schema and AGAIN with the corrected
+        # schema lists every partition directory twice — the dominant driver
+        # cost of opening a many-thousand-directory bucket (and two full
+        # object-store LIST passes at scale). Instead read ONE data file's
+        # footer (Spark's own inference also reads a single footer when
+        # mergeSchema is off), append the levels as strings, and open the
+        # bucket exactly once with the explicit schema.
+        sample = paths[0] if paths else _first_data_file(bucket_dir, glob)
+        if sample is not None:
+            data_fields = list(spark.read.parquet(sample).schema.fields)
+            present = {f.name for f in data_fields}
+            fields = data_fields + [
+                StructField(lvl, StringType(), True)
+                for lvl in levels
+                if lvl not in present
+            ]
+            schema = StructType(fields)
+            return (
+                reader.schema(schema).parquet(*paths)
+                if paths is not None
+                else reader.schema(schema).parquet(bucket_dir)
+            )
+    df = reader.parquet(*paths) if paths is not None else reader.parquet(bucket_dir)
+    if levels:
+        # Fallback (no sample file found, e.g. non-local URI): the original
+        # infer-then-reread path.
         fields = []
         for f in df.schema.fields:
             if f.name in levels:
@@ -87,6 +112,39 @@ def read_bucket_dataframe(
             else reader.schema(StructType(fields)).parquet(bucket_dir)
         )
     return df
+
+
+def _first_data_file(bucket_dir: str, glob: str = "*.parquet", max_depth: int = 8) -> str | None:
+    """First data file under a LOCAL bucket root (depth-first scandir).
+
+    Used to read one footer for schema instead of double-listing the whole
+    bucket; returns None for non-local URIs (callers fall back to Spark's
+    own inference+reread)."""
+    import fnmatch
+    import os
+
+    root = bucket_dir
+    if root.startswith("file://"):
+        root = root[len("file://"):]
+    elif "://" in root:
+        return None
+    stack = [(root, 0)]
+    while stack:
+        path, depth = stack.pop()
+        try:
+            entries = sorted(os.scandir(path), key=lambda e: e.name)
+        except OSError:
+            return None
+        for e in entries:
+            if e.is_file() and fnmatch.fnmatch(e.name, glob):
+                return e.path
+        if depth < max_depth:
+            stack.extend(
+                (e.path, depth + 1)
+                for e in entries
+                if e.is_dir() and not e.name.startswith(("_", "."))
+            )
+    return None
 
 
 def _read_directory_bucket(

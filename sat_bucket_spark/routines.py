@@ -238,10 +238,20 @@ def merge_granule_buckets(
         # not emit arbitrarily sized files.
         max_records = writer_kwargs.get("max_records_per_file")
         if max_records is None and writer_kwargs.get("max_file_size") is not None:
-            max_records = rows_for_target_size(
-                writer_kwargs["max_file_size"],
-                estimate_row_size(df, compression=writer_kwargs.get("compression", "snappy")),
-            )
+            # Same sampling-skip gate as write_partitioned_dataset: when
+            # Catalyst bounds the WHOLE input far below one target file the
+            # cap cannot bind, so don't pay the sampling job to compute it.
+            from sat_bucket_spark.plan_stats import estimated_size_bytes
+            from sat_bucket_spark.writers import parse_size
+
+            est = estimated_size_bytes(df)
+            if est is None or est * 4 > parse_size(writer_kwargs["max_file_size"]):
+                max_records = rows_for_target_size(
+                    writer_kwargs["max_file_size"],
+                    estimate_row_size(
+                        df, compression=writer_kwargs.get("compression", "snappy")
+                    ),
+                )
         from sat_bucket_spark.writers import _repartition_for_write
 
         base = _repartition_for_write(df, partitions).sortWithinPartitions(
