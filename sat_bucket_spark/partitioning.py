@@ -937,9 +937,12 @@ def partitioning_from_dict(spec: dict):
 
 
 def zorder_index_expr(
-    x_bin: "Column | str", y_bin: "Column | str", bits: int = 16
+    x_bin: "Column | str",
+    y_bin: "Column | str",
+    bits: int = 16,
+    t_bin: "Column | str | None" = None,
 ) -> Column:
-    """Morton (Z-order) index of two non-negative bin indices.
+    """Morton (Z-order) index of two or three non-negative bin indices.
 
     Interleaves the low ``bits`` bits of ``x_bin`` (even positions) and
     ``y_bin`` (odd positions) into one long. Sorting or range-partitioning a
@@ -953,17 +956,35 @@ def zorder_index_expr(
     ``write_partitioned_dataset(sort_within_by=[...])`` or
     ``DataFrame.sortWithinPartitions``.
 
+    With ``t_bin`` the interleave is 3-D (stride 3: x at ``3b``, y at
+    ``3b+1``, t at ``3b+2``) — rows cluster by space AND a time bucket, so
+    the common "extent + time window" query prunes row groups on all three
+    min/max stats at once. ``3 * bits`` must fit a signed long: bits <= 21.
+
     Pure bit arithmetic (shift/and/or) — whole-stage codegen, engine-portable
     (DuckDB: the same ``>> & <<`` expression). Null bin indices propagate to
     a null index. ``bits`` must cover the larger bin count (default 16 =
     grids up to 65536 x 65536).
     """
+    stride = 2 if t_bin is None else 3
+    if bits * stride > 63:
+        raise ValueError(
+            f"bits={bits} with {stride} dimensions overflows a signed long "
+            f"(max {63 // stride})"
+        )
     x = (F.col(x_bin) if isinstance(x_bin, str) else x_bin).cast("long")
     y = (F.col(y_bin) if isinstance(y_bin, str) else y_bin).cast("long")
+    t = None
+    if t_bin is not None:
+        t = (F.col(t_bin) if isinstance(t_bin, str) else t_bin).cast("long")
     out: Column | None = None
     for b in range(bits):
-        xb = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
-        yb = F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        xb = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), stride * b)
+        yb = F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), stride * b + 1)
         term = xb + yb
+        if t is not None:
+            term = term + F.shiftleft(
+                F.shiftright(t, b).bitwiseAND(F.lit(1)), stride * b + 2
+            )
         out = term if out is None else out + term
     return out

@@ -187,6 +187,8 @@ def merge_granule_buckets(
     end_time=None,
     update: bool = False,
     time: str = "time",
+    zorder_xy: "tuple[str, str] | None" = None,
+    zorder_bits: int = 12,
     **writer_kwargs,
 ) -> None:
     """Compact a staged granule bucket into the temporally grouped archive.
@@ -207,6 +209,18 @@ def merge_granule_buckets(
     tight, so time-window reads skip whole row groups within the large
     per-partition files — intra-file pruning under the ``time_part``
     directory pruning.
+
+    ``zorder_xy=(x_col, y_col)`` switches the within-file clustering to a
+    3-D Z-order over (fine x bin, fine y bin, day-of-epoch): row-group
+    min/max stats come out tight on BOTH spatial axes AND time at once, so
+    the canonical "extent + time window" archive query prunes row groups on
+    all three. Fine bins subdivide the partitioning's extent into
+    ``2**zorder_bits`` cells per axis (finer than the directory grid —
+    directory pruning handles the coarse level). The day bucket keeps the
+    low ``zorder_bits`` bits of days-since-epoch: within a ``time_part``
+    group (a month spans ≤31 days) ordering is preserved except for the
+    rare group straddling a ``2**zorder_bits``-day wrap, which merely
+    loosens that group's stats — never correctness.
     """
     check_temporal_partitioning(temporal_partitioning)
     partitioning = get_bucket_spatial_partitioning(src_bucket_dir)
@@ -230,6 +244,29 @@ def merge_granule_buckets(
 
     df = df.withColumn("time_part", time_prefix_expr(time, temporal_partitioning))
     partitions = list(partitioning.order) + ["time_part"]
+
+    sort_cols = [time]
+    drop_after = None
+    if zorder_xy is not None:
+        from sat_bucket_spark.partitioning import bin_index_expr, zorder_index_expr
+
+        x_col, y_col = zorder_xy
+        n = 1 << zorder_bits
+        ext = partitioning.extent
+        xb = bin_index_expr(
+            F.col(x_col), ext.xmin, ext.xmax, (ext.xmax - ext.xmin) / n, n
+        )
+        yb = bin_index_expr(
+            F.col(y_col), ext.ymin, ext.ymax, (ext.ymax - ext.ymin) / n, n
+        )
+        tb = F.floor(F.col(time).cast("double") / F.lit(86400.0)).cast(
+            "long"
+        ).bitwiseAND(F.lit(n - 1))
+        df = df.withColumn(
+            "__z3", zorder_index_expr(xb, yb, bits=zorder_bits, t_bin=tb)
+        )
+        sort_cols = ["__z3"]
+        drop_after = "__z3"
 
     writer_kwargs.setdefault("max_file_size", "2GB")  # reference default, routines.py:543
     if update:
@@ -255,8 +292,10 @@ def merge_granule_buckets(
         from sat_bucket_spark.writers import _repartition_for_write
 
         base = _repartition_for_write(df, partitions).sortWithinPartitions(
-            *partitions, time
+            *partitions, *sort_cols
         )
+        if drop_after is not None:
+            base = base.drop(drop_after)
         writer = (
             base.write.partitionBy(*partitions)
             .option("partitionOverwriteMode", "dynamic")
@@ -272,7 +311,7 @@ def merge_granule_buckets(
             dst_bucket_dir,
             partitions=partitions,
             mode="append",
-            sort_within_by=[time],
+            sort_within_by=sort_cols,
             **writer_kwargs,
         )
 

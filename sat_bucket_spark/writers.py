@@ -190,15 +190,24 @@ def write_partitioned_dataset(
       and scanning one 200 MB row group of it.
     """
     writer_df = df
+    # Dunder-named sort columns are EPHEMERAL clustering keys (e.g. the 3-D
+    # Z-order index): they order rows within files but are projected away
+    # before writing. The drop is a Project over the Sort — ordering is
+    # preserved, the key never lands on disk.
+    ephemeral = [c for c in (sort_within_by or []) if c.startswith("__")]
     if partitions:
         if repartition_by_levels:
             writer_df = _repartition_for_write(df, partitions)
         if sort_within_by:
             writer_df = writer_df.sortWithinPartitions(*(partitions + sort_within_by))
+            if ephemeral:
+                writer_df = writer_df.drop(*ephemeral)
         writer = writer_df.write.partitionBy(*partitions)
     else:
         if sort_within_by:
             writer_df = writer_df.sortWithinPartitions(*sort_within_by)
+            if ephemeral:
+                writer_df = writer_df.drop(*ephemeral)
         writer = writer_df.write
 
     if max_records_per_file is None and max_file_size is not None:

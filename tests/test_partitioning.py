@@ -465,3 +465,105 @@ class TestZorderProperties:
             .collect()
         ]
         assert all(a < b for a, b in zip(zs, zs[1:]))
+
+
+class TestZorder3D:
+    def test_bijective_and_decodes(self, spark):
+        """3-D interleave: every (x, y, t) on an 8^3 grid maps to a distinct
+        z whose stride-3 decode returns the original triple."""
+        import itertools
+
+        from sat_bucket_spark.partitioning import zorder_index_expr
+
+        grid = list(itertools.product(range(8), range(8), range(8)))
+        df = spark.createDataFrame(grid, ["x", "y", "t"])
+        rows = df.withColumn(
+            "z", zorder_index_expr("x", "y", bits=3, t_bin="t")
+        ).collect()
+
+        def decode(z):
+            x = y = t = 0
+            for b in range(3):
+                x |= ((z >> (3 * b)) & 1) << b
+                y |= ((z >> (3 * b + 1)) & 1) << b
+                t |= ((z >> (3 * b + 2)) & 1) << b
+            return x, y, t
+
+        zs = set()
+        for r in rows:
+            assert decode(r["z"]) == (r["x"], r["y"], r["t"])
+            zs.add(r["z"])
+        assert len(zs) == len(grid)
+        assert min(zs) == 0 and max(zs) == 8 ** 3 - 1
+
+    def test_two_d_unchanged_without_t(self, spark):
+        """Omitting t_bin must reproduce the exact 2-D stride-2 index."""
+        from sat_bucket_spark.partitioning import zorder_index_expr
+
+        df = spark.createDataFrame([(i, (i * 7) % 16, (i * 5) % 16) for i in range(64)],
+                                   ["id", "x", "y"])
+        got = {
+            r["id"]: r["z"]
+            for r in df.withColumn("z", zorder_index_expr("x", "y", bits=4)).collect()
+        }
+
+        def interleave2(x, y):
+            z = 0
+            for b in range(4):
+                z |= ((x >> b) & 1) << (2 * b)
+                z |= ((y >> b) & 1) << (2 * b + 1)
+            return z
+
+        for i, x, y in [(i, (i * 7) % 16, (i * 5) % 16) for i in range(64)]:
+            assert got[i] == interleave2(x, y)
+
+    def test_bits_overflow_raises(self, spark):
+        from sat_bucket_spark.partitioning import zorder_index_expr
+
+        import pytest
+
+        with pytest.raises(ValueError, match="overflows"):
+            zorder_index_expr("x", "y", bits=22, t_bin="t")
+        with pytest.raises(ValueError, match="overflows"):
+            zorder_index_expr("x", "y", bits=32)
+
+    def test_3d_sort_tightens_all_three_axes(self, spark, tmp_path):
+        """Files sorted by the 3-D index bound x, y AND t spans per file;
+        a time-major sort leaves x/y unbounded within each file."""
+        import itertools
+
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.partitioning import zorder_index_expr
+
+        grid = list(itertools.product(range(16), range(16), range(16)))
+        df = (
+            spark.createDataFrame(grid, ["x", "y", "t"])
+            .withColumn("z", zorder_index_expr("x", "y", bits=4, t_bin="t"))
+            .coalesce(1)
+        )
+
+        def avg_spans(path):
+            out = (
+                spark.read.parquet(path)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(
+                    (F.max("x") - F.min("x")).alias("sx"),
+                    (F.max("y") - F.min("y")).alias("sy"),
+                    (F.max("t") - F.min("t")).alias("st"),
+                )
+                .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"), F.avg("st").alias("at"))
+                .first()
+            )
+            return out["ax"], out["ay"], out["at"]
+
+        opts = {"maxRecordsPerFile": "512"}  # 8 files of 8x8x8 z-cubes
+        zp, tp = str(tmp_path / "z3"), str(tmp_path / "tsort")
+        df.sortWithinPartitions("z").write.options(**opts).parquet(zp)
+        df.sortWithinPartitions("t", "x", "y").write.options(**opts).parquet(tp)
+        zx, zy, zt = avg_spans(zp)
+        tx, ty, tt = avg_spans(tp)
+        # z-order: each 512-row file is an 8x8x8 cube -> all spans <= 8
+        assert zx <= 8 and zy <= 8 and zt <= 8
+        # time-major: t tight (2 values) but x and y span the full 16
+        assert tx >= 15 and ty >= 15

@@ -223,3 +223,72 @@ class TestGranuleIngest:
         assert read(spark, bucket).count() == 3  # no duplication
         # the previously failed granule is retried (not in the manifest)
         assert len(errors2) == 1 and "broken" in errors2[0][0]
+
+
+class TestMergeZorder:
+    def test_merge_zorder_same_data_no_key_leak(self, spark, orbit_df, tmp_path):
+        """zorder_xy changes only the within-file ORDER: same rows come back,
+        and the ephemeral __z3 key never lands on disk."""
+        src = str(tmp_path / "stage_z")
+        write_bucket(orbit_df, src, LonLatPartitioning(size=(10, 10)), x="lon", y="lat")
+        plain, zed = str(tmp_path / "m_plain"), str(tmp_path / "m_z")
+        merge_granule_buckets(spark, src, plain, temporal_partitioning="year")
+        merge_granule_buckets(
+            spark, src, zed, temporal_partitioning="year", zorder_xy=("lon", "lat")
+        )
+        a = read(spark, plain)
+        b = read(spark, zed)
+        assert "__z3" not in b.columns
+        cols = sorted(set(a.columns) & set(b.columns))
+        assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+            map(tuple, b.select(cols).collect())
+        )
+
+    def test_merge_zorder_tightens_spatial_file_stats(self, spark, tmp_path):
+        """Within one spatial partition dir, z-ordered merge output files carry
+        tighter lon/lat spans than time-sorted output (row-group pruning win)."""
+        import datetime
+        import glob
+
+        from pyspark.sql import functions as F
+
+        # many points inside ONE 10x10 partition cell, shuffled times
+        rows = [
+            (
+                float(i % 40) * 0.25,           # lon in [0, 10)
+                float((i * 7) % 40) * 0.25,     # lat in [0, 10)
+                datetime.datetime(2021, 1, 1)
+                + datetime.timedelta(minutes=(i * 13) % 1440),
+                i,
+            )
+            for i in range(1600)
+        ]
+        df = spark.createDataFrame(rows, ["lon", "lat", "time", "rid"])
+        src = str(tmp_path / "stage_one")
+        write_bucket(df, src, LonLatPartitioning(size=(10, 10)), x="lon", y="lat")
+        plain, zed = str(tmp_path / "mp"), str(tmp_path / "mz")
+        merge_granule_buckets(
+            spark, src, plain, temporal_partitioning="year",
+            max_records_per_file=200,
+        )
+        merge_granule_buckets(
+            spark, src, zed, temporal_partitioning="year",
+            zorder_xy=("lon", "lat"), max_records_per_file=200,
+        )
+
+        def avg_spatial_span(root):
+            out = (
+                spark.read.parquet(*glob.glob(f"{root}/**/*.parquet", recursive=True))
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(
+                    (F.max("lon") - F.min("lon")).alias("sx"),
+                    (F.max("lat") - F.min("lat")).alias("sy"),
+                )
+                .agg((F.avg("sx") + F.avg("sy")).alias("s"))
+                .first()["s"]
+            )
+            return out
+
+        span_plain = avg_spatial_span(plain)
+        span_z = avg_spatial_span(zed)
+        assert span_z < span_plain, (span_z, span_plain)
