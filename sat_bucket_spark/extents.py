@@ -304,20 +304,57 @@ COUNTRY_ALIASES: dict[str, str] = {
 }
 
 
+def _fold_name(name: str) -> str:
+    """Case/diacritic/punctuation fold for tolerant place-name lookup.
+
+    NFKD-decompose and strip combining marks ("Türkiye" == "turkiye"),
+    normalize curly apostrophes, collapse runs of whitespace.
+    """
+    import unicodedata
+
+    s = unicodedata.normalize("NFKD", name.strip().lower())
+    s = "".join(c for c in s if not unicodedata.combining(c))
+    s = s.replace("’", "'").replace("ʼ", "'")
+    return " ".join(s.split())
+
+
+# Fold-keyed lookup: canonical names + aliases, all diacritic/case folded.
+_COUNTRY_LOOKUP: dict[str, str] = {}
+for _k in COUNTRY_EXTENTS:
+    _COUNTRY_LOOKUP[_fold_name(_k)] = _k
+for _a, _c in COUNTRY_ALIASES.items():
+    _COUNTRY_LOOKUP.setdefault(_fold_name(_a), _c)
+
+
+def _suggest(key: str, candidates) -> str:
+    import difflib
+
+    close = difflib.get_close_matches(key, list(candidates), n=3, cutoff=0.6)
+    return f"; did you mean {', '.join(repr(c) for c in close)}?" if close else ""
+
+
 def get_continent_extent(name: str) -> list[float]:
     """Continent name -> [xmin, xmax, ymin, ymax] (reference: readers.py:257-266)."""
-    key = name.strip().lower()
+    key = _fold_name(name)
     if key not in CONTINENT_EXTENTS:
         raise ValueError(
             f"unknown continent {name!r}; available: {sorted(CONTINENT_EXTENTS)}"
+            + _suggest(key, CONTINENT_EXTENTS)
         )
     return list(CONTINENT_EXTENTS[key])
 
 
 def get_country_extent(name: str) -> list[float]:
-    """Country name -> [xmin, xmax, ymin, ymax] (reference: readers.py:247-256)."""
-    key = name.strip().lower()
-    key = COUNTRY_ALIASES.get(key, key)
-    if key not in COUNTRY_EXTENTS:
-        raise ValueError(f"unknown country {name!r} (table has {len(COUNTRY_EXTENTS)} entries)")
+    """Country name -> [xmin, xmax, ymin, ymax] (reference: readers.py:247-256).
+
+    Lookup is case-, diacritic- and apostrophe-insensitive and accepts the
+    common alternate names in :data:`COUNTRY_ALIASES`; unknown names raise
+    with close-match suggestions.
+    """
+    key = _COUNTRY_LOOKUP.get(_fold_name(name))
+    if key is None:
+        raise ValueError(
+            f"unknown country {name!r} (table has {len(COUNTRY_EXTENTS)} entries)"
+            + _suggest(_fold_name(name), _COUNTRY_LOOKUP)
+        )
     return list(COUNTRY_EXTENTS[key])

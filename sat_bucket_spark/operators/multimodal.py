@@ -138,12 +138,79 @@ def parse_jpeg_header(payload: bytes | None) -> tuple[int, int, int] | None:
     return None
 
 
+def parse_gif_header(payload: bytes | None) -> tuple[int, int, int] | None:
+    """(width, height, channels) from a GIF Logical Screen Descriptor.
+
+    Public container: 6-byte magic (``GIF87a``/``GIF89a``) then canvas
+    width/height as little-endian u16. GIF pixels are palette-indexed RGB —
+    reported as 3 channels (per-frame transparency lives in extension
+    blocks and does not change the canvas pixel model).
+    """
+    if payload is None or len(payload) < 10:
+        return None
+    if payload[0:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width = int.from_bytes(payload[6:8], "little")
+    height = int.from_bytes(payload[8:10], "little")
+    if width == 0 or height == 0:
+        return None
+    return width, height, 3
+
+
+def parse_webp_header(payload: bytes | None) -> tuple[int, int, int] | None:
+    """(width, height, channels) from a WebP RIFF container — pure parsing.
+
+    Public container: ``RIFF <size> WEBP`` then one of three first chunks:
+
+    - ``VP8 `` (lossy): 3-byte frame tag, sync code ``9D 01 2A``, then
+      width/height as 14-bit little-endian fields; 3 channels.
+    - ``VP8L`` (lossless): signature byte ``0x2F`` then a 32-bit field
+      packing width-1 (14 bits), height-1 (14 bits) and an alpha flag.
+    - ``VP8X`` (extended): flags byte (bit 0x10 = alpha) + canvas
+      width-1/height-1 as 24-bit little-endian.
+    """
+    # smallest parseable form: RIFF header (12) + chunk header (8) + VP8L
+    # signature-and-dims payload (5)
+    if payload is None or len(payload) < 25:
+        return None
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    fourcc = payload[12:16]
+    data = payload[20:]  # chunk payload (after fourcc + LE32 size)
+    if fourcc == b"VP8 ":
+        # frame tag (3) + sync code (3) + dims
+        if len(data) < 10 or data[3:6] != b"\x9d\x01\x2a":
+            return None
+        width = int.from_bytes(data[6:8], "little") & 0x3FFF
+        height = int.from_bytes(data[8:10], "little") & 0x3FFF
+        channels = 3
+    elif fourcc == b"VP8L":
+        if len(data) < 5 or data[0] != 0x2F:
+            return None
+        bits = int.from_bytes(data[1:5], "little")
+        width = (bits & 0x3FFF) + 1
+        height = ((bits >> 14) & 0x3FFF) + 1
+        channels = 4 if (bits >> 28) & 1 else 3
+    elif fourcc == b"VP8X":
+        if len(data) < 10:
+            return None
+        channels = 4 if data[0] & 0x10 else 3
+        width = int.from_bytes(data[4:7], "little") + 1
+        height = int.from_bytes(data[7:10], "little") + 1
+    else:
+        return None
+    if width == 0 or height == 0:
+        return None
+    return width, height, channels
+
+
 def parse_image_header(payload: bytes | None) -> tuple[int, int, int] | None:
-    """Dispatch on magic bytes: PNG IHDR or JPEG SOF, else None."""
-    hdr = parse_png_header(payload)
-    if hdr is not None:
-        return hdr
-    return parse_jpeg_header(payload)
+    """Dispatch on magic bytes: PNG IHDR, JPEG SOF, GIF LSD or WebP, else None."""
+    for parse in (parse_png_header, parse_jpeg_header, parse_gif_header, parse_webp_header):
+        hdr = parse(payload)
+        if hdr is not None:
+            return hdr
+    return None
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
@@ -169,10 +236,10 @@ def decode_and_featurize_images(
 ) -> DataFrame:
     """Decode image payloads and emit (dims, feature vector) per document.
 
-    Arrow-batched ``mapInPandas`` with a declared output schema. PNG payloads
-    get REAL metadata extraction — a pure-Python IHDR parse
-    (:func:`parse_png_header`), no codec library needed. Non-PNG payloads fall
-    back to the deterministic fake (``strict=True`` raises
+    Arrow-batched ``mapInPandas`` with a declared output schema. PNG, JPEG,
+    GIF and WebP payloads get REAL metadata extraction — pure-Python
+    container parses (:func:`parse_image_header`), no codec library needed.
+    Unrecognized payloads fall back to the deterministic fake (``strict=True`` raises
     ``NotImplementedError`` instead — that is the plug-in point for a pixel
     codec like PIL/libvips). The feature vector remains a payload-derived
     stub in both paths (a real featurizer needs pixel decoding).
@@ -195,8 +262,9 @@ def decode_and_featurize_images(
                     feat = [b / 255.0 for b in digest[:8]]
                 elif strict:
                     raise NotImplementedError(
-                        "payload is not a PNG; decoding other formats requires "
-                        "a codec library (PIL/libvips), unavailable here"
+                        "payload is not a parseable PNG/JPEG/GIF/WebP; other "
+                        "formats require a codec library (PIL/libvips), "
+                        "unavailable here"
                     )
                 else:
                     w, h, c, feat = _fake_decode(payload)

@@ -103,3 +103,39 @@ class TestBucketCountryQuery:
             & (F.col("lat") >= y0) & (F.col("lat") <= y1)
         ).count()
         assert read(spark, d, country=name).count() == want
+
+
+class TestNameTolerance:
+    def test_aliases(self):
+        from sat_bucket_spark.extents import get_country_extent
+
+        assert get_country_extent("USA") == get_country_extent("United States")
+        assert get_country_extent("UK") == get_country_extent("United Kingdom")
+        assert get_country_extent("Burma") == get_country_extent("Myanmar")
+
+    def test_diacritic_and_apostrophe_folds(self):
+        from sat_bucket_spark.extents import get_country_extent
+
+        assert get_country_extent("Türkiye") == get_country_extent("turkey")
+        # curly apostrophe and diacritics both fold
+        assert get_country_extent("Côte d’Ivoire") == get_country_extent(
+            "cote d'ivoire"
+        )
+
+    def test_did_you_mean(self):
+        import pytest
+
+        from sat_bucket_spark.extents import get_country_extent, get_continent_extent
+
+        with pytest.raises(ValueError, match="did you mean.*germany"):
+            get_country_extent("Germny")
+        with pytest.raises(ValueError, match="did you mean.*europe"):
+            get_continent_extent("Eurpe")
+
+    def test_hopeless_name_raises_plain(self):
+        import pytest
+
+        from sat_bucket_spark.extents import get_country_extent
+
+        with pytest.raises(ValueError, match="unknown country"):
+            get_country_extent("zzzzqqqq")

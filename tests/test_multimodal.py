@@ -296,3 +296,69 @@ class TestJpegHeader:
         df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
         row = decode_and_featurize_images(df).collect()[0]
         assert (row["width"], row["height"], row["channels"]) == (320, 200, 3)
+
+
+class TestGifHeader:
+    def test_parses_both_versions(self):
+        from sat_bucket_spark.operators.multimodal import parse_gif_header
+
+        g87 = b"GIF87a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + bytes(3)
+        g89 = b"GIF89a" + (31).to_bytes(2, "little") + (17).to_bytes(2, "little") + bytes(3)
+        assert parse_gif_header(g87) == (320, 200, 3)
+        assert parse_gif_header(g89) == (31, 17, 3)
+
+    def test_rejects_non_gif(self):
+        from sat_bucket_spark.operators.multimodal import parse_gif_header
+
+        assert parse_gif_header(None) is None
+        assert parse_gif_header(b"GIF90a" + bytes(8)) is None
+        assert parse_gif_header(b"GIF89a" + bytes(2)) is None  # truncated
+        zero = b"GIF89a" + bytes(4) + bytes(3)
+        assert parse_gif_header(zero) is None  # zero dims
+
+
+class TestWebpHeader:
+    @staticmethod
+    def _riff(fourcc: bytes, data: bytes) -> bytes:
+        body = fourcc + len(data).to_bytes(4, "little") + data
+        return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
+
+    def test_vp8_lossy(self):
+        from sat_bucket_spark.operators.multimodal import parse_webp_header
+
+        data = bytes(3) + b"\x9d\x01\x2a" + (640).to_bytes(2, "little") + (480).to_bytes(2, "little") + bytes(4)
+        assert parse_webp_header(self._riff(b"VP8 ", data)) == (640, 480, 3)
+
+    def test_vp8l_lossless_with_alpha(self):
+        from sat_bucket_spark.operators.multimodal import parse_webp_header
+
+        w, h = 100, 50
+        bits = (w - 1) | ((h - 1) << 14) | (1 << 28)  # alpha flag on
+        data = b"\x2f" + bits.to_bytes(4, "little") + bytes(4)
+        assert parse_webp_header(self._riff(b"VP8L", data)) == (100, 50, 4)
+        bits_na = (w - 1) | ((h - 1) << 14)
+        data_na = b"\x2f" + bits_na.to_bytes(4, "little") + bytes(4)
+        assert parse_webp_header(self._riff(b"VP8L", data_na)) == (100, 50, 3)
+
+    def test_vp8x_extended(self):
+        from sat_bucket_spark.operators.multimodal import parse_webp_header
+
+        data = bytes([0x10]) + bytes(3) + (1023).to_bytes(3, "little") + (767).to_bytes(3, "little") + bytes(4)
+        assert parse_webp_header(self._riff(b"VP8X", data)) == (1024, 768, 4)
+
+    def test_rejects_non_webp(self):
+        from sat_bucket_spark.operators.multimodal import parse_webp_header
+
+        assert parse_webp_header(None) is None
+        assert parse_webp_header(b"RIFF" + bytes(26)) is None  # not WEBP
+        bad_sync = bytes(3) + b"\x00\x01\x2a" + bytes(8)
+        assert parse_webp_header(self._riff(b"VP8 ", bad_sync)) is None
+        assert parse_webp_header(self._riff(b"ICCP", bytes(12))) is None
+
+    def test_dispatch_order(self):
+        from sat_bucket_spark.operators.multimodal import parse_image_header
+
+        gif = b"GIF89a" + (8).to_bytes(2, "little") + (9).to_bytes(2, "little") + bytes(3)
+        assert parse_image_header(gif) == (8, 9, 3)
+        webp = self._riff(b"VP8 ", bytes(3) + b"\x9d\x01\x2a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little") + bytes(4))
+        assert parse_image_header(webp) == (12, 34, 3)
