@@ -567,3 +567,47 @@ class TestZorder3D:
         assert zx <= 8 and zy <= 8 and zt <= 8
         # time-major: t tight (2 values) but x and y span the full 16
         assert tx >= 15 and ty >= 15
+
+
+class TestQuadmeshGeometry:
+    """B15: viz geometry (reference partitioning.py:494-570) — numpy-only."""
+
+    def _p(self):
+        from sat_bucket_spark.partitioning import XYPartitioning
+
+        return XYPartitioning(size=(10, 5), extent=(0.0, 20.0, 0.0, 10.0))
+
+    def test_quadmesh_corner_shapes_and_values(self):
+        p = self._p()  # 2 x 2 grid
+        xc, yc = p.quadmesh_corners()
+        assert xc.shape == (3, 3) and yc.shape == (3, 3)
+        assert xc[0].tolist() == [0.0, 10.0, 20.0]
+        assert [row[0] for row in yc.tolist()] == [0.0, 5.0, 10.0]
+
+    def test_vertices_tile_the_extent(self):
+        import numpy as np
+
+        p = self._p()
+        v = p.vertices()
+        assert v.shape == (p.n_partitions, 4, 2)
+        # first cell: (0,0) -> (10,0) -> (10,5) -> (0,5), counterclockwise
+        assert v[0].tolist() == [[0, 0], [10, 0], [10, 5], [0, 5]]
+        # every cell has positive signed area (CCW) and the same area
+        x, y = v[..., 0], v[..., 1]
+        area = 0.5 * np.sum(
+            x * np.roll(y, -1, axis=1) - np.roll(x, -1, axis=1) * y, axis=1
+        )
+        assert np.allclose(area, 50.0)
+        assert float(area.sum()) == 20.0 * 10.0  # tiles the whole extent
+
+    def test_to_shapely_raises_without_shapely(self):
+        import pytest
+
+        try:
+            import shapely  # noqa: F401
+
+            pytest.skip("shapely available; raise path untestable")
+        except ImportError:
+            pass
+        with pytest.raises(ImportError, match="shapely"):
+            self._p().to_shapely()
