@@ -1071,6 +1071,24 @@ def q_decontaminate(spark, sf_dir):
     return decontamination_report(train, ev, ngram_size=3, threshold=0.35)
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination — the 100 TB path of `decontaminate`.
+
+    Same split as q_decontaminate, but eval membership is a broadcast Bloom
+    bitmap bounded at n_bits/64 rows regardless of eval-corpus size. The
+    portable hash family makes the filter's exact contents (false positives
+    included) replayable by the DuckDB oracle.
+    """
+    from sat_bucket_spark.operators.dedup import decontamination_report_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    return decontamination_report_bloom(
+        train, ev, ngram_size=3, threshold=0.35, n_bits=1 << 20, n_hashes=5
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals per document."""
     from sat_bucket_spark.operators.text import repetition_signals
@@ -2894,6 +2912,49 @@ SELECT vec_id, max_cosine, max_cosine >= 0.35 AS is_contaminated FROM (
 ) m
 """
 
+# Bloom decontamination: replay the EXACT filter — same portable hash family,
+# same bit positions — so false positives hash-match too. Membership "all k
+# bits set" is expressed against the distinct eval position SET (the bitmap is
+# only the physical encoding of that set).
+_BLOOM_PARAMS = minhash_params(5, seed=1337)
+_BLOOM_BITS = 1 << 20
+_H31_NG = f"(CAST(('0x' || substr(md5(ng), 1, 15)) AS BIGINT) % {MERSENNE_P})"
+_BLOOM_POS_LIST = (
+    "["
+    + ", ".join(
+        f"((({a} * h + {b}) % {MERSENNE_P}) % {_BLOOM_BITS})" for a, b in _BLOOM_PARAMS
+    )
+    + "]"
+)
+_ORACLES["decontaminate_bloom"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_tokens_sql("lower(text)")} AS toks FROM documents
+), ngt AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+         i -> array_to_string(toks[i:i+2], ' '))) AS ngs
+  FROM toks
+), trh AS (
+  SELECT doc_id, {_H31_NG} AS h
+  FROM (SELECT doc_id, unnest(ngs) AS ng FROM ngt WHERE doc_id % 20 != 0)
+), evpos AS (
+  SELECT DISTINCT unnest({_BLOOM_POS_LIST}) AS pos
+  FROM (SELECT DISTINCT {_H31_NG} AS h
+        FROM (SELECT unnest(ngs) AS ng FROM ngt WHERE doc_id % 20 = 0))
+), trp AS (
+  SELECT doc_id, h, unnest({_BLOOM_POS_LIST}) AS pos FROM trh
+), per AS (
+  SELECT doc_id, h, CAST(COUNT(evpos.pos) = 5 AS INT) AS contam
+  FROM trp LEFT JOIN evpos USING (pos)
+  GROUP BY doc_id, h
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+  CAST(SUM(contam) AS BIGINT) AS n_contaminated,
+  round(CAST(SUM(contam) AS DOUBLE) / COUNT(*), 6) AS contamination,
+  round(CAST(SUM(contam) AS DOUBLE) / COUNT(*), 6) >= 0.35 AS is_contaminated
+FROM per GROUP BY doc_id
+"""
+
 # partition_pruning oracle needs the pruned label lists (driver-side planning,
 # same values the Spark side folds into its isin predicate)
 _PRUNE_PARTS = GRID10.get_partitions_by_extent([5, 25, -90, -80])
@@ -3031,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontaminate": q_embedding_decontaminate,
         "split_assign": q_split_assign,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "repetition": q_repetition,
         "normalize": q_normalize,
         "tf_idf": q_tf_idf,

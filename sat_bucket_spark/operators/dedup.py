@@ -30,7 +30,10 @@ from sat_bucket_spark.operators.hashing import (
 
 __all__ = [
     "add_simhash",
+    "bloom_positions_expr",
+    "build_ngram_bloom",
     "decontamination_report",
+    "decontamination_report_bloom",
     "dedup_exact",
     "dedup_exact_against",
     "exact_duplicate_groups",
@@ -602,6 +605,153 @@ def decontamination_report(
         .agg(
             F.count(F.lit(1)).alias("n_ngrams"),
             F.count("__hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated").cast("double") / F.col("n_ngrams"), 6),
+        )
+        .withColumn("is_contaminated", F.col("contamination") >= F.lit(threshold))
+    )
+
+
+def bloom_positions_expr(
+    ngram: Column | str, n_bits: int, n_hashes: int, seed: int = 1337
+) -> Column:
+    """Array of ``n_hashes`` Bloom bit positions for one n-gram string.
+
+    Positions come from the same portable universal-hash family the MinHash
+    path uses (``(a * h31(s) + b) mod p``, operators/hashing.py) reduced mod
+    ``n_bits`` — bit-for-bit replayable in ANSI SQL, so the DuckDB oracle can
+    reproduce the filter's exact contents including its false positives.
+    """
+    h = h31_expr(ngram)
+    params = minhash_params(n_hashes, seed=seed)
+    return F.array(
+        *[perm_hash_expr(h, a, b) % F.lit(n_bits) for a, b in params]
+    )
+
+
+def build_ngram_bloom(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    ngram_size: int = 3,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    seed: int = 1337,
+) -> DataFrame:
+    """Distributed Bloom-filter build over a corpus's word n-grams.
+
+    Returns a sparse bitmap as ``(__word, __bits)`` rows — bit position
+    ``p`` lives in word ``p div 64`` at mask ``1 << (p mod 64)`` — built
+    with one ``explode`` → ``bit_or`` aggregation. The output is bounded by
+    ``n_bits / 64`` rows REGARDLESS of corpus size: this is what makes the
+    Bloom path the 100 TB shape — a billion-n-gram contamination reference
+    compresses to a broadcastable few-MB bitmap, where the exact
+    distinct-n-gram set (:func:`decontamination_report`) would not fit.
+
+    The bit_or aggregation partial-combines map-side, so the shuffle carries
+    at most ``n_bits / 64`` rows per input partition.
+    """
+    ng = F.explode(
+        shingles_expr(text_col, k=ngram_size, unit="word")
+    ).alias("__ng")
+    pos = F.explode(
+        bloom_positions_expr("__ng", n_bits, n_hashes, seed)
+    ).alias("__pos")
+    return (
+        eval_df.select(ng)
+        .select(pos)
+        .select(
+            F.shiftright("__pos", 6).alias("__word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias(
+                "__mask"
+            ),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__mask").alias("__bits"))
+    )
+
+
+def decontamination_report_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_size: int = 3,
+    threshold: float = 0.5,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    seed: int = 1337,
+) -> DataFrame:
+    """Bloom-filter decontamination: the scale path of
+    :func:`decontamination_report`.
+
+    Same output schema ``(id, n_ngrams, n_contaminated, contamination,
+    is_contaminated)``, but membership of each training n-gram in the eval
+    corpus is tested against a Bloom bitmap instead of the exact distinct
+    n-gram set. One-sided error: contamination is OVERESTIMATED by the
+    filter's false-positive rate (≈ ``(1 - e^{-kn/m})^k``), never missed —
+    the safe direction for benchmark decontamination. Size the filter with
+    ``n_bits ≈ 10×`` the distinct eval n-gram count for ≲1% FP.
+
+    Execution shape at 100 TB:
+
+    - the bitmap build (:func:`build_ngram_bloom`) is bounded at
+      ``n_bits / 64`` rows however large the eval/reference corpus is;
+    - the probe is a **broadcast** join on the bitmap word index — the
+      training corpus never shuffles its text, only (id, ngram-hash, k
+      probe rows) flow, and the per-n-gram verdict re-aggregates on
+      (id, hash) with map-side partial combine;
+    - contrast with the exact path, which must broadcast every distinct
+      eval n-gram STRING.
+
+    Determinism: probe positions reuse the portable hash family, so the
+    DuckDB oracle replays the exact filter contents — false positives
+    included — making this hash-verifiable, not just rows-checkable.
+    """
+    bloom = build_ngram_bloom(
+        eval_df,
+        text_col=text_col,
+        ngram_size=ngram_size,
+        n_bits=n_bits,
+        n_hashes=n_hashes,
+        seed=seed,
+    )
+    tr = _ensure_parallelism(train).select(
+        F.col(id_col),
+        F.explode(shingles_expr(text_col, k=ngram_size, unit="word")).alias("__ng"),
+    )
+    # Keep the n-gram as its 31-bit hash from here on: the k probe rows and
+    # the per-n-gram regroup never carry strings.
+    probes = tr.select(
+        id_col,
+        h31_expr("__ng").alias("__h"),
+        F.explode(bloom_positions_expr("__ng", n_bits, n_hashes, seed)).alias(
+            "__pos"
+        ),
+    ).select(
+        id_col,
+        "__h",
+        F.shiftright("__pos", 6).alias("__word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias(
+            "__mask"
+        ),
+    )
+    hits = probes.join(F.broadcast(bloom), "__word", "left").withColumn(
+        "__hit",
+        F.coalesce(
+            (F.col("__bits").bitwiseAND(F.col("__mask")) == F.col("__mask")),
+            F.lit(False),
+        ).cast("int"),
+    )
+    per_ngram = hits.groupBy(id_col, "__h").agg(
+        (F.sum("__hit") == F.lit(n_hashes)).cast("int").alias("__contam")
+    )
+    return (
+        per_ngram.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum("__contam").alias("n_contaminated"),
         )
         .withColumn(
             "contamination",

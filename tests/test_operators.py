@@ -535,6 +535,91 @@ class TestDecontamination:
         assert row["n_ngrams"] == 1 and row["contamination"] == 1.0
 
 
+class TestBloomDecontamination:
+    def _corpus(self, spark):
+        import random
+
+        rng = random.Random(11)
+        words = [f"w{i}" for i in range(80)]
+        rows = [
+            (i, " ".join(rng.choices(words, k=rng.randint(4, 30))))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return df.where("doc_id % 5 != 0"), df.where("doc_id % 5 = 0")
+
+    def test_matches_exact_when_filter_is_large(self, spark):
+        """A generously-sized filter has ~no false positives: the Bloom
+        report must equal the exact report row for row."""
+        from sat_bucket_spark.operators.dedup import (
+            decontamination_report,
+            decontamination_report_bloom,
+        )
+
+        train, ev = self._corpus(spark)
+        exact = {
+            r["doc_id"]: r
+            for r in decontamination_report(
+                train, ev, ngram_size=3, threshold=0.4
+            ).collect()
+        }
+        bloom = {
+            r["doc_id"]: r
+            for r in decontamination_report_bloom(
+                train, ev, ngram_size=3, threshold=0.4, n_bits=1 << 22
+            ).collect()
+        }
+        assert set(exact) == set(bloom)
+        for d in exact:
+            assert bloom[d]["n_ngrams"] == exact[d]["n_ngrams"]
+            assert bloom[d]["n_contaminated"] == exact[d]["n_contaminated"]
+            assert bloom[d]["is_contaminated"] == exact[d]["is_contaminated"]
+
+    def test_error_is_one_sided(self, spark):
+        """An undersized filter may over-flag (false positives) but must
+        NEVER report fewer contaminated n-grams than the exact set path."""
+        from sat_bucket_spark.operators.dedup import (
+            decontamination_report,
+            decontamination_report_bloom,
+        )
+
+        train, ev = self._corpus(spark)
+        exact = {
+            r["doc_id"]: r["n_contaminated"]
+            for r in decontamination_report(train, ev, ngram_size=3).collect()
+        }
+        # 256 bits for hundreds of n-grams: saturated, heavy FP rate.
+        bloom = {
+            r["doc_id"]: r["n_contaminated"]
+            for r in decontamination_report_bloom(
+                train, ev, ngram_size=3, n_bits=256
+            ).collect()
+        }
+        assert all(bloom[d] >= exact[d] for d in exact)
+        assert sum(bloom.values()) > sum(exact.values())  # genuinely saturated
+
+    def test_bitmap_is_bounded(self, spark):
+        """The built bitmap never exceeds n_bits/64 rows — the property that
+        makes it broadcastable however large the reference corpus is."""
+        from sat_bucket_spark.operators.dedup import build_ngram_bloom
+
+        train, ev = self._corpus(spark)
+        n_bits = 1 << 10
+        bm = build_ngram_bloom(train.union(ev), n_bits=n_bits).collect()
+        assert 0 < len(bm) <= n_bits // 64
+        assert all(r["__word"] < n_bits // 64 for r in bm)
+
+    def test_probe_plan_is_broadcast(self, spark):
+        from sat_bucket_spark.operators.dedup import decontamination_report_bloom
+
+        train, ev = self._corpus(spark)
+        out = decontamination_report_bloom(train, ev)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "Python" not in plan
+
+
 class TestRepetitionSignals:
     def test_signals(self, spark):
         df = spark.createDataFrame(
