@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sat_bucket_spark.analysis import add_overpass_count, add_overpass_id
-from sat_bucket_spark.filters import haversine_expr
+from sat_bucket_spark.filters import haversine_expr, point_in_polygon_sql
 from sat_bucket_spark.operators.dedup import (
     add_simhash,
     exact_duplicate_groups,
@@ -207,6 +207,20 @@ def q_extent_filter(spark, sf_dir):
     return ev.where(
         (F.col("lon") >= -20) & (F.col("lon") <= 40) & (F.col("lat") >= -90) & (F.col("lat") <= -85)
     ).select("event_id", "lon", "lat")
+
+
+# Concave quad (a "dart") over the events table's actual latitude band
+# (≈[-89.5, -62.5]): exercises the even-odd rule beyond what any bbox can
+# emulate — the notch between the two wings is inside the bbox but OUTSIDE.
+_POLY = [(-120.0, -88.0), (0.0, -64.0), (120.0, -88.0), (0.0, -76.0)]
+
+
+def q_polygon_filter(spark, sf_dir):
+    """P5+: ray-cast point-in-polygon filter (bbox envelope pruning first)."""
+    from sat_bucket_spark.filters import filter_by_polygon
+
+    ev = _with_coords(_events(spark, sf_dir))
+    return filter_by_polygon(ev, _POLY).select("event_id", "lon", "lat")
 
 
 def q_point_radius(spark, sf_dir):
@@ -1734,6 +1748,11 @@ ORDER BY l_orderkey, l_linenumber LIMIT 100
 SELECT event_id, lon, lat FROM coords
 WHERE lon >= -20 AND lon <= 40 AND lat >= -90 AND lat <= -85
 """,
+    "polygon_filter": _COORDS_CTE
+    + f"""
+SELECT event_id, lon, lat FROM coords
+WHERE {point_in_polygon_sql(_POLY)}
+""",
     "point_radius": _COORDS_CTE
     + f"""
 SELECT event_id, dist_km FROM (
@@ -3065,6 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup_against": q_lsh_dedup_against,
         # ---- beyond the driver window: parity-suite verified ----
         "bin_index": q_bin_index,
+        "polygon_filter": q_polygon_filter,
         "median_by_group": q_median_by_group,
         "top_customers": q_top_customers,
         "time_diff": q_time_diff,

@@ -23,9 +23,13 @@ __all__ = [
     "extent_around_point",
     "filter_around_point",
     "filter_by_extent",
+    "filter_by_polygon",
     "geodesic_distance_udf",
     "haversine_expr",
     "interval_overlap_expr",
+    "point_in_polygon_expr",
+    "point_in_polygon_sql",
+    "polygon_bbox",
 ]
 
 # WGS84 ellipsoid constants (public: NIMA TR8350.2)
@@ -232,11 +236,96 @@ def extent_around_point(lon: float, lat: float, distance: float | None = None, s
     ]
 
 
+def point_in_polygon_expr(
+    polygon: list[tuple[float, float]], x: str | Column = "lon", y: str | Column = "lat"
+) -> Column:
+    """Even-odd ray-cast point-in-polygon predicate, pure Column expression.
+
+    Extends the reference's spatial filters (extent / point-radius,
+    reference filters.py:51-88) to arbitrary simple polygons. ``polygon``
+    is a list of (x, y) vertices (closing edge implied); a horizontal ray
+    to +inf crosses edge ((x1,y1),(x2,y2)) iff the edge straddles the
+    point's y and the intersection lies right of the point. Odd crossing
+    count = inside.
+
+    Vertices fold into the plan as double literals — no data structure on
+    executors, whole-stage codegen, and the same IEEE double arithmetic is
+    replayable verbatim in the DuckDB oracle. The division is guarded by
+    the straddle test (evaluated only when ``y2 != y1``) so engines that
+    differ on double division-by-zero agree. Boundary points follow
+    ray-casting convention (measure-zero; not pinned).
+
+    Cost: O(n_vertices) comparisons per row, all codegen — for polygons
+    with thousands of vertices, pre-simplify driver-side; the 100 TB plan
+    is bbox partition-pruning first (see :func:`filter_by_polygon`), exact
+    test only on surviving rows.
+    """
+    if len(polygon) < 3:
+        raise ValueError("polygon needs at least 3 vertices")
+    px = F.col(x) if isinstance(x, str) else x
+    py = F.col(y) if isinstance(y, str) else y
+    crossings = F.lit(0)
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = (float(v) for v in polygon[i])
+        x2, y2 = (float(v) for v in polygon[(i + 1) % n])
+        straddles = (F.lit(y1) > py) != (F.lit(y2) > py)
+        x_at_y = (F.lit(x2) - F.lit(x1)) * (py - F.lit(y1)) / (
+            F.lit(y2) - F.lit(y1)
+        ) + F.lit(x1)
+        crossings = crossings + F.when(straddles & (px < x_at_y), 1).otherwise(0)
+    return crossings % 2 == 1
+
+
+def polygon_bbox(polygon: list[tuple[float, float]]) -> list[float]:
+    """[xmin, xmax, ymin, ymax] of the vertices — the pruning envelope."""
+    xs = [float(p[0]) for p in polygon]
+    ys = [float(p[1]) for p in polygon]
+    return [min(xs), max(xs), min(ys), max(ys)]
+
+
+def filter_by_polygon(
+    df: DataFrame,
+    polygon: list[tuple[float, float]],
+    x: str = "lon",
+    y: str = "lat",
+) -> DataFrame:
+    """Rows inside a simple polygon: bbox envelope first, then exact test.
+
+    The bounding-box predicate is a plain extent filter, so on a bucket
+    table it reuses the same partition/row-group pruning as
+    :func:`filter_by_extent` (Catalyst prunes on the label columns /
+    parquet min-max stats); the O(n_vertices) ray-cast then runs only on
+    rows that survive the envelope.
+    """
+    bbox = polygon_bbox(polygon)
+    return filter_by_extent(df, bbox, x=x, y=y).where(
+        point_in_polygon_expr(polygon, x=x, y=y)
+    )
+
+
+def point_in_polygon_sql(
+    polygon: list[tuple[float, float]], x: str = "lon", y: str = "lat"
+) -> str:
+    """ANSI-SQL replay of :func:`point_in_polygon_expr` (DuckDB oracle)."""
+    n = len(polygon)
+    terms = []
+    for i in range(n):
+        x1, y1 = (float(v) for v in polygon[i])
+        x2, y2 = (float(v) for v in polygon[(i + 1) % n])
+        terms.append(
+            f"(CASE WHEN (({y1!r} > {y}) != ({y2!r} > {y})) AND "
+            f"({x} < ({x2!r} - {x1!r}) * ({y} - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
 def apply_spatial_filters(df: DataFrame, spatial_filters: dict | None, x="lon", y="lat") -> DataFrame:
     """Dispatch composite spatial filters (reference: filters.py:80-88).
 
-    ``spatial_filters`` maps filter name -> args: ``{"extent": [...]}}`` or
-    ``{"point_radius": (lon, lat, distance)}``.
+    ``spatial_filters`` maps filter name -> args: ``{"extent": [...]}}``,
+    ``{"point_radius": (lon, lat, distance)}`` or ``{"polygon": [(x, y), ...]}``.
     """
     if not spatial_filters:
         return df
@@ -246,6 +335,8 @@ def apply_spatial_filters(df: DataFrame, spatial_filters: dict | None, x="lon", 
         elif name == "point_radius":
             lon, lat, distance = args
             df = filter_around_point(df, lon, lat, distance, x=x, y=y)
+        elif name == "polygon":
+            df = filter_by_polygon(df, args, x=x, y=y)
         else:
             raise ValueError(f"unknown spatial filter {name!r}")
     return df

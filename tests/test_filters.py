@@ -41,3 +41,89 @@ class TestVincenty:
         d = _vincenty_inverse(lons, lats, 2.35, 48.85)
         d_solo = _vincenty_inverse(np.array([-74.0]), np.array([40.7]), 2.35, 48.85)
         assert abs(d[0] - d_solo[0]) < 1e-6
+
+
+def _pip_ref(px, py, poly):
+    """Independent even-odd ray cast (Python floats, same IEEE doubles)."""
+    n = len(poly)
+    inside = False
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+class TestPointInPolygon:
+    DART = [(-60.0, -40.0), (0.0, 50.0), (60.0, -40.0), (0.0, -10.0)]
+
+    def test_concave_membership(self, spark):
+        from sat_bucket_spark.filters import filter_by_polygon
+
+        pts = [
+            (1, 0.0, 20.0, True),     # upper lobe
+            (2, -45.0, -30.0, True),  # left wing (between edges A-B and D-A)
+            (3, 45.0, -30.0, True),   # right wing
+            (4, 0.0, -30.0, False),   # inside bbox, inside the NOTCH -> out
+            (5, 0.0, -60.0, False),   # below bbox
+            (6, 80.0, 0.0, False),    # right of bbox
+        ]
+        df = spark.createDataFrame(
+            [(i, x, y) for i, x, y, _ in pts], ["id", "lon", "lat"]
+        )
+        got = {r["id"] for r in filter_by_polygon(df, self.DART).collect()}
+        want = {i for i, _, _, ok in pts if ok}
+        assert got == want
+        # sanity: the reference ray-cast agrees on every probe
+        for i, x, y, ok in pts:
+            assert _pip_ref(x, y, self.DART) == ok
+
+    def test_matches_reference_on_random_points(self, spark):
+        """Spark expression == independent Python ray cast on 500 points,
+        including a polygon with horizontal edges."""
+        import random
+
+        from sat_bucket_spark.filters import point_in_polygon_expr
+        from pyspark.sql import functions as F
+
+        rng = random.Random(7)
+        # L-shape: has horizontal AND vertical edges (division guard path)
+        poly = [(0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (4.0, 4.0), (4.0, 10.0), (0.0, 10.0)]
+        pts = [
+            (i, rng.uniform(-2, 12) + 1e-7, rng.uniform(-2, 12) + 1e-7)
+            for i in range(500)
+        ]
+        df = spark.createDataFrame(pts, ["id", "lon", "lat"])
+        got = {
+            r["id"]: r["inside"]
+            for r in df.select(
+                "id", point_in_polygon_expr(poly).alias("inside")
+            ).collect()
+        }
+        for i, x, y in pts:
+            assert got[i] == _pip_ref(x, y, poly), (i, x, y)
+
+    def test_bbox_prefilter_in_plan(self, spark):
+        """The envelope must reach the scan as a pushable range predicate."""
+        import tempfile
+
+        from sat_bucket_spark.filters import filter_by_polygon
+
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                [(float(i), float(i)) for i in range(100)], ["lon", "lat"]
+            ).write.mode("overwrite").parquet(d)
+            out = filter_by_polygon(spark.read.parquet(d), self.DART)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "PushedFilters" in plan
+            assert "GreaterThanOrEqual(lon,-60.0)" in plan
+            assert "Python" not in plan
+
+    def test_degenerate_polygon_raises(self, spark):
+        import pytest as _pytest
+
+        from sat_bucket_spark.filters import point_in_polygon_expr
+
+        with _pytest.raises(ValueError):
+            point_in_polygon_expr([(0.0, 0.0), (1.0, 1.0)])
