@@ -34,10 +34,12 @@ __all__ = [
     "attach_binary_metadata",
     "decode_and_featurize_images",
     "decode_audio_features",
+    "parse_bmp_header",
     "parse_mp4",
     "parse_image_header",
     "parse_jpeg_header",
     "parse_png_header",
+    "parse_tiff_header",
     "parse_wav",
     "sample_video_frames",
     "video_metadata",
@@ -204,9 +206,97 @@ def parse_webp_header(payload: bytes | None) -> tuple[int, int, int] | None:
     return width, height, channels
 
 
+def parse_bmp_header(payload: bytes | None) -> tuple[int, int, int] | None:
+    """(width, height, channels) from a Windows BMP file header — pure parsing.
+
+    Public container: ``BM`` magic, 14-byte file header, then a DIB header
+    whose first LE32 is its own size. BITMAPINFOHEADER (40+) stores width
+    as LE i32 at offset 18 and height at 22 (negative height = top-down
+    rows; dimension is the absolute value). Bits-per-pixel at offset 28:
+    ≤8 = palette-indexed RGB (3 channels), 24 = BGR, 32 = BGRA.
+    The ancient BITMAPCOREHEADER (size 12) stores u16 dims instead.
+    """
+    if payload is None or len(payload) < 26:
+        return None
+    if payload[0:2] != b"BM":
+        return None
+    dib_size = int.from_bytes(payload[14:18], "little")
+    if dib_size == 12:  # BITMAPCOREHEADER: u16 dims, u16 bpp
+        width = int.from_bytes(payload[18:20], "little")
+        height = int.from_bytes(payload[20:22], "little")
+        bpp = int.from_bytes(payload[24:26], "little")
+    else:  # BITMAPINFOHEADER and successors: i32 dims, u16 bpp
+        if len(payload) < 30 or dib_size < 40:
+            return None
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = abs(int.from_bytes(payload[22:26], "little", signed=True))
+        bpp = int.from_bytes(payload[28:30], "little")
+    if width <= 0 or height == 0:
+        return None
+    channels = 4 if bpp == 32 else 3
+    return width, height, channels
+
+
+def parse_tiff_header(payload: bytes | None) -> tuple[int, int, int] | None:
+    """(width, height, channels) from a baseline TIFF IFD walk — pure parsing.
+
+    Public container (TIFF 6.0): 2-byte byte-order mark (``II``/``MM``),
+    magic 42, LE/BE u32 offset to the first Image File Directory. Each IFD
+    is a u16 entry count then 12-byte entries (tag, type, count, value);
+    values ≤4 bytes are inlined in the value field. Reads tags 256
+    (ImageWidth), 257 (ImageLength) and 277 (SamplesPerPixel, default 1
+    per spec — grayscale/bilevel report 1 channel).
+    """
+    if payload is None or len(payload) < 8:
+        return None
+    if payload[0:4] == b"II\x2a\x00":
+        order = "little"
+    elif payload[0:4] == b"MM\x00\x2a":
+        order = "big"
+    else:
+        return None
+
+    def u16(off: int) -> int:
+        return int.from_bytes(payload[off : off + 2], order)
+
+    def u32(off: int) -> int:
+        return int.from_bytes(payload[off : off + 4], order)
+
+    ifd = u32(4)
+    if ifd + 2 > len(payload):
+        return None
+    n_entries = u16(ifd)
+    width = height = None
+    channels = 1  # SamplesPerPixel defaults to 1 (TIFF 6.0 §8)
+    for i in range(n_entries):
+        off = ifd + 2 + 12 * i
+        if off + 12 > len(payload):
+            return None
+        tag, typ = u16(off), u16(off + 2)
+        # SHORT values sit in the value field's first 2 bytes, LONG in all 4
+        val = u16(off + 8) if typ == 3 else u32(off + 8)
+        if tag == 256:
+            width = val
+        elif tag == 257:
+            height = val
+        elif tag == 277:
+            channels = val
+    if not width or not height:
+        return None
+    return width, height, channels
+
+
 def parse_image_header(payload: bytes | None) -> tuple[int, int, int] | None:
-    """Dispatch on magic bytes: PNG IHDR, JPEG SOF, GIF LSD or WebP, else None."""
-    for parse in (parse_png_header, parse_jpeg_header, parse_gif_header, parse_webp_header):
+    """Dispatch on magic bytes: PNG IHDR, JPEG SOF, GIF LSD, WebP, BMP or
+    baseline TIFF; else None."""
+    for parse in (
+        parse_png_header,
+        parse_jpeg_header,
+        parse_gif_header,
+        parse_webp_header,
+        parse_bmp_header,
+        parse_tiff_header,
+    ):
         hdr = parse(payload)
         if hdr is not None:
             return hdr
@@ -237,7 +327,7 @@ def decode_and_featurize_images(
     """Decode image payloads and emit (dims, feature vector) per document.
 
     Arrow-batched ``mapInPandas`` with a declared output schema. PNG, JPEG,
-    GIF and WebP payloads get REAL metadata extraction — pure-Python
+    GIF, WebP, BMP and baseline-TIFF payloads get REAL metadata extraction — pure-Python
     container parses (:func:`parse_image_header`), no codec library needed.
     Unrecognized payloads fall back to the deterministic fake (``strict=True`` raises
     ``NotImplementedError`` instead — that is the plug-in point for a pixel
@@ -262,7 +352,7 @@ def decode_and_featurize_images(
                     feat = [b / 255.0 for b in digest[:8]]
                 elif strict:
                     raise NotImplementedError(
-                        "payload is not a parseable PNG/JPEG/GIF/WebP; other "
+                        "payload is not a parseable PNG/JPEG/GIF/WebP/BMP/TIFF; other "
                         "formats require a codec library (PIL/libvips), "
                         "unavailable here"
                     )

@@ -362,3 +362,86 @@ class TestWebpHeader:
         assert parse_image_header(gif) == (8, 9, 3)
         webp = self._riff(b"VP8 ", bytes(3) + b"\x9d\x01\x2a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little") + bytes(4))
         assert parse_image_header(webp) == (12, 34, 3)
+
+
+class TestBmpHeader:
+    @staticmethod
+    def _bmp(width: int, height: int, bpp: int = 24, dib: int = 40) -> bytes:
+        hdr = b"BM" + bytes(12)  # file size/reserved/offset irrelevant to dims
+        if dib == 12:
+            return (hdr + (12).to_bytes(4, "little")
+                    + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+                    + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little"))
+        return (hdr + dib.to_bytes(4, "little")
+                + width.to_bytes(4, "little", signed=True)
+                + height.to_bytes(4, "little", signed=True)
+                + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little"))
+
+    def test_info_header_24_and_32bpp(self):
+        from sat_bucket_spark.operators.multimodal import parse_bmp_header
+
+        assert parse_bmp_header(self._bmp(640, 480, bpp=24)) == (640, 480, 3)
+        assert parse_bmp_header(self._bmp(16, 8, bpp=32)) == (16, 8, 4)
+
+    def test_top_down_negative_height(self):
+        from sat_bucket_spark.operators.multimodal import parse_bmp_header
+
+        assert parse_bmp_header(self._bmp(100, -50, bpp=24)) == (100, 50, 3)
+
+    def test_core_header_u16_dims(self):
+        from sat_bucket_spark.operators.multimodal import parse_bmp_header
+
+        assert parse_bmp_header(self._bmp(320, 200, bpp=8, dib=12)) == (320, 200, 3)
+
+    def test_rejects_non_bmp(self):
+        from sat_bucket_spark.operators.multimodal import parse_bmp_header
+
+        assert parse_bmp_header(None) is None
+        assert parse_bmp_header(b"PM" + bytes(40)) is None
+        assert parse_bmp_header(b"BM" + bytes(10)) is None  # truncated
+        assert parse_bmp_header(self._bmp(0, 10)) is None   # zero width
+
+
+class TestTiffHeader:
+    @staticmethod
+    def _tiff(width: int, height: int, spp: int | None, order: str = "little") -> bytes:
+        bom = b"II\x2a\x00" if order == "little" else b"MM\x00\x2a"
+        entries = [(256, 4, width), (257, 4, height)]
+        if spp is not None:
+            entries.append((277, 3, spp))  # SHORT type
+        ifd = len(entries).to_bytes(2, order)
+        for tag, typ, val in entries:
+            value_field = (
+                val.to_bytes(2, order) + bytes(2) if typ == 3 else val.to_bytes(4, order)
+            )
+            ifd += (tag.to_bytes(2, order) + typ.to_bytes(2, order)
+                    + (1).to_bytes(4, order) + value_field)
+        return bom + (8).to_bytes(4, order) + ifd + bytes(4)
+
+    def test_little_endian_rgb(self):
+        from sat_bucket_spark.operators.multimodal import parse_tiff_header
+
+        assert parse_tiff_header(self._tiff(800, 600, 3)) == (800, 600, 3)
+
+    def test_big_endian(self):
+        from sat_bucket_spark.operators.multimodal import parse_tiff_header
+
+        assert parse_tiff_header(self._tiff(64, 32, 4, order="big")) == (64, 32, 4)
+
+    def test_samples_default_is_grayscale(self):
+        from sat_bucket_spark.operators.multimodal import parse_tiff_header
+
+        assert parse_tiff_header(self._tiff(10, 20, None)) == (10, 20, 1)
+
+    def test_rejects_non_tiff(self):
+        from sat_bucket_spark.operators.multimodal import parse_tiff_header
+
+        assert parse_tiff_header(None) is None
+        assert parse_tiff_header(b"II\x2b\x00" + bytes(8)) is None  # BigTIFF
+        assert parse_tiff_header(b"II\x2a\x00" + (9999).to_bytes(4, "little")) is None
+
+    def test_dispatch_routes_bmp_and_tiff(self, spark):
+        from sat_bucket_spark.operators.multimodal import parse_image_header
+
+        assert parse_image_header(TestBmpHeader._bmp(33, 44)) == (33, 44, 3)
+        assert parse_image_header(self._tiff(55, 66, 3)) == (55, 66, 3)
