@@ -16,6 +16,8 @@ Everything is Column expressions — no Python UDFs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -29,7 +31,9 @@ from sat_bucket_spark.operators.hashing import (
 )
 
 __all__ = [
+    "add_bloom_contamination",
     "add_simhash",
+    "bloom_filter_bytes",
     "bloom_positions_expr",
     "build_ngram_bloom",
     "decontamination_report",
@@ -753,6 +757,107 @@ def decontamination_report_bloom(
             F.count(F.lit(1)).alias("n_ngrams"),
             F.sum("__contam").alias("n_contaminated"),
         )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated").cast("double") / F.col("n_ngrams"), 6),
+        )
+        .withColumn("is_contaminated", F.col("contamination") >= F.lit(threshold))
+    )
+
+
+def bloom_filter_bytes(bloom: DataFrame, n_bits: int) -> bytes:
+    """Materialize a :func:`build_ngram_bloom` bitmap as driver-side bytes.
+
+    At most ``n_bits / 8`` bytes (e.g. 2 MB for 2^24 bits) regardless of the
+    corpus that built it — small enough to ship to every task as a plain
+    broadcast value for the map-only probe path.
+    """
+    n_words = (n_bits + 63) // 64
+    words = np.zeros(n_words, dtype=np.uint64)
+    for r in bloom.collect():
+        words[r["__word"]] = np.uint64(r["__bits"] & 0xFFFFFFFFFFFFFFFF)
+    return words.tobytes()
+
+
+def add_bloom_contamination(
+    df: DataFrame,
+    bloom_bytes: bytes,
+    text_col: str = "text",
+    ngram_size: int = 3,
+    threshold: float = 0.5,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    seed: int = 1337,
+) -> DataFrame:
+    """Map-only Bloom contamination scoring — the streaming/ingest variant.
+
+    Appends the same ``(n_ngrams, n_contaminated, contamination,
+    is_contaminated)`` columns as :func:`decontamination_report_bloom` but
+    with ZERO shuffles: the n-gram set is computed JVM-side
+    (:func:`shingles_expr`), then a single Arrow-batched pandas UDF hashes
+    each n-gram with the identical md5 universal-hash family and tests the
+    driver-materialized bitmap (:func:`bloom_filter_bytes`) with numpy bit
+    ops. Identical output to the exploded path, row for row.
+
+    Because every stage is row-local, this composes unchanged with
+    Structured Streaming (stream in → scored stream out, append mode) and
+    slots into ingest pipelines as one more pass. The exploded/broadcast-join
+    path stays the batch hot path (no Python); this one trades an
+    Arrow-batched Python stage for shuffle-freedom and stream-ability.
+    ``mapInPandas`` (not a scalar UDF) keeps the heavy JVM shingle
+    expression in its own projection below the Python stage — embedding a
+    Python UDF and the shingle HOF chain in one projection can trip
+    Spark's codegen fallback, which cannot interpret PythonUDF nodes.
+    """
+    from typing import Iterator
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    params = minhash_params(n_hashes, seed=seed)
+    n_words = (n_bits + 63) // 64
+    if len(bloom_bytes) != n_words * 8:
+        raise ValueError(
+            f"bloom_bytes has {len(bloom_bytes)} bytes, expected {n_words * 8} "
+            f"for n_bits={n_bits}"
+        )
+
+    ngs_col = "__sbs_ngs"
+    staged = df.withColumn(ngs_col, shingles_expr(text_col, k=ngram_size, unit="word"))
+    out_schema = StructType(
+        [f for f in staged.schema.fields if f.name != ngs_col]
+        + [StructField("n_ngrams", LongType()), StructField("n_contaminated", LongType())]
+    )
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        words = np.frombuffer(bloom_bytes, dtype=np.uint64)
+        for pdf in batches:
+            shingle_lists = pdf.pop(ngs_col)
+            n_out, c_out = [], []
+            for ngs in shingle_lists:
+                c = 0
+                for ng in ngs:
+                    # identical to h31_expr: md5 hex prefix → 60-bit → mod p
+                    h = (
+                        int(_hashlib.md5(ng.encode("utf-8")).hexdigest()[:15], 16)
+                        % MERSENNE_P
+                    )
+                    hit = True
+                    for a, b in params:
+                        pos = ((a * h + b) % MERSENNE_P) % n_bits
+                        if not (int(words[pos >> 6]) >> (pos & 63)) & 1:
+                            hit = False
+                            break
+                    c += hit
+                n_out.append(len(ngs))
+                c_out.append(c)
+            pdf["n_ngrams"] = n_out
+            pdf["n_contaminated"] = c_out
+            yield pdf
+
+    return (
+        staged.mapInPandas(_probe, out_schema)
         .withColumn(
             "contamination",
             F.round(F.col("n_contaminated").cast("double") / F.col("n_ngrams"), 6),

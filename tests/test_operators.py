@@ -609,6 +609,71 @@ class TestBloomDecontamination:
         assert 0 < len(bm) <= n_bits // 64
         assert all(r["__word"] < n_bits // 64 for r in bm)
 
+    def test_map_only_variant_matches_exploded_path(self, spark):
+        """add_bloom_contamination (driver bitmap + pandas-UDF probe) must
+        equal decontamination_report_bloom row for row — same hash family,
+        same bits, different execution shape."""
+        from sat_bucket_spark.operators.dedup import (
+            add_bloom_contamination,
+            bloom_filter_bytes,
+            build_ngram_bloom,
+            decontamination_report_bloom,
+        )
+
+        train, ev = self._corpus(spark)
+        n_bits = 1 << 12  # small on purpose: false positives must agree too
+        bloom = build_ngram_bloom(ev, ngram_size=3, n_bits=n_bits)
+        bb = bloom_filter_bytes(bloom, n_bits)
+        got = {
+            r["doc_id"]: (r["n_ngrams"], r["n_contaminated"], r["is_contaminated"])
+            for r in add_bloom_contamination(
+                train, bb, ngram_size=3, threshold=0.4, n_bits=n_bits
+            ).collect()
+        }
+        want = {
+            r["doc_id"]: (r["n_ngrams"], r["n_contaminated"], r["is_contaminated"])
+            for r in decontamination_report_bloom(
+                train, ev, ngram_size=3, threshold=0.4, n_bits=n_bits
+            ).collect()
+        }
+        assert got == want
+
+    def test_map_only_variant_streams(self, spark, tmp_path):
+        """Zero-shuffle probe composes with Structured Streaming unchanged."""
+        from sat_bucket_spark.operators.dedup import (
+            add_bloom_contamination,
+            bloom_filter_bytes,
+            build_ngram_bloom,
+        )
+
+        train, ev = self._corpus(spark)
+        d = str(tmp_path / "stream_in")
+        train.coalesce(1).write.mode("overwrite").parquet(d)
+        n_bits = 1 << 12
+        bb = bloom_filter_bytes(build_ngram_bloom(ev, n_bits=n_bits), n_bits)
+        schema = spark.read.parquet(d).schema
+        stream = spark.readStream.schema(schema).parquet(d)
+        out = add_bloom_contamination(stream, bb, n_bits=n_bits).drop("text")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("bloom_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r["n_contaminated"]
+            for r in spark.sql("SELECT * FROM bloom_stream").collect()
+        }
+        batch = {
+            r["doc_id"]: r["n_contaminated"]
+            for r in add_bloom_contamination(
+                spark.read.parquet(d), bb, n_bits=n_bits
+            ).collect()
+        }
+        assert got == batch and len(got) == 48
+
     def test_probe_plan_is_broadcast(self, spark):
         from sat_bucket_spark.operators.dedup import decontamination_report_bloom
 
