@@ -1103,6 +1103,19 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_idw_grid(spark, sf_dir):
+    """Inverse-distance-weighted resampling onto the 10° grid.
+
+    Map-side 3×3 neighborhood explode + ONE shuffle keyed on target cell
+    (partial (Σwv, Σw, n) combine). Beyond-reference: the reference grids
+    by group-median only (gridding.py oracle `dense_grid`)."""
+    from sat_bucket_spark.gridding import idw_to_grid
+
+    ev = _with_coords(_events(spark, sf_dir))
+    g = idw_to_grid(ev, GRID10, value_col="value")
+    return g.withColumn("value", F.round("value", 6))
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals per document."""
     from sat_bucket_spark.operators.text import repetition_signals
@@ -2931,6 +2944,44 @@ SELECT vec_id, max_cosine, max_cosine >= 0.35 AS is_contaminated FROM (
 ) m
 """
 
+# IDW gridding: replay the 3×3 neighborhood fan-out + haversine weights.
+# Centroid SQL uses the regular formula (the global 10° grid has no partial
+# last bin, so it equals centroid_expr's last-bin special case).
+_IDW_CX = _centroid_sql("txi", -180.0, 10.0)
+_IDW_CY = _centroid_sql("tyi", -90.0, 10.0)
+_IDW_DIST = f"""(2.0 * 6371008.8 * asin(sqrt(
+    pow(sin((radians(lat) - radians({_IDW_CY})) / 2.0), 2)
+    + cos(radians(lat)) * cos(radians({_IDW_CY}))
+      * pow(sin((radians(lon) - radians({_IDW_CX})) / 2.0), 2))))"""
+_ORACLES["idw_grid"] = f"""
+WITH coords AS (
+  SELECT event_id, value, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+), binned AS (
+  SELECT lon, lat, value, {_LON_IDX} AS xi, {_LAT_IDX} AS yi FROM coords
+), fanout AS (
+  SELECT lon, lat, value, xi + dx AS txi, yi + dy AS tyi
+  FROM binned
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dxs
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dys
+  WHERE xi + dx BETWEEN 0 AND 35 AND yi + dy BETWEEN 0 AND 17
+), weighted AS (
+  SELECT txi, tyi, value,
+    1.0 / pow(greatest({_IDW_DIST}, 1.0), 2.0) AS w
+  FROM fanout
+), agg AS (
+  SELECT txi, tyi, SUM(w * value) / SUM(w) AS val,
+    CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM weighted GROUP BY txi, tyi
+)
+SELECT
+  {_label_sql(_centroid_sql("txi", -180.0, 10.0), 1)} AS lon_bin,
+  {_label_sql(_centroid_sql("tyi", -90.0, 10.0), 1)} AS lat_bin,
+  {_centroid_sql("txi", -180.0, 10.0)} AS lon_c,
+  {_centroid_sql("tyi", -90.0, 10.0)} AS lat_c,
+  round(val, 6) AS value, n_obs
+FROM agg
+"""
+
 # Bloom decontamination: replay the EXACT filter — same portable hash family,
 # same bit positions — so false positives hash-match too. Membership "all k
 # bits set" is expressed against the distinct eval position SET (the bitmap is
@@ -3113,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "idw_grid": q_idw_grid,
         "repetition": q_repetition,
         "normalize": q_normalize,
         "tf_idf": q_tf_idf,

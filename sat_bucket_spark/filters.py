@@ -42,20 +42,24 @@ _EARTH_RADIUS_M = 6371008.8  # IUGG mean radius, for haversine
 def haversine_expr(
     lon: Column | str,
     lat: Column | str,
-    lon0: float,
-    lat0: float,
+    lon0: Column | float,
+    lat0: Column | float,
 ) -> Column:
     """Great-circle (spherical) distance in meters, as a native Column expression.
 
     Fast path for point-radius queries (reference: filters.py:43-63 uses exact
     WGS84 geodesic; haversine deviates <0.6%% — use :func:`geodesic_distance_udf`
     when exact parity matters). Stays inside whole-stage codegen.
+    ``lon0``/``lat0`` may be Columns (point-to-point distance, e.g. to a
+    per-row cell centroid) or floats (fixed query point).
     """
     lon = F.col(lon) if isinstance(lon, str) else lon
     lat = F.col(lat) if isinstance(lat, str) else lat
-    rlat, rlat0 = F.radians(lat), F.lit(math.radians(lat0))
+    rlat = F.radians(lat)
+    rlat0 = F.radians(lat0) if isinstance(lat0, Column) else F.lit(math.radians(lat0))
+    rlon0 = F.radians(lon0) if isinstance(lon0, Column) else F.lit(math.radians(lon0))
     dlat = (rlat - rlat0) / 2.0
-    dlon = (F.radians(lon) - F.lit(math.radians(lon0))) / 2.0
+    dlon = (F.radians(lon) - rlon0) / 2.0
     a = F.sin(dlat) ** 2 + F.cos(rlat) * F.cos(rlat0) * F.sin(dlon) ** 2
     return F.lit(2.0 * _EARTH_RADIUS_M) * F.asin(F.sqrt(a))
 

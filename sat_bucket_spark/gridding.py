@@ -16,8 +16,108 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-__all__ = ["to_grid_arrays", "to_pandas_grid", "to_xarray"]
+__all__ = ["idw_to_grid", "to_grid_arrays", "to_pandas_grid", "to_xarray"]
+
+
+def idw_to_grid(
+    df: DataFrame,
+    partitioning,
+    x: str = "lon",
+    y: str = "lat",
+    value_col: str = "value",
+    power: float = 2.0,
+    radius_cells: int = 1,
+    min_distance_m: float = 1.0,
+) -> DataFrame:
+    """Inverse-distance-weighted resampling onto the partitioning's grid.
+
+    The reference's gridding contract is group-median-per-cell — each
+    observation feeds exactly its own cell, leaving speckle holes where a
+    swath thins out. IDW is the standard smooth alternative: every
+    observation contributes to its ``(2*radius_cells+1)²`` neighborhood of
+    cells with weight ``1 / max(d, min_distance_m)^power``, where ``d`` is
+    the haversine distance to the target cell's centroid. Returns one row
+    per non-empty target cell: partition labels, centroid coordinates,
+    the weighted value and the contributing-observation count.
+
+    Shape at scale: a map-side constant-factor explode (the neighborhood
+    offsets are plan literals) followed by ONE shuffle keyed on the target
+    cell — partial aggregation combines (Σwv, Σw, n) map-side, so the
+    exchange carries at most cells×3 doubles per input partition however
+    many observations flow in. No UDF, no driver collect; the centroid
+    arithmetic and haversine stay in whole-stage codegen.
+    """
+    from sat_bucket_spark.filters import haversine_expr
+    from sat_bucket_spark.partitioning import centroid_expr
+
+    p = partitioning
+    if radius_cells < 0:
+        raise ValueError("radius_cells must be >= 0")
+    sx, sy = (float(p.size[0]), float(p.size[1]))
+    offsets = [
+        (dx, dy)
+        for dx in range(-radius_cells, radius_cells + 1)
+        for dy in range(-radius_cells, radius_cells + 1)
+    ]
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in offsets
+            ]
+        )
+    ).alias("__off")
+    staged = df.select(
+        F.col(x).alias("__x"),
+        F.col(y).alias("__y"),
+        F.col(value_col).cast("double").alias("__v"),
+        p.x_index_expr(x).alias("__xi"),
+        p.y_index_expr(y).alias("__yi"),
+        off,
+    ).where(F.col("__xi").isNotNull() & F.col("__yi").isNotNull())
+    t = staged.select(
+        "__x",
+        "__y",
+        "__v",
+        (F.col("__xi") + F.col("__off.dx")).alias("__txi"),
+        (F.col("__yi") + F.col("__off.dy")).alias("__tyi"),
+    ).where(
+        (F.col("__txi") >= 0)
+        & (F.col("__txi") < p.n_x)
+        & (F.col("__tyi") >= 0)
+        & (F.col("__tyi") < p.n_y)
+    )
+    cx = centroid_expr(F.col("__txi"), p.extent.xmin, p.extent.xmax, sx, p.n_x)
+    cy = centroid_expr(F.col("__tyi"), p.extent.ymin, p.extent.ymax, sy, p.n_y)
+    d = haversine_expr(F.col("__x"), F.col("__y"), cx, cy)
+    w = F.lit(1.0) / F.pow(F.greatest(d, F.lit(float(min_distance_m))), F.lit(power))
+    agg = (
+        t.withColumn("__w", w)
+        .groupBy("__txi", "__tyi")
+        .agg(
+            (F.sum(F.col("__w") * F.col("__v")) / F.sum("__w")).alias("__val"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    out = agg.select(
+        *[
+            expr.alias(name)
+            for name, expr in p.label_exprs_from_indices(
+                F.col("__txi"), F.col("__tyi")
+            ).items()
+        ],
+        centroid_expr(F.col("__txi"), p.extent.xmin, p.extent.xmax, sx, p.n_x).alias(
+            f"{x}_c"
+        ),
+        centroid_expr(F.col("__tyi"), p.extent.ymin, p.extent.ymax, sy, p.n_y).alias(
+            f"{y}_c"
+        ),
+        F.col("__val").alias(value_col),
+        "n_obs",
+    )
+    return out
 
 
 def _axes_labels(partitioning):

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from sat_bucket_spark.gridding import to_grid_arrays, to_pandas_grid
@@ -39,3 +40,77 @@ def test_pandas_grid_axes(spark):
     grid = to_pandas_grid(agg, p, "v")
     assert list(grid.columns) == ["-135.0", "-45.0", "45.0", "135.0"]
     assert list(grid.index) == ["-45.0", "45.0"]
+
+
+class TestIdwGrid:
+    def _ref(self, pts, p, power=2.0, r=1, min_d=1.0):
+        """Independent numpy IDW accumulation."""
+        import numpy as np
+
+        from sat_bucket_spark.filters import _haversine_np
+
+        acc = {}
+        xc, yc = p.x_centroids, p.y_centroids
+        for lon, lat, v in pts:
+            xi = int(np.searchsorted(p.x_bounds, lon, side="left")) - 1
+            yi = int(np.searchsorted(p.y_bounds, lat, side="left")) - 1
+            for dx in range(-r, r + 1):
+                for dy in range(-r, r + 1):
+                    ti, tj = xi + dx, yi + dy
+                    if not (0 <= ti < p.n_x and 0 <= tj < p.n_y):
+                        continue
+                    d = _haversine_np(
+                        np.array([lon]), np.array([lat]), float(xc[ti]), float(yc[tj])
+                    )[0]
+                    w = 1.0 / max(d, min_d) ** power
+                    sw, swv, n = acc.get((ti, tj), (0.0, 0.0, 0))
+                    acc[(ti, tj)] = (sw + w, swv + w * v, n + 1)
+        return {k: (swv / sw, n) for k, (sw, swv, n) in acc.items()}
+
+    def test_matches_numpy_reference(self, spark):
+        import random
+
+        from sat_bucket_spark.gridding import idw_to_grid
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        rng = random.Random(5)
+        pts = [
+            (rng.uniform(-175, 175), rng.uniform(-85, 85), rng.uniform(0, 100))
+            for _ in range(200)
+        ]
+        p = LonLatPartitioning(size=(10, 10))
+        df = spark.createDataFrame(pts, ["lon", "lat", "value"])
+        got = {
+            (r["lon_c"], r["lat_c"]): (r["value"], r["n_obs"])
+            for r in idw_to_grid(df, p).collect()
+        }
+        ref = self._ref(pts, p)
+        ref_by_c = {
+            (float(p.x_centroids[i]), float(p.y_centroids[j])): v
+            for (i, j), v in ref.items()
+        }
+        assert set(got) == set(ref_by_c)
+        for k, (val, n) in ref_by_c.items():
+            assert got[k][1] == n
+            assert got[k][0] == pytest.approx(val, rel=1e-9), k
+
+    def test_border_observation_contributes_inside_only(self, spark):
+        from sat_bucket_spark.gridding import idw_to_grid
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        p = LonLatPartitioning(size=(10, 10))
+        df = spark.createDataFrame([(-179.0, -89.0, 5.0)], ["lon", "lat", "value"])
+        rows = idw_to_grid(df, p).collect()
+        # corner cell: only the 2x2 in-extent neighborhood receives it
+        assert len(rows) == 4
+        assert all(r["n_obs"] == 1 for r in rows)
+
+    def test_single_shuffle_plan(self, spark):
+        from sat_bucket_spark.gridding import idw_to_grid
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        p = LonLatPartitioning(size=(10, 10))
+        df = spark.createDataFrame([(0.0, 0.0, 1.0)], ["lon", "lat", "value"])
+        plan = idw_to_grid(df, p)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1  # one shuffle: the target-cell agg
+        assert "Python" not in plan
