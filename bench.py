@@ -137,6 +137,13 @@ def main() -> None:
         t0 = time.perf_counter()
         read(spark, bucket, extent=[-20, 40, 0, 30]).count()
         timings["bucket_read_extent"] = round(time.perf_counter() - t0, 3)
+        # polygon query: cell-exact pruning keeps ~the diagonal band's cells,
+        # not its bbox cross product (non-vacuous at every SF: the dart sits
+        # in the events table's southern latitude band)
+        poly = [(-120.0, -88.0), (0.0, -64.0), (120.0, -88.0), (0.0, -76.0)]
+        t0 = time.perf_counter()
+        read(spark, bucket, polygon=poly).count()
+        timings["bucket_read_polygon"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         merge_granule_buckets(spark, bucket, merged, temporal_partitioning="month")
         timings["bucket_merge"] = round(time.perf_counter() - t0, 3)

@@ -27,6 +27,7 @@ from sat_bucket_spark.filters import (
     apply_spatial_filters,
     filter_around_point,
     filter_by_extent,
+    filter_by_polygon,
 )
 from sat_bucket_spark.gridding import to_grid_arrays, to_pandas_grid, to_xarray
 from sat_bucket_spark.io import (
@@ -67,6 +68,7 @@ __all__ = [
     "asof_join",
     "filter_around_point",
     "filter_by_extent",
+    "filter_by_polygon",
     "get_bucket_spatial_partitioning",
     "get_bucket_temporal_partitioning",
     "get_list_overpass_time",
