@@ -1,0 +1,78 @@
+"""Continuous bucket-archive ingest with Structured Streaming.
+
+The batch ingest path (`routines.write_bucket` / `write_granules_bucket`)
+covers the reference's workload; real archives also receive data as it
+arrives (a downlink feed, a message queue landing zone). This module turns
+the same label pipeline into a streaming sink: labels are Column
+expressions (stream-safe, row-local), the writer is Spark's exactly-once
+file sink (`writeStream.partitionBy(labels).format("parquet")` with a
+checkpoint), and the result is a normal bucket — `readers.read` serves
+extent/point/polygon queries over it with the usual pruning, while the
+stream keeps appending.
+
+Scale notes:
+
+- The file sink's exactly-once guarantee comes from the checkpointed
+  write-ahead log of committed files; crash-and-restart never duplicates
+  rows. This replaces the reference's idempotency-by-filename scheme
+  (routines.py:100-104) in the continuous case.
+- Each micro-batch writes at most one file per spatial partition per
+  trigger (more only past ``maxRecordsPerFile``); compaction stays the
+  batch `merge_granule_buckets` job, run periodically over closed time
+  windows — the same split Lambda-architecture archives use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from sat_bucket_spark.io import write_bucket_info
+
+__all__ = ["stream_write_bucket"]
+
+
+def stream_write_bucket(
+    df: DataFrame,
+    bucket_dir: str,
+    partitioning,
+    checkpoint_dir: str,
+    x: str = "lon",
+    y: str = "lat",
+    trigger: dict | None = None,
+    max_records_per_file: int | None = None,
+    query_name: str = "bucket_ingest",
+) -> StreamingQuery:
+    """Start a streaming append into a spatially partitioned bucket.
+
+    ``df`` must be a streaming DataFrame. Rows with invalid coordinates are
+    dropped (the batch path's ``remove_invalid_rows=True`` policy — the
+    raise policy cannot apply to an unbounded stream). Returns the started
+    ``StreamingQuery``; stop it (or use ``trigger={"availableNow": True}``)
+    to drain. ``bucket_info.yaml`` is written up front so readers can open
+    the bucket while the stream runs.
+
+    The sink is hive-flavor only: Spark's file sink derives directories
+    from ``partitionBy`` columns, which is exactly the hive layout
+    (directory flavor would need filename control the sink does not offer).
+    """
+    if not df.isStreaming:
+        raise ValueError("stream_write_bucket needs a streaming DataFrame; "
+                         "use routines.write_bucket for batch frames")
+    if getattr(partitioning, "flavor", "hive") != "hive":
+        raise ValueError("streaming ingest supports hive flavor only")
+    write_bucket_info(bucket_dir, partitioning)
+    labeled = partitioning.add_labels(df, x=x, y=y, remove_invalid_rows=True)
+    writer = (
+        labeled.writeStream.format("parquet")
+        .option("path", bucket_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy(*partitioning.order)
+        .outputMode("append")
+        .queryName(query_name)
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

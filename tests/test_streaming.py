@@ -328,3 +328,72 @@ class TestStreamingMapOnlyOps:
             .collect()
         }
         assert got == batch  # streaming == batch, row for row
+
+
+class TestStreamingBucketIngest:
+    def test_stream_ingest_equals_batch_bucket(self, spark, orbit_df, tmp_path):
+        """availableNow stream into a bucket == batch write_bucket: same
+        rows, same hive layout, readable by read() while/after streaming."""
+        from sat_bucket_spark import LonLatPartitioning, read, write_bucket
+        from sat_bucket_spark.streaming.ingest import stream_write_bucket
+
+        src = str(tmp_path / "src")
+        orbit_df.coalesce(2).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        p = LonLatPartitioning(size=(10, 10))
+
+        sbucket = str(tmp_path / "stream_bucket")
+        q = stream_write_bucket(
+            spark.readStream.schema(schema).parquet(src),
+            sbucket,
+            p,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+        bbucket = str(tmp_path / "batch_bucket")
+        write_bucket(orbit_df, bbucket, p, x="lon", y="lat")
+
+        assert read(spark, sbucket).count() == 150
+        got = {tuple(r) for r in read(spark, sbucket).select("gpm_id", "lon_bin", "lat_bin").collect()}
+        want = {tuple(r) for r in read(spark, bbucket).select("gpm_id", "lon_bin", "lat_bin").collect()}
+        assert got == want
+
+        ext = {r["gpm_id"] for r in read(spark, sbucket, extent=[5, 8, 0, 20]).collect()}
+        bxt = {r["gpm_id"] for r in read(spark, bbucket, extent=[5, 8, 0, 20]).collect()}
+        assert ext == bxt
+
+    def test_restart_is_exactly_once(self, spark, orbit_df, tmp_path):
+        """Re-running the drained stream over the same checkpoint must not
+        duplicate rows (file-sink write-ahead log)."""
+        from sat_bucket_spark import LonLatPartitioning, read
+        from sat_bucket_spark.streaming.ingest import stream_write_bucket
+
+        src = str(tmp_path / "src")
+        orbit_df.write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        p = LonLatPartitioning(size=(10, 10))
+        bucket = str(tmp_path / "bucket")
+        for _ in range(2):
+            q = stream_write_bucket(
+                spark.readStream.schema(schema).parquet(src),
+                bucket,
+                p,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                trigger={"availableNow": True},
+            )
+            q.awaitTermination(120)
+        assert read(spark, bucket).count() == 150
+
+    def test_batch_frame_rejected(self, spark, orbit_df, tmp_path):
+        import pytest as _pytest
+
+        from sat_bucket_spark import LonLatPartitioning
+        from sat_bucket_spark.streaming.ingest import stream_write_bucket
+
+        with _pytest.raises(ValueError, match="streaming"):
+            stream_write_bucket(
+                orbit_df, str(tmp_path / "b"), LonLatPartitioning(size=10),
+                checkpoint_dir=str(tmp_path / "c"),
+            )
