@@ -1116,6 +1116,14 @@ def q_idw_grid(spark, sf_dir):
     return g.withColumn("value", F.round("value", 6))
 
 
+def q_nearest_grid(spark, sf_dir):
+    """Nearest-observation resampling (min_by over the IDW fan-out)."""
+    from sat_bucket_spark.gridding import nearest_to_grid
+
+    ev = _with_coords(_events(spark, sf_dir))
+    return nearest_to_grid(ev, GRID10, value_col="value")
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals per document."""
     from sat_bucket_spark.operators.text import repetition_signals
@@ -2982,6 +2990,35 @@ SELECT
 FROM agg
 """
 
+_ORACLES["nearest_grid"] = f"""
+WITH coords AS (
+  SELECT event_id, value, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+), binned AS (
+  SELECT lon, lat, value, {_LON_IDX} AS xi, {_LAT_IDX} AS yi FROM coords
+), fanout AS (
+  SELECT lon, lat, value, xi + dx AS txi, yi + dy AS tyi
+  FROM binned
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dxs
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dys
+  WHERE xi + dx BETWEEN 0 AND 35 AND yi + dy BETWEEN 0 AND 17
+), weighted AS (
+  SELECT txi, tyi, value, round({_IDW_DIST}, 6) AS d FROM fanout
+), agg AS (
+  SELECT txi, tyi,
+    first(value ORDER BY d, value) AS val,
+    round(min(d), 6) AS distance_m,
+    CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM weighted GROUP BY txi, tyi
+)
+SELECT
+  {_label_sql(_centroid_sql("txi", -180.0, 10.0), 1)} AS lon_bin,
+  {_label_sql(_centroid_sql("tyi", -90.0, 10.0), 1)} AS lat_bin,
+  {_centroid_sql("txi", -180.0, 10.0)} AS lon_c,
+  {_centroid_sql("tyi", -90.0, 10.0)} AS lat_c,
+  val AS value, distance_m, n_obs
+FROM agg
+"""
+
 # Bloom decontamination: replay the EXACT filter — same portable hash family,
 # same bit positions — so false positives hash-match too. Membership "all k
 # bits set" is expressed against the distinct eval position SET (the bitmap is
@@ -3165,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
         "idw_grid": q_idw_grid,
+        "nearest_grid": q_nearest_grid,
         "repetition": q_repetition,
         "normalize": q_normalize,
         "tf_idf": q_tf_idf,

@@ -18,7 +18,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["idw_to_grid", "to_grid_arrays", "to_pandas_grid", "to_xarray"]
+__all__ = [
+    "idw_to_grid",
+    "nearest_to_grid",
+    "to_grid_arrays",
+    "to_pandas_grid",
+    "to_xarray",
+]
 
 
 def idw_to_grid(
@@ -49,10 +55,56 @@ def idw_to_grid(
     many observations flow in. No UDF, no driver collect; the centroid
     arithmetic and haversine stay in whole-stage codegen.
     """
+    t = _neighborhood_fanout(df, partitioning, x, y, value_col, radius_cells)
+    w = F.lit(1.0) / F.pow(
+        F.greatest(F.col("__d"), F.lit(float(min_distance_m))), F.lit(power)
+    )
+    agg = (
+        t.withColumn("__w", w)
+        .groupBy("__txi", "__tyi")
+        .agg(
+            (F.sum(F.col("__w") * F.col("__v")) / F.sum("__w")).alias("__val"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    return _cells_to_output(agg, partitioning, x, y, value_col)
+
+
+def nearest_to_grid(
+    df: DataFrame,
+    partitioning,
+    x: str = "lon",
+    y: str = "lat",
+    value_col: str = "value",
+    radius_cells: int = 1,
+) -> DataFrame:
+    """Nearest-observation resampling onto the partitioning's grid.
+
+    Each cell takes the value of the observation closest to its centroid
+    within the ``(2*radius_cells+1)²`` neighborhood (``min_by`` over the
+    same one-shuffle fan-out as :func:`idw_to_grid`). Distances are
+    compared at micrometer precision with a value tie-break, so the choice
+    is total and engine-portable. Adds ``distance_m`` (to the winning
+    observation) and ``n_obs``.
+    """
+    t = _neighborhood_fanout(df, partitioning, x, y, value_col, radius_cells)
+    key = F.struct(F.round(F.col("__d"), 6).alias("d"), F.col("__v").alias("v"))
+    agg = t.groupBy("__txi", "__tyi").agg(
+        F.min_by(F.col("__v"), key).alias("__val"),
+        F.round(F.min(F.round(F.col("__d"), 6)), 6).alias("distance_m"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    out = _cells_to_output(agg, partitioning, x, y, value_col)
+    return out
+
+
+def _neighborhood_fanout(
+    df: DataFrame, p, x: str, y: str, value_col: str, radius_cells: int
+) -> DataFrame:
+    """Map-side (2r+1)² cell fan-out with centroid distance ``__d``."""
     from sat_bucket_spark.filters import haversine_expr
     from sat_bucket_spark.partitioning import centroid_expr
 
-    p = partitioning
     if radius_cells < 0:
         raise ValueError("radius_cells must be >= 0")
     sx, sy = (float(p.size[0]), float(p.size[1]))
@@ -91,17 +143,16 @@ def idw_to_grid(
     )
     cx = centroid_expr(F.col("__txi"), p.extent.xmin, p.extent.xmax, sx, p.n_x)
     cy = centroid_expr(F.col("__tyi"), p.extent.ymin, p.extent.ymax, sy, p.n_y)
-    d = haversine_expr(F.col("__x"), F.col("__y"), cx, cy)
-    w = F.lit(1.0) / F.pow(F.greatest(d, F.lit(float(min_distance_m))), F.lit(power))
-    agg = (
-        t.withColumn("__w", w)
-        .groupBy("__txi", "__tyi")
-        .agg(
-            (F.sum(F.col("__w") * F.col("__v")) / F.sum("__w")).alias("__val"),
-            F.count(F.lit(1)).alias("n_obs"),
-        )
-    )
-    out = agg.select(
+    return t.withColumn("__d", haversine_expr(F.col("__x"), F.col("__y"), cx, cy))
+
+
+def _cells_to_output(agg: DataFrame, p, x: str, y: str, value_col: str) -> DataFrame:
+    """Attach labels + centroids to (__txi, __tyi) keyed aggregates."""
+    from sat_bucket_spark.partitioning import centroid_expr
+
+    sx, sy = (float(p.size[0]), float(p.size[1]))
+    extra = [c for c in agg.columns if c not in ("__txi", "__tyi", "__val")]
+    return agg.select(
         *[
             expr.alias(name)
             for name, expr in p.label_exprs_from_indices(
@@ -115,9 +166,8 @@ def idw_to_grid(
             f"{y}_c"
         ),
         F.col("__val").alias(value_col),
-        "n_obs",
+        *extra,
     )
-    return out
 
 
 def _axes_labels(partitioning):

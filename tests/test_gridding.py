@@ -114,3 +114,65 @@ class TestIdwGrid:
         plan = idw_to_grid(df, p)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1  # one shuffle: the target-cell agg
         assert "Python" not in plan
+
+
+class TestNearestGrid:
+    def test_matches_numpy_reference(self, spark):
+        import random
+
+        from sat_bucket_spark.filters import _haversine_np
+        from sat_bucket_spark.gridding import nearest_to_grid
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        rng = random.Random(9)
+        pts = [
+            (rng.uniform(-170, 170), rng.uniform(-80, 80), float(i))
+            for i in range(150)
+        ]
+        p = LonLatPartitioning(size=(10, 10))
+        df = spark.createDataFrame(pts, ["lon", "lat", "value"])
+        got = {
+            (r["lon_c"], r["lat_c"]): (r["value"], r["n_obs"])
+            for r in nearest_to_grid(df, p).collect()
+        }
+        # reference: for each cell, nearest point among 3x3-neighborhood members
+        ref = {}
+        for lon, lat, v in pts:
+            xi = int(np.searchsorted(p.x_bounds, lon, side="left")) - 1
+            yi = int(np.searchsorted(p.y_bounds, lat, side="left")) - 1
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    ti, tj = xi + dx, yi + dy
+                    if not (0 <= ti < p.n_x and 0 <= tj < p.n_y):
+                        continue
+                    d = round(
+                        _haversine_np(
+                            np.array([lon]), np.array([lat]),
+                            float(p.x_centroids[ti]), float(p.y_centroids[tj]),
+                        )[0],
+                        6,
+                    )
+                    cur = ref.get((ti, tj))
+                    if cur is None:
+                        ref[(ti, tj)] = (d, v, 1)
+                    elif (d, v) < (cur[0], cur[1]):
+                        ref[(ti, tj)] = (d, v, cur[2] + 1)
+                    else:
+                        ref[(ti, tj)] = (cur[0], cur[1], cur[2] + 1)
+        ref_by_c = {
+            (float(p.x_centroids[i]), float(p.y_centroids[j])): (v, n)
+            for (i, j), (d, v, n) in ref.items()
+        }
+        assert got == ref_by_c
+
+    def test_single_shuffle_no_python(self, spark):
+        from sat_bucket_spark.gridding import nearest_to_grid
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        df = spark.createDataFrame([(0.0, 0.0, 1.0)], ["lon", "lat", "value"])
+        plan = (
+            nearest_to_grid(df, LonLatPartitioning(size=(10, 10)))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1
+        assert "Python" not in plan
