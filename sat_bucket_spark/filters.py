@@ -263,6 +263,11 @@ def point_in_polygon_expr(
     with thousands of vertices, pre-simplify driver-side; the 100 TB plan
     is bbox partition-pruning first (see :func:`filter_by_polygon`), exact
     test only on surviving rows.
+
+    Antimeridian: vertices are taken at face value on the flat lon/lat
+    plane. A region crossing ±180° must be split into its east and west
+    parts and queried as two polygons (union the results) — the standard
+    convention for planar predicates over geographic coordinates.
     """
     if len(polygon) < 3:
         raise ValueError("polygon needs at least 3 vertices")

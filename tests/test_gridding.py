@@ -176,3 +176,19 @@ class TestNearestGrid:
         )
         assert plan.count("Exchange") == 1
         assert "Python" not in plan
+
+
+def test_idw_output_feeds_dense_grid(spark):
+    """Composition: IDW cell aggregates pivot straight into the dense
+    (y, x) grid contract — labels are the same partition label columns."""
+    from sat_bucket_spark.gridding import idw_to_grid
+
+    p = LonLatPartitioning(size=90)  # 4 x 2 grid
+    df = spark.createDataFrame(
+        [(10.0, 10.0, 4.0), (-100.0, -50.0, 8.0)], ["lon", "lat", "value"]
+    )
+    arrays = to_grid_arrays(idw_to_grid(df, p, value_col="value"), p, ["value"])
+    assert arrays["value"].shape == (2, 4)
+    # each obs fills its own cell and (here) its in-extent neighbors
+    assert not np.isnan(arrays["value"][1, 2])
+    assert not np.isnan(arrays["value"][0, 0])
