@@ -397,3 +397,28 @@ class TestStreamingBucketIngest:
                 orbit_df, str(tmp_path / "b"), LonLatPartitioning(size=10),
                 checkpoint_dir=str(tmp_path / "c"),
             )
+
+    def test_streamed_bucket_compacts_with_batch_merge(self, spark, orbit_df, tmp_path):
+        """The Lambda split: continuous ingest, periodic batch compaction.
+        merge_granule_buckets must read every committed row of a streamed
+        bucket (the sink's _spark_metadata log does not confuse the
+        file-listing merge path) and produce a complete merged archive."""
+        from sat_bucket_spark import LonLatPartitioning, merge_granule_buckets, read
+        from sat_bucket_spark.streaming.ingest import stream_write_bucket
+
+        src = str(tmp_path / "src")
+        orbit_df.write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        p = LonLatPartitioning(size=(10, 10))
+        bucket = str(tmp_path / "bucket")
+        q = stream_write_bucket(
+            spark.readStream.schema(schema).parquet(src),
+            bucket,
+            p,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        merged = str(tmp_path / "merged")
+        merge_granule_buckets(spark, bucket, merged, temporal_partitioning="year")
+        assert read(spark, merged).count() == 150
