@@ -1116,6 +1116,15 @@ def q_idw_grid(spark, sf_dir):
     return g.withColumn("value", F.round("value", 6))
 
 
+def q_idw_grid_daily(spark, sf_dir):
+    """Space-time IDW: one (y, x) field per day, same single shuffle."""
+    from sat_bucket_spark.gridding import idw_to_grid
+
+    ev = _with_coords(_events(spark, sf_dir))
+    g = idw_to_grid(ev, GRID10, value_col="value", time_col="ts", time_bucket="day")
+    return g.withColumn("value", F.round("value", 6))
+
+
 def q_nearest_grid(spark, sf_dir):
     """Nearest-observation resampling (min_by over the IDW fan-out)."""
     from sat_bucket_spark.gridding import nearest_to_grid
@@ -2990,6 +2999,37 @@ SELECT
 FROM agg
 """
 
+_ORACLES["idw_grid_daily"] = f"""
+WITH coords AS (
+  SELECT event_id, value, CAST(date_trunc('day', ts) AS TIMESTAMP) AS tb,
+    {LON_SQL} AS lon, {LAT_SQL} AS lat
+  FROM events
+), binned AS (
+  SELECT lon, lat, value, tb, {_LON_IDX} AS xi, {_LAT_IDX} AS yi FROM coords
+), fanout AS (
+  SELECT lon, lat, value, tb, xi + dx AS txi, yi + dy AS tyi
+  FROM binned
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dxs
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dys
+  WHERE xi + dx BETWEEN 0 AND 35 AND yi + dy BETWEEN 0 AND 17
+), weighted AS (
+  SELECT txi, tyi, tb, value,
+    1.0 / pow(greatest({_IDW_DIST}, 1.0), 2.0) AS w
+  FROM fanout
+), agg AS (
+  SELECT txi, tyi, tb, SUM(w * value) / SUM(w) AS val,
+    CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM weighted GROUP BY txi, tyi, tb
+)
+SELECT
+  {_label_sql(_centroid_sql("txi", -180.0, 10.0), 1)} AS lon_bin,
+  {_label_sql(_centroid_sql("tyi", -90.0, 10.0), 1)} AS lat_bin,
+  {_centroid_sql("txi", -180.0, 10.0)} AS lon_c,
+  {_centroid_sql("tyi", -90.0, 10.0)} AS lat_c,
+  round(val, 6) AS value, tb AS time_bucket, n_obs
+FROM agg
+"""
+
 _ORACLES["nearest_grid"] = f"""
 WITH coords AS (
   SELECT event_id, value, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
@@ -3203,6 +3243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "idw_grid": q_idw_grid,
         "nearest_grid": q_nearest_grid,
+        "idw_grid_daily": q_idw_grid_daily,
         "repetition": q_repetition,
         "normalize": q_normalize,
         "tf_idf": q_tf_idf,

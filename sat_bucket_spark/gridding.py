@@ -36,6 +36,8 @@ def idw_to_grid(
     power: float = 2.0,
     radius_cells: int = 1,
     min_distance_m: float = 1.0,
+    time_col: str | None = None,
+    time_bucket: str = "day",
 ) -> DataFrame:
     """Inverse-distance-weighted resampling onto the partitioning's grid.
 
@@ -54,20 +56,29 @@ def idw_to_grid(
     exchange carries at most cells×3 doubles per input partition however
     many observations flow in. No UDF, no driver collect; the centroid
     arithmetic and haversine stay in whole-stage codegen.
+
+    With ``time_col`` set, the grid is computed PER TIME BUCKET
+    (``date_trunc(time_bucket, time_col)`` joins the group key) — the
+    temporal-stack shape (one (y, x) field per day/hour/...) in the same
+    single shuffle; the output gains a ``time_bucket`` column.
     """
-    t = _neighborhood_fanout(df, partitioning, x, y, value_col, radius_cells)
+    t = _neighborhood_fanout(
+        df, partitioning, x, y, value_col, radius_cells,
+        time_col=time_col, time_bucket=time_bucket,
+    )
     w = F.lit(1.0) / F.pow(
         F.greatest(F.col("__d"), F.lit(float(min_distance_m))), F.lit(power)
     )
+    keys = ["__txi", "__tyi"] + (["__tb"] if time_col is not None else [])
     agg = (
         t.withColumn("__w", w)
-        .groupBy("__txi", "__tyi")
+        .groupBy(*keys)
         .agg(
             (F.sum(F.col("__w") * F.col("__v")) / F.sum("__w")).alias("__val"),
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
-    return _cells_to_output(agg, partitioning, x, y, value_col)
+    return _cells_to_output(agg, partitioning, x, y, value_col, time_col=time_col)
 
 
 def nearest_to_grid(
@@ -77,6 +88,8 @@ def nearest_to_grid(
     y: str = "lat",
     value_col: str = "value",
     radius_cells: int = 1,
+    time_col: str | None = None,
+    time_bucket: str = "day",
 ) -> DataFrame:
     """Nearest-observation resampling onto the partitioning's grid.
 
@@ -85,21 +98,32 @@ def nearest_to_grid(
     same one-shuffle fan-out as :func:`idw_to_grid`). Distances are
     compared at micrometer precision with a value tie-break, so the choice
     is total and engine-portable. Adds ``distance_m`` (to the winning
-    observation) and ``n_obs``.
+    observation) and ``n_obs``. ``time_col`` buckets the grid in time like
+    :func:`idw_to_grid`.
     """
-    t = _neighborhood_fanout(df, partitioning, x, y, value_col, radius_cells)
+    t = _neighborhood_fanout(
+        df, partitioning, x, y, value_col, radius_cells,
+        time_col=time_col, time_bucket=time_bucket,
+    )
     key = F.struct(F.round(F.col("__d"), 6).alias("d"), F.col("__v").alias("v"))
-    agg = t.groupBy("__txi", "__tyi").agg(
+    keys = ["__txi", "__tyi"] + (["__tb"] if time_col is not None else [])
+    agg = t.groupBy(*keys).agg(
         F.min_by(F.col("__v"), key).alias("__val"),
         F.round(F.min(F.round(F.col("__d"), 6)), 6).alias("distance_m"),
         F.count(F.lit(1)).alias("n_obs"),
     )
-    out = _cells_to_output(agg, partitioning, x, y, value_col)
-    return out
+    return _cells_to_output(agg, partitioning, x, y, value_col, time_col=time_col)
 
 
 def _neighborhood_fanout(
-    df: DataFrame, p, x: str, y: str, value_col: str, radius_cells: int
+    df: DataFrame,
+    p,
+    x: str,
+    y: str,
+    value_col: str,
+    radius_cells: int,
+    time_col: str | None = None,
+    time_bucket: str = "day",
 ) -> DataFrame:
     """Map-side (2r+1)² cell fan-out with centroid distance ``__d``."""
     from sat_bucket_spark.filters import haversine_expr
@@ -121,18 +145,25 @@ def _neighborhood_fanout(
             ]
         )
     ).alias("__off")
+    tcols = (
+        [F.date_trunc(time_bucket, F.col(time_col)).alias("__tb")]
+        if time_col is not None
+        else []
+    )
     staged = df.select(
         F.col(x).alias("__x"),
         F.col(y).alias("__y"),
         F.col(value_col).cast("double").alias("__v"),
         p.x_index_expr(x).alias("__xi"),
         p.y_index_expr(y).alias("__yi"),
+        *tcols,
         off,
     ).where(F.col("__xi").isNotNull() & F.col("__yi").isNotNull())
     t = staged.select(
         "__x",
         "__y",
         "__v",
+        *(["__tb"] if time_col is not None else []),
         (F.col("__xi") + F.col("__off.dx")).alias("__txi"),
         (F.col("__yi") + F.col("__off.dy")).alias("__tyi"),
     ).where(
@@ -146,10 +177,14 @@ def _neighborhood_fanout(
     return t.withColumn("__d", haversine_expr(F.col("__x"), F.col("__y"), cx, cy))
 
 
-def _cells_to_output(agg: DataFrame, p, x: str, y: str, value_col: str) -> DataFrame:
+def _cells_to_output(
+    agg: DataFrame, p, x: str, y: str, value_col: str, time_col: str | None = None
+) -> DataFrame:
     """Attach labels + centroids to (__txi, __tyi) keyed aggregates."""
     from sat_bucket_spark.partitioning import centroid_expr
 
+    if time_col is not None:
+        agg = agg.withColumnRenamed("__tb", "time_bucket")
     sx, sy = (float(p.size[0]), float(p.size[1]))
     extra = [c for c in agg.columns if c not in ("__txi", "__tyi", "__val")]
     return agg.select(

@@ -192,3 +192,55 @@ def test_idw_output_feeds_dense_grid(spark):
     # each obs fills its own cell and (here) its in-extent neighbors
     assert not np.isnan(arrays["value"][1, 2])
     assert not np.isnan(arrays["value"][0, 0])
+
+
+def test_idw_time_buckets_equal_per_day_runs(spark):
+    """Space-time IDW == running plain IDW on each day's slice."""
+    import datetime
+
+    from sat_bucket_spark.gridding import idw_to_grid
+
+    p = LonLatPartitioning(size=(10, 10))
+    d1 = datetime.datetime(2021, 7, 5, 3, 0)
+    d2 = datetime.datetime(2021, 7, 6, 21, 0)
+    rows = [
+        (1.0, 1.0, 10.0, d1), (2.0, 2.0, 30.0, d1 + datetime.timedelta(hours=2)),
+        (1.0, 1.0, 99.0, d2), (15.0, 15.0, 7.0, d2),
+    ]
+    df = spark.createDataFrame(rows, ["lon", "lat", "value", "time"])
+    st = {
+        (r["lon_c"], r["lat_c"], r["time_bucket"]): (r["value"], r["n_obs"])
+        for r in idw_to_grid(df, p, time_col="time", time_bucket="day").collect()
+    }
+    assert st  # non-empty
+    for day in (d1.date(), d2.date()):
+        sliced = df.where(F.to_date("time") == F.lit(day))
+        plain = {
+            (r["lon_c"], r["lat_c"]): (r["value"], r["n_obs"])
+            for r in idw_to_grid(sliced, p).collect()
+        }
+        got_day = {
+            (cx, cy): v
+            for (cx, cy, tb), v in st.items()
+            if tb.date() == day
+        }
+        assert got_day == plain, day
+
+
+def test_nearest_time_buckets(spark):
+    import datetime
+
+    from sat_bucket_spark.gridding import nearest_to_grid
+
+    p = LonLatPartitioning(size=(10, 10))
+    d1 = datetime.datetime(2021, 7, 5)
+    d2 = datetime.datetime(2021, 7, 6)
+    df = spark.createDataFrame(
+        [(1.0, 1.0, 10.0, d1), (1.0, 1.0, 99.0, d2)],
+        ["lon", "lat", "value", "time"],
+    )
+    out = nearest_to_grid(df, p, time_col="time").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["time_bucket"], set()).add(r["value"])
+    assert by_bucket == {d1: {10.0}, d2: {99.0}}
