@@ -223,6 +223,29 @@ def q_polygon_filter(spark, sf_dir):
     return filter_by_polygon(ev, _POLY).select("event_id", "lon", "lat")
 
 
+# Polygon dimension table for the spatial join: overlapping shapes in the
+# southern band (non-vacuous at every SF; points can match 0, 1 or 2 shapes).
+_POLY_TABLE = [
+    (1, [-120.0, 0.0, 120.0, 0.0], [-88.0, -64.0, -88.0, -76.0]),  # dart
+    (2, [-60.0, -20.0, -20.0, -60.0], [-86.0, -86.0, -70.0, -70.0]),  # box
+    (3, [60.0, 150.0, 100.0], [-89.0, -89.0, -65.0]),  # triangle
+]
+
+
+def q_points_in_polygons(spark, sf_dir):
+    """Spatial semi-join: tag events with every containing polygon.
+
+    Candidate generation is a broadcast join on cell-exact polygon
+    coverage; the exact test is the unrolled array ray cast."""
+    from sat_bucket_spark.joins import points_in_polygons_join
+
+    ev = _with_coords(_events(spark, sf_dir)).select("event_id", "lon", "lat")
+    polys = spark.createDataFrame(_POLY_TABLE, ["polygon_id", "xs", "ys"])
+    return points_in_polygons_join(ev, polys, GRID10).select(
+        "event_id", "polygon_id"
+    )
+
+
 def q_point_radius(spark, sf_dir):
     """P4: haversine point-radius filter + distance column."""
     ev = _with_coords(_events(spark, sf_dir))
@@ -2999,6 +3022,27 @@ SELECT
 FROM agg
 """
 
+# Points-in-polygons join: brute-force replay (the cell prefilter is a
+# semantics-neutral candidate bound, so the oracle skips it). DuckDB list
+# lambdas replicate the same 1-based closing-edge ray cast.
+_PIP_VALUES = ", ".join(
+    f"({pid}, {xs}, {ys})" for pid, xs, ys in _POLY_TABLE
+)
+_PIP_CROSS = (
+    "list_sum(list_transform(generate_series(1, len(xs)), i -> "
+    "CASE WHEN ((ys[i] > lat) != (ys[1 + (i % len(xs))] > lat)) "
+    "AND lon < (xs[1 + (i % len(xs))] - xs[i]) * (lat - ys[i]) "
+    "/ (ys[1 + (i % len(xs))] - ys[i]) + xs[i] THEN 1 ELSE 0 END)) % 2 = 1"
+)
+_ORACLES["points_in_polygons"] = f"""
+WITH coords AS (
+  SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+), polys(polygon_id, xs, ys) AS (VALUES {_PIP_VALUES})
+SELECT event_id, CAST(polygon_id AS BIGINT) AS polygon_id
+FROM coords CROSS JOIN polys
+WHERE {_PIP_CROSS}
+"""
+
 _ORACLES["idw_grid_daily"] = f"""
 WITH coords AS (
   SELECT event_id, value, CAST(date_trunc('day', ts) AS TIMESTAMP) AS tb,
@@ -3213,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- beyond the driver window: parity-suite verified ----
         "bin_index": q_bin_index,
         "polygon_filter": q_polygon_filter,
+        "points_in_polygons": q_points_in_polygons,
         "median_by_group": q_median_by_group,
         "top_customers": q_top_customers,
         "time_diff": q_time_diff,

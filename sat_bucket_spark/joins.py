@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join_binned"]
+__all__ = [
+    "asof_join",
+    "interval_join_binned",
+    "point_in_polygon_array_expr",
+    "points_in_polygons_join",
+]
 
 
 def asof_join(
@@ -209,3 +214,108 @@ def interval_join_binned(
         .drop("__bin", "__ls", "__le", "__rs", "__re")
     )
     return joined
+
+
+def point_in_polygon_array_expr(
+    px: Column, py: Column, xs: Column, ys: Column, max_vertices: int = 64
+) -> Column:
+    """Even-odd ray cast where the polygon lives in ARRAY COLUMNS.
+
+    The literal-vertex variant (filters.point_in_polygon_expr) unrolls one
+    fixed polygon into the plan; this one evaluates per-row vertex arrays
+    so a JOIN can test each point against a DIFFERENT polygon. It unrolls
+    to ``max_vertices`` guarded edge tests (``when(i < n, crossing_i)``)
+    instead of a ``aggregate``-over-``sequence`` lambda fold: a
+    higher-order function in a post-join predicate mis-computes its
+    attribute references under AQE filter re-pushing (the lambda body's
+    stream-side columns get bound against the broadcast build side —
+    ``[INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND]``, reproduced flakily on Spark
+    4.x), while plain ``element_at``/``when`` chains track references
+    correctly everywhere. Polygons longer than ``max_vertices`` are
+    detected at runtime: the expression returns NULL for them (filter
+    semantics drop the row), so callers must pre-simplify or raise
+    ``max_vertices``. Division at horizontal edges is straddle-guarded
+    like the literal variant.
+    """
+    n = F.size(xs)
+    crossings = F.lit(0)
+    for i in range(1, max_vertices + 1):
+        # edge i: vertex i -> vertex (i % n) + 1 (1-based, closing edge).
+        # Indices are clamped with least(i, n): under ANSI mode an
+        # out-of-bounds element_at raises, and boolean AND does not
+        # short-circuit — the (i <= n) guard only zeroes the TERM.
+        si = F.least(F.lit(i), n)
+        j = (si % n) + F.lit(1)
+        x1, y1 = F.element_at(xs, si), F.element_at(ys, si)
+        x2, y2 = F.element_at(xs, j), F.element_at(ys, j)
+        straddles = (y1 > py) != (y2 > py)
+        x_at = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        crossings = crossings + F.when(
+            (F.lit(i) <= n) & straddles & (px < x_at), 1
+        ).otherwise(0)
+    return F.when(n <= F.lit(max_vertices), crossings % F.lit(2) == F.lit(1))
+
+
+def points_in_polygons_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    partitioning,
+    x: str = "lon",
+    y: str = "lat",
+    polygon_id_col: str = "polygon_id",
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """Tag each point with every polygon containing it (spatial semi-join).
+
+    ``polygons`` is a DIMENSION-sized table — ``(polygon_id, xs, ys)`` with
+    vertex arrays (admin regions, basins, coverage footprints: thousands to
+    ~10^5 rows) — while ``points`` is the 100 TB side. The plan:
+
+    1. driver-side, each polygon's intersecting grid cells are computed
+       cell-exactly (`partitioning._cells_by_polygon` — the same
+       vertex/center/edge-clip test the polygon read path uses) and
+       flattened into a ``(cell_xi, cell_yi, polygon_id, xs, ys)``
+       candidate table, bounded by total cell coverage;
+    2. points compute their cell index (two Column expressions) and
+       **broadcast-join** the candidate table on the cell — no shuffle of
+       the points side, no P-fold cross product: each point meets only the
+       polygons whose cells it lands in;
+    3. the exact ray cast (:func:`point_in_polygon_array_expr`) filters
+       the candidates.
+
+    Output: the point columns plus ``polygon_id`` (one row per containing
+    polygon; points in no polygon are dropped — left-join on the result to
+    keep them).
+    """
+    rows = polygons.select(polygon_id_col, xs_col, ys_col).collect()
+    cand = []
+    max_vertices = 3
+    for r in rows:
+        xs_v = [float(v) for v in r[xs_col]]
+        ys_v = [float(v) for v in r[ys_col]]
+        max_vertices = max(max_vertices, len(xs_v))
+        xi, yi = partitioning._cells_by_polygon(list(zip(xs_v, ys_v)))
+        for i, j in zip(xi.tolist(), yi.tolist()):
+            cand.append((i, j, r[polygon_id_col], xs_v, ys_v))
+    spark = points.sparkSession
+    cand_df = spark.createDataFrame(
+        cand,
+        schema=(
+            "__cxi int, __cyi int, "
+            f"{polygon_id_col} long, __xs array<double>, __ys array<double>"
+        ),
+    )
+    staged = points.withColumn("__pxi", partitioning.x_index_expr(x).cast("int")) \
+        .withColumn("__pyi", partitioning.y_index_expr(y).cast("int"))
+    joined = staged.join(
+        F.broadcast(cand_df),
+        (F.col("__pxi") == F.col("__cxi")) & (F.col("__pyi") == F.col("__cyi")),
+    )
+    # unroll exactly to the largest polygon seen (they were just collected,
+    # so the bound is known — no silent NULL-drop path)
+    inside = point_in_polygon_array_expr(
+        F.col(x), F.col(y), F.col("__xs"), F.col("__ys"),
+        max_vertices=max_vertices,
+    )
+    return joined.where(inside).drop("__pxi", "__pyi", "__cxi", "__cyi", "__xs", "__ys")

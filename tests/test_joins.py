@@ -263,3 +263,86 @@ class TestIntervalJoinBinned:
         # shared column names would make the joined output ambiguous
         with pytest.raises(ValueError, match="share column names"):
             interval_join_binned(df, df, "s", "e", "s", "e", bin_width=1)
+
+
+class TestPointsInPolygonsJoin:
+    POLYS = [
+        (1, [-60.0, 0.0, 60.0, 0.0], [-40.0, 50.0, -40.0, -10.0]),   # dart
+        (2, [-170.0, -100.0, -170.0], [-80.0, -80.0, 80.0]),          # triangle
+        (3, [-65.0, -35.0, -35.0, -65.0], [-45.0, -45.0, -15.0, -15.0]),  # box overlapping dart
+    ]
+
+    def test_array_expr_equals_literal_expr(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.filters import point_in_polygon_expr
+        from sat_bucket_spark.joins import point_in_polygon_array_expr
+
+        rng = random.Random(3)
+        poly = [(0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (4.0, 4.0), (4.0, 10.0), (0.0, 10.0)]
+        pts = [(i, rng.uniform(-2, 12), rng.uniform(-2, 12)) for i in range(300)]
+        df = spark.createDataFrame(pts, ["id", "lon", "lat"])
+        xs = F.array(*[F.lit(p[0]) for p in poly])
+        ys = F.array(*[F.lit(p[1]) for p in poly])
+        rows = df.select(
+            "id",
+            point_in_polygon_expr(poly).alias("lit"),
+            point_in_polygon_array_expr(F.col("lon"), F.col("lat"), xs, ys).alias("arr"),
+        ).collect()
+        assert all(r["lit"] == r["arr"] for r in rows)
+
+    def test_join_matches_per_polygon_bruteforce(self, spark):
+        import random
+
+        from sat_bucket_spark.filters import filter_by_polygon
+        from sat_bucket_spark.joins import points_in_polygons_join
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        rng = random.Random(17)
+        pts = [(i, rng.uniform(-175, 175), rng.uniform(-85, 85)) for i in range(400)]
+        points = spark.createDataFrame(pts, ["id", "lon", "lat"])
+        polygons = spark.createDataFrame(self.POLYS, ["polygon_id", "xs", "ys"])
+        p = LonLatPartitioning(size=(10, 10))
+        got = {
+            (r["id"], r["polygon_id"])
+            for r in points_in_polygons_join(points, polygons, p).collect()
+        }
+        want = set()
+        for pid, xs, ys in self.POLYS:
+            poly = list(zip(xs, ys))
+            for r in filter_by_polygon(points, poly).collect():
+                want.add((r["id"], pid))
+        assert got == want and want  # non-vacuous: overlapping polys, hits exist
+
+    def test_plan_broadcasts_candidates(self, spark):
+        from sat_bucket_spark.joins import points_in_polygons_join
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        points = spark.createDataFrame([(1, 0.0, 0.0)], ["id", "lon", "lat"])
+        polygons = spark.createDataFrame(self.POLYS, ["polygon_id", "xs", "ys"])
+        out = points_in_polygons_join(points, polygons, LonLatPartitioning(size=(10, 10)))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+        assert "Python" not in plan
+
+    def test_oversize_polygon_yields_null_not_wrong(self, spark):
+        """Past max_vertices the expression is NULL (dropped by filters),
+        never a truncated-polygon answer."""
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.joins import point_in_polygon_array_expr
+
+        poly = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+        df = spark.createDataFrame([(5.0, 5.0)], ["lon", "lat"])
+        xs = F.array(*[F.lit(p[0]) for p in poly])
+        ys = F.array(*[F.lit(p[1]) for p in poly])
+        ok = df.select(
+            point_in_polygon_array_expr(F.col("lon"), F.col("lat"), xs, ys, max_vertices=4).alias("r")
+        ).collect()[0]["r"]
+        over = df.select(
+            point_in_polygon_array_expr(F.col("lon"), F.col("lat"), xs, ys, max_vertices=3).alias("r")
+        ).collect()[0]["r"]
+        assert ok is True and over is None
