@@ -812,6 +812,22 @@ def q_dedup_exact(spark, sf_dir):
     return dedup_exact(docs, ["key"], id_col="doc_id").select("doc_id", "key")
 
 
+def q_dedup_against_bloom(spark, sf_dir):
+    """Bloom-routed incremental dedup: identical output to
+    `dedup_incremental`, but the corpus side never shuffles — its keys feed
+    a bounded bitmap, the batch probes it map-side, and only flagged rows
+    pay the (broadcast) verify joins."""
+    from sat_bucket_spark.operators.dedup import dedup_exact_against_bloom
+    from sat_bucket_spark.operators.text import add_token_count
+
+    docs = add_token_count(_t(spark, sf_dir, "documents")).withColumn(
+        "key", F.col("n_tokens") % 200
+    )
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    return dedup_exact_against_bloom(batch, corpus, ["key"]).select("doc_id", "key")
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental exact dedup: drop batch rows whose key exists in the corpus.
 
@@ -2421,6 +2437,10 @@ WHERE doc_id % 4 = 0
   AND key NOT IN (SELECT key FROM keyed WHERE doc_id % 4 != 0)
 """
 
+# The Bloom routing is semantics-neutral (verify strips false positives),
+# so the oracle is the exact anti-join itself.
+_ORACLES["dedup_against_bloom"] = _ORACLES["dedup_incremental"]
+
 
 def _dedup_against_near_sql(n_hashes: int = 16, n_bands: int = 4) -> str:
     """Oracle mirror of q_dedup_against_near: identical seeded signatures on
@@ -3270,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_against_bloom": q_dedup_against_bloom,
         "dedup_against_near": q_dedup_against_near,
         "audio_meta": q_audio_meta,
         "video_meta": q_video_meta,

@@ -40,6 +40,7 @@ __all__ = [
     "decontamination_report_bloom",
     "dedup_exact",
     "dedup_exact_against",
+    "dedup_exact_against_bloom",
     "exact_duplicate_groups",
     "lsh_candidate_pairs",
     "minhash_dedup_against",
@@ -381,6 +382,105 @@ def dedup_exact_against(
     """
     keys = corpus.select(*key_cols).distinct()
     return batch.join(keys, key_cols, "left_anti")
+
+
+def dedup_exact_against_bloom(
+    batch: DataFrame,
+    corpus: DataFrame,
+    key_cols: list[str],
+    n_bits: int = 1 << 24,
+    n_hashes: int = 5,
+    seed: int = 1337,
+) -> DataFrame:
+    """:func:`dedup_exact_against` with Bloom routing — IDENTICAL output,
+    but the corpus never shuffles.
+
+    The exact path reduces the corpus to distinct keys and anti-joins —
+    at 100 TB that distinct is itself a corpus-wide shuffle every ingest
+    batch. Here the corpus is read map-side twice and shuffled never:
+
+    1. its key fingerprints feed a Bloom bitmap (``bit_or`` partials,
+       bounded at ``n_bits / 64`` rows regardless of corpus size);
+    2. the batch probes the broadcast bitmap with ``n_hashes`` map-side
+       joins — rows missing ANY bit are provably new and pass through
+       untouched (the common case for an ingest batch);
+    3. only flagged rows (true dups + the FP rate) are verified: their
+       (small, distinct) key set broadcasts TO the corpus for a map-side
+       semi-join, and the confirmed keys broadcast back for the final
+       anti-join. False positives are removed here, so the result equals
+       the exact operator bit for bit — the filter only routes.
+
+    Assumes the flagged fraction is broadcastable (dup-rate ≪ batch size,
+    the normal incremental-ingest regime). NULL-keyed rows never match, as
+    in the exact path. Size ``n_bits ≈ 10×`` distinct corpus keys.
+    """
+    params = minhash_params(n_hashes, seed=seed)
+
+    def _fp(df: DataFrame) -> Column:
+        return h31_expr(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+        )
+
+    bloom = (
+        corpus.select(_fp(corpus).alias("__fp"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        perm_hash_expr(F.col("__fp"), a, b) % F.lit(n_bits)
+                        for a, b in params
+                    ]
+                )
+            ).alias("__pos")
+        )
+        .select(
+            F.shiftright("__pos", 6).alias("__word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias(
+                "__mask"
+            ),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__mask").alias("__bits"))
+    )
+
+    probed = batch.withColumn("__fp", _fp(batch))
+    flagged = F.lit(True)
+    drop_cols = ["__fp"]
+    for i, (a, b) in enumerate(params):
+        p, w, m, bits = f"__p{i}", f"__w{i}", f"__m{i}", f"__b{i}"
+        probed = (
+            probed.withColumn(p, perm_hash_expr(F.col("__fp"), a, b) % F.lit(n_bits))
+            .withColumn(w, F.shiftright(F.col(p), 6))
+            .withColumn(
+                m,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))"),
+            )
+            .join(
+                F.broadcast(
+                    bloom.select(
+                        F.col("__word").alias(w), F.col("__bits").alias(bits)
+                    )
+                ),
+                w,
+                "left",
+            )
+        )
+        flagged = flagged & F.coalesce(
+            F.col(bits).bitwiseAND(F.col(m)) == F.col(m), F.lit(False)
+        )
+        drop_cols += [p, w, m, bits]
+
+    probed = probed.withColumn("__flagged", flagged)
+    drop_cols.append("__flagged")
+    clean = probed.where(~F.col("__flagged")).drop(*drop_cols)
+    cand = probed.where(F.col("__flagged")).drop(*drop_cols)
+    flagged_keys = cand.select(*key_cols).distinct()
+    confirmed = (
+        corpus.join(F.broadcast(flagged_keys), key_cols, "left_semi")
+        .select(*key_cols)
+        .distinct()
+    )
+    return clean.unionByName(cand.join(F.broadcast(confirmed), key_cols, "left_anti"))
 
 
 def minhash_dedup_against(

@@ -995,3 +995,67 @@ class TestLshDedupAgainst:
         out = lsh_dedup_against(batch, corpus, dim=64, threshold=0.999999)
         kept = {r["vec_id"] for r in out.select("vec_id").collect()}
         assert kept == {0, 7777}
+
+
+class TestBloomRoutedDedup:
+    def _data(self, spark):
+        corpus = spark.createDataFrame(
+            [(i, f"doc {i % 40}") for i in range(200)], ["cid", "text"]
+        )
+        batch = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(30, 90)], ["bid", "text"]
+        )
+        return batch, corpus
+
+    def test_equals_exact_path(self, spark):
+        from sat_bucket_spark.operators.dedup import (
+            dedup_exact_against,
+            dedup_exact_against_bloom,
+        )
+
+        batch, corpus = self._data(spark)
+        want = {r["bid"] for r in dedup_exact_against(batch, corpus, ["text"]).collect()}
+        got = {
+            r["bid"]
+            for r in dedup_exact_against_bloom(batch, corpus, ["text"]).collect()
+        }
+        assert got == want
+        assert want == set(range(40, 90))  # texts 'doc 30'..'doc 39' are dups
+
+    def test_saturated_filter_still_exact(self, spark):
+        """64-bit bloom: every row flags; the verify join must strip every
+        false positive so the output still equals the exact operator."""
+        from sat_bucket_spark.operators.dedup import (
+            dedup_exact_against,
+            dedup_exact_against_bloom,
+        )
+
+        batch, corpus = self._data(spark)
+        want = {r["bid"] for r in dedup_exact_against(batch, corpus, ["text"]).collect()}
+        got = {
+            r["bid"]
+            for r in dedup_exact_against_bloom(
+                batch, corpus, ["text"], n_bits=64
+            ).collect()
+        }
+        assert got == want
+
+    def test_null_keys_pass_through(self, spark):
+        from sat_bucket_spark.operators.dedup import dedup_exact_against_bloom
+
+        batch = spark.createDataFrame([(1, None), (2, "x")], ["bid", "text"])
+        corpus = spark.createDataFrame([(10, None), (11, "x")], ["cid", "text"])
+        got = {r["bid"] for r in dedup_exact_against_bloom(batch, corpus, ["text"]).collect()}
+        assert got == {1}  # NULL never matches (anti-join semantics); "x" is a dup
+
+    def test_all_joins_broadcast(self, spark):
+        from sat_bucket_spark.operators.dedup import dedup_exact_against_bloom
+
+        batch, corpus = self._data(spark)
+        plan = (
+            dedup_exact_against_bloom(batch, corpus, ["text"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "Python" not in plan
