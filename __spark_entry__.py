@@ -1305,6 +1305,21 @@ def q_mix_sources(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_mix_sources_tokens(spark, sf_dir):
+    """Token-budget mixture: proportions weigh token mass, not row counts."""
+    from sat_bucket_spark.operators.sampling import mix_sources
+    from sat_bucket_spark.operators.text import add_token_count
+
+    docs = add_token_count(_t(spark, sf_dir, "documents"))
+    out = mix_sources(
+        docs,
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        id_col="doc_id",
+        mass_col="n_tokens",
+    )
+    return out.select("doc_id", "source")
+
+
 def q_classifier_score(spark, sf_dir):
     """Hashed linear (fastText-style) quality classifier scoring.
 
@@ -2577,20 +2592,23 @@ SELECT doc_id, source FROM (
 """
 
 
-def _mix_sources_sql() -> str:
+def _mix_sources_sql(token_mass: bool = False) -> str:
     """Oracle mirror of q_mix_sources: per-source counts -> binding-source
     scale T = min(n/w) -> keep-rate (w*T)/n -> hash-fraction filter. Weight
     literals are pre-normalized in Python so both engines share them; the
-    rate arithmetic follows the same (w*T)/n association as the Spark side."""
+    rate arithmetic follows the same (w*T)/n association as the Spark side.
+    ``token_mass=True`` replaces COUNT(*) with the per-source token sum
+    (the q_mix_sources_tokens variant)."""
     weights = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
     total = sum(weights.values())
     norm = {s: w / total for s, w in weights.items()}
     wvals = ", ".join(f"('{s}', {w!r})" for s, w in norm.items())
     frac = f"(CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {MERSENNE_P}) / CAST({MERSENNE_P} AS DOUBLE)"
+    mass = f"SUM(CAST(len({_tokens_sql()}) AS BIGINT))" if token_mass else "COUNT(*)"
     return f"""
 WITH w(source, wt) AS (VALUES {wvals}),
 cnt AS (
-  SELECT d.source, wt, COUNT(*) AS n
+  SELECT d.source, wt, {mass} AS n
   FROM documents d JOIN w ON w.source = d.source
   GROUP BY d.source, wt
 ),
@@ -2603,6 +2621,7 @@ WHERE {frac} < r.rate
 
 
 _ORACLES["mix_sources"] = _mix_sources_sql()
+_ORACLES["mix_sources_tokens"] = _mix_sources_sql(token_mass=True)
 
 # C4-style line filter: same injection, same keep rules (>=3 words, no
 # boilerplate marker), same rebuild.
@@ -3317,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "resolve_dups": q_resolve_dups,
         "mix_sources": q_mix_sources,
+        "mix_sources_tokens": q_mix_sources_tokens,
         "shard_assign": q_shard_assign,
         "inverted_index": q_inverted_index,
         "pii_scan": q_pii_scan,

@@ -145,6 +145,7 @@ def mix_sources(
     id_col: str,
     source_col: str = "source",
     salt: str = "mix",
+    mass_col: str | None = None,
 ) -> DataFrame:
     """Deterministically downsample to a target source mixture.
 
@@ -154,6 +155,14 @@ def mix_sources(
     binding source (smallest ``count/weight``) keeps everything, every other
     source downsamples to match. Sources absent from ``weights`` are
     dropped.
+
+    ``mass_col`` switches the mixture unit from rows to a per-row mass —
+    pass a token-count column and the proportions become TOKEN budgets
+    (the unit training mixtures are actually specified in; document
+    lengths differ systematically across sources, so a row mixture is not
+    a token mixture). Keep decisions stay per-row hash draws, so the
+    realized token mass matches the target in expectation with
+    O(1/sqrt(docs-per-source)) relative deviation.
 
     One tiny counting aggregate (O(#sources) rows to the driver — planning
     metadata, same as the reference's file-listing collects) fixes the
@@ -165,11 +174,16 @@ def mix_sources(
         raise ValueError("weights must be non-empty")
     total = sum(weights.values())
     norm = {s: w / total for s, w in weights.items()}
+    mass = (
+        F.count(F.lit(1)).alias("n")
+        if mass_col is None
+        else F.sum(mass_col).alias("n")
+    )
     counts = {
         r[source_col]: r["n"]
         for r in df.where(F.col(source_col).isin(list(weights)))
         .groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(mass)
         .collect()
     }
     present = {s: w for s, w in norm.items() if counts.get(s)}

@@ -518,3 +518,26 @@ class TestCDCAdversarialRoundtrip:
         # chunk_id density and n_chunks consistency
         for r in out:
             assert 0 <= r["chunk_id"] < r["n_chunks"]
+
+
+class TestTokenMassMixture:
+    def test_mass_vs_rows_pick_different_binding_sources(self, spark):
+        from sat_bucket_spark.operators.sampling import mix_sources
+
+        rows = [(i, "a", 10) for i in range(400)] + [
+            (1000 + i, "b", 100) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+        # by rows: b (200 rows) binds -> a downsamples to ~200 rows
+        by_rows = mix_sources(df, {"a": 0.5, "b": 0.5}, id_col="doc_id")
+        n_rows = {r["source"]: r["count"] for r in by_rows.groupBy("source").count().collect()}
+        assert n_rows["b"] == 200 and n_rows["a"] < 400
+        # by mass: a (4000 tokens) binds -> a keeps ALL, b downsamples to
+        # ~4000 tokens (rate 0.2 in expectation)
+        by_mass = mix_sources(df, {"a": 0.5, "b": 0.5}, id_col="doc_id", mass_col="n_tokens")
+        mass = {
+            r["source"]: r["sum(n_tokens)"]
+            for r in by_mass.groupBy("source").sum("n_tokens").collect()
+        }
+        assert mass["a"] == 4000  # binding source keeps everything
+        assert 1500 <= mass["b"] <= 7000  # ~4000 in expectation, hash draw
