@@ -159,6 +159,8 @@ def write_partitioned_dataset(
     repartition_by_levels: bool = True,
     flavor: str | None = "hive",
     sort_within_by: list[str] | None = None,
+    bloom_filter_columns: list[str] | None = None,
+    bloom_filter_ndv: int | None = None,
 ) -> None:
     """Write a DataFrame as a partitioned Parquet dataset (reference: writers.py:327-369).
 
@@ -188,6 +190,14 @@ def write_partitioned_dataset(
       per-partition files — the intra-file analogue of ``time_part``
       directory pruning, and the difference between scanning a 2 GB file
       and scanning one 200 MB row group of it.
+    - ``bloom_filter_columns``: write parquet Bloom filters for these
+      columns (``parquet.bloom.filter.enabled#col``). Min/max stats only
+      skip row groups when the column correlates with the sort order;
+      a Bloom filter skips on EQUALITY lookups over unordered
+      high-cardinality columns (granule id, user id inside a
+      time-clustered file) at a few bits/value of file overhead.
+      ``bloom_filter_ndv`` sizes them (expected distinct values per row
+      group; parquet's default otherwise).
     """
     writer_df = df
     # Dunder-named sort columns are EPHEMERAL clustering keys (e.g. the 3-D
@@ -227,6 +237,12 @@ def write_partitioned_dataset(
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     if row_group_size is not None:
         writer = writer.option("parquet.block.size", parse_size(row_group_size))
+    for c in bloom_filter_columns or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if bloom_filter_ndv is not None:
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{c}", int(bloom_filter_ndv)
+            )
 
     writer.option("compression", compression).mode(mode).parquet(base_dir)
     if partitions and flavor != "hive":

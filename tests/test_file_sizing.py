@@ -77,3 +77,35 @@ class TestRowGroupSize:
         n_big = sum(pq.ParquetFile(f).num_row_groups for f in _parquet_files(big))
         assert n_small > n_big, (n_small, n_big)
         assert n_big <= len(_parquet_files(big))
+
+
+class TestParquetBloomFilters:
+    def test_bloom_option_writes_filters_and_preserves_data(self, spark, tmp_path):
+        """Bloom-enabled files carry the filter bytes (strictly larger) and
+        read back identically; equality lookups stay correct."""
+        import glob
+        import os
+
+        from sat_bucket_spark.writers import write_partitioned_dataset
+
+        df = spark.range(5000).selectExpr(
+            "id", "CAST(id * 2654435761 % 1000003 AS LONG) AS granule_id"
+        ).coalesce(2)
+        plain, bloom = str(tmp_path / "plain"), str(tmp_path / "bloom")
+        write_partitioned_dataset(df, plain, repartition_by_levels=False)
+        write_partitioned_dataset(
+            df,
+            bloom,
+            repartition_by_levels=False,
+            bloom_filter_columns=["granule_id"],
+            bloom_filter_ndv=2500,
+        )
+        size = lambda d: sum(
+            os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet")
+        )
+        assert size(bloom) > size(plain)  # the filter bytes are in the footers
+        a = sorted(tuple(r) for r in spark.read.parquet(plain).collect())
+        b = sorted(tuple(r) for r in spark.read.parquet(bloom).collect())
+        assert a == b
+        probe = spark.read.parquet(bloom).where("granule_id = 2654435761 % 1000003")
+        assert probe.count() == 1
