@@ -702,3 +702,54 @@ class TestPolygonPruning:
         by_poly = set(p.directories_by_polygon(self.DIAG))
         by_bbox = set(p.directories_by_extent(polygon_bbox(self.DIAG)))
         assert by_poly and by_poly < by_bbox
+
+
+class TestPolygonPruningProperties:
+    def test_never_false_prunes_random_polygons(self):
+        """PROPERTY: for random polygons and random interior points, the
+        point's cell is ALWAYS in the kept set (pruning may over-keep,
+        never under-keep)."""
+        import random
+
+        import numpy as np
+
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+        from tests.test_filters import _pip_ref
+
+        p = LonLatPartitioning(size=(10, 10))
+        rng = random.Random(123)
+        for trial in range(30):
+            # random star-shaped polygon around a random center (always simple)
+            cx, cy = rng.uniform(-150, 150), rng.uniform(-60, 60)
+            n = rng.randint(3, 9)
+            pts = []
+            for k in range(n):
+                ang = 2 * 3.141592653589793 * k / n + rng.uniform(0, 0.3)
+                r = rng.uniform(3, 25)
+                pts.append((cx + r * np.cos(ang), cy + r * np.sin(ang)))
+            poly = [(max(-179.9, min(179.9, a)), max(-89.9, min(89.9, b))) for a, b in pts]
+            xi, yi = p._cells_by_polygon(poly)
+            kept = set(zip(xi.tolist(), yi.tolist()))
+            for _ in range(60):
+                px = rng.uniform(min(a for a, _ in poly), max(a for a, _ in poly))
+                py = rng.uniform(min(b for _, b in poly), max(b for _, b in poly))
+                if not _pip_ref(px, py, poly):
+                    continue
+                ci = int(np.searchsorted(p.x_bounds, px, side="left")) - 1
+                cj = int(np.searchsorted(p.y_bounds, py, side="left")) - 1
+                assert (ci, cj) in kept, (trial, px, py, poly)
+
+    def test_driver_side_cost_bounded_at_fine_grids(self):
+        """The vectorized cell test stays driver-cheap on a 0.5-degree grid
+        (259200 cells): a continental polygon plans in well under a second."""
+        import time
+
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        p = LonLatPartitioning(size=(0.5, 0.5))
+        poly = [(-120.0, -50.0), (-20.0, 60.0), (80.0, -40.0), (0.0, -10.0)]
+        t0 = time.perf_counter()
+        xi, yi = p._cells_by_polygon(poly)
+        dt = time.perf_counter() - t0
+        assert len(xi) > 1000  # genuinely large selection
+        assert dt < 2.0, dt  # numpy-vectorized, not per-cell Python
