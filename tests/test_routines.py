@@ -144,6 +144,26 @@ class TestMerge:
         pf = plan.split("PartitionFilters:")[1].splitlines()[0]
         assert "time_part" in pf  # temporal partition pruning reached the scan
 
+    def test_polygon_and_time_window_compose(self, spark, staged, tmp_path):
+        """A polygon query over a temporally merged bucket prunes on BOTH
+        axes: time_part dirs AND the polygon's cells, with the exact
+        ray-cast row filter on top."""
+        from sat_bucket_spark.filters import filter_by_polygon
+
+        dst = str(tmp_path / "merged_pt")
+        merge_granule_buckets(spark, staged, dst, temporal_partitioning="year")
+        tri = [(-30.0, -30.0), (30.0, -30.0), (0.0, 30.0)]
+        df = read(spark, dst, polygon=tri, start_time="2021-01-01", end_time="2022-01-01")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+        assert "time_part" in pf and "lon_bin" in pf
+        want = (
+            filter_by_polygon(read(spark, dst), tri)
+            .where("time >= '2021-01-01' AND time < '2022-01-01'")
+            .count()
+        )
+        assert df.count() == want and want > 0
+
     def test_update_overwrites_only_touched_partitions(self, spark, staged, tmp_path):
         dst = str(tmp_path / "merged3")
         merge_granule_buckets(spark, staged, dst, temporal_partitioning="year")
