@@ -1172,6 +1172,19 @@ def q_nearest_grid(spark, sf_dir):
     return nearest_to_grid(ev, GRID10, value_col="value")
 
 
+def q_decontaminate_multi(spark, sf_dir):
+    """One-scan decontamination against two tagged eval benchmarks."""
+    from sat_bucket_spark.operators.dedup import decontamination_report_multi
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 3 != 0)
+    evs = {
+        "benchA": docs.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == 0)),
+        "benchB": docs.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == 1)),
+    }
+    return decontamination_report_multi(train, evs, ngram_size=3, threshold=0.3)
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals per document."""
     from sat_bucket_spark.operators.text import repetition_signals
@@ -3142,6 +3155,36 @@ SELECT
 FROM agg
 """
 
+_ORACLES["decontaminate_multi"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_tokens_sql("lower(text)")} AS toks FROM documents
+), ngt AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+         i -> array_to_string(toks[i:i+2], ' '))) AS ngs
+  FROM toks
+), tr AS (
+  SELECT doc_id, unnest(ngs) AS ng FROM ngt WHERE doc_id % 3 != 0
+), evs AS (
+  SELECT 'benchA' AS eval_set, unnest(ngs) AS ng FROM ngt WHERE doc_id % 3 = 0 AND doc_id % 2 = 0
+  UNION
+  SELECT 'benchB' AS eval_set, unnest(ngs) AS ng FROM ngt WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+), denom AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams FROM tr GROUP BY doc_id
+), hits AS (
+  SELECT tr.doc_id, evs.eval_set, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+  FROM tr JOIN evs ON tr.ng = evs.ng
+  GROUP BY tr.doc_id, evs.eval_set
+), dense AS (
+  SELECT d.doc_id, d.n_ngrams, s.eval_set
+  FROM denom d CROSS JOIN (SELECT DISTINCT eval_set FROM evs) s
+)
+SELECT dense.doc_id, dense.eval_set, dense.n_ngrams,
+  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+  round(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / dense.n_ngrams, 6) AS contamination,
+  round(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / dense.n_ngrams, 6) >= 0.3 AS is_contaminated
+FROM dense LEFT JOIN hits h ON h.doc_id = dense.doc_id AND h.eval_set = dense.eval_set
+"""
+
 # Bloom decontamination: replay the EXACT filter — same portable hash family,
 # same bit positions — so false positives hash-match too. Membership "all k
 # bits set" is expressed against the distinct eval position SET (the bitmap is
@@ -3326,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "decontaminate_multi": q_decontaminate_multi,
         "idw_grid": q_idw_grid,
         "nearest_grid": q_nearest_grid,
         "idw_grid_daily": q_idw_grid_daily,

@@ -72,6 +72,13 @@ HEADLINE = [
     "ivfpq_topk",          # IVFADC: coarse pruning + ADC over codes (added r3)
     "lsh_near_dup",        # bucketed embedding near-dup + exact verify (added r2)
     "lsh_buckets",         # vector expression throughput
+    "polygon_filter",      # unrolled ray-cast row filter (added r4)
+    "points_in_polygons",  # cell-pruned broadcast spatial join (added r4)
+    "idw_grid",            # 3x3 fan-out + one-shuffle weighted resample (added r4)
+    "nearest_grid",        # min_by over the same fan-out (added r4)
+    "decontaminate_bloom", # bounded-bitmap broadcast probe (added r4)
+    "dedup_against_bloom", # bloom-routed incremental dedup (added r4)
+    "mix_sources_tokens",  # token-mass mixture (added r4)
 ]
 
 

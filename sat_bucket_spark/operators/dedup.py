@@ -38,6 +38,7 @@ __all__ = [
     "build_ngram_bloom",
     "decontamination_report",
     "decontamination_report_bloom",
+    "decontamination_report_multi",
     "dedup_exact",
     "dedup_exact_against",
     "dedup_exact_against_bloom",
@@ -715,6 +716,66 @@ def decontamination_report(
             F.round(F.col("n_contaminated").cast("double") / F.col("n_ngrams"), 6),
         )
         .withColumn("is_contaminated", F.col("contamination") >= F.lit(threshold))
+    )
+
+
+def decontamination_report_multi(
+    train: DataFrame,
+    eval_sets: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Decontaminate against SEVERAL eval benchmarks in ONE training scan.
+
+    A production pipeline checks leakage against every benchmark it
+    reports on; running :func:`decontamination_report` per set costs one
+    full pass over the training corpus each. Here the tagged distinct
+    n-grams of all sets union into a single broadcast side, the corpus's
+    n-grams are exploded once, and one groupBy yields a row per
+    (document, eval_set): ``(id, eval_set, n_ngrams, n_contaminated,
+    contamination, is_contaminated)`` — including zero rows for sets a
+    document does not touch (the report is dense over sets, so downstream
+    per-benchmark joins never lose documents).
+
+    Scale shape: identical to the single-set path — eval rows never
+    shuffle, training text reduces to exploded n-grams before the
+    broadcast probe — with the S-fold scan cost collapsed to one.
+    """
+    if not eval_sets:
+        raise ValueError("eval_sets must be non-empty")
+    ng = F.explode(shingles_expr(text_col, k=ngram_size, unit="word")).alias("__ng")
+    tagged = None
+    for name, ev in eval_sets.items():
+        t = (
+            ev.select(ng)
+            .distinct()
+            .withColumn("__set", F.lit(name))
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    spark = train.sparkSession
+    sets_df = spark.createDataFrame(
+        [(n,) for n in eval_sets], ["__set"]
+    )
+    tr = _ensure_parallelism(train).select(F.col(id_col), ng)
+    # per-doc distinct n-gram count (denominator, identical across sets)
+    denom = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        tr.join(F.broadcast(tagged), "__ng")
+        .groupBy(id_col, "__set")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    dense = denom.crossJoin(F.broadcast(sets_df))
+    return (
+        dense.join(hits, [id_col, "__set"], "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated").cast("double") / F.col("n_ngrams"), 6),
+        )
+        .withColumn("is_contaminated", F.col("contamination") >= F.lit(threshold))
+        .withColumnRenamed("__set", "eval_set")
     )
 
 

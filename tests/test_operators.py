@@ -1059,3 +1059,54 @@ class TestBloomRoutedDedup:
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
         assert "BroadcastHashJoin" in plan
         assert "Python" not in plan
+
+
+class TestMultiSetDecontamination:
+    def test_equals_per_set_single_reports(self, spark):
+        import random
+
+        from sat_bucket_spark.operators.dedup import (
+            decontamination_report,
+            decontamination_report_multi,
+        )
+
+        rng = random.Random(21)
+        words = [f"w{i}" for i in range(60)]
+        docs = [
+            (i, " ".join(rng.choices(words, k=rng.randint(5, 25))))
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        train = df.where("doc_id % 3 != 0")
+        evs = {
+            "benchA": df.where("doc_id % 3 = 0 AND doc_id % 2 = 0"),
+            "benchB": df.where("doc_id % 3 = 0 AND doc_id % 2 = 1"),
+        }
+        multi = {
+            (r["doc_id"], r["eval_set"]): (
+                r["n_ngrams"], r["n_contaminated"], r["is_contaminated"]
+            )
+            for r in decontamination_report_multi(
+                train, evs, ngram_size=3, threshold=0.3
+            ).collect()
+        }
+        for name, ev in evs.items():
+            single = {
+                r["doc_id"]: (r["n_ngrams"], r["n_contaminated"], r["is_contaminated"])
+                for r in decontamination_report(
+                    train, ev, ngram_size=3, threshold=0.3
+                ).collect()
+            }
+            for d, v in single.items():
+                assert multi[(d, name)] == v, (name, d)
+        # dense: every (train doc, set) pair present
+        n_train = train.count()
+        assert len(multi) == n_train * len(evs)
+
+    def test_eval_rows_broadcast(self, spark):
+        from sat_bucket_spark.operators.dedup import decontamination_report_multi
+
+        df = spark.createDataFrame([(1, "a b c d"), (2, "c d e f")], ["doc_id", "text"])
+        out = decontamination_report_multi(df, {"s": df})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "Python" not in plan
