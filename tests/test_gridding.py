@@ -244,3 +244,21 @@ def test_nearest_time_buckets(spark):
     for r in out:
         by_bucket.setdefault(r["time_bucket"], set()).add(r["value"])
     assert by_bucket == {d1: {10.0}, d2: {99.0}}
+
+
+def test_resamplers_work_on_tile_partitioning(spark):
+    """IDW/nearest are partitioning-polymorphic: tile grids get tile-id
+    labels with the same cell math."""
+    from sat_bucket_spark.gridding import idw_to_grid, nearest_to_grid
+    from sat_bucket_spark.partitioning import TilePartitioning
+
+    p = TilePartitioning(size=(10, 10), extent=[-180, 180, -90, 90], n_levels=1)
+    df = spark.createDataFrame(
+        [(5.0, 5.0, 1.0), (15.0, 5.0, 3.0)], ["lon", "lat", "value"]
+    )
+    idw = idw_to_grid(df, p).collect()
+    assert {r["tile"] for r in idw} and all(r["n_obs"] >= 1 for r in idw)
+    # the cell between both points averages them; weights favor neither
+    mid = [r for r in idw if r["lon_c"] == 5.0 and r["lat_c"] == 15.0]
+    assert mid and 1.0 < mid[0]["value"] < 3.0
+    assert nearest_to_grid(df, p).count() == len(idw)
