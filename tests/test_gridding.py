@@ -262,3 +262,24 @@ def test_resamplers_work_on_tile_partitioning(spark):
     mid = [r for r in idw if r["lon_c"] == 5.0 and r["lat_c"] == 15.0]
     assert mid and 1.0 < mid[0]["value"] < 3.0
     assert nearest_to_grid(df, p).count() == len(idw)
+
+
+def test_edge_cases_empty_inputs(spark):
+    """Empty inputs and out-of-extent polygons degrade to empty results,
+    never errors."""
+    from sat_bucket_spark.filters import filter_by_polygon
+    from sat_bucket_spark.gridding import idw_to_grid, nearest_to_grid
+    from sat_bucket_spark.joins import points_in_polygons_join
+
+    p = LonLatPartitioning(size=(10, 10))
+    empty = spark.createDataFrame([], "lon double, lat double, value double")
+    assert idw_to_grid(empty, p).count() == 0
+    assert nearest_to_grid(empty, p).count() == 0
+    pts = spark.createDataFrame([(1, 0.0, 0.0)], ["id", "lon", "lat"])
+    no_polys = spark.createDataFrame(
+        [], "polygon_id long, xs array<double>, ys array<double>"
+    )
+    assert points_in_polygons_join(pts, no_polys, p).count() == 0
+    off_world = [(500.0, 500.0), (501.0, 500.0), (500.5, 501.0)]
+    assert filter_by_polygon(pts, off_world).count() == 0
+    assert p._cells_by_polygon(off_world)[0].size == 0
