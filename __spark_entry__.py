@@ -1655,6 +1655,35 @@ def q_image_meta(spark, sf_dir):
     return decode_and_featurize_images(docs, strict=True).select("doc_id", "width", "height")
 
 
+def q_image_resize(spark, sf_dir):
+    """Multimodal resize planning: header parse -> fit-mode target dims.
+
+    Same in-plan PNG payloads as q_image_meta; the resize stage parses the
+    real IHDR bytes and applies the never-upscale aspect-preserving
+    geometry. The oracle recomputes both the md5 dimension derivation AND
+    the round-half-up scale math."""
+    from sat_bucket_spark.operators.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.lit(64) + F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long") % 192
+    h = F.lit(64) + F.conv(F.substring(F.md5("text"), 3, 2), 16, 10).cast("long") % 192
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    payload = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),
+        F.unhex(F.lit("0000000D")),
+        F.unhex(F.lit("49484452")),
+        be32(w),
+        be32(h),
+        F.unhex(F.lit("0806000000")),
+        F.unhex(F.lit("00000000")),
+    )
+    out = resize_images(docs.withColumn("payload", payload), target=128, mode="fit")
+    return out.select("doc_id", "width", "height", "out_width", "out_height")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB side)
 # ---------------------------------------------------------------------------
@@ -2410,6 +2439,22 @@ SELECT doc_id,
   64 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 192 AS width,
   64 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 192 AS height
 FROM documents
+""",
+    # resize: same dims derivation + fit-mode round-half-up scale, never
+    # upscaling (target 128; dims span 64..255 so both branches exercise)
+    "image_resize": """
+WITH dims AS (
+  SELECT doc_id,
+    64 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 192 AS w,
+    64 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 192 AS h
+  FROM documents
+)
+SELECT doc_id, w AS width, h AS height,
+  CASE WHEN greatest(w, h) <= 128 THEN w
+       ELSE greatest(1, CAST(floor(w * (128.0 / greatest(w, h)) + 0.5) AS BIGINT)) END AS out_width,
+  CASE WHEN greatest(w, h) <= 128 THEN h
+       ELSE greatest(1, CAST(floor(h * (128.0 / greatest(w, h)) + 0.5) AS BIGINT)) END AS out_height
+FROM dims
 """,
 }
 
@@ -3391,6 +3436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats": q_approx_stats,
         "overpass_global": q_overpass_global,
         "image_meta": q_image_meta,
+        "image_resize": q_image_resize,
     }
 
 

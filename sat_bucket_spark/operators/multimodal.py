@@ -41,6 +41,9 @@ __all__ = [
     "parse_png_header",
     "parse_tiff_header",
     "parse_wav",
+    "plan_resize",
+    "resize_images",
+    "RESIZE_SCHEMA",
     "sample_video_frames",
     "video_metadata",
 ]
@@ -616,3 +619,102 @@ def sample_video_frames(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(_sample, schema=VIDEO_FRAME_SCHEMA)
+
+
+def plan_resize(
+    width: int, height: int, target: int, mode: str = "fit"
+) -> tuple[int, int]:
+    """Target dimensions for a resize — REAL math, no pixels needed.
+
+    ``fit``: longest side becomes ``target``, aspect preserved (the
+    standard vision-model preprocessing); ``cover``: shortest side becomes
+    ``target`` (crop-ready). Never upscales. Rounding is round-half-up on
+    the scaled side, minimum 1 px.
+    """
+    if mode not in ("fit", "cover"):
+        raise ValueError(f"invalid resize mode {mode!r}")
+    if width <= 0 or height <= 0:
+        raise ValueError("dimensions must be positive")
+    anchor = max(width, height) if mode == "fit" else min(width, height)
+    if anchor <= target:
+        return width, height
+    scale = target / anchor
+    return (
+        max(1, int(width * scale + 0.5)),
+        max(1, int(height * scale + 0.5)),
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target: int,
+    mode: str = "fit",
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Resize stage: parsed source dims -> planned target dims -> payload.
+
+    The Spark-side plumbing is real (Arrow-batched ``mapInPandas``,
+    declared schema, payload-sized batches) and so is the geometry:
+    source dimensions come from the actual container headers
+    (:func:`parse_image_header` — PNG/JPEG/GIF/WebP/BMP/TIFF) and target
+    dimensions from :func:`plan_resize`. The pixel resample itself is the
+    documented codec plug-in point: without PIL/libvips the output
+    payload is the input payload passed through (``strict=True`` raises
+    ``NotImplementedError`` instead), so downstream schema/size
+    accounting is exercised end-to-end while the stub stays honest.
+
+    Scale note: runs AFTER metadata-only filtering for the same reason as
+    :func:`decode_and_featurize_images` — payloads dominate partition
+    size; never ship bytes a filter would drop.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "out_width": [], "out_height": [], "payload": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else None
+                hdr = parse_image_header(payload)
+                if hdr is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "payload is not a parseable "
+                            "PNG/JPEG/GIF/WebP/BMP/TIFF; pixel-level decode "
+                            "needs a codec library (PIL/libvips), unavailable "
+                            "here"
+                        )
+                    continue  # unparseable payloads are dropped, like filters
+                w, h, _c = hdr
+                ow, oh = plan_resize(w, h, target, mode=mode)
+                if strict and (ow, oh) != (w, h):
+                    raise NotImplementedError(
+                        "pixel resampling requires a codec library "
+                        "(PIL/libvips), unavailable here — this is the "
+                        "plug-in point"
+                    )
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_resize, RESIZE_SCHEMA)

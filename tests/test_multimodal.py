@@ -445,3 +445,51 @@ class TestTiffHeader:
 
         assert parse_image_header(TestBmpHeader._bmp(33, 44)) == (33, 44, 3)
         assert parse_image_header(self._tiff(55, 66, 3)) == (55, 66, 3)
+
+
+class TestResize:
+    def test_plan_resize_math(self):
+        from sat_bucket_spark.operators.multimodal import plan_resize
+
+        assert plan_resize(1000, 500, 224, mode="fit") == (224, 112)
+        assert plan_resize(500, 1000, 224, mode="fit") == (112, 224)
+        assert plan_resize(1000, 500, 224, mode="cover") == (448, 224)
+        assert plan_resize(100, 50, 224) == (100, 50)  # never upscale
+        assert plan_resize(10000, 3, 224) == (224, 1)  # min 1 px
+        import pytest as _p
+
+        with _p.raises(ValueError):
+            plan_resize(100, 100, 224, mode="stretch")
+        with _p.raises(ValueError):
+            plan_resize(0, 100, 224)
+
+    def test_resize_stage_plumbing(self, spark):
+        """Header parse -> planned dims -> declared schema, end to end;
+        unparseable payloads drop like a filter would."""
+        from sat_bucket_spark.operators.multimodal import resize_images
+
+        bmp = TestBmpHeader._bmp(640, 480)
+        gif = (b"GIF89a" + (320).to_bytes(2, "little")
+               + (100).to_bytes(2, "little") + bytes(3))
+        rows = [
+            (1, bytearray(bmp)),
+            (2, bytearray(gif)),
+            (3, bytearray(b"not an image")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r["doc_id"]: r for r in resize_images(df, target=224).collect()}
+        assert set(got) == {1, 2}  # doc 3 unparseable -> dropped
+        assert (got[1]["width"], got[1]["height"]) == (640, 480)
+        assert (got[1]["out_width"], got[1]["out_height"]) == (224, 168)
+        assert (got[2]["out_width"], got[2]["out_height"]) == (224, 70)
+        assert bytes(got[1]["payload"]) == bytes(bmp)  # stub: pass-through
+
+    def test_strict_raises_at_plugin_point(self, spark):
+        import pytest as _p
+
+        from sat_bucket_spark.operators.multimodal import resize_images
+
+        bmp = TestBmpHeader._bmp(640, 480)
+        df = spark.createDataFrame([(1, bytearray(bmp))], "doc_id long, payload binary")
+        with _p.raises(Exception, match="NotImplementedError|codec"):
+            resize_images(df, target=224, strict=True).collect()
