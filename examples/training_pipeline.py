@@ -122,6 +122,42 @@ def main(sf_dir: str) -> None:
         f" | NB-scored {nb.count()} | CDC chunks {n_cdc}"
     )
 
+    # Round-4 stages: multi-benchmark leak check in one scan, Bloom-routed
+    # incremental dedup against a standing corpus, token-budget mixture.
+    from sat_bucket_spark.operators.dedup import (
+        decontamination_report_multi,
+        dedup_exact_against_bloom,
+    )
+    from sat_bucket_spark.operators.sampling import mix_sources
+
+    evs = {
+        "benchA": docs.where(F.col("doc_id") % 10 == 0),
+        "benchB": docs.where(F.col("doc_id") % 10 == 1),
+    }
+    leaks = decontamination_report_multi(
+        docs.where(F.col("doc_id") % 10 > 1), evs, threshold=0.3
+    )
+    n_leaked = leaks.where("is_contaminated").count()
+    standing = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    fresh = dedup_exact_against_bloom(incoming, standing, ["text"])
+    tokened = add_token_count(docs)
+    mixture = mix_sources(
+        tokened,
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        id_col="doc_id",
+        mass_col="n_tokens",
+    )
+    mix_mass = {
+        r["source"]: r["sum(n_tokens)"]
+        for r in mixture.groupBy("source").sum("n_tokens").collect()
+    }
+    print(
+        f"leaked doc-benchmark pairs: {n_leaked}"
+        f" | bloom-routed fresh batch rows: {fresh.count()}"
+        f" | token-mixture mass: {mix_mass}"
+    )
+
     print(f"documents: {n0} -> quality {n1} -> exact-dedup {n2} -> near-dedup {n3}")
     print(f"splits: {split_counts}")
     print(f"train chunks: {packed.count()} packed into {n_bins} bins")
