@@ -883,6 +883,41 @@ def q_audio_meta(spark, sf_dir):
     )
 
 
+def q_audio_segments(spark, sf_dir):
+    """Multimodal audio segmentation over REAL in-plan WAV payloads.
+
+    A valid RIFF/WAVE (PCM16 mono, 100 Hz, md5-derived sample count) is
+    built with concat/unhex expressions; segment_audio slices it into
+    standalone WAVs at 0.16 s windows. The oracle replays the window
+    arithmetic (counts, starts, trailing partial) from the same md5."""
+    from sat_bucket_spark.operators.multimodal import segment_audio
+
+    docs = _t(spark, sf_dir, "documents")
+    n = (F.lit(8) + F.conv(F.substring(F.md5("text"), 5, 2), 16, 10).cast("long") % 64)
+
+    def le32(c):
+        h = F.lpad(F.hex(c.cast("long")), 8, "0")
+        return F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        )
+
+    fmt_hex = F.lit("0100" "0100" "64000000" "C8000000" "0200" "1000")
+    data_hex = F.repeat(F.lit("0100"), n.cast("int"))
+    body_hex = F.concat(
+        F.hex(F.lit("WAVE")), F.hex(F.lit("fmt ")), le32(F.lit(16)), fmt_hex,
+        F.hex(F.lit("data")), le32(n * 2), data_hex,
+    )
+    payload = F.unhex(
+        F.concat(F.hex(F.lit("RIFF")), le32(n * 2 + 36), body_hex)
+    )
+    out = segment_audio(docs.withColumn("payload", payload), seconds=0.16)
+    return out.select(
+        "doc_id", "segment_id", F.round("start_second", 6).alias("start_second"),
+        "n_samples", "sample_rate",
+    )
+
+
 def q_lsh_near_dup(spark, sf_dir):
     """Similarity scale path: LSH-bucketed near-dup pairs + exact verify.
 
@@ -2133,6 +2168,22 @@ SELECT doc_id,
   CAST(1000 + CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) * 100 AS BIGINT) AS n_samples,
   round(CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT) / 255.0, 4) AS rms4
 FROM documents
+""",
+    # WAV segmentation: replay the window arithmetic from the same md5 sample
+    # count (rate 100, 0.16 s windows -> 16 samples/segment, trailing partial)
+    "audio_segments": """
+WITH src AS (
+  SELECT doc_id, 8 + CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) % 64 AS n
+  FROM documents
+), segs AS (
+  SELECT doc_id, n, unnest(generate_series(0, CAST(ceil(n / 16.0) AS BIGINT) - 1)) AS k
+  FROM src
+)
+SELECT doc_id, k AS segment_id,
+  round(k * 16 / 100.0, 6) AS start_second,
+  least(CAST(16 AS BIGINT), n - k * 16) AS n_samples,
+  CAST(100 AS BIGINT) AS sample_rate
+FROM segs
 """,
     "bpe_token_count": r"""
 SELECT doc_id,
@@ -3437,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overpass_global": q_overpass_global,
         "image_meta": q_image_meta,
         "image_resize": q_image_resize,
+        "audio_segments": q_audio_segments,
     }
 
 

@@ -45,6 +45,9 @@ __all__ = [
     "resize_images",
     "RESIZE_SCHEMA",
     "sample_video_frames",
+    "segment_audio",
+    "segment_wav_payload",
+    "SEGMENT_SCHEMA",
     "video_metadata",
 ]
 
@@ -718,3 +721,123 @@ def resize_images(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+def _wav_fmt_and_data(payload: bytes) -> tuple[bytes, tuple[int, int], bytes] | None:
+    """(fmt chunk body, (sample_rate, block_align), data bytes) or None."""
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt_body = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_body = body
+        elif cid == b"data" and fmt_body is not None:
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt_body is None or data is None:
+        return None
+    rate = int.from_bytes(fmt_body[4:8], "little")
+    block = int.from_bytes(fmt_body[12:14], "little")
+    if rate == 0 or block == 0:
+        return None
+    return fmt_body, (rate, block), data
+
+
+def segment_wav_payload(
+    payload: bytes, seconds: float
+) -> list[tuple[float, int, bytes]]:
+    """Split one WAV payload into standalone WAV segments — REAL processing.
+
+    PCM segmentation needs no codec: slice the data chunk at block-aligned
+    boundaries and rebuild a minimal RIFF header (the ORIGINAL fmt chunk
+    body is carried verbatim, so encoding metadata survives). Returns
+    ``(start_second, n_samples, wav_bytes)`` per segment; the trailing
+    partial segment is kept. Empty list for non-WAV payloads.
+    """
+    parsed = _wav_fmt_and_data(payload) if payload is not None else None
+    if parsed is None:
+        return []
+    fmt_body, (rate, block), data = parsed
+    seg_bytes = max(block, int(seconds * rate) * block)
+    out = []
+    n_total = len(data) // block * block
+    for off in range(0, n_total, seg_bytes):
+        chunk = data[off : off + seg_bytes]
+        body = (
+            b"WAVE"
+            + b"fmt "
+            + len(fmt_body).to_bytes(4, "little")
+            + fmt_body
+            + (b"\x00" if len(fmt_body) % 2 else b"")
+            + b"data"
+            + len(chunk).to_bytes(4, "little")
+            + chunk
+        )
+        wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+        out.append((off // block / rate, len(chunk) // block, wav))
+    return out
+
+
+SEGMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("segment_id", LongType()),
+        StructField("start_second", DoubleType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def segment_audio(
+    df: DataFrame,
+    seconds: float,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """1→N audio segmentation: each WAV payload becomes per-window rows.
+
+    Unlike the image pixel paths, this stage is fully REAL — RIFF/PCM
+    segmentation is byte arithmetic (:func:`segment_wav_payload`), and
+    every output payload is itself a valid WAV that re-parses with
+    :func:`parse_wav`. Non-WAV payloads drop (``strict=True`` raises: a
+    compressed container would need ffmpeg — that plug-in point again).
+    Arrow-batched ``mapInPandas`` fan-out, same shape as
+    :func:`sample_video_frames`.
+    """
+
+    def _segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "segment_id": [], "start_second": [],
+                "n_samples": [], "sample_rate": [], "payload": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else None
+                segs = segment_wav_payload(payload, seconds)
+                if not segs and strict:
+                    raise NotImplementedError(
+                        "payload is not RIFF/WAVE; compressed audio needs "
+                        "ffmpeg, unavailable here"
+                    )
+                rate = None
+                if segs:
+                    parsed = _wav_fmt_and_data(payload)
+                    rate = parsed[1][0]
+                for k, (start_s, n, wav) in enumerate(segs):
+                    out["doc_id"].append(doc_id)
+                    out["segment_id"].append(k)
+                    out["start_second"].append(start_s)
+                    out["n_samples"].append(n)
+                    out["sample_rate"].append(rate)
+                    out["payload"].append(wav)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_segment, SEGMENT_SCHEMA)

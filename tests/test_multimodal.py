@@ -493,3 +493,48 @@ class TestResize:
         df = spark.createDataFrame([(1, bytearray(bmp))], "doc_id long, payload binary")
         with _p.raises(Exception, match="NotImplementedError|codec"):
             resize_images(df, target=224, strict=True).collect()
+
+
+class TestWavSegmentation:
+    def test_segments_are_valid_wavs_and_reassemble(self, spark):
+        """REAL processing: each segment re-parses as a standalone WAV and
+        the concatenated segment samples equal the original data."""
+        import struct
+
+        from sat_bucket_spark.operators.multimodal import (
+            parse_wav,
+            segment_audio,
+            segment_wav_payload,
+        )
+
+        rate = 100
+        samples = list(range(-125, 125))  # 250 samples = 2.5 s at 100 Hz
+        wav = _wav(rate, samples)
+        segs = segment_wav_payload(wav, seconds=1.0)
+        assert [s[1] for s in segs] == [100, 100, 50]  # trailing partial kept
+        assert [s[0] for s in segs] == [0.0, 1.0, 2.0]
+        rebuilt = []
+        for _start, n, payload in segs:
+            parsed = parse_wav(payload)
+            assert parsed is not None and parsed[0] == rate and parsed[1] == n
+            data = payload[payload.rindex(b"data") + 8 :]
+            rebuilt += [v[0] for v in struct.iter_unpack("<h", data)]
+        assert rebuilt == samples
+
+        df = spark.createDataFrame(
+            [(1, bytearray(wav)), (2, bytearray(b"not audio"))],
+            "doc_id long, payload binary",
+        )
+        rows = segment_audio(df, seconds=1.0).collect()
+        assert {r["doc_id"] for r in rows} == {1}  # non-WAV drops
+        assert sorted(r["segment_id"] for r in rows) == [0, 1, 2]
+        assert all(r["sample_rate"] == rate for r in rows)
+
+    def test_strict_raises_on_non_wav(self, spark):
+        import pytest as _p
+
+        from sat_bucket_spark.operators.multimodal import segment_audio
+
+        df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+        with _p.raises(Exception, match="NotImplementedError|ffmpeg"):
+            segment_audio(df, seconds=1.0, strict=True).collect()
