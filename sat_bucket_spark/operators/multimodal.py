@@ -36,7 +36,9 @@ __all__ = [
     "decode_audio_features",
     "parse_bmp_header",
     "parse_mp4",
+    "parse_mp4_frame_times",
     "parse_image_header",
+    "select_frames_at_rate",
     "parse_jpeg_header",
     "parse_png_header",
     "parse_tiff_header",
@@ -841,3 +843,125 @@ def segment_audio(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_segment, SEGMENT_SCHEMA)
+
+
+def _mp4_boxes(buf: bytes, pos: int, end: int):
+    """Iterate ISO-BMFF boxes: (type, body_start, box_end)."""
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def parse_mp4_frame_times(payload: bytes | None) -> list[float] | None:
+    """Per-frame presentation times (seconds) from an MP4 ``stts`` box.
+
+    REAL container math, no codec: walk ``moov/trak/mdia``, read the media
+    timescale from ``mdhd`` (v0 u32 at +12, v1 u32 at +20) and the
+    time-to-sample table from ``minf/stbl/stts`` ((count, delta) run-length
+    pairs), and emit the cumulative start time of every sample. The first
+    track carrying both boxes wins (single-video files; callers needing
+    track selection can extend). None when the payload is not an MP4 or
+    has no parseable sample table — frame *timing* is metadata; only the
+    pixel decode needs ffmpeg.
+    """
+    if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+    n = len(payload)
+    for btype, body, bend in _mp4_boxes(payload, 0, n):
+        if btype != b"moov":
+            continue
+        for ttype, tbody, tend in _mp4_boxes(payload, body, bend):
+            if ttype != b"trak":
+                continue
+            timescale = None
+            deltas: list[tuple[int, int]] | None = None
+            for mtype, mbody, mend in _mp4_boxes(payload, tbody, tend):
+                if mtype != b"mdia":
+                    continue
+                for ctype, cbody, cend in _mp4_boxes(payload, mbody, mend):
+                    if ctype == b"mdhd" and cbody + 1 <= cend:
+                        v = payload[cbody]
+                        off = cbody + (20 if v == 1 else 12)
+                        if off + 4 <= cend:
+                            timescale = int.from_bytes(
+                                payload[off : off + 4], "big"
+                            )
+                    elif ctype == b"minf":
+                        for stype, sbody, send in _mp4_boxes(payload, cbody, cend):
+                            if stype != b"stbl":
+                                continue
+                            for xtype, xbody, xend in _mp4_boxes(
+                                payload, sbody, send
+                            ):
+                                if xtype != b"stts" or xbody + 8 > xend:
+                                    continue
+                                n_entries = int.from_bytes(
+                                    payload[xbody + 4 : xbody + 8], "big"
+                                )
+                                pairs = []
+                                p = xbody + 8
+                                for _ in range(n_entries):
+                                    if p + 8 > xend:
+                                        pairs = None
+                                        break
+                                    pairs.append(
+                                        (
+                                            int.from_bytes(payload[p : p + 4], "big"),
+                                            int.from_bytes(
+                                                payload[p + 4 : p + 8], "big"
+                                            ),
+                                        )
+                                    )
+                                    p += 8
+                                deltas = pairs
+            if timescale and deltas:
+                times = []
+                t = 0
+                for count, delta in deltas:
+                    for _ in range(count):
+                        times.append(t / timescale)
+                        t += delta
+                return times
+    return None
+
+
+def select_frames_at_rate(times: list[float], fps: float) -> list[int]:
+    """Frame indices sampling ``times`` at ``fps`` — the extraction plan.
+
+    For each target tick ``k / fps`` pick the last frame at-or-before it
+    (presentation order; no frame chosen twice). With real ``stts`` timing
+    this yields the exact frames an ffmpeg ``fps=`` filter would decode —
+    the plan is real even while the pixel extraction is the stub.
+    """
+    import bisect
+
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    if not times:
+        return []
+    out: list[int] = []
+    last = None
+    k = 0
+    t_end = times[-1]
+    while True:
+        tick = k / fps
+        if k > 0 and tick > t_end:
+            break
+        i = bisect.bisect_right(times, tick) - 1
+        if i >= 0 and i != last:
+            out.append(i)
+            last = i
+        k += 1
+    return out

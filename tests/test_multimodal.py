@@ -538,3 +538,56 @@ class TestWavSegmentation:
         df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
         with _p.raises(Exception, match="NotImplementedError|ffmpeg"):
             segment_audio(df, seconds=1.0, strict=True).collect()
+
+
+class TestMp4FrameTimes:
+    @staticmethod
+    def _mp4_with_stts(timescale: int, runs: "list[tuple[int, int]]") -> bytes:
+        import struct
+
+        stts = _box(
+            b"stts",
+            struct.pack(">II", 0, len(runs))
+            + b"".join(struct.pack(">II", c, d) for c, d in runs),
+        )
+        stbl = _box(b"stbl", stts)
+        minf = _box(b"minf", stbl)
+        mdhd = _box(
+            b"mdhd",
+            bytes([0, 0, 0, 0]) + struct.pack(">III", 0, 0, timescale)
+            + struct.pack(">I", 0),
+        )
+        mdia = _box(b"mdia", mdhd + minf)
+        trak = _box(b"trak", mdia)
+        moov = _box(b"moov", trak)
+        return _box(b"ftyp", b"isom\x00\x00\x02\x00") + moov
+
+    def test_stts_cumulative_times(self):
+        from sat_bucket_spark.operators.multimodal import parse_mp4_frame_times
+
+        # 3 frames at delta 100, then 2 at delta 200, timescale 600
+        times = parse_mp4_frame_times(self._mp4_with_stts(600, [(3, 100), (2, 200)]))
+        assert times == [0.0, 100 / 600, 200 / 600, 300 / 600, 500 / 600]
+
+    def test_rejects_non_mp4_or_missing_stts(self):
+        from sat_bucket_spark.operators.multimodal import parse_mp4_frame_times
+
+        assert parse_mp4_frame_times(None) is None
+        assert parse_mp4_frame_times(b"nope") is None
+        assert parse_mp4_frame_times(_mp4(1000, 5000)) is None  # mvhd only
+
+    def test_select_frames_at_rate(self):
+        from sat_bucket_spark.operators.multimodal import select_frames_at_rate
+
+        # 30 fps source (delta 1/30), sample at 10 fps -> every 3rd frame
+        times = [i / 30 for i in range(30)]
+        picks = select_frames_at_rate(times, fps=10)
+        assert picks == [0, 3, 6, 9, 12, 15, 18, 21, 24, 27]
+        # variable frame rate: last frame at-or-before each tick, no repeats
+        vfr = [0.0, 0.5, 0.52, 2.0]
+        assert select_frames_at_rate(vfr, fps=1) == [0, 2, 3]
+        assert select_frames_at_rate([], fps=1) == []
+        import pytest as _p
+
+        with _p.raises(ValueError):
+            select_frames_at_rate(times, fps=0)
