@@ -866,20 +866,43 @@ def q_dedup_against_near(spark, sf_dir):
 
 
 def q_audio_meta(spark, sf_dir):
-    """Multimodal audio stub: payload-derived (sample_rate, n_samples, rms).
+    """Multimodal audio: REAL RIFF/PCM16 parse over in-plan WAV payloads.
 
-    Codec stubbed (no soundfile/ffmpeg); the Arrow plumbing and the
-    deterministic md5-derived outputs are what the oracle checks.
+    The payload is a valid WAV built with concat/unhex expressions —
+    md5-derived sample count AND amplitude — so decode_audio_features
+    takes its real parse path (chunk walk + int16 RMS, no codec needed).
+    Constant-amplitude samples make the exact RMS = v/32768, which the
+    oracle recomputes from the same md5 derivation: a chunk-offset or
+    endianness bug hash-mismatches.
     """
     from sat_bucket_spark.operators.multimodal import decode_audio_features
 
-    docs = _t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "utf-8"))
-    out = decode_audio_features(docs)
+    docs = _t(spark, sf_dir, "documents")
+    n = (F.lit(8) + F.conv(F.substring(F.md5("text"), 5, 2), 16, 10).cast("long") % 64)
+    v = (F.lit(1) + F.conv(F.substring(F.md5("text"), 7, 2), 16, 10).cast("long") % 255)
+
+    def le32(c):
+        h = F.lpad(F.hex(c.cast("long")), 8, "0")
+        return F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        )
+
+    fmt_hex = F.lit("0100" "0100" "64000000" "C8000000" "0200" "1000")
+    sample_hex = F.concat(F.lpad(F.hex(v), 2, "0"), F.lit("00"))  # LE16 of v<256
+    payload = F.unhex(
+        F.concat(
+            F.hex(F.lit("RIFF")), le32(n * 2 + 36),
+            F.hex(F.lit("WAVE")), F.hex(F.lit("fmt ")), le32(F.lit(16)), fmt_hex,
+            F.hex(F.lit("data")), le32(n * 2), F.repeat(sample_hex, n.cast("int")),
+        )
+    )
+    out = decode_audio_features(docs.withColumn("payload", payload), strict=True)
     return out.select(
         "doc_id",
         "sample_rate",
         "n_samples",
-        F.round(F.col("rms_energy").cast("double"), 4).alias("rms4"),
+        F.round(F.col("rms_energy").cast("double"), 6).alias("rms6"),
     )
 
 
@@ -2162,11 +2185,14 @@ SELECT doc_id, key FROM (
   ) t
 ) u WHERE rn = 1
 """,
+    # real-parse path: the WAV is built in-plan (rate 100, n samples of
+    # constant amplitude v), so RMS is exactly v/32768 — recomputed here
+    # from the same md5 derivation as fixture truth
     "audio_meta": """
 SELECT doc_id,
-  CAST(16000 AS BIGINT) AS sample_rate,
-  CAST(1000 + CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) * 100 AS BIGINT) AS n_samples,
-  round(CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT) / 255.0, 4) AS rms4
+  CAST(100 AS BIGINT) AS sample_rate,
+  8 + CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) % 64 AS n_samples,
+  round((1 + CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT) % 255) / 32768.0, 6) AS rms6
 FROM documents
 """,
     # WAV segmentation: replay the window arithmetic from the same md5 sample
