@@ -1579,20 +1579,40 @@ def q_approx_stats(spark, sf_dir):
 
 
 def q_video_meta(spark, sf_dir):
-    """Multimodal video metadata: real MP4 parse with deterministic fallback.
+    """Multimodal video metadata: REAL ISO-BMFF parse over in-plan MP4s.
 
-    Text payloads are not MP4s, so every row takes the md5-derived fake path —
-    the oracle checks the Arrow plumbing + deterministic fallback math, the
-    REAL ISO-BMFF parse is covered by tests/test_multimodal.py::TestMp4.
+    A valid ftyp + moov(mvhd v0 + n traks) is built with concat/unhex
+    expressions — duration and track count md5-derived — so
+    video_metadata takes its real box-walk path (strict). The oracle
+    recomputes duration/timescale and the track count from the same md5;
+    a box-offset or endianness bug hash-mismatches.
     """
     from sat_bucket_spark.operators.multimodal import video_metadata
 
-    docs = _t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "utf-8"))
-    out = video_metadata(docs)
+    docs = _t(spark, sf_dir, "documents")
+    dur = F.conv(F.substring(F.md5("text"), 9, 3), 16, 10).cast("long")  # ticks
+    nt = (F.lit(1) + F.conv(F.substring(F.md5("text"), 11, 2), 16, 10).cast("long") % 3)
+
+    def be32(c):
+        return F.lpad(F.hex(c.cast("long")), 8, "0")
+
+    ftyp_hex = F.concat(F.lit("00000010"), F.hex(F.lit("ftyp")), F.hex(F.lit("isom")), F.lit("00000200"))
+    mvhd_hex = F.concat(
+        F.lit("0000001C"), F.hex(F.lit("mvhd")),
+        F.lit("00000000" "00000000" "00000000"),  # ver/flags, ctime, mtime
+        be32(F.lit(600)), be32(dur),
+    )
+    trak_hex = F.concat(F.lit("00000010"), F.hex(F.lit("trak")), F.lit("00" * 8))
+    moov_hex = F.concat(
+        be32(F.lit(8 + 28) + nt * 16), F.hex(F.lit("moov")),
+        mvhd_hex, F.repeat(trak_hex, nt.cast("int")),
+    )
+    payload = F.unhex(F.concat(ftyp_hex, moov_hex))
+    out = video_metadata(docs.withColumn("payload", payload), strict=True)
     return out.select(
         "doc_id",
         "major_brand",
-        F.round(F.col("duration_s"), 4).alias("duration_s"),
+        F.round(F.col("duration_s"), 6).alias("duration_s"),
         "n_tracks",
     )
 
@@ -2437,9 +2457,10 @@ p AS (
 )
 SELECT doc_id, n_chars, "group", bin FROM p
 """,
+    # real-parse path: in-plan ftyp+moov(mvhd+traks), timescale 600
     "video_meta": """
-SELECT doc_id, 'fake' AS major_brand,
-  round(CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT) / 10.0, 4) AS duration_s,
+SELECT doc_id, 'isom' AS major_brand,
+  round(CAST(('0x' || substr(md5(text), 9, 3)) AS BIGINT) / 600.0, 6) AS duration_s,
   CAST(1 + CAST(('0x' || substr(md5(text), 11, 2)) AS BIGINT) % 3 AS BIGINT) AS n_tracks
 FROM documents
 """,
