@@ -1243,6 +1243,21 @@ def q_decontaminate_multi(spark, sf_dir):
     return decontamination_report_multi(train, evs, ngram_size=3, threshold=0.3)
 
 
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM quality scoring (perplexity-style) vs a reference slice.
+
+    Every 5th document is the clean reference corpus; the rest are scored
+    by average smoothed bigram log-probability. The oracle re-trains AND
+    re-scores the model in SQL — vocabulary cut, UNK mapping, add-k
+    smoothing, V — so every modeling step is hash-verified."""
+    from sat_bucket_spark.operators.lm import score_with_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 5 == 0)
+    rest = docs.where(F.col("doc_id") % 5 != 0)
+    return score_with_bigram_lm(rest, ref, vocab_size=200, add_k=0.5)
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals per document."""
     from sat_bucket_spark.operators.text import repetition_signals
@@ -3328,6 +3343,54 @@ SELECT dense.doc_id, dense.eval_set, dense.n_ngrams,
 FROM dense LEFT JOIN hits h ON h.doc_id = dense.doc_id AND h.eval_set = dense.eval_set
 """
 
+# Bigram LM: re-train and re-score in SQL (vocab cut, UNK map, smoothing)
+_ORACLES["lm_score"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({_tokens_sql()}, t -> lower(t)) AS ws FROM documents
+), ref AS (SELECT ws FROM toks WHERE doc_id % 5 = 0),
+raw AS (SELECT unnest(ws) AS tok FROM ref),
+vocab AS (SELECT tok FROM (
+  SELECT tok, COUNT(*) AS c FROM raw GROUP BY tok ORDER BY c DESC, tok ASC LIMIT 200) t),
+uni AS (
+  SELECT COALESCE(v.tok, '<unk>') AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM raw u LEFT JOIN vocab v ON v.tok = u.tok GROUP BY 1
+),
+vsz AS (SELECT COUNT(*) AS v FROM uni),
+bpr AS (
+  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+         i -> [ws[i], ws[i + 1]])) AS p FROM ref
+),
+big AS (
+  SELECT COALESCE(va.tok, '<unk>') AS w1, COALESCE(vb.tok, '<unk>') AS w2,
+    CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bpr LEFT JOIN vocab va ON va.tok = p[1] LEFT JOIN vocab vb ON vb.tok = p[2]
+  GROUP BY 1, 2
+),
+tp AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+         i -> [ws[i], ws[i + 1]])) AS p
+  FROM toks WHERE doc_id % 5 != 0
+),
+tpm AS (
+  SELECT doc_id, COALESCE(va.tok, '<unk>') AS w1, COALESCE(vb.tok, '<unk>') AS w2
+  FROM tp LEFT JOIN vocab va ON va.tok = p[1] LEFT JOIN vocab vb ON vb.tok = p[2]
+),
+sc AS (
+  SELECT t.doc_id,
+    ln((COALESCE(b.c12, 0) + 0.5) / (COALESCE(u.c1, 0) + 0.5 * (SELECT v FROM vsz))) AS lp
+  FROM tpm t
+  LEFT JOIN big b ON b.w1 = t.w1 AND b.w2 = t.w2
+  LEFT JOIN uni u ON u.w1 = t.w1
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, round(AVG(lp), 6) AS avg_logp
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 != 0) d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
 # Bloom decontamination: replay the EXACT filter — same portable hash family,
 # same bit positions — so false positives hash-match too. Membership "all k
 # bits set" is expressed against the distinct eval position SET (the bitmap is
@@ -3524,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_dups": q_resolve_dups,
         "mix_sources": q_mix_sources,
         "mix_sources_tokens": q_mix_sources_tokens,
+        "lm_score": q_lm_score,
         "shard_assign": q_shard_assign,
         "inverted_index": q_inverted_index,
         "pii_scan": q_pii_scan,
