@@ -79,6 +79,7 @@ HEADLINE = [
     "decontaminate_bloom", # bounded-bitmap broadcast probe (added r4)
     "dedup_against_bloom", # bloom-routed incremental dedup (added r4)
     "mix_sources_tokens",  # token-mass mixture (added r4)
+    "lm_score",            # bigram-LM perplexity-style scoring (added r4)
 ]
 
 
