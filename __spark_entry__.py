@@ -3413,18 +3413,20 @@ WITH toks AS (
          i -> array_to_string(toks[i:i+2], ' '))) AS ngs
   FROM toks
 ), trh AS (
-  SELECT doc_id, {_H31_NG} AS h
+  SELECT doc_id, ng, {_H31_NG} AS h
   FROM (SELECT doc_id, unnest(ngs) AS ng FROM ngt WHERE doc_id % 20 != 0)
 ), evpos AS (
   SELECT DISTINCT unnest({_BLOOM_POS_LIST}) AS pos
   FROM (SELECT DISTINCT {_H31_NG} AS h
         FROM (SELECT unnest(ngs) AS ng FROM ngt WHERE doc_id % 20 = 0))
 ), trp AS (
-  SELECT doc_id, h, unnest({_BLOOM_POS_LIST}) AS pos FROM trh
+  SELECT doc_id, ng, unnest({_BLOOM_POS_LIST}) AS pos FROM trh
 ), per AS (
-  SELECT doc_id, h, CAST(COUNT(evpos.pos) = 5 AS INT) AS contam
+  -- verdict per n-gram STRING: distinct n-grams colliding in h31 stay
+  -- separate rows (mirrors the Spark path's row-local k-join probe)
+  SELECT doc_id, ng, CAST(COUNT(evpos.pos) = 5 AS INT) AS contam
   FROM trp LEFT JOIN evpos USING (pos)
-  GROUP BY doc_id, h
+  GROUP BY doc_id, ng
 )
 SELECT doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_ngrams,

@@ -265,6 +265,7 @@ def points_in_polygons_join(
     polygon_id_col: str = "polygon_id",
     xs_col: str = "xs",
     ys_col: str = "ys",
+    max_vertices: int = 512,
 ) -> DataFrame:
     """Tag each point with every polygon containing it (spatial semi-join).
 
@@ -287,23 +288,44 @@ def points_in_polygons_join(
     Output: the point columns plus ``polygon_id`` (one row per containing
     polygon; points in no polygon are dropped — left-join on the result to
     keep them).
+
+    The ray cast unrolls to one guarded edge test per vertex of the LARGEST
+    polygon (see :func:`point_in_polygon_array_expr` for why a HOF fold is
+    not usable), so plan analysis/compile time grows with the longest vertex
+    ring. ``max_vertices`` caps that: any polygon exceeding it raises a
+    ``ValueError`` naming the offending ids — pre-simplify those rings
+    (Douglas-Peucker etc.) or raise the cap deliberately. Oversized polygons
+    are never silently dropped.
     """
     rows = polygons.select(polygon_id_col, xs_col, ys_col).collect()
     cand = []
-    max_vertices = 3
+    unroll = 3
+    oversized = []
     for r in rows:
         xs_v = [float(v) for v in r[xs_col]]
         ys_v = [float(v) for v in r[ys_col]]
-        max_vertices = max(max_vertices, len(xs_v))
+        if len(xs_v) > max_vertices:
+            oversized.append((r[polygon_id_col], len(xs_v)))
+            continue
+        unroll = max(unroll, len(xs_v))
         xi, yi = partitioning._cells_by_polygon(list(zip(xs_v, ys_v)))
         for i, j in zip(xi.tolist(), yi.tolist()):
             cand.append((i, j, r[polygon_id_col], xs_v, ys_v))
+    if oversized:
+        shown = ", ".join(f"{pid}({n} vertices)" for pid, n in oversized[:10])
+        raise ValueError(
+            f"{len(oversized)} polygon(s) exceed max_vertices={max_vertices}: "
+            f"{shown}{'...' if len(oversized) > 10 else ''}. The ray cast "
+            "unrolls one edge test per vertex, so oversized rings explode "
+            "plan compile time. Pre-simplify the rings or raise max_vertices."
+        )
     spark = points.sparkSession
+    id_type = polygons.schema[polygon_id_col].dataType.simpleString()
     cand_df = spark.createDataFrame(
         cand,
         schema=(
             "__cxi int, __cyi int, "
-            f"{polygon_id_col} long, __xs array<double>, __ys array<double>"
+            f"{polygon_id_col} {id_type}, __xs array<double>, __ys array<double>"
         ),
     )
     staged = points.withColumn("__pxi", partitioning.x_index_expr(x).cast("int")) \
@@ -316,6 +338,6 @@ def points_in_polygons_join(
     # so the bound is known — no silent NULL-drop path)
     inside = point_in_polygon_array_expr(
         F.col(x), F.col(y), F.col("__xs"), F.col("__ys"),
-        max_vertices=max_vertices,
+        max_vertices=unroll,
     )
     return joined.where(inside).drop("__pxi", "__pyi", "__cxi", "__cyi", "__xs", "__ys")

@@ -23,7 +23,9 @@ from __future__ import annotations
 
 import functools
 import operator
+import warnings
 
+import yaml
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,8 +49,17 @@ def _bucket_partition_cols(spark: SparkSession, bucket_dir: str) -> list[str]:
     try:
         p = get_bucket_spatial_partitioning(bucket_dir)
         cols = [c for c in list(p.order) if c in df.columns]
-    except Exception:
-        pass
+    except FileNotFoundError:
+        pass  # not a managed bucket (no bucket_info.yaml) — directory-column grouping only
+    except (KeyError, TypeError, ValueError, yaml.YAMLError) as exc:
+        # bucket_info.yaml exists but is corrupt/unparseable: surface it once
+        # rather than silently degrading the stats grouping.
+        warnings.warn(
+            f"bucket_info.yaml in {bucket_dir} could not be parsed "
+            f"({type(exc).__name__}: {exc}); grouping file stats by "
+            "time_part only",
+            stacklevel=3,
+        )
     if "time_part" in df.columns and "time_part" not in cols:
         cols.append("time_part")
     return cols

@@ -417,13 +417,20 @@ def dedup_exact_against_bloom(
     """
     params = minhash_params(n_hashes, seed=seed)
 
-    def _fp(df: DataFrame) -> Column:
-        return h31_expr(
-            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
-        )
+    def _fp() -> Column:
+        # NULLs are encoded distinctly (concat_ws would silently DROP null
+        # parts, folding ('a', NULL) and (NULL, 'a') onto one fingerprint and
+        # inflating the flagged set past the Bloom's sized FP rate).
+        parts = [
+            F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+                F.concat(F.lit("\x01"), F.col(c).cast("string"))
+            )
+            for c in key_cols
+        ]
+        return h31_expr(F.concat_ws("\x1f", *parts))
 
     bloom = (
-        corpus.select(_fp(corpus).alias("__fp"))
+        corpus.select(_fp().alias("__fp"))
         .select(
             F.explode(
                 F.array(
@@ -444,7 +451,7 @@ def dedup_exact_against_bloom(
         .agg(F.bit_or("__mask").alias("__bits"))
     )
 
-    probed = batch.withColumn("__fp", _fp(batch))
+    probed = batch.withColumn("__fp", _fp())
     flagged = F.lit(True)
     drop_cols = ["__fp"]
     for i, (a, b) in enumerate(params):
@@ -863,10 +870,12 @@ def decontamination_report_bloom(
 
     - the bitmap build (:func:`build_ngram_bloom`) is bounded at
       ``n_bits / 64`` rows however large the eval/reference corpus is;
-    - the probe is a **broadcast** join on the bitmap word index — the
-      training corpus never shuffles its text, only (id, ngram-hash, k
-      probe rows) flow, and the per-n-gram verdict re-aggregates on
-      (id, hash) with map-side partial combine;
+    - the probe is ``n_hashes`` sequential **broadcast** joins on the
+      bitmap word index, so the per-n-gram verdict is ROW-LOCAL (no
+      per-(id, hash) regroup shuffle, and no merging of distinct n-grams
+      that collide in the 31-bit hash — counts are n-gram-string exact,
+      matching :func:`add_bloom_contamination` row for row); the only
+      shuffle is the final per-document aggregation of (id, two ints);
     - contrast with the exact path, which must broadcast every distinct
       eval n-gram STRING.
 
@@ -882,38 +891,44 @@ def decontamination_report_bloom(
         n_hashes=n_hashes,
         seed=seed,
     )
+    params = minhash_params(n_hashes, seed=seed)
     tr = _ensure_parallelism(train).select(
         F.col(id_col),
         F.explode(shingles_expr(text_col, k=ngram_size, unit="word")).alias("__ng"),
     )
-    # Keep the n-gram as its 31-bit hash from here on: the k probe rows and
-    # the per-n-gram regroup never carry strings.
-    probes = tr.select(
-        id_col,
-        h31_expr("__ng").alias("__h"),
-        F.explode(bloom_positions_expr("__ng", n_bits, n_hashes, seed)).alias(
-            "__pos"
-        ),
-    ).select(
-        id_col,
-        "__h",
-        F.shiftright("__pos", 6).alias("__word"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias(
-            "__mask"
-        ),
-    )
-    hits = probes.join(F.broadcast(bloom), "__word", "left").withColumn(
-        "__hit",
-        F.coalesce(
-            (F.col("__bits").bitwiseAND(F.col("__mask")) == F.col("__mask")),
-            F.lit(False),
-        ).cast("int"),
-    )
-    per_ngram = hits.groupBy(id_col, "__h").agg(
-        (F.sum("__hit") == F.lit(n_hashes)).cast("int").alias("__contam")
-    )
+    # Keep the n-gram as its 31-bit hash from here on — but the hit verdict
+    # stays per-ROW (one row per distinct n-gram string of the doc), so two
+    # strings colliding in h31 still count separately.
+    probed = tr.select(id_col, h31_expr("__ng").alias("__h"))
+    contam = F.lit(True)
+    drop_cols = ["__h"]
+    for i, (a, b) in enumerate(params):
+        p, w, m, bits = f"__p{i}", f"__w{i}", f"__m{i}", f"__b{i}"
+        probed = (
+            probed.withColumn(p, perm_hash_expr(F.col("__h"), a, b) % F.lit(n_bits))
+            .withColumn(w, F.shiftright(F.col(p), 6))
+            .withColumn(
+                m,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))"),
+            )
+            .join(
+                F.broadcast(
+                    bloom.select(
+                        F.col("__word").alias(w), F.col("__bits").alias(bits)
+                    )
+                ),
+                w,
+                "left",
+            )
+        )
+        contam = contam & F.coalesce(
+            F.col(bits).bitwiseAND(F.col(m)) == F.col(m), F.lit(False)
+        )
+        drop_cols += [p, w, m, bits]
     return (
-        per_ngram.groupBy(id_col)
+        probed.withColumn("__contam", contam.cast("int"))
+        .drop(*drop_cols)
+        .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_ngrams"),
             F.sum("__contam").alias("n_contaminated"),

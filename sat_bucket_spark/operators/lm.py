@@ -7,9 +7,10 @@ the same signal — fluent reference-like text scores high average log-prob,
 boilerplate/gibberish scores low — and every step is Column expressions
 replayable by the DuckDB oracle.
 
-Scale shape: training is two aggregations over the (comparatively small)
-reference corpus; the model is two keyed tables — unigram and bigram counts,
-both reference-bounded — that BROADCAST to the scoring side. Scoring a
+Scale shape: training is three aggregations over the (comparatively small)
+reference corpus — vocabulary cut, unigram counts, bigram counts, each run
+exactly once and materialized driver-side; the model is two keyed tables,
+both reference-bounded, that BROADCAST to the scoring side. Scoring a
 100 TB corpus is then: tokenize + pair adjacent tokens ROW-LOCALLY
 (``arrays_zip`` of the token array against its own tail — no ids, no
 window, no shuffle), explode, three broadcast joins (vocab map + the two
@@ -68,27 +69,39 @@ def train_bigram_lm(
     (UNK included exactly when the reference itself overflows the
     vocabulary — the oracle recomputes the same V).
     Counts are over the mapped streams, so unigram and bigram mass are
-    consistent. Two aggregations over the reference corpus; both outputs
-    are reference-bounded and broadcastable.
+    consistent.
+
+    The returned tables are MATERIALIZED to the driver (local relations):
+    they are reference-bounded — at most ``vocab_size + 1`` unigrams and
+    ``(V+1)^2`` bigrams — and the scoring side broadcast-joins them, which
+    collects them to the driver regardless. Materializing here means each
+    aggregation (vocab, unigram counts, bigram counts) runs EXACTLY ONCE,
+    ``V`` falls out of the unigram collect for free, and every later join
+    against the model replays a LocalRelation instead of re-running the
+    reference aggregation.
     """
+    spark = corpus.sparkSession
     low = _low_tokens(text_col)
     raw = corpus.select(F.explode(low).alias("tok"))
-    vocab = (
+    vocab_rows = (
         raw.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), F.col("tok").asc())
         .limit(vocab_size)
         .select("tok")
+        .collect()
     )
+    vocab = spark.createDataFrame(vocab_rows, schema="tok string")
     uni = _map_unk(raw.select(F.col("tok").alias("w1")), "w1", vocab)
-    unigrams = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni_rows = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).collect()
+    unigrams = spark.createDataFrame(uni_rows, schema="w1 string, c1 bigint")
     pairs = corpus.select(
         F.explode(bigram_pairs_expr(low)).alias("__p")
     ).select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
     pairs = _map_unk(_map_unk(pairs, "w1", vocab), "w2", vocab)
-    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    v = unigrams.count()
-    return unigrams, bigrams, v
+    big_rows = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).collect()
+    bigrams = spark.createDataFrame(big_rows, schema="w1 string, w2 string, c12 bigint")
+    return unigrams, bigrams, len(uni_rows)
 
 
 def score_with_bigram_lm(

@@ -13,9 +13,19 @@ stream keeps appending.
 Scale notes:
 
 - The file sink's exactly-once guarantee comes from the checkpointed
-  write-ahead log of committed files; crash-and-restart never duplicates
-  rows. This replaces the reference's idempotency-by-filename scheme
-  (routines.py:100-104) in the continuous case.
+  write-ahead log of committed files (``_spark_metadata``); crash-and-restart
+  never duplicates rows. This replaces the reference's
+  idempotency-by-filename scheme (routines.py:100-104) in the continuous
+  case. **The guarantee only covers readers that honor that log** — plain
+  root-path ``spark.read.parquet(bucket_dir)`` / ``readers.read`` without
+  file filters. Two operations bypass it and MUST NOT run against a live
+  streamed bucket: (a) file-filtered reads (``file_extension`` /
+  ``glob_pattern`` / ``regex_pattern``), which list data files directly and
+  would surface uncommitted orphans left by a crashed micro-batch as
+  duplicate rows; (b) in-place compaction (``maintenance.compact_bucket``),
+  which rewrites files behind the log's back, desyncing it so compacted
+  files become invisible to root reads. Stop the stream (or compact only
+  closed buckets no stream writes to) first.
 - Each micro-batch writes at most one file per spatial partition per
   trigger (more only past ``maxRecordsPerFile``); compaction stays the
   batch `merge_granule_buckets` job, run periodically over closed time

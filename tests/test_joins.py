@@ -346,3 +346,36 @@ class TestPointsInPolygonsJoin:
             point_in_polygon_array_expr(F.col("lon"), F.col("lat"), xs, ys, max_vertices=3).alias("r")
         ).collect()[0]["r"]
         assert ok is True and over is None
+
+    def test_join_raises_on_oversized_polygon(self, spark):
+        """An oversized ring must raise naming the polygon, never return 0 rows."""
+        import pytest
+
+        from sat_bucket_spark.joins import points_in_polygons_join
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        points = spark.createDataFrame([(1, 5.0, 5.0)], ["id", "lon", "lat"])
+        n = 9  # max_vertices + 1 below
+        import math
+        xs = [5.0 + 4.0 * math.cos(2 * math.pi * i / n) for i in range(n)]
+        ys = [5.0 + 4.0 * math.sin(2 * math.pi * i / n) for i in range(n)]
+        polygons = spark.createDataFrame([(7, xs, ys)], ["polygon_id", "xs", "ys"])
+        p = LonLatPartitioning(size=(10, 10))
+        with pytest.raises(ValueError, match=r"exceed max_vertices=8.*7\(9 vertices\)"):
+            points_in_polygons_join(points, polygons, p, max_vertices=8)
+        # and at the default cap the same polygon is fine
+        got = points_in_polygons_join(points, polygons, p).collect()
+        assert {(r["id"], r["polygon_id"]) for r in got} == {(1, 7)}
+
+    def test_join_accepts_string_polygon_ids(self, spark):
+        """Candidate-table id dtype follows polygons.schema (not hardcoded long)."""
+        from sat_bucket_spark.joins import points_in_polygons_join
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        points = spark.createDataFrame([(1, 5.0, 5.0), (2, 50.0, 50.0)], ["id", "lon", "lat"])
+        polygons = spark.createDataFrame(
+            [("IT", [0.0, 10.0, 10.0, 0.0], [0.0, 0.0, 10.0, 10.0])],
+            ["polygon_id", "xs", "ys"],
+        )
+        got = points_in_polygons_join(points, polygons, LonLatPartitioning(size=(10, 10))).collect()
+        assert {(r["id"], r["polygon_id"]) for r in got} == {(1, "IT")}

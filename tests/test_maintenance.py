@@ -55,6 +55,26 @@ class TestBucketFileStats:
         scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
         assert scan and "ReadSchema: struct<>" in scan[0]
 
+    def test_corrupt_bucket_info_warns_and_falls_back(self, spark, fragmented_bucket):
+        """A corrupt bucket_info.yaml surfaces a warning, not a silent degrade."""
+        b, ev = fragmented_bucket
+        info_path = os.path.join(b, "bucket_info.yaml")
+        with open(info_path, "w") as f:
+            f.write("spatial_partitioning: [not, a, mapping]\n")
+        with pytest.warns(UserWarning, match="could not be parsed"):
+            stats = bucket_file_stats(spark, b).collect()
+        # fallback grouping (time_part only) still yields correct totals
+        fs_files = glob.glob(f"{b}/**/*.parquet", recursive=True)
+        assert sum(r["n_files"] for r in stats) == len(fs_files)
+        assert sum(r["n_rows"] for r in stats) == ev.count()
+
+    def test_missing_bucket_info_is_silent(self, spark, fragmented_bucket, recwarn):
+        """No bucket_info.yaml at all is a legitimate plain-parquet dir — no warning."""
+        b, _ = fragmented_bucket
+        os.remove(os.path.join(b, "bucket_info.yaml"))
+        bucket_file_stats(spark, b).collect()
+        assert not [w for w in recwarn if "could not be parsed" in str(w.message)]
+
 
 class TestCompactBucket:
     def test_compacts_and_preserves_data(self, spark, fragmented_bucket):
