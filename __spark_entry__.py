@@ -18,6 +18,7 @@ decimal casts so accumulation order cannot diverge.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -231,6 +232,20 @@ _POLY_TABLE = [
     (3, [60.0, 150.0, 100.0], [-89.0, -89.0, -65.0]),  # triangle
 ]
 
+# a 120-vertex non-convex wavy ring: forces the edge-aggregate route when
+# max_vertices=64 (the vertex doubles repr-round-trip into the SQL oracle)
+_BIG_RING = [
+    (
+        40.0 * math.cos(2 * math.pi * k / 120) * (1 + 0.25 * math.sin(6 * math.pi * k / 120)),
+        40.0 * math.sin(2 * math.pi * k / 120) * (1 + 0.25 * math.sin(6 * math.pi * k / 120)),
+    )
+    for k in range(120)
+]
+_BIG_POLY_TABLE = [
+    (1, [v[0] for v in _BIG_RING], [v[1] for v in _BIG_RING]),
+    (2, [-60.0, -20.0, -20.0, -60.0], [-86.0, -86.0, -70.0, -70.0]),  # small box
+]
+
 
 def q_points_in_polygons(spark, sf_dir):
     """Spatial semi-join: tag events with every containing polygon.
@@ -244,6 +259,23 @@ def q_points_in_polygons(spark, sf_dir):
     return points_in_polygons_join(ev, polys, GRID10).select(
         "event_id", "polygon_id"
     )
+
+
+def q_points_in_polygons_big(spark, sf_dir):
+    """Spatial semi-join with an oversized ring: the EDGE-AGGREGATE route.
+
+    The 120-vertex wavy ring exceeds max_vertices=64, so it takes the
+    scale path (broadcast edge table, map-side crossing fan-out, ONE hash
+    aggregation per candidate pair — joins._points_in_large_rings); the
+    small box keeps the unrolled path, and the two routes union. The
+    oracle replays the identical ray cast brute-force over both rings."""
+    from sat_bucket_spark.joins import points_in_polygons_join
+
+    ev = _with_coords(_events(spark, sf_dir)).select("event_id", "lon", "lat")
+    polys = spark.createDataFrame(_BIG_POLY_TABLE, ["polygon_id", "xs", "ys"])
+    return points_in_polygons_join(
+        ev, polys, GRID10, max_vertices=64, large_ring_strategy="explode"
+    ).select("event_id", "polygon_id")
 
 
 def q_point_radius(spark, sf_dir):
@@ -1718,34 +1750,76 @@ def q_sessionize_scalable(spark, sf_dir):
 
 
 def q_image_meta(spark, sf_dir):
-    """Multimodal: REAL PNG header parse over synthesized PNG payloads.
+    """Multimodal: REAL PNG pixel decode over complete synthesized PNGs.
 
-    The payload column is a valid PNG signature + IHDR chunk built in-plan
-    (width/height derived from md5(text), big-endian encoded via
-    hex/lpad/unhex); the operator extracts the dimensions by parsing those
-    actual bytes, and the oracle recomputes the same md5 derivation as
-    fixture truth — so a parser bug (endianness, offsets) hash-mismatches.
+    The payload column is a FULL valid PNG built in-plan — signature, IHDR
+    (grayscale 8-bit, W/H derived from md5(text)), and an IDAT whose zlib
+    stream is a stored (uncompressed) deflate block holding H Sub-filtered
+    scanlines: row y is filter byte 1, first pixel S+y, then W-1 bytes of
+    0x01, so the decoded image is the diagonal gradient
+    ``pixel(x, y) = S + x + y`` (S, W, H sized so no byte overflows). The
+    operator inflates the stream with zlib, UNFILTERS the scanlines
+    (multimodal.decode_png_pixels) and emits real pixel statistics; the
+    oracle recomputes the gradient's mean/std/min/max from the same md5
+    derivation with the identical pinned IEEE float formula — so a bug in
+    chunk walking, deflate framing, Sub unfiltering or the stats math
+    hash-mismatches.
     """
     from sat_bucket_spark.operators.multimodal import decode_and_featurize_images
 
     docs = _t(spark, sf_dir, "documents")
-    w = F.lit(64) + F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long") % 192
-    h = F.lit(64) + F.conv(F.substring(F.md5("text"), 3, 2), 16, 10).cast("long") % 192
+    w = (F.lit(4) + F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long") % 32)
+    h = (F.lit(4) + F.conv(F.substring(F.md5("text"), 3, 2), 16, 10).cast("long") % 32)
+    s = F.conv(F.substring(F.md5("text"), 5, 2), 16, 10).cast("long") % 120
 
     def be32(c):
         return F.unhex(F.lpad(F.hex(c), 8, "0"))
 
+    def byte(c):
+        return F.unhex(F.lpad(F.hex(c % 256), 2, "0"))
+
+    # H Sub-filtered scanlines: 0x01 | byte(S+y) | 0x01 * (W-1)
+    scan = F.aggregate(
+        F.sequence(F.lit(0), h - 1),
+        F.unhex(F.lit("")).cast("binary"),
+        lambda acc, y: F.concat(
+            acc, F.unhex(F.lit("01")), byte(s + y), F.unhex(F.repeat(F.lit("01"), (w - 1).cast("int")))
+        ),
+    )
+    raw_len = h * (w + 1)  # <= 35 * 36: fits one stored deflate block
+    nlen = F.lit(65535) - raw_len  # one's complement of LEN for LEN <= 0xFFFF
+
+    def hi(c):
+        return byte(F.floor(c / 256).cast("long"))
+
+    zstream = F.concat(
+        F.unhex(F.lit("7801")),  # zlib header
+        F.unhex(F.lit("01")),  # final stored block
+        byte(raw_len % 256), hi(raw_len),  # LEN (LE16)
+        byte(nlen % 256), hi(nlen),  # NLEN
+        scan,
+        F.unhex(F.lit("00000000")),  # adler32 zeroed (decoder retries raw-deflate)
+    )
     payload = F.concat(
         F.unhex(F.lit("89504E470D0A1A0A")),  # PNG signature
-        F.unhex(F.lit("0000000D")),  # IHDR data length (13)
-        F.unhex(F.lit("49484452")),  # "IHDR"
-        be32(w),
-        be32(h),
-        F.unhex(F.lit("0806000000")),  # bit depth 8, color type 6, comp/filter/interlace
-        F.unhex(F.lit("00000000")),  # CRC (not validated by a header parse)
+        F.unhex(F.lit("0000000D49484452")),  # IHDR length + type
+        be32(w), be32(h),
+        F.unhex(F.lit("0800000000")),  # bit depth 8, color 0 (gray), zeros
+        F.unhex(F.lit("00000000")),  # IHDR CRC (not validated)
+        be32(raw_len + 11), F.unhex(F.lit("49444154")),  # IDAT length + type
+        zstream,
+        F.unhex(F.lit("00000000")),  # IDAT CRC
+        F.unhex(F.lit("0000000049454E4400000000")),  # IEND
     )
     docs = docs.withColumn("payload", payload)
-    return decode_and_featurize_images(docs, strict=True).select("doc_id", "width", "height")
+    out = decode_and_featurize_images(docs, strict=True)
+    return out.select(
+        "doc_id", "width", "height", "channels",
+        F.element_at("feature", 1).alias("px_mean"),
+        F.element_at("feature", 2).alias("px_std"),
+        F.element_at("feature", 3).alias("px_min"),
+        F.element_at("feature", 4).alias("px_max"),
+    )
 
 
 def q_image_resize(spark, sf_dir):
@@ -2547,11 +2621,33 @@ SELECT event_id,
     OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS overpass_id
 FROM (SELECT event_id, ts, LAG(ts) OVER (ORDER BY ts, event_id) AS prev_ts FROM events) t
 """,
+    # real-pixel fixture truth: the in-plan PNG decodes to the diagonal
+    # gradient v(x, y) = S + x + y; recompute its stats with the SAME pinned
+    # IEEE formula (m = s/n; var = q/n - m*m; std = sqrt(var); each /255) so
+    # the unrounded doubles are bit-identical to the decoder's
     "image_meta": """
-SELECT doc_id,
-  64 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 192 AS width,
-  64 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 192 AS height
-FROM documents
+WITH dims AS (
+  SELECT doc_id,
+    4 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 32 AS w,
+    4 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 32 AS h,
+    CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) % 120 AS s0
+  FROM documents
+), rows_ AS (
+  SELECT doc_id, s0, w, unnest(generate_series(0, h - 1)) AS y FROM dims
+), pix AS (
+  SELECT doc_id, s0 + y + unnest(generate_series(0, w - 1)) AS v FROM rows_
+), agg AS (
+  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sv, CAST(SUM(v * v) AS BIGINT) AS qv,
+         CAST(COUNT(*) AS BIGINT) AS n, MIN(v) AS mn, MAX(v) AS mx
+  FROM pix GROUP BY doc_id
+)
+SELECT d.doc_id, d.w AS width, d.h AS height, CAST(1 AS BIGINT) AS channels,
+  (CAST(sv AS DOUBLE) / n) / 255.0 AS px_mean,
+  sqrt(CAST(qv AS DOUBLE) / n
+       - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)) / 255.0 AS px_std,
+  CAST(mn AS DOUBLE) / 255.0 AS px_min,
+  CAST(mx AS DOUBLE) / 255.0 AS px_max
+FROM dims d JOIN agg a ON a.doc_id = d.doc_id
 """,
     # resize: same dims derivation + fit-mode round-half-up scale, never
     # upscaling (target 128; dims span 64..255 so both branches exercise)
@@ -3253,6 +3349,21 @@ FROM coords CROSS JOIN polys
 WHERE {_PIP_CROSS}
 """
 
+# same brute-force replay over the oversized wavy ring + small box: the
+# Spark side routes the ring through the edge-aggregate path, the box
+# through the unrolled path — both must equal the plain ray cast
+_PIP_BIG_VALUES = ", ".join(
+    f"({pid}, {xs!r}, {ys!r})".replace("'", "") for pid, xs, ys in _BIG_POLY_TABLE
+)
+_ORACLES["points_in_polygons_big"] = f"""
+WITH coords AS (
+  SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events
+), polys(polygon_id, xs, ys) AS (VALUES {_PIP_BIG_VALUES})
+SELECT event_id, CAST(polygon_id AS BIGINT) AS polygon_id
+FROM coords CROSS JOIN polys
+WHERE {_PIP_CROSS}
+"""
+
 _ORACLES["idw_grid_daily"] = f"""
 WITH coords AS (
   SELECT event_id, value, CAST(date_trunc('day', ts) AS TIMESTAMP) AS tb,
@@ -3497,8 +3608,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     INTO the window; interval_binned (family held by interval_join),
     first_per_group (held by swath_offsets), and distinct_sort /
     global_minmax (trivial aggregates; count_by_type keeps the family)
-    moved out. Insertion rule: new operator families displace redundant
-    siblings, never whole families.
+    moved out. image_meta (now REAL pixel decode + stats, not just header
+    parse) displaced sessionize (sibling of in-window
+    sessionize_scalable). Insertion rule: new operator families displace
+    redundant siblings, never whole families.
     """
     return {
         # ---- driver-verified window (first 50) ----
@@ -3517,7 +3630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "asof_join": q_asof_join,
         "points_in_polygons": q_points_in_polygons,
-        "sessionize": q_sessionize,
+        "image_meta": q_image_meta,
         "sessionize_scalable": q_sessionize_scalable,
         "session_count": q_session_count,
         "idw_grid": q_idw_grid,
@@ -3555,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- beyond the driver window: parity-suite verified ----
         "bin_index": q_bin_index,
         "polygon_filter": q_polygon_filter,
+        "points_in_polygons_big": q_points_in_polygons_big,
         "interval_binned": q_interval_binned,
         "first_per_group": q_first_per_group,
         "distinct_sort": q_distinct_sort,
@@ -3607,7 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "approx_stats": q_approx_stats,
         "overpass_global": q_overpass_global,
-        "image_meta": q_image_meta,
+        "sessionize": q_sessionize,
         "image_resize": q_image_resize,
         "audio_segments": q_audio_segments,
     }

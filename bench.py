@@ -155,6 +155,45 @@ def main() -> None:
         t0 = time.perf_counter()
         merge_granule_buckets(spark, bucket, merged, temporal_partitioning="month")
         timings["bucket_merge"] = round(time.perf_counter() - t0, 3)
+
+        # Streaming ingest -> compaction round trip: N micro-batches through
+        # the exactly-once file sink, then the batch merge. NOT comparable to
+        # bucket_write (per-micro-batch commit + sink-log overhead is the
+        # price of exactly-once; see BASELINE.md bench notes) — benched so a
+        # regression in the stream-then-compact path is visible.
+        import glob as _glob
+
+        from sat_bucket_spark.streaming.ingest import stream_write_bucket
+
+        src = f"{work}/stream_src"
+        ev.repartition(4).write.parquet(src)
+        n_src = spark.read.parquet(src).count()
+        sbucket = f"{work}/stream_bucket"
+        smerged = f"{work}/stream_merged"
+        t0 = time.perf_counter()
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_write_bucket(
+            stream, sbucket, p, checkpoint_dir=f"{work}/ckpt",
+            x="lon", y="lat", trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+        merge_granule_buckets(spark, sbucket, smerged, temporal_partitioning="month")
+        timings["bucket_stream_ingest"] = round(time.perf_counter() - t0, 3)
+        # integrity gate: streamed + compacted must equal the batch path
+        n_stream = spark.read.parquet(sbucket).count()
+        n_merged = spark.read.option("pathGlobFilter", "*.parquet").parquet(smerged).count()
+        n_batch = spark.read.option("pathGlobFilter", "*.parquet").parquet(bucket).count()
+        if not (n_stream == n_merged == n_batch == n_src):
+            raise AssertionError(
+                f"stream-ingest round trip diverged: src={n_src} stream={n_stream} "
+                f"merged={n_merged} batch={n_batch}"
+            )
+        if not _glob.glob(f"{smerged}/**/*.parquet", recursive=True):
+            raise AssertionError("stream merge produced no files")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

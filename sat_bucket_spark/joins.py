@@ -266,6 +266,7 @@ def points_in_polygons_join(
     xs_col: str = "xs",
     ys_col: str = "ys",
     max_vertices: int = 512,
+    large_ring_strategy: str = "error",
 ) -> DataFrame:
     """Tag each point with every polygon containing it (spatial semi-join).
 
@@ -292,11 +293,26 @@ def points_in_polygons_join(
     The ray cast unrolls to one guarded edge test per vertex of the LARGEST
     polygon (see :func:`point_in_polygon_array_expr` for why a HOF fold is
     not usable), so plan analysis/compile time grows with the longest vertex
-    ring. ``max_vertices`` caps that: any polygon exceeding it raises a
-    ``ValueError`` naming the offending ids — pre-simplify those rings
-    (Douglas-Peucker etc.) or raise the cap deliberately. Oversized polygons
-    are never silently dropped.
+    ring. ``max_vertices`` caps that, and ``large_ring_strategy`` decides
+    what happens past the cap:
+
+    - ``"error"`` (default): raise a ``ValueError`` naming the offending
+      ids — pre-simplify those rings (Douglas-Peucker etc.), raise the cap
+      deliberately, or opt into the explode route. Oversized polygons are
+      never silently dropped.
+    - ``"explode"``: oversized rings take a scale-safe EDGE-AGGREGATE
+      route whose plan size is constant in ring length: the ring's edges
+      become a broadcast table ``(polygon_id, x1, y1, x2, y2)``, each
+      candidate (point, polygon) pair fans out to its polygon's edges
+      MAP-SIDE, and one hash aggregation sums ray crossings per pair
+      (odd = inside). Map-side partial aggregation collapses the edge
+      fan-out before the exchange, so the single shuffle carries only the
+      surviving pair rows — the 100 TB shape for admin boundaries with
+      10^3..10^5 vertices. Small rings keep the cheaper shuffle-free
+      unrolled path; the two routes union.
     """
+    if large_ring_strategy not in ("error", "explode"):
+        raise ValueError("large_ring_strategy must be 'error' or 'explode'")
     rows = polygons.select(polygon_id_col, xs_col, ys_col).collect()
     cand = []
     unroll = 3
@@ -305,39 +321,120 @@ def points_in_polygons_join(
         xs_v = [float(v) for v in r[xs_col]]
         ys_v = [float(v) for v in r[ys_col]]
         if len(xs_v) > max_vertices:
-            oversized.append((r[polygon_id_col], len(xs_v)))
+            oversized.append((r, xs_v, ys_v))
             continue
         unroll = max(unroll, len(xs_v))
         xi, yi = partitioning._cells_by_polygon(list(zip(xs_v, ys_v)))
         for i, j in zip(xi.tolist(), yi.tolist()):
             cand.append((i, j, r[polygon_id_col], xs_v, ys_v))
-    if oversized:
-        shown = ", ".join(f"{pid}({n} vertices)" for pid, n in oversized[:10])
+    if oversized and large_ring_strategy == "error":
+        shown = ", ".join(
+            f"{r[polygon_id_col]}({len(xs_v)} vertices)" for r, xs_v, _ in oversized[:10]
+        )
         raise ValueError(
             f"{len(oversized)} polygon(s) exceed max_vertices={max_vertices}: "
             f"{shown}{'...' if len(oversized) > 10 else ''}. The ray cast "
             "unrolls one edge test per vertex, so oversized rings explode "
-            "plan compile time. Pre-simplify the rings or raise max_vertices."
+            "plan compile time. Pre-simplify the rings, raise max_vertices, "
+            "or pass large_ring_strategy='explode' for the edge-aggregate "
+            "route."
         )
     spark = points.sparkSession
     id_type = polygons.schema[polygon_id_col].dataType.simpleString()
-    cand_df = spark.createDataFrame(
-        cand,
-        schema=(
-            "__cxi int, __cyi int, "
-            f"{polygon_id_col} {id_type}, __xs array<double>, __ys array<double>"
-        ),
-    )
+    point_cols = list(points.columns)
     staged = points.withColumn("__pxi", partitioning.x_index_expr(x).cast("int")) \
         .withColumn("__pyi", partitioning.y_index_expr(y).cast("int"))
-    joined = staged.join(
-        F.broadcast(cand_df),
+    out = None
+    if cand:
+        cand_df = spark.createDataFrame(
+            cand,
+            schema=(
+                "__cxi int, __cyi int, "
+                f"{polygon_id_col} {id_type}, __xs array<double>, __ys array<double>"
+            ),
+        )
+        joined = staged.join(
+            F.broadcast(cand_df),
+            (F.col("__pxi") == F.col("__cxi")) & (F.col("__pyi") == F.col("__cyi")),
+        )
+        # unroll exactly to the largest polygon seen (they were just
+        # collected, so the bound is known — no silent NULL-drop path)
+        inside = point_in_polygon_array_expr(
+            F.col(x), F.col(y), F.col("__xs"), F.col("__ys"),
+            max_vertices=unroll,
+        )
+        out = joined.where(inside).select(*point_cols, polygon_id_col)
+    if oversized:
+        big = _points_in_large_rings(
+            staged, oversized, partitioning, x, y,
+            polygon_id_col, id_type, point_cols,
+        )
+        out = big if out is None else out.unionByName(big)
+    if out is None:  # no polygons at all
+        out = staged.where(F.lit(False)).select(*point_cols).withColumn(
+            polygon_id_col, F.lit(None).cast(id_type)
+        )
+    return out
+
+
+def _points_in_large_rings(
+    staged: DataFrame,
+    oversized: list,
+    partitioning,
+    x: str,
+    y: str,
+    polygon_id_col: str,
+    id_type: str,
+    point_cols: list[str],
+) -> DataFrame:
+    """Edge-aggregate ray cast for rings too long to unroll.
+
+    Plan shape: broadcast candidate cells -> broadcast edge table ->
+    map-side crossing terms -> ONE hash aggregation keyed by (point row,
+    polygon). ``first()`` carries the point columns through the same
+    aggregation, so the exchange moves each surviving pair exactly once
+    (partial aggregation collapses the per-edge fan-out map-side).
+    """
+    spark = staged.sparkSession
+    cells, edges = [], []
+    for r, xs_v, ys_v in oversized:
+        pid = r[polygon_id_col]
+        xi, yi = partitioning._cells_by_polygon(list(zip(xs_v, ys_v)))
+        for i, j in zip(xi.tolist(), yi.tolist()):
+            cells.append((i, j, pid))
+        n = len(xs_v)
+        for k in range(n):
+            k2 = (k + 1) % n
+            edges.append((pid, xs_v[k], ys_v[k], xs_v[k2], ys_v[k2]))
+    cell_df = spark.createDataFrame(
+        cells, schema=f"__cxi int, __cyi int, {polygon_id_col} {id_type}"
+    )
+    edge_df = spark.createDataFrame(
+        edges,
+        schema=(
+            f"{polygon_id_col} {id_type}, "
+            "__x1 double, __y1 double, __x2 double, __y2 double"
+        ),
+    )
+    keyed = staged.withColumn("__rowid", F.monotonically_increasing_id())
+    pairs = keyed.join(
+        F.broadcast(cell_df),
         (F.col("__pxi") == F.col("__cxi")) & (F.col("__pyi") == F.col("__cyi")),
     )
-    # unroll exactly to the largest polygon seen (they were just collected,
-    # so the bound is known — no silent NULL-drop path)
-    inside = point_in_polygon_array_expr(
-        F.col(x), F.col(y), F.col("__xs"), F.col("__ys"),
-        max_vertices=unroll,
+    fan = pairs.join(F.broadcast(edge_df), polygon_id_col)
+    px, py = F.col(x), F.col(y)
+    straddles = (F.col("__y1") > py) != (F.col("__y2") > py)
+    x_at = (F.col("__x2") - F.col("__x1")) * (py - F.col("__y1")) / (
+        F.col("__y2") - F.col("__y1")
+    ) + F.col("__x1")
+    crossing = F.when(straddles & (px < x_at), 1).otherwise(0)
+    return (
+        fan.withColumn("__c", crossing)
+        .groupBy("__rowid", polygon_id_col)
+        .agg(
+            *[F.first(c).alias(c) for c in point_cols],
+            F.sum("__c").alias("__crossings"),
+        )
+        .where(F.col("__crossings") % 2 == 1)
+        .select(*point_cols, polygon_id_col)
     )
-    return joined.where(inside).drop("__pxi", "__pyi", "__cxi", "__cyi", "__xs", "__ys")

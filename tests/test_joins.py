@@ -367,6 +367,81 @@ class TestPointsInPolygonsJoin:
         got = points_in_polygons_join(points, polygons, p).collect()
         assert {(r["id"], r["polygon_id"]) for r in got} == {(1, 7)}
 
+    def test_explode_strategy_matches_bruteforce_on_large_rings(self, spark):
+        """large_ring_strategy='explode' routes big rings through the
+        edge-aggregate path; result must equal the per-polygon brute force,
+        with small rings still joining through the unrolled path."""
+        import math
+        import random
+
+        from sat_bucket_spark.filters import filter_by_polygon
+        from sat_bucket_spark.joins import points_in_polygons_join
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        rng = random.Random(23)
+        pts = [(i, rng.uniform(-175, 175), rng.uniform(-85, 85)) for i in range(500)]
+        points = spark.createDataFrame(pts, ["id", "lon", "lat"])
+        # a 200-vertex wavy ring (non-convex) + one small box
+        n = 200
+        big = [
+            (
+                40 * math.cos(2 * math.pi * k / n) * (1 + 0.3 * math.sin(8 * math.pi * k / n)),
+                40 * math.sin(2 * math.pi * k / n) * (1 + 0.3 * math.sin(8 * math.pi * k / n)),
+            )
+            for k in range(n)
+        ]
+        small = [(-170.0, -80.0), (-100.0, -80.0), (-100.0, -20.0), (-170.0, -20.0)]
+        polygons = spark.createDataFrame(
+            [
+                (1, [p[0] for p in big], [p[1] for p in big]),
+                (2, [p[0] for p in small], [p[1] for p in small]),
+            ],
+            ["polygon_id", "xs", "ys"],
+        )
+        p = LonLatPartitioning(size=(10, 10))
+        got = {
+            (r["id"], r["polygon_id"])
+            for r in points_in_polygons_join(
+                points, polygons, p, max_vertices=64, large_ring_strategy="explode"
+            ).collect()
+        }
+        want = set()
+        for pid, poly in [(1, big), (2, small)]:
+            for r in filter_by_polygon(points, poly).collect():
+                want.add((r["id"], pid))
+        assert got == want and want
+        # and the same polygons via the pure unrolled path agree too
+        unrolled = {
+            (r["id"], r["polygon_id"])
+            for r in points_in_polygons_join(
+                points, polygons, p, max_vertices=256
+            ).collect()
+        }
+        assert unrolled == want
+
+    def test_explode_path_single_shuffle(self, spark):
+        """The large-ring route must broadcast both dim tables and pay ONE
+        exchange (the crossing aggregation)."""
+        import math
+
+        from sat_bucket_spark.joins import points_in_polygons_join
+        from sat_bucket_spark.partitioning import LonLatPartitioning
+
+        points = spark.createDataFrame([(1, 0.0, 0.0)], ["id", "lon", "lat"])
+        n = 100
+        ring = [(30 * math.cos(2 * math.pi * k / n), 30 * math.sin(2 * math.pi * k / n)) for k in range(n)]
+        polygons = spark.createDataFrame(
+            [(1, [p[0] for p in ring], [p[1] for p in ring])], ["polygon_id", "xs", "ys"]
+        )
+        out = points_in_polygons_join(
+            points, polygons, LonLatPartitioning(size=(10, 10)),
+            max_vertices=8, large_ring_strategy="explode",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+        assert {(r["id"], r["polygon_id"]) for r in out.collect()} == {(1, 1)}
+
     def test_join_accepts_string_polygon_ids(self, spark):
         """Candidate-table id dtype follows polygons.schema (not hardcoded long)."""
         from sat_bucket_spark.joins import points_in_polygons_join

