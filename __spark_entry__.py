@@ -3567,6 +3567,238 @@ GROUP BY lon_bin, lat_bin
 
 
 # ---------------------------------------------------------------------------
+# round-5 operators: large-large kNN join, PassJoin edit-distance dedup,
+# one-pass profiling, robust MAD outliers, key-skew report
+# ---------------------------------------------------------------------------
+
+
+def q_knn_join(spark, sf_dir):
+    """Large-large approximate kNN join: every embedding's top-3 neighbors.
+
+    Unlike ivf_topk (broadcast query side), BOTH sides here are the full
+    corpus — cluster-partitioned with the fixed seeded codebook, matched by
+    a shuffled equi-join on the cell id, self-matches excluded. The all-pairs
+    kNN-graph shape (SemDeDup audits, similarity graphs) at corpus x corpus
+    scale.
+    """
+    from sat_bucket_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    left = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_join(
+        left, emb, dim=64, k=3, n_probe=2,
+        centroids=_IVF_CENTROIDS, exclude_self=True,
+    )
+
+
+def _knn_join_sql(k: int = 3) -> str:
+    """Oracle mirror of q_knn_join: same literal-codebook assignment and
+    probe pairs as _ivf_topk_sql, query side = the whole corpus, self
+    matches excluded."""
+    scores = ", ".join(
+        f"({float((c ** 2).sum())!r} - 2.0 * list_inner_product(emb, {_centroid_arr_sql(c)}))"
+        for c in _IVF_CENTROIDS
+    )
+    probes = ", ".join(f"({q}, {c})" for q, c in _IVF_PROBES)
+    cos = (
+        "round(list_inner_product(v.emb, q.qemb) / "
+        "(sqrt(list_inner_product(v.emb, v.emb)) * sqrt(list_inner_product(q.qemb, q.qemb))), 6)"
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cl AS (
+  SELECT vec_id, emb, CAST(list_position(scores, list_min(scores)) - 1 AS INT) AS cluster
+  FROM (SELECT vec_id, emb, [{scores}] AS scores FROM emb) s
+),
+probes(qcluster, cluster) AS (VALUES {probes}),
+q AS (
+  SELECT c.vec_id AS query_id, c.emb AS qemb, p.cluster
+  FROM cl c JOIN probes p ON p.qcluster = c.cluster
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT q.query_id, v.vec_id, {cos} AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {cos} DESC, v.vec_id ASC) AS rank
+  FROM cl v JOIN q ON v.cluster = q.cluster AND v.vec_id <> q.query_id
+) t WHERE rank <= {k}
+"""
+
+
+_ORACLES["knn_join"] = _knn_join_sql()
+
+
+def q_edit_dedup(spark, sf_dir):
+    """Typo-level near-dup pairs: PassJoin partition signatures + exact
+    Levenshtein verify (edit distance <= 2 over the first 256 normalized
+    chars). Catches the byte-level mangled duplicates MinHash token overlap
+    misses."""
+    from sat_bucket_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return edit_distance_pairs(docs, max_distance=2, max_len=256)
+
+
+def _ed_len(L: str, i: str) -> str:
+    """Even-partition chunk length: L div 3 + (i < L mod 3)."""
+    return f"({L}//3 + CASE WHEN {i} < {L}%3 THEN 1 ELSE 0 END)"
+
+
+def _ed_start0(L: str, i: str) -> str:
+    """Even-partition 0-based chunk start: i*(L div 3) + min(i, L mod 3)."""
+    return f"({i}*({L}//3) + least({i}, {L}%3))"
+
+
+_ORACLES["edit_dedup"] = f"""
+WITH base AS (
+  SELECT doc_id AS id, substr(lower(trim(text)), 1, 256) AS key FROM documents
+),
+bl AS (SELECT id, key, length(key) AS len FROM base WHERE length(key) > 0),
+idxs AS (SELECT unnest(range(0, 3)) AS i),
+shifts AS (SELECT unnest(range(-2, 3)) AS s),
+ind AS (
+  SELECT id AS id_a, len AS la, i AS idx,
+    substr(key, CAST({_ed_start0("len", "i")} + 1 AS INT),
+           CAST({_ed_len("len", "i")} AS INT)) AS part
+  FROM bl, idxs
+),
+plen AS (
+  SELECT id, key, len AS lb, unnest(range(greatest(len - 2, 1), len + 1)) AS la
+  FROM bl
+),
+probe AS (
+  SELECT p.id AS id_b, p.lb, p.la, i.i AS idx,
+    substr(p.key, CAST({_ed_start0("p.la", "i.i")} + s.s + 1 AS INT),
+           CAST({_ed_len("p.la", "i.i")} AS INT)) AS part
+  FROM plen p, idxs i, shifts s
+  WHERE {_ed_start0("p.la", "i.i")} + s.s + 1 >= 1
+),
+cand AS (
+  SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
+  FROM ind JOIN probe USING (la, idx, part)
+  WHERE NOT (la = lb AND id_a >= id_b)
+)
+SELECT c.id_a, c.id_b, CAST(levenshtein(ka.key, kb.key) AS BIGINT) AS dist
+FROM cand c
+JOIN bl ka ON ka.id = c.id_a
+JOIN bl kb ON kb.id = c.id_b
+WHERE levenshtein(ka.key, kb.key) <= 2
+"""
+
+
+def q_profile_table(spark, sf_dir):
+    """One-pass exact profiling of the orders table: rows / nulls / distinct
+    counts / extrema / decimal-exact means for four mixed-type columns, a
+    single aggregation over the input."""
+    from sat_bucket_spark.operators.profiling import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+
+
+def _profile_col_sql(col: str, numeric: bool) -> str:
+    if numeric:
+        mins = (
+            f"round(CAST(min({col}) AS DOUBLE), 6) AS min_num, "
+            f"round(CAST(max({col}) AS DOUBLE), 6) AS max_num, "
+            f"round(CAST(sum(CAST({col} AS DECIMAL(30,10))) AS DOUBLE) / count({col}), 6) AS mean_num, "
+            "NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str"
+        )
+    else:
+        mins = (
+            "NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, NULL::DOUBLE AS mean_num, "
+            f"CAST(min({col}) AS VARCHAR) AS min_str, CAST(max({col}) AS VARCHAR) AS max_str"
+        )
+    return f"""
+SELECT '{col}' AS "column", count(*) AS n_rows,
+  count(*) - count({col}) AS n_null,
+  count(DISTINCT {col}) AS n_distinct, {mins}
+FROM orders"""
+
+
+_ORACLES["profile_table"] = " UNION ALL ".join(
+    _profile_col_sql(c, num)
+    for c, num in [
+        ("o_orderkey", True),
+        ("o_custkey", True),
+        ("o_totalprice", True),
+        ("o_orderpriority", False),
+    ]
+)
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier flagging: modified z-score (median/MAD) of event value
+    per event type — the 50%-breakdown filter that survives the single
+    bot/giant-document rows that destroy mean/sigma scoring."""
+    from sat_bucket_spark.operators.robust import mad_outlier_filter
+
+    ev = _events(spark, sf_dir)
+    out = mad_outlier_filter(ev, "value", by="event_type", keep="flag")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        "median_value",
+        "mad_value",
+        "robust_z",
+        "is_outlier",
+    )
+
+
+_ORACLES["mad_outliers"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+j AS (
+  SELECT e.event_id, e.event_type, e.value, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad FROM j GROUP BY 1
+),
+scored AS (
+  SELECT j.event_id, j.event_type, j.value, j.med, d.mad,
+    CASE WHEN d.mad > 0.0 THEN round(0.6745 * (j.value - j.med) / d.mad, 6) END AS z
+  FROM j JOIN mad d USING (event_type)
+)
+SELECT event_id, event_type, round(value, 6) AS value,
+  round(med, 6) AS median_value, round(mad, 6) AS mad_value,
+  z AS robust_z,
+  CASE WHEN z IS NOT NULL THEN abs(z) > 3.5 ELSE value <> round(med, 6) END AS is_outlier
+FROM scored
+"""
+
+
+def q_key_skew(spark, sf_dir):
+    """Pre-join skew diagnosis: the 10 hottest (returnflag, linestatus) key
+    tuples of lineitem with their share of total rows."""
+    from sat_bucket_spark.operators.profiling import key_skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_report(li, ["l_returnflag", "l_linestatus"], top=10)
+
+
+_ORACLES["key_skew"] = """
+WITH counted AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT sum(n) AS t FROM counted)
+SELECT l_returnflag, l_linestatus, n, share, rank FROM (
+  SELECT c.l_returnflag, c.l_linestatus, c.n,
+    round(c.n / t.t, 6) AS share,
+    ROW_NUMBER() OVER (ORDER BY c.n DESC, c.l_returnflag ASC, c.l_linestatus ASC) AS rank
+  FROM counted c, tot t
+) x WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -3612,6 +3844,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     parse) displaced sessionize (sibling of in-window
     sessionize_scalable). Insertion rule: new operator families displace
     redundant siblings, never whole families.
+
+    Round-5 additions: knn_join (large-large kNN, displaces ivf_topk —
+    the IVF coarse-quantizer family stays in-window via knn_join itself
+    AND ivfpq_topk), edit_dedup (PassJoin string-similarity join,
+    displaces minhash — signatures remain in-window inside
+    minhash_lsh_dedup), profile_table (one-pass profiling, displaces
+    time_prefixes — temporal formatting stays via filename_roundtrip),
+    mad_outliers (robust median/MAD filter, displaces lsh_buckets —
+    hyperplane-LSH stays via lsh_near_dup). key_skew joins the parity
+    suite (sibling of in-window-family heavy_hitters shape).
     """
     return {
         # ---- driver-verified window (first 50) ----
@@ -3638,7 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "decontaminate_bloom": q_decontaminate_bloom,
         "count_by_type": q_count_by_type,
-        "time_prefixes": q_time_prefixes,
+        "profile_table": q_profile_table,
         "filename_roundtrip": q_filename_roundtrip,
         "json_extract": q_json_extract,
         "interpolate": q_interpolate,
@@ -3647,12 +3889,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "exact_dup_groups": q_exact_dup_groups,
-        "minhash": q_minhash,
+        "edit_dedup": q_edit_dedup,
         "simhash_near_dup": q_simhash_near_dup,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "embedding_topk": q_embedding_topk,
-        "lsh_buckets": q_lsh_buckets,
-        "ivf_topk": q_ivf_topk,
+        "mad_outliers": q_mad_outliers,
+        "knn_join": q_knn_join,
         "ivfpq_topk": q_ivfpq_topk,
         "lsh_near_dup": q_lsh_near_dup,
         "semantic_dedup": q_semantic_dedup,
@@ -3666,6 +3908,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "lsh_dedup_against": q_lsh_dedup_against,
         # ---- beyond the driver window: parity-suite verified ----
+        "time_prefixes": q_time_prefixes,
+        "minhash": q_minhash,
+        "lsh_buckets": q_lsh_buckets,
+        "ivf_topk": q_ivf_topk,
+        "key_skew": q_key_skew,
         "bin_index": q_bin_index,
         "polygon_filter": q_polygon_filter,
         "points_in_polygons_big": q_points_in_polygons_big,

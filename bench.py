@@ -80,6 +80,11 @@ HEADLINE = [
     "dedup_against_bloom", # bloom-routed incremental dedup (added r4)
     "mix_sources_tokens",  # token-mass mixture (added r4)
     "lm_score",            # bigram-LM perplexity-style scoring (added r4)
+    "knn_join",            # large-large shuffled kNN join, no broadcast side (added r5)
+    "edit_dedup",          # PassJoin signatures + exact Levenshtein verify (added r5)
+    "profile_table",       # one-pass multi-column profiling agg (added r5)
+    "mad_outliers",        # median/MAD robust z-score, one exchange (added r5)
+    "key_skew",            # skew diagnosis: counts + broadcast total + top-N (added r5)
 ]
 
 

@@ -376,6 +376,111 @@ def _nearest_centroid_expr(vec: Column | str, centroids: np.ndarray) -> Column:
     return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
 
 
+def _probe_pairs_df(spark, centroids: np.ndarray, n_probe: int) -> DataFrame:
+    """(query_cell -> probed corpus cell) pairs as a tiny broadcastable table.
+
+    Driver-side: k x k centroid distances, argsort per row — O(k^2) floats for
+    a codebook that is literal-sized by construction.
+    """
+    d2 = ((centroids[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe_order = d2.argsort(axis=1)[:, :n_probe]
+    probes = [
+        (int(c), int(p)) for c in range(len(centroids)) for p in probe_order[c]
+    ]
+    return spark.createDataFrame(probes, ["__qcluster", "__cluster"])
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    left_id_col: str = "query_id",
+    left_vec_col: str = "query_vec",
+    right_id_col: str = "vec_id",
+    right_vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    exclude_self: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Large-large approximate k-NN join: every LEFT row gets its top-k
+    cosine neighbors from RIGHT, with NEITHER side collected or broadcast.
+
+    ``ivf_topk`` broadcasts the query side, which caps it at driver-memory
+    query sets. Here both sides are cluster-partitioned with the same IVF
+    coarse quantizer (a pure Column expression over a literal codebook): the
+    left fans out to its ``n_probe`` nearest cells, the right carries its own
+    cell, and matching is a plain shuffled equi-join on the cell id followed
+    by a per-left-row top-k window. This is the all-pairs curation shape —
+    "k nearest neighbors of every document" (SemDeDup-style audits,
+    kNN-graph construction) — at corpus x corpus scale.
+
+    100 TB design: shuffle volume is |left| * n_probe + |right| rows keyed by
+    cell; join parallelism equals ``n_clusters``, so size the codebook to at
+    least the shuffle partition count at scale (e.g. 4096 cells for a
+    1000-executor job). Hot cells split further under AQE skew-join; the
+    candidate volume per left row is ~(n_probe / n_clusters) * |right|. The
+    top-k window shuffles ids + one float only.
+
+    ``exclude_self`` drops ``left_id == right_id`` matches for self-join kNN
+    (both sides the same corpus), so a row's trivial unit-cosine match does
+    not occupy one of its k slots.
+
+    Reference scope: beyond sat-bucket (nearest-neighbor searches there are
+    single-node numpy, e.g. satbucket/analysis — this is the distributed
+    re-expression).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            right, dim, n_clusters=n_clusters, vec_col=right_vec_col, seed=seed
+        )
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    # Explicit aliases: left and right are often the SAME lineage (self-join
+    # kNN), where DataFrame-qualified column refs go ambiguous.
+    r = (
+        ensure_parallelism(right)
+        .select(
+            F.col(right_id_col).alias("__rid"),
+            F.col(right_vec_col).alias("__rvec"),
+        )
+        .withColumn("__cluster", _nearest_centroid_expr("__rvec", centroids))
+    )
+    probe_df = _probe_pairs_df(right.sparkSession, centroids, n_probe)
+    l = (
+        ensure_parallelism(left)
+        .select(
+            F.col(left_id_col).alias("__lid"),
+            F.col(left_vec_col).alias("__lvec"),
+        )
+        .withColumn("__qcluster", _nearest_centroid_expr("__lvec", centroids))
+        .join(F.broadcast(probe_df), "__qcluster")
+    )
+
+    # Plain equi-join: Catalyst picks shuffled hash / sort-merge (or a
+    # broadcast at toy sizes) — the operator itself never materializes a side.
+    cond = F.col("r.__cluster") == F.col("l.__cluster")
+    if exclude_self:
+        cond = cond & (F.col("r.__rid") != F.col("l.__lid"))
+    joined = r.alias("r").join(l.alias("l"), cond).select(
+        F.col("l.__lid").alias(left_id_col),
+        F.col("r.__rid").alias(right_id_col),
+        F.round(
+            cosine_expr(F.col("r.__rvec"), F.col("l.__lvec"), dim), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(left_id_col).orderBy(
+        F.col("cosine").desc(), F.col(right_id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(left_id_col, right_id_col, "cosine", "rank")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -407,14 +512,7 @@ def ivf_topk(
         "__cluster", _nearest_centroid_expr(vec_col, centroids)
     )
 
-    # Driver-side probe lists per query cluster: tiny (k x k distances)
-    d2 = ((centroids[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-    probe_order = d2.argsort(axis=1)[:, :n_probe]
-    probes = [
-        (int(c), int(p)) for c in range(len(centroids)) for p in probe_order[c]
-    ]
-    spark = vectors.sparkSession
-    probe_df = spark.createDataFrame(probes, ["__qcluster", "__cluster"])
+    probe_df = _probe_pairs_df(vectors.sparkSession, centroids, n_probe)
 
     q = queries.withColumn(
         "__qcluster", _nearest_centroid_expr(query_vec_col, centroids)
