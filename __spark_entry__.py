@@ -3798,6 +3798,49 @@ SELECT l_returnflag, l_linestatus, n, share, rank FROM (
 """
 
 
+def q_rollup_stats(spark, sf_dir):
+    """Continuous-aggregate algebra: the mergeable rollup state of events
+    (per event_type x day), finalized to n/mean/std/min/max.
+
+    The incremental maintenance machinery (manifest diffing, versioned
+    atomic publication — sat_bucket_spark/rollup.py:update_rollup) is
+    filesystem-stateful and covered by tests/test_rollup.py; this entry
+    hash-verifies the aggregate/merge/finalize ALGEBRA those updates
+    compose: decimal-exact sums, E[x^2]-mean^2 variance, null-aware
+    counts.
+    """
+    from sat_bucket_spark.rollup import rollup_aggregate, rollup_finalize
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    state = rollup_aggregate(ev, ["event_type", "day"], ["value"])
+    return rollup_finalize(state, ["event_type", "day"], ["value"])
+
+
+_ORACLES["rollup_stats"] = """
+WITH state AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+    count(*) AS n_rows,
+    count(value) AS n_value,
+    sum(CAST(value AS DECIMAL(30,10))) AS s,
+    sum(CAST(value * value AS DECIMAL(30,10))) AS sq,
+    min(value) AS min_value,
+    max(value) AS max_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n_rows, n_value,
+  round(CASE WHEN n_value > 0 THEN CAST(s AS DOUBLE) / n_value END, 6) AS mean_value,
+  round(CASE WHEN n_value > 0 THEN
+    CASE WHEN CAST(sq AS DOUBLE) / n_value - (CAST(s AS DOUBLE) / n_value) * (CAST(s AS DOUBLE) / n_value) > 0
+         THEN sqrt(CAST(sq AS DOUBLE) / n_value - (CAST(s AS DOUBLE) / n_value) * (CAST(s AS DOUBLE) / n_value))
+         ELSE 0.0 END
+  END, 6) AS std_value,
+  min_value, max_value
+FROM state
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3913,6 +3956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": q_lsh_buckets,
         "ivf_topk": q_ivf_topk,
         "key_skew": q_key_skew,
+        "rollup_stats": q_rollup_stats,
         "bin_index": q_bin_index,
         "polygon_filter": q_polygon_filter,
         "points_in_polygons_big": q_points_in_polygons_big,

@@ -49,6 +49,7 @@ from sat_bucket_spark.routines import (
     write_granules_bucket,
 )
 from sat_bucket_spark.maintenance import bucket_file_stats, compact_bucket
+from sat_bucket_spark.rollup import read_rollup, update_rollup
 from sat_bucket_spark.session import get_spark
 from sat_bucket_spark.sources import read_corpus
 
@@ -80,6 +81,8 @@ __all__ = [
     "read_bucket_dataframe",
     "read_bucket_info",
     "read_corpus",
+    "read_rollup",
+    "update_rollup",
     "split_by_overpass",
     "to_grid_arrays",
     "to_pandas_grid",
