@@ -181,9 +181,13 @@ def main() -> None:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
+        # repartition=8: micro-batches here are small (one source file), so
+        # a handful of label-keyed tasks beats both the single-task write
+        # (sequential directory creation) and a full-width shuffle (per-task
+        # dispatch for near-empty tasks). Measured 27s -> 5s at sf0.1.
         q = stream_write_bucket(
             stream, sbucket, p, checkpoint_dir=f"{work}/ckpt",
-            x="lon", y="lat", trigger={"availableNow": True},
+            x="lon", y="lat", trigger={"availableNow": True}, repartition=8,
         )
         q.awaitTermination()
         merge_granule_buckets(spark, sbucket, smerged, temporal_partitioning="month")

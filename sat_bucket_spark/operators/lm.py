@@ -7,9 +7,10 @@ the same signal — fluent reference-like text scores high average log-prob,
 boilerplate/gibberish scores low — and every step is Column expressions
 replayable by the DuckDB oracle.
 
-Scale shape: training is three aggregations over the (comparatively small)
-reference corpus — vocabulary cut, unigram counts, bigram counts, each run
-exactly once and materialized driver-side; the model is two keyed tables,
+Scale shape: training scans the (comparatively small) reference corpus
+exactly TWICE — once for token counts (from whose persisted aggregate both
+the vocabulary cut and the unigram table derive) and once for bigram
+counts — and materializes the model driver-side; the model is two keyed tables,
 both reference-bounded, that BROADCAST to the scoring side. Scoring a
 100 TB corpus is then: tokenize + pair adjacent tokens ROW-LOCALLY
 (``arrays_zip`` of the token array against its own tail — no ids, no
@@ -83,17 +84,29 @@ def train_bigram_lm(
     spark = corpus.sparkSession
     low = _low_tokens(text_col)
     raw = corpus.select(F.explode(low).alias("tok"))
-    vocab_rows = (
-        raw.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), F.col("tok").asc())
-        .limit(vocab_size)
-        .select("tok")
-        .collect()
-    )
-    vocab = spark.createDataFrame(vocab_rows, schema="tok string")
-    uni = _map_unk(raw.select(F.col("tok").alias("w1")), "w1", vocab)
-    uni_rows = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).collect()
+    # Distinct-token counts, persisted: the vocabulary cut AND the unigram
+    # table both derive from this one aggregate, so the reference corpus is
+    # exploded for unigram purposes exactly once. The cache is
+    # distinct-token-sized (not corpus-sized) and released before return.
+    tok_counts = raw.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    try:
+        vocab_rows = (
+            tok_counts.orderBy(F.col("c").desc(), F.col("tok").asc())
+            .limit(vocab_size)
+            .select("tok")
+            .collect()
+        )
+        vocab = spark.createDataFrame(vocab_rows, schema="tok string")
+        # Unigram counts of the UNK-mapped stream = token counts re-keyed by
+        # the mapped token — a job over the cached counts, no corpus rescan.
+        uni_rows = (
+            _map_unk(tok_counts.select(F.col("tok").alias("w1"), "c"), "w1", vocab)
+            .groupBy("w1")
+            .agg(F.sum("c").alias("c1"))
+            .collect()
+        )
+    finally:
+        tok_counts.unpersist()
     unigrams = spark.createDataFrame(uni_rows, schema="w1 string, c1 bigint")
     pairs = corpus.select(
         F.explode(bigram_pairs_expr(low)).alias("__p")

@@ -51,6 +51,7 @@ def stream_write_bucket(
     y: str = "lat",
     trigger: dict | None = None,
     max_records_per_file: int | None = None,
+    repartition: int | None = None,
     query_name: str = "bucket_ingest",
 ) -> StreamingQuery:
     """Start a streaming append into a spatially partitioned bucket.
@@ -65,6 +66,19 @@ def stream_write_bucket(
     The sink is hive-flavor only: Spark's file sink derives directories
     from ``partitionBy`` columns, which is exactly the hive layout
     (directory flavor would need filename control the sink does not offer).
+
+    ``repartition``: shuffle each micro-batch into this many tasks KEYED BY
+    the label columns before the sink. Without it, every source task writes
+    every spatial partition it sees — a single-task micro-batch creates
+    all ~O(#cells) directories sequentially (measured 5x slower at a
+    130-cell grid), and a many-task one multiplies file count by task
+    count. Keying by label bounds files-per-batch at O(#cells) while
+    spreading directory creation across ``repartition`` tasks. Size it to
+    micro-batch volume, NOT cluster width: small frequent batches want a
+    small number (4-16) so near-empty tasks don't pay dispatch overhead;
+    firehose batches want ~the shuffle-partition count. ``None`` keeps the
+    source partitioning (the right choice when the source is already
+    label-clustered).
     """
     if not df.isStreaming:
         raise ValueError("stream_write_bucket needs a streaming DataFrame; "
@@ -73,6 +87,12 @@ def stream_write_bucket(
         raise ValueError("streaming ingest supports hive flavor only")
     write_bucket_info(bucket_dir, partitioning)
     labeled = partitioning.add_labels(df, x=x, y=y, remove_invalid_rows=True)
+    if repartition is not None:
+        from pyspark.sql import functions as F
+
+        labeled = labeled.repartition(
+            int(repartition), *[F.col(c) for c in partitioning.order]
+        )
     writer = (
         labeled.writeStream.format("parquet")
         .option("path", bucket_dir)

@@ -364,6 +364,48 @@ class TestStreamingBucketIngest:
         bxt = {r["gpm_id"] for r in read(spark, bbucket, extent=[5, 8, 0, 20]).collect()}
         assert ext == bxt
 
+    def test_repartitioned_sink_same_rows_fewer_files(self, spark, orbit_df, tmp_path):
+        """repartition=N keys micro-batch rows by label before the sink:
+        identical content, and each spatial partition's rows land in one
+        task (files-per-partition bounded by batches, not source tasks)."""
+        import glob
+
+        from sat_bucket_spark import LonLatPartitioning, read
+        from sat_bucket_spark.streaming.ingest import stream_write_bucket
+
+        src = str(tmp_path / "src")
+        orbit_df.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        p = LonLatPartitioning(size=(10, 10))
+
+        buckets = {}
+        for name, rep in [("plain", None), ("keyed", 4)]:
+            b = str(tmp_path / f"b_{name}")
+            q = stream_write_bucket(
+                spark.readStream.schema(schema).parquet(src),
+                b,
+                p,
+                checkpoint_dir=str(tmp_path / f"ckpt_{name}"),
+                trigger={"availableNow": True},
+                repartition=rep,
+            )
+            q.awaitTermination(120)
+            buckets[name] = b
+
+        rows = {
+            name: {tuple(r) for r in read(spark, b).select("gpm_id", "lon_bin", "lat_bin").collect()}
+            for name, b in buckets.items()
+        }
+        assert rows["plain"] == rows["keyed"]
+        assert read(spark, buckets["keyed"]).count() == 150
+        n_files = {
+            name: len(glob.glob(f"{b}/**/*.parquet", recursive=True))
+            for name, b in buckets.items()
+        }
+        # 4 source tasks x shared cells without keying; exactly 1 file per
+        # touched cell with it (single availableNow batch)
+        assert n_files["keyed"] <= n_files["plain"]
+
     def test_restart_is_exactly_once(self, spark, orbit_df, tmp_path):
         """Re-running the drained stream over the same checkpoint must not
         duplicate rows (file-sink write-ahead log)."""
