@@ -3841,6 +3841,41 @@ FROM state
 """
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-resistant equi-join: orders x per-priority averages through the
+    salted path (hot key spread over 8 sub-keys, dimension replicated).
+
+    The salt is internal plumbing — the result set is EXACTLY the plain
+    join's, which is what the oracle checks (semantic equivalence of the
+    skew-hardened plan).
+    """
+    from sat_bucket_spark.joins import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = orders.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).cast("double")
+            / F.count("o_totalprice"),
+            6,
+        ).alias("prio_avg")
+    )
+    return salted_join(orders, dim, "o_orderpriority", salt=8).select(
+        "o_orderkey", "o_orderpriority", "prio_avg"
+    )
+
+
+_ORACLES["salted_join"] = """
+WITH dim AS (
+  SELECT o_orderpriority,
+    round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+          / count(o_totalprice), 6) AS prio_avg
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderpriority, d.prio_avg
+FROM orders o JOIN dim d USING (o_orderpriority)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3957,6 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "key_skew": q_key_skew,
         "rollup_stats": q_rollup_stats,
+        "salted_join": q_salted_join,
         "bin_index": q_bin_index,
         "polygon_filter": q_polygon_filter,
         "points_in_polygons_big": q_points_in_polygons_big,

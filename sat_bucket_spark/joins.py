@@ -28,6 +28,7 @@ __all__ = [
     "asof_join",
     "interval_join_binned",
     "point_in_polygon_array_expr",
+    "salted_join",
     "points_in_polygons_join",
 ]
 
@@ -438,3 +439,62 @@ def _points_in_large_rings(
         .where(F.col("__crossings") % 2 == 1)
         .select(*point_cols, polygon_id_col)
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot LEFT key over ``salt``
+    sub-keys, replicating the matching RIGHT rows.
+
+    AQE's skew-join handles most skew by splitting oversized sort-merge
+    partitions, but it cannot help when a single KEY's rows exceed one
+    task's memory budget in a shuffled-hash build, when the join runs
+    inside a cached/reused exchange AQE will not re-plan, or when the
+    engine must guarantee a worst-case task size up front (SLA jobs over
+    100 TB with adversarial key distributions — exactly the "one domain is
+    half the crawl" shape of web corpora). The classic remedy is explicit
+    salting:
+
+    - LEFT rows get a deterministic pseudo-random salt in ``[0, salt)``
+      (xxhash64 of the whole row — no RNG, so retried/recomputed tasks
+      produce identical output and the plan stays deterministic);
+    - RIGHT rows are replicated ``salt`` times via an exploded literal
+      sequence (constant fan-out, map-side);
+    - the join key becomes ``(keys..., salt_bucket)``, so each formerly-hot
+      reducer key splits into ``salt`` independent keys.
+
+    Shuffle cost: |left| + salt * |right| rows. Correct when RIGHT is the
+    dimension side of a skewed fact-dim join that is too big to broadcast
+    but small enough to replicate; for two skewed FACT tables prefer
+    AQE skew-join or pre-bucketing. Row multiplicity is exactly that of
+    the plain join for every ``how`` that keeps left rows (``inner``,
+    ``left``); right/full outer would see replicated unmatched right rows
+    and is rejected.
+
+    Reference scope: beyond sat-bucket (single-node engines don't shuffle);
+    the standard distributed-joins recipe, e.g. Spark AQE docs' manual
+    alternative.
+    """
+    if isinstance(on, str):
+        on = [on]
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got {how!r}"
+        )
+    if salt < 2:
+        raise ValueError(f"salt must be >= 2, got {salt}")
+
+    l_salted = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    r_salted = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))),
+    )
+    out = l_salted.join(r_salted, [*on, "__salt"], how)
+    return out.drop("__salt")

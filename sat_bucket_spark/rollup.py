@@ -72,12 +72,22 @@ def _state_cols(value_cols: list[str]) -> list[str]:
 
 
 def rollup_aggregate(
-    df: DataFrame, group_cols: list[str], value_cols: list[str]
+    df: DataFrame,
+    group_cols: list[str],
+    value_cols: list[str],
+    distinct_cols: list[str] | None = None,
 ) -> DataFrame:
     """Partial rollup state per group: count + (count, sum, sumsq, min, max)
     per value column. All algebraic — states from disjoint row sets merge
     exactly via :func:`rollup_merge`. Sums/sumsqs are decimal: exact, so
     merge order and partitioning cannot perturb them.
+
+    ``distinct_cols`` adds a ``hll_<col>`` HyperLogLog sketch (Apache
+    DataSketches binary, Spark's ``hll_sketch_agg``) per listed column:
+    COUNT DISTINCT becomes incrementally maintainable too — sketches are
+    bounded-size register arrays whose union is a register-wise max, so
+    merging batch states gives exactly the estimate a full recompute
+    would (union is commutative/associative/idempotent; ~2% error).
     """
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in value_cols:
@@ -89,14 +99,20 @@ def rollup_aggregate(
             F.min(v).alias(f"min_{c}"),
             F.max(v).alias(f"max_{c}"),
         ]
+    for c in distinct_cols or []:
+        aggs.append(F.hll_sketch_agg(c).alias(f"hll_{c}"))
     return df.groupBy(*group_cols).agg(*aggs)
 
 
 def rollup_merge(
-    states: list[DataFrame], group_cols: list[str], value_cols: list[str]
+    states: list[DataFrame],
+    group_cols: list[str],
+    value_cols: list[str],
+    distinct_cols: list[str] | None = None,
 ) -> DataFrame:
     """Merge state tables by re-aggregation: sums/counts add, extrema
-    combine. One exchange keyed by the group columns, bounded by #groups."""
+    combine, HLL sketches union. One exchange keyed by the group columns,
+    bounded by #groups."""
     if not states:
         raise ValueError("need at least one state table")
     u = states[0]
@@ -111,6 +127,8 @@ def rollup_merge(
             F.min(f"min_{c}").alias(f"min_{c}"),
             F.max(f"max_{c}").alias(f"max_{c}"),
         ]
+    for c in distinct_cols or []:
+        aggs.append(F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}"))
     return u.groupBy(*group_cols).agg(*aggs)
 
 
@@ -118,9 +136,11 @@ def rollup_finalize(
     state: DataFrame,
     group_cols: list[str],
     value_cols: list[str],
+    distinct_cols: list[str] | None = None,
     round_decimals: int = 6,
 ) -> DataFrame:
-    """State -> presentation stats per group: n, mean, std, min, max.
+    """State -> presentation stats per group: n, mean, std, min, max (and
+    ``approx_distinct_<col>`` per sketched column).
 
     mean = sum/n from the EXACT decimal sum cast to double once; variance
     via E[x^2] - mean^2 (same pinned double arithmetic an ANSI-SQL engine
@@ -140,6 +160,8 @@ def rollup_finalize(
             F.col(f"min_{c}"),
             F.col(f"max_{c}"),
         ]
+    for c in distinct_cols or []:
+        cols.append(F.hll_sketch_estimate(f"hll_{c}").alias(f"approx_distinct_{c}"))
     return state.select(*cols)
 
 
@@ -181,6 +203,7 @@ def update_rollup(
     rollup_dir: str,
     group_cols: list[str],
     value_cols: list[str],
+    distinct_cols: list[str] | None = None,
     derive=None,
 ) -> int:
     """Incorporate the bucket's NEW data files into the rollup; returns how
@@ -202,7 +225,11 @@ def update_rollup(
     all_files = _list_bucket_files(spark, bucket_dir)
     cur_name = _read_current(rollup_dir)
     seen: set[str] = set()
-    spec = {"group_cols": group_cols, "value_cols": value_cols}
+    spec = {
+        "group_cols": group_cols,
+        "value_cols": value_cols,
+        "distinct_cols": distinct_cols or [],
+    }
     if cur_name is not None:
         manifest = current_rollup_version(rollup_dir)
         if manifest["spec"] != spec:
@@ -218,10 +245,12 @@ def update_rollup(
     batch = spark.read.parquet(*new_files)
     if derive is not None:
         batch = derive(batch)
-    new_state = rollup_aggregate(batch, group_cols, value_cols)
+    new_state = rollup_aggregate(batch, group_cols, value_cols, distinct_cols)
     if cur_name is not None:
         old_state = spark.read.parquet(os.path.join(rollup_dir, cur_name, "state"))
-        merged = rollup_merge([old_state, new_state], group_cols, value_cols)
+        merged = rollup_merge(
+            [old_state, new_state], group_cols, value_cols, distinct_cols
+        )
     else:
         merged = new_state
 
@@ -259,5 +288,6 @@ def read_rollup(
         state,
         manifest["spec"]["group_cols"],
         manifest["spec"]["value_cols"],
+        manifest["spec"].get("distinct_cols") or [],
         round_decimals=round_decimals,
     )

@@ -454,3 +454,75 @@ class TestPointsInPolygonsJoin:
         )
         got = points_in_polygons_join(points, polygons, LonLatPartitioning(size=(10, 10))).collect()
         assert {(r["id"], r["polygon_id"]) for r in got} == {(1, "IT")}
+
+
+class TestSaltedJoin:
+    def test_inner_equals_plain_join(self, spark):
+        from sat_bucket_spark.joins import salted_join
+
+        left = spark.createDataFrame(
+            [(i, "hot" if i % 3 else "cold", float(i)) for i in range(300)],
+            ["id", "k", "v"],
+        )
+        right = spark.createDataFrame(
+            [("hot", 1.5), ("cold", 2.5), ("absent", 9.9)], ["k", "w"]
+        )
+        got = sorted(
+            tuple(r)
+            for r in salted_join(left, right, "k", salt=4)
+            .select("id", "k", "v", "w")
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in left.join(right, "k").select("id", "k", "v", "w").collect()
+        )
+        assert got == want and len(got) == 300
+
+    def test_left_join_keeps_unmatched(self, spark):
+        from sat_bucket_spark.joins import salted_join
+
+        left = spark.createDataFrame([(1, "a"), (2, "zzz")], ["id", "k"])
+        right = spark.createDataFrame([("a", 10)], ["k", "w"])
+        rows = {
+            (r["id"], r["w"])
+            for r in salted_join(left, right, ["k"], how="left").collect()
+        }
+        assert rows == {(1, 10), (2, None)}
+
+    def test_spreads_hot_key_across_salts(self, spark):
+        """The hot key's rows must actually land in multiple salt buckets —
+        the whole point of the operator."""
+        from pyspark.sql import functions as F
+
+        left = spark.createDataFrame(
+            [(i, "hot", float(i)) for i in range(1000)], ["id", "k", "v"]
+        )
+        n_buckets = (
+            left.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8)),
+            )
+            .select("__salt")
+            .distinct()
+            .count()
+        )
+        assert n_buckets == 8
+
+    def test_deterministic_across_runs(self, spark):
+        from sat_bucket_spark.joins import salted_join
+
+        left = spark.createDataFrame([(i, "k") for i in range(50)], ["id", "k"])
+        right = spark.createDataFrame([("k", 1)], ["k", "w"])
+        a = sorted(tuple(r) for r in salted_join(left, right, "k").collect())
+        b = sorted(tuple(r) for r in salted_join(left, right, "k").collect())
+        assert a == b
+
+    def test_rejects_right_outer(self, spark):
+        import pytest as _pytest
+
+        from sat_bucket_spark.joins import salted_join
+
+        df = spark.createDataFrame([(1, "a")], ["id", "k"])
+        with _pytest.raises(ValueError, match="left-preserving"):
+            salted_join(df, df, "k", how="right")

@@ -152,6 +152,50 @@ class TestDerive:
         assert out == {0: 100, 1: 100}
 
 
+class TestSketchedDistincts:
+    def test_incremental_hll_equals_full(self, spark, tmp_path):
+        """Distinct counts via mergeable HLL sketches: the union of
+        per-batch sketches must estimate exactly what one sketch over all
+        data estimates (register-wise max is order-insensitive)."""
+        bucket = str(tmp_path / "bucket")
+        rollup = str(tmp_path / "rollup")
+        os.makedirs(rollup)
+        for seed in (41, 42, 43):
+            _batch(spark, seed).write.mode("append").parquet(bucket)
+            update_rollup(
+                spark, bucket, rollup, GROUPS, ["v"], distinct_cols=["id"]
+            )
+        got = {
+            r["g"]: r["approx_distinct_id"]
+            for r in read_rollup(spark, rollup).collect()
+        }
+        full = spark.read.option("pathGlobFilter", "*.parquet").parquet(bucket)
+        want = {
+            r["g"]: r["est"]
+            for r in rollup_finalize(
+                rollup_aggregate(full, GROUPS, [], ["id"]), GROUPS, [], ["id"]
+            )
+            .withColumnRenamed("approx_distinct_id", "est")
+            .collect()
+        }
+        assert got == want
+        # sanity: each batch reuses ids 0..199 with fresh random g, so a
+        # group's distinct ids ~ 200*(1-(2/3)^3) ~ 141 — union semantics,
+        # not the ~200 sum per batch that double-counting would give
+        for est in got.values():
+            assert est <= 210
+        assert sum(got.values()) < 520
+
+    def test_sketch_column_in_raw_state(self, spark, tmp_path):
+        bucket = str(tmp_path / "bucket")
+        rollup = str(tmp_path / "rollup")
+        os.makedirs(rollup)
+        _batch(spark, 50).write.parquet(bucket)
+        update_rollup(spark, bucket, rollup, GROUPS, ["v"], distinct_cols=["id"])
+        raw = read_rollup(spark, rollup, finalize=False)
+        assert dict(raw.dtypes)["hll_id"] == "binary"
+
+
 class TestMergeAlgebra:
     def test_merge_matches_single_aggregate(self, spark):
         df = _batch(spark, 31, n=300)
