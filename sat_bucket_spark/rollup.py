@@ -53,6 +53,7 @@ __all__ = [
     "rollup_merge",
     "rollup_finalize",
     "update_rollup",
+    "stream_update_rollup",
     "read_rollup",
     "current_rollup_version",
 ]
@@ -237,6 +238,12 @@ def update_rollup(
                 f"rollup spec changed: manifest has {manifest['spec']}, "
                 f"caller wants {spec}; use a fresh rollup_dir"
             )
+        if "files" not in manifest:
+            raise ValueError(
+                f"{rollup_dir} is maintained by stream_update_rollup "
+                "(batch-id manifest); file-based update_rollup cannot "
+                "resume it — use a fresh rollup_dir"
+            )
         seen = set(manifest["files"])
     new_files = [f for f in all_files if f not in seen]
     if not new_files:
@@ -254,20 +261,102 @@ def update_rollup(
     else:
         merged = new_state
 
+    _publish_version(
+        rollup_dir,
+        merged,
+        {"spec": spec, "files": sorted(seen | set(new_files)), "previous": cur_name},
+    )
+    return len(new_files)
+
+
+def _publish_version(rollup_dir: str, merged: DataFrame, manifest: dict) -> str:
+    """Write (state, manifest) into a fresh version dir, then atomically flip
+    ``_CURRENT``. The two artifacts share the version directory, so readers
+    can never observe a state without its manifest (or vice versa)."""
     version = f"v_{int(time.time() * 1000)}_{uuid.uuid4().hex[:8]}"
     vdir = os.path.join(rollup_dir, version)
     merged.write.parquet(os.path.join(vdir, "state"))
     with open(os.path.join(vdir, "manifest.json"), "w") as fh:
-        json.dump(
-            {"spec": spec, "files": sorted(seen | set(new_files)),
-             "previous": cur_name},
-            fh,
-        )
+        json.dump(manifest, fh)
     tmp = os.path.join(rollup_dir, f".{_CURRENT}.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         fh.write(version)
     os.replace(tmp, os.path.join(rollup_dir, _CURRENT))
-    return len(new_files)
+    return version
+
+
+def stream_update_rollup(
+    stream_df: DataFrame,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    value_cols: list[str],
+    distinct_cols: list[str] | None = None,
+    derive=None,
+    trigger: dict | None = None,
+    query_name: str = "rollup_maintenance",
+):
+    """Maintain the rollup continuously from a STREAM: each micro-batch's
+    partial state merges into the published version (``foreachBatch``).
+
+    Exactly-once effect from an at-least-once callback: the manifest
+    records the last merged ``batch_id``; a replayed micro-batch (restart
+    from checkpoint, task retry re-invoking the epoch) is skipped instead
+    of double-merged. Versioned publication is the same atomic
+    ``_CURRENT`` flip as the batch path, so a crash mid-merge leaves the
+    previous version live and the checkpoint replays the batch.
+
+    Cost per trigger: O(micro-batch) scan + O(#groups) merge — a true
+    continuous aggregate; no growing state store, no watermark needed
+    (the state is commutative-merge, not event-time windowed). Don't mix
+    with ``update_rollup`` on the same rollup_dir (different manifests).
+
+    Returns the started ``StreamingQuery``.
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("stream_update_rollup needs a streaming DataFrame; "
+                         "use update_rollup for batch maintenance")
+    spark = stream_df.sparkSession
+    spec = {
+        "group_cols": group_cols,
+        "value_cols": value_cols,
+        "distinct_cols": distinct_cols or [],
+    }
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        cur_name = _read_current(rollup_dir)
+        prev_manifest = current_rollup_version(rollup_dir) if cur_name else None
+        if prev_manifest is not None:
+            if prev_manifest["spec"] != spec:
+                raise ValueError(
+                    f"rollup spec changed: manifest has {prev_manifest['spec']}, "
+                    f"stream wants {spec}; use a fresh rollup_dir"
+                )
+            if prev_manifest.get("last_batch_id", -1) >= batch_id:
+                return  # replayed micro-batch: already merged
+        if derive is not None:
+            batch_df = derive(batch_df)
+        new_state = rollup_aggregate(batch_df, group_cols, value_cols, distinct_cols)
+        if cur_name is not None:
+            old = spark.read.parquet(os.path.join(rollup_dir, cur_name, "state"))
+            merged = rollup_merge([old, new_state], group_cols, value_cols, distinct_cols)
+        else:
+            merged = new_state
+        _publish_version(
+            rollup_dir,
+            merged,
+            {"spec": spec, "last_batch_id": batch_id, "previous": cur_name},
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .queryName(query_name)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
 
 
 def read_rollup(

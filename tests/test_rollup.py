@@ -210,3 +210,94 @@ class TestMergeAlgebra:
             rollup_aggregate(df, GROUPS, VALUES), GROUPS, VALUES
         )
         assert _rows(merged) == _rows(direct)
+
+
+class TestStreamingRollup:
+    def test_stream_equals_batch_recompute(self, spark, tmp_path):
+        """availableNow stream through foreachBatch maintenance == one-shot
+        aggregate over all the data, including the HLL distinct estimates."""
+        from sat_bucket_spark.rollup import stream_update_rollup
+
+        src = str(tmp_path / "src")
+        for seed in (61, 62, 63):
+            _batch(spark, seed).write.mode("append").parquet(src)
+        rollup = str(tmp_path / "rollup")
+        os.makedirs(rollup)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_update_rollup(
+            stream,
+            rollup,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            group_cols=GROUPS,
+            value_cols=VALUES,
+            distinct_cols=["id"],
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+        got = _rows(read_rollup(spark, rollup))
+        full = spark.read.parquet(src)
+        want = _rows(
+            rollup_finalize(
+                rollup_aggregate(full, GROUPS, VALUES, ["id"]),
+                GROUPS,
+                VALUES,
+                ["id"],
+            )
+        )
+        assert got == want
+
+    def test_restart_does_not_double_merge(self, spark, tmp_path):
+        """Re-running the drained stream on the same checkpoint must leave
+        the rollup unchanged (batch-id idempotency)."""
+        from sat_bucket_spark.rollup import stream_update_rollup
+
+        src = str(tmp_path / "src")
+        _batch(spark, 71).write.parquet(src)
+        rollup = str(tmp_path / "rollup")
+        os.makedirs(rollup)
+        schema = spark.read.parquet(src).schema
+        for _ in range(2):
+            q = stream_update_rollup(
+                spark.readStream.schema(schema).parquet(src),
+                rollup,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                group_cols=GROUPS,
+                value_cols=VALUES,
+                trigger={"availableNow": True},
+            )
+            q.awaitTermination(120)
+        out = read_rollup(spark, rollup).collect()
+        assert sum(r["n_rows"] for r in out) == 200
+
+    def test_batch_update_rejects_stream_manifest(self, spark, tmp_path):
+        from sat_bucket_spark.rollup import stream_update_rollup
+
+        src = str(tmp_path / "src")
+        _batch(spark, 81).write.parquet(src)
+        rollup = str(tmp_path / "rollup")
+        os.makedirs(rollup)
+        schema = spark.read.parquet(src).schema
+        q = stream_update_rollup(
+            spark.readStream.schema(schema).parquet(src),
+            rollup,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            group_cols=GROUPS,
+            value_cols=VALUES,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        with pytest.raises(ValueError, match="stream_update_rollup"):
+            update_rollup(spark, src, rollup, GROUPS, VALUES)
+
+    def test_batch_frame_rejected(self, spark):
+        from sat_bucket_spark.rollup import stream_update_rollup
+
+        df = spark.createDataFrame([(1, "a", 1.0, 1.0)], ["id", "g", "v", "w"])
+        with pytest.raises(ValueError, match="streaming"):
+            stream_update_rollup(df, "/tmp/x", "/tmp/y", GROUPS, VALUES)
