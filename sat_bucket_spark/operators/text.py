@@ -8,6 +8,7 @@ correctness oracle (see __spark_entry__.py).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -26,6 +27,7 @@ __all__ = [
     "filter_lines",
     "line_keep_expr",
     "normalize_text",
+    "repair_mojibake",
     "repetition_signals",
     "rolling_hash_expr",
     "tokens_expr",
@@ -358,3 +360,86 @@ def filter_lines(
         ),
     )
     return df.withColumn(out, F.array_join(kept, "\n"))
+
+
+# -- mojibake repair ---------------------------------------------------------
+
+# UTF-8 lead bytes misread as latin-1/cp1252 text: U+00C2-U+00DF (2-byte
+# leads, e.g. "Ã" in "cafÃ©") followed by one continuation
+# char, or U+00E0-U+00EF heading a 3-byte sequence (curly quotes/dashes:
+# "â€™"). cp1252 maps continuation bytes 0x80-0x9F to
+# printable punctuation, so the continuation class includes both the raw
+# U+0080-U+00BF range and its cp1252 images.
+_MOJI_CONT = (
+    "-¿"
+    "€‚ƒ„…†‡ˆ‰Š"
+    "‹ŒŽ‘’“”•–—"
+    "˜™š›œžŸ"
+)
+_MOJI_PATTERN = (
+    f"[Â-ß][{_MOJI_CONT}]|[à-ï][{_MOJI_CONT}]{{2}}"
+)
+
+
+def repair_mojibake(
+    df: DataFrame,
+    text: str = "text",
+    out: str | None = None,
+    max_passes: int = 2,
+) -> DataFrame:
+    """Repair double-encoded UTF-8 ("mojibake": UTF-8 bytes once decoded as
+    latin-1/cp1252 — ``cafÃ©`` for ``café``,
+    ``â€™`` for a curly apostrophe).
+
+    Web-crawl corpora carry this at the percent level; it poisons token
+    statistics, dedup fingerprints and LM scoring, so curation pipelines
+    repair it before anything hashes the text. The repair is the inverse
+    round trip — re-encode as cp1252/latin-1, re-decode as UTF-8 — applied
+    ONLY when (a) the text matches a conservative mojibake signature
+    (UTF-8 lead-byte chars followed by continuation-class chars), (b) the
+    re-encode is lossless, and (c) the result is valid UTF-8. Anything
+    else (already-clean text, CJK, genuine latin-1 prose like ``naïve``
+    without lead-byte patterns) passes through byte-identical.
+    ``max_passes`` > 1 also unwinds doubly-mojibaked text.
+
+    Arrow-batched ``pandas_udf`` rather than ``encode``/``decode``
+    expressions: Spark 4's ANSI codecs RAISE on unmappable/malformed input
+    (MALFORMED_CHARACTER_CODING) where this operator must fall back to the
+    original text, and CASE cannot pre-test "is valid UTF-8 after
+    re-encode" without performing the conversion. Row-local, zero shuffle;
+    the Python stage ships only (and returns only) the string column, so
+    at 100 TB the Arrow transfer is bounded by the text column itself.
+    """
+    import re as _re
+
+    sig = _re.compile(_MOJI_PATTERN)
+
+    @F.pandas_udf("string")
+    def _fix(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            for _ in range(max_passes):
+                if not sig.search(t):
+                    return t
+                # cp1252 first (covers the 0x80-0x9F punctuation images),
+                # latin-1 as fallback for raw C1 control chars.
+                try:
+                    b = t.encode("cp1252")
+                except UnicodeEncodeError:
+                    try:
+                        b = t.encode("latin-1")
+                    except UnicodeEncodeError:
+                        return t
+                try:
+                    repaired = b.decode("utf-8")
+                except UnicodeDecodeError:
+                    return t
+                if repaired == t:
+                    return t
+                t = repaired
+            return t
+
+        return s.map(one)
+
+    return df.withColumn(out or text, _fix(F.col(text)))
