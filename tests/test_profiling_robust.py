@@ -308,3 +308,64 @@ class TestKnnJoin:
         for r in rows:
             assert r["vec_id"] == r["query_id"] - 1000
             assert r["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+class TestEditDistanceRecallProperty:
+    def test_directed_mutations_always_found(self, spark):
+        """Stronger than random fuzz: apply exactly <= d random edits
+        (insert/delete/substitute at random positions) to random base
+        strings — the PassJoin pigeonhole guarantees every such pair is
+        a candidate, so every pair MUST appear in the output."""
+        from sat_bucket_spark.operators.dedup import edit_distance_pairs
+
+        rng = np.random.default_rng(11)
+        alphabet = list("abcdefghij ")
+        rows = []
+        expected = set()
+        for i in range(25):
+            n = int(rng.integers(8, 60))
+            base = "".join(rng.choice(alphabet, n))
+            rows.append((2 * i, base))
+            s = list(base)
+            for _ in range(int(rng.integers(1, 3))):  # 1..2 edits
+                op = rng.integers(0, 3)
+                pos = int(rng.integers(0, max(len(s), 1)))
+                if op == 0 and len(s) > 1:
+                    del s[pos]
+                elif op == 1:
+                    s.insert(pos, str(rng.choice(alphabet)))
+                else:
+                    if pos < len(s):
+                        s[pos] = str(rng.choice(alphabet))
+            mutated = "".join(s)
+            rows.append((2 * i + 1, mutated))
+            # the pair is expected iff still within distance 2 after
+            # normalization (substitute-with-same-char reduces distance)
+            got = _brute_pairs([(2 * i, base), (2 * i + 1, mutated)], 2)
+            expected |= got
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        found = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(df, max_distance=2).collect()
+        }
+        # every directed mutation pair must be recalled…
+        missing = {(a, b, d) for (a, b, d) in expected if b == a + 1} - found
+        assert not missing, f"PassJoin missed guaranteed pairs: {missing}"
+        # …and nothing outside the brute-force truth may appear
+        truth = _brute_pairs(rows, 2)
+        assert found == truth
+
+    def test_no_cartesian_in_plan(self, spark):
+        from sat_bucket_spark.operators.dedup import edit_distance_pairs
+
+        df = spark.createDataFrame(
+            [(i, f"document number {i}") for i in range(20)], ["doc_id", "text"]
+        )
+        plan = (
+            edit_distance_pairs(df, max_distance=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
