@@ -600,12 +600,15 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> "list[int] | 
 
 
 def decode_image_pixels(payload: bytes | None) -> "np.ndarray | None":
-    """Dispatch pixel decoding on magic bytes: PNG, BMP, GIF or baseline JPEG.
+    """Dispatch pixel decoding on magic bytes: PNG, BMP, GIF, or JPEG
+    (baseline AND progressive).
 
-    All four decode in pure Python + numpy (zlib / raw rows / LZW / Huffman +
-    IDCT, see operators/jpeg.py). Progressive/arithmetic JPEG and WebP
-    entropy decoding stay behind the documented ``NotImplementedError``
-    plug-in points (libjpeg/libwebp class decoders).
+    All four decode in pure Python + numpy (zlib / raw rows / LZW /
+    Huffman + IDCT incl. Annex-G progressive scans, see operators/jpeg.py,
+    validated against javax.imageio to ~3/255). Arithmetic-coded JPEG and
+    WebP entropy decoding stay behind the documented
+    ``NotImplementedError`` plug-in points (libjpeg/libwebp class
+    decoders).
     """
     if payload is None:
         return None

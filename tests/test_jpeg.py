@@ -111,11 +111,88 @@ class TestRealWorldJpegs:
         # 2x2.jpg is a uniform mid-gray swatch
         assert int(px.min()) == int(px.max()) == 128
 
-    def test_progressive_returns_none(self):
+    def test_progressive_decodes(self):
         p = _first_existing(_REAL_PROGRESSIVE)
         if p is None:
             pytest.skip("no progressive JPEG on this host")
-        assert decode_jpeg_pixels(open(p, "rb").read()) is None
+        px = decode_jpeg_pixels(open(p, "rb").read())
+        assert px is not None and px.shape == (477, 720, 3)
+        assert float(px.std()) > 20  # real photographic content
+
+
+def _imageio_reference(spark, path):
+    """Decode via the JVM's javax.imageio (an INDEPENDENT decoder), routed
+    through a PNG temp file so pixels cross py4j as one blob; the PNG leg
+    uses decode_png_pixels, which is itself validated separately."""
+    import os
+    import tempfile
+
+    from sat_bucket_spark.operators.multimodal import decode_png_pixels
+
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    if img is None:
+        return None
+    w, h = img.getWidth(), img.getHeight()
+    out = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    )
+    g = out.getGraphics()
+    g.drawImage(img, 0, 0, None)
+    g.dispose()
+    tmp = tempfile.mktemp(suffix=".png")
+    jvm.javax.imageio.ImageIO.write(out, "png", jvm.java.io.File(tmp))
+    px = decode_png_pixels(open(tmp, "rb").read())
+    os.unlink(tmp)
+    return px
+
+
+class TestImageIOReference:
+    """Full-image agreement with an independent reference decoder. The
+    bound is IDCT + rounding noise (~3/255); a single misdecoded Huffman
+    bit desynchronizes the entire remaining scan, so these are strong
+    whole-pipeline checks."""
+
+    def test_progressive_real_file(self, spark):
+        p = _first_existing(_REAL_PROGRESSIVE)
+        if p is None:
+            pytest.skip("no progressive JPEG on this host")
+        mine = decode_jpeg_pixels(open(p, "rb").read())
+        ref = _imageio_reference(spark, p)
+        if ref is None:
+            pytest.skip("imageio could not decode the sample")
+        d = np.abs(mine.astype(int) - ref.astype(int))
+        assert float(d.mean()) < 1.0
+        assert int(d.max()) <= 8
+
+    def test_baseline_420_real_file(self, spark):
+        p = _first_existing(_REAL_COLOR)
+        if p is None:
+            pytest.skip("no baseline color JPEG on this host")
+        mine = decode_jpeg_pixels(open(p, "rb").read())
+        ref = _imageio_reference(spark, p)
+        if ref is None:
+            pytest.skip("imageio could not decode the sample")
+        d = np.abs(mine.astype(int) - ref.astype(int))
+        assert float(d.mean()) < 2.0
+
+    def test_own_encoder_against_imageio(self, spark, tmp_path):
+        """Our encoder's output decoded by the REFERENCE decoder matches
+        the source pixels — proving the encoder alone, independent of our
+        decoder."""
+        rng = np.random.default_rng(5)
+        rgb = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+        enc = encode_jpeg_baseline(
+            rgb, quant_luma=np.ones((8, 8)), quant_chroma=np.ones((8, 8))
+        )
+        p = str(tmp_path / "own.jpg")
+        with open(p, "wb") as fh:
+            fh.write(enc)
+        ref = _imageio_reference(spark, p)
+        if ref is None:
+            pytest.skip("imageio could not decode our stream")
+        d = np.abs(ref.astype(int) - rgb.astype(int))
+        assert int(d.max()) <= 4
 
 
 class TestRobustness:
