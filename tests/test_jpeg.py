@@ -226,3 +226,46 @@ class TestSparkIntegration:
         row = out[0]
         assert (row["width"], row["height"], row["channels"]) == (16, 16, 1)
         assert row["feature"] == pytest.approx(expected_feat, abs=1e-12)
+
+
+class TestJvmWrittenFiles:
+    """The JVM's ImageIO WRITES files from known pixels; our pure-Python
+    decoders must reproduce those pixels exactly (PNG/BMP/GIF are
+    lossless) — real-world-encoder coverage for every decode path, not
+    just our own fixture writers."""
+
+    @staticmethod
+    def _write_known(spark, tmp_path, fmt):
+        jvm = spark._jvm
+        w, h = 13, 9
+        rng = np.random.default_rng(17)
+        # few distinct colors so GIF's palette quantizer stays lossless
+        colors = [(0, 0, 0), (255, 255, 255), (200, 30, 40), (10, 120, 220)]
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        img = jvm.java.awt.image.BufferedImage(
+            w, h, jvm.java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+        )
+        for y in range(h):
+            for x in range(w):
+                r, g, b = colors[int(rng.integers(0, len(colors)))]
+                px[y, x] = (r, g, b)
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        p = str(tmp_path / f"known.{fmt}")
+        ok = jvm.javax.imageio.ImageIO.write(img, fmt, jvm.java.io.File(p))
+        return (p, px) if ok else (None, px)
+
+    @pytest.mark.parametrize("fmt", ["png", "bmp", "gif"])
+    def test_decode_matches_known_pixels(self, spark, tmp_path, fmt):
+        from sat_bucket_spark.operators.multimodal import decode_image_pixels
+
+        p, want = self._write_known(spark, tmp_path, fmt)
+        if p is None:
+            pytest.skip(f"JVM ImageIO has no {fmt} writer")
+        got = decode_image_pixels(open(p, "rb").read())
+        assert got is not None, f"decoder refused JVM-written {fmt}"
+        if got.shape[2] == 1:
+            got = np.repeat(got, 3, axis=2)
+        assert got.shape == want.shape
+        assert np.array_equal(got, want), (
+            f"{fmt}: decoded pixels differ from the known source"
+        )
