@@ -1377,6 +1377,32 @@ def q_paragraph_dedup(spark, sf_dir):
     )
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact substring (token-window) dedup: keep-first duplicated-span
+    removal over the raw documents table.
+
+    The sub-paragraph complement of ``paragraph_dedup``: any 4-token run
+    whose exact text occurs twice-or-more corpus-wide is a duplicated span;
+    every occurrence except the first (min (doc_id, pos)) is excised and the
+    document rebuilt from the surviving tokens. Reference scope: beyond
+    sat-bucket (Lee et al. 2022 substring-dedup lineage, re-expressed as
+    one skew-robust groupBy over token windows — see operators/dedup.py
+    duplicate_spans for the 100 TB shape).
+    """
+    from sat_bucket_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(
+        docs, k=4, min_count=2, out="clean", removed_count_col="n_removed"
+    )
+    return out.select(
+        "doc_id",
+        "n_removed",
+        F.length("clean").cast("long").alias("n_chars_clean"),
+        F.md5("clean").alias("clean_md5"),
+    )
+
+
 def q_shard_assign(spark, sf_dir):
     """Deterministic global shuffle into 8 training shards with in-shard order."""
     from sat_bucket_spark.operators.sampling import assign_shards
@@ -3875,6 +3901,50 @@ SELECT o.o_orderkey, o.o_orderpriority, d.prio_avg
 FROM orders o JOIN dim d USING (o_orderpriority)
 """
 
+# Substring (token-window) dedup: flag every non-canonical occurrence of a
+# corpus-duplicated 4-token window (canonical = min (doc_id, pos), mirrored
+# here by ROW_NUMBER over that order), expand flagged windows to removed
+# token positions, rebuild each document from the survivors.
+_ORACLES["dup_spans"] = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(ts, i, i + 3), ' ') AS gram
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 3)) AS i
+        FROM toks WHERE len(ts) >= 4) u
+),
+flagged AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+      COUNT(*) OVER (PARTITION BY gram) AS cnt,
+      ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+    FROM occ) w
+  WHERE cnt >= 2 AND rn > 1
+),
+removed AS (
+  SELECT doc_id, list_distinct(flatten(list(generate_series(pos, pos + 3)))) AS rp
+  FROM flagged GROUP BY doc_id
+),
+clean AS (
+  SELECT t.doc_id,
+    -- COALESCE: array_to_string of a fully-filtered (empty) list is NULL in
+    -- DuckDB; Spark's array_join yields '' for the fully-removed document
+    COALESCE(array_to_string(
+      list_filter(
+        list_transform(generate_series(1, len(t.ts)),
+          j -> CASE WHEN list_contains(COALESCE(r.rp, []), j - 1) THEN NULL ELSE t.ts[j] END),
+        x -> x IS NOT NULL),
+      ' '), '') AS clean,
+    COALESCE(len(r.rp), 0) AS n_removed
+  FROM toks t LEFT JOIN removed r USING (doc_id)
+)
+SELECT doc_id, CAST(n_removed AS BIGINT) AS n_removed,
+  CAST(length(clean) AS BIGINT) AS n_chars_clean, md5(clean) AS clean_md5
+FROM clean
+"""
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -3931,7 +4001,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     time_prefixes — temporal formatting stays via filename_roundtrip),
     mad_outliers (robust median/MAD filter, displaces lsh_buckets —
     hyperplane-LSH stays via lsh_near_dup). key_skew joins the parity
-    suite (sibling of in-window-family heavy_hitters shape).
+    suite (sibling of in-window-family heavy_hitters shape). dup_spans
+    (substring-level token-window dedup, a new dedup family) displaces
+    token_count — token counting remains in-window inside seq_pack and
+    the quality entries.
     """
     return {
         # ---- driver-verified window (first 50) ----
@@ -3962,7 +4035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filename_roundtrip": q_filename_roundtrip,
         "json_extract": q_json_extract,
         "interpolate": q_interpolate,
-        "token_count": q_token_count,
+        "dup_spans": q_dup_spans,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
@@ -3986,6 +4059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "lsh_dedup_against": q_lsh_dedup_against,
         # ---- beyond the driver window: parity-suite verified ----
+        "token_count": q_token_count,
         "time_prefixes": q_time_prefixes,
         "minhash": q_minhash,
         "lsh_buckets": q_lsh_buckets,

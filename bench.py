@@ -85,6 +85,7 @@ HEADLINE = [
     "profile_table",       # one-pass multi-column profiling agg (added r5)
     "mad_outliers",        # median/MAD robust z-score, one exchange (added r5)
     "key_skew",            # skew diagnosis: counts + broadcast total + top-N (added r5)
+    "dup_spans",           # substring (token-window) dedup: groupBy + flag join + row-local rebuild (added r5)
 ]
 
 

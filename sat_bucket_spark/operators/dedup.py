@@ -43,16 +43,19 @@ __all__ = [
     "dedup_exact",
     "dedup_exact_against",
     "dedup_exact_against_bloom",
+    "duplicate_spans",
     "exact_duplicate_groups",
     "lsh_candidate_pairs",
     "minhash_dedup_against",
     "minhash_lsh_dedup_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "remove_duplicate_spans",
     "remove_repeated_paragraphs",
     "resolve_duplicates",
     "shingles_expr",
     "simhash_near_dup_pairs",
+    "token_windows_expr",
 ]
 
 
@@ -1144,6 +1147,165 @@ def remove_repeated_paragraphs(
         .withColumn(out, F.coalesce(F.col("__rebuilt"), F.lit("")))
         .drop("__rebuilt")
     )
+
+
+def token_windows_expr(text: Column | str, k: int = 8) -> Column:
+    """Overlapping ``k``-token windows of a document, with 0-based positions.
+
+    Returns ``array<struct<pos int, gram string>>`` — one entry per window
+    start ``p`` in ``[0, n_tokens - k]``; documents shorter than ``k`` tokens
+    yield an empty array. Tokens are the whitespace tokens of
+    ``operators.text.tokens_expr`` (raw case — substring dedup operates on the
+    text as written). All JVM-side: the token array is bound as a lambda
+    variable (see ``shingles_expr`` for why) so the split runs once per row,
+    not once per window.
+    """
+    from sat_bucket_spark.operators.text import tokens_expr
+
+    struct_t = "array<struct<pos:int,gram:string>>"
+    return F.transform(
+        F.array(tokens_expr(text)),
+        lambda ts: F.when(
+            F.size(ts) >= F.lit(k),
+            F.transform(
+                F.sequence(F.lit(0), F.size(ts) - F.lit(k)),
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.array_join(F.slice(ts, p + F.lit(1), F.lit(k)), " ").alias(
+                        "gram"
+                    ),
+                ),
+            ),
+        ).otherwise(F.from_json(F.lit("[]"), struct_t)),
+    )[0]
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Non-canonical occurrences of corpus-duplicated ``k``-token substrings.
+
+    Exact substring deduplication at sub-paragraph granularity (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022 —
+    public): a run of ``k`` consecutive tokens whose exact text occurs
+    ``min_count``-or-more times ANYWHERE in the corpus (across documents or
+    repeated within one) is a duplicated span. Paragraph dedup
+    (``remove_repeated_paragraphs``) only catches spans aligned to paragraph
+    boundaries; this catches a copied passage embedded mid-document. The
+    suffix-array machinery of the paper is replaced by overlapping fixed-width
+    token windows — a duplicated substring of length >= ``k`` tokens is
+    covered exactly by its duplicated ``k``-windows, so flagging windows
+    recovers the duplicated region (quantized to ``k``-token resolution).
+
+    Keep-first semantics: for each duplicated window text, the occurrence
+    with the smallest ``(id, pos)`` is canonical and NOT flagged — removal
+    built on this report keeps one copy of every passage. Requires an
+    orderable (e.g. integer) ``id_col``.
+
+    Returns ``(id, pos)`` — one row per flagged window occurrence.
+
+    100 TB shape: occurrences explode to ``(id, pos, gram)`` rows; the
+    per-gram count and canonical-occurrence min aggregate in ONE ``groupBy``
+    whose partial (map-side) aggregation absorbs hot grams — a boilerplate
+    sentence with 10^8 occurrences arrives at its reducer as one partial row
+    per map task, not 10^8 rows. The flag join back to occurrences is the
+    only other gram-keyed exchange; AQE skew-split handles residual hot keys,
+    and only duplicated grams (count filter pushed below the join) flow
+    through it.
+    """
+    occ = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(token_windows_expr(text_col, k=k)).alias("__w"),
+        )
+        .select(id_col, F.col("__w.pos").alias("__pos"), F.col("__w.gram").alias("__gram"))
+    )
+    dup = (
+        occ.groupBy("__gram")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"),
+        )
+        .where(F.col("__cnt") >= F.lit(min_count))
+        .select("__gram", "__first")
+    )
+    return (
+        occ.join(dup, "__gram")
+        .where(
+            ~(
+                (F.col(id_col) == F.col(f"__first.{id_col}"))
+                & (F.col("__pos") == F.col("__first.__pos"))
+            )
+        )
+        .select(id_col, F.col("__pos").alias("pos"))
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    out: str | None = None,
+    removed_count_col: str | None = None,
+) -> DataFrame:
+    """Rebuild documents with corpus-duplicated token spans removed.
+
+    Every token covered by a flagged window from :func:`duplicate_spans`
+    (keep-first semantics — the canonical occurrence survives) is dropped;
+    the document is rebuilt from the surviving tokens in order, joined by
+    single spaces (inter-token whitespace is normalized — substring dedup
+    operates on the token stream). Overlapping flagged windows merge
+    naturally via the removed-position set. Fully-emptied documents keep an
+    empty string. ``removed_count_col`` optionally records how many tokens
+    were dropped per document.
+
+    Scale: flagged spans aggregate to one ``array<int>`` per affected
+    document (keyed on the id — scales with corpus, never concentrates), and
+    the rebuild is row-local: positions expand with ``sequence``/``flatten``
+    and tokens filter by an index-lambda membership test
+    (O(tokens x removed) per row, both bounded by document length).
+    """
+    out = out or text_col
+    spans = (
+        duplicate_spans(df, id_col=id_col, text_col=text_col, k=k, min_count=min_count)
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__spans"))
+    )
+    from sat_bucket_spark.operators.text import tokens_expr
+
+    removed = F.coalesce(
+        F.array_distinct(
+            F.flatten(
+                F.transform(F.col("__spans"), lambda p: F.sequence(p, p + F.lit(k - 1)))
+            )
+        ),
+        F.from_json(F.lit("[]"), "array<int>"),
+    )
+    joined = (
+        df.join(spans, id_col, "left")
+        .withColumn("__removed", removed)
+        .withColumn("__toks", tokens_expr(text_col))
+        .drop("__spans")
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.array_contains(F.col("__removed"), i.cast("int")),
+    )
+    result = joined.withColumn("__kept", kept).withColumn(
+        out, F.array_join(F.col("__kept"), " ")
+    )
+    if removed_count_col is not None:
+        result = result.withColumn(
+            removed_count_col, F.size("__removed").cast("long")
+        )
+    return result.drop("__removed", "__toks", "__kept")
 
 
 def edit_distance_pairs(

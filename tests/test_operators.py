@@ -1110,3 +1110,113 @@ class TestMultiSetDecontamination:
         out = decontamination_report_multi(df, {"s": df})
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "Python" not in plan
+
+
+class TestDuplicateSpans:
+    """Substring-level (token-window) exact dedup — Lee et al. lineage."""
+
+    K = 4
+
+    @staticmethod
+    def _brute(rows, k, min_count):
+        """Reference model: flag non-canonical occurrences of any k-token
+        window whose exact text occurs >= min_count times corpus-wide."""
+        from collections import Counter
+
+        occ = []
+        for i, t in rows:
+            ts = t.split()
+            for p in range(len(ts) - k + 1):
+                occ.append((i, p, " ".join(ts[p : p + k])))
+        cnt = Counter(g for _, _, g in occ)
+        first = {}
+        for i, p, g in sorted(occ):
+            first.setdefault(g, (i, p))
+        return sorted(
+            (i, p)
+            for i, p, g in occ
+            if cnt[g] >= min_count and first[g] != (i, p)
+        )
+
+    def test_flags_match_brute_force(self, spark):
+        from sat_bucket_spark.operators.dedup import duplicate_spans
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "lead in text the quick brown fox jumps over the lazy dog"),
+            (3, "aa bb cc dd aa bb cc dd aa bb cc dd"),  # internal repeat
+            (4, "too short"),
+            (5, ""),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = sorted(
+            tuple(r) for r in duplicate_spans(df, k=self.K, min_count=2).collect()
+        )
+        assert got == self._brute(rows, self.K, 2)
+
+    def test_fuzz_small_alphabet(self, spark):
+        """Tiny alphabet forces heavy collisions — canonical-occurrence and
+        overlap-merge logic get exercised hard."""
+        import random
+
+        from sat_bucket_spark.operators.dedup import (
+            duplicate_spans,
+            remove_duplicate_spans,
+        )
+
+        rng = random.Random(20260814)
+        rows = [
+            (i, " ".join(rng.choice("ab cd ef".split()) for _ in range(rng.randint(0, 14))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = sorted(
+            tuple(r) for r in duplicate_spans(df, k=3, min_count=2).collect()
+        )
+        flagged = self._brute(rows, 3, 2)
+        assert got == flagged
+
+        rm = {}
+        for i, p in flagged:
+            rm.setdefault(i, set()).update(range(p, p + 3))
+        out = remove_duplicate_spans(
+            df, k=3, min_count=2, out="clean", removed_count_col="n_removed"
+        ).collect()
+        for r in out:
+            ts = dict(rows)[r["doc_id"]].split()
+            drop = rm.get(r["doc_id"], set())
+            assert r["clean"] == " ".join(
+                t for j, t in enumerate(ts) if j not in drop
+            )
+            assert r["n_removed"] == len(drop)
+
+    def test_keep_first_preserves_one_copy(self, spark):
+        """The canonical (min id, pos) occurrence of a duplicated passage
+        survives removal; later copies are excised."""
+        from sat_bucket_spark.operators.dedup import remove_duplicate_spans
+
+        passage = "alpha beta gamma delta"
+        rows = [(1, f"{passage} tail one"), (2, f"head two {passage}")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r["text"]
+            for r in remove_duplicate_spans(df, k=4, min_count=2).collect()
+        }
+        assert out[1] == f"{passage} tail one"
+        assert out[2] == "head two"
+
+    def test_min_count_three_ignores_pairs(self, spark):
+        from sat_bucket_spark.operators.dedup import duplicate_spans
+
+        rows = [(1, "x y z w"), (2, "x y z w"), (3, "p q r s"), (4, "p q r s"), (5, "p q r s")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = sorted(tuple(r) for r in duplicate_spans(df, k=4, min_count=3).collect())
+        assert got == [(4, 0), (5, 0)]
+
+    def test_no_python_in_plan(self, spark):
+        from sat_bucket_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+        out = remove_duplicate_spans(df, k=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
