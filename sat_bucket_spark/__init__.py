@@ -52,6 +52,7 @@ from sat_bucket_spark.maintenance import bucket_file_stats, compact_bucket
 from sat_bucket_spark.rollup import read_rollup, update_rollup
 from sat_bucket_spark.session import get_spark
 from sat_bucket_spark.sources import read_corpus
+from sat_bucket_spark.warc import read_warc, read_wet
 
 __version__ = "0.1.0"
 
@@ -82,6 +83,8 @@ __all__ = [
     "read_bucket_info",
     "read_corpus",
     "read_rollup",
+    "read_warc",
+    "read_wet",
     "update_rollup",
     "split_by_overpass",
     "to_grid_arrays",

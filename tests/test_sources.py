@@ -76,3 +76,119 @@ def test_missing_text_col_raises(spark, tmp_path):
 def test_unknown_format(spark):
     with pytest.raises(ValueError):
         read_corpus(spark, "/tmp/x", fmt="xml")
+
+
+class TestWarc:
+    """WARC/WET web-archive ingestion (ISO 28500; Common Crawl layout)."""
+
+    RECS = [
+        {"type": "warcinfo", "payload": b"software: fixture\r\n"},
+        {
+            "type": "response",
+            "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>hello</html>",
+            "WARC-Target-URI": "http://example.com/a",
+        },
+        {
+            "type": "conversion",
+            "payload": "extracted text one".encode(),
+            "WARC-Target-URI": "http://example.com/a",
+            "WARC-Date": "2026-01-01T00:00:00Z",
+        },
+        {
+            "type": "conversion",
+            "payload": "extracted text two éè".encode(),
+            "WARC-Target-URI": "http://example.com/b",
+            "WARC-Date": "2026-01-02T00:00:00Z",
+        },
+    ]
+
+    def _archive_dir(self, tmp_path):
+        from sat_bucket_spark.warc import build_warc_bytes
+
+        d = tmp_path / "crawl"
+        d.mkdir(exist_ok=True)
+        # one plain file, one per-record-gzipped file (the CC layout)
+        (d / "seg-0.warc").write_bytes(build_warc_bytes(self.RECS[:2]))
+        (d / "seg-1.warc.gz").write_bytes(
+            build_warc_bytes(self.RECS[2:], gzip_members=True)
+        )
+        return str(d)
+
+    def test_parser_round_trip_plain_and_gzip(self):
+        from sat_bucket_spark.warc import build_warc_bytes, iter_warc_records
+
+        for gz in (False, True):
+            got = list(
+                iter_warc_records(build_warc_bytes(self.RECS, gzip_members=gz))
+            )
+            assert [r["headers"]["warc-type"] for r in got] == [
+                "warcinfo", "response", "conversion", "conversion",
+            ]
+            assert got[1]["payload"].endswith(b"</html>")
+            assert got[3]["payload"].decode() == "extracted text two éè"
+
+    def test_parser_streams_across_chunk_boundaries(self):
+        """Payloads larger than the inflate chunk exercise the incremental
+        multi-member reader."""
+        from sat_bucket_spark.warc import build_warc_bytes, iter_warc_records
+
+        recs = [
+            {"type": "conversion", "payload": bytes([i % 251]) * 700_000}
+            for i in range(3)
+        ]
+        for gz in (False, True):
+            got = list(
+                iter_warc_records(build_warc_bytes(recs, gzip_members=gz))
+            )
+            assert [r["payload"] for r in got] == [r["payload"] for r in recs]
+
+    def test_truncated_strict_raises_lenient_salvages(self):
+        from sat_bucket_spark.warc import build_warc_bytes, iter_warc_records
+
+        data = build_warc_bytes(self.RECS)
+        trunc = data[:-30]
+        with pytest.raises(ValueError, match="truncated"):
+            list(iter_warc_records(trunc))
+        assert len(list(iter_warc_records(trunc, strict=False))) == 3
+
+    def test_read_warc_all_records(self, spark, tmp_path):
+        from sat_bucket_spark.warc import read_warc
+
+        df = read_warc(spark, self._archive_dir(tmp_path))
+        rows = df.collect()
+        assert sorted(r["warc_type"] for r in rows) == [
+            "conversion", "conversion", "response", "warcinfo",
+        ]
+        by_type = {r["warc_type"]: r for r in rows}
+        assert by_type["response"]["target_uri"] == "http://example.com/a"
+        assert by_type["response"]["source_file"] == "seg-0.warc"
+        assert by_type["conversion"]["source_file"] == "seg-1.warc.gz"
+
+    def test_read_warc_type_filter_and_http_strip(self, spark, tmp_path):
+        from sat_bucket_spark.warc import read_warc
+
+        df = read_warc(
+            spark,
+            self._archive_dir(tmp_path),
+            record_types=("response",),
+            strip_http_headers=True,
+        )
+        rows = df.collect()
+        assert len(rows) == 1
+        assert bytes(rows[0]["payload"]) == b"<html>hello</html>"
+        assert rows[0]["content_length"] == len(b"<html>hello</html>")
+
+    def test_read_wet_canonical_documents(self, spark, tmp_path):
+        from sat_bucket_spark.warc import read_wet
+
+        docs = read_wet(spark, self._archive_dir(tmp_path)).orderBy("url")
+        rows = docs.collect()
+        assert [r["url"] for r in rows] == [
+            "http://example.com/a", "http://example.com/b",
+        ]
+        assert rows[0]["text"] == "extracted text one"
+        assert rows[1]["text"] == "extracted text two éè"
+        assert rows[0]["fetch_date"] == "2026-01-01T00:00:00Z"
+        # deterministic content id: same text => same id across re-reads
+        again = read_wet(spark, self._archive_dir(tmp_path)).orderBy("url").collect()
+        assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in again]
