@@ -717,6 +717,23 @@ def q_quality_score(spark, sf_dir):
     return add_quality_score(docs).select("doc_id", "quality_score")
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveText document-quality rules with per-rule flags.
+
+    The full Rae et al. 2021 Appendix-A filter (word bounds, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, 8-stopword containment) — the oracle recomputes every rule
+    relationally, so each flag column is hash-verified, not just ``keep``.
+    """
+    from sat_bucket_spark.operators.text import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    # min_stopword_hits=1: the synthetic vocabulary carries only "the" of
+    # the 8-list, so the paper's >=2 would zero every `keep` (vacuous);
+    # at 1 the rule still splits the corpus (0-hit docs exist).
+    return gopher_quality_flags(docs, min_stopword_hits=1)
+
+
 def q_language_id(spark, sf_dir):
     """Text: stopword-hit language identification."""
     docs = _t(spark, sf_dir, "documents")
@@ -3945,6 +3962,49 @@ SELECT doc_id, CAST(n_removed AS BIGINT) AS n_removed,
 FROM clean
 """
 
+# Gopher document-quality rules: every rule recomputed relationally, each
+# fraction rounded to 6 places before the threshold compare (both engines
+# compute in double; the round pins the boundary).
+_ORACLES["gopher_quality"] = r"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts,
+    string_split(text, chr(10)) AS ls
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(ts) AS n_words,
+    round(CAST(COALESCE(list_sum(list_transform(ts, w -> length(w))), 0) AS DOUBLE)
+          / greatest(len(ts), 1), 6) AS mwl,
+    round(CAST(length(text) - length(replace(text, '#', ''))
+               + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+          / greatest(len(ts), 1), 6) AS symr,
+    round(CAST(len(list_filter(ls, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+          / greatest(len(ls), 1), 6) AS bfrac,
+    round(CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS DOUBLE)
+          / greatest(len(ls), 1), 6) AS efrac,
+    round(CAST(len(list_filter(ts, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+          / greatest(len(ts), 1), 6) AS afrac,
+    len(list_intersect(list_distinct(list_transform(ts, w -> lower(w))),
+        ['the','be','to','of','and','that','have','with'])) AS shits
+  FROM t
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+  mwl >= 3.0 AND mwl <= 10.0 AS ok_mean_word_len,
+  symr <= 0.1 AS ok_symbol_ratio,
+  bfrac <= 0.9 AS ok_bullet_lines,
+  efrac <= 0.3 AS ok_ellipsis_lines,
+  afrac >= 0.8 AS ok_alpha_words,
+  shits >= 1 AS ok_stopwords,
+  (n_words >= 50 AND n_words <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+    AND symr <= 0.1 AND bfrac <= 0.9 AND efrac <= 0.3 AND afrac >= 0.8
+    AND shits >= 1 AS keep
+FROM m
+"""
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -4060,6 +4120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup_against": q_lsh_dedup_against,
         # ---- beyond the driver window: parity-suite verified ----
         "token_count": q_token_count,
+        "gopher_quality": q_gopher_quality,
         "time_prefixes": q_time_prefixes,
         "minhash": q_minhash,
         "lsh_buckets": q_lsh_buckets,

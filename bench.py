@@ -86,6 +86,7 @@ HEADLINE = [
     "mad_outliers",        # median/MAD robust z-score, one exchange (added r5)
     "key_skew",            # skew diagnosis: counts + broadcast total + top-N (added r5)
     "dup_spans",           # substring (token-window) dedup: groupBy + flag join + row-local rebuild (added r5)
+    "gopher_quality",      # Gopher document-quality rules, row-local folds (added r5)
 ]
 
 

@@ -16,6 +16,7 @@ from sat_bucket_spark.operators.parallel import ensure_parallelism
 
 __all__ = [
     "BPE_TOKEN_PATTERN",
+    "GOPHER_STOPWORDS",
     "STOPWORDS",
     "add_bpe_token_count",
     "add_fingerprint",
@@ -25,6 +26,7 @@ __all__ = [
     "add_token_count",
     "bpe_tokens_expr",
     "filter_lines",
+    "gopher_quality_flags",
     "line_keep_expr",
     "normalize_text",
     "repair_mojibake",
@@ -266,6 +268,129 @@ def repetition_signals(
             - F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
         ).alias("dup_word_frac"),
         F.round(top_count.cast("double") / n_bg, 6).alias("top_bigram_frac"),
+    )
+
+
+# The 8-word function-word list of the Gopher/MassiveText stopword rule
+# (Rae et al. 2021, "Scaling Language Models: ... Gopher" — public).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher/MassiveText document-level quality rules as per-rule flags.
+
+    The standard pre-training document filter (Rae et al. 2021, Appendix A
+    — public): word-count bounds, mean-word-length sanity, symbol-to-word
+    ratio (``#`` and ``...``), bullet-started and ellipsis-ended line
+    fractions, alphabetic-word fraction, and the 8-stopword containment
+    rule. Returns one row per document with each rule's boolean
+    (``ok_*``), the measured ``n_words``, and ``keep`` = AND of all rules
+    — per-rule flags rather than a bare filter so a pipeline can report
+    WHY documents drop (the rejection-breakdown every curation run needs).
+
+    Shape: row-local Column expressions only — the token array and line
+    array are each staged once per row (Spark does not CSE the regex split
+    across sibling expressions), every rule folds over them JVM-side, and
+    no shuffle or Python is involved. Fractions are rounded to 6 places
+    before threshold comparison so engines computing in double agree at
+    the boundary. The companion ``repetition_signals`` covers Gopher's
+    repetition rules; compose both for the full filter.
+    """
+    toks = F.col("__toks")
+    lines = F.col("__lines")
+    t = F.col("__t")
+    n_words = F.size(toks)
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mean_word_len = F.round(total_len.cast("double") / safe_words, 6)
+
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / safe_words, 6)
+
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+            )
+        ).cast("double")
+        / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+            )
+        ).cast("double")
+        / n_lines,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / safe_words,
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+
+    staged = df.select(
+        F.col(id_col),
+        F.col(text).alias("__t"),
+        tokens_expr(text).alias("__toks"),
+        F.split(F.col(text), "\n").alias("__lines"),
+    )
+    return staged.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        ((n_words >= F.lit(min_words)) & (n_words <= F.lit(max_words))).alias(
+            "ok_word_count"
+        ),
+        (
+            (mean_word_len >= F.lit(min_mean_word_len))
+            & (mean_word_len <= F.lit(max_mean_word_len))
+        ).alias("ok_mean_word_len"),
+        (symbol_ratio <= F.lit(max_symbol_word_ratio)).alias("ok_symbol_ratio"),
+        (bullet_frac <= F.lit(max_bullet_line_frac)).alias("ok_bullet_lines"),
+        (ellipsis_frac <= F.lit(max_ellipsis_line_frac)).alias(
+            "ok_ellipsis_lines"
+        ),
+        (alpha_frac >= F.lit(min_alpha_word_frac)).alias("ok_alpha_words"),
+        (stop_hits >= F.lit(min_stopword_hits)).alias("ok_stopwords"),
+    ).withColumn(
+        "keep",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_bullet_lines")
+        & F.col("ok_ellipsis_lines")
+        & F.col("ok_alpha_words")
+        & F.col("ok_stopwords"),
     )
 
 

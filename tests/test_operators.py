@@ -1220,3 +1220,55 @@ class TestDuplicateSpans:
         out = remove_duplicate_spans(df, k=2)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+class TestGopherQuality:
+    def test_rule_breakdown(self, spark):
+        from sat_bucket_spark.operators.text import gopher_quality_flags
+
+        rows = [
+            (1, " ".join(["the quick brown fox and that dog have fun with it"] * 6)),
+            (2, "short doc"),                                   # word count
+            (3, " ".join(["####"] * 60)),                       # symbols + alpha + stopwords
+            (4, "\n".join(["- b line"] * 19) + "\nplain"),      # bullet lines 19/20
+            (5, " ".join(["extraordinarylongwordhere"] * 60)),  # mean word length
+            (6, "\n".join(["trailing off..."] * 10)),           # ellipsis lines
+            (7, ""),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in gopher_quality_flags(df, min_words=10).collect()
+        }
+        assert out[1]["keep"]
+        assert not out[2]["ok_word_count"]
+        assert not out[3]["ok_symbol_ratio"]
+        assert not out[3]["ok_alpha_words"]
+        assert not out[4]["ok_bullet_lines"]
+        assert not out[5]["ok_mean_word_len"]
+        assert not out[6]["ok_ellipsis_lines"]
+        assert not out[7]["ok_word_count"] and out[7]["n_words"] == 0
+        for d in (2, 3, 4, 5, 6, 7):
+            assert not out[d]["keep"]
+
+    def test_stopword_rule_distinct_containment(self, spark):
+        """>= 2 DISTINCT stopwords of the 8-list, not 2 occurrences of one."""
+        from sat_bucket_spark.operators.text import gopher_quality_flags
+
+        rows = [
+            (1, " ".join(["the"] * 30)),          # one distinct stopword
+            (2, " ".join(["the rest of words"] * 8)),  # the + of
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r["ok_stopwords"]
+            for r in gopher_quality_flags(df, min_words=1).collect()
+        }
+        assert out == {1: False, 2: True}
+
+    def test_row_local_plan(self, spark):
+        from sat_bucket_spark.operators.text import gopher_quality_flags
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        plan = gopher_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Exchange" not in plan
