@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Web-crawl curation: WET archives -> filtered, span-deduped documents.
+
+The Common Crawl-style front half of a training-data pipeline, end to end:
+
+    WET archives (multi-member gzip)
+      -> read_wet (streaming WARC parse, file-grain parallelism)
+      -> gopher_quality_flags (document-level quality rules + rejection
+         breakdown: WHY documents drop, not just how many)
+      -> remove_duplicate_spans (substring-level exact dedup — the copied
+         passage embedded mid-page that paragraph dedup can't see)
+      -> canonical curated documents table
+
+Fixture crawl data is synthesized on the fly (two .warc.gz segments with
+boilerplate pages, a copied passage, and junk pages), so the example runs
+anywhere with no network.
+
+Run: python examples/web_crawl_curation.py [workdir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sat_bucket_spark import get_spark, read_wet
+from sat_bucket_spark.operators.dedup import remove_duplicate_spans
+from sat_bucket_spark.operators.text import gopher_quality_flags
+from sat_bucket_spark.warc import build_warc_bytes
+
+PASSAGE = (
+    "the quick brown fox jumps over the lazy dog and that is a passage "
+    "every mirror of this page carries verbatim with it"
+)
+
+
+def _write_crawl(d: str) -> None:
+    """Two WET segments: good pages, mirrored-passage pages, junk pages."""
+
+    def conv(url: str, text: str) -> dict:
+        return {
+            "type": "conversion",
+            "payload": text.encode(),
+            "WARC-Target-URI": url,
+            "WARC-Date": "2026-08-01T00:00:00Z",
+        }
+
+    def body(topic: str) -> str:
+        # distinct per-page prose (unique topic words) so only the mirrored
+        # PASSAGE is corpus-duplicated
+        return " ".join(
+            f"this {topic} page number {i} is about {topic} and the ways a"
+            f" {topic} engine of kind {i} can be built to sort {topic} fast"
+            for i in range(4)
+        )
+
+    seg0 = [
+        conv("http://a.example/good1", body("database")),
+        conv("http://a.example/mirror1", body("storage") + " " + PASSAGE),
+        conv("http://a.example/junk-symbols", "#### #### " * 40),
+        conv("http://a.example/junk-short", "too short"),
+    ]
+    seg1 = [
+        conv("http://b.example/good2", body("compiler")),
+        conv("http://b.example/mirror2", PASSAGE + " " + body("network")),
+        conv(
+            "http://b.example/junk-bullets",
+            "\n".join(["- a bullet item of the list"] * 30),
+        ),
+    ]
+    for i, recs in enumerate([seg0, seg1]):
+        with open(os.path.join(d, f"seg-{i}.warc.gz"), "wb") as f:
+            f.write(build_warc_bytes(recs, gzip_members=True))
+
+
+def main(workdir: str) -> None:
+    spark = get_spark(app_name="web-crawl-curation-example")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    crawl = os.path.join(workdir, "crawl")
+    os.makedirs(crawl, exist_ok=True)
+    _write_crawl(crawl)
+
+    # 1. ingest: WARC records -> canonical documents frame
+    docs = read_wet(spark, crawl)
+    print(f"ingested {docs.count()} pages from the WET segments")
+
+    # 2. quality gate with a rejection breakdown
+    flags = gopher_quality_flags(docs, min_words=20, min_stopword_hits=1)
+    breakdown = flags.select(
+        *[
+            F.sum((~F.col(c)).cast("long")).alias(c)
+            for c in flags.columns
+            if c.startswith("ok_")
+        ]
+    )
+    print("rejections per rule:")
+    breakdown.show(truncate=False)
+    kept = docs.join(
+        flags.where("keep").select("doc_id"), "doc_id", "left_semi"
+    )
+    print(f"quality filter: {docs.count()} -> {kept.count()} pages")
+
+    # 3. substring-level dedup: the mirrored passage survives quality
+    #    filtering on BOTH pages; keep-first removal excises the copy
+    deduped = remove_duplicate_spans(
+        kept, k=8, min_count=2, removed_count_col="n_removed"
+    )
+    deduped.select("url", "n_removed", F.length("text").alias("n_chars")).show(
+        truncate=60
+    )
+    total = deduped.agg(F.sum("n_removed")).first()[0]
+    print(f"span dedup removed {total} duplicated tokens across the corpus")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="crawl_ex_")
+    try:
+        main(work)
+    finally:
+        if len(sys.argv) <= 1:
+            shutil.rmtree(work, ignore_errors=True)
