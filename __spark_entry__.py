@@ -1420,6 +1420,29 @@ def q_dup_spans(spark, sf_dir):
     )
 
 
+def q_repetition_full(spark, sf_dir):
+    """Full Gopher repetition rule set (dup lines + top n-gram char mass).
+
+    Newlines injected as in ``paragraph_dedup`` and a repeated footer line
+    appended to every 4th document so the line-level fractions are
+    non-vacuous; the oracle replays the injection and every fold.
+    """
+    from sat_bucket_spark.operators.text import repetition_signals_full
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", " batch ", "\nbatch "),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\nsubscribe now\nsubscribe now"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return repetition_signals_full(injected)
+
+
 def q_shard_assign(spark, sf_dir):
     """Deterministic global shuffle into 8 training shards with in-shard order."""
     from sat_bucket_spark.operators.sampling import assign_shards
@@ -3962,6 +3985,78 @@ SELECT doc_id, CAST(n_removed AS BIGINT) AS n_removed,
 FROM clean
 """
 
+# Full Gopher repetition rules. The n-gram mode is recomputed relationally
+# (explode + count + row_number with the cnt DESC, gram ASC tie-break that
+# mirrors the Spark sorted-fold's smallest-gram-wins); line fractions come
+# from list folds on the same injected text as the Spark side.
+_NGRAM_TOP_CTES = "\n".join(
+    f""",
+ng{n} AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 1)),
+             i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS gram
+    FROM rtoks) g
+  GROUP BY doc_id, gram
+),
+top{n} AS (
+  SELECT doc_id, c, length(gram) AS gl FROM (
+    SELECT doc_id, c, gram,
+      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+    FROM ng{n}) r
+  WHERE rn = 1
+)"""
+    for n in (2, 3, 4)
+)
+_ORACLES["repetition_full"] = (
+    r"""
+WITH injected AS (
+  SELECT doc_id, regexp_replace(text, ' batch ', chr(10) || 'batch ', 'g') ||
+    CASE WHEN doc_id % 4 = 0
+         THEN chr(10) || 'subscribe now' || chr(10) || 'subscribe now'
+         ELSE '' END AS text
+  FROM documents
+),
+rtoks AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '') AS toks,
+    string_split(text, chr(10)) AS ls
+  FROM injected
+),
+base AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    greatest(len(toks), 1) AS sw,
+    round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6)
+      AS dup_word_frac,
+    round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / greatest(len(ls), 1), 6)
+      AS dup_line_frac,
+    round(CAST(COALESCE(list_sum(list_transform(ls, l -> length(l))), 0)
+               - COALESCE(list_sum(list_transform(list_distinct(ls), l -> length(l))), 0) AS DOUBLE)
+          / greatest(COALESCE(list_sum(list_transform(ls, l -> length(l))), 0), 1), 6)
+      AS dup_line_char_frac,
+    greatest(len(toks) - 1, 1) AS n_bg,
+    greatest(length(text), 1) AS tc
+  FROM rtoks
+)"""
+    + _NGRAM_TOP_CTES
+    + """
+SELECT b.doc_id,
+  CAST(b.n_words AS BIGINT) AS n_words,
+  b.dup_word_frac,
+  round(CAST(t2.c AS DOUBLE) / b.n_bg, 6) AS top_bigram_frac,
+  b.dup_line_frac,
+  b.dup_line_char_frac,
+  round(CAST(t2.c * t2.gl AS DOUBLE) / b.tc, 6) AS top_2gram_char_frac,
+  round(CAST(t3.c * t3.gl AS DOUBLE) / b.tc, 6) AS top_3gram_char_frac,
+  round(CAST(t4.c * t4.gl AS DOUBLE) / b.tc, 6) AS top_4gram_char_frac
+FROM base b
+JOIN top2 t2 USING (doc_id)
+JOIN top3 t3 USING (doc_id)
+JOIN top4 t4 USING (doc_id)
+"""
+)
+
 # Gopher document-quality rules: every rule recomputed relationally, each
 # fraction rounded to 6 places before the threshold compare (both engines
 # compute in double; the round pins the boundary).
@@ -4121,6 +4216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- beyond the driver window: parity-suite verified ----
         "token_count": q_token_count,
         "gopher_quality": q_gopher_quality,
+        "repetition_full": q_repetition_full,
         "time_prefixes": q_time_prefixes,
         "minhash": q_minhash,
         "lsh_buckets": q_lsh_buckets,

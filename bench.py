@@ -87,6 +87,7 @@ HEADLINE = [
     "key_skew",            # skew diagnosis: counts + broadcast total + top-N (added r5)
     "dup_spans",           # substring (token-window) dedup: groupBy + flag join + row-local rebuild (added r5)
     "gopher_quality",      # Gopher document-quality rules, row-local folds (added r5)
+    "repetition_full",     # full Gopher repetition suite, row-local sorted folds (added r5)
 ]
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "normalize_text",
     "repair_mojibake",
     "repetition_signals",
+    "repetition_signals_full",
     "rolling_hash_expr",
     "tokens_expr",
     "vocabulary",
@@ -269,6 +270,130 @@ def repetition_signals(
         ).alias("dup_word_frac"),
         F.round(top_count.cast("double") / n_bg, 6).alias("top_bigram_frac"),
     )
+
+
+def _top_run_with_gram(arr: Column) -> Column:
+    """(max occurrence count, arg-max element) of an array, row-local.
+
+    Sort + fold (see ``repetition_signals``): the longest run of equal
+    adjacent elements in the sorted array is the mode's count. Updating only
+    on a STRICTLY longer run makes the tie-break deterministic — the
+    lexicographically smallest element wins (runs arrive in sorted order) —
+    which the SQL oracle mirrors with ``ORDER BY cnt DESC, gram ASC``.
+    """
+
+    def step(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
+            F.lit(1)
+        )
+        better = new_run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.when(better, new_run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit("").alias("bestg"),
+        ),
+        step,
+        lambda acc: F.struct(acc["best"].alias("n"), acc["bestg"].alias("gram")),
+    )
+
+
+def repetition_signals_full(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    ngram_ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """The full Gopher/MassiveText repetition rule set, row-local.
+
+    Extends :func:`repetition_signals` (dup-word + top-bigram fractions)
+    with the remaining repetition filters of Rae et al. 2021 Appendix A:
+
+    - ``dup_line_frac``: fraction of the document's lines that are repeats
+      (1 - distinct/total) — templated boilerplate shows up here first;
+    - ``dup_line_char_frac``: fraction of line characters sitting in the
+      repeated occurrences (total line chars minus distinct-line chars,
+      over total line chars);
+    - ``top_{n}gram_char_frac`` for each ``n``: characters covered by the
+      most frequent word n-gram (count x n-gram length over document
+      length), the "one slogan repeated forever" signal.
+
+    Lines come from the ORIGINAL text (boilerplate is case-sensitive);
+    n-grams from lowercased whitespace tokens (matching
+    ``repetition_signals``). Documents shorter than ``n`` tokens have one
+    degenerate n-gram (the whole token list), consistent with the bigram
+    convention there. Ties in the n-gram mode resolve to the
+    lexicographically smallest gram (see ``_top_run_with_gram``).
+
+    Shape: entirely row-local fold expressions — no explode, no shuffle;
+    cost is O(m log m) per document per ``n``. The relational alternative
+    shuffles every n-gram occurrence of the corpus, three times.
+    """
+    toks = F.col("__toks")
+    lines = F.col("__lines")
+    t = F.col("__t")
+    n_words = F.size(toks)
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dline_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    n_bg = F.greatest(n_words - F.lit(1), F.lit(1))
+
+    def grams(n: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n_words - F.lit(n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+        )
+
+    cols = [
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / safe_words,
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            _top_run_with_gram(grams(2))["n"].cast("double") / n_bg, 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double")
+            / F.greatest(F.size(lines), F.lit(1)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            (line_chars - dline_chars).cast("double")
+            / F.greatest(line_chars, F.lit(1)),
+            6,
+        ).alias("dup_line_char_frac"),
+    ]
+    for n in ngram_ns:
+        top = _top_run_with_gram(grams(n))
+        cols.append(
+            F.round(
+                (top["n"] * F.length(top["gram"])).cast("double")
+                / F.greatest(F.length(t), F.lit(1)),
+                6,
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(text).alias("__t"),
+        tokens_expr(F.lower(F.col(text))).alias("__toks"),
+        F.split(F.col(text), "\n").alias("__lines"),
+    ).select(*cols)
 
 
 # The 8-word function-word list of the Gopher/MassiveText stopword rule

@@ -1272,3 +1272,63 @@ class TestGopherQuality:
         df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
         plan = gopher_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestRepetitionFull:
+    def test_against_python_reference(self, spark):
+        from collections import Counter
+
+        from sat_bucket_spark.operators.text import repetition_signals_full
+
+        rows = [
+            (1, "buy now buy now buy now buy now"),
+            (2, "line one\nline one\nline two"),
+            (3, "all words unique here today friend"),
+            (4, "a b"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: r.asDict() for r in repetition_signals_full(df).collect()}
+        for i, t in rows:
+            toks = t.lower().split()
+            lines = t.split("\n")
+            lc = sum(map(len, lines))
+            dlc = sum(map(len, dict.fromkeys(lines)))
+            assert got[i]["n_words"] == len(toks)
+            assert got[i]["dup_line_frac"] == round(
+                1 - len(set(lines)) / len(lines), 6
+            )
+            assert got[i]["dup_line_char_frac"] == round((lc - dlc) / max(lc, 1), 6)
+            for n in (2, 3, 4):
+                if len(toks) >= n:
+                    grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+                else:
+                    grams = [" ".join(toks)]
+                cnt = Counter(grams)
+                best = max(cnt.values())
+                # smallest gram among ties (the documented tie-break)
+                bg = min(g for g, c in cnt.items() if c == best)
+                assert got[i][f"top_{n}gram_char_frac"] == round(
+                    best * len(bg) / max(len(t), 1), 6
+                ), (i, n)
+
+    def test_tie_break_smallest_gram(self, spark):
+        """'z z' and 'a a' both occur once... force a real tie at count 2."""
+        from sat_bucket_spark.operators.text import repetition_signals_full
+
+        # bigrams: "z q" x2 and "a b" x2 tie; smallest ("a b", len 3) wins
+        t = "a b c a b c z q d z q"
+        df = spark.createDataFrame([(1, t)], ["doc_id", "text"])
+        r = repetition_signals_full(df).collect()[0]
+        assert r["top_2gram_char_frac"] == round(2 * 3 / len(t), 6)
+
+    def test_row_local_plan(self, spark):
+        from sat_bucket_spark.operators.text import repetition_signals_full
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        plan = (
+            repetition_signals_full(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan
