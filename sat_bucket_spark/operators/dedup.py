@@ -1186,6 +1186,7 @@ def duplicate_spans(
     text_col: str = "text",
     k: int = 8,
     min_count: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Non-canonical occurrences of corpus-duplicated ``k``-token substrings.
 
@@ -1215,15 +1216,26 @@ def duplicate_spans(
     per map task, not 10^8 rows. The flag join back to occurrences is the
     only other gram-keyed exchange; AQE skew-split handles residual hot keys,
     and only duplicated grams (count filter pushed below the join) flow
-    through it.
+    through it. The source is scanned twice (once per side of the flag
+    join) — the single-scan alternative, a window over the gram partition,
+    concentrates every occurrence of a hot gram in one task, which is the
+    wrong trade at corpus scale. ``hash_grams=True`` shuffles 60-bit gram
+    hashes instead of k-token strings (roughly k-fold fewer exchange
+    bytes); flag collisions are ~n^2/2^60 corpus-wide — the production
+    posture, off by default so the oracle compares exact strings.
     """
+    gram = F.col("__w.gram")
     occ = (
         ensure_parallelism(df)
         .select(
             F.col(id_col),
             F.explode(token_windows_expr(text_col, k=k)).alias("__w"),
         )
-        .select(id_col, F.col("__w.pos").alias("__pos"), F.col("__w.gram").alias("__gram"))
+        .select(
+            id_col,
+            F.col("__w.pos").alias("__pos"),
+            (h64_expr(gram) if hash_grams else gram).alias("__gram"),
+        )
     )
     dup = (
         occ.groupBy("__gram")
@@ -1254,6 +1266,7 @@ def remove_duplicate_spans(
     min_count: int = 2,
     out: str | None = None,
     removed_count_col: str | None = None,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Rebuild documents with corpus-duplicated token spans removed.
 
@@ -1274,7 +1287,14 @@ def remove_duplicate_spans(
     """
     out = out or text_col
     spans = (
-        duplicate_spans(df, id_col=id_col, text_col=text_col, k=k, min_count=min_count)
+        duplicate_spans(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            min_count=min_count,
+            hash_grams=hash_grams,
+        )
         .groupBy(id_col)
         .agg(F.collect_list("pos").alias("__spans"))
     )

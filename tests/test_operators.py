@@ -1332,3 +1332,23 @@ class TestRepetitionFull:
             .toString()
         )
         assert "Python" not in plan
+
+
+class TestDuplicateSpansHashed:
+    def test_hashed_grams_match_exact_on_real_docs(self, spark, documents):
+        """The 60-bit-hash scale path flags the same spans as exact strings
+        on the full sf0.001 documents table."""
+        from sat_bucket_spark.operators.dedup import duplicate_spans
+
+        exact = set(
+            map(tuple, duplicate_spans(documents, k=4, min_count=2).collect())
+        )
+        hashed = set(
+            map(
+                tuple,
+                duplicate_spans(
+                    documents, k=4, min_count=2, hash_grams=True
+                ).collect(),
+            )
+        )
+        assert exact == hashed and len(exact) > 0
