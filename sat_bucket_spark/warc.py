@@ -182,6 +182,13 @@ _WARC_SCHEMA = (
 )
 
 
+# binaryFile's fixed schema, spelled out because a STREAMING file source
+# cannot infer it (Spark requires an explicit schema on readStream).
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -189,6 +196,7 @@ def read_warc(
     strip_http_headers: bool = False,
     strict: bool = True,
     batch_records: int = 1024,
+    streaming: bool = False,
 ) -> DataFrame:
     """Distributed WARC record table over a directory of (.warc|.warc.gz).
 
@@ -198,11 +206,25 @@ def read_warc(
     materializes); ``strip_http_headers`` removes the HTTP head from
     ``response`` blocks so ``payload`` is the body bytes.
 
+    ``streaming=True`` returns a STREAMING DataFrame over the same
+    directory (Structured Streaming file source: each newly-arriving
+    archive is parsed exactly once per checkpoint) — continuous crawl
+    ingestion composes with ``streaming.ingest.stream_write_bucket`` or a
+    ``foreachBatch`` curation pipeline with no parser changes, because
+    ``mapInPandas`` is the same operator in both modes.
+
     Scale shape: file-grain parallelism (see module docstring), streaming
     inflate, and bounded ``batch_records``-row Arrow batches — no shuffle
     at all; downstream filters/projections run on a normal DataFrame.
     """
-    bf = spark.read.format("binaryFile").load(path)
+    if streaming:
+        bf = (
+            spark.readStream.format("binaryFile")
+            .schema(_BINARY_FILE_SCHEMA)
+            .load(path)
+        )
+    else:
+        bf = spark.read.format("binaryFile").load(path)
     wanted = tuple(t.lower() for t in record_types) if record_types else None
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -247,15 +269,23 @@ def read_wet(
     spark: SparkSession,
     path: str,
     strict: bool = True,
+    streaming: bool = False,
 ) -> DataFrame:
     """WET extracted-text corpus as the canonical documents frame.
 
     Keeps the ``conversion`` records (the per-page extracted text), decodes
     UTF-8 (lossy replace — crawl text is never uniformly clean), and derives
     the deterministic content id used across the curation operators:
-    ``(doc_id, url, fetch_date, text, source_file)``.
+    ``(doc_id, url, fetch_date, text, source_file)``. ``streaming=True``
+    makes it a streaming frame (see :func:`read_warc`).
     """
-    recs = read_warc(spark, path, record_types=("conversion",), strict=strict)
+    recs = read_warc(
+        spark,
+        path,
+        record_types=("conversion",),
+        strict=strict,
+        streaming=streaming,
+    )
     return recs.select(
         F.col("target_uri").alias("url"),
         F.col("warc_date").alias("fetch_date"),

@@ -192,3 +192,57 @@ class TestWarc:
         # deterministic content id: same text => same id across re-reads
         again = read_wet(spark, self._archive_dir(tmp_path)).orderBy("url").collect()
         assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in again]
+
+
+class TestWarcStreaming:
+    """Continuous crawl ingestion: the WARC parse in Structured Streaming."""
+
+    def _write_seg(self, d, name, urls):
+        from sat_bucket_spark.warc import build_warc_bytes
+
+        recs = [
+            {
+                "type": "conversion",
+                "payload": f"text of {u}".encode(),
+                "WARC-Target-URI": u,
+                "WARC-Date": "2026-08-01T00:00:00Z",
+            }
+            for u in urls
+        ]
+        (d / name).write_bytes(build_warc_bytes(recs, gzip_members=True))
+
+    def test_streaming_parse_and_incremental_pickup(self, spark, tmp_path):
+        from sat_bucket_spark.warc import read_wet
+
+        crawl = tmp_path / "crawl"
+        crawl.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        self._write_seg(crawl, "seg-0.warc.gz", ["u/a", "u/b"])
+
+        docs = read_wet(spark, str(crawl), streaming=True)
+        assert docs.isStreaming
+
+        def run():
+            q = (
+                docs.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        got = {
+            r["url"]: r["text"] for r in spark.read.parquet(out).collect()
+        }
+        assert got == {"u/a": "text of u/a", "u/b": "text of u/b"}
+
+        # a new segment arrives; the checkpoint makes pickup incremental —
+        # the second run parses ONLY the new file (sink appends)
+        self._write_seg(crawl, "seg-1.warc.gz", ["u/c"])
+        run()
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 3  # not 5: seg-0 was not re-parsed
+        assert {r["url"] for r in rows} == {"u/a", "u/b", "u/c"}
