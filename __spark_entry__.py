@@ -1420,6 +1420,38 @@ def q_dup_spans(spark, sf_dir):
     )
 
 
+def q_url_filter(spark, sf_dir):
+    """URL-level crawl filtering: per-rule flags over synthesized URLs.
+
+    The documents table has no URL column, so deterministic URLs are
+    synthesized to exercise every rule (blocked domain + subdomain, bad
+    scheme, raw-IP host, deep paths, query blobs, blocked terms); the
+    oracle replays the synthesis and every rule.
+    """
+    from sat_bucket_spark.operators.urls import url_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 11 == 0, F.lit("ftp://")).otherwise(
+                F.lit("http://")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("192.168.0.1"))
+            .when(F.col("doc_id") % 7 == 0, F.concat("source", F.lit(".spam.example")))
+            .otherwise(F.concat("source", F.lit(".example"))),
+            F.expr("repeat('/seg', CAST(doc_id % 12 AS INT))"),
+            F.when(F.col("doc_id") % 17 == 0, F.lit("/casino")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.lit("?"), F.expr("repeat('x', 300)"))
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_quality_flags(
+        urls, blocked_domains=("spam.example",), blocked_terms=("casino",)
+    )
+
+
 def q_repetition_full(spark, sf_dir):
     """Full Gopher repetition rule set (dup lines + top n-gram char mass).
 
@@ -3985,6 +4017,44 @@ SELECT doc_id, CAST(n_removed AS BIGINT) AS n_removed,
 FROM clean
 """
 
+# URL filter rules over the same synthesized URLs as the Spark side.
+_URL_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+_ORACLES["url_filter"] = rf"""
+WITH urls AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 11 = 0 THEN 'ftp://' ELSE 'http://' END) ||
+    (CASE WHEN doc_id % 13 = 0 THEN '192.168.0.1'
+          WHEN doc_id % 7 = 0 THEN source || '.spam.example'
+          ELSE source || '.example' END) ||
+    repeat('/seg', CAST(doc_id % 12 AS INT)) ||
+    (CASE WHEN doc_id % 17 = 0 THEN '/casino' ELSE '' END) ||
+    (CASE WHEN doc_id % 5 = 0 THEN '?' || repeat('x', 300) ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '{_URL_HOST_RE}', 1)) AS host,
+    regexp_extract(regexp_replace(url, '{_URL_HOST_RE}', ''), '^([^?#]*)', 1) AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM urls
+)
+SELECT doc_id, url,
+  (lower(url) LIKE 'http://%' OR lower(url) LIKE 'https://%') AS ok_scheme,
+  NOT (host = 'spam.example' OR host LIKE '%.spam.example') AS ok_domain,
+  NOT regexp_matches(host, '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$') AS ok_not_ip,
+  len(list_filter(string_split(path, '/'), s -> s != '')) <= 8 AS ok_path_depth,
+  length(query) <= 256 AS ok_query_len,
+  length(url) <= 2048 AS ok_url_len,
+  NOT contains(lower(url), 'casino') AS ok_terms,
+  ((lower(url) LIKE 'http://%' OR lower(url) LIKE 'https://%')
+   AND NOT (host = 'spam.example' OR host LIKE '%.spam.example')
+   AND NOT regexp_matches(host, '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$')
+   AND len(list_filter(string_split(path, '/'), s -> s != '')) <= 8
+   AND length(query) <= 256 AND length(url) <= 2048
+   AND NOT contains(lower(url), 'casino')) AS keep
+FROM parts
+"""
+
 # Full Gopher repetition rules. The n-gram mode is recomputed relationally
 # (explode + count + row_number with the cnt DESC, gram ASC tie-break that
 # mirrors the Spark sorted-fold's smallest-gram-wins); line fractions come
@@ -4217,6 +4287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "gopher_quality": q_gopher_quality,
         "repetition_full": q_repetition_full,
+        "url_filter": q_url_filter,
         "time_prefixes": q_time_prefixes,
         "minhash": q_minhash,
         "lsh_buckets": q_lsh_buckets,

@@ -88,6 +88,7 @@ HEADLINE = [
     "dup_spans",           # substring (token-window) dedup: groupBy + flag join + row-local rebuild (added r5)
     "gopher_quality",      # Gopher document-quality rules, row-local folds (added r5)
     "repetition_full",     # full Gopher repetition suite, row-local sorted folds (added r5)
+    "url_filter",          # URL-level crawl rules, row-local regex flags (added r5)
 ]
 
 

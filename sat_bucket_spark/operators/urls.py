@@ -1,0 +1,101 @@
+"""URL-level filtering for crawl corpora (C4/CCNet/RefinedWeb lineage).
+
+Before any text is read, a crawl pipeline drops documents whose URL alone
+disqualifies them: non-web schemes, blocklisted domains, raw-IP hosts,
+machine-generated deep paths and query-string explosions, and URLs whose
+own text carries blocked terms. All row-local Column expressions — the
+cheapest filter in the pipeline, so it runs first.
+
+Reference scope: beyond sat-bucket; the rule set is the public common core
+of the C4 / CCNet / RefinedWeb cleaning recipes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["url_host_expr", "url_quality_flags"]
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+
+
+def url_host_expr(url: Column | str) -> Column:
+    """Lower-cased host part of a URL ('' when there is no scheme://host)."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(u, _HOST_RE, 1))
+
+
+def url_quality_flags(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocked_domains: tuple[str, ...] = (),
+    blocked_terms: tuple[str, ...] = (),
+    max_path_depth: int = 8,
+    max_query_len: int = 256,
+    max_url_len: int = 2048,
+) -> DataFrame:
+    """Per-rule URL filter flags plus the combined ``keep``.
+
+    Rules (each an ``ok_*`` boolean so rejections are attributable):
+
+    - ``ok_scheme``: http/https only;
+    - ``ok_domain``: host is not a blocked domain nor a subdomain of one
+      (suffix match on ``.domain``);
+    - ``ok_not_ip``: host is not a raw IPv4 literal (crawler traps and
+      misconfigured vhosts serve duplicate junk from bare IPs);
+    - ``ok_path_depth``: at most ``max_path_depth`` ``/``-segments after
+      the host (calendar/facet explosions live deep);
+    - ``ok_query_len``: query string at most ``max_query_len`` chars
+      (session ids, tracking blobs);
+    - ``ok_url_len``: whole URL at most ``max_url_len`` chars;
+    - ``ok_terms``: the lower-cased URL contains none of
+      ``blocked_terms``.
+
+    Scale: pure row-local expressions, no shuffle; the blocked lists fold
+    into the plan as literals (keep them list-sized — thousands of
+    entries belong in a broadcast-joined table instead).
+    """
+    u = F.col(url_col)
+    lu = F.lower(u)
+    host = url_host_expr(u)
+    # strip scheme://host, then the query/fragment, leaving the path
+    rest = F.regexp_replace(u, _HOST_RE, "")
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+
+    ok_scheme = lu.startswith("http://") | lu.startswith("https://")
+    ok_domain = F.lit(True)
+    for d in blocked_domains:
+        dl = d.lower()
+        ok_domain = ok_domain & (host != dl) & ~host.endswith("." + dl)
+    ok_not_ip = ~host.rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$")
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != F.lit("")))
+    ok_path_depth = depth <= F.lit(max_path_depth)
+    ok_query_len = F.length(query) <= F.lit(max_query_len)
+    ok_url_len = F.length(u) <= F.lit(max_url_len)
+    ok_terms = F.lit(True)
+    for t in blocked_terms:
+        ok_terms = ok_terms & ~lu.contains(t.lower())
+
+    return df.select(
+        F.col(id_col),
+        u.alias(url_col),
+        ok_scheme.alias("ok_scheme"),
+        ok_domain.alias("ok_domain"),
+        ok_not_ip.alias("ok_not_ip"),
+        ok_path_depth.alias("ok_path_depth"),
+        ok_query_len.alias("ok_query_len"),
+        ok_url_len.alias("ok_url_len"),
+        ok_terms.alias("ok_terms"),
+    ).withColumn(
+        "keep",
+        F.col("ok_scheme")
+        & F.col("ok_domain")
+        & F.col("ok_not_ip")
+        & F.col("ok_path_depth")
+        & F.col("ok_query_len")
+        & F.col("ok_url_len")
+        & F.col("ok_terms"),
+    )

@@ -1352,3 +1352,59 @@ class TestDuplicateSpansHashed:
             )
         )
         assert exact == hashed and len(exact) > 0
+
+
+class TestUrlFilter:
+    def test_each_rule_fires(self, spark):
+        from sat_bucket_spark.operators.urls import url_quality_flags
+
+        rows = [
+            (1, "https://good.example/articles/page"),
+            (2, "ftp://files.example/a"),
+            (3, "http://spam.example/buy"),
+            (4, "http://sub.spam.example/buy"),
+            (5, "http://10.0.0.7/index"),
+            (6, "http://deep.example/" + "/".join("abcdefghij")),
+            (7, "http://q.example/p?" + "x" * 300),
+            (8, "http://ok.example/casino-poker"),
+            (9, "notaurl"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "url"])
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in url_quality_flags(
+                df, blocked_domains=("spam.example",), blocked_terms=("casino",)
+            ).collect()
+        }
+        assert out[1]["keep"]
+        failed = {
+            i: [k for k, v in d.items() if k.startswith("ok_") and not v]
+            for i, d in out.items()
+        }
+        assert failed[2] == ["ok_scheme"]
+        assert failed[3] == ["ok_domain"]
+        assert failed[4] == ["ok_domain"]
+        assert failed[5] == ["ok_not_ip"]
+        assert failed[6] == ["ok_path_depth"]
+        assert failed[7] == ["ok_query_len"]
+        assert failed[8] == ["ok_terms"]
+        assert failed[9] == ["ok_scheme"]
+
+    def test_domain_suffix_is_label_aligned(self, spark):
+        """'notspam.example' is NOT a subdomain of 'spam.example'."""
+        from sat_bucket_spark.operators.urls import url_quality_flags
+
+        df = spark.createDataFrame(
+            [(1, "http://notspam.example/x")], ["doc_id", "url"]
+        )
+        r = url_quality_flags(df, blocked_domains=("spam.example",)).collect()[0]
+        assert r["ok_domain"] and r["keep"]
+
+    def test_row_local_plan(self, spark):
+        from sat_bucket_spark.operators.urls import url_quality_flags
+
+        df = spark.createDataFrame([(1, "http://a.example/")], ["doc_id", "url"])
+        plan = (
+            url_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "Exchange" not in plan
