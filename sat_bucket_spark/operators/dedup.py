@@ -56,6 +56,7 @@ __all__ = [
     "shingles_expr",
     "simhash_near_dup_pairs",
     "token_windows_expr",
+    "unit_windows_expr",
 ]
 
 
@@ -1149,35 +1150,59 @@ def remove_repeated_paragraphs(
     )
 
 
-def token_windows_expr(text: Column | str, k: int = 8) -> Column:
-    """Overlapping ``k``-token windows of a document, with 0-based positions.
+# dedup unit -> (how a document splits into units, how survivors rejoin)
+_UNIT_SEPS = {"token": " ", "line": "\n", "sentence": " "}
 
-    Returns ``array<struct<pos int, gram string>>`` — one entry per window
-    start ``p`` in ``[0, n_tokens - k]``; documents shorter than ``k`` tokens
-    yield an empty array. Tokens are the whitespace tokens of
-    ``operators.text.tokens_expr`` (raw case — substring dedup operates on the
-    text as written). All JVM-side: the token array is bound as a lambda
-    variable (see ``shingles_expr`` for why) so the split runs once per row,
-    not once per window.
-    """
+
+def _units_expr(text: Column | str, unit: str) -> Column:
+    """A document as an array of dedup units (tokens, lines, or sentences)."""
     from sat_bucket_spark.operators.text import tokens_expr
 
+    t = F.col(text) if isinstance(text, str) else text
+    if unit == "token":
+        return tokens_expr(t)
+    if unit == "line":
+        return F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
+    if unit == "sentence":
+        # terminal-punctuation lookbehind split (Java regex; the SQL oracle
+        # cannot mirror this — RE2 lacks lookbehind — hence token-unit entry)
+        return F.filter(
+            F.split(F.trim(t), r"(?<=[.!?])\s+"), lambda x: x != F.lit("")
+        )
+    raise ValueError(f"unknown dedup unit {unit!r}; use one of {sorted(_UNIT_SEPS)}")
+
+
+def unit_windows_expr(units: Column, k: int, joiner: str = " ") -> Column:
+    """Overlapping ``k``-unit windows of an array, with 0-based positions.
+
+    Returns ``array<struct<pos int, gram string>>`` — one entry per window
+    start ``p`` in ``[0, n_units - k]``; arrays shorter than ``k`` yield an
+    empty array. All JVM-side: the unit array is bound as a lambda variable
+    (see ``shingles_expr`` for why) so upstream splits run once per row,
+    not once per window.
+    """
     struct_t = "array<struct<pos:int,gram:string>>"
     return F.transform(
-        F.array(tokens_expr(text)),
+        F.array(units),
         lambda ts: F.when(
             F.size(ts) >= F.lit(k),
             F.transform(
                 F.sequence(F.lit(0), F.size(ts) - F.lit(k)),
                 lambda p: F.struct(
                     p.alias("pos"),
-                    F.array_join(F.slice(ts, p + F.lit(1), F.lit(k)), " ").alias(
-                        "gram"
-                    ),
+                    F.array_join(
+                        F.slice(ts, p + F.lit(1), F.lit(k)), joiner
+                    ).alias("gram"),
                 ),
             ),
         ).otherwise(F.from_json(F.lit("[]"), struct_t)),
     )[0]
+
+
+def token_windows_expr(text: Column | str, k: int = 8) -> Column:
+    """Overlapping ``k``-token windows of a document (raw-case whitespace
+    tokens — substring dedup operates on the text as written)."""
+    return unit_windows_expr(_units_expr(text, "token"), k)
 
 
 def duplicate_spans(
@@ -1187,6 +1212,7 @@ def duplicate_spans(
     k: int = 8,
     min_count: int = 2,
     hash_grams: bool = False,
+    unit: str = "token",
 ) -> DataFrame:
     """Non-canonical occurrences of corpus-duplicated ``k``-token substrings.
 
@@ -1223,13 +1249,20 @@ def duplicate_spans(
     hashes instead of k-token strings (roughly k-fold fewer exchange
     bytes); flag collisions are ~n^2/2^60 corpus-wide — the production
     posture, off by default so the oracle compares exact strings.
+
+    ``unit`` picks the window granularity: ``"token"`` (substring dedup),
+    ``"line"``, or ``"sentence"`` — ``unit="sentence", k=3`` is C4's
+    "three-sentence span occurring more than once" rule.
     """
+    joiner = "\x1f" if unit != "token" else " "
     gram = F.col("__w.gram")
     occ = (
         ensure_parallelism(df)
         .select(
             F.col(id_col),
-            F.explode(token_windows_expr(text_col, k=k)).alias("__w"),
+            F.explode(
+                unit_windows_expr(_units_expr(text_col, unit), k, joiner)
+            ).alias("__w"),
         )
         .select(
             id_col,
@@ -1267,17 +1300,20 @@ def remove_duplicate_spans(
     out: str | None = None,
     removed_count_col: str | None = None,
     hash_grams: bool = False,
+    unit: str = "token",
 ) -> DataFrame:
-    """Rebuild documents with corpus-duplicated token spans removed.
+    """Rebuild documents with corpus-duplicated spans removed.
 
-    Every token covered by a flagged window from :func:`duplicate_spans`
-    (keep-first semantics — the canonical occurrence survives) is dropped;
-    the document is rebuilt from the surviving tokens in order, joined by
-    single spaces (inter-token whitespace is normalized — substring dedup
-    operates on the token stream). Overlapping flagged windows merge
+    Every unit (token by default; line or sentence via ``unit``) covered by
+    a flagged window from :func:`duplicate_spans` (keep-first semantics —
+    the canonical occurrence survives) is dropped; the document is rebuilt
+    from the surviving units in order, joined by the unit separator
+    (space / newline / space — intra-unit whitespace is normalized: span
+    dedup operates on the unit stream). Overlapping flagged windows merge
     naturally via the removed-position set. Fully-emptied documents keep an
-    empty string. ``removed_count_col`` optionally records how many tokens
-    were dropped per document.
+    empty string. ``removed_count_col`` optionally records how many units
+    were dropped per document. ``unit="sentence", k=3, min_count=2`` is
+    C4's three-sentence-span rule as a removal.
 
     Scale: flagged spans aggregate to one ``array<int>`` per affected
     document (keyed on the id — scales with corpus, never concentrates), and
@@ -1294,12 +1330,11 @@ def remove_duplicate_spans(
             k=k,
             min_count=min_count,
             hash_grams=hash_grams,
+            unit=unit,
         )
         .groupBy(id_col)
         .agg(F.collect_list("pos").alias("__spans"))
     )
-    from sat_bucket_spark.operators.text import tokens_expr
-
     removed = F.coalesce(
         F.array_distinct(
             F.flatten(
@@ -1311,7 +1346,7 @@ def remove_duplicate_spans(
     joined = (
         df.join(spans, id_col, "left")
         .withColumn("__removed", removed)
-        .withColumn("__toks", tokens_expr(text_col))
+        .withColumn("__toks", _units_expr(text_col, unit))
         .drop("__spans")
     )
     kept = F.filter(
@@ -1319,7 +1354,7 @@ def remove_duplicate_spans(
         lambda t, i: ~F.array_contains(F.col("__removed"), i.cast("int")),
     )
     result = joined.withColumn("__kept", kept).withColumn(
-        out, F.array_join(F.col("__kept"), " ")
+        out, F.array_join(F.col("__kept"), _UNIT_SEPS[unit])
     )
     if removed_count_col is not None:
         result = result.withColumn(

@@ -1408,3 +1408,104 @@ class TestUrlFilter:
             url_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestSentenceSpanDedup:
+    """C4's three-sentence-span rule via unit='sentence' span dedup."""
+
+    def test_sentence_spans_match_python_reference(self, spark):
+        import re
+        from collections import Counter
+
+        from sat_bucket_spark.operators.dedup import duplicate_spans
+
+        span = "First shared. Second shared! Third shared?"
+        rows = [
+            (1, f"Own intro one. {span} Own tail one."),
+            (2, f"{span} Own tail two. More text here."),
+            (3, "No shared sentences. At all. Anywhere. Promise."),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = sorted(
+            tuple(r)
+            for r in duplicate_spans(df, k=3, min_count=2, unit="sentence").collect()
+        )
+
+        occ = []
+        for i, t in rows:
+            sents = [s for s in re.split(r"(?<=[.!?])\s+", t.strip()) if s]
+            for p in range(len(sents) - 2):
+                occ.append((i, p, "\x1f".join(sents[p : p + 3])))
+        cnt = Counter(g for _, _, g in occ)
+        first = {}
+        for i, p, g in sorted(occ):
+            first.setdefault(g, (i, p))
+        ref = sorted(
+            (i, p) for i, p, g in occ if cnt[g] >= 2 and first[g] != (i, p)
+        )
+        assert got == ref and len(got) > 0
+
+    def test_sentence_removal_keeps_first(self, spark):
+        from sat_bucket_spark.operators.dedup import remove_duplicate_spans
+
+        span = "First shared. Second shared! Third shared?"
+        rows = [(1, f"Intro one. {span}"), (2, f"{span} Tail two. End here. Done now.")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r["text"]
+            for r in remove_duplicate_spans(
+                df, k=3, min_count=2, unit="sentence"
+            ).collect()
+        }
+        assert out[1] == f"Intro one. {span}"
+        assert out[2] == "Tail two. End here. Done now."
+
+    def test_line_unit(self, spark):
+        from sat_bucket_spark.operators.dedup import remove_duplicate_spans
+
+        footer = "nav home\nnav about"
+        rows = [(1, f"real content a\n{footer}"), (2, f"real content b\n{footer}")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r["text"]
+            for r in remove_duplicate_spans(
+                df, k=2, min_count=2, unit="line"
+            ).collect()
+        }
+        assert out[1] == f"real content a\n{footer}"
+        assert out[2] == "real content b"
+
+    def test_unknown_unit_raises(self, spark):
+        import pytest as _pytest
+
+        from sat_bucket_spark.operators.dedup import duplicate_spans
+
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="unknown dedup unit"):
+            duplicate_spans(df, unit="paragraph")
+
+
+class TestCompressionRatio:
+    def test_matches_python_zlib(self, spark):
+        import zlib
+
+        from sat_bucket_spark.operators.text import add_compression_ratio
+
+        rows = [
+            (1, "spam " * 500),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: r["compression_ratio"]
+            for r in add_compression_ratio(df).collect()
+        }
+        for i, t in rows:
+            if not t:
+                assert got[i] == 0.0
+            else:
+                raw = t.encode()
+                assert got[i] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        # repetitive text compresses far below prose
+        assert got[1] < 0.05 < got[2]
