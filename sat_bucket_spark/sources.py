@@ -28,7 +28,7 @@ from sat_bucket_spark.operators.hashing import h64_expr
 
 __all__ = ["read_corpus"]
 
-_FORMATS = ("parquet", "jsonl", "csv", "text")
+_FORMATS = ("parquet", "orc", "jsonl", "csv", "text")
 
 
 def read_corpus(
@@ -43,7 +43,7 @@ def read_corpus(
 ) -> DataFrame:
     """Open a document corpus as a canonical ``(doc_id, text, ...)`` frame.
 
-    - ``parquet``: columnar fast path (pushdown + pruning free).
+    - ``parquet`` / ``orc``: columnar fast paths (pushdown + pruning free).
     - ``jsonl``: one JSON object per line. Pass ``schema`` in production —
       without it Spark runs a full inference scan first (fine for samples,
       wrong for 100 TB).
@@ -60,6 +60,8 @@ def read_corpus(
         raise ValueError(f"unknown corpus format {fmt!r}; use one of {_FORMATS}")
     if fmt == "parquet":
         df = spark.read.parquet(path)
+    elif fmt == "orc":
+        df = spark.read.orc(path)
     elif fmt == "jsonl":
         reader = spark.read
         if schema is not None:

@@ -20,6 +20,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 __all__ = [
     "dehive_partition_directories",
@@ -27,6 +28,7 @@ __all__ = [
     "parse_size",
     "rows_for_target_size",
     "write_colocated_table",
+    "write_jsonl_shards",
     "write_partitioned_dataset",
 ]
 
@@ -278,3 +280,53 @@ def write_colocated_table(
     if sort:
         writer = writer.sortBy(*keys)
     writer.mode(mode).saveAsTable(name)
+
+
+def write_jsonl_shards(
+    df,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "shard",
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Export a documents table as deterministic JSONL training shards.
+
+    The hand-off format most training stacks consume: ``shard=K/`` hive
+    directories of (optionally gzipped) JSON-lines files, with rows
+    assigned to shards by the seeded hash permutation of
+    ``operators.sampling.assign_shards`` and ordered within each shard by
+    its independent order hash. The export is therefore REPRODUCIBLE —
+    identical bytes-modulo-file-splits across re-runs, engines, retries,
+    and speculative tasks (no ``rand()``) — and globally shuffled, so a
+    trainer reading shards sequentially sees no source/date drift within
+    an epoch.
+
+    Scale shape: shard assignment is map-only; the one exchange keys rows
+    to their shard and sorts within it (``repartition(shard)`` +
+    ``sortWithinPartitions``), so files per shard stay contiguous in
+    training order and the write parallelism is ``n_shards``. Pick
+    ``n_shards`` for the TRAINER (data-loader workers x hosts), not for
+    Spark — the exchange handles any corpus size either way.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from sat_bucket_spark.operators.hashing import h31_expr
+
+    # the same (shard, order) hash pair as operators.sampling.assign_shards,
+    # but without its within-shard window — the sortWithinPartitions below
+    # IS that ordering, so one exchange does both jobs
+    sid = F.col(id_col).cast("string")
+    shard = (h31_expr(F.concat(F.lit(salt), sid)) % n_shards).cast("int")
+    order = h31_expr(F.concat(F.lit(salt + ":order"), sid))
+    writer = (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", order)
+        .write.partitionBy("shard")
+        .mode(mode)
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

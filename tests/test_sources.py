@@ -246,3 +246,12 @@ class TestWarcStreaming:
         rows = spark.read.parquet(out).collect()
         assert len(rows) == 3  # not 5: seg-0 was not re-parsed
         assert {r["url"] for r in rows} == {"u/a", "u/b", "u/c"}
+
+
+def test_orc(spark, tmp_path, corpus_rows):
+    src = str(tmp_path / "docs_orc")
+    spark.createDataFrame(corpus_rows).write.orc(src)
+    df = read_corpus(spark, src, fmt="orc")
+    assert sorted((r["doc_id"], r["text"]) for r in df.collect()) == sorted(
+        (d["doc_id"], d["text"]) for d in corpus_rows
+    )
