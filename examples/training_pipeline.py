@@ -158,11 +158,22 @@ def main(sf_dir: str) -> None:
         f" | token-mixture mass: {mix_mass}"
     )
 
+    # final hand-off: deterministic gzipped JSONL shards for the trainer
+    import tempfile
+
+    from sat_bucket_spark.writers import write_jsonl_shards
+
+    export = tempfile.mkdtemp(prefix="train_export_") + "/shards"
+    write_jsonl_shards(mixture.select("doc_id", "text", "source"), export, n_shards=8)
+    spark_ = mixture.sparkSession
+    n_exported = spark_.read.option("basePath", export).json(export + "/shard=*").count()
+
     print(f"documents: {n0} -> quality {n1} -> exact-dedup {n2} -> near-dedup {n3}")
     print(f"splits: {split_counts}")
     print(f"train chunks: {packed.count()} packed into {n_bins} bins")
     print("top tokens:", [(r["token"], r["doc_freq"]) for r in vocab])
     print(f"embedding near-dup pairs (cos>=0.3): {near}")
+    print(f"exported {n_exported} mixture rows as 8 JSONL shards at {export}")
 
 
 if __name__ == "__main__":
