@@ -1509,3 +1509,39 @@ class TestCompressionRatio:
                 assert got[i] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
         # repetitive text compresses far below prose
         assert got[1] < 0.05 < got[2]
+
+
+class TestNewOpsEmptyInput:
+    """Empty-corpus edge cases for the round-5 curation additions."""
+
+    def test_empty_inputs(self, spark):
+        from sat_bucket_spark.operators.dedup import (
+            duplicate_spans,
+            remove_duplicate_spans,
+        )
+        from sat_bucket_spark.operators.text import (
+            gopher_quality_flags,
+            repetition_signals_full,
+        )
+        from sat_bucket_spark.operators.urls import url_quality_flags
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert duplicate_spans(empty).count() == 0
+        assert remove_duplicate_spans(empty).count() == 0
+        assert gopher_quality_flags(empty).count() == 0
+        assert repetition_signals_full(empty).count() == 0
+        eurl = spark.createDataFrame([], "doc_id long, url string")
+        assert url_quality_flags(eurl).count() == 0
+
+    def test_null_text_rows_survive(self, spark):
+        """NULL text must not crash or drop rows in the flag operators."""
+        from sat_bucket_spark.operators.text import (
+            gopher_quality_flags,
+            repetition_signals_full,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "real text here")], "doc_id long, text string"
+        )
+        assert gopher_quality_flags(df).count() == 2
+        assert repetition_signals_full(df).count() == 2
