@@ -3979,7 +3979,8 @@ FROM orders o JOIN dim d USING (o_orderpriority)
 # token positions, rebuild each document from the survivors.
 _ORACLES["dup_spans"] = r"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ts
   FROM documents
 ),
 occ AS (
@@ -4001,14 +4002,17 @@ removed AS (
 ),
 clean AS (
   SELECT t.doc_id,
-    -- COALESCE: array_to_string of a fully-filtered (empty) list is NULL in
-    -- DuckDB; Spark's array_join yields '' for the fully-removed document
+    -- untouched documents keep their ORIGINAL text (the Spark side only
+    -- rebuilds when something was removed); COALESCE: array_to_string of a
+    -- fully-filtered (empty) list is NULL in DuckDB; Spark's array_join
+    -- yields '' for the fully-removed document
+    CASE WHEN r.rp IS NULL THEN t.text ELSE
     COALESCE(array_to_string(
       list_filter(
         list_transform(generate_series(1, len(t.ts)),
           j -> CASE WHEN list_contains(COALESCE(r.rp, []), j - 1) THEN NULL ELSE t.ts[j] END),
         x -> x IS NOT NULL),
-      ' '), '') AS clean,
+      ' '), '') END AS clean,
     COALESCE(len(r.rp), 0) AS n_removed
   FROM toks t LEFT JOIN removed r USING (doc_id)
 )
@@ -4143,7 +4147,8 @@ m AS (
     round(CAST(COALESCE(list_sum(list_transform(ts, w -> length(w))), 0) AS DOUBLE)
           / greatest(len(ts), 1), 6) AS mwl,
     round(CAST(length(text) - length(replace(text, '#', ''))
-               + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+               + (length(text) - length(replace(text, '...', ''))) / 3
+               + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
           / greatest(len(ts), 1), 6) AS symr,
     round(CAST(len(list_filter(ls, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
           / greatest(len(ls), 1), 6) AS bfrac,

@@ -1308,8 +1308,10 @@ def remove_duplicate_spans(
     a flagged window from :func:`duplicate_spans` (keep-first semantics —
     the canonical occurrence survives) is dropped; the document is rebuilt
     from the surviving units in order, joined by the unit separator
-    (space / newline / space — intra-unit whitespace is normalized: span
-    dedup operates on the unit stream). Overlapping flagged windows merge
+    (space / newline / space — whitespace between surviving units is
+    normalized: span dedup operates on the unit stream). Documents with
+    NOTHING to remove keep their ORIGINAL text byte-for-byte — only
+    touched documents are rebuilt. Overlapping flagged windows merge
     naturally via the removed-position set. Fully-emptied documents keep an
     empty string. ``removed_count_col`` optionally records how many units
     were dropped per document. ``unit="sentence", k=3, min_count=2`` is
@@ -1354,7 +1356,11 @@ def remove_duplicate_spans(
         lambda t, i: ~F.array_contains(F.col("__removed"), i.cast("int")),
     )
     result = joined.withColumn("__kept", kept).withColumn(
-        out, F.array_join(F.col("__kept"), _UNIT_SEPS[unit])
+        out,
+        F.when(
+            F.size("__removed") > 0,
+            F.array_join(F.col("__kept"), _UNIT_SEPS[unit]),
+        ).otherwise(F.col(text_col)),
     )
     if removed_count_col is not None:
         result = result.withColumn(

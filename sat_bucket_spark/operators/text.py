@@ -485,9 +485,11 @@ def gopher_quality_flags(
     mean_word_len = F.round(total_len.cast("double") / safe_words, 6)
 
     n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    # both ellipsis spellings, like the line rule below — '…' junk must not
+    # evade the ratio the '...' spelling fails
     n_ellipsis = (
         F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
-    ) / F.lit(3)
+    ) / F.lit(3) + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
     symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / safe_words, 6)
 
     bullet_frac = F.round(
@@ -522,7 +524,7 @@ def gopher_quality_flags(
         )
     )
 
-    staged = df.select(
+    staged = ensure_parallelism(df).select(
         F.col(id_col),
         F.col(text).alias("__t"),
         tokens_expr(text).alias("__toks"),

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sat_bucket_spark.operators.parallel import ensure_parallelism
+
 __all__ = ["url_host_expr", "url_quality_flags"]
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
@@ -79,7 +81,7 @@ def url_quality_flags(
     for t in blocked_terms:
         ok_terms = ok_terms & ~lu.contains(t.lower())
 
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         u.alias(url_col),
         ok_scheme.alias("ok_scheme"),

@@ -118,11 +118,23 @@ def iter_warc_records(data: bytes, strict: bool = True) -> Iterator[dict]:
     """Walk the WARC records of one archive file (raw or .warc.gz bytes).
 
     Yields ``{"headers": {name_lower: value}, "payload": bytes}`` per
-    record. ``strict=True`` raises ``ValueError`` on a malformed record;
-    ``strict=False`` stops at the first corruption and returns what parsed
-    (the crawl-pipeline posture: salvage the shard, count the loss).
+    record. ``strict=True`` raises ``ValueError`` on a malformed record OR
+    a corrupt gzip stream (``zlib.error`` is converted so callers have one
+    exception contract); ``strict=False`` stops at the first corruption and
+    returns what parsed (the crawl-pipeline posture: salvage the shard,
+    count the loss).
     """
     stream = _RecordStream(data)
+    try:
+        yield from _next_record(stream, strict)
+    except zlib.error as e:
+        if strict:
+            raise ValueError(f"corrupt gzip stream in WARC: {e}") from e
+
+
+def _next_record(stream: "_RecordStream", strict: bool) -> Iterator[dict]:
+    """Yield records until end-of-stream; raises inside stream reads may be
+    ``zlib.error`` (corrupt member) which the caller converts per `strict`."""
     while True:
         # skip inter-record blank lines
         line = stream.readline()

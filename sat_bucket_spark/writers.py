@@ -322,8 +322,13 @@ def write_jsonl_shards(
     order = h31_expr(F.concat(F.lit(salt + ":order"), sid))
     writer = (
         df.withColumn("shard", shard)
-        .repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", order)
+        # repartitionByRange, not hash: hash(shard) % n collides distinct
+        # shard values into one task (~1/e of tasks idle); range boundaries
+        # over the dense 0..n-1 keys give one shard per task and never split
+        # equal keys. The id tie-break keeps byte-reproducibility when two
+        # docs in a shard collide on the 31-bit order hash.
+        .repartitionByRange(n_shards, "shard")
+        .sortWithinPartitions("shard", order, F.col(id_col))
         .write.partitionBy("shard")
         .mode(mode)
     )

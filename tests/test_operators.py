@@ -1545,3 +1545,34 @@ class TestNewOpsEmptyInput:
         )
         assert gopher_quality_flags(df).count() == 2
         assert repetition_signals_full(df).count() == 2
+
+
+class TestReviewHardening:
+    """Round-5 review findings: pinned behaviors."""
+
+    def test_untouched_docs_keep_original_whitespace(self, spark):
+        from sat_bucket_spark.operators.dedup import remove_duplicate_spans
+
+        messy = "para one\n\npara  two\ttabbed"
+        rows = [(1, messy), (2, "a b c d e f"), (3, "a b c d e f")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r["text"]
+            for r in remove_duplicate_spans(df, k=6, min_count=2).collect()
+        }
+        assert out[1] == messy  # untouched: byte-identical, not re-joined
+        assert out[2] == "a b c d e f" and out[3] == ""
+
+    def test_unicode_ellipsis_counts_in_symbol_ratio(self, spark):
+        from sat_bucket_spark.operators.text import gopher_quality_flags
+
+        ascii_junk = " ".join(["word..."] * 30)
+        uni_junk = " ".join(["word…"] * 30)
+        df = spark.createDataFrame(
+            [(1, ascii_junk), (2, uni_junk)], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: r["ok_symbol_ratio"]
+            for r in gopher_quality_flags(df, min_words=1).collect()
+        }
+        assert out == {1: False, 2: False}  # both spellings fail alike

@@ -255,3 +255,21 @@ def test_orc(spark, tmp_path, corpus_rows):
     assert sorted((r["doc_id"], r["text"]) for r in df.collect()) == sorted(
         (d["doc_id"], d["text"]) for d in corpus_rows
     )
+
+
+def test_corrupt_gzip_member_strict_and_salvage():
+    """zlib-level corruption follows the same strict/salvage contract as
+    WARC-format corruption (ValueError, never a raw zlib.error)."""
+    import gzip
+
+    from sat_bucket_spark.warc import build_warc_bytes, iter_warc_records
+
+    good = build_warc_bytes(
+        [{"type": "conversion", "payload": b"fine"}], gzip_members=True
+    )
+    # append a second "member" of garbage that starts with the gzip magic
+    corrupt = good + b"\x1f\x8b" + b"\x00" * 40
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        list(iter_warc_records(corrupt))
+    salvaged = list(iter_warc_records(corrupt, strict=False))
+    assert len(salvaged) == 1 and salvaged[0]["payload"] == b"fine"
