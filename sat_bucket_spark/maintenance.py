@@ -35,7 +35,7 @@ from sat_bucket_spark.io import (
 )
 from sat_bucket_spark.writers import parse_size, write_partitioned_dataset
 
-__all__ = ["bucket_file_stats", "compact_bucket"]
+__all__ = ["bucket_file_stats", "compact_bucket", "flatten_time_partitions"]
 
 
 def _read_hive(spark: SparkSession, bucket_dir: str) -> DataFrame:
@@ -164,3 +164,53 @@ def compact_bucket(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return len(victims)
+
+
+def flatten_time_partitions(bucket_dir: str, time_level: str = "time_part") -> int:
+    """Flatten ``time_part=X`` hive subdirectories into reference-layout files.
+
+    The reference archive encodes the temporal group in the FILENAME —
+    ``lon_bin=-5.0/lat_bin=5.0/2021_0.parquet`` (reference routines.py:530-852;
+    naming golden at tests/test_routines.py:313-315) — where our merge uses a
+    ``time_part`` partition directory (better for Catalyst pruning). This
+    utility converts a merged bucket to the reference's physical layout for
+    migration/interop: every ``time_part=X`` subdirectory's part files move up
+    into the spatial partition directory as ``{X}_{i}.parquet`` (``i`` ranks
+    the files by their original sorted names, so the rename is deterministic),
+    and the emptied subdirectories are removed.
+
+    Trade documented: the flattened bucket loses ``time_part`` DIRECTORY
+    pruning; time filtering then relies on filename filters (``read``'s
+    ``glob_pattern``/``regex_pattern``, the P11 filename time machinery) and
+    parquet row-group time stats — exactly the reference's own read posture.
+    Returns the number of files moved. Driver-side metadata operation
+    (os.rename within a directory tree — no data rewrite).
+    """
+    import os
+
+    prefix = time_level + "="
+    moved = 0
+    for root, dirs, _files in os.walk(bucket_dir):
+        time_dirs = sorted(d for d in dirs if d.startswith(prefix))
+        for td in time_dirs:
+            label = td[len(prefix):]
+            tdir = os.path.join(root, td)
+            parts = sorted(
+                f for f in os.listdir(tdir)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            for i, fname in enumerate(parts):
+                os.rename(
+                    os.path.join(tdir, fname),
+                    os.path.join(root, f"{label}_{i}.parquet"),
+                )
+                moved += 1
+            leftovers = [
+                f for f in os.listdir(tdir) if f.startswith(("_", "."))
+            ]
+            for f in leftovers:  # _SUCCESS markers and hidden CRCs
+                os.remove(os.path.join(tdir, f))
+            os.rmdir(tdir)
+        # don't descend into (now removed) time dirs
+        dirs[:] = [d for d in dirs if not d.startswith(prefix)]
+    return moved

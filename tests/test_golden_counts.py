@@ -184,3 +184,83 @@ class TestGoldenCounts:
     def test_point_size(self, spark, golden_bucket):
         assert read(spark, golden_bucket, point=(3, 3), size=20).count() == 93
         assert read(spark, golden_bucket, point=(-10, -10), size=25).count() == 15
+
+
+class TestReferenceMergeLayout:
+    """The reference's merge file-naming golden (test_routines.py:313-315):
+    each spatial partition holds ``{year}_{i}.parquet`` files."""
+
+    def test_flattened_merge_matches_reference_naming(self, spark, tmp_path):
+        from sat_bucket_spark import merge_granule_buckets, read
+        from sat_bucket_spark.maintenance import flatten_time_partitions
+        from sat_bucket_spark.routines import write_granules_bucket
+
+        def make_fn():
+            def granule_df(filepath: str):
+                import numpy as _np
+                import pandas as _pd
+
+                from sat_bucket_spark.geodesy import (
+                    geodesic_fwd as _fwd,
+                    geodesic_intermediate as _inter,
+                )
+
+                # data year follows the granule filename's year, so the
+                # data-time merge reproduces the reference's file-time groups
+                year = filepath.split(".")[4][:4]
+                n_cross, n_along = 5, 10
+                rng = _np.random.default_rng(seed=0)
+                data = rng.random((n_cross, n_along))
+                offsets = _np.linspace(-5e5, 5e5, n_cross)
+                lon_l, lat_l = [], []
+                for off in offsets:
+                    lons, lats, azis = _inter(0.0, 0.0, 10.0, 20.0, n_along)
+                    if off != 0:
+                        lons, lats, _ = _fwd(
+                            lons, lats, azis + 90, _np.full(n_along, off)
+                        )
+                    lon_l.append(lons)
+                    lat_l.append(lats)
+                lon, lat = _np.stack(lon_l), _np.stack(lat_l)
+                rows = []
+                for c in range(n_cross):
+                    for a in range(n_along):
+                        rows.append(
+                            {
+                                "lon": float(lon[c, a]),
+                                "lat": float(lat[c, a]),
+                                "dummy_var": float(data[c, a]),
+                                "time": _pd.Timestamp(f"{year}-07-05")
+                                + _pd.Timedelta(seconds=a),
+                            }
+                        )
+                return _pd.DataFrame(rows)
+
+            return granule_df
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        fn = make_fn()
+        schema = spark.createDataFrame(fn(FILEPATHS[0])).schema
+        errors = write_granules_bucket(
+            spark, FILEPATHS, src, LonLatPartitioning(size=(10, 10)), fn,
+            schema=schema,
+        )
+        assert not errors
+        merge_granule_buckets(spark, src, dst, temporal_partitioning="year")
+
+        n_before = read(spark, dst).count()
+        moved = flatten_time_partitions(dst)
+        assert moved > 0
+
+        # the reference golden: exactly these filenames in this partition
+        import os
+
+        pdir = os.path.join(dst, "lon_bin=-5.0", "lat_bin=5.0")
+        assert sorted(os.listdir(pdir)) == ["2021_0.parquet", "2023_0.parquet"]
+
+        # the flattened bucket reads back whole through the file-listing
+        # path (filename layout, no time_part directories)
+        df = read(spark, dst, file_extension=".parquet")
+        assert df.count() == n_before
+        assert "time_part" not in df.columns
