@@ -4234,7 +4234,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     suite (sibling of in-window-family heavy_hitters shape). dup_spans
     (substring-level token-window dedup, a new dedup family) displaces
     token_count — token counting remains in-window inside seq_pack and
-    the quality entries.
+    the quality entries. gopher_quality displaces its sibling
+    quality_score (same quality family, strictly more rules);
+    url_filter (a new URL-rules family) displaces fingerprint, whose
+    md5-derived hashing family stays in-window via minhash_lsh_dedup
+    and exact_dup_groups.
     """
     return {
         # ---- driver-verified window (first 50) ----
@@ -4266,9 +4270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "interpolate": q_interpolate,
         "dup_spans": q_dup_spans,
-        "quality_score": q_quality_score,
+        "gopher_quality": q_gopher_quality,
         "language_id": q_language_id,
-        "fingerprint": q_fingerprint,
+        "url_filter": q_url_filter,
         "exact_dup_groups": q_exact_dup_groups,
         "edit_dedup": q_edit_dedup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -4290,9 +4294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup_against": q_lsh_dedup_against,
         # ---- beyond the driver window: parity-suite verified ----
         "token_count": q_token_count,
-        "gopher_quality": q_gopher_quality,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
         "repetition_full": q_repetition_full,
-        "url_filter": q_url_filter,
         "time_prefixes": q_time_prefixes,
         "minhash": q_minhash,
         "lsh_buckets": q_lsh_buckets,

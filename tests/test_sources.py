@@ -273,3 +273,43 @@ def test_corrupt_gzip_member_strict_and_salvage():
         list(iter_warc_records(corrupt))
     salvaged = list(iter_warc_records(corrupt, strict=False))
     assert len(salvaged) == 1 and salvaged[0]["payload"] == b"fine"
+
+
+def test_warc_parser_never_leaks_raw_errors():
+    """Fuzz: arbitrary truncations/corruptions of a valid archive either
+    parse, raise ValueError (strict), or salvage a prefix (lenient) — no
+    other exception type ever escapes, and salvage yields only intact
+    records."""
+    import random
+
+    from sat_bucket_spark.warc import build_warc_bytes, iter_warc_records
+
+    recs = [
+        {"type": "conversion", "payload": bytes([i]) * (17 * i + 3)}
+        for i in range(6)
+    ]
+    rng = random.Random(5)
+    for gz in (False, True):
+        data = build_warc_bytes(recs, gzip_members=gz)
+        for _ in range(80):
+            mode = rng.randrange(3)
+            if mode == 0:  # truncate
+                mutated = data[: rng.randrange(len(data))]
+            elif mode == 1:  # flip a byte
+                i = rng.randrange(len(data))
+                mutated = data[:i] + bytes([data[i] ^ 0xFF]) + data[i + 1 :]
+            else:  # splice garbage into the middle
+                i = rng.randrange(len(data))
+                mutated = data[:i] + bytes(rng.randrange(256) for _ in range(9)) + data[i:]
+            try:
+                strict_out = list(iter_warc_records(mutated))
+            except ValueError:
+                strict_out = None
+            except Exception as e:  # noqa: BLE001
+                raise AssertionError(f"strict leaked {type(e).__name__}: {e}")
+            try:
+                lenient = list(iter_warc_records(mutated, strict=False))
+            except Exception as e:  # noqa: BLE001
+                raise AssertionError(f"lenient raised {type(e).__name__}: {e}")
+            if strict_out is not None:
+                assert lenient == strict_out
