@@ -80,9 +80,9 @@ def _vincenty_inverse(lons: np.ndarray, lats: np.ndarray, lon0: float, lat0: flo
     Pure-numpy replacement for pyproj ``Geod(ellps="WGS84").inv`` (reference:
     filters.py:43-48); classic published algorithm (Vincenty 1975). The lambda
     iteration does not converge for near-antipodal pairs; elements whose last
-    iteration step is still >= tol after 100 iterations fall back to the
-    spherical haversine distance (error <=0.56% — vs a silently wrong Vincenty
-    result).
+    iteration step is still >= tol after 100 iterations are re-solved by the
+    EXACT bisection inverse (geodesy.geodesic_inv_ellipsoid) — no wrong
+    Vincenty value, no approximate fallback.
     """
     lons = np.asarray(lons, dtype="float64")
     lats = np.asarray(lats, dtype="float64")
@@ -151,10 +151,22 @@ def _vincenty_inverse(lons: np.ndarray, lats: np.ndarray, lon0: float, lat0: flo
     dist = b * A * (sigma - delta_sigma)
     # identical points -> 0
     dist = np.where(sin_sigma == 0, 0.0, dist)
-    # non-converged (near-antipodal) elements: haversine, not a wrong Vincenty
-    nonconverged = ~(step < 1e-12)
+    # non-converged (near-antipodal) elements: the exact quadrature inverse
+    # (geodesy.geodesic_inv_ellipsoid — bisection never diverges), not a
+    # wrong Vincenty value. These are a handful of rows per batch (the
+    # antipodal region is a sliver), so the scalar solver's cost is noise.
+    nonconverged = ~(step < 1e-12) & (sin_sigma != 0)
     if np.any(nonconverged):
-        dist = np.where(nonconverged, _haversine_np(lons, lats, lon0, lat0), dist)
+        from sat_bucket_spark.geodesy import geodesic_inv_ellipsoid
+
+        idx = np.nonzero(nonconverged)[0]
+        exact = np.array(
+            [
+                geodesic_inv_ellipsoid(lon0, lat0, float(lons[i]), float(lats[i]))
+                for i in idx
+            ]
+        )
+        dist[idx] = exact
     return dist
 
 

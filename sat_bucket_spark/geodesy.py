@@ -22,9 +22,12 @@ import numpy as np
 
 __all__ = [
     "SPHERE_RADIUS",
+    "WGS84_A",
+    "WGS84_F",
     "geodesic_fwd",
     "geodesic_inv",
     "geodesic_intermediate",
+    "geodesic_inv_ellipsoid",
 ]
 
 # proj's ellps="sphere": a = b = 6370997 m
@@ -123,3 +126,128 @@ def geodesic_intermediate(
     lons[0], lats[0] = lon1, lat1
     lons[-1], lats[-1] = lon2, lat2
     return lons, lats, azis
+
+
+# ---------------------------------------------------------------------------
+# Exact WGS84 (ellipsoidal) inverse — quadrature formulation
+# ---------------------------------------------------------------------------
+
+WGS84_A = 6_378_137.0
+WGS84_F = 1.0 / 298.257223563
+
+_GL_NODES, _GL_WEIGHTS = np.polynomial.legendre.leggauss(50)
+
+
+def _quad(fn, x1: float, x2: float) -> float:
+    """50-node Gauss-Legendre quadrature of a smooth integrand (exact to
+    ~1e-15 relative for the geodesic integrands, which are analytic)."""
+    half = 0.5 * (x2 - x1)
+    mid = 0.5 * (x2 + x1)
+    return float(half * np.sum(_GL_WEIGHTS * fn(mid + half * _GL_NODES)))
+
+
+def _hybrid(beta1, beta2, alpha1, f):
+    """Given azimuth ``alpha1`` at point 1, solve the geodesic to the first
+    crossing of latitude ``beta2``: returns (lam12, s12_over_a).
+
+    Exact relations on the auxiliary sphere (Karney 2013, "Algorithms for
+    geodesics", eqs. 5-25 — public; series replaced by direct quadrature so
+    there are no truncated-coefficient errors):
+
+        sin(alpha0) = sin(alpha1) cos(beta1)              (Clairaut)
+        sigma_i     = atan2(sin(beta_i), cos(beta_i) cos(alpha_i))
+        omega_i     = atan2(sin(alpha0) sin(sigma_i), cos(sigma_i))
+        s/b         = I1 = integral sqrt(1 + k^2 sin^2 t) dt
+        lambda      = omega - f sin(alpha0) * I3,
+        I3          = integral (2-f) / (1 + (1-f) sqrt(1 + k^2 sin^2 t)) dt
+        k^2         = e'^2 cos^2(alpha0)
+
+    Requires the canonical arrangement beta1 <= 0, |beta2| <= |beta1|.
+    """
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    sin_b1, cos_b1 = np.sin(beta1), np.cos(beta1)
+    sin_b2, cos_b2 = np.sin(beta2), np.cos(beta2)
+    # branch pin at the equatorial degeneracy: beta1 == 0 must resolve to
+    # sigma1 = -pi (not +pi) when cos(alpha1) < 0 — the departure point sits
+    # at the START of the arc in the canonical beta1 <= 0 arrangement
+    if sin_b1 == 0.0:
+        sin_b1 = -0.0
+    sin_a1, cos_a1 = np.sin(alpha1), np.cos(alpha1)
+
+    sin_a0 = sin_a1 * cos_b1
+    cos2_a0 = 1.0 - sin_a0 * sin_a0
+    k2 = ep2 * cos2_a0
+
+    sigma1 = np.arctan2(sin_b1, cos_b1 * cos_a1)
+    cos_a2 = np.sqrt(max(cos2_a0 - sin_b2 * sin_b2, 0.0)) / cos_b2
+    sigma2 = np.arctan2(sin_b2, cos_b2 * cos_a2)
+    omega1 = np.arctan2(sin_a0 * np.sin(sigma1), np.cos(sigma1))
+    omega2 = np.arctan2(sin_a0 * np.sin(sigma2), np.cos(sigma2))
+
+    def w(t):
+        return np.sqrt(1.0 + k2 * np.sin(t) ** 2)
+
+    s_over_b = _quad(w, sigma1, sigma2)
+    i3 = _quad(lambda t: (2.0 - f) / (1.0 + (1.0 - f) * w(t)), sigma1, sigma2)
+    lam12 = (omega2 - omega1) - f * sin_a0 * i3
+    return lam12, s_over_b * (1.0 - f)
+
+
+def geodesic_inv_ellipsoid(
+    lon1: float,
+    lat1: float,
+    lon2: float,
+    lat2: float,
+    a: float = WGS84_A,
+    f: float = WGS84_F,
+) -> float:
+    """Exact shortest-geodesic distance on an ellipsoid of revolution (m).
+
+    Karney-style inverse solved by BISECTION on the departure azimuth with
+    the exact auxiliary-sphere relations evaluated by quadrature (see
+    ``_hybrid``): lambda12(alpha1) is monotone on the canonical arrangement,
+    so the root bracket never fails — including the near-antipodal region
+    where Vincenty's lambda iteration diverges (filters.py falls back to
+    haversine there, <=0.56% error; this solver is the exact oracle and the
+    antipodal-safe path). ~60 bisection steps x 2 quadratures: driver-side /
+    test-oracle speed, not a per-row Spark kernel.
+    """
+    if (lon1, lat1) == (lon2, lat2):
+        return 0.0
+    beta1 = np.arctan((1.0 - f) * np.tan(np.radians(lat1)))
+    beta2 = np.arctan((1.0 - f) * np.tan(np.radians(lat2)))
+    lam12 = np.radians(lon2 - lon1)
+    lam12 = (lam12 + np.pi) % (2.0 * np.pi) - np.pi
+    # canonical arrangement: point 1 is the one with larger |beta|, in the
+    # southern hemisphere; lambda12 in [0, pi]
+    if abs(beta1) < abs(beta2):
+        beta1, beta2 = beta2, beta1
+    if beta1 > 0:
+        beta1, beta2 = -beta1, -beta2
+    lam12 = abs(lam12)
+
+    b = a * (1.0 - f)
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+
+    # equatorial geodesic: exact while it stays shortest
+    if beta1 == 0.0 and beta2 == 0.0 and lam12 <= (1.0 - f) * np.pi:
+        return a * lam12
+    # meridional geodesic (lam12 == 0): meridian arc by quadrature
+    if lam12 == 0.0:
+        return b * _quad(
+            lambda t: np.sqrt(1.0 + ep2 * np.sin(t) ** 2), beta1, beta2
+        )
+
+    lo, hi = 1e-15, np.pi - 1e-15
+    for _ in range(85):
+        mid = 0.5 * (lo + hi)
+        lam_mid, _ = _hybrid(beta1, beta2, mid, f)
+        if lam_mid < lam12:
+            lo = mid
+        else:
+            hi = mid
+    alpha1 = 0.5 * (lo + hi)
+    _, s_over_a = _hybrid(beta1, beta2, alpha1, f)
+    return a * s_over_a

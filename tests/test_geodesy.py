@@ -65,3 +65,76 @@ class TestGeodesyProperties:
         a1, _, d = geodesic_inv(10, 0, 10, 90)
         assert a1 == pytest.approx(0.0)
         assert d == pytest.approx(SPHERE_RADIUS * np.pi / 2)
+
+
+class TestEllipsoidalInverse:
+    """Exact WGS84 inverse (quadrature Karney formulation)."""
+
+    def test_closed_forms(self):
+        from sat_bucket_spark.geodesy import WGS84_A, geodesic_inv_ellipsoid
+
+        # quarter meridian (WGS84 known constant) and equatorial arc
+        assert geodesic_inv_ellipsoid(0, 0, 0, 90) == pytest.approx(
+            10_001_965.7293, abs=1e-3
+        )
+        assert geodesic_inv_ellipsoid(0, 0, 90, 0) == pytest.approx(
+            WGS84_A * np.pi / 2, abs=1e-6
+        )
+        # antipodal equator points connect over the pole: the meridian half
+        assert geodesic_inv_ellipsoid(0, 0, 180, 0) == pytest.approx(
+            2 * 10_001_965.7293, abs=1e-3
+        )
+
+    def test_agrees_with_vincenty_everywhere_vincenty_converges(self):
+        from sat_bucket_spark.filters import _vincenty_inverse
+        from sat_bucket_spark.geodesy import geodesic_inv_ellipsoid
+
+        rng = np.random.default_rng(7)
+        for _ in range(200):
+            lon1, lon2 = rng.uniform(-180, 180, 2)
+            lat1, lat2 = rng.uniform(-89, 89, 2)
+            d_exact = geodesic_inv_ellipsoid(lon1, lat1, lon2, lat2)
+            d_vin = float(
+                _vincenty_inverse(np.array([lon2]), np.array([lat2]), lon1, lat1)[0]
+            )
+            # two INDEPENDENT exact algorithms: sub-0.1 mm agreement
+            assert abs(d_exact - d_vin) < 1e-3, (lon1, lat1, lon2, lat2)
+
+    def test_symmetry_and_swap(self):
+        from sat_bucket_spark.geodesy import geodesic_inv_ellipsoid
+
+        rng = np.random.default_rng(11)
+        for _ in range(30):
+            lon1, lon2 = rng.uniform(-180, 180, 2)
+            lat1, lat2 = rng.uniform(-89, 89, 2)
+            d12 = geodesic_inv_ellipsoid(lon1, lat1, lon2, lat2)
+            d21 = geodesic_inv_ellipsoid(lon2, lat2, lon1, lat1)
+            assert d12 == pytest.approx(d21, abs=1e-6)
+
+    def test_antipodal_region_monotone_continuous(self):
+        from sat_bucket_spark.geodesy import geodesic_inv_ellipsoid
+
+        # walking the second point toward the exact antipode of (0,0) along
+        # the equator: distances increase smoothly to the meridian half and
+        # never exceed it
+        prev = 0.0
+        for lam in np.linspace(179.0, 180.0, 21):
+            d = geodesic_inv_ellipsoid(0, 0, float(lam), 0)
+            assert d > prev
+            prev = d
+        assert prev == pytest.approx(2 * 10_001_965.7293, abs=1e-3)
+
+    def test_vincenty_nonconvergence_routes_to_exact(self):
+        """The filter-side Vincenty kernel returns EXACT values (not the old
+        haversine approximation) for near-antipodal rows."""
+        from sat_bucket_spark.filters import _vincenty_inverse
+        from sat_bucket_spark.geodesy import geodesic_inv_ellipsoid
+
+        pairs = [(179.6, 0.3), (-179.9, 0.05), (179.99, 0.0)]
+        lons = np.array([p[0] for p in pairs])
+        lats = np.array([p[1] for p in pairs])
+        got = _vincenty_inverse(lons, lats, 0.0, 0.0)
+        for g, (lon, lat) in zip(got, pairs):
+            assert g == pytest.approx(
+                geodesic_inv_ellipsoid(0.0, 0.0, lon, lat), abs=1e-4
+            )
