@@ -1576,3 +1576,49 @@ class TestReviewHardening:
             for r in gopher_quality_flags(df, min_words=1).collect()
         }
         assert out == {1: False, 2: False}  # both spellings fail alike
+
+
+class TestObserveFunnel:
+    def test_counts_match_direct_and_single_job(self, spark, documents):
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.operators.metrics import observe_funnel
+        from sat_bucket_spark.operators.text import add_token_count
+
+        funnel = observe_funnel(
+            documents,
+            [
+                ("tokens", add_token_count),
+                ("min_tokens", lambda d: d.where("n_tokens >= 30")),
+                ("lang_en", lambda d: d.where("lang = 'en'")),
+            ],
+            extra_metrics=[F.sum(F.length("text")).alias("chars")],
+        )
+        jobs_before = len(spark.sparkContext.statusTracker().getActiveJobsIds())
+        ids_before = set(
+            spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+        )
+        funnel.df.write.format("noop").mode("overwrite").save()
+        counts = funnel.counts()  # must not launch another job
+        ids_after = set(
+            spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+        )
+        assert len(ids_after - ids_before) == 1, "funnel must add ZERO extra jobs"
+        assert jobs_before == 0  # sanity on the tracker API
+
+        n0 = documents.count()
+        n1 = add_token_count(documents).where("n_tokens >= 30").count()
+        n2 = (
+            add_token_count(documents)
+            .where("n_tokens >= 30")
+            .where("lang = 'en'")
+            .count()
+        )
+        assert counts == {
+            "input": n0, "tokens": n0, "min_tokens": n1, "lang_en": n2,
+        }
+        dropped = funnel.dropped()
+        assert dropped == {
+            "tokens": 0, "min_tokens": n0 - n1, "lang_en": n1 - n2,
+        }
+        assert funnel.metrics()["input"]["chars"] > 0
