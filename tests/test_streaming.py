@@ -464,3 +464,63 @@ class TestStreamingBucketIngest:
         merged = str(tmp_path / "merged")
         merge_granule_buckets(spark, bucket, merged, temporal_partitioning="year")
         assert read(spark, merged).count() == 150
+
+
+class TestStreamIntervalJoin:
+    """Stream-stream interval join: bounded state, batch-equivalent result."""
+
+    def _sources(self, spark, tmp_path):
+        base = datetime.datetime(2021, 1, 1)
+        ev = [
+            (base + datetime.timedelta(seconds=s), "sat1", float(s))
+            for s in (0, 100, 200, 300)
+        ] + [(base + datetime.timedelta(seconds=150), "sat2", 150.0)]
+        cal = [
+            (base + datetime.timedelta(seconds=s), "sat1", f"c{s}")
+            for s in (30, 290, 5000)
+        ] + [(base + datetime.timedelta(seconds=160), "sat2", "c2")]
+        evd, cald = str(tmp_path / "ev"), str(tmp_path / "cal")
+        spark.createDataFrame(ev, ["time", "sat", "value"]).coalesce(1).write.parquet(evd)
+        spark.createDataFrame(cal, ["time", "sat", "cal_id"]).coalesce(1).write.parquet(cald)
+        return evd, cald
+
+    def test_stream_matches_batch_join(self, spark, tmp_path):
+        from sat_bucket_spark.streaming.joins import stream_interval_join
+
+        evd, cald = self._sources(spark, tmp_path)
+        sch_ev = spark.read.parquet(evd).schema
+        sch_cal = spark.read.parquet(cald).schema
+
+        left = spark.readStream.schema(sch_ev).parquet(evd)
+        right = spark.readStream.schema(sch_cal).parquet(cald)
+        joined = stream_interval_join(
+            left, right, on=["sat"], tolerance_seconds=60, watermark="1 hour"
+        )
+        out = str(tmp_path / "out")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["sat"], r["value"], r["cal_id"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+        # batch reference: same semantics on static frames
+        ev_b = spark.read.parquet(evd)
+        cal_b = spark.read.parquet(cald).withColumnRenamed("time", "r_time")
+        ref = sorted(
+            (r["sat"], r["value"], r["cal_id"])
+            for r in ev_b.join(
+                cal_b,
+                (ev_b["sat"] == cal_b["sat"])
+                & (F.abs(ev_b["time"].cast("long") - cal_b["r_time"].cast("long")) <= 60),
+            ).collect()
+        )
+        assert got == ref and len(got) > 0
+        # the isolated calibration at +5000s matches nothing
+        assert all(c != "c5000" for _, _, c in got)
