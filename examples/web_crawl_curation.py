@@ -102,20 +102,39 @@ def main(workdir: str) -> None:
     )
     print("rejections per rule:")
     breakdown.show(truncate=False)
-    kept = docs.join(
-        flags.where("keep").select("doc_id"), "doc_id", "left_semi"
-    )
-    print(f"quality filter: {docs.count()} -> {kept.count()} pages")
 
-    # 3. substring-level dedup: the mirrored passage survives quality
-    #    filtering on BOTH pages; keep-first removal excises the copy
-    deduped = remove_duplicate_spans(
-        kept, k=8, min_count=2, removed_count_col="n_removed"
+    # 3. the full pipeline as an OBSERVED funnel: quality gate then
+    #    substring-level dedup (the mirrored passage survives quality
+    #    filtering on BOTH pages; keep-first removal excises the copy) —
+    #    one write produces every stage count, zero extra jobs
+    from sat_bucket_spark.operators.metrics import observe_funnel
+
+    funnel = observe_funnel(
+        docs,
+        [
+            (
+                "quality",
+                lambda d: d.join(
+                    flags.where("keep").select("doc_id"), "doc_id", "left_semi"
+                ),
+            ),
+            (
+                "span_dedup",
+                lambda d: remove_duplicate_spans(
+                    d, k=8, min_count=2, removed_count_col="n_removed"
+                ).where(F.length("text") > 0),
+            ),
+        ],
     )
-    deduped.select("url", "n_removed", F.length("text").alias("n_chars")).show(
+    out_dir = os.path.join(workdir, "curated")
+    funnel.df.write.mode("overwrite").parquet(out_dir)
+    print(f"funnel (one job): {funnel.counts()}")
+
+    curated = spark.read.parquet(out_dir)
+    curated.select("url", "n_removed", F.length("text").alias("n_chars")).show(
         truncate=60
     )
-    total = deduped.agg(F.sum("n_removed")).first()[0]
+    total = curated.agg(F.sum("n_removed")).first()[0]
     print(f"span dedup removed {total} duplicated tokens across the corpus")
 
     spark.stop()
