@@ -39,7 +39,11 @@ __all__ = [
     "decode_gif_pixels",
     "decode_image_pixels",
     "decode_png_pixels",
+    "exif_normalization_plan",
     "parse_bmp_header",
+    "parse_exif_orientation",
+    "parse_flac_streaminfo",
+    "parse_mp3_frame",
     "parse_mp4",
     "parse_mp4_frame_times",
     "parse_image_header",
@@ -1309,3 +1313,168 @@ def select_frames_at_rate(times: list[float], fps: float) -> list[int]:
             last = i
         k += 1
     return out
+
+
+def parse_exif_orientation(payload: bytes | None) -> int | None:
+    """EXIF Orientation (1-8) from a JPEG's APP1 segment — pure parsing.
+
+    Public formats (JPEG/JFIF + EXIF 2.x): walk the JPEG marker segments to
+    APP1 (0xFFE1) carrying the ``Exif\\0\\0`` identifier, then read the
+    embedded TIFF structure's IFD0 for tag 0x0112 (Orientation, SHORT).
+    Returns ``None`` when no EXIF/orientation is present (equivalent to the
+    default orientation 1) or the payload is not a JPEG. Phone cameras
+    store sensor-native pixels and record the display transform here — a
+    training pipeline that ignores it feeds sideways images to the model.
+    """
+    if payload is None or len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    app1 = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xDA:  # start of scan: no more metadata segments
+            break
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            app1 = payload[pos + 10 : pos + 2 + seg_len]
+            break
+        pos += 2 + seg_len
+    if app1 is None or len(app1) < 8:
+        return None
+    if app1[0:4] == b"II\x2a\x00":
+        order = "little"
+    elif app1[0:4] == b"MM\x00\x2a":
+        order = "big"
+    else:
+        return None
+    ifd = int.from_bytes(app1[4:8], order)
+    if ifd + 2 > len(app1):
+        return None
+    n = int.from_bytes(app1[ifd : ifd + 2], order)
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if e + 12 > len(app1):
+            return None
+        tag = int.from_bytes(app1[e : e + 2], order)
+        if tag == 0x0112:
+            val = int.from_bytes(app1[e + 8 : e + 10], order)
+            return val if 1 <= val <= 8 else None
+    return None
+
+
+# EXIF orientation -> (clockwise rotation degrees, mirror horizontally first)
+_EXIF_TRANSFORMS = {
+    1: (0, False), 2: (0, True), 3: (180, False), 4: (180, True),
+    5: (90, True), 6: (90, False), 7: (270, True), 8: (270, False),
+}
+
+
+def exif_normalization_plan(orientation: int | None) -> tuple[int, bool]:
+    """(clockwise rotation degrees, mirror-horizontal-first) that maps
+    stored pixels to display orientation. Unknown/absent -> identity."""
+    return _EXIF_TRANSFORMS.get(orientation or 1, (0, False))
+
+
+def parse_flac_streaminfo(
+    payload: bytes | None,
+) -> tuple[int, int, int, int, float] | None:
+    """(sample_rate, channels, bits_per_sample, n_samples, duration_s)
+    from a FLAC STREAMINFO block — pure parsing, no decode.
+
+    Public format: ``fLaC`` magic, then metadata blocks (1-byte
+    last+type, 3-byte big-endian length); STREAMINFO is type 0, 34 bytes:
+    after 2+2 block sizes and 3+3 frame sizes comes a packed 64-bit field
+    of 20-bit sample rate, 3-bit channels-1, 5-bit bps-1, 36-bit total
+    samples.
+    """
+    if payload is None or len(payload) < 4 + 4 + 34 or payload[0:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if btype == 0:
+            if len(body) < 18:
+                return None
+            packed = int.from_bytes(body[10:18], "big")
+            sample_rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            n_samples = packed & ((1 << 36) - 1)
+            if sample_rate == 0:
+                return None
+            return (
+                sample_rate,
+                channels,
+                bps,
+                n_samples,
+                round(n_samples / sample_rate, 6),
+            )
+        if hdr & 0x80:  # last-metadata-block and not STREAMINFO: malformed
+            return None
+        pos += 4 + blen
+    return None
+
+
+# MPEG audio tables (public: ISO/IEC 11172-3 / 13818-3)
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def parse_mp3_frame(
+    payload: bytes | None,
+) -> tuple[int, int, int, float] | None:
+    """(bitrate_kbps, sample_rate, channels, est_duration_s) from the first
+    MPEG Layer III frame header — pure parsing, no decode.
+
+    Skips an ID3v2 tag (syncsafe length) if present, then locates the
+    11-bit frame sync and reads the version/bitrate/samplerate/channel
+    fields from the public tables. Duration is the CBR estimate
+    ``audio_bytes * 8 / bitrate`` — exact for constant-bitrate files, an
+    estimate for VBR (the honest common case without a full frame walk).
+    """
+    if payload is None or len(payload) < 10:
+        return None
+    pos = 0
+    if payload[0:3] == b"ID3":
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    end = min(len(payload) - 4, pos + 4096)
+    while pos <= end:
+        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+            version = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer = (b1 >> 1) & 0x3  # 1 == Layer III
+            if version == 1 or layer != 1:
+                pos += 1
+                continue
+            br_idx = (b2 >> 4) & 0xF
+            sr_idx = (b2 >> 2) & 0x3
+            if br_idx in (0, 15) or sr_idx == 3:
+                pos += 1
+                continue
+            table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+            bitrate = table[br_idx]
+            sample_rate = _MP3_RATES[version][sr_idx]
+            channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+            audio_bytes = len(payload) - pos
+            return (
+                bitrate,
+                sample_rate,
+                channels,
+                round(audio_bytes * 8 / (bitrate * 1000), 6),
+            )
+        pos += 1
+    return None

@@ -912,3 +912,113 @@ class TestDecodeBmpGifPixels:
             want = [m / 255, var**0.5 / 255, int(v.min()) / 255, int(v.max()) / 255]
             assert rows[doc_id]["feature"] == pytest.approx(want, abs=0), doc_id
             assert (rows[doc_id]["width"], rows[doc_id]["height"]) == (px.shape[1], px.shape[0])
+
+
+class TestExifOrientation:
+    @staticmethod
+    def _jpeg_with_exif(orientation, order="little"):
+        import struct
+
+        if order == "little":
+            tiff = b"II\x2a\x00" + struct.pack("<I", 8)
+            ifd = struct.pack("<H", 1) + struct.pack(
+                "<HHIHH", 0x0112, 3, 1, orientation, 0
+            ) + struct.pack("<I", 0)
+        else:
+            tiff = b"MM\x00\x2a" + struct.pack(">I", 8)
+            ifd = struct.pack(">H", 1) + struct.pack(
+                ">HHIHH", 0x0112, 3, 1, orientation, 0
+            ) + struct.pack(">I", 0)
+        exif = b"Exif\x00\x00" + tiff + ifd
+        app1 = b"\xff\xe1" + (len(exif) + 2).to_bytes(2, "big") + exif
+        return b"\xff\xd8" + app1 + b"\xff\xd9"
+
+    def test_reads_orientation_both_byte_orders(self):
+        from sat_bucket_spark.operators.multimodal import parse_exif_orientation
+
+        for o in (1, 3, 6, 8):
+            assert parse_exif_orientation(self._jpeg_with_exif(o)) == o
+            assert parse_exif_orientation(self._jpeg_with_exif(o, "big")) == o
+
+    def test_absent_exif_and_non_jpeg(self):
+        from sat_bucket_spark.operators.multimodal import parse_exif_orientation
+
+        assert parse_exif_orientation(b"\xff\xd8\xff\xd9") is None
+        assert parse_exif_orientation(b"not a jpeg") is None
+        assert parse_exif_orientation(None) is None
+
+    def test_normalization_plan(self):
+        from sat_bucket_spark.operators.multimodal import exif_normalization_plan
+
+        assert exif_normalization_plan(1) == (0, False)
+        assert exif_normalization_plan(6) == (90, False)
+        assert exif_normalization_plan(5) == (90, True)
+        assert exif_normalization_plan(None) == (0, False)
+
+
+class TestFlacStreaminfo:
+    @staticmethod
+    def _flac(sample_rate=44100, channels=2, bps=16, n_samples=441000):
+        packed = (
+            (sample_rate << 44)
+            | ((channels - 1) << 41)
+            | ((bps - 1) << 36)
+            | n_samples
+        )
+        body = (
+            (4096).to_bytes(2, "big") * 2
+            + (0).to_bytes(3, "big")
+            + (0).to_bytes(3, "big")
+            + packed.to_bytes(8, "big")
+            + b"\x00" * 16  # md5 of unencoded audio
+        )
+        return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    def test_parses_streaminfo(self):
+        from sat_bucket_spark.operators.multimodal import parse_flac_streaminfo
+
+        got = parse_flac_streaminfo(self._flac())
+        assert got == (44100, 2, 16, 441000, 10.0)
+        got = parse_flac_streaminfo(
+            self._flac(sample_rate=48000, channels=1, bps=24, n_samples=48000)
+        )
+        assert got == (48000, 1, 24, 48000, 1.0)
+
+    def test_rejects_non_flac(self):
+        from sat_bucket_spark.operators.multimodal import parse_flac_streaminfo
+
+        assert parse_flac_streaminfo(b"RIFFxxxxWAVE") is None
+        assert parse_flac_streaminfo(None) is None
+
+
+class TestMp3Frame:
+    def test_parses_cbr_frame(self):
+        from sat_bucket_spark.operators.multimodal import parse_mp3_frame
+
+        # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo: FF FB 90 00
+        frame = b"\xff\xfb\x90\x00" + b"\x00" * 16000
+        br, sr, ch, dur = parse_mp3_frame(frame)
+        assert (br, sr, ch) == (128, 44100, 2)
+        assert dur == round(len(frame) * 8 / 128000, 6)
+
+    def test_skips_id3v2(self):
+        from sat_bucket_spark.operators.multimodal import parse_mp3_frame
+
+        id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"x" * 10
+        frame = b"\xff\xfb\x90\x00" + b"\x00" * 1000
+        got = parse_mp3_frame(id3 + frame)
+        assert got is not None and got[0] == 128 and got[1] == 44100
+
+    def test_mono_mpeg2(self):
+        from sat_bucket_spark.operators.multimodal import parse_mp3_frame
+
+        # MPEG2 (version bits 10), Layer III, idx 5 -> 40 kbps, 22050 Hz, mono
+        frame = bytes([0xFF, 0xF3, 0x50, 0xC0]) + b"\x00" * 500
+        br, sr, ch, _ = parse_mp3_frame(frame)
+        assert (br, sr, ch) == (40, 22050, 1)
+
+    def test_garbage(self):
+        from sat_bucket_spark.operators.multimodal import parse_mp3_frame
+
+        assert parse_mp3_frame(b"\x00" * 100) is None
+        assert parse_mp3_frame(None) is None
