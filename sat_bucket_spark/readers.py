@@ -41,6 +41,7 @@ def read_bucket_dataframe(
     partitioning=None,
     subdirs: list[str] | None = None,
     paths: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Open a bucket as a DataFrame with *string-typed* partition columns.
 
@@ -72,6 +73,28 @@ def read_bucket_dataframe(
         reader = spark.read.option("basePath", bucket_dir)
     else:
         reader = spark.read.option("pathGlobFilter", glob)
+    if merge_schema:
+        # Schema drift (columns added to the archive over the years): the
+        # single-footer fast path below would pin the schema to ONE file and
+        # silently drop every column that file predates. mergeSchema unions
+        # all footers (a footer pass over the bucket — the documented price
+        # of drift-aware reads); string-typing the partition levels then
+        # uses the infer-then-reread path on the MERGED schema.
+        reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths) if paths is not None else reader.parquet(bucket_dir)
+        if levels:
+            fields = [
+                StructField(f.name, StringType(), True)
+                if f.name in levels
+                else f
+                for f in df.schema.fields
+            ]
+            df = (
+                reader.schema(StructType(fields)).parquet(*paths)
+                if paths is not None
+                else reader.schema(StructType(fields)).parquet(bucket_dir)
+            )
+        return df
     if levels:
         # String-typing the partition levels needs a schema up front. Reading
         # the bucket once to inspect df.schema and AGAIN with the corrected
@@ -212,6 +235,7 @@ def read(
     use_pruning: bool = True,
     raise_if_empty: bool = False,
     backend: str = "spark",
+    merge_schema: bool = False,
 ):
     """Query a bucket archive (reference: readers.py:162-303).
 
@@ -313,6 +337,7 @@ def read(
         partitioning=partitioning,
         subdirs=subdirs,
         paths=paths,
+        merge_schema=merge_schema,
     )
 
     # --- partition-level pruning (before the n_rows scan cap) --------------

@@ -244,3 +244,34 @@ class TestJsonlShardExport:
         docs = spark.range(3).withColumnRenamed("id", "doc_id")
         with pytest.raises(ValueError, match="n_shards"):
             write_jsonl_shards(docs, "/tmp/x", n_shards=0)
+
+
+class TestSchemaDrift:
+    def test_merge_schema_unions_drifted_columns(self, spark, tmp_path):
+        """An archive that gained a column over the years: the default read
+        pins one footer's schema; merge_schema=True unions all footers and
+        keeps the string-typed partition labels."""
+        from sat_bucket_spark import LonLatPartitioning, read, write_bucket
+
+        bucket = str(tmp_path / "bucket")
+        p = LonLatPartitioning(size=(10, 10))
+        old = spark.createDataFrame(
+            [(1.0, 2.0, 10.0)], ["lon", "lat", "value"]
+        )
+        write_bucket(old, bucket, p, x="lon", y="lat")
+        new = spark.createDataFrame(
+            [(21.0, 12.0, 20.0, "calibrated")],
+            ["lon", "lat", "value", "quality_flag"],
+        )
+        write_bucket(new, bucket, p, x="lon", y="lat", mode="append")
+
+        drifted = read(spark, bucket, merge_schema=True)
+        assert "quality_flag" in drifted.columns
+        rows = {r["value"]: r["quality_flag"] for r in drifted.collect()}
+        assert rows == {10.0: None, 20.0: "calibrated"}
+        # partition labels stay string-typed under the merged schema
+        assert dict(drifted.dtypes)["lon_bin"] == "string"
+        # pruning still applies on the merged read
+        assert read(
+            spark, bucket, extent=[0, 10, 0, 10], merge_schema=True
+        ).count() == 1
