@@ -1521,6 +1521,21 @@ def q_mix_sources(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_alpha_mix(spark, sf_dir):
+    """Temperature (alpha=0.5) source mixture: proportions ∝ count^alpha.
+
+    The multilingual sampling standard — small sources up-weighted without
+    flattening. The oracle replays the full derivation: per-source counts,
+    POWER(n, 0.5), 9-decimal proportion rounding, renormalization, the
+    binding-source scale, and the hash-fraction keep draw.
+    """
+    from sat_bucket_spark.operators.sampling import mix_sources_temperature
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_sources_temperature(docs, "doc_id", alpha=0.5)
+    return out.select("doc_id", "source")
+
+
 def q_mix_sources_tokens(spark, sf_dir):
     """Token-budget mixture: proportions weigh token mass, not row counts."""
     from sat_bucket_spark.operators.sampling import mix_sources
@@ -2988,6 +3003,28 @@ WHERE {frac} < r.rate
 _ORACLES["mix_sources"] = _mix_sources_sql()
 _ORACLES["mix_sources_tokens"] = _mix_sources_sql(token_mass=True)
 
+# Temperature mixture: the proportions themselves derive from the data
+# (count^alpha, 9-decimal rounding pins the engine-portable literal), then
+# the standard mix_sources renormalize -> binding scale -> rate pipeline.
+_ORACLES["alpha_mix"] = f"""
+WITH cnt AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+  WHERE source IS NOT NULL GROUP BY source
+),
+pw AS (SELECT source, n, POWER(n, 0.5) AS pn FROM cnt),
+w AS (
+  SELECT source, n, round(pn / (SELECT SUM(pn) FROM pw), 9) AS wt FROM pw
+),
+norm AS (
+  SELECT source, n, wt / (SELECT SUM(wt) FROM w) AS wn FROM w
+),
+t AS (SELECT MIN(n / wn) AS tv FROM norm),
+rates AS (SELECT source, (wn * (SELECT tv FROM t)) / n AS rate FROM norm)
+SELECT doc_id, d.source FROM documents d
+JOIN rates r ON r.source = d.source
+WHERE (CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {MERSENNE_P}) / CAST({MERSENNE_P} AS DOUBLE) < r.rate
+"""
+
 # C4-style line filter: same injection, same keep rules (>=3 words, no
 # boilerplate marker), same rebuild.
 _LINE_KEEP = (
@@ -4350,6 +4387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_dups": q_resolve_dups,
         "mix_sources": q_mix_sources,
         "mix_sources_tokens": q_mix_sources_tokens,
+        "alpha_mix": q_alpha_mix,
         "shard_assign": q_shard_assign,
         "inverted_index": q_inverted_index,
         "pii_scan": q_pii_scan,

@@ -30,7 +30,9 @@ __all__ = [
     "hash_fraction_expr",
     "hash_sample",
     "mix_sources",
+    "mix_sources_temperature",
     "stratified_hash_sample",
+    "temperature_mixture_weights",
 ]
 
 
@@ -198,6 +200,71 @@ def mix_sources(
             F.col(source_col) == F.lit(s), frac < F.lit(float(rate))
         ).otherwise(keep)
     return df.where(keep)
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    mass_col: str | None = None,
+) -> dict[str, float]:
+    """Temperature-smoothed mixture proportions: ``p_s ∝ mass_s^alpha``.
+
+    The multilingual/multi-source sampling standard (mBERT/XLM-R lineage —
+    public): ``alpha=1`` keeps natural proportions, ``alpha=0`` makes all
+    sources equal, ``alpha~0.3-0.7`` up-weights small sources without
+    flattening. Returns per-source proportions rounded to 9 decimals —
+    the rounding makes the value engine-portable (an oracle replaying the
+    same POWER/SUM arithmetic lands on the identical literal), and the
+    dict is built in sorted-source order so the downstream normalization
+    sums in a deterministic association.
+
+    One O(#sources) counting aggregate; pass the result to
+    :func:`mix_sources` (or use :func:`mix_sources_temperature`).
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    mass = (
+        F.count(F.lit(1)).alias("n")
+        if mass_col is None
+        else F.sum(mass_col).alias("n")
+    )
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(mass).collect()
+        if r[source_col] is not None and r["n"]
+    }
+    if not counts:
+        return {}
+    powered = {s: float(n) ** alpha for s, n in sorted(counts.items())}
+    total = sum(powered.values())
+    return {s: round(p / total, 9) for s, p in powered.items()}
+
+
+def mix_sources_temperature(
+    df: DataFrame,
+    id_col: str,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    salt: str = "mix",
+    mass_col: str | None = None,
+) -> DataFrame:
+    """Downsample to the ``alpha``-temperature mixture of the corpus.
+
+    :func:`temperature_mixture_weights` + :func:`mix_sources` in one call:
+    proportions derive from the data (``mass^alpha`` normalized), then the
+    binding source keeps everything and the rest downsample by the
+    deterministic hash draw. Two O(#sources) aggregates total — both
+    driver-side planning metadata; the scan stays map-only.
+    """
+    weights = temperature_mixture_weights(
+        df, source_col=source_col, alpha=alpha, mass_col=mass_col
+    )
+    if not weights:
+        return df.where(F.lit(False))
+    return mix_sources(
+        df, weights, id_col, source_col=source_col, salt=salt, mass_col=mass_col
+    )
 
 
 def assign_shards(

@@ -299,3 +299,46 @@ class TestSaltedCap:
         # two ranking exchanges: (group, cell) then (group)
         assert "__cell" in plan
         assert plan.count("Exchange hashpartitioning") >= 2
+
+
+class TestTemperatureMixture:
+    def test_alpha_extremes(self, spark):
+        from sat_bucket_spark.operators.sampling import temperature_mixture_weights
+
+        rows = [(i, "big") for i in range(90)] + [(i + 1000, "small") for i in range(10)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        # alpha=1: natural proportions
+        w1 = temperature_mixture_weights(df, alpha=1.0)
+        assert w1 == {"big": 0.9, "small": 0.1}
+        # alpha=0: uniform
+        w0 = temperature_mixture_weights(df, alpha=0.0)
+        assert w0 == {"big": 0.5, "small": 0.5}
+        # alpha=0.5: between, small up-weighted
+        wh = temperature_mixture_weights(df, alpha=0.5)
+        assert 0.1 < wh["small"] < 0.5 and abs(sum(wh.values()) - 1) < 1e-8
+
+    def test_mixture_realizes_proportions(self, spark):
+        from sat_bucket_spark.operators.sampling import (
+            mix_sources_temperature,
+            temperature_mixture_weights,
+        )
+
+        rows = [(i, "big") for i in range(400)] + [
+            (i + 10_000, "small") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = mix_sources_temperature(df, "doc_id", alpha=0.5).groupBy("source").count()
+        got = {r["source"]: r["count"] for r in out.collect()}
+        w = temperature_mixture_weights(df, alpha=0.5)
+        # binding source (small, up-weighted most) keeps everything
+        assert got["small"] == 100
+        # realized ratio tracks the alpha proportions (hash-draw tolerance)
+        target_big = 100 / w["small"] * w["big"]
+        assert abs(got["big"] - target_big) / target_big < 0.15
+
+    def test_invalid_alpha(self, spark):
+        from sat_bucket_spark.operators.sampling import temperature_mixture_weights
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_mixture_weights(df, alpha=-0.1)
