@@ -29,6 +29,7 @@ __all__ = [
     "rows_for_target_size",
     "write_colocated_table",
     "write_jsonl_shards",
+    "write_webdataset_shards",
     "write_partitioned_dataset",
 ]
 
@@ -335,3 +336,85 @@ def write_jsonl_shards(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def write_webdataset_shards(
+    df,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    extensions: "dict[str, str] | None" = None,
+    salt: str = "shard",
+) -> list[tuple[int, int]]:
+    """Export multimodal samples as WebDataset-style tar shards.
+
+    The tar-of-samples layout multimodal training loaders stream
+    (WebDataset — public format: members ``{key}.{ext}`` grouped by key,
+    one group per sample): each row becomes members named
+    ``{id}.{ext}`` — binary columns as raw bytes, strings as UTF-8
+    ``.txt``, everything else JSON — inside ``shard-{K:05d}.tar`` under
+    ``path``. Returns ``[(shard, n_samples), ...]``.
+
+    Determinism: rows route to shards by the seeded hash permutation used
+    across the sampling operators and are written in order-hash sequence
+    with zeroed tar metadata (mtime/uid/gid), so re-exports are
+    byte-identical per shard. Each shard is written by ITS task
+    (``applyInPandas`` over the shard key): parallelism = ``n_shards``,
+    no driver bottleneck. A shard materializes in executor memory during
+    the write — size shards accordingly (more shards, smaller each; the
+    knob the trainer wants anyway).
+    """
+    import io as _io
+    import json as _json
+    import os as _os
+    import tarfile as _tarfile
+
+    import pandas as _pd
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from sat_bucket_spark.operators.hashing import h31_expr
+
+    _os.makedirs(path, exist_ok=True)
+    sid = F.col(id_col).cast("string")
+    shard = (h31_expr(F.concat(F.lit(salt), sid)) % n_shards).cast("int")
+    order = h31_expr(F.concat(F.lit(salt + ":order"), sid))
+    staged = df.withColumn("__shard", shard).withColumn("__ord", order)
+    data_cols = [c for c in df.columns]
+    exts = extensions or {}
+
+    def _write_shard(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        k = int(pdf["__shard"].iloc[0])
+        pdf = pdf.sort_values("__ord", kind="mergesort")
+        out = _os.path.join(path, f"shard-{k:05d}.tar")
+        with _tarfile.open(out, "w") as tar:
+            for _, row in pdf.iterrows():
+                key = str(row[id_col])
+                for c in data_cols:
+                    v = row[c]
+                    if v is None:
+                        continue
+                    if isinstance(v, (bytes, bytearray)):
+                        ext = exts.get(c, "bin")
+                        payload = bytes(v)
+                    elif isinstance(v, str):
+                        ext = exts.get(c, "txt")
+                        payload = v.encode("utf-8")
+                    else:
+                        ext = exts.get(c, f"{c}.json")
+                        payload = _json.dumps(v, default=str).encode("utf-8")
+                    info = _tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(payload)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tar.addfile(info, _io.BytesIO(payload))
+        return _pd.DataFrame({"shard": [k], "n_samples": [len(pdf)]})
+
+    manifest = (
+        staged.repartitionByRange(n_shards, "__shard")
+        .groupBy("__shard")
+        .applyInPandas(_write_shard, "shard int, n_samples long")
+        .collect()
+    )
+    return sorted((r["shard"], r["n_samples"]) for r in manifest)

@@ -275,3 +275,52 @@ class TestSchemaDrift:
         assert read(
             spark, bucket, extent=[0, 10, 0, 10], merge_schema=True
         ).count() == 1
+
+
+class TestWebdatasetExport:
+    def test_tar_shards_round_trip_and_determinism(self, spark, tmp_path):
+        import glob
+        import tarfile
+
+        from sat_bucket_spark.writers import write_webdataset_shards
+
+        rows = [
+            (i, f"caption {i}", bytes([i % 251]) * (50 + i)) for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "image"])
+        out = str(tmp_path / "wds")
+        manifest = write_webdataset_shards(
+            df, out, n_shards=4, extensions={"image": "jpg"}
+        )
+        assert sum(n for _, n in manifest) == 30
+        assert [s for s, _ in manifest] == [0, 1, 2, 3]
+
+        # every sample's members are present and grouped by key
+        seen = {}
+        for t in sorted(glob.glob(out + "/shard-*.tar")):
+            with tarfile.open(t) as tar:
+                for m in tar.getmembers():
+                    assert m.mtime == 0 and m.uid == 0  # deterministic metadata
+                    key = m.name.split(".", 1)[0]
+                    seen.setdefault(int(key), set()).add(m.name.split(".", 1)[1])
+                    if m.name.endswith(".jpg"):
+                        data = tar.extractfile(m).read()
+                        i = int(key)
+                        assert data == bytes([i % 251]) * (50 + i)
+        assert set(seen) == set(range(30))
+        assert all("txt" in exts and "jpg" in exts for exts in seen.values())
+
+        # byte-identical re-export
+        out2 = str(tmp_path / "wds2")
+        write_webdataset_shards(df, out2, n_shards=4, extensions={"image": "jpg"})
+        for t1, t2 in zip(
+            sorted(glob.glob(out + "/*.tar")), sorted(glob.glob(out2 + "/*.tar"))
+        ):
+            assert open(t1, "rb").read() == open(t2, "rb").read()
+
+    def test_invalid_shards(self, spark):
+        from sat_bucket_spark.writers import write_webdataset_shards
+
+        df = spark.range(3).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError, match="n_shards"):
+            write_webdataset_shards(df, "/tmp/x", n_shards=0)
