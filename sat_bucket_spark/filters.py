@@ -152,21 +152,17 @@ def _vincenty_inverse(lons: np.ndarray, lats: np.ndarray, lon0: float, lat0: flo
     # identical points -> 0
     dist = np.where(sin_sigma == 0, 0.0, dist)
     # non-converged (near-antipodal) elements: the exact quadrature inverse
-    # (geodesy.geodesic_inv_ellipsoid — bisection never diverges), not a
-    # wrong Vincenty value. These are a handful of rows per batch (the
-    # antipodal region is a sliver), so the scalar solver's cost is noise.
+    # (geodesy — bisection never diverges), not a wrong Vincenty value. The
+    # VECTORIZED solver handles the worst case where a whole batch is
+    # near-antipodal (query point against the dense region at its antipode):
+    # all non-converged rows bisect simultaneously as (rows x nodes)
+    # quadrature matrices, not a per-row Python loop.
     nonconverged = ~(step < 1e-12) & (sin_sigma != 0)
     if np.any(nonconverged):
-        from sat_bucket_spark.geodesy import geodesic_inv_ellipsoid
+        from sat_bucket_spark.geodesy import geodesic_inv_ellipsoid_many
 
         idx = np.nonzero(nonconverged)[0]
-        exact = np.array(
-            [
-                geodesic_inv_ellipsoid(lon0, lat0, float(lons[i]), float(lats[i]))
-                for i in idx
-            ]
-        )
-        dist[idx] = exact
+        dist[idx] = geodesic_inv_ellipsoid_many(lon0, lat0, lons[idx], lats[idx])
     return dist
 
 

@@ -28,6 +28,7 @@ __all__ = [
     "geodesic_inv",
     "geodesic_intermediate",
     "geodesic_inv_ellipsoid",
+    "geodesic_inv_ellipsoid_many",
 ]
 
 # proj's ellps="sphere": a = b = 6370997 m
@@ -251,3 +252,88 @@ def geodesic_inv_ellipsoid(
     alpha1 = 0.5 * (lo + hi)
     _, s_over_a = _hybrid(beta1, beta2, alpha1, f)
     return a * s_over_a
+
+
+def _hybrid_vec(beta1, beta2, alpha1, f):
+    """Vectorized :func:`_hybrid`: arrays of (beta1, beta2, alpha1) ->
+    (lam12, s12_over_a). Same exact relations, quadrature evaluated as a
+    (rows x nodes) matrix."""
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    sin_b1 = np.sin(beta1)
+    # branch pin (see _hybrid): beta1 == 0 resolves to sigma1 = -pi
+    sin_b1 = np.where(sin_b1 == 0.0, -0.0, sin_b1)
+    cos_b1 = np.cos(beta1)
+    sin_b2, cos_b2 = np.sin(beta2), np.cos(beta2)
+    sin_a1, cos_a1 = np.sin(alpha1), np.cos(alpha1)
+
+    sin_a0 = sin_a1 * cos_b1
+    cos2_a0 = 1.0 - sin_a0 * sin_a0
+    k2 = ep2 * cos2_a0
+
+    sigma1 = np.arctan2(sin_b1, cos_b1 * cos_a1)
+    cos_a2 = np.sqrt(np.maximum(cos2_a0 - sin_b2 * sin_b2, 0.0)) / cos_b2
+    sigma2 = np.arctan2(sin_b2, cos_b2 * cos_a2)
+    omega1 = np.arctan2(sin_a0 * np.sin(sigma1), np.cos(sigma1))
+    omega2 = np.arctan2(sin_a0 * np.sin(sigma2), np.cos(sigma2))
+
+    half = 0.5 * (sigma2 - sigma1)
+    mid = 0.5 * (sigma2 + sigma1)
+    # (rows x nodes) sample points
+    t = mid[:, None] + half[:, None] * _GL_NODES[None, :]
+    w = np.sqrt(1.0 + k2[:, None] * np.sin(t) ** 2)
+    s_over_b = half * np.sum(_GL_WEIGHTS[None, :] * w, axis=1)
+    i3 = half * np.sum(
+        _GL_WEIGHTS[None, :] * (2.0 - f) / (1.0 + (1.0 - f) * w), axis=1
+    )
+    lam12 = (omega2 - omega1) - f * sin_a0 * i3
+    return lam12, s_over_b * (1.0 - f)
+
+
+def geodesic_inv_ellipsoid_many(
+    lon1: float,
+    lat1: float,
+    lons2,
+    lats2,
+    a: float = WGS84_A,
+    f: float = WGS84_F,
+    iterations: int = 60,
+):
+    """Vectorized :func:`geodesic_inv_ellipsoid`: one fixed point against
+    arrays of targets. Same bisection, run on ALL rows simultaneously —
+    the batch cost is ``iterations`` (rows x 50)-matrix quadratures instead
+    of a per-row Python loop, which keeps the exact solver usable when a
+    WHOLE batch is near-antipodal (a query point against the dense region
+    at its antipode), not just for stray rows.
+    """
+    lons2 = np.asarray(lons2, dtype="float64")
+    lats2 = np.asarray(lats2, dtype="float64")
+    beta_a = np.full_like(lons2, np.arctan((1.0 - f) * np.tan(np.radians(lat1))))
+    beta_b = np.arctan((1.0 - f) * np.tan(np.radians(lats2)))
+    lam12 = np.radians(lons2 - lon1)
+    lam12 = np.abs((lam12 + np.pi) % (2.0 * np.pi) - np.pi)
+
+    # canonical arrangement, rowwise
+    swap = np.abs(beta_a) < np.abs(beta_b)
+    b1 = np.where(swap, beta_b, beta_a)
+    b2 = np.where(swap, beta_a, beta_b)
+    flip = b1 > 0
+    b1 = np.where(flip, -b1, b1)
+    b2 = np.where(flip, -b2, b2)
+
+    lo = np.full_like(lam12, 1e-15)
+    hi = np.full_like(lam12, np.pi - 1e-15)
+    for _ in range(iterations):
+        mid = 0.5 * (lo + hi)
+        lam_mid, _ = _hybrid_vec(b1, b2, mid, f)
+        go_up = lam_mid < lam12
+        lo = np.where(go_up, mid, lo)
+        hi = np.where(go_up, hi, mid)
+    _, s_over_a = _hybrid_vec(b1, b2, 0.5 * (lo + hi), f)
+    dist = a * s_over_a
+
+    # special rows the generic bisection cannot represent
+    equatorial = (b1 == 0.0) & (b2 == 0.0) & (lam12 <= (1.0 - f) * np.pi)
+    dist = np.where(equatorial, a * lam12, dist)
+    same = (lam12 == 0.0) & (b1 == b2)
+    return np.where(same, 0.0, dist)

@@ -189,6 +189,22 @@ def flatten_time_partitions(bucket_dir: str, time_level: str = "time_part") -> i
     import os
 
     prefix = time_level + "="
+    # validate EVERYTHING before renaming ANYTHING: a stray file in one
+    # time_part dir must not leave the bucket half-flattened
+    offenders = []
+    for root, dirs, _files in os.walk(bucket_dir):
+        for td in (d for d in dirs if d.startswith(prefix)):
+            tdir = os.path.join(root, td)
+            for f in os.listdir(tdir):
+                if not (
+                    f.endswith(".parquet") or f.startswith(("_", "."))
+                ) or os.path.isdir(os.path.join(tdir, f)):
+                    offenders.append(os.path.join(tdir, f))
+    if offenders:
+        raise ValueError(
+            "refusing to flatten: unexpected entries inside time partitions "
+            f"(first few: {offenders[:5]})"
+        )
     moved = 0
     for root, dirs, _files in os.walk(bucket_dir):
         time_dirs = sorted(d for d in dirs if d.startswith(prefix))

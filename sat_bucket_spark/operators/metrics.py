@@ -13,12 +13,18 @@ suite); built entirely on the public ``DataFrame.observe`` API.
 
 from __future__ import annotations
 
+import itertools
 from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 __all__ = ["PipelineFunnel", "observe_funnel"]
+
+# Observation names must be unique within one query plan: two funnels
+# composed into a single action (union, join) would otherwise collide on
+# "funnel_input" and fail analysis. A process-wide sequence disambiguates.
+_FUNNEL_SEQ = itertools.count()
 
 
 class PipelineFunnel:
@@ -70,12 +76,13 @@ def observe_funnel(
     pushed-down pruning that skips rows entirely also skips their metrics,
     the standard ``observe`` caveat.
     """
-    obs_in = Observation("funnel_input")
+    seq = next(_FUNNEL_SEQ)
+    obs_in = Observation(f"funnel{seq}_input")
     out = df.observe(obs_in, F.count(F.lit(1)).alias("rows"), *extra_metrics)
     observations: list[tuple[str, Observation]] = [("input", obs_in)]
     for name, fn in stages:
         out = fn(out)
-        ob = Observation(f"funnel_{name}")
+        ob = Observation(f"funnel{seq}_{name}")
         out = out.observe(ob, F.count(F.lit(1)).alias("rows"), *extra_metrics)
         observations.append((name, ob))
     return PipelineFunnel(out, observations)

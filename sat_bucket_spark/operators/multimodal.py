@@ -1333,19 +1333,28 @@ def parse_exif_orientation(payload: bytes | None) -> int | None:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             return None
-        marker = payload[pos + 1]
+        # 0xFF fill/padding bytes before a marker are legal (JPEG B.1.1.2):
+        # the marker code is the first non-0xFF byte after the run
+        m = pos + 1
+        while m < len(payload) and payload[m] == 0xFF:
+            m += 1
+        if m + 1 > len(payload):
+            return None
+        marker = payload[m]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            pos += 2
+            pos = m + 1
             continue
         if marker == 0xDA:  # start of scan: no more metadata segments
             break
-        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if m + 3 > len(payload):
+            return None
+        seg_len = int.from_bytes(payload[m + 1 : m + 3], "big")
         if seg_len < 2:
             return None
-        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
-            app1 = payload[pos + 10 : pos + 2 + seg_len]
+        if marker == 0xE1 and payload[m + 3 : m + 9] == b"Exif\x00\x00":
+            app1 = payload[m + 9 : m + 1 + seg_len]
             break
-        pos += 2 + seg_len
+        pos = m + 1 + seg_len
     if app1 is None or len(app1) < 8:
         return None
     if app1[0:4] == b"II\x2a\x00":

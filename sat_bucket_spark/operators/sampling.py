@@ -148,6 +148,7 @@ def mix_sources(
     source_col: str = "source",
     salt: str = "mix",
     mass_col: str | None = None,
+    counts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Deterministically downsample to a target source mixture.
 
@@ -176,18 +177,23 @@ def mix_sources(
         raise ValueError("weights must be non-empty")
     total = sum(weights.values())
     norm = {s: w / total for s, w in weights.items()}
-    mass = (
-        F.count(F.lit(1)).alias("n")
-        if mass_col is None
-        else F.sum(mass_col).alias("n")
-    )
-    counts = {
-        r[source_col]: r["n"]
-        for r in df.where(F.col(source_col).isin(list(weights)))
-        .groupBy(source_col)
-        .agg(mass)
-        .collect()
-    }
+    if counts is None:
+        mass = (
+            F.count(F.lit(1)).alias("n")
+            if mass_col is None
+            else F.sum(mass_col).alias("n")
+        )
+        counts = {
+            r[source_col]: r["n"]
+            for r in df.where(F.col(source_col).isin(list(weights)))
+            .groupBy(source_col)
+            .agg(mass)
+            .collect()
+        }
+    else:
+        # precomputed per-source masses (callers that already aggregated —
+        # mix_sources_temperature — avoid a second full-corpus scan)
+        counts = {s: n for s, n in counts.items() if s in weights}
     present = {s: w for s, w in norm.items() if counts.get(s)}
     if not present:
         return df.where(F.lit(False))
@@ -222,6 +228,14 @@ def temperature_mixture_weights(
     One O(#sources) counting aggregate; pass the result to
     :func:`mix_sources` (or use :func:`mix_sources_temperature`).
     """
+    weights, _counts = _temperature_weights_and_counts(
+        df, source_col, alpha, mass_col
+    )
+    return weights
+
+
+def _temperature_weights_and_counts(df, source_col, alpha, mass_col):
+    """(alpha-proportions, per-source masses) from ONE aggregation scan."""
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
     mass = (
@@ -235,10 +249,10 @@ def temperature_mixture_weights(
         if r[source_col] is not None and r["n"]
     }
     if not counts:
-        return {}
+        return {}, {}
     powered = {s: float(n) ** alpha for s, n in sorted(counts.items())}
     total = sum(powered.values())
-    return {s: round(p / total, 9) for s, p in powered.items()}
+    return {s: round(p / total, 9) for s, p in powered.items()}, counts
 
 
 def mix_sources_temperature(
@@ -254,16 +268,23 @@ def mix_sources_temperature(
     :func:`temperature_mixture_weights` + :func:`mix_sources` in one call:
     proportions derive from the data (``mass^alpha`` normalized), then the
     binding source keeps everything and the rest downsample by the
-    deterministic hash draw. Two O(#sources) aggregates total — both
-    driver-side planning metadata; the scan stays map-only.
+    deterministic hash draw. ONE O(#sources) aggregate — the per-source
+    masses feed both the weight derivation and the keep-rate computation
+    (no second corpus scan); the data scan itself stays map-only.
     """
-    weights = temperature_mixture_weights(
-        df, source_col=source_col, alpha=alpha, mass_col=mass_col
+    weights, counts = _temperature_weights_and_counts(
+        df, source_col, alpha, mass_col
     )
     if not weights:
         return df.where(F.lit(False))
     return mix_sources(
-        df, weights, id_col, source_col=source_col, salt=salt, mass_col=mass_col
+        df,
+        weights,
+        id_col,
+        source_col=source_col,
+        salt=salt,
+        mass_col=mass_col,
+        counts=counts,
     )
 
 

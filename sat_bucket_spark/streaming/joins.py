@@ -66,8 +66,12 @@ def stream_interval_join(
     for k in on:
         cond = cond & (lw[k] == rw[k])
     joined = lw.join(rw, cond, how)
-    # equality keys appear on both sides after the theta-join: keep the left
-    if on:
-        for k in on:
-            joined = joined.drop(rw[k])
-    return joined
+    # equality keys appear on both sides after the theta-join: collapse to
+    # one column. COALESCE, not a bare drop of the right side — in
+    # right/full outer mode an unmatched right row has NULL left columns,
+    # and dropping its key would leave the emitted row unattributable.
+    out_cols = [
+        F.coalesce(lw[c], rw[c]).alias(c) if c in on else lw[c]
+        for c in left.columns
+    ] + [rw[c] for c in r.columns if c not in on]
+    return joined.select(*out_cols)

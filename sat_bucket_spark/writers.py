@@ -366,26 +366,48 @@ def write_webdataset_shards(
     """
     import io as _io
     import json as _json
+    import math as _math
     import os as _os
     import tarfile as _tarfile
 
+    import numpy as _np
     import pandas as _pd
 
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if "://" in path and not path.startswith("file://"):
+        # shards are written with python tarfile FROM THE EXECUTORS: the
+        # output directory must be a filesystem every executor mounts
+        # (local mode, NFS, fuse mounts) — an object-store URI would
+        # scatter shards on executor-local disks or fail outright
+        raise ValueError(
+            f"write_webdataset_shards needs a shared-filesystem path, got {path!r}"
+        )
     from sat_bucket_spark.operators.hashing import h31_expr
 
-    _os.makedirs(path, exist_ok=True)
+    if path.startswith("file://"):
+        path = path[len("file://"):]
     sid = F.col(id_col).cast("string")
     shard = (h31_expr(F.concat(F.lit(salt), sid)) % n_shards).cast("int")
     order = h31_expr(F.concat(F.lit(salt + ":order"), sid))
     staged = df.withColumn("__shard", shard).withColumn("__ord", order)
-    data_cols = [c for c in df.columns]
-    exts = extensions or {}
+    data_cols = list(df.columns)
+    # member extensions must be unique per sample: a bare 'txt'/'bin' only
+    # when one column of that Spark type exists, else column-qualified
+    str_cols = [c for c, t in df.dtypes if t == "string"]
+    bin_cols = [c for c, t in df.dtypes if t == "binary"]
+    exts = dict(extensions or {})
+    for c in str_cols:
+        exts.setdefault(c, "txt" if len(str_cols) == 1 else f"{c}.txt")
+    for c in bin_cols:
+        exts.setdefault(c, "bin" if len(bin_cols) == 1 else f"{c}.bin")
 
     def _write_shard(pdf: _pd.DataFrame) -> _pd.DataFrame:
         k = int(pdf["__shard"].iloc[0])
-        pdf = pdf.sort_values("__ord", kind="mergesort")
+        # id tie-break: two docs colliding on the 31-bit order hash must
+        # still serialize in a run-independent order (byte-reproducibility)
+        pdf = pdf.sort_values(["__ord", id_col], kind="mergesort")
+        _os.makedirs(path, exist_ok=True)  # executor-side (shared FS)
         out = _os.path.join(path, f"shard-{k:05d}.tar")
         with _tarfile.open(out, "w") as tar:
             for _, row in pdf.iterrows():
@@ -395,15 +417,18 @@ def write_webdataset_shards(
                     if v is None:
                         continue
                     if isinstance(v, (bytes, bytearray)):
-                        ext = exts.get(c, "bin")
                         payload = bytes(v)
                     elif isinstance(v, str):
-                        ext = exts.get(c, "txt")
                         payload = v.encode("utf-8")
                     else:
-                        ext = exts.get(c, f"{c}.json")
+                        # pandas surfaces Spark numerics as numpy scalars
+                        # (json-unserializable) and numeric NULLs as NaN
+                        if isinstance(v, _np.generic):
+                            v = v.item()
+                        if isinstance(v, float) and _math.isnan(v):
+                            continue
                         payload = _json.dumps(v, default=str).encode("utf-8")
-                    info = _tarfile.TarInfo(name=f"{key}.{ext}")
+                    info = _tarfile.TarInfo(name=f"{key}.{exts.get(c, f'{c}.json')}")
                     info.size = len(payload)
                     info.mtime = 0
                     info.uid = info.gid = 0

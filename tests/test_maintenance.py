@@ -132,3 +132,19 @@ class TestCompactBucket:
         assert compact_bucket(spark, b, target_file_size="64MB") > 0
         # second pass: everything already at one file per partition
         assert compact_bucket(spark, b, target_file_size="64MB") == 0
+
+
+class TestFlattenValidation:
+    def test_stray_file_refuses_before_any_rename(self, spark, tmp_path):
+        import os
+
+        from sat_bucket_spark.maintenance import flatten_time_partitions
+
+        b = tmp_path / "bucket" / "lon_bin=0.0" / "time_part=2021"
+        b.mkdir(parents=True)
+        (b / "part-0000.parquet").write_bytes(b"x")
+        (b / "stray.json").write_bytes(b"{}")
+        with pytest.raises(ValueError, match="refusing to flatten"):
+            flatten_time_partitions(str(tmp_path / "bucket"))
+        # nothing moved: the parquet file is still inside the time dir
+        assert os.path.exists(b / "part-0000.parquet")

@@ -1022,3 +1022,15 @@ class TestMp3Frame:
 
         assert parse_mp3_frame(b"\x00" * 100) is None
         assert parse_mp3_frame(None) is None
+
+
+class TestExifFillBytes:
+    def test_fill_bytes_before_marker(self):
+        """0xFF padding before a marker (JPEG B.1.1.2) must not derail the
+        segment walk past APP1."""
+        from sat_bucket_spark.operators.multimodal import parse_exif_orientation
+
+        base = TestExifOrientation._jpeg_with_exif(6)
+        # inject two fill bytes between SOI and APP1
+        padded = base[:2] + b"\xff\xff" + base[2:]
+        assert parse_exif_orientation(padded) == 6

@@ -1594,17 +1594,17 @@ class TestObserveFunnel:
             ],
             extra_metrics=[F.sum(F.length("text")).alias("chars")],
         )
-        jobs_before = len(spark.sparkContext.statusTracker().getActiveJobsIds())
-        ids_before = set(
-            spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
-        )
-        funnel.df.write.format("noop").mode("overwrite").save()
-        counts = funnel.counts()  # must not launch another job
-        ids_after = set(
-            spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
-        )
-        assert len(ids_after - ids_before) == 1, "funnel must add ZERO extra jobs"
-        assert jobs_before == 0  # sanity on the tracker API
+        # count jobs inside a DEDICATED group: the shared test session may
+        # have unrelated jobs in flight
+        sc = spark.sparkContext
+        sc.setJobGroup("funnel-gate", "funnel job-count gate")
+        try:
+            funnel.df.write.format("noop").mode("overwrite").save()
+            counts = funnel.counts()  # must not launch another job
+            ids = set(sc.statusTracker().getJobIdsForGroup("funnel-gate") or [])
+        finally:
+            sc.setJobGroup("", "")
+        assert len(ids) == 1, f"funnel must add ZERO extra jobs, saw {len(ids)}"
 
         n0 = documents.count()
         n1 = add_token_count(documents).where("n_tokens >= 30").count()
@@ -1622,3 +1622,15 @@ class TestObserveFunnel:
             "tokens": 0, "min_tokens": n0 - n1, "lang_en": n1 - n2,
         }
         assert funnel.metrics()["input"]["chars"] > 0
+
+
+class TestFunnelComposition:
+    def test_two_funnels_in_one_query(self, spark):
+        """Unioned funnels must not collide on observation names."""
+        from sat_bucket_spark.operators.metrics import observe_funnel
+
+        df = spark.range(10).withColumnRenamed("id", "doc_id")
+        f1 = observe_funnel(df, [("evens", lambda d: d.where("doc_id % 2 = 0"))])
+        f2 = observe_funnel(df, [("evens", lambda d: d.where("doc_id % 2 = 0"))])
+        f1.df.union(f2.df).write.format("noop").mode("overwrite").save()
+        assert f1.counts()["evens"] == 5 and f2.counts()["evens"] == 5

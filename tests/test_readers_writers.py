@@ -324,3 +324,35 @@ class TestWebdatasetExport:
         df = spark.range(3).withColumnRenamed("id", "doc_id")
         with pytest.raises(ValueError, match="n_shards"):
             write_webdataset_shards(df, "/tmp/x", n_shards=0)
+
+
+class TestWebdatasetHardening:
+    def test_multiple_string_and_binary_columns_stay_distinct(self, spark, tmp_path):
+        import glob
+        import tarfile
+
+        from sat_bucket_spark.writers import write_webdataset_shards
+
+        df = spark.createDataFrame(
+            [(1, "cap", "ocr text", b"img", b"thumb", 7, None)],
+            "doc_id long, caption string, ocr string, image binary, "
+            "thumb binary, label long, missing double",
+        )
+        out = str(tmp_path / "wds")
+        write_webdataset_shards(df, out, n_shards=1)
+        with tarfile.open(glob.glob(out + "/*.tar")[0]) as tar:
+            members = {m.name: tar.extractfile(m).read() for m in tar.getmembers()}
+        # column-qualified extensions: nothing collides, nothing is lost
+        assert "1.caption.txt" in members and "1.ocr.txt" in members
+        assert "1.image.bin" in members and "1.thumb.bin" in members
+        # numpy ints serialize as JSON numbers, not quoted strings
+        assert members["1.label.json"] == b"7"
+        # NULL numerics are skipped, never emitted as invalid-JSON NaN
+        assert not any("missing" in n for n in members)
+
+    def test_object_store_path_rejected(self, spark):
+        from sat_bucket_spark.writers import write_webdataset_shards
+
+        df = spark.range(2).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError, match="shared-filesystem"):
+            write_webdataset_shards(df, "s3://bucket/wds")
