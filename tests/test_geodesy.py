@@ -138,3 +138,47 @@ class TestEllipsoidalInverse:
             assert g == pytest.approx(
                 geodesic_inv_ellipsoid(0.0, 0.0, lon, lat), abs=1e-4
             )
+
+
+class TestVectorizedEllipsoidalInverse:
+    def test_matches_scalar_everywhere(self):
+        from sat_bucket_spark.geodesy import (
+            geodesic_inv_ellipsoid,
+            geodesic_inv_ellipsoid_many,
+        )
+
+        rng = np.random.default_rng(13)
+        lons = rng.uniform(-180, 180, 120)
+        lats = rng.uniform(-89, 89, 120)
+        many = geodesic_inv_ellipsoid_many(12.0, -35.0, lons, lats)
+        for i in range(120):
+            assert many[i] == pytest.approx(
+                geodesic_inv_ellipsoid(12.0, -35.0, lons[i], lats[i]), abs=1e-4
+            )
+
+    def test_whole_antipodal_batch(self):
+        """The scenario the vectorization exists for: every row of the batch
+        near the query point's antipode."""
+        from sat_bucket_spark.geodesy import (
+            geodesic_inv_ellipsoid,
+            geodesic_inv_ellipsoid_many,
+        )
+
+        rng = np.random.default_rng(17)
+        lons = rng.uniform(167, 169, 80)
+        lats = rng.uniform(34, 36, 80)
+        many = geodesic_inv_ellipsoid_many(-12.0, -35.0, lons, lats)
+        for i in range(0, 80, 16):
+            assert many[i] == pytest.approx(
+                geodesic_inv_ellipsoid(-12.0, -35.0, lons[i], lats[i]), abs=1e-4
+            )
+
+    def test_specials(self):
+        from sat_bucket_spark.geodesy import WGS84_A, geodesic_inv_ellipsoid_many
+
+        got = geodesic_inv_ellipsoid_many(
+            0.0, 0.0, np.array([0.0, 90.0, 0.0]), np.array([0.0, 0.0, 90.0])
+        )
+        assert got[0] == 0.0
+        assert got[1] == pytest.approx(WGS84_A * np.pi / 2, abs=1e-6)
+        assert got[2] == pytest.approx(10_001_965.7293, abs=1e-2)
