@@ -46,6 +46,7 @@ __all__ = [
     "duplicate_spans",
     "exact_duplicate_groups",
     "lsh_candidate_pairs",
+    "lsh_params_for_threshold",
     "minhash_dedup_against",
     "minhash_lsh_dedup_pairs",
     "minhash_signatures",
@@ -328,6 +329,44 @@ def ngram_jaccard_pairs(
     if min_jaccard > 0:
         out = out.where(F.col("jaccard") >= F.lit(min_jaccard))
     return out
+
+
+def lsh_params_for_threshold(
+    threshold: float,
+    max_hashes: int = 256,
+) -> tuple[int, int]:
+    """(n_hashes, n_bands) whose LSH S-curve balances FP/FN at ``threshold``.
+
+    The banding scheme's candidate probability for Jaccard ``s`` is
+    ``1 - (1 - s^r)^b`` with ``r`` rows per band and ``b`` bands
+    (Mining of Massive Datasets §3.4 — public); its inflection sits near
+    ``(1/b)^(1/r)``. This picks, over all (b, r) with ``b*r <=
+    max_hashes``, the configuration minimizing the sum of the false-positive
+    mass below the threshold and false-negative mass above it (uniform-s
+    integral, evaluated numerically) — the standard way to turn "I care
+    about jaccard >= 0.8" into banding parameters instead of hand-tuning.
+
+    Returns ``(n_hashes, n_bands)`` ready for :func:`minhash_lsh_dedup_pairs`
+    (which uses ``r = n_hashes // n_bands`` rows per band). Driver-side
+    arithmetic over at most a few thousand (b, r) pairs — planning cost.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    import numpy as _np
+
+    s = _np.linspace(0.0, 1.0, 201)
+    below = s < threshold
+    best = None
+    for r in range(1, max_hashes + 1):
+        for b in range(1, max_hashes // r + 1):
+            p = 1.0 - (1.0 - s**r) ** b
+            # FP mass below the threshold + FN mass above it
+            err = float(_np.trapz(_np.where(below, p, 1.0 - p), s))
+            # prefer fewer hashes on ties (cheaper signatures)
+            key = (err, b * r)
+            if best is None or key < best[0]:
+                best = (key, (b * r, b))
+    return best[1]
 
 
 def minhash_lsh_dedup_pairs(

@@ -1634,3 +1634,32 @@ class TestFunnelComposition:
         f2 = observe_funnel(df, [("evens", lambda d: d.where("doc_id % 2 = 0"))])
         f1.df.union(f2.df).write.format("noop").mode("overwrite").save()
         assert f1.counts()["evens"] == 5 and f2.counts()["evens"] == 5
+
+
+class TestLshParamChooser:
+    def test_inflection_tracks_threshold(self):
+        from sat_bucket_spark.operators.dedup import lsh_params_for_threshold
+
+        for t in (0.3, 0.5, 0.8, 0.9):
+            n, b = lsh_params_for_threshold(t, max_hashes=128)
+            r = n // b
+            assert n == b * r <= 128
+            inflection = (1 / b) ** (1 / r)
+            assert abs(inflection - t) < 0.1, (t, n, b, inflection)
+
+    def test_s_curve_separates(self):
+        """At the chosen params, pairs well above the threshold are nearly
+        always candidates and pairs well below nearly never."""
+        from sat_bucket_spark.operators.dedup import lsh_params_for_threshold
+
+        n, b = lsh_params_for_threshold(0.8, max_hashes=128)
+        r = n // b
+        p = lambda s: 1 - (1 - s**r) ** b
+        assert p(0.95) > 0.99
+        assert p(0.5) < 0.05
+
+    def test_invalid_threshold(self):
+        from sat_bucket_spark.operators.dedup import lsh_params_for_threshold
+
+        with pytest.raises(ValueError, match="threshold"):
+            lsh_params_for_threshold(1.5)
