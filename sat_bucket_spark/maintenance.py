@@ -190,20 +190,38 @@ def flatten_time_partitions(bucket_dir: str, time_level: str = "time_part") -> i
 
     prefix = time_level + "="
     # validate EVERYTHING before renaming ANYTHING: a stray file in one
-    # time_part dir must not leave the bucket half-flattened
+    # time_part dir must not leave the bucket half-flattened, and a
+    # destination `{label}_{i}.parquet` already sitting in the spatial dir
+    # (rerun after an incremental merge, or a mixed-layout bucket) must not
+    # be silently overwritten by os.rename
     offenders = []
+    collisions = []
     for root, dirs, _files in os.walk(bucket_dir):
         for td in (d for d in dirs if d.startswith(prefix)):
             tdir = os.path.join(root, td)
+            parts = []
             for f in os.listdir(tdir):
                 if not (
                     f.endswith(".parquet") or f.startswith(("_", "."))
                 ) or os.path.isdir(os.path.join(tdir, f)):
                     offenders.append(os.path.join(tdir, f))
+                elif f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    parts.append(f)
+            label = td[len(prefix):]
+            for i in range(len(parts)):
+                dest = os.path.join(root, f"{label}_{i}.parquet")
+                if os.path.exists(dest):
+                    collisions.append(dest)
     if offenders:
         raise ValueError(
             "refusing to flatten: unexpected entries inside time partitions "
             f"(first few: {offenders[:5]})"
+        )
+    if collisions:
+        raise ValueError(
+            "refusing to flatten: destination files already exist (bucket "
+            "partially flattened or mixed-layout?) — remove or rename them "
+            f"first (first few: {collisions[:5]})"
         )
     moved = 0
     for root, dirs, _files in os.walk(bucket_dir):

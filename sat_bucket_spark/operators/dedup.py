@@ -356,12 +356,14 @@ def lsh_params_for_threshold(
 
     s = _np.linspace(0.0, 1.0, 201)
     below = s < threshold
+    # np.trapz was removed in NumPy 2.0 (renamed trapezoid)
+    _trapezoid = getattr(_np, "trapezoid", None) or _np.trapz
     best = None
     for r in range(1, max_hashes + 1):
         for b in range(1, max_hashes // r + 1):
             p = 1.0 - (1.0 - s**r) ** b
             # FP mass below the threshold + FN mass above it
-            err = float(_np.trapz(_np.where(below, p, 1.0 - p), s))
+            err = float(_trapezoid(_np.where(below, p, 1.0 - p), s))
             # prefer fewer hashes on ties (cheaper signatures)
             key = (err, b * r)
             if best is None or key < best[0]:

@@ -66,7 +66,9 @@ def read_bucket_dataframe(
     """
     glob = path_glob or "*.parquet"
     if partitioning is not None and getattr(partitioning, "flavor", "hive") != "hive":
-        return _read_directory_bucket(spark, bucket_dir, partitioning, glob, subdirs, paths)
+        return _read_directory_bucket(
+            spark, bucket_dir, partitioning, glob, subdirs, paths, merge_schema
+        )
     if paths is not None:
         # Explicit file list (filename-level filtering): basePath keeps the
         # hive partition columns discoverable from the file paths.
@@ -177,6 +179,7 @@ def _read_directory_bucket(
     glob: str,
     subdirs: list[str] | None,
     paths: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Directory-flavor read: depth-n glob + label reconstruction from paths.
 
@@ -195,11 +198,19 @@ def _read_directory_bucket(
             paths = [p for p in paths if os.path.isdir(p)]
             if not paths:
                 # No partition dir intersects: empty frame with the full schema.
-                full = _read_directory_bucket(spark, bucket_dir, partitioning, glob, None)
+                full = _read_directory_bucket(
+                    spark, bucket_dir, partitioning, glob, None,
+                    merge_schema=merge_schema,
+                )
                 return full.where(F.lit(False))
         else:
             paths = [os.path.join(bucket_dir, *(["*"] * n))]
-    df = spark.read.option("pathGlobFilter", glob).parquet(*paths)
+    reader = spark.read.option("pathGlobFilter", glob)
+    if merge_schema:
+        # drift-aware read: union all footers, same contract as the hive
+        # branch (previously this flag was silently ignored here)
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*paths)
     # .../<label_order0>/<label_order1>/part-*.parquet
     segs = F.split(F.input_file_name(), "/")
     for i, level in enumerate(order):

@@ -345,6 +345,7 @@ def write_webdataset_shards(
     n_shards: int = 16,
     extensions: "dict[str, str] | None" = None,
     salt: str = "shard",
+    mode: str = "overwrite",
 ) -> list[tuple[int, int]]:
     """Export multimodal samples as WebDataset-style tar shards.
 
@@ -363,6 +364,13 @@ def write_webdataset_shards(
     no driver bottleneck. A shard materializes in executor memory during
     the write — size shards accordingly (more shards, smaller each; the
     knob the trainer wants anyway).
+
+    ``mode`` mirrors ``write_jsonl_shards``: ``'overwrite'`` (default)
+    removes every pre-existing ``shard-*.tar`` under ``path`` BEFORE the
+    job launches — a re-export with a smaller ``n_shards`` (or a shrunk
+    corpus) must not leave stale shards from the previous run for a
+    trainer's ``shard-*.tar`` glob to silently consume; ``'error'``
+    refuses when any exist.
     """
     import io as _io
     import json as _json
@@ -387,6 +395,19 @@ def write_webdataset_shards(
 
     if path.startswith("file://"):
         path = path[len("file://"):]
+    if mode not in ("overwrite", "error"):
+        raise ValueError(f"mode must be 'overwrite' or 'error', got {mode!r}")
+    import glob as _glob
+
+    stale = sorted(_glob.glob(_os.path.join(path, "shard-*.tar")))
+    if stale:
+        if mode == "error":
+            raise FileExistsError(
+                f"{len(stale)} existing shard-*.tar under {path!r} "
+                "(mode='error'); pass mode='overwrite' to replace them"
+            )
+        for f in stale:  # driver-side, before any task writes
+            _os.remove(f)
     sid = F.col(id_col).cast("string")
     shard = (h31_expr(F.concat(F.lit(salt), sid)) % n_shards).cast("int")
     order = h31_expr(F.concat(F.lit(salt + ":order"), sid))

@@ -108,3 +108,23 @@ class TestTileDirectoryRead:
             r["tile"] for r in p.add_labels(orbit_df, x="lon", y="lat").select("tile").collect()
         }
         assert {r["tile"] for r in df.select("tile").collect()} == expected
+
+
+class TestDirectoryMergeSchema:
+    def test_merge_schema_unions_drifted_footers(self, spark, orbit_df, tmp_path_factory):
+        """ADVICE r5: merge_schema=True was silently ignored for
+        directory-flavor buckets (the non-hive branch returned before the
+        mergeSchema branch), pinning the schema to one footer."""
+        d = str(tmp_path_factory.mktemp("dirdrift"))
+        p = XYPartitioning(size=(10, 10), extent=[-180, 180, -90, 90])
+        write_bucket(orbit_df, d, p, x="lon", y="lat")
+        # drift: append a second write that carries a NEW column
+        write_bucket(
+            orbit_df.withColumn("new_col", F.lit(7).cast("long")),
+            d, p, x="lon", y="lat",
+        )
+        merged = read(spark, d, merge_schema=True)
+        assert "new_col" in merged.columns
+        assert merged.count() == 300
+        # rows from the pre-drift write surface NULL for the new column
+        assert merged.where(F.col("new_col").isNull()).count() == 150

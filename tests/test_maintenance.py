@@ -148,3 +148,23 @@ class TestFlattenValidation:
             flatten_time_partitions(str(tmp_path / "bucket"))
         # nothing moved: the parquet file is still inside the time dir
         assert os.path.exists(b / "part-0000.parquet")
+
+    def test_destination_collision_refuses_before_any_rename(self, spark, tmp_path):
+        """ADVICE r5: a pre-existing '{label}_{i}.parquet' in the spatial dir
+        (rerun after an incremental merge added a new time_part dir to an
+        already-flattened bucket) must refuse, not silently overwrite."""
+        import os
+
+        from sat_bucket_spark.maintenance import flatten_time_partitions
+
+        root = tmp_path / "bucket" / "lon_bin=0.0"
+        td = root / "time_part=2021"
+        td.mkdir(parents=True)
+        (td / "part-0000.parquet").write_bytes(b"new")
+        # destination already exists from a previous flatten
+        (root / "2021_0.parquet").write_bytes(b"old")
+        with pytest.raises(ValueError, match="destination files already exist"):
+            flatten_time_partitions(str(tmp_path / "bucket"))
+        # nothing moved, nothing clobbered
+        assert (root / "2021_0.parquet").read_bytes() == b"old"
+        assert (td / "part-0000.parquet").read_bytes() == b"new"

@@ -356,3 +356,37 @@ class TestWebdatasetHardening:
         df = spark.range(2).withColumnRenamed("id", "doc_id")
         with pytest.raises(ValueError, match="shared-filesystem"):
             write_webdataset_shards(df, "s3://bucket/wds")
+
+
+class TestWebdatasetMode:
+    def test_overwrite_removes_stale_shards(self, spark, tmp_path):
+        """ADVICE r5: re-export with smaller n_shards must not leave stale
+        shard-*.tar from the previous run for a trainer glob to consume."""
+        import glob
+
+        from sat_bucket_spark.writers import write_webdataset_shards
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(20)], ["doc_id", "text"]
+        )
+        out = str(tmp_path / "wds")
+        write_webdataset_shards(df, out, n_shards=8)
+        assert len(glob.glob(out + "/shard-*.tar")) == 8
+        write_webdataset_shards(df, out, n_shards=2)  # default mode=overwrite
+        assert len(glob.glob(out + "/shard-*.tar")) == 2
+
+    def test_error_mode_refuses_existing(self, spark, tmp_path):
+        from sat_bucket_spark.writers import write_webdataset_shards
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        out = str(tmp_path / "wds")
+        write_webdataset_shards(df, out, n_shards=1)
+        with pytest.raises(FileExistsError, match="mode='error'"):
+            write_webdataset_shards(df, out, n_shards=1, mode="error")
+
+    def test_bad_mode_rejected(self, spark, tmp_path):
+        from sat_bucket_spark.writers import write_webdataset_shards
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="mode"):
+            write_webdataset_shards(df, str(tmp_path / "w"), mode="append")
