@@ -4276,6 +4276,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     url_filter (a new URL-rules family) displaces fingerprint, whose
     md5-derived hashing family stays in-window via minhash_lsh_dedup
     and exact_dup_groups.
+
+    Round-6 reorder (VERDICT r5 task #1): the five round-5-new operators
+    move INTO the window — salted_join (skew-resistant join),
+    points_in_polygons_big (constant-plan oversized-ring route),
+    rollup_stats (incremental mergeable rollups), repetition_full
+    (the full MassiveText repetition rule set), alpha_mix (temperature
+    source mixing). Displaced, per the insertion rule (most-redundant
+    in-window sibling, never a family): count_by_type (held by
+    profile_table + pricing_summary), session_count (held by
+    sessionize_scalable), exact_dup_groups (held by dup_clusters +
+    lsh_dedup_against), invalid_policy (null-masking exercised by
+    lonlat_labels), embedding_topk (brute-force oracle; scale paths
+    ivfpq_topk + knn_join stay in-window). All five remain green in the
+    all-registry parity suite.
     """
     return {
         # ---- driver-verified window (first 50) ----
@@ -4287,34 +4301,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_labels": q_tile_labels,
         "centroids": q_centroids,
         "partition_pruning": q_partition_pruning,
-        "invalid_policy": q_invalid_policy,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "dense_grid": q_dense_grid,
         "interval_join": q_interval_join,
         "asof_join": q_asof_join,
+        "salted_join": q_salted_join,
         "points_in_polygons": q_points_in_polygons,
+        "points_in_polygons_big": q_points_in_polygons_big,
         "image_meta": q_image_meta,
         "sessionize_scalable": q_sessionize_scalable,
-        "session_count": q_session_count,
         "idw_grid": q_idw_grid,
         "swath_offsets": q_swath_offsets,
         "lm_score": q_lm_score,
         "decontaminate_bloom": q_decontaminate_bloom,
-        "count_by_type": q_count_by_type,
         "profile_table": q_profile_table,
+        "rollup_stats": q_rollup_stats,
         "filename_roundtrip": q_filename_roundtrip,
         "json_extract": q_json_extract,
         "interpolate": q_interpolate,
         "dup_spans": q_dup_spans,
         "gopher_quality": q_gopher_quality,
+        "repetition_full": q_repetition_full,
         "language_id": q_language_id,
         "url_filter": q_url_filter,
-        "exact_dup_groups": q_exact_dup_groups,
         "edit_dedup": q_edit_dedup,
         "simhash_near_dup": q_simhash_near_dup,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "embedding_topk": q_embedding_topk,
         "mad_outliers": q_mad_outliers,
         "knn_join": q_knn_join,
         "ivfpq_topk": q_ivfpq_topk,
@@ -4327,23 +4340,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "line_filter": q_line_filter,
         "cap_per_source": q_cap_per_source,
+        "alpha_mix": q_alpha_mix,
         "quality_filter": q_quality_filter,
         "lsh_dedup_against": q_lsh_dedup_against,
         # ---- beyond the driver window: parity-suite verified ----
+        "count_by_type": q_count_by_type,
+        "session_count": q_session_count,
+        "exact_dup_groups": q_exact_dup_groups,
+        "invalid_policy": q_invalid_policy,
+        "embedding_topk": q_embedding_topk,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
-        "repetition_full": q_repetition_full,
         "time_prefixes": q_time_prefixes,
         "minhash": q_minhash,
         "lsh_buckets": q_lsh_buckets,
         "ivf_topk": q_ivf_topk,
         "key_skew": q_key_skew,
-        "rollup_stats": q_rollup_stats,
-        "salted_join": q_salted_join,
         "bin_index": q_bin_index,
         "polygon_filter": q_polygon_filter,
-        "points_in_polygons_big": q_points_in_polygons_big,
         "interval_binned": q_interval_binned,
         "first_per_group": q_first_per_group,
         "distinct_sort": q_distinct_sort,
@@ -4387,7 +4402,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_dups": q_resolve_dups,
         "mix_sources": q_mix_sources,
         "mix_sources_tokens": q_mix_sources_tokens,
-        "alpha_mix": q_alpha_mix,
         "shard_assign": q_shard_assign,
         "inverted_index": q_inverted_index,
         "pii_scan": q_pii_scan,
