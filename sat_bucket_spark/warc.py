@@ -8,15 +8,22 @@ member and concatenate the members, so a ``.warc.gz`` is a multi-member
 gzip stream; WET files are WARC files whose ``conversion`` records carry
 extracted plain text.
 
-Spark mapping: ``spark.read.format("binaryFile")`` gives one row per
-archive file (path + full content bytes); an Arrow-batched ``mapInPandas``
-stage walks the records with a streaming parser and yields bounded-size
-record batches. WARC is not block-splittable (records are variable-length
-and the gzip members aren't indexed), so the parallel grain is the FILE —
+Spark mapping: ``spark.read.format("binaryFile")`` distributes one row per
+archive file, but only its ``path`` column is consumed — each
+``mapInPandas`` task OPENS the file itself (local / ``pyarrow.fs`` for
+object stores) and walks the records with a streaming parser, yielding
+bounded-size record batches. Shipping the ``content`` column instead would
+materialize every ~1 GB segment as a JVM row, an Arrow cell AND a Python
+``bytes`` (~3x the compressed size per task) and hit ``binaryFile``'s
+2 GiB content cap; the path-only read has neither cost (binaryFile's cap
+check lives in its content materialization, which column pruning
+eliminates). WARC is not block-splittable (records are variable-length and
+the gzip members aren't indexed), so the parallel grain is the FILE —
 exactly how crawl archives are shipped (~1 GB segments; a 100 TB crawl is
-~10^5 files, far more than any cluster's task slots). The decompressed
-stream is consumed incrementally: peak memory per task is the compressed
-file plus one record, not the decompressed file.
+~10^5 files, far more than any cluster's task slots). Both compressed and
+decompressed bytes are consumed incrementally: peak memory per task is one
+read chunk (256 KiB) plus one in-flight record, independent of archive
+size — oversized archives (>2 GiB) are fine.
 
 Reference scope: beyond sat-bucket (no web-archive source there); the
 format knowledge is the public ISO 28500 spec / Common Crawl docs.
@@ -44,29 +51,41 @@ _GZIP_MAGIC = b"\x1f\x8b"
 
 
 class _RecordStream:
-    """Incremental line/byte reader over raw or multi-member-gzip bytes.
+    """Incremental line/byte reader over raw or multi-member-gzip input.
 
-    Keeps only the undecompressed remainder and a bounded decompressed
+    Accepts bytes OR any binary file-like object with ``.read(n)`` (a local
+    file, a ``pyarrow.fs`` input stream) — the archive is never required to
+    be in memory. Keeps only one raw read chunk and a bounded decompressed
     buffer alive — a record is parsed and handed out before the next one
     is inflated.
     """
 
     _CHUNK = 1 << 18
 
-    def __init__(self, data: bytes):
-        self._gz = data[:2] == _GZIP_MAGIC
-        self._raw = memoryview(data)
-        self._pos = 0
+    def __init__(self, source):
+        if isinstance(source, (bytes, bytearray, memoryview)):
+            import io as _io
+
+            source = _io.BytesIO(bytes(source))
+        self._src = source
+        # sniff the gzip magic; whatever was read stays pending
+        self._pending = source.read(2) or b""
+        self._gz = self._pending == _GZIP_MAGIC
         self._buf = bytearray()
         self._dec = zlib.decompressobj(16 + zlib.MAX_WBITS) if self._gz else None
+
+    def _read_raw(self) -> bytes:
+        if self._pending:
+            out, self._pending = self._pending, b""
+            return out
+        return self._src.read(self._CHUNK) or b""
 
     def _fill(self) -> bool:
         """Pull one more chunk into the buffer; False at true end of input."""
         if not self._gz:
-            if self._pos >= len(self._raw):
+            chunk = self._read_raw()
+            if not chunk:
                 return False
-            chunk = self._raw[self._pos : self._pos + self._CHUNK]
-            self._pos += len(chunk)
             self._buf += chunk
             return True
         while True:
@@ -75,19 +94,17 @@ class _RecordStream:
                 # (crawl archives gzip each record as its own member)
                 pending = self._dec.unused_data
                 if not pending:
-                    if self._pos >= len(self._raw):
+                    pending = self._read_raw()
+                    if not pending:
                         return False
-                    pending = bytes(self._raw[self._pos : self._pos + self._CHUNK])
-                    self._pos += len(pending)
                 self._dec = zlib.decompressobj(16 + zlib.MAX_WBITS)
                 out = self._dec.decompress(pending, self._CHUNK)
             else:
                 feed = self._dec.unconsumed_tail
                 if not feed:
-                    if self._pos >= len(self._raw):
+                    feed = self._read_raw()
+                    if not feed:
                         return False  # truncated mid-member
-                    feed = bytes(self._raw[self._pos : self._pos + self._CHUNK])
-                    self._pos += len(feed)
                 out = self._dec.decompress(feed, self._CHUNK)
             if out:
                 self._buf += out
@@ -114,9 +131,12 @@ class _RecordStream:
         return out
 
 
-def iter_warc_records(data: bytes, strict: bool = True) -> Iterator[dict]:
-    """Walk the WARC records of one archive file (raw or .warc.gz bytes).
+def iter_warc_records(data, strict: bool = True) -> Iterator[dict]:
+    """Walk the WARC records of one archive file.
 
+    ``data`` is raw or ``.warc.gz`` bytes, or a binary FILE-LIKE object
+    (``.read(n)``) that is consumed incrementally — the streaming form the
+    distributed readers use so an archive never has to fit in memory.
     Yields ``{"headers": {name_lower: value}, "payload": bytes}`` per
     record. ``strict=True`` raises ``ValueError`` on a malformed record OR
     a corrupt gzip stream (``zlib.error`` is converted so callers have one
@@ -188,6 +208,27 @@ def _strip_http(payload: bytes) -> bytes:
     return payload
 
 
+def _open_input(path: str):
+    """Open an archive path for streaming reads inside an executor task.
+
+    Spark's ``binaryFile``/file sources hand back URIs (``file:/tmp/x``,
+    ``s3a://...``, possibly percent-encoded). Local paths open directly;
+    anything else goes through ``pyarrow.fs.FileSystem.from_uri`` (ships
+    with pyarrow; covers s3/gcs/hdfs), so the task streams straight from
+    the store instead of the driver shipping bytes.
+    """
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(path)
+    if u.scheme in ("", "file"):
+        local = unquote(u.path) if u.scheme == "file" else path
+        return open(local, "rb")
+    from pyarrow import fs as _pafs
+
+    filesystem, p = _pafs.FileSystem.from_uri(path)
+    return filesystem.open_input_stream(p)
+
+
 _WARC_SCHEMA = (
     "record_id string, warc_type string, target_uri string, warc_date string, "
     "content_type string, content_length long, payload binary, source_file string"
@@ -225,9 +266,13 @@ def read_warc(
     ``foreachBatch`` curation pipeline with no parser changes, because
     ``mapInPandas`` is the same operator in both modes.
 
-    Scale shape: file-grain parallelism (see module docstring), streaming
-    inflate, and bounded ``batch_records``-row Arrow batches — no shuffle
-    at all; downstream filters/projections run on a normal DataFrame.
+    Scale shape: file-grain parallelism (see module docstring); only the
+    ``path`` column crosses the JVM/Arrow boundary — each task opens and
+    streams its archive itself (``_open_input``), so archive bytes are
+    never shipped as a row, the ``binaryFile`` 2 GiB content cap does not
+    apply, and peak task memory is one 256 KiB chunk + one record.
+    Bounded ``batch_records``-row Arrow batches; no shuffle at all;
+    downstream filters/projections run on a normal DataFrame.
     """
     if streaming:
         bf = (
@@ -246,35 +291,39 @@ def read_warc(
         ]
         rows: list[tuple] = []
         for pdf in batches:
-            for fpath, content in zip(pdf["path"], pdf["content"]):
+            for fpath in pdf["path"]:
                 fname = str(fpath).rsplit("/", 1)[-1]
-                for rec in iter_warc_records(bytes(content), strict=strict):
-                    h = rec["headers"]
-                    wtype = h.get("warc-type", "")
-                    if wanted is not None and wtype.lower() not in wanted:
-                        continue
-                    payload = rec["payload"]
-                    if strip_http_headers and wtype.lower() == "response":
-                        payload = _strip_http(payload)
-                    rows.append(
-                        (
-                            h.get("warc-record-id", ""),
-                            wtype,
-                            h.get("warc-target-uri"),
-                            h.get("warc-date"),
-                            h.get("content-type"),
-                            len(payload),
-                            payload,
-                            fname,
+                src = _open_input(str(fpath))
+                try:
+                    for rec in iter_warc_records(src, strict=strict):
+                        h = rec["headers"]
+                        wtype = h.get("warc-type", "")
+                        if wanted is not None and wtype.lower() not in wanted:
+                            continue
+                        payload = rec["payload"]
+                        if strip_http_headers and wtype.lower() == "response":
+                            payload = _strip_http(payload)
+                        rows.append(
+                            (
+                                h.get("warc-record-id", ""),
+                                wtype,
+                                h.get("warc-target-uri"),
+                                h.get("warc-date"),
+                                h.get("content-type"),
+                                len(payload),
+                                payload,
+                                fname,
+                            )
                         )
-                    )
-                    if len(rows) >= batch_records:
-                        yield pd.DataFrame(rows, columns=cols)
-                        rows = []
+                        if len(rows) >= batch_records:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                finally:
+                    src.close()
         if rows:
             yield pd.DataFrame(rows, columns=cols)
 
-    return bf.select("path", "content").mapInPandas(parse, _WARC_SCHEMA)
+    return bf.select("path").mapInPandas(parse, _WARC_SCHEMA)
 
 
 def read_wet(

@@ -313,3 +313,67 @@ def test_warc_parser_never_leaks_raw_errors():
                 raise AssertionError(f"lenient raised {type(e).__name__}: {e}")
             if strict_out is not None:
                 assert lenient == strict_out
+
+
+class TestWarcPathsOnly:
+    """r6 rework: tasks stream archives from paths — bytes never ship as rows."""
+
+    def test_iter_warc_records_accepts_file_object(self, tmp_path):
+        from sat_bucket_spark.warc import build_warc_bytes, iter_warc_records
+
+        recs = [
+            {"type": "warcinfo", "payload": b"software: fixture\r\n"},
+            {"type": "conversion", "payload": b"hello world",
+             "WARC-Target-URI": "http://example.com/a"},
+        ]
+        p = tmp_path / "a.warc.gz"
+        p.write_bytes(build_warc_bytes(recs, gzip_members=True))
+        with open(p, "rb") as fh:
+            got = list(iter_warc_records(fh))
+        assert [r["payload"] for r in got] == [b"software: fixture\r\n", b"hello world"]
+        # and plain (non-gzip) via file object too
+        p2 = tmp_path / "a.warc"
+        p2.write_bytes(build_warc_bytes(recs))
+        with open(p2, "rb") as fh:
+            assert len(list(iter_warc_records(fh))) == 2
+
+    def test_plan_ships_paths_not_content(self, spark, tmp_path):
+        from sat_bucket_spark.warc import build_warc_bytes, read_warc
+
+        (tmp_path / "x.warc").write_bytes(
+            build_warc_bytes([{"type": "conversion", "payload": b"t"}])
+        )
+        df = read_warc(spark, str(tmp_path))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # binaryFile scan is column-pruned to path: the 'content' column
+        # (and with it the 2 GiB cap + triple copy) never materializes
+        assert "ReadSchema: struct<path:string>" in plan, plan
+
+    def test_large_multi_member_archive_streams(self, spark, tmp_path):
+        """64 MB synthetic multi-member gzip — far past the Arrow comfort
+        zone the old content-shipping path would have materialized 3x."""
+        import gzip
+
+        from sat_bucket_spark.warc import read_warc
+
+        payload = b"x" * (1 << 20)  # 1 MiB per record
+        block = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload
+            + b"\r\n\r\n"
+        )
+        member = gzip.compress(block)
+        n = 64
+        with open(tmp_path / "big.warc.gz", "wb") as fh:
+            for _ in range(n):  # ~64 MiB decompressed, one member per record
+                fh.write(member)
+        from pyspark.sql import functions as F
+
+        df = read_warc(spark, str(tmp_path), batch_records=8)
+        agg = df.groupBy().agg(
+            F.count("*").alias("n"), F.sum("content_length").alias("total")
+        ).collect()[0]
+        assert agg["n"] == n
+        assert agg["total"] == n * len(payload)
