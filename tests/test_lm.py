@@ -99,25 +99,30 @@ class TestBigramLm:
         assert "BroadcastHashJoin" in plan
         assert "Python" not in plan
 
-    def test_train_materializes_each_aggregation_once(self, spark):
-        """train_bigram_lm runs one pass per model table (vocab, unigrams,
-        bigrams) and V costs no extra job; the returned tables are local
-        relations, so every later broadcast join replays them for free."""
+    def test_train_collects_only_the_vocab(self, spark):
+        """r6 shape (same-session A/B receipts in lm.py docstring): training
+        launches ONE bounded collect — the vocab_size+1 probe — and the
+        model count tables stay lazy, so the scoring action runs both
+        reference aggregations in parallel instead of serializing three
+        driver round trips. V is exact with no separate count job."""
         from sat_bucket_spark.operators.lm import train_bigram_lm
 
         corpus = spark.createDataFrame(
             [(i, "a b c a b d e " * 3) for i in range(20)], ["doc_id", "text"]
         )
         sc = spark.sparkContext
-        sc.setJobGroup("lm-train-gate", "three collects, nothing else")
+        sc.setJobGroup("lm-train-gate", "one vocab collect, nothing else")
         unigrams, bigrams, v = train_bigram_lm(corpus, vocab_size=4)
         sc.setJobGroup("lm-train-gate-done", "")
         n_jobs = len(sc.statusTracker().getJobIdsForGroup("lm-train-gate"))
-        # 3 collects; AQE may split each into per-shuffle jobs (<=3 apiece)
-        assert n_jobs <= 9, n_jobs
+        # 1 collect; AQE may split it into per-shuffle jobs (<=3)
+        assert n_jobs <= 3, n_jobs
+        # the model tables are LAZY — the vocab inside them is the only
+        # local relation; nothing was shipped to the driver yet
         for t in (unigrams, bigrams):
             plan = t._jdf.queryExecution().executedPlan().toString()
             assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
-            assert "Exchange" not in plan and "FileScan" not in plan
-        # V came from the same collect (no separate unigrams.count() job)
+        # V = distinct mapped tokens (UNK included on overflow: 5 distinct
+        # tokens, vocab_size=4 -> 4 + UNK), with no extra job
+        assert v == 5
         assert v == len(unigrams.collect())
