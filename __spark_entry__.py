@@ -955,6 +955,46 @@ def q_audio_meta(spark, sf_dir):
     )
 
 
+def q_exif_meta(spark, sf_dir):
+    """EXIF orientation + normalization plan over in-plan JPEG payloads.
+
+    A REAL JPEG APP1/TIFF structure is built with concat/unhex
+    expressions — md5-derived orientation 1-8, md5-chosen byte order (II
+    vs MM), and an md5-chosen no-EXIF slice (bare SOI/EOI) — so
+    parse_exif_orientation takes its real marker-walk + IFD parse on both
+    endiannesses and the absent path. The oracle recomputes orientation
+    and the rotate/mirror transform table from the same md5 derivation: a
+    marker-walk, endianness, or transform-table bug hash-mismatches.
+    Reference: multimodal.py:1318 (parser), 1383 (transform table).
+    """
+    from sat_bucket_spark.operators.multimodal import exif_orientation_table
+
+    docs = _t(spark, sf_dir, "documents")
+    o = (F.lit(1) + F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long") % 8).cast("int")
+    no_exif = F.conv(F.substring(F.md5("text"), 3, 1), 16, 10).cast("long") % 8 == 0
+    big = F.conv(F.substring(F.md5("text"), 4, 1), 16, 10).cast("long") % 2 == 1
+    oh = F.lpad(F.hex(o), 2, "0")
+    # APP1 len 0x0022 = 2 + "Exif\0\0"(6) + TIFF header(8) + IFD(18)
+    ifd_le = F.concat(
+        F.lit("49492A0008000000" "0100" "1201" "0300" "01000000"),
+        oh, F.lit("000000" "00000000"),
+    )
+    ifd_be = F.concat(
+        F.lit("4D4D002A00000008" "0001" "0112" "0003" "00000001" "00"),
+        oh, F.lit("0000" "00000000"),
+    )
+    payload = F.unhex(
+        F.when(no_exif, F.lit("FFD8FFD9")).otherwise(
+            F.concat(
+                F.lit("FFD8" "FFE1" "0022" "457869660000"),
+                F.when(big, ifd_be).otherwise(ifd_le),
+                F.lit("FFD9"),
+            )
+        )
+    )
+    return exif_orientation_table(docs.withColumn("payload", payload))
+
+
 def q_audio_segments(spark, sf_dir):
     """Multimodal audio segmentation over REAL in-plan WAV payloads.
 
@@ -2416,6 +2456,23 @@ SELECT doc_id,
   8 + CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) % 64 AS n_samples,
   round((1 + CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT) % 255) / 32768.0, 6) AS rms6
 FROM documents
+""",
+    # EXIF: replay the md5 orientation derivation and the public
+    # orientation->(rotation, mirror) transform table (EXIF 2.x tag 0x0112)
+    "exif_meta": """
+WITH src AS (
+  SELECT doc_id,
+    1 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 8 AS o,
+    CAST(('0x' || substr(md5(text), 3, 1)) AS BIGINT) % 8 = 0 AS no_exif
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN no_exif THEN NULL ELSE CAST(o AS INTEGER) END AS orientation,
+  CAST(CASE WHEN no_exif THEN 0
+       WHEN o IN (1, 2) THEN 0 WHEN o IN (3, 4) THEN 180
+       WHEN o IN (5, 6) THEN 90 ELSE 270 END AS INTEGER) AS rotate_cw,
+  CASE WHEN no_exif THEN FALSE ELSE o IN (2, 4, 5, 7) END AS mirror
+FROM src
 """,
     # WAV segmentation: replay the window arithmetic from the same md5 sample
     # count (rate 100, 0.16 s windows -> 16 samples/segment, trailing partial)
@@ -4379,6 +4436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_near": q_dedup_against_near,
         "audio_meta": q_audio_meta,
         "video_meta": q_video_meta,
+        "exif_meta": q_exif_meta,
         "bpe_token_count": q_bpe_token_count,
         "rolling_fingerprint": q_rolling_fingerprint,
         "rolling_stats": q_rolling_stats,

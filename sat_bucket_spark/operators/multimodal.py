@@ -40,6 +40,7 @@ __all__ = [
     "decode_image_pixels",
     "decode_png_pixels",
     "exif_normalization_plan",
+    "exif_orientation_table",
     "parse_bmp_header",
     "parse_exif_orientation",
     "parse_flac_streaminfo",
@@ -1389,6 +1390,54 @@ def exif_normalization_plan(orientation: int | None) -> tuple[int, bool]:
     """(clockwise rotation degrees, mirror-horizontal-first) that maps
     stored pixels to display orientation. Unknown/absent -> identity."""
     return _EXIF_TRANSFORMS.get(orientation or 1, (0, False))
+
+
+def exif_orientation_table(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> "DataFrame":
+    """Per-image EXIF orientation + display-normalization plan.
+
+    ``(id, orientation, rotate_cw, mirror)`` — orientation is the raw EXIF
+    tag 0x0112 value (NULL when absent/not a JPEG), rotate_cw/mirror the
+    transform that maps stored pixels to display orientation (identity for
+    absent EXIF — the pipeline decision ``exif_normalization_plan``
+    encodes). Arrow-batched ``mapInPandas`` over the payload column: the
+    JPEG marker walk is not SQL-expressible, everything else row-local —
+    map-only, no shuffle, the multimodal scale shape. The id dtype is
+    derived from the input schema (ints and strings both pass through).
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("orientation", T.IntegerType(), True),
+            T.StructField("rotate_cw", T.IntegerType(), True),
+            T.StructField("mirror", T.BooleanType(), True),
+        ]
+    )
+
+    def _meta(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            orient = [
+                parse_exif_orientation(None if p is None else bytes(p))
+                for p in pdf[payload_col]
+            ]
+            plans = [exif_normalization_plan(o) for o in orient]
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "orientation": _pd.array(orient, dtype="Int32"),
+                    "rotate_cw": _pd.array([r for r, _ in plans], dtype="Int32"),
+                    "mirror": [m for _, m in plans],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_meta, schema=schema)
 
 
 def parse_flac_streaminfo(

@@ -947,6 +947,24 @@ class TestExifOrientation:
         assert parse_exif_orientation(b"not a jpeg") is None
         assert parse_exif_orientation(None) is None
 
+    def test_orientation_table_dataframe(self, spark):
+        from sat_bucket_spark.operators.multimodal import exif_orientation_table
+
+        rows = [
+            (1, self._jpeg_with_exif(6)),
+            (2, self._jpeg_with_exif(5, "big")),
+            (3, b"\xff\xd8\xff\xd9"),   # JPEG, no EXIF
+            (4, None),                      # NULL payload
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r["doc_id"]: r for r in exif_orientation_table(df).collect()}
+        assert (got[1]["orientation"], got[1]["rotate_cw"], got[1]["mirror"]) == (6, 90, False)
+        assert (got[2]["orientation"], got[2]["rotate_cw"], got[2]["mirror"]) == (5, 90, True)
+        for d in (3, 4):
+            assert got[d]["orientation"] is None
+            assert (got[d]["rotate_cw"], got[d]["mirror"]) == (0, False)
+
+
     def test_normalization_plan(self):
         from sat_bucket_spark.operators.multimodal import exif_normalization_plan
 
