@@ -134,6 +134,149 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         _release_state(spark)
 
+    # dup_spans production posture: hashed grams. NOT comparable to the
+    # `dup_spans` headline key row-for-row in bytes shuffled: same operator,
+    # same output shape, but grams exchange as 60-bit longs instead of exact
+    # strings (~k-fold fewer shuffle bytes — the 100 TB posture;
+    # equality-modulo-collisions is asserted in tests/test_operators.py).
+    from pyspark.sql import functions as F
+
+    from sat_bucket_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.perf_counter()
+    hashed = remove_duplicate_spans(
+        docs, k=4, min_count=2, out="clean",
+        removed_count_col="n_removed", hash_grams=True,
+    )
+    _materialize(
+        hashed.select(
+            "doc_id", "n_removed",
+            F.length("clean").cast("long").alias("n_chars_clean"),
+            F.md5("clean").alias("clean_md5"),
+        )
+    )
+    timings["dup_spans_hashed"] = round(time.perf_counter() - t0, 3)
+    _release_state(spark)
+
+    # WET end-to-end curation stage: the flagship LLM-pipeline story as ONE
+    # measured number — WET ingest -> parquet staging -> (gopher quality +
+    # URL gate + substring-span dedup) funnel -> JSONL shard export. NOT
+    # comparable to per-operator keys (format ingest + two writes on the
+    # ends); fixture archives are built OUTSIDE the timed window from the
+    # documents table. Staging the ingest to parquet before the multi-pass
+    # curation is the production posture: dup_spans self-joins its input,
+    # and re-running a WARC parse per branch would charge ingest twice.
+    import glob as _glob2
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from sat_bucket_spark.operators.metrics import observe_funnel
+    from sat_bucket_spark.operators.text import gopher_quality_flags
+    from sat_bucket_spark.operators.urls import url_quality_flags
+    from sat_bucket_spark.warc import build_warc_bytes, read_wet
+    from sat_bucket_spark.writers import write_jsonl_shards
+
+    wwork = _tempfile.mkdtemp(prefix="bench_wet_")
+    try:
+        crawl = os.path.join(wwork, "crawl")
+        os.makedirs(crawl)
+        fixture = docs.select(
+            "doc_id",
+            # serial marker keeps every WET text unique (h64 content ids must
+            # not collide on literal duplicate source docs)
+            F.concat("text", F.lit(" wetdoc"), F.col("doc_id")).alias("text"),
+            F.concat(
+                F.lit("http://"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit("spam.example"))
+                .otherwise(F.concat(F.lit("host"), F.col("doc_id") % 13, F.lit(".example"))),
+                F.lit("/d"), "doc_id",
+            ).alias("url"),
+        ).collect()
+        n_fixture = len(fixture)
+        n_segments = 8
+        for s in range(n_segments):
+            recs = [
+                {
+                    "type": "conversion",
+                    "payload": r["text"].encode(),
+                    "WARC-Target-URI": r["url"],
+                    "WARC-Date": "2026-08-01T00:00:00Z",
+                }
+                for i, r in enumerate(fixture)
+                if i % n_segments == s
+            ]
+            with open(os.path.join(crawl, f"seg-{s}.warc.gz"), "wb") as fh:
+                fh.write(build_warc_bytes(recs, gzip_members=True))
+
+        staging = os.path.join(wwork, "staged")
+        export = os.path.join(wwork, "export")
+        sc = spark.sparkContext
+        t0 = time.perf_counter()
+        sc.setJobGroup("wet-curate", "ingest + funnel + export")
+        read_wet(spark, crawl).write.parquet(staging)
+        staged = spark.read.parquet(staging)
+        funnel = observe_funnel(
+            staged,
+            [
+                (
+                    "quality",
+                    lambda d: gopher_quality_flags(
+                        d, min_words=20, min_stopword_hits=1,
+                        passthrough=("url", "text"),
+                    ).where("keep").select("doc_id", "url", "text"),
+                ),
+                (
+                    "url",
+                    lambda d: url_quality_flags(
+                        d, blocked_domains=("spam.example",),
+                        passthrough=("text",),
+                    ).where("keep").select("doc_id", "url", "text"),
+                ),
+                (
+                    "dup_spans",
+                    lambda d: remove_duplicate_spans(
+                        d, k=4, min_count=2, removed_count_col="n_removed"
+                    ),
+                ),
+            ],
+        )
+        write_jsonl_shards(funnel.df, export, n_shards=8, compression=None)
+        sc.setJobGroup("wet-curate-done", "")
+        timings["wet_curate"] = round(time.perf_counter() - t0, 3)
+        counts = funnel.counts()
+        # integrity gates (outside the timed window): every fixture row
+        # ingested; the funnel only narrows; the URL gate actually fired
+        # (1/7 spam hosts); the export holds exactly the surviving rows
+        if counts["input"] != n_fixture:
+            raise AssertionError(f"wet ingest lost rows: {counts} != {n_fixture}")
+        if not (counts["input"] >= counts["quality"] >= counts["url"]):
+            raise AssertionError(f"funnel not monotone: {counts}")
+        if counts["url"] >= counts["quality"]:
+            raise AssertionError(f"URL gate vacuous: {counts}")
+        # the dup_spans observation sits between the span join and the
+        # export's repartitionByRange, whose range-sampling pass re-executes
+        # that plan region — it can read 2x (the observe re-execution
+        # caveat, see observe_funnel docs); the export read-back below is
+        # the ground truth that span dedup rebuilt rather than dropped rows
+        if counts["dup_spans"] < counts["url"]:
+            raise AssertionError(f"span dedup dropped rows (must rebuild): {counts}")
+        n_exported = spark.read.json(os.path.join(export, "shard=*")).count()
+        if n_exported != counts["url"]:
+            raise AssertionError(
+                f"export mismatch: {n_exported} != {counts['url']}"
+            )
+        # the funnel itself adds zero jobs: the group holds the two writes
+        # plus AQE's per-exchange jobs for the span-dedup DAG (measured 14
+        # at sf0.01) — a per-STAGE count() funnel would roughly double
+        # this; the bound catches that regression class
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("wet-curate"))
+        if n_jobs > 18:
+            raise AssertionError(f"wet_curate launched {n_jobs} jobs (> 18)")
+    finally:
+        _shutil.rmtree(wwork, ignore_errors=True)
+    _release_state(spark)
+
     # Bucket pipeline: the reference's core workload (ingest -> query -> merge)
     import shutil
     import tempfile

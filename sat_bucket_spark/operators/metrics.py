@@ -74,7 +74,13 @@ def observe_funnel(
     (a write, usually) produces every number. Note Spark computes observed
     metrics for rows that FLOW THROUGH the node — a downstream limit or
     pushed-down pruning that skips rows entirely also skips their metrics,
-    the standard ``observe`` caveat.
+    the standard ``observe`` caveat. The converse also holds: a plan
+    region the engine EXECUTES TWICE inflates its observations — the
+    common case is ``repartitionByRange`` downstream of the last shuffle,
+    whose range-sampling pass re-runs the un-materialized region (metrics
+    upstream of a shuffle boundary are immune: the shuffle materializes
+    once). Treat such a stage's count as an at-least bound, or read the
+    sink back for the exact number.
     """
     seq = next(_FUNNEL_SEQ)
     obs_in = Observation(f"funnel{seq}_input")

@@ -452,6 +452,7 @@ def gopher_quality_flags(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    passthrough: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Gopher/MassiveText document-level quality rules as per-rule flags.
 
@@ -463,6 +464,9 @@ def gopher_quality_flags(
     (``ok_*``), the measured ``n_words``, and ``keep`` = AND of all rules
     — per-rule flags rather than a bare filter so a pipeline can report
     WHY documents drop (the rejection-breakdown every curation run needs).
+    ``passthrough`` names input columns to carry into the output unchanged
+    (e.g. the text itself for a composed filter-then-dedup pipeline —
+    keeping the gate row-local instead of forcing a re-scan self-join).
 
     Shape: row-local Column expressions only — the token array and line
     array are each staged once per row (Spark does not CSE the regex split
@@ -526,12 +530,14 @@ def gopher_quality_flags(
 
     staged = ensure_parallelism(df).select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         F.col(text).alias("__t"),
         tokens_expr(text).alias("__toks"),
         F.split(F.col(text), "\n").alias("__lines"),
     )
     return staged.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n_words.cast("long").alias("n_words"),
         ((n_words >= F.lit(min_words)) & (n_words <= F.lit(max_words))).alias(
             "ok_word_count"

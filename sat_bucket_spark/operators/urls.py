@@ -37,6 +37,7 @@ def url_quality_flags(
     max_path_depth: int = 8,
     max_query_len: int = 256,
     max_url_len: int = 2048,
+    passthrough: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Per-rule URL filter flags plus the combined ``keep``.
 
@@ -57,7 +58,9 @@ def url_quality_flags(
 
     Scale: pure row-local expressions, no shuffle; the blocked lists fold
     into the plan as literals (keep them list-sized — thousands of
-    entries belong in a broadcast-joined table instead).
+    entries belong in a broadcast-joined table instead). ``passthrough``
+    names input columns to carry into the output unchanged (composed
+    pipelines keep the gate row-local instead of re-scan self-joining).
     """
     u = F.col(url_col)
     lu = F.lower(u)
@@ -83,6 +86,7 @@ def url_quality_flags(
 
     return ensure_parallelism(df).select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         u.alias(url_col),
         ok_scheme.alias("ok_scheme"),
         ok_domain.alias("ok_domain"),

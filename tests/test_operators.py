@@ -1663,3 +1663,38 @@ class TestLshParamChooser:
 
         with pytest.raises(ValueError, match="threshold"):
             lsh_params_for_threshold(1.5)
+
+
+class TestGatePassthrough:
+    """passthrough= carries input columns through the row-local gates, so a
+    composed filter-then-dedup pipeline needs no re-scan self-join."""
+
+    def test_gopher_passthrough(self, spark):
+        from sat_bucket_spark.operators.text import gopher_quality_flags
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog and more words "
+                 "to be sure it is long enough for the rules to apply here",
+              "http://a.example/x")],
+            ["doc_id", "text", "url"],
+        )
+        out = gopher_quality_flags(
+            df, min_words=5, min_stopword_hits=1, passthrough=("url", "text")
+        )
+        row = out.collect()[0]
+        assert row["url"] == "http://a.example/x"
+        assert row["text"].startswith("the quick")
+        assert "keep" in out.columns
+        # default output unchanged (oracle safety)
+        assert "url" not in gopher_quality_flags(df, min_words=5).columns
+
+    def test_url_passthrough(self, spark):
+        from sat_bucket_spark.operators.urls import url_quality_flags
+
+        df = spark.createDataFrame(
+            [(1, "http://ok.example/a", "body text")],
+            ["doc_id", "url", "text"],
+        )
+        out = url_quality_flags(df, passthrough=("text",))
+        assert out.collect()[0]["text"] == "body text"
+        assert "text" not in url_quality_flags(df).columns
