@@ -605,13 +605,15 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> "list[int] | 
 
 
 def decode_image_pixels(payload: bytes | None) -> "np.ndarray | None":
-    """Dispatch pixel decoding on magic bytes: PNG, BMP, GIF, or JPEG
-    (baseline AND progressive).
+    """Dispatch pixel decoding on magic bytes: PNG, BMP, GIF, JPEG
+    (baseline AND progressive) or lossless WebP (VP8L).
 
-    All four decode in pure Python + numpy (zlib / raw rows / LZW /
+    All five decode in pure Python + numpy (zlib / raw rows / LZW /
     Huffman + IDCT incl. Annex-G progressive scans, see operators/jpeg.py,
-    validated against javax.imageio to ~3/255). Arithmetic-coded JPEG and
-    WebP entropy decoding stay behind the documented
+    validated against javax.imageio to ~3/255; VP8L prefix codes + LZ77 +
+    spatial transforms, operators/vp8l.py, validated by encoder round
+    trips + spec fixtures). Arithmetic-coded JPEG and lossy VP8 (DCT +
+    boolean arithmetic coder) stay behind the documented
     ``NotImplementedError`` plug-in points (libjpeg/libwebp class
     decoders).
     """
@@ -627,6 +629,10 @@ def decode_image_pixels(payload: bytes | None) -> "np.ndarray | None":
         from sat_bucket_spark.operators.jpeg import decode_jpeg_pixels
 
         return decode_jpeg_pixels(payload)
+    if payload[0:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from sat_bucket_spark.operators.vp8l import decode_webp_pixels
+
+        return decode_webp_pixels(payload)
     return None
 
 
@@ -678,13 +684,14 @@ def decode_and_featurize_images(
     codec like PIL/libvips).
 
     Features: PNG (zlib + scanline unfiltering), uncompressed BMP, GIF
-    (LZW) and baseline-JPEG (Huffman + IDCT, operators/jpeg.py) payloads
-    are ACTUALLY DECODED (:func:`decode_image_pixels` — pure Python +
-    numpy, no codec library) and get real pixel statistics
-    (:func:`_pixel_features`: mean/std/min/max of the byte values).
-    Header-only payloads and the remaining formats (progressive JPEG /
-    WebP entropy decode needs a real codec) keep the payload-derived md5
-    stub vector.
+    (LZW), JPEG (baseline and progressive: Huffman + IDCT,
+    operators/jpeg.py) and lossless-WebP (VP8L prefix codes + LZ77 +
+    spatial transforms, operators/vp8l.py) payloads are ACTUALLY DECODED
+    (:func:`decode_image_pixels` — pure Python + numpy, no codec library)
+    and get real pixel statistics (:func:`_pixel_features`:
+    mean/std/min/max of the byte values). Header-only payloads and the
+    remaining formats (arithmetic JPEG, lossy VP8 — both need a real
+    codec) keep the payload-derived md5 stub vector.
 
     Scale note: payload columns dominate partition size — upstream should set
     ``spark.sql.files.maxPartitionBytes`` so a partition of payloads fits in
