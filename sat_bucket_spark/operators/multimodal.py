@@ -805,13 +805,19 @@ def decode_audio_features(
 
     Same plumbing contract as :func:`decode_and_featurize_images`. WAV/PCM16
     payloads get a REAL decode — :func:`parse_wav` walks the RIFF chunks and
-    computes RMS from the actual int16 samples, no codec library needed.
-    Compressed formats (mp3/ogg/flac) are the stub boundary: ``strict=True``
-    raises ``NotImplementedError`` (the soundfile/ffmpeg plug-in point),
-    otherwise a deterministic payload-derived fake keeps pipelines testable.
+    computes RMS from the actual int16 samples — and so do FLAC payloads:
+    ``operators.flac.decode_flac_samples`` reconstructs the PCM stream
+    (Rice residuals + fixed/LPC predictors + stereo decorrelation, pure
+    Python, RFC 9639) and RMS comes from the real samples. Lossy formats
+    (mp3/ogg) are the stub boundary: ``strict=True`` raises
+    ``NotImplementedError`` (the soundfile/ffmpeg plug-in point),
+    otherwise a deterministic payload-derived fake keeps pipelines
+    testable.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             out = {"doc_id": [], "sample_rate": [], "n_samples": [], "rms_energy": []}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -819,10 +825,21 @@ def decode_audio_features(
                 wav = parse_wav(payload)
                 if wav is not None:
                     rate, n, rms = wav
+                elif payload is not None and payload[0:4] == b"fLaC":
+                    from sat_bucket_spark.operators.flac import (
+                        decode_flac_samples,
+                    )
+
+                    info = parse_flac_streaminfo(payload)
+                    rate, _ch, arr = decode_flac_samples(payload)
+                    n = int(arr.shape[0])
+                    bps = info[2] if info is not None else 16
+                    v = arr.astype(np.float64) / float(1 << (bps - 1))
+                    rms = float(np.sqrt(np.mean(v * v))) if n else 0.0
                 elif strict:
                     raise NotImplementedError(
-                        "payload is not a WAV; decoding compressed audio requires "
-                        "soundfile/ffmpeg, unavailable here"
+                        "payload is not a WAV or FLAC; decoding lossy audio "
+                        "requires soundfile/ffmpeg, unavailable here"
                     )
                 else:
                     digest = hashlib.md5(payload if payload is not None else b"").digest()
