@@ -28,7 +28,7 @@ per-row work, no shuffle.
 
 from __future__ import annotations
 
-__all__ = ["decode_flac_samples"]
+__all__ = ["decode_flac_samples", "flac_to_wav_bytes"]
 
 _BLOCK_SIZES = {
     1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
@@ -355,3 +355,34 @@ def decode_flac_samples(payload: bytes | None):
         else np.empty((0, n_ch), dtype=np.int32)
     )
     return sample_rate if channels_out else sr_default, n_ch, arr
+
+
+def flac_to_wav_bytes(payload: bytes | None) -> bytes | None:
+    """Losslessly transcode a 16-bit FLAC stream to a RIFF/PCM16 WAV.
+
+    The bridge that lets every existing WAV operator (segmentation,
+    RMS, re-parse round trips) run on FLAC inputs: decode the PCM and
+    re-container it — no resampling, no quantization change. None when
+    the payload is not FLAC; ValueError for non-16-bit streams (an 8/24
+    bit transcode would change the sample type — out of scope for the
+    PCM16 tooling; callers keep their strict/fallback contract).
+    """
+    decoded = decode_flac_samples(payload)
+    if decoded is None:
+        return None
+    from sat_bucket_spark.operators.multimodal import parse_flac_streaminfo
+
+    rate, ch, arr = decoded
+    bps = parse_flac_streaminfo(payload)[2]
+    if bps != 16:
+        raise ValueError(f"only 16-bit FLAC transcodes to PCM16 WAV, got {bps}")
+    pcm = arr.astype("<i2").tobytes()  # (n, ch) row-major == interleaved
+    hdr = (
+        b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * ch * 2).to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(pcm).to_bytes(4, "little")
+    )
+    return hdr + pcm

@@ -1177,15 +1177,18 @@ def segment_audio(
     payload_col: str = "payload",
     strict: bool = False,
 ) -> DataFrame:
-    """1→N audio segmentation: each WAV payload becomes per-window rows.
+    """1→N audio segmentation: each WAV or FLAC payload becomes per-window
+    rows.
 
     Unlike the image pixel paths, this stage is fully REAL — RIFF/PCM
     segmentation is byte arithmetic (:func:`segment_wav_payload`), and
     every output payload is itself a valid WAV that re-parses with
-    :func:`parse_wav`. Non-WAV payloads drop (``strict=True`` raises: a
-    compressed container would need ffmpeg — that plug-in point again).
-    Arrow-batched ``mapInPandas`` fan-out, same shape as
-    :func:`sample_video_frames`.
+    :func:`parse_wav`. 16-bit FLAC payloads are losslessly transcoded to
+    PCM16 first (``operators.flac.flac_to_wav_bytes`` — a real decode,
+    r6) and then segmented identically. Other payloads drop
+    (``strict=True`` raises: lossy audio would need ffmpeg — that
+    plug-in point again). Arrow-batched ``mapInPandas`` fan-out, same
+    shape as :func:`sample_video_frames`.
     """
 
     def _segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1196,11 +1199,17 @@ def segment_audio(
             }
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload) if payload is not None else None
+                if payload is not None and payload[0:4] == b"fLaC":
+                    from sat_bucket_spark.operators.flac import (
+                        flac_to_wav_bytes,
+                    )
+
+                    payload = flac_to_wav_bytes(payload)
                 segs = segment_wav_payload(payload, seconds)
                 if not segs and strict:
                     raise NotImplementedError(
-                        "payload is not RIFF/WAVE; compressed audio needs "
-                        "ffmpeg, unavailable here"
+                        "payload is not RIFF/WAVE or FLAC; lossy audio "
+                        "needs ffmpeg, unavailable here"
                     )
                 rate = None
                 if segs:

@@ -389,3 +389,49 @@ class TestDispatchIntegration:
         assert row["rms_energy"] == pytest.approx(
             float(np.sqrt(np.mean(v * v))), rel=1e-6
         )
+
+
+class TestWavBridge:
+    def test_transcode_then_segment(self, spark):
+        """FLAC -> WAV transcode is lossless and feeds the existing WAV
+        segmentation: segments re-parse as WAVs with the right counts."""
+        from sat_bucket_spark.operators.flac import flac_to_wav_bytes
+        from sat_bucket_spark.operators.multimodal import (
+            parse_wav,
+            segment_audio,
+        )
+
+        ch = rng_samples(100, 60, channels=2)
+        payload = encode_flac(ch, stereo="mid_side")
+        wav = flac_to_wav_bytes(payload)
+        rate, n, _rms = parse_wav(wav)
+        assert (rate, n) == (44100, 100)
+        # interleaved PCM round trip
+        pcm = np.frombuffer(wav[44:], dtype="<i2").reshape(-1, 2)
+        np.testing.assert_array_equal(pcm, np.array(ch, dtype=np.int64).T)
+
+        df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+        segs = segment_audio(df, seconds=30 / 44100, strict=True).collect()
+        assert sum(s["n_samples"] for s in segs) == 100
+        assert all(s["sample_rate"] == 44100 for s in segs)
+        assert all(parse_wav(bytes(s["payload"])) is not None for s in segs)
+
+    def test_non16bit_rejected(self):
+        from sat_bucket_spark.operators.flac import flac_to_wav_bytes
+
+        ch = [[1, -2, 3, -4]]
+        # hand-build an 8-bit stream: bps code 001
+        w = MSBBitWriter()
+        w.write(0b11111111111110, 14); w.write(0, 1); w.write(0, 1)
+        w.write(7, 4); w.write(9, 4); w.write(0, 4)
+        w.write(1, 3)  # bps 8
+        w.write(0, 1); w.write(0, 8); w.write(3, 16)
+        hdr = w.tobytes(); w.write(_crc8(hdr), 8)
+        w.write(0, 1); w.write(1, 6); w.write(0, 1)  # verbatim
+        for s in ch[0]:
+            w.write_signed(s, 8)
+        w.align(); body = w.tobytes(); w.write(_crc16(body), 16)
+        payload = streaminfo(44100, 1, 8, 4, 4) + w.tobytes()
+        with pytest.raises(ValueError, match="16-bit"):
+            flac_to_wav_bytes(payload)
+        assert flac_to_wav_bytes(b"RIFF") is None
