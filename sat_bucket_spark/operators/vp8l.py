@@ -519,6 +519,14 @@ def decode_vp8l_pixels(stream: bytes) -> "object":
         br.read(1)  # alpha-is-used hint (informative)
         if br.read(3) != 0:
             raise ValueError("unsupported VP8L version")
+        if width * height > (1 << 26):
+            # documented decoder cap (~64M px = a 256 MB RGBA array):
+            # protects executors from corrupted/adversarial dimension
+            # fields pre-allocating gigabytes — curation inputs that large
+            # should be metadata-filtered before any pixel stage anyway
+            raise ValueError(
+                f"{width}x{height} exceeds this decoder's 2^26-pixel cap"
+            )
 
         transforms: list[tuple] = []
         seen: set[int] = set()

@@ -435,3 +435,32 @@ class TestWavBridge:
         with pytest.raises(ValueError, match="16-bit"):
             flac_to_wav_bytes(payload)
         assert flac_to_wav_bytes(b"RIFF") is None
+
+
+class TestCorruptionRobustness:
+    def test_random_mutations_never_crash(self):
+        """Arbitrary corruption must yield ValueError or a decoded array —
+        never an unhandled exception or hang (CRCs catch most flips; the
+        rest must fail structurally clean)."""
+        rng = np.random.default_rng(77)
+        ch = rng_samples(120, 77, channels=2)
+        base = bytearray(encode_flac(ch, stereo="mid_side", block_size=48))
+        for trial in range(300):
+            data = bytearray(base)
+            for _ in range(rng.integers(1, 4)):
+                data[rng.integers(0, len(data))] = rng.integers(0, 256)
+            try:
+                out = decode_flac_samples(bytes(data))
+                assert out is None or out[2].ndim == 2
+            except ValueError:
+                pass
+
+    def test_every_truncation_point(self):
+        ch = rng_samples(64, 78)
+        base = encode_flac(ch)
+        for cut in range(len(base)):
+            try:
+                out = decode_flac_samples(base[:cut])
+                assert out is None or out[2].ndim == 2
+            except ValueError:
+                pass

@@ -645,3 +645,44 @@ class TestMetaPrefixGroups:
             w.write_code(r, 8)
             w.write_code(b, 8)
         assert_decodes_to(w.tobytes(), px, w_img, h_img)
+
+
+class TestCorruptionRobustness:
+    def test_random_mutations_never_crash(self):
+        """Arbitrary byte corruption of a valid stream must yield a clean
+        ValueError or a successfully decoded array — never an unhandled
+        IndexError/KeyError or a hang. (The dispatcher turns ValueError
+        into None.)"""
+        rng = np.random.default_rng(99)
+        px = rng_image(9, 7, 99)
+        base = bytearray(encode_vp8l(px, 9, 7))
+        for trial in range(300):
+            data = bytearray(base)
+            for _ in range(rng.integers(1, 4)):
+                data[rng.integers(0, len(data))] = rng.integers(0, 256)
+            try:
+                out = decode_vp8l_pixels(bytes(data))
+                assert out.ndim == 3
+            except ValueError:
+                pass
+
+    def test_random_truncations_never_crash(self):
+        px = rng_image(6, 6, 101)
+        base = encode_vp8l(px, 6, 6)
+        for cut in range(len(base)):
+            try:
+                decode_vp8l_pixels(base[:cut])
+            except ValueError:
+                pass
+
+    def test_huge_declared_dimensions_rejected(self):
+        """A corrupt 14-bit dimension field must not pre-allocate
+        gigabytes: the documented 2^26-pixel cap raises first."""
+        w = BitWriter()
+        w.write(0x2F, 8)
+        w.write(16383, 14)  # width 16384
+        w.write(16383, 14)  # height 16384
+        w.write(0, 1)
+        w.write(0, 3)
+        with pytest.raises(ValueError, match="pixel cap"):
+            decode_vp8l_pixels(w.tobytes() + b"\x00" * 64)
