@@ -995,6 +995,64 @@ def q_exif_meta(spark, sf_dir):
     return exif_orientation_table(docs.withColumn("payload", payload))
 
 
+_BMP_GRAY_SQL = "((x*7 + y*13 + (doc_id % 50)*29) % 200 + (doc_id*37) % 11)"
+# 18x16 24bpp BI_RGB bottom-up BMP: 54-byte header, stride 56 (2 pad bytes)
+_BMP_HEADER_HEX = (
+    "424D" "B6030000" "00000000" "36000000"      # BM, size 950, off 54
+    "28000000" "12000000" "10000000" "0100" "1800"  # dib 40, 18x16, 24bpp
+    "00000000" "80030000" + "00" * 16               # BI_RGB, data 896
+)
+
+
+def _bmp_payload_expr():
+    """A REAL 18x16 grayscale BMP built with concat/unhex expressions:
+    pixel v(x, y, doc_id) = (x*7 + y*13 + (doc_id%50)*29) % 200
+    + (doc_id*37) % 11 — docs sharing doc_id%50 differ only by a constant
+    brightness shift. Rows bottom-up, BGR triplets, 2 pad bytes."""
+    row_hex = (
+        "array_join(transform(sequence(0, 17), x -> "
+        f"repeat(lpad(hex({_BMP_GRAY_SQL}), 2, '0'), 3)), '') || '0000'"
+    )
+    data_hex = f"array_join(transform(sequence(15, 0, -1), y -> {row_hex}), '')"
+    return F.unhex(F.concat(F.lit(_BMP_HEADER_HEX), F.expr(data_hex)))
+
+
+def q_image_dhash(spark, sf_dir):
+    """Perceptual difference-hash over REAL in-plan BMP payloads.
+
+    The full pipeline executes: BMP container decode (bottom-up rows, BGR,
+    stride padding) -> BT.601 luma -> 8x9 block-mean pooling -> gradient
+    bits -> signed-64 packing. The oracle recomputes every step
+    relationally from the same pixel derivation (block SUMS compare
+    identically to means — equal-size blocks — and the sign bit is added
+    as -2^63 so nothing overflows BIGINT): a decode, pooling-boundary,
+    bit-order, or sign bug hash-mismatches. Grid 8x9 divides 16x18, so
+    pooling is integer-exact on both sides. operators/imagehash.py."""
+    from sat_bucket_spark.operators.imagehash import image_hash_table
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return image_hash_table(docs.withColumn("payload", _bmp_payload_expr()))
+
+
+def q_image_near_dup(spark, sf_dir):
+    """Image near-duplicate pairs via banded perceptual-hash join.
+
+    Docs sharing doc_id%50 carry the same picture up to a constant
+    brightness shift — dhash is exactly invariant to that, so each group
+    collapses to hamming-0 pairs; the banded join must surface them all
+    (and any chance cross-group near-collisions) EXACTLY as the oracle's
+    brute-force xor/bit_count self-join over relationally recomputed
+    hashes. operators/imagehash.py:image_near_dup_pairs."""
+    from sat_bucket_spark.operators.imagehash import image_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return image_near_dup_pairs(
+        docs.withColumn("payload", _bmp_payload_expr()),
+        max_hamming=6,
+        n_bands=8,
+    )
+
+
 def q_audio_segments(spark, sf_dir):
     """Multimodal audio segmentation over REAL in-plan WAV payloads.
 
@@ -2456,6 +2514,73 @@ SELECT doc_id,
   8 + CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) % 64 AS n_samples,
   round((1 + CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT) % 255) / 32768.0, 6) AS rms6
 FROM documents
+""",
+    # Perceptual dhash: recompute luma block SUMS (== mean comparisons for
+    # equal-size blocks, integer-exact), gradient bits, MSB-first signed-64
+    # packing (sign bit as -2^63 — no BIGINT overflow), from the same
+    # pixel derivation the in-plan BMP carries
+    "image_dhash": """
+WITH px AS (
+  SELECT d.doc_id, gy.y AS y, gx.x AS x,
+    ((gx.x*7 + gy.y*13 + (d.doc_id % 50)*29) % 200 + (d.doc_id*37) % 11) AS v
+  FROM documents d, generate_series(0, 15) gy(y), generate_series(0, 17) gx(x)
+),
+blocks AS (
+  SELECT doc_id, y // 2 AS gi, x // 2 AS gj, SUM(v) AS s
+  FROM px GROUP BY doc_id, y // 2, x // 2
+),
+bits AS (
+  SELECT a.doc_id, a.gi, a.gj,
+    CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+  FROM blocks a JOIN blocks b
+    ON a.doc_id = b.doc_id AND a.gi = b.gi AND b.gj = a.gj + 1
+  WHERE a.gj < 8
+)
+SELECT doc_id,
+  CAST(
+    (CASE WHEN MAX(CASE WHEN gi = 0 AND gj = 0 THEN bit END) = 1
+          THEN -9223372036854775808::HUGEINT ELSE 0::HUGEINT END)
+    + SUM(CASE WHEN NOT (gi = 0 AND gj = 0)
+               THEN bit * (1::HUGEINT << (63 - (gi*8 + gj)))
+               ELSE 0::HUGEINT END)
+    AS BIGINT) AS phash,
+  CAST(18 AS INTEGER) AS width,
+  CAST(16 AS INTEGER) AS height
+FROM bits GROUP BY doc_id
+""",
+    # Banded near-dup join == brute-force xor/bit_count over the same hashes
+    "image_near_dup": """
+WITH px AS (
+  SELECT d.doc_id, gy.y AS y, gx.x AS x,
+    ((gx.x*7 + gy.y*13 + (d.doc_id % 50)*29) % 200 + (d.doc_id*37) % 11) AS v
+  FROM documents d, generate_series(0, 15) gy(y), generate_series(0, 17) gx(x)
+),
+blocks AS (
+  SELECT doc_id, y // 2 AS gi, x // 2 AS gj, SUM(v) AS s
+  FROM px GROUP BY doc_id, y // 2, x // 2
+),
+bits AS (
+  SELECT a.doc_id, a.gi, a.gj,
+    CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+  FROM blocks a JOIN blocks b
+    ON a.doc_id = b.doc_id AND a.gi = b.gi AND b.gj = a.gj + 1
+  WHERE a.gj < 8
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(
+      (CASE WHEN MAX(CASE WHEN gi = 0 AND gj = 0 THEN bit END) = 1
+            THEN -9223372036854775808::HUGEINT ELSE 0::HUGEINT END)
+      + SUM(CASE WHEN NOT (gi = 0 AND gj = 0)
+                 THEN bit * (1::HUGEINT << (63 - (gi*8 + gj)))
+                 ELSE 0::HUGEINT END)
+      AS BIGINT) AS phash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
 """,
     # EXIF: replay the md5 orientation derivation and the public
     # orientation->(rotation, mirror) transform table (EXIF 2.x tag 0x0112)
@@ -4437,6 +4562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": q_audio_meta,
         "video_meta": q_video_meta,
         "exif_meta": q_exif_meta,
+        "image_dhash": q_image_dhash,
+        "image_near_dup": q_image_near_dup,
         "bpe_token_count": q_bpe_token_count,
         "rolling_fingerprint": q_rolling_fingerprint,
         "rolling_stats": q_rolling_stats,

@@ -1,0 +1,277 @@
+"""Perceptual image hashing + image near-duplicate detection.
+
+The image-side complement of the text dedup suite: training corpora carry
+the same picture re-encoded (PNG vs WebP vs BMP), resized, or slightly
+recompressed; byte-level dedup misses all of it. Perceptual hashes map an
+image's CONTENT to a small bit signature whose Hamming distance tracks
+visual similarity — identical pixels hash identically across container
+formats (the suite's real decoders make that literal here), and small
+pixel perturbations flip few bits.
+
+Three public-lineage hashes (aHash/dHash/pHash are folklore algorithms,
+widely documented; pHash's DCT variant follows Zauner 2010):
+
+- ``ahash``: mean-threshold bits of a block-mean downscale;
+- ``dhash``: horizontal-gradient bits of an (N+1) x N downscale — the
+  robust default (insensitive to global brightness shifts);
+- ``phash``: sign-vs-median of the top-left AC block of a 2D DCT-II over
+  a 32x32 downscale (captures low-frequency structure; survives mild
+  recompression noise better).
+
+Downscaling is deterministic block-mean pooling (integer bucket
+boundaries ``i * dim // target``) — no interpolation library, identical
+results everywhere.
+
+Scale shape: hashing is Arrow-batched ``mapInPandas`` over payload bytes
+(decode + hash per row, no shuffle). Near-dup pairs use the SAME
+pigeonhole banding as SimHash (operators/dedup.py:635): pairs within
+``max_hamming`` bits agree exactly on at least one of ``n_bands`` bit
+bands, so candidates come from a band equi-join (ids only through the
+shuffle), and a ``bit_count(xor)`` verify restores exact precision — no
+quadratic pair scan at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ahash_bits",
+    "dhash_bits",
+    "phash_bits",
+    "image_hash_table",
+    "image_near_dup_pairs",
+]
+
+
+def _to_gray(px) -> "object":
+    """ITU-R BT.601 integer luma from an (H, W, C) uint8 array."""
+    import numpy as np
+
+    a = np.asarray(px)
+    if a.ndim == 2:
+        return a.astype(np.int64)
+    if a.shape[2] == 1:
+        return a[..., 0].astype(np.int64)
+    r = a[..., 0].astype(np.int64)
+    g = a[..., 1].astype(np.int64)
+    b = a[..., 2].astype(np.int64)
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def _block_mean(gray, th: int, tw: int):
+    """Deterministic block-mean downscale to (th, tw) float64."""
+    import numpy as np
+
+    h, w = gray.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    ys = [y * h // th for y in range(th + 1)]
+    xs = [x * w // tw for x in range(tw + 1)]
+    out = np.empty((th, tw), dtype=np.float64)
+    for i in range(th):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(tw):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = gray[y0:y1, x0:x1].mean()
+    return out
+
+def _pack_bits(bits) -> int:
+    """MSB-first bit sequence -> signed 64-bit-compatible Python int."""
+    v = 0
+    n = 0
+    for bit in bits:
+        v = (v << 1) | int(bool(bit))
+        n += 1
+    if n > 64:
+        raise ValueError(f"hash wider than 64 bits ({n})")
+    if n == 64 and v >= 1 << 63:
+        v -= 1 << 64  # Spark LongType is signed
+    return v
+
+
+def ahash_bits(px, hash_size: int = 8) -> int:
+    """Average hash: bit i,j = block mean > global mean."""
+    g = _block_mean(_to_gray(px), hash_size, hash_size)
+    m = g.mean()
+    return _pack_bits(g.ravel() > m)
+
+
+def dhash_bits(px, hash_size: int = 8) -> int:
+    """Difference hash: bit i,j = left block brighter than its right
+    neighbor (an (hash_size) x (hash_size+1) grid of column gradients)."""
+    g = _block_mean(_to_gray(px), hash_size, hash_size + 1)
+    return _pack_bits((g[:, :-1] > g[:, 1:]).ravel())
+
+
+def phash_bits(px, hash_size: int = 8, highfreq_factor: int = 4) -> int:
+    """DCT hash: sign-vs-median of the top-left AC coefficients of an
+    orthonormal 2D DCT-II over the downscaled image (Zauner 2010)."""
+    import numpy as np
+
+    n = hash_size * highfreq_factor
+    g = _block_mean(_to_gray(px), n, n)
+    # orthonormal DCT-II matrix (numpy-only; n is tiny, e.g. 32)
+    k = np.arange(n)
+    dct = np.cos(np.pi * np.outer(k, 2 * k + 1) / (2 * n)) * np.sqrt(2.0 / n)
+    dct[0] /= np.sqrt(2.0)
+    coefs = dct @ g @ dct.T
+    block = coefs[:hash_size, :hash_size].ravel()
+    ac = block[1:]  # DC excluded from the median, per the standard recipe
+    med = np.median(ac)
+    bits = np.concatenate(([block[0] > med], ac > med))
+    return _pack_bits(bits)
+
+
+_HASHERS = {"ahash": ahash_bits, "dhash": dhash_bits, "phash": phash_bits}
+
+
+def image_hash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "dhash",
+    hash_size: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """Per-image perceptual hash: ``(id, phash, width, height)``.
+
+    Decodes each payload with the suite's real decoders
+    (``multimodal.decode_image_pixels``: PNG/BMP/GIF/JPEG/VP8L) and hashes
+    the PIXELS — so the same picture shipped in different containers gets
+    the same hash. Undecodable payloads yield a NULL hash (``strict=True``
+    raises). The id dtype follows the input schema.
+    """
+    if method not in _HASHERS:
+        raise ValueError(f"method must be one of {sorted(_HASHERS)}, got {method!r}")
+    if not 2 <= hash_size <= 8:
+        raise ValueError("hash_size must be in [2, 8] (<= 64-bit signatures)")
+    from pyspark.sql import types as T
+
+    hasher = _HASHERS[method]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("phash", T.LongType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
+
+    def _hash(batches):
+        import pandas as _pd
+
+        from sat_bucket_spark.operators.multimodal import decode_image_pixels
+
+        for pdf in batches:
+            ids, hashes, widths, heights = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else None
+                px = decode_image_pixels(payload)
+                if px is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "payload did not decode (lossy VP8/arithmetic "
+                            "JPEG need a codec library)"
+                        )
+                    h = w_ = ht = None
+                else:
+                    h = hasher(px, hash_size=hash_size)
+                    ht, w_ = int(px.shape[0]), int(px.shape[1])
+                ids.append(doc_id)
+                hashes.append(h)
+                widths.append(w_)
+                heights.append(ht)
+            yield _pd.DataFrame(
+                {
+                    id_col: ids,
+                    "phash": _pd.array(hashes, dtype="Int64"),
+                    "width": _pd.array(widths, dtype="Int32"),
+                    "height": _pd.array(heights, dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_hash, schema=schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "dhash",
+    hash_size: int = 8,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+) -> DataFrame:
+    """All image pairs within ``max_hamming`` perceptual-hash bits — EXACT
+    via pigeonhole banding (same argument and shuffle shape as
+    ``dedup.simhash_near_dup_pairs``): with ``n_bands > max_hamming``,
+    any qualifying pair agrees exactly on some band, so candidates come
+    from a band equi-join and the ``bit_count(xor)`` verify removes the
+    collisions. Undecodable images (NULL hash) never pair.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    n_bits = hash_size * hash_size
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands ({n_bands}) must exceed max_hamming ({max_hamming}) "
+            "for the banding recall guarantee"
+        )
+    if n_bits % n_bands:
+        raise ValueError(
+            f"hash width ({n_bits}) must be divisible by n_bands ({n_bands})"
+        )
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+
+    # (id, long): tiny, referenced by both band sides and both verify
+    # rejoins — materialize once instead of re-decoding images per branch
+    sigs = (
+        image_hash_table(
+            df, id_col=id_col, payload_col=payload_col,
+            method=method, hash_size=hash_size,
+        )
+        .where(F.col("phash").isNotNull())
+        .select(id_col, "phash")
+        .localCheckpoint(eager=False)
+    )
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        (
+                            F.shiftright(F.col("phash"), b * width)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_bits")
+
+    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_bits")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_bits")
+    cand = (
+        a.join(b, on=["band_idx", "band_bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("phash").alias("__sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("phash").alias("__sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b"))).cast("int"),
+        )
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,215 @@
+"""Perceptual image hashing + banded near-dup join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sat_bucket_spark.operators.imagehash import (
+    ahash_bits,
+    dhash_bits,
+    image_hash_table,
+    image_near_dup_pairs,
+    phash_bits,
+)
+
+
+def bmp_bytes(px: np.ndarray) -> bytes:
+    """24-bit BI_RGB bottom-up BMP from an (H, W, 3) uint8 RGB array."""
+    h, w, _ = px.shape
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    data = b""
+    for y in range(h - 1, -1, -1):
+        data += px[y][:, ::-1].tobytes() + b"\x00" * (stride - row_bytes)
+    off = 54
+    hdr = (
+        b"BM" + (off + len(data)).to_bytes(4, "little")
+        + b"\x00" * 4 + off.to_bytes(4, "little")
+    )
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return hdr + dib + data
+
+
+def rng_rgb(h, w, seed):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+class TestHashFunctions:
+    def test_dhash_hand_fixture(self):
+        """2x3 grayscale grid IS the downscale at hash_size=2: bits are the
+        four left>right comparisons, MSB-first row-major."""
+        g = np.array([[10, 20, 5], [7, 7, 9]], dtype=np.uint8)
+        px = np.stack([g, g, g], axis=-1)
+        # row 0: 10>20 = 0, 20>5 = 1; row 1: 7>7 = 0, 7>9 = 0 -> 0b0100
+        assert dhash_bits(px, hash_size=2) == 0b0100
+
+    def test_ahash_hand_fixture(self):
+        g = np.array([[0, 255], [255, 0]], dtype=np.uint8)
+        px = np.stack([g, g, g], axis=-1)
+        # mean 127.5: bits = (0>m, 255>m, 255>m, 0>m) = 0b0110
+        assert ahash_bits(px, hash_size=2) == 0b0110
+
+    def test_dhash_brightness_invariant(self):
+        # values bounded away from 255 so the +10 shift never clips
+        px = (rng_rgb(40, 40, 1) % 200).astype(np.uint8)
+        brighter = (px.astype(np.int64) + 10).astype(np.uint8)
+        assert dhash_bits(px) == dhash_bits(brighter)
+
+    def test_exact_upscale_invariant(self):
+        """2x nearest-neighbor upscale preserves block means exactly WHEN
+        the hash grid divides the dimensions (ahash 8x8, dhash 8x9,
+        phash 32x32 grids -> per-hash compatible dims)."""
+        cases = [
+            (ahash_bits, 16, 16),   # 8 | 16
+            (dhash_bits, 16, 72),   # 8 | 16 rows, 9 | 72 cols
+            (phash_bits, 32, 32),   # 32 | 32
+        ]
+        for fn, h, w in cases:
+            px = rng_rgb(h, w, 2)
+            up = px.repeat(2, axis=0).repeat(2, axis=1)
+            assert fn(px) == fn(up), fn.__name__
+
+    def test_inexact_upscale_small_distance_on_smooth_image(self):
+        """When grids don't divide the dims, a 2x upscale of a NATURAL
+        (spatially correlated) image still lands within a few bits —
+        that's the robustness the hash exists for. (iid noise images
+        legitimately diverge under misaligned pooling: no structure.)"""
+        y, x = np.mgrid[0:15, 0:17]
+        smooth = (
+            100
+            + 60 * np.sin(x / 4.0)
+            + 50 * np.cos(y / 3.0)
+        ).astype(np.uint8)
+        px = np.stack([smooth, smooth, smooth], axis=-1)
+        up = px.repeat(2, axis=0).repeat(2, axis=1)
+        for fn in (ahash_bits, dhash_bits, phash_bits):
+            assert hamming(fn(px), fn(up)) <= 6, fn.__name__
+
+    def test_noise_flips_few_bits_random_flips_many(self):
+        px = rng_rgb(64, 64, 3)
+        noisy = px.copy()
+        noisy[10, 10] = 255 - noisy[10, 10]  # one pixel
+        other = rng_rgb(64, 64, 4)
+        for fn in (ahash_bits, dhash_bits, phash_bits):
+            near = hamming(fn(px), fn(noisy))
+            far = hamming(fn(px), fn(other))
+            assert near <= 4, (fn.__name__, near)
+            assert far >= 16, (fn.__name__, far)
+
+    def test_signed_64bit_range(self):
+        """Hashes with the top bit set must fit Spark's signed long."""
+        white = np.full((8, 9, 3), 255, np.uint8)
+        white[:, 0] = 0  # dark first column -> first gradient bits 0...
+        px = rng_rgb(32, 32, 5)
+        for fn in (ahash_bits, dhash_bits, phash_bits):
+            v = fn(px)
+            assert -(1 << 63) <= v < (1 << 63)
+
+    def test_invalid_args(self):
+        px = rng_rgb(8, 8, 6)
+        with pytest.raises(ValueError):
+            from sat_bucket_spark.operators.imagehash import _block_mean, _to_gray
+
+            _block_mean(_to_gray(px[:0]), 8, 8)
+
+
+class TestCrossFormat:
+    def test_same_pixels_same_hash_across_containers(self):
+        """The whole point: one picture, three containers (BMP, PNG-less
+        VP8L WebP), one hash."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_vp8l import encode_vp8l, wrap_webp
+
+        from sat_bucket_spark.operators.multimodal import decode_image_pixels
+
+        px = rng_rgb(12, 10, 7)
+        as_bmp = bmp_bytes(px)
+        argb = [
+            (0xFF << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+            for r, g, b in px.reshape(-1, 3)
+        ]
+        as_webp = wrap_webp(encode_vp8l(argb, 10, 12))
+        d_bmp = decode_image_pixels(as_bmp)
+        d_webp = decode_image_pixels(as_webp)
+        np.testing.assert_array_equal(d_bmp, d_webp)
+        for fn in (ahash_bits, dhash_bits, phash_bits):
+            assert fn(d_bmp) == fn(d_webp)
+
+
+class TestSparkStages:
+    def test_hash_table_and_null_fallback(self, spark):
+        px = rng_rgb(9, 9, 8)
+        df = spark.createDataFrame(
+            [(1, bmp_bytes(px)), (2, b"not an image"), (3, None)],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in image_hash_table(df).collect()}
+        assert rows[1]["phash"] == dhash_bits(px)
+        assert (rows[1]["width"], rows[1]["height"]) == (9, 9)
+        assert rows[2]["phash"] is None and rows[3]["phash"] is None
+        with pytest.raises(Exception, match="did not decode"):
+            image_hash_table(df, strict=True).collect()
+
+    def test_near_dup_pairs_exact_vs_brute_force(self, spark):
+        """Planted near-dups (same picture cross-format + a noised copy)
+        among distinct randoms: banded result == brute force, exactly."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_vp8l import encode_vp8l, wrap_webp
+
+        base = rng_rgb(32, 32, 10)
+        noisy = base.copy()
+        noisy[5, 5] = 255 - noisy[5, 5]
+        argb = [
+            (0xFF << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+            for r, g, b in base.reshape(-1, 3)
+        ]
+        rows = [
+            (1, bmp_bytes(base)),
+            (2, wrap_webp(encode_vp8l(argb, 32, 32))),  # same pixels as 1
+            (3, bmp_bytes(noisy)),                       # near 1 and 2
+            (4, b"garbage"),                             # undecodable
+        ] + [(10 + i, bmp_bytes(rng_rgb(32, 32, 20 + i))) for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in image_near_dup_pairs(df, max_hamming=6).collect()
+        }
+        # brute force over the same hashes
+        hs = {
+            r["doc_id"]: r["phash"]
+            for r in image_hash_table(df).collect()
+            if r["phash"] is not None
+        }
+        want = {}
+        ids = sorted(hs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                d = hamming(hs[a] & ((1 << 64) - 1), hs[b] & ((1 << 64) - 1))
+                if d <= 6:
+                    want[(a, b)] = d
+        assert got == want
+        assert got[(1, 2)] == 0  # cross-format exact duplicate
+        assert (1, 3) in got or (2, 3) in got  # the noised copy surfaces
+
+    def test_band_validation(self, spark):
+        df = spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
+        with pytest.raises(ValueError, match="must exceed"):
+            image_near_dup_pairs(df, max_hamming=8, n_bands=8)
+        with pytest.raises(ValueError, match="divisible"):
+            image_near_dup_pairs(df, hash_size=7, n_bands=8)
