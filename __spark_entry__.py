@@ -914,6 +914,50 @@ def q_dedup_against_near(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def _wav_payload_expr():
+    """A valid PCM16 mono 100 Hz WAV built with concat/unhex expressions:
+    md5-derived sample count n (8..71) and constant amplitude v (1..255).
+    Shared by the audio entries — constant samples make every quality
+    metric closed-form for the oracle."""
+    n = (F.lit(8) + F.conv(F.substring(F.md5("text"), 5, 2), 16, 10).cast("long") % 64)
+    v = (F.lit(1) + F.conv(F.substring(F.md5("text"), 7, 2), 16, 10).cast("long") % 255)
+
+    def le32(c):
+        h = F.lpad(F.hex(c.cast("long")), 8, "0")
+        return F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        )
+
+    fmt_hex = F.lit("0100" "0100" "64000000" "C8000000" "0200" "1000")
+    sample_hex = F.concat(F.lpad(F.hex(v), 2, "0"), F.lit("00"))  # LE16 of v<256
+    return F.unhex(
+        F.concat(
+            F.hex(F.lit("RIFF")), le32(n * 2 + 36),
+            F.hex(F.lit("WAVE")), F.hex(F.lit("fmt ")), le32(F.lit(16)), fmt_hex,
+            F.hex(F.lit("data")), le32(n * 2), F.repeat(sample_hex, n.cast("int")),
+        )
+    )
+
+
+def q_audio_quality(spark, sf_dir):
+    """Audio curation gate over REAL in-plan WAV payloads.
+
+    Constant-amplitude PCM16 clips (the md5-derived fixture shared with
+    ``audio_meta``) make every quality signal closed-form: RMS dBFS and
+    peak from v/32768, silence iff v <= 32 (the 0.1%-full-scale rule),
+    zero crossings and spectral mass both exactly zero (constant signal,
+    DC excluded). The oracle recomputes all ten columns from the same
+    derivation — a scaling, thresholding, or rounding bug mismatches.
+    operators/audio.py."""
+    from sat_bucket_spark.operators.audio import audio_quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_quality_features(
+        docs.withColumn("payload", _wav_payload_expr()), strict=True
+    )
+
+
 def q_audio_meta(spark, sf_dir):
     """Multimodal audio: REAL RIFF/PCM16 parse over in-plan WAV payloads.
 
@@ -927,26 +971,9 @@ def q_audio_meta(spark, sf_dir):
     from sat_bucket_spark.operators.multimodal import decode_audio_features
 
     docs = _t(spark, sf_dir, "documents")
-    n = (F.lit(8) + F.conv(F.substring(F.md5("text"), 5, 2), 16, 10).cast("long") % 64)
-    v = (F.lit(1) + F.conv(F.substring(F.md5("text"), 7, 2), 16, 10).cast("long") % 255)
-
-    def le32(c):
-        h = F.lpad(F.hex(c.cast("long")), 8, "0")
-        return F.concat(
-            F.substring(h, 7, 2), F.substring(h, 5, 2),
-            F.substring(h, 3, 2), F.substring(h, 1, 2),
-        )
-
-    fmt_hex = F.lit("0100" "0100" "64000000" "C8000000" "0200" "1000")
-    sample_hex = F.concat(F.lpad(F.hex(v), 2, "0"), F.lit("00"))  # LE16 of v<256
-    payload = F.unhex(
-        F.concat(
-            F.hex(F.lit("RIFF")), le32(n * 2 + 36),
-            F.hex(F.lit("WAVE")), F.hex(F.lit("fmt ")), le32(F.lit(16)), fmt_hex,
-            F.hex(F.lit("data")), le32(n * 2), F.repeat(sample_hex, n.cast("int")),
-        )
+    out = decode_audio_features(
+        docs.withColumn("payload", _wav_payload_expr()), strict=True
     )
-    out = decode_audio_features(docs.withColumn("payload", payload), strict=True)
     return out.select(
         "doc_id",
         "sample_rate",
@@ -2514,6 +2541,28 @@ SELECT doc_id,
   8 + CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) % 64 AS n_samples,
   round((1 + CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT) % 255) / 32768.0, 6) AS rms6
 FROM documents
+""",
+    # Constant-signal quality metrics, all closed-form: rms/peak from
+    # v/32768, silence iff v <= 32, zero crossings and spectral mass 0
+    "audio_quality": """
+WITH src AS (
+  SELECT doc_id,
+    8 + CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) % 64 AS n,
+    1 + CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT) % 255 AS v
+  FROM documents
+)
+SELECT doc_id,
+  CAST(100 AS BIGINT) AS sample_rate,
+  n AS n_samples,
+  round(n / 100.0, 6) AS duration_s,
+  round(20.0 * log10(v / 32768.0), 6) AS rms_db,
+  round(v / 32768.0, 6) AS peak,
+  0.0 AS clip_frac,
+  CASE WHEN v <= 32 THEN 1.0 ELSE 0.0 END AS silence_frac,
+  0.0 AS zcr_hz,
+  0.0 AS spectral_centroid_hz,
+  0.0 AS spectral_rolloff_hz
+FROM src
 """,
     # Perceptual dhash: recompute luma block SUMS (== mean comparisons for
     # equal-size blocks, integer-exact), gradient bits, MSB-first signed-64
@@ -4560,6 +4609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_bloom": q_dedup_against_bloom,
         "dedup_against_near": q_dedup_against_near,
         "audio_meta": q_audio_meta,
+        "audio_quality": q_audio_quality,
         "video_meta": q_video_meta,
         "exif_meta": q_exif_meta,
         "image_dhash": q_image_dhash,

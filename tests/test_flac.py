@@ -184,7 +184,8 @@ def encode_flac(
         w.write(0, 1)
         w.write(0, 1)  # fixed block size strategy
         w.write(7, 4)  # block size: 16-bit field
-        w.write(9, 4)  # 44100 (table) — or 13: 16-bit field
+        # sample rate: table code for 44100, else "from STREAMINFO"
+        w.write(9 if sample_rate == 44100 else 0, 4)
         if stereo == "independent":
             w.write(len(channels) - 1, 4)
         else:
