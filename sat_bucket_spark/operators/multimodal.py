@@ -56,6 +56,7 @@ __all__ = [
     "plan_resize",
     "resize_images",
     "RESIZE_SCHEMA",
+    "parse_avi_frames",
     "sample_video_frames",
     "segment_audio",
     "segment_wav_payload",
@@ -966,6 +967,50 @@ VIDEO_FRAME_SCHEMA = StructType(
 )
 
 
+def parse_avi_frames(
+    payload: bytes | None,
+) -> "tuple[dict, list[bytes]] | None":
+    """(main header info, ordered frame chunk bytes) from a RIFF/AVI file.
+
+    Pure container parsing (the RIFF/AVI layout is public): the ``avih``
+    main header carries frame timing/counts/dims, and the ``LIST movi``
+    section carries one ``##db``/``##dc`` chunk per frame whose body is
+    the encoded frame — raw JPEG bytes for MJPEG, the historical archive
+    codec this suite can actually decode (operators/jpeg.py). Returns
+    None when the payload is not an AVI.
+    """
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    info: dict = {}
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if cid == b"LIST" and size >= 4:
+                walk(body_start + 4, body_end)  # skip the list type fourcc
+            elif cid == b"avih" and size >= 40:
+                b = payload[body_start:body_end]
+                us = int.from_bytes(b[0:4], "little")
+                info["fps"] = round(1e6 / us, 6) if us else None
+                info["total_frames"] = int.from_bytes(b[16:20], "little")
+                info["width"] = int.from_bytes(b[32:36], "little")
+                info["height"] = int.from_bytes(b[36:40], "little")
+            elif len(cid) == 4 and cid[2:4] in (b"db", b"dc"):
+                frames.append(payload[body_start:body_end])
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    if not info and not frames:
+        return None
+    return info, frames
+
+
 def sample_video_frames(
     df: DataFrame,
     every_n: int = 10,
@@ -976,18 +1021,42 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame-sampling stage: one output row per sampled frame.
 
-    Demonstrates the 1->N multimodal fan-out shape (``mapInPandas`` yielding
-    more rows than it consumes). Frame extraction is stubbed: deterministic
-    byte slices stand in for decoded frames.
+    The 1->N multimodal fan-out shape (``mapInPandas`` yielding more rows
+    than it consumes). AVI containers get REAL frame extraction
+    (:func:`parse_avi_frames`): every ``every_n``-th frame chunk is
+    emitted, up to ``n_frames`` per video, with ``codec='mjpeg'`` when
+    the chunk is a JPEG — those frames are directly decodable by
+    ``decode_and_featurize_images`` (rename ``frame`` to ``payload`` and
+    compose; the jpeg.py decoder does the pixels). Non-AVI payloads keep
+    the deterministic fake (``strict=True`` raises: MP4/MKV frame
+    extraction needs a real codec stack — that plug-in point).
     """
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError("real frame extraction requires ffmpeg")
             rows = {"doc_id": [], "frame_idx": [], "frame": [], "codec": []}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                data = payload if payload is not None else b""
+                data = bytes(payload) if payload is not None else b""
+                parsed = parse_avi_frames(data)
+                if parsed is not None:
+                    _info, frames = parsed
+                    for i in range(n_frames):
+                        idx = i * every_n
+                        if idx >= len(frames):
+                            break
+                        chunk = frames[idx]
+                        rows["doc_id"].append(doc_id)
+                        rows["frame_idx"].append(idx)
+                        rows["frame"].append(chunk)
+                        rows["codec"].append(
+                            "mjpeg" if chunk[:2] == b"\xff\xd8" else "raw"
+                        )
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "payload is not an AVI; MP4/MKV frame extraction "
+                        "requires ffmpeg, unavailable here"
+                    )
                 for i in range(n_frames):
                     start = (i * every_n) % max(len(data), 1)
                     rows["doc_id"].append(doc_id)

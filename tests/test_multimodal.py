@@ -1052,3 +1052,107 @@ class TestExifFillBytes:
         # inject two fill bytes between SOI and APP1
         padded = base[:2] + b"\xff\xff" + base[2:]
         assert parse_exif_orientation(padded) == 6
+
+
+class TestAviMjpegFrames:
+    """r6: real frame extraction for MJPEG-in-AVI (the codec this suite
+    can actually decode end to end)."""
+
+    @staticmethod
+    def _avi(frames, width=16, height=16, fps_us=33333):
+        def chunk(cc, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return cc + len(body).to_bytes(4, "little") + body + pad
+
+        avih = (
+            fps_us.to_bytes(4, "little") + b"\x00" * 12
+            + len(frames).to_bytes(4, "little") + b"\x00" * 12
+            + width.to_bytes(4, "little") + height.to_bytes(4, "little")
+            + b"\x00" * 16
+        )
+        hdrl = b"hdrl" + chunk(b"avih", avih)
+        movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+        body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    def _gray_frames(self, n):
+        from sat_bucket_spark.operators.jpeg import encode_jpeg_baseline
+
+        pxs = [
+            (np.arange(256).reshape(16, 16) % 200 + 20 + 3 * i).astype(np.uint8)
+            for i in range(n)
+        ]
+        return pxs, [
+            encode_jpeg_baseline(p, np.ones((8, 8)), np.ones((8, 8)))
+            for p in pxs
+        ]
+
+    def test_parse_avi_header_and_frames(self):
+        from sat_bucket_spark.operators.multimodal import parse_avi_frames
+
+        _pxs, jpegs = self._gray_frames(5)
+        info, frames = parse_avi_frames(self._avi(jpegs, fps_us=40000))
+        assert info["total_frames"] == 5
+        assert (info["width"], info["height"]) == (16, 16)
+        assert info["fps"] == 25.0
+        assert frames == jpegs
+        assert parse_avi_frames(b"RIFFxxxxWAVE") is None
+        assert parse_avi_frames(None) is None
+
+    def test_sampled_frames_decode_to_real_pixels(self, spark):
+        from sat_bucket_spark.operators.jpeg import decode_jpeg_pixels
+        from sat_bucket_spark.operators.multimodal import sample_video_frames
+
+        pxs, jpegs = self._gray_frames(5)
+        df = spark.createDataFrame(
+            [(1, self._avi(jpegs))], "doc_id long, payload binary"
+        )
+        rows = sample_video_frames(df, every_n=2, n_frames=3, strict=True).collect()
+        assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+        assert all(r["codec"] == "mjpeg" for r in rows)
+        for r in rows:
+            got = decode_jpeg_pixels(bytes(r["frame"]))[..., 0].astype(np.int64)
+            want = pxs[r["frame_idx"]].astype(np.int64)
+            assert np.abs(got - want).max() <= 3  # DCT rounding only
+
+    def test_composes_with_image_feature_stage(self, spark):
+        """video -> frames -> the image stage: the multimodal pipeline
+        story, end to end on real decodes."""
+        from sat_bucket_spark.operators.multimodal import (
+            decode_and_featurize_images,
+            sample_video_frames,
+        )
+
+        pxs, jpegs = self._gray_frames(4)
+        df = spark.createDataFrame(
+            [(7, self._avi(jpegs))], "doc_id long, payload binary"
+        )
+        frames = (
+            sample_video_frames(df, every_n=1, n_frames=4, strict=True)
+            .withColumnRenamed("frame_idx", "frame_doc")
+            .withColumnRenamed("frame", "payload")
+            .withColumnRenamed("doc_id", "video_id")
+            .withColumnRenamed("frame_doc", "doc_id")
+        )
+        feats = {r["doc_id"]: r for r in decode_and_featurize_images(
+            frames.select("doc_id", "payload"), strict=True
+        ).collect()}
+        assert set(feats) == {0, 1, 2, 3}
+        for i, px in enumerate(pxs):
+            m = px.astype(np.int64).mean() / 255
+            assert abs(feats[i]["feature"][0] - m) < 0.02
+            assert (feats[i]["width"], feats[i]["height"]) == (16, 16)
+
+    def test_strict_still_raises_for_non_avi(self, spark):
+        from sat_bucket_spark.operators.multimodal import sample_video_frames
+
+        df = spark.createDataFrame([(1, b"not a video")], "doc_id long, payload binary")
+        with pytest.raises(Exception, match="not an AVI"):
+            sample_video_frames(df, strict=True).collect()
+
+    def test_fake_path_unchanged_for_non_avi(self, spark):
+        from sat_bucket_spark.operators.multimodal import sample_video_frames
+
+        df = spark.createDataFrame([(1, b"justbytes")], "doc_id long, payload binary")
+        rows = sample_video_frames(df, n_frames=2).collect()
+        assert [r["codec"] for r in rows] == ["fake/raw", "fake/raw"]
