@@ -465,3 +465,34 @@ class TestCorruptionRobustness:
                 assert out is None or out[2].ndim == 2
             except ValueError:
                 pass
+
+
+class TestPropertyRoundTrips:
+    def test_hypothesis_subframe_and_stereo_round_trips(self):
+        """Property: arbitrary 16-bit sample blocks round-trip exactly
+        through every (subframe kind, stereo mode, block size) shape."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            n=st.integers(1, 120),
+            seed=st.integers(0, 10_000),
+            kind=st.sampled_from(["verbatim", "fixed0", "fixed1", "fixed2"]),
+            stereo=st.sampled_from(
+                ["independent", "left_side", "right_side", "mid_side"]
+            ),
+            block=st.integers(8, 64),
+        )
+        def check(n, seed, kind, stereo, block):
+            ch = rng_samples(n, seed, channels=2)
+            if kind == "verbatim":
+                kw = {"kind": "verbatim"}
+            else:
+                kw = {"kind": "fixed", "order": int(kind[-1]), "rice_param": 9}
+            payload = encode_flac(
+                ch, stereo=stereo, block_size=block, subframe_kwargs=kw
+            )
+            assert_round_trip(payload, ch)
+
+        check()

@@ -686,3 +686,37 @@ class TestCorruptionRobustness:
         w.write(0, 3)
         with pytest.raises(ValueError, match="pixel cap"):
             decode_vp8l_pixels(w.tobytes() + b"\x00" * 64)
+
+
+class TestPropertyRoundTrips:
+    def test_hypothesis_literal_and_transform_round_trips(self):
+        """Property: any small RGB image round-trips exactly through any
+        composition of the encoder's transform writers."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            w=st.integers(1, 12),
+            h=st.integers(1, 10),
+            seed=st.integers(0, 10_000),
+            subtract_green=st.booleans(),
+        )
+        def check(w, h, seed, subtract_green):
+            px = rng_image(w, h, seed)
+            tws = []
+            if subtract_green:
+                def tr(bw, data, cur_w, height):
+                    bw.write(1, 1)
+                    bw.write(2, 2)
+                    out = []
+                    for p in data:
+                        g = (p >> 8) & 0xFF
+                        r = (((p >> 16) & 0xFF) - g) & 0xFF
+                        b = ((p & 0xFF) - g) & 0xFF
+                        out.append((p & 0xFF00FF00) | (r << 16) | b)
+                    return out, cur_w
+                tws.append(tr)
+            assert_decodes_to(encode_vp8l(px, w, h, tws), px, w, h)
+
+        check()
