@@ -36,6 +36,7 @@ __all__ = [
     "decode_and_featurize_images",
     "decode_audio_features",
     "decode_bmp_pixels",
+    "decode_tiff_pixels",
     "decode_gif_pixels",
     "decode_image_pixels",
     "decode_png_pixels",
@@ -139,15 +140,16 @@ def parse_png_header(payload: bytes | None) -> tuple[int, int, int] | None:
 
 
 def decode_png_pixels(payload: bytes | None) -> "np.ndarray | None":
-    """Decode a non-interlaced 8-bit PNG to an (H, W, C) uint8 array.
+    """Decode an 8-bit PNG (sequential or Adam7) to an (H, W, C) uint8 array.
 
     Pure Python + numpy: ``zlib`` (stdlib) inflates the IDAT stream and the
     five scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9) are
-    unfiltered here — no codec library. Supports bit depth 8, interlace 0,
-    color types 0 (gray), 2 (RGB), 3 (palette, expanded to RGB), 4
-    (gray+alpha) and 6 (RGBA). Returns None for anything else (16-bit,
-    interlaced, truncated, non-PNG) — callers keep their fallback/strict
-    behavior. The inflater is a ``decompressobj`` so streams with an
+    unfiltered here — no codec library. Supports bit depth 8, interlace 0
+    and 1 (Adam7: seven independently-filtered passes scattered back on
+    the §8.2 grid — r6), color types 0 (gray), 2 (RGB), 3 (palette,
+    expanded to RGB), 4 (gray+alpha) and 6 (RGBA). Returns None for
+    anything else (16-bit, truncated, non-PNG) — callers keep their
+    fallback/strict behavior. The inflater is a ``decompressobj`` so streams with an
     unchecked/zeroed adler32 trailer (e.g. expression-synthesized fixtures)
     still decode; actual pixel bytes are always checksummed upstream by the
     driver's value hash, not here.
@@ -161,7 +163,7 @@ def decode_png_pixels(payload: bytes | None) -> "np.ndarray | None":
     width = int.from_bytes(payload[16:20], "big")
     height = int.from_bytes(payload[20:24], "big")
     bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
-    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 3, 4, 6):
+    if bit_depth != 8 or interlace not in (0, 1) or color_type not in (0, 2, 3, 4, 6):
         return None
     if width == 0 or height == 0:
         return None
@@ -193,17 +195,55 @@ def decode_png_pixels(payload: bytes | None) -> "np.ndarray | None":
         except zlib.error:
             return None
     stream_ch = _PNG_CHANNELS[color_type]  # palette streams are 1 byte/pixel
+    if interlace == 0:
+        res = _png_unfilter(raw, 0, height, width, stream_ch)
+        if res is None:
+            return None
+        px = res[0].reshape(height, width, stream_ch)
+    else:  # Adam7: seven independently-filtered sub-images, scattered back
+        px = np.zeros((height, width, stream_ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no scanlines
+            res = _png_unfilter(raw, off, ph, pw, stream_ch)
+            if res is None:
+                return None
+            sub, off = res
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, stream_ch)
+    if color_type == 3:
+        if int(px.max()) >= len(palette):
+            return None
+        px = palette[px[:, :, 0]]
+    return px
+
+
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, height: int, width: int, stream_ch: int):
+    """Unfilter one (sub-)image of scanlines starting at ``off`` in the
+    inflated stream: returns ((height, width*ch) uint8, next offset), or
+    None on truncation / an invalid filter byte."""
+    import numpy as np
+
     stride = width * stream_ch
-    if len(raw) < height * (1 + stride):
+    if len(raw) < off + height * (1 + stride):
         return None
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(height):
-        off = y * (1 + stride)
-        ft = raw[off]
-        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(
-            np.int32
-        )
+        row_off = off + y * (1 + stride)
+        ft = raw[row_off]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_off + 1
+        ).astype(np.int32)
         if ft == 0:  # None
             rec = row
         elif ft == 2:  # Up
@@ -229,12 +269,7 @@ def decode_png_pixels(payload: bytes | None) -> "np.ndarray | None":
             return None
         out[y] = rec.astype(np.uint8)
         prev = rec
-    px = out.reshape(height, width, stream_ch)
-    if color_type == 3:
-        if int(px.max()) >= len(palette):
-            return None
-        px = palette[px[:, :, 0]]
-    return px
+    return out, off + height * (1 + stride)
 
 
 def parse_jpeg_header(payload: bytes | None) -> tuple[int, int, int] | None:
@@ -428,6 +463,99 @@ def parse_tiff_header(payload: bytes | None) -> tuple[int, int, int] | None:
     return width, height, channels
 
 
+_TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def decode_tiff_pixels(payload: bytes | None) -> "np.ndarray | None":
+    """Decode an UNCOMPRESSED 8-bit baseline TIFF to (H, W, C) uint8.
+
+    The strip-organized raw case of TIFF 6.0 — the format scanners and
+    scientific tools still emit: Compression=1, BitsPerSample all 8,
+    PhotometricInterpretation 0 (WhiteIsZero, inverted on decode),
+    1 (BlackIsZero) or 2 (RGB), pixel data as concatenated strips
+    (StripOffsets/StripByteCounts, any RowsPerStrip). Compressed TIFFs
+    (LZW/deflate/JPEG-in-TIFF) return None — header parsing still covers
+    them via :func:`parse_tiff_header`.
+    """
+    if payload is None or len(payload) < 8:
+        return None
+    if payload[0:4] == b"II\x2a\x00":
+        order = "little"
+    elif payload[0:4] == b"MM\x00\x2a":
+        order = "big"
+    else:
+        return None
+
+    def u16(off: int) -> int:
+        return int.from_bytes(payload[off : off + 2], order)
+
+    def u32(off: int) -> int:
+        return int.from_bytes(payload[off : off + 4], order)
+
+    ifd = u32(4)
+    if ifd + 2 > len(payload):
+        return None
+    n_entries = u16(ifd)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd + 2 + 12 * i
+        if off + 12 > len(payload):
+            return None
+        tag, typ = u16(off), u16(off + 2)
+        count = u32(off + 4)
+        size = _TIFF_TYPE_SIZES.get(typ)
+        if size is None:
+            continue  # rational/etc — not needed for the raw-pixel path
+        read1 = u16 if size == 2 else u32 if size == 4 else (
+            lambda o: payload[o]
+        )
+        base = off + 8 if count * size <= 4 else u32(off + 8)
+        if base + count * size > len(payload):
+            return None
+        tags[tag] = [read1(base + k * size) for k in range(count)]
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    width = one(256)
+    height = one(257)
+    if not width or not height:
+        return None
+    if one(259, 1) != 1:  # Compression: only 1 (none) decodes here
+        return None
+    channels = one(277, 1)
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits) or channels < 1:
+        return None
+    photometric = one(262, 1)
+    if photometric not in (0, 1, 2):
+        return None
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets:
+        return None
+    if not counts:
+        # single strip without byte counts: everything to EOF
+        counts = [len(payload) - offsets[0]]
+    if len(offsets) != len(counts):
+        return None
+    data = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(payload):
+            return None
+        data += payload[o : o + c]
+    need = width * height * channels
+    if len(data) < need:
+        return None
+    px = np.frombuffer(bytes(data), dtype=np.uint8, count=need).reshape(
+        height, width, channels
+    )
+    if photometric == 0:  # WhiteIsZero: invert to the usual polarity
+        px = 255 - px
+    return px
+
+
 def decode_bmp_pixels(payload: bytes | None) -> "np.ndarray | None":
     """Decode an uncompressed Windows BMP to an (H, W, C) uint8 array.
 
@@ -606,8 +734,9 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> "list[int] | 
 
 
 def decode_image_pixels(payload: bytes | None) -> "np.ndarray | None":
-    """Dispatch pixel decoding on magic bytes: PNG, BMP, GIF, JPEG
-    (baseline AND progressive) or lossless WebP (VP8L).
+    """Dispatch pixel decoding on magic bytes: PNG (incl. Adam7), BMP,
+    GIF, JPEG (baseline AND progressive), lossless WebP (VP8L) or
+    uncompressed baseline TIFF.
 
     All five decode in pure Python + numpy (zlib / raw rows / LZW /
     Huffman + IDCT incl. Annex-G progressive scans, see operators/jpeg.py,
@@ -634,6 +763,8 @@ def decode_image_pixels(payload: bytes | None) -> "np.ndarray | None":
         from sat_bucket_spark.operators.vp8l import decode_webp_pixels
 
         return decode_webp_pixels(payload)
+    if payload[0:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return decode_tiff_pixels(payload)
     return None
 
 

@@ -1156,3 +1156,180 @@ class TestAviMjpegFrames:
         df = spark.createDataFrame([(1, b"justbytes")], "doc_id long, payload binary")
         rows = sample_video_frames(df, n_frames=2).collect()
         assert [r["codec"] for r in rows] == ["fake/raw", "fake/raw"]
+
+
+def _encode_png_adam7(px: np.ndarray, filters=(0,), color_type=2) -> bytes:
+    """Adam7-interlaced PNG: per-pass scanlines, each pass independently
+    filtered with the same per-row filter cycle the sequential builder uses."""
+    import zlib as _zlib
+
+    h, w, ch = px.shape
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = px[y0::dy, x0::dx]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if ph == 0 or pw == 0:
+            continue
+        stream = sub.reshape(ph, pw * ch).astype(np.int32)
+        prev = np.zeros(pw * ch, dtype=np.int32)
+        for y in range(ph):
+            row = stream[y]
+            ft = filters[y % len(filters)]
+            raw.append(ft)
+            for i in range(pw * ch):
+                a = int(row[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if ft == 0:
+                    f = row[i]
+                elif ft == 1:
+                    f = row[i] - a
+                else:  # 2: Up
+                    f = row[i] - b
+                raw.append(f & 0xFF)
+            prev = row
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 1])  # interlace = 1
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", _zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    )
+
+
+class TestAdam7Png:
+    @pytest.mark.parametrize("w,h", [(8, 8), (13, 11), (7, 3), (1, 1), (2, 9)])
+    def test_interlaced_round_trip(self, w, h):
+        """Adam7 scatter must reproduce the source exactly, including
+        dimensions with empty late/early passes."""
+        from sat_bucket_spark.operators.multimodal import decode_png_pixels
+
+        rng = np.random.default_rng(w * 100 + h)
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        got = decode_png_pixels(_encode_png_adam7(px))
+        np.testing.assert_array_equal(got, px)
+
+    def test_interlaced_with_sub_and_up_filters(self):
+        from sat_bucket_spark.operators.multimodal import decode_png_pixels
+
+        rng = np.random.default_rng(42)
+        px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        got = decode_png_pixels(_encode_png_adam7(px, filters=(0, 1, 2)))
+        np.testing.assert_array_equal(got, px)
+
+
+class TestDecodeTiffPixels:
+    @staticmethod
+    def _tiff(px: np.ndarray, photometric=None, order="little", two_strips=False):
+        """Uncompressed baseline TIFF (strips, 8-bit)."""
+        h, w = px.shape[0], px.shape[1]
+        ch = 1 if px.ndim == 2 else px.shape[2]
+        if photometric is None:
+            photometric = 2 if ch == 3 else 1
+        data = px.tobytes()
+        if two_strips:
+            rows0 = h // 2
+            strips = [px[:rows0].tobytes(), px[rows0:].tobytes()]
+        else:
+            strips = [data]
+        endian = "<" if order == "little" else ">"
+        import struct
+
+        entries = []
+        # strip data goes after the IFD; compute layout: header(8) + ifd
+        n_tags = 8
+        ifd_size = 2 + 12 * n_tags + 4
+        data_start = 8 + ifd_size + 16  # + out-of-line arrays area (4 longs)
+        offs = []
+        pos = data_start
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+
+        def entry(tag, typ, count, value):
+            return struct.pack(endian + "HHI", tag, typ, count) + value
+
+        def long_val(v):
+            return struct.pack(endian + "I", v)
+
+        def short_val(v):
+            return struct.pack(endian + "HH", v, 0)
+
+        arrays = b""
+        arrays_off = 8 + ifd_size
+        if two_strips:
+            strip_off_val = long_val(arrays_off)
+            strip_cnt_val = long_val(arrays_off + 8)
+            arrays = struct.pack(endian + "II", *offs) + struct.pack(
+                endian + "II", *(len(s) for s in strips)
+            )
+            so_count = sc_count = 2
+        else:
+            strip_off_val = long_val(offs[0])
+            strip_cnt_val = long_val(len(strips[0]))
+            arrays = b"\x00" * 16  # keep the layout fixed
+            so_count = sc_count = 1
+        body = b"".join([
+            entry(256, 4, 1, long_val(w)),
+            entry(257, 4, 1, long_val(h)),
+            entry(258, 3, 1, short_val(8)),
+            entry(259, 3, 1, short_val(1)),
+            entry(262, 3, 1, short_val(photometric)),
+            entry(273, 4, so_count, strip_off_val),
+            entry(277, 3, 1, short_val(ch)),
+            entry(279, 4, sc_count, strip_cnt_val),
+        ])
+        ifd = struct.pack(endian + "H", n_tags) + body + long_val(0)
+        magic = b"II\x2a\x00" if order == "little" else b"MM\x00\x2a"
+        hdr = magic + struct.pack(endian + "I", 8)
+        return hdr + ifd + arrays + b"".join(strips)
+
+    def test_rgb_and_gray_round_trip(self):
+        from sat_bucket_spark.operators.multimodal import decode_tiff_pixels
+
+        rng = np.random.default_rng(5)
+        rgb = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_tiff_pixels(self._tiff(rgb)), rgb)
+        gray = rng.integers(0, 256, (6, 11), dtype=np.uint8)
+        got = decode_tiff_pixels(self._tiff(gray))
+        np.testing.assert_array_equal(got, gray[:, :, None])
+
+    def test_big_endian_and_two_strips(self):
+        from sat_bucket_spark.operators.multimodal import decode_tiff_pixels
+
+        rng = np.random.default_rng(6)
+        px = rng.integers(0, 256, (8, 5, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            decode_tiff_pixels(self._tiff(px, order="big")), px
+        )
+        np.testing.assert_array_equal(
+            decode_tiff_pixels(self._tiff(px, two_strips=True)), px
+        )
+
+    def test_white_is_zero_inverts(self):
+        from sat_bucket_spark.operators.multimodal import decode_tiff_pixels
+
+        gray = np.array([[0, 255], [10, 200]], dtype=np.uint8)
+        got = decode_tiff_pixels(self._tiff(gray, photometric=0))
+        np.testing.assert_array_equal(got, (255 - gray)[:, :, None])
+
+    def test_compressed_returns_none_and_dispatch(self):
+        from sat_bucket_spark.operators.multimodal import (
+            decode_image_pixels,
+            decode_tiff_pixels,
+        )
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+        payload = bytearray(self._tiff(px))
+        # flip Compression (tag 259) to 5 (LZW): honest None
+        i = payload.find((259).to_bytes(2, "little"))
+        payload[i + 8] = 5
+        assert decode_tiff_pixels(bytes(payload)) is None
+        # and the dispatcher routes uncorrupted TIFFs
+        np.testing.assert_array_equal(decode_image_pixels(self._tiff(px)), px)
+        assert decode_tiff_pixels(b"not a tiff") is None
