@@ -734,6 +734,28 @@ def q_gopher_quality(spark, sf_dir):
     return gopher_quality_flags(docs, min_stopword_hits=1)
 
 
+_BLOCKLIST = [
+    "slow", "fast table", "scan query", "window table table",
+    "quarantine", "made up phrase",  # the last two never occur: no hits
+]
+
+
+def q_blocklist(spark, sf_dir):
+    """Scalable blocklist scan: broadcast word-shingle join.
+
+    Mixed 1/2/3-word phrases (four drawn from the synthetic vocabulary,
+    two absent — the no-false-hit control); one output row per matched
+    (document, phrase). The oracle regenerates the distinct word k-grams
+    per document for every phrase length and replays the membership join.
+    operators/text.py blocklist_matches — O(rows x doc_len) + a hash
+    probe, independent of blocklist size, exact at word boundaries.
+    """
+    from sat_bucket_spark.operators.text import blocklist_matches
+
+    docs = _t(spark, sf_dir, "documents")
+    return blocklist_matches(docs, _BLOCKLIST)
+
+
 def q_language_id(spark, sf_dir):
     """Text: stopword-hit language identification."""
     docs = _t(spark, sf_dir, "documents")
@@ -2713,6 +2735,25 @@ FROM (
   FROM documents
 ) t
 """,
+    # Blocklist: distinct word k-grams per phrase length, membership join
+    "blocklist": f"""
+WITH toks AS (
+  SELECT doc_id, {_tokens_sql("lower(text)")} AS toks FROM documents
+), grams AS (
+  SELECT doc_id, list_distinct(
+    list_transform(generate_series(1, greatest(len(toks), 1)),
+                   i -> array_to_string(toks[i:i], ' '))
+    || list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                      i -> array_to_string(toks[i:i+1], ' '))
+    || list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                      i -> array_to_string(toks[i:i+2], ' '))
+  ) AS gs FROM toks
+)
+SELECT doc_id, g.term AS term
+FROM (SELECT doc_id, unnest(gs) AS term FROM grams) g
+WHERE g.term IN ('slow', 'fast table', 'scan query',
+                 'window table table', 'quarantine', 'made up phrase')
+""",
     "decontaminate": f"""
 WITH toks AS (
   SELECT doc_id, {_tokens_sql("lower(text)")} AS toks FROM documents
@@ -4581,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "invalid_policy": q_invalid_policy,
         "embedding_topk": q_embedding_topk,
         "token_count": q_token_count,
+        "blocklist": q_blocklist,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "time_prefixes": q_time_prefixes,

@@ -25,7 +25,9 @@ __all__ = [
     "add_quality_score",
     "add_rolling_fingerprint",
     "add_token_count",
+    "blocklist_matches",
     "bpe_tokens_expr",
+    "filter_blocklist",
     "filter_lines",
     "gopher_quality_flags",
     "line_keep_expr",
@@ -739,3 +741,72 @@ def repair_mojibake(
         return s.map(one)
 
     return df.withColumn(out or text, _fix(F.col(text)))
+
+
+def blocklist_matches(
+    df: DataFrame,
+    terms,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All (document, blocked phrase) matches — the scalable blocklist scan.
+
+    ``terms`` is a list of phrases (one or more words each; matching is
+    lowercase, whitespace-normalized, at word boundaries) or a one-column
+    DataFrame of them. The shape that works at 100 TB with a
+    thousands-of-entries list: for each distinct phrase word-length k in
+    the list, the document's DISTINCT word k-grams are generated row-
+    locally (``shingles_expr`` — JVM expressions, no UDF) and the union is
+    equi-joined against the BROADCAST term table. Substring ``contains``
+    scans would be per-term work on every row (O(rows x terms)) and match
+    inside words; the shingle join is O(rows x doc_len) + a hash probe,
+    independent of list size, and exact at word granularity.
+
+    Returns one row per matched (id, term) — compose with ``left_anti``
+    to drop, or aggregate for a rejection report (``filter_blocklist``).
+    A DataFrame ``terms`` costs one tiny driver job to learn the distinct
+    phrase lengths (lists that size belong in a table anyway).
+    """
+    spark = df.sparkSession
+    if isinstance(terms, (list, tuple, set)):
+        norm = sorted({" ".join(str(t).lower().split()) for t in terms} - {""})
+        if not norm:
+            raise ValueError("empty blocklist")
+        terms_df = spark.createDataFrame([(t,) for t in norm], "term string")
+        lengths = sorted({t.count(" ") + 1 for t in norm})
+    else:
+        tcol = terms.columns[0]
+        terms_df = terms.select(
+            F.regexp_replace(F.trim(F.lower(F.col(tcol))), r"\s+", " ").alias("term")
+        ).where(F.col("term") != "").distinct()
+        lengths = sorted(
+            r["k"]
+            for r in terms_df.select(
+                (F.size(F.split(F.col("term"), " "))).alias("k")
+            ).distinct().collect()
+        )
+        if not lengths:
+            raise ValueError("empty blocklist")
+    from sat_bucket_spark.operators.dedup import shingles_expr
+
+    grams = F.array_distinct(
+        F.flatten(
+            F.array(
+                *[shingles_expr(text_col, k=k, unit="word") for k in lengths]
+            )
+        )
+    )
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("term"))
+    return exploded.join(F.broadcast(terms_df), "term").select(id_col, "term")
+
+
+def filter_blocklist(
+    df: DataFrame,
+    terms,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every document matching any blocked phrase (left-anti on the
+    broadcast shingle join of :func:`blocklist_matches`)."""
+    hits = blocklist_matches(df, terms, id_col=id_col, text_col=text_col)
+    return df.join(hits.select(id_col).distinct(), id_col, "left_anti")

@@ -541,3 +541,75 @@ class TestTokenMassMixture:
         }
         assert mass["a"] == 4000  # binding source keeps everything
         assert 1500 <= mass["b"] <= 7000  # ~4000 in expectation, hash draw
+
+
+class TestBlocklist:
+    def test_word_boundary_matching(self, spark):
+        from sat_bucket_spark.operators.text import blocklist_matches
+
+        df = spark.createDataFrame(
+            [
+                (1, "the forbidden phrase appears here"),
+                (2, "forbiddenphrase as one word must not match"),
+                (3, "ends with FORBIDDEN Phrase"),      # case-insensitive
+                (4, "has   forbidden   phrase   spaced"),  # ws-normalized
+                (5, "clean document"),
+            ],
+            ["doc_id", "text"],
+        )
+        hits = blocklist_matches(df, ["forbidden phrase", "quarantine"])
+        got = sorted((r["doc_id"], r["term"]) for r in hits.collect())
+        assert got == [
+            (1, "forbidden phrase"), (3, "forbidden phrase"),
+            (4, "forbidden phrase"),
+        ]
+
+    def test_mixed_lengths_and_dedup(self, spark):
+        from sat_bucket_spark.operators.text import blocklist_matches
+
+        df = spark.createDataFrame(
+            [(1, "bad bad word and a bad word again")], ["doc_id", "text"]
+        )
+        hits = blocklist_matches(df, ["bad", "bad word", "never here three"])
+        got = sorted((r["doc_id"], r["term"]) for r in hits.collect())
+        # one row per (doc, term) no matter how many occurrences
+        assert got == [(1, "bad"), (1, "bad word")]
+
+    def test_terms_as_dataframe(self, spark):
+        from sat_bucket_spark.operators.text import blocklist_matches
+
+        df = spark.createDataFrame([(1, "spam offer inside")], ["doc_id", "text"])
+        terms = spark.createDataFrame(
+            [("  SPAM  Offer ",), ("other",)], ["phrase"]
+        )
+        got = blocklist_matches(df, terms).collect()
+        assert [(r["doc_id"], r["term"]) for r in got] == [(1, "spam offer")]
+
+    def test_filter_blocklist_drops_matches_only(self, spark):
+        from sat_bucket_spark.operators.text import filter_blocklist
+
+        df = spark.createDataFrame(
+            [(1, "contains spam offer"), (2, "fine"), (3, "also spam offer")],
+            ["doc_id", "text"],
+        )
+        kept = filter_blocklist(df, ["spam offer"])
+        assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+        assert kept.columns == df.columns
+
+    def test_empty_blocklist_rejected(self, spark):
+        import pytest as _pytest
+
+        from sat_bucket_spark.operators.text import blocklist_matches
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="empty blocklist"):
+            blocklist_matches(df, ["", "   "])
+
+    def test_broadcast_join_in_plan(self, spark):
+        from sat_bucket_spark.operators.text import blocklist_matches
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        plan = blocklist_matches(df, ["a b"])._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "Python" not in plan  # pure Column expressions
