@@ -756,6 +756,39 @@ def q_blocklist(spark, sf_dir):
     return blocklist_matches(docs, _BLOCKLIST)
 
 
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization, hash-verified across engines.
+
+    The synthetic corpus is ASCII (NFC-trivial), so DECOMPOSED sequences
+    are appended in-plan — combining acute on 'e' (-> U+00E9) and
+    combining ring on 'A' / diaeresis on 'o' (-> U+00C5/U+00F6) on
+    md5-chosen rows — making the normalization non-vacuous on BOTH
+    sides. Output is md5 + char length of the normalized text; the
+    oracle appends the same codepoints and replays with DuckDB's
+    nfc_normalize (both engines implement Unicode NFC — byte-identical).
+    operators/text.py add_nfc_normalized (Arrow-batched unicodedata).
+    """
+    from sat_bucket_spark.operators.text import add_nfc_normalized
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = F.conv(F.substring(F.md5("text"), 9, 1), 16, 10).cast("long") % 3
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(sel == 0, F.lit(" cafe\u0301"))
+            .when(sel == 1, F.lit(" A\u030angstro\u0308m"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = add_nfc_normalized(staged, out="text_nfc")
+    return out.select(
+        "doc_id",
+        F.md5("text_nfc").alias("nfc_md5"),
+        F.length("text_nfc").cast("long").alias("n_chars"),
+    )
+
+
 def q_language_id(spark, sf_dir):
     """Text: stopword-hit language identification."""
     docs = _t(spark, sf_dir, "documents")
@@ -2735,6 +2768,21 @@ FROM (
   FROM documents
 ) t
 """,
+    # NFC: DuckDB nfc_normalize replays stdlib unicodedata exactly
+    "nfc_normalize": """
+WITH src AS (
+  SELECT doc_id,
+    text || CASE CAST(('0x' || substr(md5(text), 9, 1)) AS BIGINT) % 3
+      WHEN 0 THEN ' cafe' || chr(769)
+      WHEN 1 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+      ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  md5(nfc_normalize(t)) AS nfc_md5,
+  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars
+FROM src
+""",
     # Blocklist: distinct word k-grams per phrase length, membership join
     "blocklist": f"""
 WITH toks AS (
@@ -4623,6 +4671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "token_count": q_token_count,
         "blocklist": q_blocklist,
+        "nfc_normalize": q_nfc_normalize,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "time_prefixes": q_time_prefixes,

@@ -22,6 +22,7 @@ __all__ = [
     "add_compression_ratio",
     "add_fingerprint",
     "add_language_id",
+    "add_nfc_normalized",
     "add_quality_score",
     "add_rolling_fingerprint",
     "add_token_count",
@@ -810,3 +811,35 @@ def filter_blocklist(
     broadcast shingle join of :func:`blocklist_matches`)."""
     hits = blocklist_matches(df, terms, id_col=id_col, text_col=text_col)
     return df.join(hits.select(id_col).distinct(), id_col, "left_anti")
+
+
+def add_nfc_normalized(
+    df: DataFrame,
+    text: str = "text",
+    out: str | None = None,
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD).
+
+    The canonicalization every dedup/fingerprint pass should run first:
+    'e' + COMBINING ACUTE and the precomposed 'é' are different byte
+    strings for the same text — without normalization they hash apart and
+    duplicates survive. Spark has no built-in normalizer, so this is an
+    Arrow-batched pandas_udf over stdlib ``unicodedata`` (the one
+    non-SQL-expressible step; everything downstream stays Column
+    expressions). NFC is engine-portable — DuckDB's ``nfc_normalize``
+    replays it exactly, which is how the entry hash-verifies.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"invalid normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return df.withColumn(out or text, _norm(F.col(text)))

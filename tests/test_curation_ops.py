@@ -613,3 +613,35 @@ class TestBlocklist:
         ).executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "Python" not in plan  # pure Column expressions
+
+
+class TestNfcNormalize:
+    def test_composes_combining_marks(self, spark):
+        from sat_bucket_spark.operators.text import add_nfc_normalized
+
+        df = spark.createDataFrame(
+            [(1, "café"), (2, "plain"), (3, None)], ["doc_id", "text"]
+        )
+        out = {r["doc_id"]: r["text"] for r in add_nfc_normalized(df).collect()}
+        assert out[1] == "caf\u00e9"  # decomposed -> precomposed
+        assert out[2] == "plain"
+        assert out[3] is None
+
+    def test_nfkc_folds_compatibility_forms(self, spark):
+        from sat_bucket_spark.operators.text import add_nfc_normalized
+
+        # fullwidth latin + ligature fold under NFKC, survive NFC
+        df = spark.createDataFrame([(1, "Ａ ﬁ")], ["doc_id", "text"])
+        nfc = add_nfc_normalized(df).collect()[0]["text"]
+        nfkc = add_nfc_normalized(df, form="NFKC").collect()[0]["text"]
+        assert nfc == "Ａ ﬁ"
+        assert nfkc == "A fi"
+
+    def test_invalid_form(self, spark):
+        import pytest as _pytest
+
+        from sat_bucket_spark.operators.text import add_nfc_normalized
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="normalization form"):
+            add_nfc_normalized(df, form="NFX")
