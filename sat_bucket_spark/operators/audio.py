@@ -146,8 +146,13 @@ def audio_quality_features(
                 payload = bytes(payload) if payload is not None else None
                 decoded = _wav_pcm16(payload) if payload is not None else None
                 if decoded is None and payload is not None and payload[:4] == b"fLaC":
-                    rate, _ch, arr = decode_flac_samples(payload)
-                    decoded = (rate, arr)
+                    try:
+                        rate, _ch, arr = decode_flac_samples(payload)
+                        decoded = (rate, arr)
+                    except ValueError:
+                        if strict:
+                            raise
+                        decoded = None  # corrupt stream: NULL metrics
                 ids.append(doc_id)
                 if decoded is None:
                     if strict:

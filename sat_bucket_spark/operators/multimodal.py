@@ -955,15 +955,23 @@ def decode_audio_features(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload) if payload is not None else None
                 wav = parse_wav(payload)
-                if wav is not None:
-                    rate, n, rms = wav
-                elif payload is not None and payload[0:4] == b"fLaC":
+                flac = None
+                if wav is None and payload is not None and payload[0:4] == b"fLaC":
                     from sat_bucket_spark.operators.flac import (
                         decode_flac_samples,
                     )
 
+                    try:
+                        flac = decode_flac_samples(payload)
+                    except ValueError:
+                        if strict:
+                            raise
+                        flac = None  # corrupt stream: same fallback as non-audio
+                if wav is not None:
+                    rate, n, rms = wav
+                elif flac is not None:
                     info = parse_flac_streaminfo(payload)
-                    rate, _ch, arr = decode_flac_samples(payload)
+                    rate, _ch, arr = flac
                     n = int(arr.shape[0])
                     bps = info[2] if info is not None else 16
                     v = arr.astype(np.float64) / float(1 << (bps - 1))
@@ -1404,7 +1412,14 @@ def segment_audio(
                         flac_to_wav_bytes,
                     )
 
-                    payload = flac_to_wav_bytes(payload)
+                    try:
+                        payload = flac_to_wav_bytes(payload)
+                    except ValueError:
+                        # corrupt or non-16-bit FLAC: behave like any other
+                        # unsegmentable payload (strict raises below)
+                        if strict:
+                            raise
+                        payload = None
                 segs = segment_wav_payload(payload, seconds)
                 if not segs and strict:
                     raise NotImplementedError(

@@ -496,3 +496,46 @@ class TestPropertyRoundTrips:
             assert_round_trip(payload, ch)
 
         check()
+
+
+class TestCorruptFlacInPipelines:
+    """A corrupt FLAC payload must degrade like any other undecodable
+    payload in NON-strict mode (fallback/NULL/drop), and raise in strict
+    — previously it killed the job regardless (regression tests)."""
+
+    def _corrupt(self):
+        good = bytearray(encode_flac(rng_samples(64, 90)))
+        good[-10] ^= 0xFF  # breaks the frame CRC
+        return bytes(good)
+
+    def test_audio_features_fallback_and_strict(self, spark):
+        from sat_bucket_spark.operators.multimodal import decode_audio_features
+
+        df = spark.createDataFrame(
+            [(1, self._corrupt())], "doc_id long, payload binary"
+        )
+        row = decode_audio_features(df).collect()[0]  # non-strict: fake
+        assert row["sample_rate"] == 16000  # the md5-derived fake rate
+        with pytest.raises(Exception, match="ValueError|CRC"):
+            decode_audio_features(df, strict=True).collect()
+
+    def test_quality_features_null_and_strict(self, spark):
+        from sat_bucket_spark.operators.audio import audio_quality_features
+
+        df = spark.createDataFrame(
+            [(1, self._corrupt())], "doc_id long, payload binary"
+        )
+        row = audio_quality_features(df).collect()[0]
+        assert row["rms_db"] is None
+        with pytest.raises(Exception, match="ValueError|CRC"):
+            audio_quality_features(df, strict=True).collect()
+
+    def test_segment_audio_drops_and_strict(self, spark):
+        from sat_bucket_spark.operators.multimodal import segment_audio
+
+        df = spark.createDataFrame(
+            [(1, self._corrupt())], "doc_id long, payload binary"
+        )
+        assert segment_audio(df, seconds=0.1).count() == 0
+        with pytest.raises(Exception):
+            segment_audio(df, seconds=0.1, strict=True).collect()
