@@ -1135,6 +1135,25 @@ def q_image_near_dup(spark, sf_dir):
     )
 
 
+def q_image_decontaminate(spark, sf_dir):
+    """Benchmark-image exclusion by perceptual hash (broadcast banding).
+
+    Every 10th document is the eval/benchmark set; training images whose
+    dhash lands within 6 bits of ANY eval image are contaminated (the
+    shared doc_id%50 pictures guarantee exact hits; near-collisions
+    exercise the verify). The oracle recomputes both hash sets
+    relationally and replays the min-hamming semi-join brute-force.
+    operators/imagehash.py image_decontaminate — eval side broadcasts,
+    the training corpus never shuffles."""
+    from sat_bucket_spark.operators.imagehash import image_decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    staged = docs.withColumn("payload", _bmp_payload_expr())
+    train = staged.where(F.col("doc_id") % 10 != 0)
+    eval_df = staged.where(F.col("doc_id") % 10 == 0)
+    return image_decontaminate(train, eval_df, max_hamming=6, n_bands=8)
+
+
 def q_audio_segments(spark, sf_dir):
     """Multimodal audio segmentation over REAL in-plan WAV payloads.
 
@@ -2685,6 +2704,48 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
 FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 6
+""",
+    # Image decontamination: brute-force min-hamming vs the eval hash set
+    "image_decontaminate": """
+WITH px AS (
+  SELECT d.doc_id, gy.y AS y, gx.x AS x,
+    ((gx.x*7 + gy.y*13 + (d.doc_id % 50)*29) % 200 + (d.doc_id*37) % 11) AS v
+  FROM documents d, generate_series(0, 15) gy(y), generate_series(0, 17) gx(x)
+),
+blocks AS (
+  SELECT doc_id, y // 2 AS gi, x // 2 AS gj, SUM(v) AS s
+  FROM px GROUP BY doc_id, y // 2, x // 2
+),
+bits AS (
+  SELECT a.doc_id, a.gi, a.gj,
+    CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+  FROM blocks a JOIN blocks b
+    ON a.doc_id = b.doc_id AND a.gi = b.gi AND b.gj = a.gj + 1
+  WHERE a.gj < 8
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(
+      (CASE WHEN MAX(CASE WHEN gi = 0 AND gj = 0 THEN bit END) = 1
+            THEN -9223372036854775808::HUGEINT ELSE 0::HUGEINT END)
+      + SUM(CASE WHEN NOT (gi = 0 AND gj = 0)
+                 THEN bit * (1::HUGEINT << (63 - (gi*8 + gj)))
+                 ELSE 0::HUGEINT END)
+      AS BIGINT) AS phash
+  FROM bits GROUP BY doc_id
+),
+verdict AS (
+  SELECT t.doc_id,
+    MIN(CASE WHEN bit_count(xor(t.phash, e.phash)) <= 6
+             THEN bit_count(xor(t.phash, e.phash)) END) AS min_hamming
+  FROM hashes t JOIN hashes e
+    ON t.doc_id % 10 != 0 AND e.doc_id % 10 = 0
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+  min_hamming IS NOT NULL AS is_contaminated,
+  CAST(min_hamming AS INTEGER) AS min_hamming
+FROM verdict
 """,
     # EXIF: replay the md5 orientation derivation and the public
     # orientation->(rotation, mirror) transform table (EXIF 2.x tag 0x0112)
@@ -4705,6 +4766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_meta": q_exif_meta,
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
+        "image_decontaminate": q_image_decontaminate,
         "bpe_token_count": q_bpe_token_count,
         "rolling_fingerprint": q_rolling_fingerprint,
         "rolling_stats": q_rolling_stats,

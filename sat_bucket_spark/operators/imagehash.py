@@ -40,6 +40,7 @@ __all__ = [
     "ahash_bits",
     "dhash_bits",
     "phash_bits",
+    "image_decontaminate",
     "image_hash_table",
     "image_near_dup_pairs",
 ]
@@ -274,4 +275,110 @@ def image_near_dup_pairs(
         )
         .where(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def image_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "dhash",
+    hash_size: int = 8,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Flag training images perceptually matching any eval/benchmark image.
+
+    The image analog of n-gram/embedding decontamination: a benchmark
+    image that leaked into the training set — possibly re-encoded,
+    brightness-shifted, or mildly recompressed — must be found and
+    dropped. Both sides hash with the same perceptual hash; a training
+    image within ``max_hamming`` bits of ANY eval image is contaminated.
+
+    Scale shape: the eval set is benchmark-sized, so its (band, bits)
+    pairs BROADCAST; training hashes explode to their bands map-side and
+    probe the broadcast — banding keeps recall exact (pigeonhole, as in
+    :func:`image_near_dup_pairs`) while the training corpus never
+    shuffles: candidates are a broadcast-hash semi-probe, the verify is
+    a broadcast join against the (small) eval hash list per candidate.
+    Returns ``(id, is_contaminated, min_hamming)`` for every DECODABLE
+    training image (min_hamming NULL when no eval image is within the
+    budget; undecodable images are absent — route them by metadata).
+    """
+    n_bits = hash_size * hash_size
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands ({n_bands}) must exceed max_hamming ({max_hamming})"
+        )
+    if n_bits % n_bands:
+        raise ValueError(
+            f"hash width ({n_bits}) must be divisible by n_bands ({n_bands})"
+        )
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+
+    def hashes(df: DataFrame) -> DataFrame:
+        return (
+            image_hash_table(
+                df, id_col=id_col, payload_col=payload_col,
+                method=method, hash_size=hash_size,
+            )
+            .where(F.col("phash").isNotNull())
+            .select(id_col, "phash")
+        )
+
+    def bands(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            (
+                                F.shiftright(F.col("phash"), b * width)
+                                .bitwiseAND(F.lit(mask))
+                            ).alias("band_bits"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select(id_col, "band.band_idx", "band.band_bits")
+
+    train_sigs = hashes(train).localCheckpoint(eager=False)
+    eval_sigs = hashes(eval_df)
+    eval_bands = bands(eval_sigs).select("band_idx", "band_bits").distinct()
+    cand = (
+        bands(train_sigs)
+        .join(F.broadcast(eval_bands), on=["band_idx", "band_bits"])
+        .select(id_col)
+        .distinct()
+    )
+    verified = (
+        cand.join(train_sigs, id_col)
+        .join(
+            F.broadcast(
+                eval_sigs.select(F.col("phash").alias("__eval_hash"))
+            ),
+            F.bit_count(
+                F.col("phash").bitwiseXOR(F.col("__eval_hash"))
+            ) <= F.lit(max_hamming),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.bit_count(F.col("phash").bitwiseXOR(F.col("__eval_hash")))
+            ).cast("int").alias("min_hamming")
+        )
+    )
+    return (
+        train_sigs.select(id_col)
+        .join(verified, id_col, "left")
+        .select(
+            id_col,
+            F.col("min_hamming").isNotNull().alias("is_contaminated"),
+            "min_hamming",
+        )
     )

@@ -213,3 +213,72 @@ class TestSparkStages:
             image_near_dup_pairs(df, max_hamming=8, n_bands=8)
         with pytest.raises(ValueError, match="divisible"):
             image_near_dup_pairs(df, hash_size=7, n_bands=8)
+
+
+class TestImageDecontaminate:
+    def test_leaked_benchmark_image_found_cross_format(self, spark):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_vp8l import encode_vp8l, wrap_webp
+
+        from sat_bucket_spark.operators.imagehash import image_decontaminate
+
+        bench = rng_rgb(24, 24, 50)
+        leaked_noisy = bench.copy()
+        leaked_noisy[2, 2] = 255 - leaked_noisy[2, 2]
+        argb = [
+            (0xFF << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+            for r, g, b in bench.reshape(-1, 3)
+        ]
+        train = spark.createDataFrame(
+            [
+                (1, wrap_webp(encode_vp8l(argb, 24, 24))),  # re-encoded leak
+                (2, bmp_bytes(leaked_noisy)),                # noised leak
+                (3, bmp_bytes(rng_rgb(24, 24, 51))),         # clean
+                (4, b"garbage"),                             # undecodable
+            ],
+            "doc_id long, payload binary",
+        )
+        eval_df = spark.createDataFrame(
+            [(100, bmp_bytes(bench))], "doc_id long, payload binary"
+        )
+        got = {r["doc_id"]: r for r in image_decontaminate(train, eval_df).collect()}
+        assert set(got) == {1, 2, 3}  # undecodable absent by contract
+        assert got[1]["is_contaminated"] and got[1]["min_hamming"] == 0
+        assert got[2]["is_contaminated"] and got[2]["min_hamming"] <= 4
+        assert not got[3]["is_contaminated"] and got[3]["min_hamming"] is None
+
+    def test_banded_equals_brute_force(self, spark):
+        from sat_bucket_spark.operators.imagehash import (
+            image_decontaminate,
+            image_hash_table,
+        )
+
+        train = spark.createDataFrame(
+            [(i, bmp_bytes(rng_rgb(24, 24, 60 + i))) for i in range(12)],
+            "doc_id long, payload binary",
+        )
+        eval_df = spark.createDataFrame(
+            [(100 + i, bmp_bytes(rng_rgb(24, 24, 60 + 3 * i))) for i in range(5)],
+            "doc_id long, payload binary",
+        )
+        got = {
+            r["doc_id"]: (r["is_contaminated"], r["min_hamming"])
+            for r in image_decontaminate(
+                train, eval_df, max_hamming=12, n_bands=16
+            ).collect()
+        }
+        th = {r["doc_id"]: r["phash"] for r in image_hash_table(train).collect()}
+        eh = [r["phash"] for r in image_hash_table(eval_df).collect()]
+        for d, h in th.items():
+            dists = [hamming(h, e) for e in eh]
+            m = min(d2 for d2 in dists if d2 <= 12) if any(d2 <= 12 for d2 in dists) else None
+            assert got[d] == (m is not None, m), d
+
+    def test_validation(self, spark):
+        from sat_bucket_spark.operators.imagehash import image_decontaminate
+
+        df = spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
+        with pytest.raises(ValueError, match="must exceed"):
+            image_decontaminate(df, df, max_hamming=8, n_bands=8)
