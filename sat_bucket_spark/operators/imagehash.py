@@ -297,11 +297,14 @@ def image_decontaminate(
     image within ``max_hamming`` bits of ANY eval image is contaminated.
 
     Scale shape: the eval set is benchmark-sized, so its (band, bits)
-    pairs BROADCAST; training hashes explode to their bands map-side and
-    probe the broadcast — banding keeps recall exact (pigeonhole, as in
-    :func:`image_near_dup_pairs`) while the training corpus never
-    shuffles: candidates are a broadcast-hash semi-probe, the verify is
-    a broadcast join against the (small) eval hash list per candidate.
+    pairs AND its hash list BROADCAST; training hashes explode to their
+    bands map-side, probe the broadcast band set, and the surviving
+    candidates (hash riding along — no rejoin) verify against the
+    broadcast eval hashes, all before the ONE exchange: the candidate
+    groupBy that also absorbs multi-band duplicates. Banding keeps
+    recall exact (pigeonhole, as in :func:`image_near_dup_pairs`); the
+    final verdict join shuffles (id, long) sig rows only — AQE
+    broadcasts the (contamination-rate-sized) verdict side when small.
     Returns ``(id, is_contaminated, min_hamming)`` for every DECODABLE
     training image (min_hamming NULL when no eval image is within the
     budget; undecodable images are absent — route them by metadata).
@@ -331,6 +334,7 @@ def image_decontaminate(
     def bands(sigs: DataFrame) -> DataFrame:
         return sigs.select(
             F.col(id_col),
+            F.col("phash"),
             F.explode(
                 F.array(
                     *[
@@ -345,20 +349,22 @@ def image_decontaminate(
                     ]
                 )
             ).alias("band"),
-        ).select(id_col, "band.band_idx", "band.band_bits")
+        ).select(id_col, "phash", "band.band_idx", "band.band_bits")
 
     train_sigs = hashes(train).localCheckpoint(eager=False)
     eval_sigs = hashes(eval_df)
     eval_bands = bands(eval_sigs).select("band_idx", "band_bits").distinct()
+    # the hash RIDES the band explode, so candidates need no rejoin (and
+    # therefore no shuffle): a train row matching several eval bands
+    # reaches the verify up to n_bands times, and the min() aggregate
+    # below absorbs the duplicates — cheaper than a distinct exchange
     cand = (
         bands(train_sigs)
         .join(F.broadcast(eval_bands), on=["band_idx", "band_bits"])
-        .select(id_col)
-        .distinct()
+        .select(id_col, "phash")
     )
     verified = (
-        cand.join(train_sigs, id_col)
-        .join(
+        cand.join(
             F.broadcast(
                 eval_sigs.select(F.col("phash").alias("__eval_hash"))
             ),

@@ -282,3 +282,22 @@ class TestImageDecontaminate:
         df = spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
         with pytest.raises(ValueError, match="must exceed"):
             image_decontaminate(df, df, max_hamming=8, n_bands=8)
+
+    def test_plan_shape_broadcast_probe_one_smj(self, spark):
+        """Scale gate: band probe and hash verify are BROADCAST joins;
+        the only sort-merge join is the final per-image verdict attach
+        (and AQE broadcasts that side in production when small)."""
+        from sat_bucket_spark.operators.imagehash import image_decontaminate
+
+        train = spark.createDataFrame(
+            [(i, bmp_bytes(rng_rgb(8, 8, i))) for i in range(4)],
+            "doc_id long, payload binary",
+        )
+        ev = spark.createDataFrame(
+            [(9, bmp_bytes(rng_rgb(8, 8, 0)))], "doc_id long, payload binary"
+        )
+        plan = image_decontaminate(train, ev)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastHashJoin" in plan       # band probe
+        assert "BroadcastNestedLoopJoin" in plan  # hamming verify
+        assert plan.count("SortMergeJoin") <= 1   # verdict attach only
