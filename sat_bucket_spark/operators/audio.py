@@ -49,17 +49,22 @@ def _wav_pcm16(payload: bytes):
     bps = int.from_bytes(fmt_body[14:16], "little")
     if audio_format != 1 or bps != 16 or channels < 1:
         return None
+    if block != channels * 2:
+        # a malformed block_align would make frombuffer ask for more
+        # bytes than the data chunk holds; undecodable -> NULL metrics
+        return None
     n = len(data) // block
     samples = np.frombuffer(data, dtype="<i2", count=n * channels)
     return rate, samples.reshape(n, channels).astype(np.int32)
 
 
-def pcm_quality_metrics(rate: int, samples) -> dict:
-    """The quality signals for one clip: (n, ch) integer samples at
-    16-bit full scale. Pure numpy — shared by the Spark stage and tests."""
+def pcm_quality_metrics(rate: int, samples, full_scale: float = 32768.0) -> dict:
+    """The quality signals for one clip: (n, ch) integer samples measured
+    against ``full_scale`` (``1 << (bps - 1)`` for bps-bit PCM; default
+    16-bit). Pure numpy — shared by the Spark stage and tests."""
     import numpy as np
 
-    fs = 32768.0
+    fs = float(full_scale)
     n = int(samples.shape[0])
     out = {
         "sample_rate": int(rate),
@@ -138,17 +143,28 @@ def audio_quality_features(
         import pandas as _pd
 
         from sat_bucket_spark.operators.flac import decode_flac_samples
+        from sat_bucket_spark.operators.multimodal import parse_flac_streaminfo
 
         for pdf in batches:
             rows = {name: [] for name, _ in _QUALITY_FIELDS}
             ids = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload) if payload is not None else None
-                decoded = _wav_pcm16(payload) if payload is not None else None
+                decoded = None
+                if payload is not None:
+                    wav = _wav_pcm16(payload)
+                    if wav is not None:
+                        decoded = (*wav, 32768.0)
                 if decoded is None and payload is not None and payload[:4] == b"fLaC":
                     try:
                         rate, _ch, arr = decode_flac_samples(payload)
-                        decoded = (rate, arr)
+                        # FLAC carries its bit depth in STREAMINFO; samples
+                        # are raw bps-bit integers, so full scale is
+                        # 1 << (bps - 1), NOT the 16-bit 32768 (a 24-bit
+                        # stream would otherwise read 256x over scale)
+                        info = parse_flac_streaminfo(payload)
+                        bps = info[2] if info is not None else 16
+                        decoded = (rate, arr, float(1 << (bps - 1)))
                     except ValueError:
                         if strict:
                             raise

@@ -3,10 +3,16 @@
 Images/audio/video travel through the engine as ``binary`` columns with a
 struct of typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 The Spark-side plumbing (schemas, batching, partition sizing) is real and
-tested; the actual codec calls are STUBBED — image/audio libraries are not
-available in this container. Each stub either raises ``NotImplementedError``
-(``strict=True``) or produces a deterministic fake derived from the payload
-bytes, so pipelines are testable end-to-end.
+tested, and so are most decoders: PNG (incl. Adam7 interlace), BMP, GIF,
+TIFF (baseline), JPEG (baseline + progressive, Huffman), VP8L lossless
+WebP, FLAC, WAV/PCM and MJPEG-in-AVI frames all decode to real pixels /
+samples in pure Python (this module plus operators/{jpeg,vp8l,flac}.py).
+Only the LOSSY codec family remains a plug-in point — arithmetic-coded
+JPEG, lossy VP8/WebP, MP3/AAC sample decode, and non-MJPEG video frames —
+each behind a real container parser that either raises
+``NotImplementedError`` (``strict=True``) or produces a deterministic
+fallback derived from the payload bytes, so pipelines stay testable
+end-to-end.
 """
 
 from __future__ import annotations

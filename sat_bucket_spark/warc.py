@@ -223,10 +223,30 @@ def _open_input(path: str):
     if u.scheme in ("", "file"):
         local = unquote(u.path) if u.scheme == "file" else path
         return open(local, "rb")
+    # Spark's file listings emit Hadoop scheme aliases (s3a://, s3n://,
+    # abfss://) that pyarrow's from_uri does not recognize — translate to
+    # the pyarrow spelling so the common object-store configs keep working
+    aliases = {"s3a": "s3", "s3n": "s3", "abfss": "abfs", "wasb": "abfs", "wasbs": "abfs"}
+    uri = path
+    if u.scheme in aliases:
+        uri = aliases[u.scheme] + path[len(u.scheme):]
+    try:
+        filesystem, p = _filesystem_from_uri(uri)
+    except Exception as exc:
+        raise ValueError(
+            f"cannot open {path!r}: pyarrow FileSystem.from_uri rejected "
+            f"{uri!r} ({exc}); supported schemes are file/s3/s3a/s3n/gs/"
+            "hdfs and (when pyarrow ships Azure support) abfs/abfss"
+        ) from exc
+    return filesystem.open_input_stream(p)
+
+
+def _filesystem_from_uri(uri: str):
+    """pyarrow ``FileSystem.from_uri`` behind a patchable seam (the
+    pyarrow class is a C extension and cannot be monkeypatched)."""
     from pyarrow import fs as _pafs
 
-    filesystem, p = _pafs.FileSystem.from_uri(path)
-    return filesystem.open_input_stream(p)
+    return _pafs.FileSystem.from_uri(uri)
 
 
 _WARC_SCHEMA = (

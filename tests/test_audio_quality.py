@@ -135,3 +135,59 @@ class TestSparkStage:
         assert row["n_samples"] == 800
         # mono mixdown of 300+600 Hz tones: centroid between them
         assert 300 < row["spectral_centroid_hz"] < 700
+
+
+class TestBitDepth:
+    """Non-16-bit FLAC must be measured against ITS OWN full scale
+    (regression: 24-bit streams once read peak~256 / clip_frac~1.0)."""
+
+    @pytest.mark.parametrize("bps", [8, 12, 24])
+    def test_flac_bit_depth_full_scale(self, spark, bps):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_flac import encode_flac
+
+        rate = 16000
+        t = np.arange(800) / rate
+        # half-amplitude tone at the target depth's full scale
+        amp = (1 << (bps - 1)) - 1
+        s = np.round(0.5 * amp * np.sin(2 * np.pi * 440 * t)).astype(np.int64)
+        s16 = np.round(0.5 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int64)
+        df = spark.createDataFrame(
+            [
+                (1, encode_flac([[int(v) for v in s]], sample_rate=rate, bps=bps)),
+                (2, encode_flac([[int(v) for v in s16]], sample_rate=rate, bps=16)),
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in audio_quality_features(df).collect()}
+        # identical RELATIVE signal -> near-identical scale-relative metrics
+        assert rows[1]["peak"] == pytest.approx(0.5, abs=0.01)
+        assert rows[1]["clip_frac"] == 0.0
+        assert rows[1]["rms_db"] == pytest.approx(rows[2]["rms_db"], abs=0.1)
+        assert rows[1]["zcr_hz"] == rows[2]["zcr_hz"]
+
+    def test_metrics_full_scale_param(self):
+        s = np.full((100, 1), 1 << 22, dtype=np.int64)  # half scale at 24-bit
+        m = pcm_quality_metrics(16000, s, full_scale=float(1 << 23))
+        assert m["peak"] == pytest.approx(0.5)
+        assert m["clip_frac"] == 0.0
+
+
+class TestMalformedWav:
+    def test_bad_block_align_yields_null_not_error(self, spark):
+        """block_align smaller than channels*2 must degrade to NULL
+        metrics, not escape mapInPandas as a task failure (ADVICE r6)."""
+        s = tone(440, seconds=0.01)
+        good = wav_bytes(s, 16000)
+        # corrupt block_align: stereo claimed (2 ch) but block_align=2
+        bad = bytearray(wav_bytes(np.stack([s, s], axis=1), 16000))
+        # fmt chunk body starts at byte 20; block_align at offset 12 within
+        bad[20 + 12 : 20 + 14] = (2).to_bytes(2, "little")
+        df = spark.createDataFrame(
+            [(1, good), (2, bytes(bad))], "doc_id long, payload binary"
+        )
+        rows = {r["doc_id"]: r for r in audio_quality_features(df).collect()}
+        assert rows[1]["rms_db"] is not None
+        assert rows[2]["rms_db"] is None  # undecodable -> NULL, no raise

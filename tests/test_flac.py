@@ -190,7 +190,8 @@ def encode_flac(
             w.write(len(channels) - 1, 4)
         else:
             w.write({"left_side": 8, "right_side": 9, "mid_side": 10}[stereo], 4)
-        w.write(4, 3)  # bps 16 (table)
+        # sample-size table code (RFC 9639 s9.1.4): 8/12/16/20/24/32 bits
+        w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
         w.write(0, 1)
         assert fi < 128
         w.write(fi, 8)  # coded frame number, single byte

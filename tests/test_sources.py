@@ -377,3 +377,56 @@ class TestWarcPathsOnly:
         ).collect()[0]
         assert agg["n"] == n
         assert agg["total"] == n * len(payload)
+
+
+class TestOpenInputSchemes:
+    """_open_input must translate Hadoop scheme aliases before pyarrow
+    (regression: s3a:// URIs from Spark's listings hit from_uri raw)."""
+
+    def test_hadoop_aliases_translate(self, monkeypatch):
+        import sat_bucket_spark.warc as warc_mod
+        from sat_bucket_spark.warc import _open_input
+
+        seen = []
+
+        class _FakeFS:
+            def open_input_stream(self, p):
+                return ("stream", p)
+
+        def fake_from_uri(uri):
+            seen.append(uri)
+            return _FakeFS(), uri.split("://", 1)[1]
+
+        monkeypatch.setattr(warc_mod, "_filesystem_from_uri", fake_from_uri)
+        for alias, want in [
+            ("s3a://bkt/a.warc.gz", "s3://bkt/a.warc.gz"),
+            ("s3n://bkt/b.warc", "s3://bkt/b.warc"),
+            ("s3://bkt/c.warc", "s3://bkt/c.warc"),
+            ("abfss://c@acct.dfs.example.com/d.warc", "abfs://c@acct.dfs.example.com/d.warc"),
+            ("gs://bkt/e.warc", "gs://bkt/e.warc"),
+        ]:
+            seen.clear()
+            kind, p = _open_input(alias)
+            assert seen == [want], alias
+            assert kind == "stream" and p == want.split("://", 1)[1]
+
+    def test_unsupported_scheme_names_the_problem(self, monkeypatch):
+        import sat_bucket_spark.warc as warc_mod
+        from sat_bucket_spark.warc import _open_input
+
+        def fake_from_uri(uri):
+            raise OSError("unrecognized filesystem")
+
+        monkeypatch.setattr(warc_mod, "_filesystem_from_uri", fake_from_uri)
+        with pytest.raises(ValueError, match="supported schemes"):
+            _open_input("weird://x/y.warc")
+
+    def test_local_paths_untouched(self, tmp_path):
+        from sat_bucket_spark.warc import _open_input
+
+        f = tmp_path / "x.bin"
+        f.write_bytes(b"abc")
+        with _open_input(str(f)) as fh:
+            assert fh.read() == b"abc"
+        with _open_input(f.as_uri()) as fh:
+            assert fh.read() == b"abc"
