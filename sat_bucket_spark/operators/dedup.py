@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sat_bucket_spark.caching import stage_cache
 from sat_bucket_spark.operators.parallel import ensure_parallelism
 from sat_bucket_spark.operators.hashing import (
     MERSENNE_P,
@@ -394,7 +395,7 @@ def minhash_lsh_dedup_pairs(
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
         shingle_size=shingle_size, seed=seed,
-    ).localCheckpoint(eager=False)  # signatures are tiny; never recompute them
+    ).transform(stage_cache)  # signatures are tiny; never recompute them
     cands = lsh_candidate_pairs(
         sigs, id_col=id_col, n_bands=n_bands, n_hashes=n_hashes, with_estimate=False
     )
@@ -675,7 +676,7 @@ def simhash_near_dup_pairs(
     sigs = (
         add_simhash(df, text_col=text_col, n_bits=n_bits)
         .select(id_col, "simhash")
-        .localCheckpoint(eager=False)
+        .transform(stage_cache)
     )
 
     bands = sigs.select(

@@ -15,9 +15,12 @@ dedup graphs, which are mostly tiny cliques). Compare plain min-label
 propagation, whose round count is the graph DIAMETER: a duplicate chain of
 length 1M takes 1M propagation rounds but ~20 star rounds.
 
-Every round materializes via ``localCheckpoint`` — mandatory for iterative
-DataFrame algorithms: without it the lineage (and the Catalyst plan) doubles
-per round and planning goes exponential. Convergence is detected with one
+Every round materializes eagerly via the stage-cache policy (caching.py;
+default ``localCheckpoint``) — mandatory for iterative DataFrame
+algorithms: without it the lineage (and the Catalyst plan) doubles per
+round and planning goes exponential. On clusters with preemption, switch
+to ``reliable_checkpoint`` (caching.set_stage_cache_mode) so a lost
+executor recomputes instead of killing the loop. Convergence is detected with one
 cheap aggregate per round (edge count + order-independent hash sum), not a
 full self-join diff.
 
@@ -30,6 +33,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from sat_bucket_spark.caching import stage_cache
+
+
+def _eager_cache(df: DataFrame) -> DataFrame:
+    """Round-boundary materialization for the iterative loop: each
+    round's plan must be bounded, so this is EAGER under every policy
+    (persist mode still re-reads cached blocks but cannot truncate
+    lineage -- see caching.py for the executor-loss trade)."""
+    return stage_cache(df, eager=True)
 
 __all__ = ["connected_components", "near_duplicate_clusters"]
 
@@ -132,7 +145,7 @@ def connected_components(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(_eager_cache)
     )
 
     def _fingerprint(df: DataFrame) -> tuple:
@@ -162,7 +175,7 @@ def connected_components(
         return edges.sparkSession.createDataFrame(assignment, schema=schema)
 
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).transform(_eager_cache)
         cur = _fingerprint(e)
         if cur == prev:
             break

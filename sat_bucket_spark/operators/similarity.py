@@ -16,6 +16,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sat_bucket_spark.caching import stage_cache
+
 __all__ = [
     "brute_force_topk",
     "cosine_expr",
@@ -221,7 +223,7 @@ def lsh_near_dup_pairs(
                 out="__lsh_b", seed=seed + band,
             )
             .select(id_col, "__lsh_b")
-            .localCheckpoint(eager=False)
+            .transform(stage_cache)
         )
         a = sig.select(F.col(id_col).alias("id_a"), "__lsh_b")
         b = sig.select(F.col(id_col).alias("id_b"), "__lsh_b")
@@ -978,12 +980,12 @@ def lsh_dedup_against(
         sb = (
             random_hyperplane_signature(batch, **kw)
             .select(F.col(id_col).alias("__bid"), "__lsh_b")
-            .localCheckpoint(eager=False)
+            .transform(stage_cache)
         )
         sc = (
             random_hyperplane_signature(corpus, **kw)
             .select(F.col(id_col).alias("__cid"), "__lsh_b")
-            .localCheckpoint(eager=False)
+            .transform(stage_cache)
         )
         pairs = sb.join(sc, "__lsh_b").select("__bid", "__cid")
         cand = pairs if cand is None else cand.unionByName(pairs)

@@ -1,0 +1,102 @@
+"""Stage-cache policy: all three modes must produce identical results.
+
+The knob exists for cluster fault tolerance (caching.py module docstring);
+it must never change semantics. Exercises the two structurally different
+consumers: a multi-branch LSH dedup (signatures referenced 4x) and the
+iterative connected-components loop (eager round-boundary materialization).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sat_bucket_spark.caching import (
+    STAGE_CACHE_MODES,
+    get_stage_cache_mode,
+    set_stage_cache_mode,
+    stage_cache,
+    stage_cache_mode,
+)
+
+
+def _docs(spark):
+    rows = [
+        (i, f"the quick brown fox jumps over dog number {i % 7} again and again")
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs_result(spark):
+    from sat_bucket_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+    return sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_dedup_pairs(
+            _docs(spark), n_hashes=8, n_bands=4, min_jaccard=0.5
+        ).collect()
+    )
+
+
+def _components_result(spark):
+    from sat_bucket_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6), (100, 100)],
+        "src long, dst long",
+    )
+    cc = connected_components(edges, driver_threshold=0)  # force distributed
+    return sorted((r["node"], r["component"]) for r in cc.collect())
+
+
+class TestModesAgree:
+    def test_lsh_dedup_identical_across_modes(self, spark, tmp_path):
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        baseline = None
+        for mode in STAGE_CACHE_MODES:
+            with stage_cache_mode(mode):
+                got = _pairs_result(spark)
+            if baseline is None:
+                baseline = got
+                assert baseline  # non-vacuous: the fixture has near-dups
+            else:
+                assert got == baseline, mode
+
+    def test_connected_components_identical_across_modes(self, spark, tmp_path):
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        baseline = None
+        for mode in STAGE_CACHE_MODES:
+            with stage_cache_mode(mode):
+                got = _components_result(spark)
+            if baseline is None:
+                baseline = got
+                assert len({c for _, c in baseline}) > 1
+            else:
+                assert got == baseline, mode
+
+
+class TestKnob:
+    def test_default_and_validation(self):
+        assert get_stage_cache_mode() == "local_checkpoint"
+        with pytest.raises(ValueError, match="stage-cache mode"):
+            set_stage_cache_mode("nope")
+        with stage_cache_mode("persist"):
+            assert get_stage_cache_mode() == "persist"
+        assert get_stage_cache_mode() == "local_checkpoint"
+
+    def test_reliable_requires_checkpoint_dir(self, spark):
+        # a fresh session scope may or may not carry a dir from other tests;
+        # only assert the error path when none is set
+        if spark.sparkContext.getCheckpointDir() is not None:
+            pytest.skip("checkpoint dir already set in this shared session")
+        df = spark.range(5)
+        with stage_cache_mode("reliable_checkpoint"):
+            with pytest.raises(RuntimeError, match="checkpoint directory"):
+                stage_cache(df)
+
+    def test_persist_eager_materializes(self, spark):
+        with stage_cache_mode("persist"):
+            out = stage_cache(spark.range(10), eager=True)
+            assert out.storageLevel.useMemory
+            assert out.count() == 10
+            out.unpersist()
