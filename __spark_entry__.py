@@ -1154,6 +1154,26 @@ def q_image_decontaminate(spark, sf_dir):
     return image_decontaminate(train, eval_df, max_hamming=6, n_bands=8)
 
 
+def q_image_dedup(spark, sf_dir):
+    """Keep-first image dedup over collapsed distinct signatures.
+
+    The scale-safe counterpart of image_near_dup: identical dhashes
+    collapse to (representative, count) BEFORE the banded join, so the
+    shared doc_id%50 pictures (exact clusters under dhash's brightness
+    invariance) enter the self-join once each. Semantics are keep-min-id:
+    a row survives iff no smaller-id row is within 6 hash bits. The
+    oracle replays the rule brute-force over relationally recomputed
+    hashes. operators/imagehash.py:image_dedup."""
+    from sat_bucket_spark.operators.imagehash import image_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return image_dedup(
+        docs.withColumn("payload", _bmp_payload_expr()),
+        max_hamming=6,
+        n_bands=8,
+    )
+
+
 def q_audio_segments(spark, sf_dir):
     """Multimodal audio segmentation over REAL in-plan WAV payloads.
 
@@ -2746,6 +2766,52 @@ SELECT doc_id,
   min_hamming IS NOT NULL AS is_contaminated,
   CAST(min_hamming AS INTEGER) AS min_hamming
 FROM verdict
+""",
+    # Keep-first image dedup: brute-force keep-min-id over the same hashes
+    "image_dedup": """
+WITH px AS (
+  SELECT d.doc_id, gy.y AS y, gx.x AS x,
+    ((gx.x*7 + gy.y*13 + (d.doc_id % 50)*29) % 200 + (d.doc_id*37) % 11) AS v
+  FROM documents d, generate_series(0, 15) gy(y), generate_series(0, 17) gx(x)
+),
+blocks AS (
+  SELECT doc_id, y // 2 AS gi, x // 2 AS gj, SUM(v) AS s
+  FROM px GROUP BY doc_id, y // 2, x // 2
+),
+bits AS (
+  SELECT a.doc_id, a.gi, a.gj,
+    CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+  FROM blocks a JOIN blocks b
+    ON a.doc_id = b.doc_id AND a.gi = b.gi AND b.gj = a.gj + 1
+  WHERE a.gj < 8
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(
+      (CASE WHEN MAX(CASE WHEN gi = 0 AND gj = 0 THEN bit END) = 1
+            THEN -9223372036854775808::HUGEINT ELSE 0::HUGEINT END)
+      + SUM(CASE WHEN NOT (gi = 0 AND gj = 0)
+                 THEN bit * (1::HUGEINT << (63 - (gi*8 + gj)))
+                 ELSE 0::HUGEINT END)
+      AS BIGINT) AS phash
+  FROM bits GROUP BY doc_id
+),
+groups AS (
+  SELECT phash, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+  FROM hashes GROUP BY phash
+),
+neigh AS (
+  SELECT a.phash, MIN(b.rep_id) AS min_nbr_rep
+  FROM groups a JOIN groups b
+    ON a.phash != b.phash AND bit_count(xor(a.phash, b.phash)) <= 6
+  GROUP BY a.phash
+)
+SELECT h.doc_id, h.phash, g.n_copies,
+  (h.doc_id = g.rep_id
+   AND (n.min_nbr_rep IS NULL OR n.min_nbr_rep > h.doc_id)) AS kept
+FROM hashes h
+JOIN groups g ON h.phash = g.phash
+LEFT JOIN neigh n ON n.phash = h.phash
 """,
     # EXIF: replay the md5 orientation derivation and the public
     # orientation->(rotation, mirror) transform table (EXIF 2.x tag 0x0112)
@@ -4767,6 +4833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
         "image_decontaminate": q_image_decontaminate,
+        "image_dedup": q_image_dedup,
         "bpe_token_count": q_bpe_token_count,
         "rolling_fingerprint": q_rolling_fingerprint,
         "rolling_stats": q_rolling_stats,

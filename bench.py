@@ -91,6 +91,7 @@ HEADLINE = [
     "url_filter",          # URL-level crawl rules, row-local regex flags (added r5)
     "image_dhash",         # in-plan BMP decode + perceptual hash, map-only (added r6)
     "image_near_dup",      # banded perceptual-hash join, ids-only shuffle (added r6)
+    "image_dedup",         # keep-first: distinct-signature banding, cluster-size-proof (added r7)
     "audio_quality",       # real-PCM quality gate incl. FFT spectral shape (added r6)
     "exif_meta",           # JPEG APP1/TIFF walk, both byte orders, map-only (added r6)
 ]

@@ -36,11 +36,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sat_bucket_spark.caching import stage_cache
+
 __all__ = [
     "ahash_bits",
     "dhash_bits",
     "phash_bits",
     "image_decontaminate",
+    "image_dedup",
     "image_hash_table",
     "image_near_dup_pairs",
 ]
@@ -236,7 +239,7 @@ def image_near_dup_pairs(
         )
         .where(F.col("phash").isNotNull())
         .select(id_col, "phash")
-        .localCheckpoint(eager=False)
+        .transform(stage_cache)
     )
     bands = sigs.select(
         F.col(id_col),
@@ -351,7 +354,7 @@ def image_decontaminate(
             ).alias("band"),
         ).select(id_col, "phash", "band.band_idx", "band.band_bits")
 
-    train_sigs = hashes(train).localCheckpoint(eager=False)
+    train_sigs = stage_cache(hashes(train))
     eval_sigs = hashes(eval_df)
     eval_bands = bands(eval_sigs).select("band_idx", "band_bits").distinct()
     # the hash RIDES the band explode, so candidates need no rejoin (and
@@ -386,5 +389,119 @@ def image_decontaminate(
             id_col,
             F.col("min_hamming").isNotNull().alias("is_contaminated"),
             "min_hamming",
+        )
+    )
+
+
+def image_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "dhash",
+    hash_size: int = 8,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Keep-first image dedup: one survivor per perceptual-duplicate set.
+
+    The scale-safe posture for heavy duplicate clusters — a crawl's
+    boilerplate image repeated 10^6 times makes the PAIR list
+    (:func:`image_near_dup_pairs`) quadratic by definition, but the
+    keep-first verdict never needs the pairs: identical hashes collapse
+    FIRST (one groupBy bounded by distinct-signature count), the banded
+    near-dup join runs over DISTINCT signatures only, and verdicts expand
+    back to rows by a hash equi-join. A 10^6-copy cluster costs one
+    aggregate row instead of ~5x10^11 pairs.
+
+    Semantics (keep-min-id, SQL-checkable): a row is ``kept`` iff no row
+    with a smaller id is within ``max_hamming`` perceptual-hash bits of
+    it (identical hashes count: only the minimum id of each exact-hash
+    group can survive). Because "exists a smaller-id row with signature
+    s'" is exactly "min_id(s') < id", the whole verdict is computable on
+    the collapsed signature table. Banding keeps the neighbor search
+    exact (pigeonhole, as in :func:`image_near_dup_pairs`).
+
+    Returns ``(id, phash, n_copies, kept)`` for every DECODABLE image:
+    ``n_copies`` = rows sharing the exact hash, ``kept`` the verdict.
+    Undecodable payloads are absent — route them by metadata.
+    """
+    n_bits = hash_size * hash_size
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands ({n_bands}) must exceed max_hamming ({max_hamming}) "
+            "for the banding recall guarantee"
+        )
+    if n_bits % n_bands:
+        raise ValueError(
+            f"hash width ({n_bits}) must be divisible by n_bands ({n_bands})"
+        )
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+
+    sigs = stage_cache(
+        image_hash_table(
+            df, id_col=id_col, payload_col=payload_col,
+            method=method, hash_size=hash_size,
+        )
+        .where(F.col("phash").isNotNull())
+        .select(id_col, "phash")
+    )
+    # the ONLY row-count-sized shuffle: collapse exact duplicates. All
+    # later work is bounded by the distinct-signature count.
+    groups = stage_cache(
+        sigs.groupBy("phash").agg(
+            F.min(id_col).alias("__rep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    bands = groups.select(
+        "phash",
+        "__rep_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        (
+                            F.shiftright(F.col("phash"), b * width)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("phash", "__rep_id", "band.band_idx", "band.band_bits")
+    a = bands.select("band_idx", "band_bits", "phash")
+    b = bands.select(
+        "band_idx", "band_bits",
+        F.col("phash").alias("__nbr_hash"), F.col("__rep_id").alias("__nbr_rep"),
+    )
+    # both hashes ride the band join, so the verify is inline (no rejoin);
+    # the min() absorbs multi-band duplicate candidates
+    neighbors = (
+        a.join(b, on=["band_idx", "band_bits"])
+        .where(F.col("phash") != F.col("__nbr_hash"))
+        .where(
+            F.bit_count(F.col("phash").bitwiseXOR(F.col("__nbr_hash")))
+            <= F.lit(max_hamming)
+        )
+        .groupBy("phash")
+        .agg(F.min("__nbr_rep").alias("__min_nbr_rep"))
+    )
+    return (
+        sigs.join(groups, "phash")
+        .join(neighbors, "phash", "left")
+        .select(
+            id_col,
+            "phash",
+            "n_copies",
+            (
+                (F.col(id_col) == F.col("__rep_id"))
+                & (
+                    F.col("__min_nbr_rep").isNull()
+                    | (F.col("__min_nbr_rep") > F.col(id_col))
+                )
+            ).alias("kept"),
         )
     )

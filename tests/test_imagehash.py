@@ -301,3 +301,97 @@ class TestImageDecontaminate:
         assert "BroadcastHashJoin" in plan       # band probe
         assert "BroadcastNestedLoopJoin" in plan  # hamming verify
         assert plan.count("SortMergeJoin") <= 1   # verdict attach only
+
+
+class TestImageDedup:
+    """Keep-first dedup: verdicts must equal the brute-force keep-min-id
+    rule over the SAME hashes, and heavy clusters must collapse before
+    the band join (the scale posture the pair list cannot offer)."""
+
+    def _rows(self):
+        base = rng_rgb(32, 32, 40)
+        noisy = base.copy()
+        noisy[3, 3] = 255 - noisy[3, 3]
+        rows = []
+        # a planted 5-copy exact cluster (ids 100..104), one near copy
+        for i in range(5):
+            rows.append((100 + i, bmp_bytes(base)))
+        rows.append((200, bmp_bytes(noisy)))
+        rows.append((201, b"not an image"))
+        rows += [(300 + i, bmp_bytes(rng_rgb(32, 32, 60 + i))) for i in range(6)]
+        return rows
+
+    def test_matches_brute_force_keep_min_id(self, spark):
+        from sat_bucket_spark.operators.imagehash import image_dedup
+
+        df = spark.createDataFrame(self._rows(), "doc_id long, payload binary")
+        got = {
+            r["doc_id"]: (r["phash"], r["n_copies"], r["kept"])
+            for r in image_dedup(df, max_hamming=6, n_bands=8).collect()
+        }
+        hs = {
+            r["doc_id"]: r["phash"]
+            for r in image_hash_table(df).collect()
+            if r["phash"] is not None
+        }
+        assert set(got) == set(hs)  # undecodable 201 absent
+        for x, hx in hs.items():
+            want_kept = not any(
+                a < x and hamming(hx & ((1 << 64) - 1), ha & ((1 << 64) - 1)) <= 6
+                for a, ha in hs.items()
+                if a != x
+            )
+            phash, n_copies, kept = got[x]
+            assert phash == hx
+            assert n_copies == sum(1 for h in hs.values() if h == hx)
+            assert kept == want_kept, x
+        # the planted cluster: only id 100 survives; the near copy 200
+        # is within 6 bits of id 100 so it dies too
+        assert got[100][2] is True
+        for i in range(101, 105):
+            assert got[i][2] is False
+        assert got[100][1] == 5
+        assert got[200][2] is False
+
+    def test_survivor_set_consistent_with_pair_list(self, spark):
+        """kept(x) == no pair (a, x) with a < x in image_near_dup_pairs."""
+        from sat_bucket_spark.operators.imagehash import image_dedup
+
+        df = spark.createDataFrame(self._rows(), "doc_id long, payload binary")
+        kept = {
+            r["doc_id"]: r["kept"]
+            for r in image_dedup(df, max_hamming=6, n_bands=8).collect()
+        }
+        dominated = {
+            r["id_b"] for r in image_near_dup_pairs(df, max_hamming=6).collect()
+        }
+        for doc_id, k in kept.items():
+            assert k == (doc_id not in dominated), doc_id
+
+    def test_band_join_sees_distinct_signatures_only(self, spark):
+        """The scale claim, checked on the plan: both band-explode sides
+        hang off the COLLAPSED group table (phash, __rep_id, n_copies) —
+        never the row-level (doc_id, phash) table — so a 10^6-copy
+        cluster enters the band self-join exactly once."""
+        from sat_bucket_spark.operators.imagehash import image_dedup
+
+        df = spark.createDataFrame(self._rows(), "doc_id long, payload binary")
+        plan = image_dedup(df)._jdf.queryExecution().optimizedPlan().toString()
+        # the neighbor subtree is everything under the min(__nbr_rep)
+        # aggregate; doc_id must never appear inside it (rows would be
+        # self-joining), and its two explode sides must read __rep_id
+        idx = plan.find("min(__nbr_rep")
+        assert idx > 0, plan
+        neighbor_subtree = plan[idx:]
+        assert "doc_id" not in neighbor_subtree, neighbor_subtree
+        assert neighbor_subtree.count("Generate explode") == 2
+        assert "__rep_id" in neighbor_subtree
+
+    def test_validation(self, spark):
+        from sat_bucket_spark.operators.imagehash import image_dedup
+
+        df = spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
+        with pytest.raises(ValueError, match="must exceed"):
+            image_dedup(df, max_hamming=8, n_bands=8)
+        with pytest.raises(ValueError, match="divisible"):
+            image_dedup(df, hash_size=7, n_bands=8)
