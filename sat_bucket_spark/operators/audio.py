@@ -23,8 +23,10 @@ Per-document output of :func:`audio_quality_features`:
   bandlimited upsampled fakes (rolloff far below Nyquist).
 
 Scale shape: Arrow-batched ``mapInPandas``, map-only, no shuffle; the
-same stage contract as every multimodal operator. Lossy audio stays the
-documented codec plug-in point.
+same stage contract as every multimodal operator. Lossy audio decodes
+through the optional soundfile adapter when installed
+(operators/codec_adapters.py); otherwise it stays the documented codec
+plug-in point.
 """
 
 from __future__ import annotations
@@ -126,8 +128,8 @@ def audio_quality_features(
 ) -> DataFrame:
     """Per-clip quality signals from real PCM (WAV/PCM16 or FLAC inputs).
 
-    Undecodable payloads yield NULL metrics (``strict=True`` raises —
-    lossy audio is the ffmpeg plug-in point). Output schema: id + the
+    Undecodable payloads yield NULL metrics (``strict=True`` raises);
+    lossy audio decodes via the optional soundfile adapter when present. Output schema: id + the
     ten metric columns (module docstring); the id dtype follows the
     input schema.
     """
@@ -169,12 +171,21 @@ def audio_quality_features(
                         if strict:
                             raise
                         decoded = None  # corrupt stream: NULL metrics
+                if decoded is None and payload is not None:
+                    # lossy/other formats: the optional soundfile adapter
+                    # (codec_adapters.py) closes the gap when installed
+                    from sat_bucket_spark.operators.codec_adapters import (
+                        soundfile_decode_audio,
+                    )
+
+                    decoded = soundfile_decode_audio(payload)
                 ids.append(doc_id)
                 if decoded is None:
                     if strict:
                         raise NotImplementedError(
-                            "payload is not PCM16 WAV or FLAC; lossy audio "
-                            "needs ffmpeg, unavailable here"
+                            "payload is not PCM16 WAV or FLAC and the "
+                            "optional soundfile adapter is unavailable "
+                            "or could not decode it"
                         )
                     for name, _ in _QUALITY_FIELDS:
                         rows[name].append(None)

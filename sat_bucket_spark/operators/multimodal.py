@@ -748,30 +748,36 @@ def decode_image_pixels(payload: bytes | None) -> "np.ndarray | None":
     Huffman + IDCT incl. Annex-G progressive scans, see operators/jpeg.py,
     validated against javax.imageio to ~3/255; VP8L prefix codes + LZ77 +
     spatial transforms, operators/vp8l.py, validated by encoder round
-    trips + spec fixtures). Arithmetic-coded JPEG and lossy VP8 (DCT +
-    boolean arithmetic coder) stay behind the documented
-    ``NotImplementedError`` plug-in points (libjpeg/libwebp class
-    decoders).
+    trips + spec fixtures). When the pure-Python path cannot decode
+    (arithmetic-coded JPEG, lossy VP8, or an unknown container), the
+    optional PIL adapter (operators/codec_adapters.py) is tried before
+    giving up — so installing Pillow closes the lossy gap with no API
+    change; without it those payloads return None as before.
     """
     if payload is None:
         return None
+    px = None
     if payload.startswith(_PNG_SIG):
-        return decode_png_pixels(payload)
-    if payload.startswith(b"BM"):
-        return decode_bmp_pixels(payload)
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif_pixels(payload)
-    if payload.startswith(b"\xff\xd8"):
+        px = decode_png_pixels(payload)
+    elif payload.startswith(b"BM"):
+        px = decode_bmp_pixels(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        px = decode_gif_pixels(payload)
+    elif payload.startswith(b"\xff\xd8"):
         from sat_bucket_spark.operators.jpeg import decode_jpeg_pixels
 
-        return decode_jpeg_pixels(payload)
-    if payload[0:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        px = decode_jpeg_pixels(payload)
+    elif payload[0:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from sat_bucket_spark.operators.vp8l import decode_webp_pixels
 
-        return decode_webp_pixels(payload)
-    if payload[0:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
-        return decode_tiff_pixels(payload)
-    return None
+        px = decode_webp_pixels(payload)
+    elif payload[0:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        px = decode_tiff_pixels(payload)
+    if px is not None:
+        return px
+    from sat_bucket_spark.operators.codec_adapters import pil_decode_image_pixels
+
+    return pil_decode_image_pixels(payload)
 
 
 def parse_image_header(payload: bytes | None) -> tuple[int, int, int] | None:

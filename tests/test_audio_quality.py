@@ -121,7 +121,7 @@ class TestSparkStage:
 
     def test_strict_raises_on_lossy(self, spark):
         df = spark.createDataFrame([(1, b"ID3junk")], "doc_id long, payload binary")
-        with pytest.raises(Exception, match="lossy audio"):
+        with pytest.raises(Exception, match="soundfile adapter"):
             audio_quality_features(df, strict=True).collect()
 
     def test_stereo_wav(self, spark):
@@ -178,7 +178,13 @@ class TestBitDepth:
 class TestMalformedWav:
     def test_bad_block_align_yields_null_not_error(self, spark):
         """block_align smaller than channels*2 must degrade to NULL
-        metrics, not escape mapInPandas as a task failure (ADVICE r6)."""
+        metrics, not escape mapInPandas as a task failure (ADVICE r6).
+        (With the optional soundfile adapter installed the payload may
+        be salvaged instead — skip there.)"""
+        from sat_bucket_spark.operators.codec_adapters import soundfile_available
+
+        if soundfile_available():
+            pytest.skip("soundfile adapter salvages the malformed WAV")
         s = tone(440, seconds=0.01)
         good = wav_bytes(s, 16000)
         # corrupt block_align: stereo claimed (2 ch) but block_align=2
