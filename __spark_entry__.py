@@ -842,6 +842,24 @@ def q_simhash_near_dup(spark, sf_dir):
     return simhash_near_dup_pairs(nonempty, n_bits=24, max_hamming=3, n_bands=4)
 
 
+def q_simhash_dedup(spark, sf_dir):
+    """Keep-first SimHash dedup over collapsed distinct signatures.
+
+    The scale-safe counterpart of simhash_near_dup (whose pair list is
+    quadratic in cluster size): identical signatures collapse to
+    (min-id representative, count) before the banded neighbor search,
+    which runs over DISTINCT signatures only. Keep-min-id semantics; the
+    oracle replays the rule brute-force over the same relationally
+    recomputed signatures. operators/dedup.py:simhash_dedup /
+    keep_first_by_signature."""
+    from sat_bucket_spark.operators.dedup import simhash_dedup
+    from sat_bucket_spark.operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    nonempty = docs.where(F.size(tokens_expr("text")) > 0)
+    return simhash_dedup(nonempty, n_bits=24, max_hamming=3, n_bands=4)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Dedup: exact all-pairs n-gram Jaccard (the small-scale oracle).
 
@@ -3155,6 +3173,25 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
+    "simhash_dedup": f"""
+WITH sh AS ({_simhash_sql(24)}),
+groups AS (
+  SELECT simhash, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+  FROM sh GROUP BY simhash
+),
+neigh AS (
+  SELECT a.simhash, MIN(b.rep_id) AS min_nbr_rep
+  FROM groups a JOIN groups b
+    ON a.simhash != b.simhash AND bit_count(xor(a.simhash, b.simhash)) <= 3
+  GROUP BY a.simhash
+)
+SELECT h.doc_id, h.simhash, g.n_copies,
+  (h.doc_id = g.rep_id
+   AND (n.min_nbr_rep IS NULL OR n.min_nbr_rep > h.doc_id)) AS kept
+FROM sh h
+JOIN groups g ON h.simhash = g.simhash
+LEFT JOIN neigh n ON n.simhash = h.simhash
+""",
     "ngram_jaccard": f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -4909,6 +4946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "pq_topk": q_pq_topk,
         "simhash": q_simhash,
+        "simhash_dedup": q_simhash_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "dedup_against_bloom": q_dedup_against_bloom,

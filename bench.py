@@ -66,6 +66,7 @@ HEADLINE = [
     "dup_clusters",        # iterative star-round connected components (added r2)
     "seq_pack",            # applyInPandas greedy packing recurrence (added r2)
     "simhash_near_dup",    # banded hamming join, exact-recall scale path (added r2)
+    "simhash_dedup",       # keep-first over collapsed distinct signatures (added r7)
     "embedding_topk",      # broadcast cross + window topk (exactness baseline)
     "ivf_topk",            # IVF ANN (scale path; added r2)
     "pq_topk",             # PQ ADC ANN: codes-only scan, LUT ranking (added r3)

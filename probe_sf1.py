@@ -1,0 +1,253 @@
+#!/usr/bin/env python
+"""sf1 scaling probe: catch super-linear behavior the sf0.1 bench can't see.
+
+The driver ships testdata up to sf0.1 only, so this probe synthesizes an
+sf1-EQUIVALENT corpus by replicating the sf0.1 tables ``--replicas`` times
+(default 10) with id remapping (copy i shifts ids by i * stride), then runs
+the flagship COMPOSED keys once cold and once warm, reporting the warm
+reading. One JSON line, mirroring bench.py's contract:
+
+  {"metric": "probe_total_sec", "value": N, "unit": "sec",
+   "queries": {...}, "replicas": R, "base_sf": 0.1}
+
+Caveats, by design (record them with the readings in BASELINE.md):
+
+- Replication makes every document an exact R-copy duplicate, so dedup
+  keys measure their WORST-CASE posture (every span duplicated, every
+  image cluster R x bigger) — that is the point: quadratic pair growth or
+  a skew-fragile flag join shows up here, not at sf0.1.
+- ``image_near_dup`` pair volume grows ~R^2 on the planted clusters
+  (semantics are "all pairs"); ``image_dedup`` on the same data is the
+  scale path and should grow ~R. The probe runs both so BASELINE.md can
+  show the divergence.
+- wet_curate / bucket stages mirror bench.py's composed pipelines
+  (same library calls); the fixture build is outside the timed window.
+
+Usage: python probe_sf1.py [--replicas 10] [--keys k1,k2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from sat_bucket_spark.session import get_spark  # noqa: E402
+
+DEFAULT_KEYS = [
+    "dup_spans_hashed",
+    "image_near_dup",
+    "image_dedup",
+    "wet_curate",
+    "bucket_write",
+    "bucket_merge",
+]
+
+
+def _materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _release(spark):
+    spark.catalog.clearCache()
+    for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+        rdd.unpersist()
+
+
+def replicate_table(spark, src_dir, out_dir, table, id_col, replicas):
+    df = spark.read.parquet(os.path.join(src_dir, f"{table}.parquet"))
+    if id_col is None:
+        scaled = df
+        for _ in range(replicas - 1):
+            scaled = scaled.unionByName(df)
+    else:
+        stride = df.agg(F.max(id_col)).collect()[0][0] + 1
+        parts = [
+            df.withColumn(id_col, (F.col(id_col) + F.lit(i * stride)).cast("long"))
+            for i in range(replicas)
+        ]
+        scaled = parts[0]
+        for p in parts[1:]:
+            scaled = scaled.unionByName(p)
+    scaled.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
+
+
+def timed_entry(spark, name, sf_dir):
+    fn = entry_mod.queries()[name]
+    _materialize(fn(spark, sf_dir))  # cold
+    _release(spark)
+    t0 = time.perf_counter()
+    _materialize(fn(spark, sf_dir))
+    sec = round(time.perf_counter() - t0, 3)
+    _release(spark)
+    return sec
+
+
+def wet_curate_stage(spark, sf_dir, workdir):
+    """Mirrors bench.py's wet_curate stage verbatim (same library calls,
+    same funnel) at the scaled corpus; the crawl fixture is built OUTSIDE
+    the timed window. Single shot — the stage's cost is its two writes
+    plus the funnel, not JVM warmup (the probe session is already warm)."""
+    from sat_bucket_spark.operators.dedup import remove_duplicate_spans
+    from sat_bucket_spark.operators.metrics import observe_funnel
+    from sat_bucket_spark.operators.text import gopher_quality_flags
+    from sat_bucket_spark.operators.urls import url_quality_flags
+    from sat_bucket_spark.warc import build_warc_bytes, read_wet
+    from sat_bucket_spark.writers import write_jsonl_shards
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    crawl = os.path.join(workdir, "crawl")
+    os.makedirs(crawl, exist_ok=True)
+    fixture = docs.select(
+        "doc_id",
+        F.concat("text", F.lit(" wetdoc"), F.col("doc_id")).alias("text"),
+        F.concat(
+            F.lit("http://"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("spam.example"))
+            .otherwise(F.concat(F.lit("host"), F.col("doc_id") % 13, F.lit(".example"))),
+            F.lit("/d"), "doc_id",
+        ).alias("url"),
+    ).collect()
+    n_fixture = len(fixture)
+    n_segments = 32  # sf1-scale crawl: more segments, same per-file size class
+    for s in range(n_segments):
+        recs = [
+            {
+                "type": "conversion",
+                "payload": r["text"].encode(),
+                "WARC-Target-URI": r["url"],
+                "WARC-Date": "2026-08-01T00:00:00Z",
+            }
+            for i, r in enumerate(fixture)
+            if i % n_segments == s
+        ]
+        with open(os.path.join(crawl, f"seg-{s}.warc.gz"), "wb") as fh:
+            fh.write(build_warc_bytes(recs, gzip_members=True))
+
+    staging = os.path.join(workdir, "staged")
+    export = os.path.join(workdir, "export")
+    t0 = time.perf_counter()
+    read_wet(spark, crawl).write.parquet(staging)
+    staged = spark.read.parquet(staging)
+    funnel = observe_funnel(
+        staged,
+        [
+            (
+                "quality",
+                lambda d: gopher_quality_flags(
+                    d, min_words=20, min_stopword_hits=1,
+                    passthrough=("url", "text"),
+                ).where("keep").select("doc_id", "url", "text"),
+            ),
+            (
+                "url",
+                lambda d: url_quality_flags(
+                    d, blocked_domains=("spam.example",),
+                    passthrough=("text",),
+                ).where("keep").select("doc_id", "url", "text"),
+            ),
+            (
+                "dup_spans",
+                lambda d: remove_duplicate_spans(
+                    d, k=4, min_count=2, removed_count_col="n_removed"
+                ),
+            ),
+        ],
+    )
+    write_jsonl_shards(funnel.df, export, n_shards=8, compression=None)
+    sec = round(time.perf_counter() - t0, 3)
+    counts = funnel.counts()
+    if counts["input"] != n_fixture:
+        raise AssertionError(f"wet ingest lost rows: {counts} != {n_fixture}")
+    if not (counts["input"] >= counts["quality"] >= counts["url"]):
+        raise AssertionError(f"funnel not monotone: {counts}")
+    return sec
+
+
+def bucket_stages(spark, sf_dir, workdir):
+    from sat_bucket_spark import (
+        LonLatPartitioning,
+        merge_granule_buckets,
+        write_bucket,
+    )
+
+    ev = entry_mod._with_coords(entry_mod._events(spark, sf_dir)).withColumnRenamed(
+        "ts", "time"
+    )
+    p = LonLatPartitioning(size=(10, 10))
+    bucket = os.path.join(workdir, "bucket")
+    merged = os.path.join(workdir, "merged")
+    t0 = time.perf_counter()
+    write_bucket(ev, bucket, p, x="lon", y="lat")
+    w = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    merge_granule_buckets(spark, bucket, merged, temporal_partitioning="month")
+    m = round(time.perf_counter() - t0, 3)
+    return w, m
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--keys", type=str, default=",".join(DEFAULT_KEYS))
+    args = ap.parse_args()
+    keys = [k for k in args.keys.split(",") if k]
+
+    base = os.environ["SPARK_GRAFT_SF_DIR"]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="sat-bucket-spark-probe-sf1",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if str(cpus).isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="probe_sf1_")
+    timings: dict[str, float] = {}
+    try:
+        scaled = os.path.join(work, "scaled")
+        replicate_table(spark, base, scaled, "documents", "doc_id", args.replicas)
+        replicate_table(spark, base, scaled, "events", None, args.replicas)
+
+        for name in keys:
+            if name == "wet_curate":
+                timings[name] = wet_curate_stage(
+                    spark, scaled, os.path.join(work, "wet")
+                )
+            elif name in ("bucket_write", "bucket_merge"):
+                if "bucket_write" in timings or "bucket_merge" in timings:
+                    continue
+                w, m = bucket_stages(spark, scaled, os.path.join(work, "bucket"))
+                timings["bucket_write"], timings["bucket_merge"] = w, m
+            else:
+                timings[name] = timed_entry(spark, name, scaled)
+            _release(spark)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "probe_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "replicas": args.replicas,
+                "base_sf": 0.1,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

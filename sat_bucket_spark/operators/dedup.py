@@ -56,6 +56,8 @@ __all__ = [
     "remove_repeated_paragraphs",
     "resolve_duplicates",
     "shingles_expr",
+    "keep_first_by_signature",
+    "simhash_dedup",
     "simhash_near_dup_pairs",
     "token_windows_expr",
     "unit_windows_expr",
@@ -1564,3 +1566,126 @@ def edit_distance_pairs(
         .select("id_a", "id_b", "dist")
     )
     return verified
+
+
+def keep_first_by_signature(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    n_bits: int = 64,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Keep-first verdicts over any integer bit-signature column — the
+    shared engine behind :func:`simhash_dedup` and
+    ``imagehash.image_dedup``.
+
+    The pair list (:func:`simhash_near_dup_pairs` shape) is quadratic in
+    duplicate-cluster size; the keep-first verdict never needs pairs:
+
+    1. identical signatures collapse to (representative = min id, count)
+       — the ONLY row-count-sized shuffle;
+    2. the exact banded neighbor search (pigeonhole: ``n_bands >
+       max_hamming``) runs over DISTINCT signatures only, both hash and
+       representative riding the band explode (verify inline, no rejoin);
+    3. verdicts expand back to rows by a signature equi-join.
+
+    A row is ``kept`` iff no row with a smaller id is within
+    ``max_hamming`` bits — because "exists a smaller-id row with
+    signature s'" is exactly "min_id(s') < id", the verdict is computable
+    on the collapsed table. Returns ``(id, sig, n_copies, kept)``; NULL
+    signatures must be filtered by the caller.
+    """
+    from sat_bucket_spark.caching import stage_cache
+
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands ({n_bands}) must exceed max_hamming ({max_hamming}) "
+            "for the banding recall guarantee"
+        )
+    if n_bits % n_bands:
+        raise ValueError(f"n_bits ({n_bits}) must be divisible by n_bands ({n_bands})")
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+
+    sigs = stage_cache(sigs.select(id_col, sig_col))
+    groups = stage_cache(
+        sigs.groupBy(sig_col).agg(
+            F.min(id_col).alias("__rep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    bands = groups.select(
+        sig_col,
+        "__rep_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        (
+                            F.shiftright(F.col(sig_col), b * width)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(sig_col, "__rep_id", "band.band_idx", "band.band_bits")
+    a = bands.select("band_idx", "band_bits", sig_col)
+    b = bands.select(
+        "band_idx", "band_bits",
+        F.col(sig_col).alias("__nbr_sig"), F.col("__rep_id").alias("__nbr_rep"),
+    )
+    neighbors = (
+        a.join(b, on=["band_idx", "band_bits"])
+        .where(F.col(sig_col) != F.col("__nbr_sig"))
+        .where(
+            F.bit_count(F.col(sig_col).bitwiseXOR(F.col("__nbr_sig")))
+            <= F.lit(max_hamming)
+        )
+        .groupBy(sig_col)
+        .agg(F.min("__nbr_rep").alias("__min_nbr_rep"))
+    )
+    return (
+        sigs.join(groups, sig_col)
+        .join(neighbors, sig_col, "left")
+        .select(
+            id_col,
+            sig_col,
+            "n_copies",
+            (
+                (F.col(id_col) == F.col("__rep_id"))
+                & (
+                    F.col("__min_nbr_rep").isNull()
+                    | (F.col("__min_nbr_rep") > F.col(id_col))
+                )
+            ).alias("kept"),
+        )
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 24,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Keep-first SimHash dedup: one survivor per near-duplicate set.
+
+    The scale-safe counterpart of :func:`simhash_near_dup_pairs` (whose
+    pair list is quadratic in cluster size — boilerplate repeated 10^6
+    times means ~5x10^11 pairs); see :func:`keep_first_by_signature` for
+    the collapse argument. Keep-min-id semantics; returns
+    ``(id, simhash, n_copies, kept)``.
+    """
+    sigs = add_simhash(df, text_col=text_col, n_bits=n_bits).select(
+        id_col, "simhash"
+    )
+    return keep_first_by_signature(
+        sigs, id_col=id_col, sig_col="simhash",
+        n_bits=n_bits, max_hamming=max_hamming, n_bands=n_bands,
+    )

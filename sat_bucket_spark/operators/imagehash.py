@@ -425,20 +425,9 @@ def image_dedup(
     ``n_copies`` = rows sharing the exact hash, ``kept`` the verdict.
     Undecodable payloads are absent — route them by metadata.
     """
-    n_bits = hash_size * hash_size
-    if n_bands <= max_hamming:
-        raise ValueError(
-            f"n_bands ({n_bands}) must exceed max_hamming ({max_hamming}) "
-            "for the banding recall guarantee"
-        )
-    if n_bits % n_bands:
-        raise ValueError(
-            f"hash width ({n_bits}) must be divisible by n_bands ({n_bands})"
-        )
-    width = n_bits // n_bands
-    mask = (1 << width) - 1
+    from sat_bucket_spark.operators.dedup import keep_first_by_signature
 
-    sigs = stage_cache(
+    sigs = (
         image_hash_table(
             df, id_col=id_col, payload_col=payload_col,
             method=method, hash_size=hash_size,
@@ -446,62 +435,7 @@ def image_dedup(
         .where(F.col("phash").isNotNull())
         .select(id_col, "phash")
     )
-    # the ONLY row-count-sized shuffle: collapse exact duplicates. All
-    # later work is bounded by the distinct-signature count.
-    groups = stage_cache(
-        sigs.groupBy("phash").agg(
-            F.min(id_col).alias("__rep_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-    )
-    bands = groups.select(
-        "phash",
-        "__rep_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        (
-                            F.shiftright(F.col("phash"), b * width)
-                            .bitwiseAND(F.lit(mask))
-                        ).alias("band_bits"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("phash", "__rep_id", "band.band_idx", "band.band_bits")
-    a = bands.select("band_idx", "band_bits", "phash")
-    b = bands.select(
-        "band_idx", "band_bits",
-        F.col("phash").alias("__nbr_hash"), F.col("__rep_id").alias("__nbr_rep"),
-    )
-    # both hashes ride the band join, so the verify is inline (no rejoin);
-    # the min() absorbs multi-band duplicate candidates
-    neighbors = (
-        a.join(b, on=["band_idx", "band_bits"])
-        .where(F.col("phash") != F.col("__nbr_hash"))
-        .where(
-            F.bit_count(F.col("phash").bitwiseXOR(F.col("__nbr_hash")))
-            <= F.lit(max_hamming)
-        )
-        .groupBy("phash")
-        .agg(F.min("__nbr_rep").alias("__min_nbr_rep"))
-    )
-    return (
-        sigs.join(groups, "phash")
-        .join(neighbors, "phash", "left")
-        .select(
-            id_col,
-            "phash",
-            "n_copies",
-            (
-                (F.col(id_col) == F.col("__rep_id"))
-                & (
-                    F.col("__min_nbr_rep").isNull()
-                    | (F.col("__min_nbr_rep") > F.col(id_col))
-                )
-            ).alias("kept"),
-        )
+    return keep_first_by_signature(
+        sigs, id_col=id_col, sig_col="phash",
+        n_bits=hash_size * hash_size, max_hamming=max_hamming, n_bands=n_bands,
     )

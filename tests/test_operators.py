@@ -1698,3 +1698,70 @@ class TestGatePassthrough:
         out = url_quality_flags(df, passthrough=("text",))
         assert out.collect()[0]["text"] == "body text"
         assert "text" not in url_quality_flags(df).columns
+
+
+class TestSimhashDedup:
+    """Keep-first SimHash dedup: verdicts == brute-force keep-min-id over
+    the same signatures; the band join sees DISTINCT signatures only."""
+
+    def test_matches_brute_force(self, spark, documents):
+        from sat_bucket_spark.operators.dedup import add_simhash, simhash_dedup
+
+        docs = documents.limit(200)
+        got = {
+            r["doc_id"]: (r["simhash"], r["n_copies"], r["kept"])
+            for r in simhash_dedup(docs, n_bits=24, max_hamming=3).collect()
+        }
+        sigs = {r["doc_id"]: r["simhash"] for r in add_simhash(docs, n_bits=24).collect()}
+        assert set(got) == set(sigs)
+        n_dropped = 0
+        for x, hx in sigs.items():
+            want = not any(
+                a < x and bin(hx ^ ha).count("1") <= 3
+                for a, ha in sigs.items() if a != x
+            )
+            sig, n_copies, kept = got[x]
+            assert sig == hx
+            assert n_copies == sum(1 for h in sigs.values() if h == hx)
+            assert kept == want, x
+            n_dropped += not want
+        assert n_dropped > 0  # non-vacuous: the fixture has near-dups
+
+    def test_consistent_with_pair_list(self, spark, documents):
+        from sat_bucket_spark.operators.dedup import (
+            simhash_dedup,
+            simhash_near_dup_pairs,
+        )
+
+        docs = documents.limit(200)
+        kept = {
+            r["doc_id"]: r["kept"]
+            for r in simhash_dedup(docs, n_bits=24, max_hamming=3).collect()
+        }
+        dominated = {
+            r["id_b"]
+            for r in simhash_near_dup_pairs(docs, n_bits=24, max_hamming=3).collect()
+        }
+        for doc_id, k in kept.items():
+            assert k == (doc_id not in dominated), doc_id
+
+    def test_band_join_over_collapsed_signatures(self, spark, documents):
+        from sat_bucket_spark.operators.dedup import simhash_dedup
+
+        plan = (
+            simhash_dedup(documents.limit(50))
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        idx = plan.find("min(__nbr_rep")
+        assert idx > 0
+        neighbor_subtree = plan[idx:]
+        assert "doc_id" not in neighbor_subtree
+        assert "__rep_id" in neighbor_subtree
+
+    def test_validation(self, spark, documents):
+        from sat_bucket_spark.operators.dedup import simhash_dedup
+
+        with pytest.raises(ValueError, match="must exceed"):
+            simhash_dedup(documents, max_hamming=4, n_bands=4)
+        with pytest.raises(ValueError, match="divisible"):
+            simhash_dedup(documents, n_bits=24, n_bands=5)
