@@ -46,6 +46,8 @@ __all__ = [
     "image_dedup",
     "image_hash_table",
     "image_near_dup_pairs",
+    "video_dedup",
+    "video_hash_table",
 ]
 
 
@@ -437,5 +439,155 @@ def image_dedup(
     )
     return keep_first_by_signature(
         sigs, id_col=id_col, sig_col="phash",
+        n_bits=hash_size * hash_size, max_hamming=max_hamming, n_bands=n_bands,
+    )
+
+
+def video_hash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "dhash",
+    hash_size: int = 8,
+    every_n: int = 10,
+    n_frames: int = 3,
+    strict: bool = False,
+) -> DataFrame:
+    """Per-video perceptual signature from REAL sampled-frame decodes.
+
+    The video analog of :func:`image_hash_table`: MJPEG-in-AVI frames are
+    extracted (multimodal.parse_avi_frames, same sampling rule as
+    sample_video_frames: every ``every_n``-th chunk up to ``n_frames``),
+    decoded by the suite's real JPEG decoder, and hashed per frame; the
+    per-video ``vhash`` is MAJORITY-VOTE bit pooling over the frame
+    hashes — bit j of vhash is 1 iff more than half the sampled frames
+    have bit j set (temporal aggregation of frame perceptual hashes; a
+    re-encoded or brightness-shifted copy of the same footage pools to
+    the same signature under dhash's invariances). Ties (even frame
+    counts) round DOWN to 0, so the pooling is deterministic.
+
+    Output: ``(id, n_frames_sampled, frame_hashes array<long>, vhash)``.
+    Non-AVI payloads and videos with no decodable frame yield NULL vhash
+    (``strict=True`` raises — MP4/MKV frames are the ffmpeg plug-in
+    point). Scale shape: Arrow-batched map-only, no shuffle.
+    """
+    if method not in _HASHERS:
+        raise ValueError(f"method must be one of {sorted(_HASHERS)}, got {method!r}")
+    if not 2 <= hash_size <= 8:
+        raise ValueError("hash_size must be in [2, 8] (<= 64-bit signatures)")
+    from pyspark.sql import types as T
+
+    hasher = _HASHERS[method]
+    n_bits = hash_size * hash_size
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("n_frames_sampled", T.IntegerType(), True),
+            T.StructField("frame_hashes", T.ArrayType(T.LongType()), True),
+            T.StructField("vhash", T.LongType(), True),
+        ]
+    )
+    U64 = (1 << 64) - 1
+
+    def _pool(hashes: list) -> int:
+        n = len(hashes)
+        v = 0
+        for j in range(n_bits):
+            ones = sum((h >> j) & 1 for h in hashes)
+            if 2 * ones > n:
+                v |= 1 << j
+        return v - (1 << 64) if v & (1 << 63) else v
+
+    def _hash(batches):
+        import pandas as _pd
+
+        from sat_bucket_spark.operators.multimodal import (
+            decode_image_pixels,
+            parse_avi_frames,
+        )
+
+        for pdf in batches:
+            ids, counts, lists, vhashes = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else None
+                parsed = parse_avi_frames(payload) if payload is not None else None
+                ids.append(doc_id)
+                if parsed is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "payload is not an AVI; MP4/MKV frame "
+                            "extraction needs ffmpeg, unavailable here"
+                        )
+                    counts.append(None)
+                    lists.append(None)
+                    vhashes.append(None)
+                    continue
+                _info, frames = parsed
+                hashes = []
+                for i in range(n_frames):
+                    idx = i * every_n
+                    if idx >= len(frames):
+                        break
+                    px = decode_image_pixels(frames[idx])
+                    if px is None:
+                        if strict:
+                            raise NotImplementedError(
+                                "sampled frame did not decode (non-MJPEG "
+                                "codec needs a library)"
+                            )
+                        continue
+                    hashes.append(hasher(px, hash_size=hash_size) & U64)
+                counts.append(len(hashes))
+                if hashes:
+                    lists.append(
+                        [h - (1 << 64) if h & (1 << 63) else h for h in hashes]
+                    )
+                    vhashes.append(_pool(hashes))
+                else:
+                    lists.append(None)
+                    vhashes.append(None)
+            yield _pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_frames_sampled": _pd.array(counts, dtype="Int32"),
+                    "frame_hashes": lists,
+                    "vhash": _pd.array(vhashes, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_hash, schema=schema)
+
+
+def video_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "dhash",
+    hash_size: int = 8,
+    every_n: int = 10,
+    n_frames: int = 3,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Keep-first video dedup over pooled frame signatures.
+
+    :func:`video_hash_table` -> ``dedup.keep_first_by_signature`` — the
+    same distinct-signature collapse as :func:`image_dedup`, so a
+    boilerplate clip repeated across a crawl costs one aggregate row.
+    Keep-min-id semantics; returns ``(id, vhash, n_copies, kept)`` for
+    every video with at least one decodable frame.
+    """
+    from sat_bucket_spark.operators.dedup import keep_first_by_signature
+
+    sigs = (
+        video_hash_table(
+            df, id_col=id_col, payload_col=payload_col, method=method,
+            hash_size=hash_size, every_n=every_n, n_frames=n_frames,
+        )
+        .where(F.col("vhash").isNotNull())
+        .select(id_col, "vhash")
+    )
+    return keep_first_by_signature(
+        sigs, id_col=id_col, sig_col="vhash",
         n_bits=hash_size * hash_size, max_hamming=max_hamming, n_bands=n_bands,
     )

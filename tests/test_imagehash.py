@@ -395,3 +395,117 @@ class TestImageDedup:
             image_dedup(df, max_hamming=8, n_bands=8)
         with pytest.raises(ValueError, match="divisible"):
             image_dedup(df, hash_size=7, n_bands=8)
+
+
+class TestVideoHash:
+    """Per-video signatures from real MJPEG-AVI frame decodes + majority
+    pooling, and keep-first video dedup on top."""
+
+    @staticmethod
+    def _avi(frames, width=16, height=16, fps_us=33333):
+        def chunk(cc, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return cc + len(body).to_bytes(4, "little") + body + pad
+
+        avih = (
+            fps_us.to_bytes(4, "little") + b"\x00" * 12
+            + len(frames).to_bytes(4, "little") + b"\x00" * 12
+            + width.to_bytes(4, "little") + height.to_bytes(4, "little")
+            + b"\x00" * 16
+        )
+        hdrl = b"hdrl" + chunk(b"avih", avih)
+        movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+        body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    @staticmethod
+    def _jpeg_frames(seeds, shift=0):
+        from sat_bucket_spark.operators.jpeg import encode_jpeg_baseline
+
+        pxs = [
+            (rng_rgb(16, 16, s)[..., 0] // 2 + 40 + shift).astype(np.uint8)
+            for s in seeds
+        ]
+        return [
+            encode_jpeg_baseline(p, np.ones((8, 8)), np.ones((8, 8)))
+            for p in pxs
+        ]
+
+    def test_vhash_matches_manual_majority_pooling(self, spark):
+        from sat_bucket_spark.operators.imagehash import (
+            image_hash_table,
+            video_hash_table,
+        )
+
+        jpegs = self._jpeg_frames([1, 2, 3])
+        vdf = spark.createDataFrame(
+            [(1, self._avi(jpegs))], "doc_id long, payload binary"
+        )
+        row = video_hash_table(vdf, every_n=1, n_frames=3).collect()[0]
+        assert row["n_frames_sampled"] == 3
+        # frame hashes must equal the image-stage hashes of the same bytes
+        fdf = spark.createDataFrame(
+            [(i, j) for i, j in enumerate(jpegs)], "doc_id long, payload binary"
+        )
+        want = [
+            r["phash"] for r in sorted(
+                image_hash_table(fdf).collect(), key=lambda r: r["doc_id"]
+            )
+        ]
+        assert list(row["frame_hashes"]) == want
+        # manual majority pooling over the 64 bit positions
+        u = [h & ((1 << 64) - 1) for h in want]
+        v = 0
+        for j in range(64):
+            if sum((h >> j) & 1 for h in u) * 2 > len(u):
+                v |= 1 << j
+        if v & (1 << 63):
+            v -= 1 << 64
+        assert row["vhash"] == v
+
+    def test_brightness_shifted_copy_same_vhash(self, spark):
+        """dhash is brightness-invariant per frame, so a globally
+        brightened re-encode of the same footage pools identically."""
+        from sat_bucket_spark.operators.imagehash import video_hash_table
+
+        a = self._avi(self._jpeg_frames([5, 6, 7], shift=0))
+        b = self._avi(self._jpeg_frames([5, 6, 7], shift=30))
+        df = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, payload binary"
+        )
+        rows = {r["doc_id"]: r for r in video_hash_table(df, every_n=1).collect()}
+        assert rows[1]["vhash"] == rows[2]["vhash"]
+
+    def test_non_avi_null_and_strict(self, spark):
+        from sat_bucket_spark.operators.imagehash import video_hash_table
+
+        df = spark.createDataFrame(
+            [(1, b"not a video"), (2, None)], "doc_id long, payload binary"
+        )
+        rows = {r["doc_id"]: r for r in video_hash_table(df).collect()}
+        assert rows[1]["vhash"] is None and rows[2]["vhash"] is None
+        with pytest.raises(Exception, match="not an AVI"):
+            video_hash_table(
+                spark.createDataFrame([(1, b"x")], "doc_id long, payload binary"),
+                strict=True,
+            ).collect()
+
+    def test_video_dedup_keep_first(self, spark):
+        from sat_bucket_spark.operators.imagehash import video_dedup
+
+        same = self._jpeg_frames([10, 11, 12])
+        rows = [
+            (1, self._avi(same)),
+            (2, self._avi(self._jpeg_frames([10, 11, 12], shift=25))),  # copy
+            (3, self._avi(self._jpeg_frames([20, 21, 22]))),            # distinct
+            (4, b"not a video"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {
+            r["doc_id"]: (r["n_copies"], r["kept"])
+            for r in video_dedup(df, every_n=1, max_hamming=0).collect()
+        }
+        assert set(got) == {1, 2, 3}  # undecodable absent
+        assert got[1] == (2, True)
+        assert got[2] == (2, False)
+        assert got[3][1] is True
