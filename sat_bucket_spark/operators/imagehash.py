@@ -67,21 +67,29 @@ def _to_gray(px) -> "object":
 
 
 def _block_mean(gray, th: int, tw: int):
-    """Deterministic block-mean downscale to (th, tw) float64."""
+    """Deterministic block-mean downscale to (th, tw) float64.
+
+    Vectorized with two ``np.add.reduceat`` passes (rows then columns)
+    over integer bucket boundaries ``i * dim // target``. reduceat's
+    degenerate-segment rule (``indices[i] >= indices[i+1]`` yields the
+    single element at ``indices[i]``) matches the old per-block
+    ``max(y1, y0 + 1)`` guard exactly, and int64 block sums divided by
+    exact counts reproduce ``.mean()`` bit-for-bit — the hand fixtures
+    in test_imagehash pin that.
+    """
     import numpy as np
 
     h, w = gray.shape
     if h < 1 or w < 1:
         raise ValueError("empty image")
-    ys = [y * h // th for y in range(th + 1)]
-    xs = [x * w // tw for x in range(tw + 1)]
-    out = np.empty((th, tw), dtype=np.float64)
-    for i in range(th):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        for j in range(tw):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            out[i, j] = gray[y0:y1, x0:x1].mean()
-    return out
+    ys = np.array([y * h // th for y in range(th + 1)], dtype=np.intp)
+    xs = np.array([x * w // tw for x in range(tw + 1)], dtype=np.intp)
+    sums = np.add.reduceat(
+        np.add.reduceat(gray, ys[:-1], axis=0), xs[:-1], axis=1
+    ).astype(np.float64)
+    ny = np.maximum(np.diff(ys), 1).astype(np.float64)
+    nx = np.maximum(np.diff(xs), 1).astype(np.float64)
+    return sums / np.outer(ny, nx)
 
 def _pack_bits(bits) -> int:
     """MSB-first bit sequence -> signed 64-bit-compatible Python int."""
