@@ -51,6 +51,7 @@ __all__ = [
     "minhash_dedup_against",
     "minhash_lsh_dedup_pairs",
     "minhash_signatures",
+    "near_dup_pairs_by_signature",
     "ngram_jaccard_pairs",
     "remove_duplicate_spans",
     "remove_repeated_paragraphs",
@@ -662,67 +663,12 @@ def simhash_near_dup_pairs(
     ``n_bands - 1`` Hamming; size n_bits so that width >= ~16 bits at
     billion-doc scale to keep per-bucket fan-in bounded.
     """
-    if n_bands <= max_hamming:
-        raise ValueError(
-            f"n_bands ({n_bands}) must exceed max_hamming ({max_hamming}) "
-            "for the banding recall guarantee"
-        )
-    if n_bits % n_bands:
-        raise ValueError(f"n_bits ({n_bits}) must be divisible by n_bands ({n_bands})")
-    width = n_bits // n_bands
-    mask = (1 << width) - 1
-
-    # (id, long) — tiny; the plan references it 4x (two band sides + two
-    # verify rejoins) and without materialization each reference re-runs the
-    # full per-token hashing of add_simhash.
-    sigs = (
-        add_simhash(df, text_col=text_col, n_bits=n_bits)
-        .select(id_col, "simhash")
-        .transform(stage_cache)
+    sigs = add_simhash(df, text_col=text_col, n_bits=n_bits).select(
+        id_col, "simhash"
     )
-
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        (
-                            F.shiftright(F.col("simhash"), b * width)
-                            .bitwiseAND(F.lit(mask))
-                        ).alias("band_bits"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_bits")
-
-    a = bands.select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_bits"
-    )
-    b = bands.select(
-        F.col(id_col).alias("id_b"), "band_idx", "band_bits"
-    )
-    cand = (
-        a.join(b, on=["band_idx", "band_bits"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()  # ids only — no signature payload through the shuffle
-    )
-
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sig_b"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b"))).cast("int"),
-        )
-        .where(F.col("hamming") <= F.lit(max_hamming))
-        .select("id_a", "id_b", "hamming")
+    return near_dup_pairs_by_signature(
+        sigs, id_col=id_col, sig_col="simhash",
+        n_bits=n_bits, max_hamming=max_hamming, n_bands=n_bands,
     )
 
 
@@ -1689,3 +1635,100 @@ def simhash_dedup(
         sigs, id_col=id_col, sig_col="simhash",
         n_bits=n_bits, max_hamming=max_hamming, n_bands=n_bands,
     )
+
+
+def near_dup_pairs_by_signature(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    n_bits: int = 64,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """All id pairs within ``max_hamming`` signature bits — EXACT, over
+    DISTINCT signatures. The shared engine behind
+    :func:`simhash_near_dup_pairs` and ``imagehash.image_near_dup_pairs``.
+
+    Two disjoint pair classes, both cheaper than a row-level band join:
+
+    - WITHIN a signature (hamming 0, the bulk of a duplicate-heavy
+      corpus): a direct equi-self-join on the signature — each pair
+      emitted once, no banding, no candidate distinct, no verify rejoins
+      (a row-level band join emits these through ALL ``n_bands`` bands
+      and pays an ``n_bands``-fold distinct to undo it); AQE skew-split
+      spreads hot signatures.
+    - ACROSS signatures: the pigeonhole band join (``n_bands >
+      max_hamming`` keeps recall exact) over the DISTINCT-signature
+      table — bounded by signature cardinality, not row count — with
+      the signature riding the explode (verify inline); surviving
+      signature pairs expand to id pairs by two hash joins.
+
+    The OUTPUT stays quadratic in cluster size (all-pairs semantics);
+    :func:`keep_first_by_signature` is the posture that avoids it.
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``; NULL
+    signatures must be filtered by the caller.
+    """
+    from sat_bucket_spark.caching import stage_cache
+
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands ({n_bands}) must exceed max_hamming ({max_hamming}) "
+            "for the banding recall guarantee"
+        )
+    if n_bits % n_bands:
+        raise ValueError(f"n_bits ({n_bits}) must be divisible by n_bands ({n_bands})")
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+
+    sigs = stage_cache(sigs.select(id_col, sig_col))
+    wa = sigs.select(F.col(id_col).alias("id_a"), sig_col)
+    wb = sigs.select(F.col(id_col).alias("id_b"), sig_col)
+    within = (
+        wa.join(wb, sig_col)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+
+    distinct_sigs = stage_cache(sigs.select(sig_col).distinct())
+    bands = distinct_sigs.select(
+        sig_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        (
+                            F.shiftright(F.col(sig_col), b * width)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(sig_col, "band.band_idx", "band.band_bits")
+    ba = bands.select("band_idx", "band_bits", F.col(sig_col).alias("__ha"))
+    bb = bands.select("band_idx", "band_bits", F.col(sig_col).alias("__hb"))
+    sig_pairs = (
+        ba.join(bb, on=["band_idx", "band_bits"])
+        .where(F.col("__ha") < F.col("__hb"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int"),
+        )
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("__ha", "__hb", "hamming")
+        .distinct()  # multi-band collisions of the same signature pair
+    )
+    ea = sigs.select(F.col(id_col).alias("__ida"), F.col(sig_col).alias("__ha"))
+    eb = sigs.select(F.col(id_col).alias("__idb"), F.col(sig_col).alias("__hb"))
+    across = (
+        sig_pairs.join(ea, "__ha")
+        .join(eb, "__hb")
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(across)

@@ -218,14 +218,27 @@ def image_near_dup_pairs(
     max_hamming: int = 6,
     n_bands: int = 8,
 ) -> DataFrame:
-    """All image pairs within ``max_hamming`` perceptual-hash bits — EXACT
-    via pigeonhole banding (same argument and shuffle shape as
-    ``dedup.simhash_near_dup_pairs``): with ``n_bands > max_hamming``,
-    any qualifying pair agrees exactly on some band, so candidates come
-    from a band equi-join and the ``bit_count(xor)`` verify removes the
-    collisions. Undecodable images (NULL hash) never pair.
+    """All image pairs within ``max_hamming`` perceptual-hash bits — EXACT,
+    computed over DISTINCT signatures. Undecodable images (NULL hash)
+    never pair. Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
 
-    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    Two disjoint pair classes, both cheaper than a row-level band join:
+
+    - WITHIN a signature (hamming 0, the bulk of a duplicate-heavy
+      corpus): a direct equi-self-join on the hash — each pair emitted
+      exactly once, no banding, no candidate distinct, no verify rejoin
+      (the row-level band join emitted these through ALL ``n_bands``
+      bands and paid an ``n_bands``-fold distinct to undo it). AQE
+      skew-split spreads a hot signature's partitions.
+    - ACROSS signatures: the pigeonhole band join (``n_bands >
+      max_hamming`` keeps recall exact, same argument as
+      ``dedup.simhash_near_dup_pairs``) runs over the DISTINCT-signature
+      table — bounded by signature cardinality, not row count — with the
+      hash riding the explode so the ``bit_count`` verify is inline;
+      surviving signature pairs expand to id pairs by two hash joins.
+
+    The OUTPUT is still quadratic in cluster size (all-pairs semantics);
+    :func:`image_dedup` is the posture that avoids materializing it.
     """
     n_bits = hash_size * hash_size
     if n_bands <= max_hamming:
@@ -237,11 +250,8 @@ def image_near_dup_pairs(
         raise ValueError(
             f"hash width ({n_bits}) must be divisible by n_bands ({n_bands})"
         )
-    width = n_bits // n_bands
-    mask = (1 << width) - 1
+    from sat_bucket_spark.operators.dedup import near_dup_pairs_by_signature
 
-    # (id, long): tiny, referenced by both band sides and both verify
-    # rejoins — materialize once instead of re-decoding images per branch
     sigs = (
         image_hash_table(
             df, id_col=id_col, payload_col=payload_col,
@@ -249,45 +259,10 @@ def image_near_dup_pairs(
         )
         .where(F.col("phash").isNotNull())
         .select(id_col, "phash")
-        .transform(stage_cache)
     )
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        (
-                            F.shiftright(F.col("phash"), b * width)
-                            .bitwiseAND(F.lit(mask))
-                        ).alias("band_bits"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_bits")
-
-    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_bits")
-    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_bits")
-    cand = (
-        a.join(b, on=["band_idx", "band_bits"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("phash").alias("__sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("phash").alias("__sig_b"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b"))).cast("int"),
-        )
-        .where(F.col("hamming") <= F.lit(max_hamming))
-        .select("id_a", "id_b", "hamming")
+    return near_dup_pairs_by_signature(
+        sigs, id_col=id_col, sig_col="phash",
+        n_bits=n_bits, max_hamming=max_hamming, n_bands=n_bands,
     )
 
 
