@@ -789,6 +789,53 @@ def q_nfc_normalize(spark, sf_dir):
     )
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML main-text extraction on a real parser, hash-verified.
+
+    The crawl step the WET path skips: raw HTML -> content text.  Pages
+    are constructed IN-PLAN from an md5 derivation (the in-plan-payload
+    oracle pattern): a nav bar of two links, a two-word heading, one
+    paragraph with an ``&amp;`` entity, a script element whose body
+    contains decoy ``<p>`` markup, and a second paragraph.  The Spark
+    side runs the REAL block parser + jusText-style boilerplate heuristic
+    (operators/htmltext.py html_to_text); the oracle recomputes the
+    expected title/main-text/block-counts directly from the SAME md5
+    derivation — nav and heading drop (short/link-dense), both paragraphs
+    survive, the entity unescapes, the script never leaks.
+    """
+    from sat_bucket_spark.operators.htmltext import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    h1 = F.md5("text")
+    h2 = F.md5(F.concat(F.col("text"), F.lit("b")))
+
+    def words(h, lo, hi):
+        return F.concat_ws(
+            " ", *[F.substring(h, 1 + 4 * i, 4) for i in range(lo, hi)]
+        )
+
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style>p{color:red}</style></head><body><div><a href="/">'),
+        F.substring(h1, 1, 6),
+        F.lit('</a> <a href="/x">'),
+        F.substring(h2, 1, 6),
+        F.lit("</a></div><h1>Hd "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        words(h1, 0, 4),
+        F.lit(" &amp; "),
+        words(h1, 4, 8),
+        F.lit('</p><script>var t = "<p>no</p>";</script><p>'),
+        words(h2, 0, 8),
+        F.lit("</p></body></html>"),
+    )
+    staged = docs.select("doc_id", page.alias("payload"))
+    out = html_to_text(staged, html_col="payload", mode="main")
+    return out.select("doc_id", "title", "text", "n_blocks", "n_kept")
+
+
 def q_language_id(spark, sf_dir):
     """Text: stopword-hit language identification."""
     docs = _t(spark, sf_dir, "documents")
@@ -4462,6 +4509,26 @@ def q_rollup_stats(spark, sf_dir):
     return rollup_finalize(state, ["event_type", "day"], ["value"])
 
 
+_ORACLES["html_extract"] = r"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS h1, md5(text || 'b') AS h2 FROM documents
+)
+SELECT doc_id,
+  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+  substr(h1,1,4) || ' ' || substr(h1,5,4) || ' ' || substr(h1,9,4) || ' '
+    || substr(h1,13,4) || ' & ' || substr(h1,17,4) || ' ' || substr(h1,21,4)
+    || ' ' || substr(h1,25,4) || ' ' || substr(h1,29,4)
+    || chr(10)
+    || substr(h2,1,4) || ' ' || substr(h2,5,4) || ' ' || substr(h2,9,4) || ' '
+    || substr(h2,13,4) || ' ' || substr(h2,17,4) || ' ' || substr(h2,21,4)
+    || ' ' || substr(h2,25,4) || ' ' || substr(h2,29,4)
+    AS text,
+  CAST(4 AS INTEGER) AS n_blocks,
+  CAST(2 AS INTEGER) AS n_kept
+FROM d
+"""
+
+
 _ORACLES["rollup_stats"] = """
 WITH state AS (
   SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
@@ -4882,7 +4949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_stats": q_rollup_stats,
         "filename_roundtrip": q_filename_roundtrip,
         "interpolate": q_interpolate,
-        "dup_spans": q_dup_spans,
+        "html_extract": q_html_extract,
         "dup_spans_hashed": q_dup_spans_hashed,
         "gopher_quality": q_gopher_quality,
         "repetition_full": q_repetition_full,
@@ -4910,6 +4977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "image_dedup": q_image_dedup,
         # ---- beyond the driver window: parity-suite verified ----
+        # (dup_spans demoted in favor of html_extract: the hashed variant
+        # in-window is the same span-dedup family's production posture)
+        "dup_spans": q_dup_spans,
         "sorted_limit": q_sorted_limit,
         "extent_filter": q_extent_filter,
         "centroids": q_centroids,

@@ -95,6 +95,7 @@ HEADLINE = [
     "image_dedup",         # keep-first: distinct-signature banding, cluster-size-proof (added r7)
     "audio_quality",       # real-PCM quality gate incl. FFT spectral shape (added r6)
     "exif_meta",           # JPEG APP1/TIFF walk, both byte orders, map-only (added r6)
+    "html_extract",        # real HTML parse + boilerplate heuristic, map-only (added r7)
 ]
 
 
