@@ -44,7 +44,7 @@ def _eager_cache(df: DataFrame) -> DataFrame:
     lineage -- see caching.py for the executor-loss trade)."""
     return stage_cache(df, eager=True)
 
-__all__ = ["connected_components", "near_duplicate_clusters"]
+__all__ = ["connected_components", "near_duplicate_clusters", "pagerank"]
 
 
 def _bidir(e: DataFrame) -> DataFrame:
