@@ -1957,6 +1957,23 @@ def q_dup_clusters(spark, sf_dir):
     return near_duplicate_clusters(pairs.select("id_a", "id_b"))
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (graph.py:pagerank) over a deterministic
+    customer/order-bucket graph: edges (o_custkey, o_orderkey % 800),
+    symmetrized. 10 power rounds, one shuffle per round; the oracle
+    unrolls the identical rounds as chained CTEs. Scores rounded to 9
+    decimals on both sides (float-association noise is ~1e-17)."""
+    from sat_bucket_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.col("o_orderkey") % 800).cast("long").alias("dst"),
+    )
+    pr = pagerank(edges, damping=0.85, iterations=10, directed=False)
+    return pr.select("node", F.round("rank", 9).alias("pr")).orderBy("node")
+
+
 def q_pii_scan(spark, sf_dir):
     """PII detection + redaction over documents with injected patterns.
 
@@ -3655,6 +3672,53 @@ FROM documents
 # Connected components over the same pair graph: DuckDB replays the cluster
 # assignment with a recursive transitive-closure CTE (tractable at oracle
 # scale; the Spark side is the O(log n)-round star algorithm).
+def _pagerank_sql(damping: float = 0.85, iterations: int = 10) -> str:
+    """Oracle mirror of q_pagerank: the SAME fixed power rounds, unrolled
+    as chained CTEs (deterministic iteration count is what makes PageRank
+    SQL-expressible at all). The graph is undirected by construction, so
+    every node has out-degree >= 1 and the dangling term is exactly 0 on
+    both sides."""
+    d = repr(damping)
+    parts = [
+        """e0 AS (
+  SELECT CAST(o_custkey AS BIGINT) AS s,
+         CAST(o_orderkey % 800 AS BIGINT) AS t
+  FROM orders
+),
+e AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT s AS u, t AS v FROM e0 UNION ALL SELECT t AS u, s AS v FROM e0
+  ) WHERE u <> v
+),
+nodes AS (SELECT DISTINCT u AS node FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY u),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT nodes.node,
+         (1 - {d}) / (SELECT n FROM nn) + {d} * COALESCE(c.contrib, 0) AS pr
+  FROM nodes LEFT JOIN (
+    SELECT e.v AS node, SUM(r{i - 1}.pr / deg.deg) AS contrib
+    FROM e
+    JOIN r{i - 1} ON e.u = r{i - 1}.node
+    JOIN deg ON e.u = deg.node
+    GROUP BY e.v
+  ) c ON nodes.node = c.node
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT node, ROUND(pr, 9) AS pr FROM r{iterations} ORDER BY node"
+    )
+
+
+_ORACLES["pagerank"] = _pagerank_sql()
+
 _ORACLES["dup_clusters"] = f"""
 WITH RECURSIVE pairs AS ({_minhash_lsh_dedup_sql()}),
 und AS (
@@ -5060,6 +5124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "image_resize": q_image_resize,
         "audio_segments": q_audio_segments,
+        "pagerank": q_pagerank,
     }
 
 

@@ -1667,6 +1667,14 @@ def near_dup_pairs_by_signature(
     :func:`keep_first_by_signature` is the posture that avoids it.
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``; NULL
     signatures must be filtered by the caller.
+
+    PRECONDITION: ``id_col`` must be unique in ``sigs`` (like the NULL
+    rule above, enforced by the caller — every in-package caller derives
+    one signature per document). A duplicated ``(id, sig)`` row would make
+    the within-signature self-join emit the same pair multiple times; a
+    candidate-level ``.distinct()`` here would re-introduce the exact
+    pair-count-sized shuffle this engine exists to avoid, so the contract
+    lives with the id, where uniqueness is a row-count-bounded property.
     """
     from sat_bucket_spark.caching import stage_cache
 

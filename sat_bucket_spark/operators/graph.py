@@ -34,15 +34,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sat_bucket_spark.caching import stage_cache
+from sat_bucket_spark.caching import release_stage_cache, round_cache
 
 
 def _eager_cache(df: DataFrame) -> DataFrame:
-    """Round-boundary materialization for the iterative loop: each
-    round's plan must be bounded, so this is EAGER under every policy
-    (persist mode still re-reads cached blocks but cannot truncate
-    lineage -- see caching.py for the executor-loss trade)."""
-    return stage_cache(df, eager=True)
+    """Round-boundary materialization for the iterative loops: always
+    eager and always lineage-truncating — see caching.round_cache for why
+    plain persist is not an option here (exponential plan growth)."""
+    return round_cache(df)
 
 __all__ = ["connected_components", "near_duplicate_clusters", "pagerank"]
 
@@ -175,7 +174,12 @@ def connected_components(
         return edges.sparkSession.createDataFrame(assignment, schema=schema)
 
     for _ in range(max_iterations):
+        prev_frame = e
         e = _small_star(_large_star(e)).transform(_eager_cache)
+        # The new round is materialized; under 'persist' mode the old
+        # round's blocks would otherwise accumulate across the whole loop
+        # (and they are only a recompute fallback now, not an input).
+        release_stage_cache(prev_frame)
         cur = _fingerprint(e)
         if cur == prev:
             break
@@ -212,3 +216,106 @@ def near_duplicate_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_kept"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """PageRank over an edge list (reference has no graph analytics; this
+    extends the dedup-graph toolkit: rank duplicate-cluster members, score
+    crawl-link authority for quality weighting).
+
+    Fixed ``iterations`` power-iteration rounds — deterministic output, no
+    convergence race, and an exactly-mirrorable oracle (the driver's DuckDB
+    check unrolls the same rounds as chained CTEs). Per round:
+
+        rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) + dangling/N)
+
+    where ``dangling`` is the total rank mass on nodes with no out-edges,
+    redistributed uniformly (the standard stochastic-matrix completion, so
+    total mass stays 1 every round). ``directed=False`` (default, matching
+    ``connected_components``' undirected convention) symmetrizes first, so
+    no node is dangling. Parallel edges collapse (DISTINCT, like
+    ``connected_components``); self-loops are dropped; isolated nodes don't
+    appear — union them in from the vertex table if needed.
+
+    Scale shape: each round is ONE shuffle (groupBy dst of the
+    contribution join); ranks and degrees join on the same node key; the
+    dangling mass and N are 1-row broadcast frames, never a driver
+    collect inside the loop. Rounds materialize eagerly via the
+    stage-cache policy (caching.py) so the Catalyst plan stays bounded,
+    and each round releases the previous round's blocks.
+
+    Returns ``(node, rank)``; ranks sum to 1 (within float tolerance).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        e = _bidir(e)
+    e = e.where(F.col("u") != F.col("v")).distinct().transform(_eager_cache)
+
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .transform(_eager_cache)
+    )
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    # Degrees are reused every round and keyed like ranks: materialize once.
+    ranked0 = nodes.join(outdeg, "node", "left").transform(_eager_cache)
+
+    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    teleport = (1.0 - damping)
+
+    ranks = None  # round 0 rank is the literal 1/N, folded into ranked0
+    for i in range(iterations):
+        if ranks is None:
+            cur = ranked0.crossJoin(n_row).select(
+                "node", "deg", (F.lit(1.0) / F.col("n")).alias("rank"), "n"
+            )
+        else:
+            cur = ranked0.join(ranks, "node").crossJoin(n_row)
+        contrib = (
+            e.join(
+                cur.where(F.col("deg").isNotNull()).select(
+                    F.col("node").alias("u"), (F.col("rank") / F.col("deg")).alias("share")
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        dangling = F.broadcast(
+            cur.where(F.col("deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+            )
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(dangling)
+            .crossJoin(n_row)
+            .select(
+                "node",
+                (
+                    F.lit(teleport) / F.col("n")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / F.col("n"))
+                ).alias("rank"),
+            )
+            .transform(_eager_cache)
+        )
+        if ranks is not None:
+            release_stage_cache(ranks)
+        ranks = new_ranks
+    return ranks

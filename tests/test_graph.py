@@ -126,3 +126,107 @@ class TestResolveDuplicates:
         clusters = spark.createDataFrame([(1, 1), (2, 1)], ["doc_id", "cluster_id"])
         out = resolve_duplicates(docs, clusters, priority=["wiki"])
         assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def _pagerank_ref(edges, damping=0.85, iterations=10, directed=False):
+    """Plain-Python reference: same semantics as operators.graph.pagerank
+    (symmetrize unless directed, collapse parallel edges, drop self-loops,
+    uniform dangling-mass redistribution)."""
+    if not directed:
+        edges = list(edges) + [(b, a) for a, b in edges]
+    eset = {(a, b) for a, b in edges if a != b}
+    nodes = sorted({x for e in eset for x in e})
+    n = len(nodes)
+    outdeg = {}
+    for a, _ in eset:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for a, b in eset:
+            contrib[b] += rank[a] / outdeg[a]
+        dang = sum(rank[v] for v in nodes if v not in outdeg)
+        rank = {
+            v: (1 - damping) / n + damping * (contrib[v] + dang / n)
+            for v in nodes
+        }
+    return rank
+
+
+class TestPagerank:
+    def _run(self, spark, edges, **kw):
+        from sat_bucket_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+    def test_path_graph_hand_computed(self, spark):
+        # A-B-C undirected path, 2 iterations, worked by hand:
+        # r0 = 1/3 each; deg A=1 B=2 C=1
+        # r1(A) = 0.05 + .85*(r0(B)/2) = 0.05 + .85/6
+        # r1(B) = 0.05 + .85*(r0(A)+r0(C)) = 0.05 + .85*2/3
+        # r2(A) = 0.05 + .85*(r1(B)/2), r2(B) = 0.05 + .85*2*r1(A)
+        r1a = 0.05 + 0.85 / 6
+        r1b = 0.05 + 0.85 * 2 / 3
+        want = {
+            1: 0.05 + 0.85 * (r1b / 2),
+            2: 0.05 + 0.85 * 2 * r1a,
+            3: 0.05 + 0.85 * (r1b / 2),
+        }
+        got = self._run(spark, [(1, 2), (2, 3)], iterations=2)
+        assert got.keys() == want.keys()
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12
+
+    def test_mass_conserved_and_matches_ref(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(80)]
+        edges = [(a, b) for a, b in edges if a != b]
+        got = self._run(spark, edges, iterations=10)
+        want = _pagerank_ref(edges, iterations=10)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        assert got.keys() == want.keys()
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9
+
+    def test_directed_dangling_mass(self, spark):
+        # 1->2, 3->2: node 2 is dangling; its mass must redistribute, and
+        # the total must stay 1 every round.
+        edges = [(1, 2), (3, 2)]
+        got = self._run(spark, edges, iterations=5, directed=True)
+        want = _pagerank_ref(edges, iterations=5, directed=True)
+        assert abs(sum(got.values()) - 1.0) < 1e-12
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12
+        # hub beats its dangling sources
+        assert got[2] > got[1] == got[3]
+
+    def test_parallel_edges_and_self_loops_collapse(self, spark):
+        base = self._run(spark, [(1, 2), (2, 3)], iterations=3)
+        noisy = self._run(
+            spark, [(1, 2), (1, 2), (2, 1), (2, 3), (3, 3)], iterations=3
+        )
+        assert base.keys() == noisy.keys()
+        for k in base:
+            assert abs(base[k] - noisy[k]) < 1e-12
+
+    def test_validation(self, spark):
+        from sat_bucket_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        with pytest.raises(ValueError, match="damping"):
+            pagerank(df, damping=1.0)
+        with pytest.raises(ValueError, match="iterations"):
+            pagerank(df, iterations=0)
+
+    def test_persist_mode_loop(self, spark):
+        from sat_bucket_spark.caching import stage_cache_mode
+
+        edges = [(i, i + 1) for i in range(12)]
+        base = self._run(spark, edges, iterations=4)
+        with stage_cache_mode("persist"):
+            got = self._run(spark, edges, iterations=4)
+        for k in base:
+            assert abs(base[k] - got[k]) < 1e-12
