@@ -103,6 +103,48 @@ def _materialize(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def video_corpus(docs, n_clips: int = 24, subset_mod: int = 3):
+    """Deterministic MJPEG-AVI corpus over the documents table.
+
+    ``n_clips`` distinct 3-frame 16x16 clips are encoded ONCE driver-side
+    and attached as binary literals via element_at(doc_id % n_clips) —
+    every clip a planted duplicate cluster, the worst case for dedup.
+    ``subset_mod`` thins the corpus (every Nth doc) to keep the bench's
+    real-decode budget at ~60k frame decodes at sf0.1. Shared with
+    probe_sf1.py so the bench and the scaling probe measure one fixture.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sat_bucket_spark.operators.jpeg import encode_jpeg_baseline
+    from sat_bucket_spark.operators.multimodal import build_avi_bytes
+
+    rng = np.random.default_rng(8)
+    avis = []
+    for _ in range(n_clips):
+        frames = [
+            encode_jpeg_baseline(
+                rng.integers(0, 255, (16, 16)).astype(np.uint8),
+                np.ones((8, 8)),
+                np.ones((8, 8)),
+            )
+            for _f in range(3)
+        ]
+        avis.append(build_avi_bytes(frames, 16, 16))
+    # index by the post-thinning ordinal (doc_id / subset_mod), not doc_id
+    # itself: surviving ids are multiples of subset_mod, and any common
+    # factor with n_clips would silently drop clips from the corpus
+    payload = F.element_at(
+        F.array(*[F.lit(a) for a in avis]),
+        (F.floor(F.col("doc_id") / subset_mod) % n_clips + 1).cast("int"),
+    )
+    return (
+        docs.where(F.col("doc_id") % subset_mod == 0)
+        .select("doc_id")
+        .withColumn("payload", payload)
+    )
+
+
 def _release_state(spark) -> None:
     """Benchmark hygiene: measure every query from a clean executor state.
 
@@ -164,6 +206,42 @@ def main() -> None:
         )
     )
     timings["dup_spans_hashed"] = round(time.perf_counter() - t0, 3)
+    _release_state(spark)
+
+    # Video perceptual hashing + keep-first dedup over REAL MJPEG-AVI
+    # decodes (the only operator family with neither a bench key nor a
+    # probe row until r8). The fixture corpus is built OUTSIDE the timed
+    # window: 24 distinct 3-frame clips encoded once driver-side
+    # (jpeg.encode_jpeg_baseline -> multimodal.build_avi_bytes), mapped
+    # over every 3rd document as binary literals — so the timed work is
+    # the production path: AVI container walk -> 3 real JPEG frame
+    # decodes -> per-frame dhash -> majority-vote bit pooling (and for
+    # video_dedup, the distinct-signature keep-first collapse on top).
+    from sat_bucket_spark.operators.imagehash import video_dedup, video_hash_table
+
+    vcorpus = video_corpus(docs)
+    t0 = time.perf_counter()
+    _materialize(video_hash_table(vcorpus, every_n=1, n_frames=3))
+    timings["video_hash"] = round(time.perf_counter() - t0, 3)
+    _release_state(spark)
+    t0 = time.perf_counter()
+    vd = video_dedup(vcorpus, every_n=1, n_frames=3, max_hamming=6, n_bands=8)
+    _materialize(vd)
+    timings["video_dedup"] = round(time.perf_counter() - t0, 3)
+    # integrity gates (outside the timed window): every clip decoded and
+    # pooled (no NULL-vhash drops), and the keep-first collapse actually
+    # collapsed — survivors are bounded by the 24 planted distinct clips
+    n_corpus = vcorpus.count()
+    n_distinct = vcorpus.select("payload").distinct().count()
+    vd_rows = vd.groupBy("kept").count().collect()
+    n_rows = sum(r["count"] for r in vd_rows)
+    n_kept = sum(r["count"] for r in vd_rows if r["kept"])
+    if n_rows != n_corpus:
+        raise AssertionError(f"video_dedup dropped clips: {n_rows} != {n_corpus}")
+    if n_kept != n_distinct:  # planted clips are >=21 hamming bits apart
+        raise AssertionError(
+            f"keep-first survivors {n_kept} != {n_distinct} distinct clips"
+        )
     _release_state(spark)
 
     # WET end-to-end curation stage: the flagship LLM-pipeline story as ONE
@@ -282,6 +360,107 @@ def main() -> None:
             raise AssertionError(f"wet_curate launched {n_jobs} jobs (> 18)")
     finally:
         _shutil.rmtree(wwork, ignore_errors=True)
+    _release_state(spark)
+
+    # Multimodal end-to-end curation stage: the media flagship as ONE
+    # measured number, mirroring wet_curate's shape — payload staging ->
+    # per-modality REAL-decode quality gates (pixel mean/std for images,
+    # PCM silence for audio) -> keep-first perceptual dedup (images,
+    # videos) -> survivor export. NOT comparable to the per-operator keys
+    # (it pays the staging write, two decode passes over images — one for
+    # the feature gate, one for the hash — and the export). Payload
+    # fixtures are the entry file's in-plan BMP/WAV derivations plus the
+    # shared AVI corpus; thresholds are non-vacuous by construction
+    # (pixel mean <104 passes ~half the brightness shifts, std >=57.5
+    # passes 30/50 pattern classes, silence v<=32 is ~1/8 of clips) and
+    # the gates assert they actually fired.
+    from sat_bucket_spark.operators.audio import audio_quality_features
+    from sat_bucket_spark.operators.imagehash import image_dedup
+    from sat_bucket_spark.operators.multimodal import decode_and_featurize_images
+
+    mwork = _tempfile.mkdtemp(prefix="bench_media_")
+    try:
+        images = docs.select(
+            "doc_id", F.lit("image").alias("kind"),
+            entry_mod._bmp_payload_expr().alias("payload"),
+        )
+        audio = docs.select(
+            "doc_id", F.lit("audio").alias("kind"),
+            entry_mod._wav_payload_expr().alias("payload"),
+        )
+        videos = vcorpus.select(
+            "doc_id", F.lit("video").alias("kind"), "payload"
+        )
+        mstage = os.path.join(mwork, "staged")
+        mexport = os.path.join(mwork, "export")
+        sc = spark.sparkContext
+        t0 = time.perf_counter()
+        sc.setJobGroup("media-curate", "stage + gates + dedup + export")
+        images.unionByName(audio).unionByName(videos).write.parquet(mstage)
+        staged = spark.read.parquet(mstage)
+
+        img = staged.where(F.col("kind") == "image")
+        feats = decode_and_featurize_images(img)
+        # features are [mean, std, min, max] scaled by 1/255
+        img_pass = feats.where(
+            (F.element_at("feature", 1) < 104.0 / 255)
+            & (F.element_at("feature", 2) >= 57.5 / 255)
+        ).select("doc_id")
+        img_kept = (
+            image_dedup(
+                img.join(img_pass, "doc_id"), max_hamming=6, n_bands=8
+            )
+            .where("kept")
+            .select("doc_id", F.lit("image").alias("kind"))
+        )
+        aud_kept = (
+            audio_quality_features(staged.where(F.col("kind") == "audio"))
+            .where(
+                (F.col("silence_frac") < 0.5) & (F.col("duration_s") >= 0.08)
+            )
+            .select("doc_id", F.lit("audio").alias("kind"))
+        )
+        vid_kept = (
+            video_dedup(
+                staged.where(F.col("kind") == "video"),
+                every_n=1, n_frames=3, max_hamming=6, n_bands=8,
+            )
+            .where("kept")
+            .select("doc_id", F.lit("video").alias("kind"))
+        )
+        survivors = img_kept.unionByName(aud_kept).unionByName(vid_kept)
+        survivors.write.partitionBy("kind").parquet(mexport)
+        sc.setJobGroup("media-curate-done", "")
+        timings["media_curate"] = round(time.perf_counter() - t0, 3)
+
+        # integrity gates (outside the timed window)
+        n_docs = docs.count()
+        n_videos = vcorpus.count()
+        if staged.count() != 2 * n_docs + n_videos:
+            raise AssertionError("media staging lost rows")
+        n_img_pass = img_pass.count()
+        if not 0 < n_img_pass < n_docs:
+            raise AssertionError(f"image quality gate vacuous: {n_img_pass}/{n_docs}")
+        n_aud = aud_kept.count()
+        if not 0 < n_aud < n_docs:
+            raise AssertionError(f"audio silence gate vacuous: {n_aud}/{n_docs}")
+        back = spark.read.parquet(mexport).groupBy("kind").count().collect()
+        by_kind = {r["kind"]: r["count"] for r in back}
+        if by_kind.get("image", 0) > 30:  # <=30 surviving dhash classes
+            raise AssertionError(f"image keep-first did not collapse: {by_kind}")
+        if not 1 <= by_kind.get("video", 0) <= 24:
+            raise AssertionError(f"video keep-first did not collapse: {by_kind}")
+        if by_kind.get("audio") != n_aud:
+            raise AssertionError(f"export mismatch: {by_kind} vs audio {n_aud}")
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("media-curate"))
+        # 2 writes + 4 eager stage-cache materializations (sigs + distinct
+        # sigs in each keep-first dedup) + AQE per-exchange jobs: measured
+        # 19 at sf0.01; the bound catches a per-row/per-stage job
+        # regression class, not AQE jitter
+        if n_jobs > 24:
+            raise AssertionError(f"media_curate launched {n_jobs} jobs (> 24)")
+    finally:
+        _shutil.rmtree(mwork, ignore_errors=True)
     _release_state(spark)
 
     # Bucket pipeline: the reference's core workload (ingest -> query -> merge)

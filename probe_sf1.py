@@ -47,6 +47,8 @@ DEFAULT_KEYS = [
     "dup_spans_hashed",
     "image_near_dup",
     "image_dedup",
+    "video_hash",
+    "video_dedup",
     "wet_curate",
     "bucket_write",
     "bucket_merge",
@@ -173,6 +175,34 @@ def wet_curate_stage(spark, sf_dir, workdir):
     return sec
 
 
+def video_stage(spark, sf_dir, key):
+    """Mirrors bench.py's video keys on the replicated corpus (same
+    fixture builder, so every planted clip cluster is replicas x bigger —
+    the keep-first collapse must stay signature-bounded). Cold + warm,
+    warm reported, like timed_entry."""
+    from bench import video_corpus
+    from sat_bucket_spark.operators.imagehash import video_dedup, video_hash_table
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = video_corpus(docs)
+
+    def run():
+        if key == "video_hash":
+            _materialize(video_hash_table(corpus, every_n=1, n_frames=3))
+        else:
+            _materialize(
+                video_dedup(corpus, every_n=1, n_frames=3, max_hamming=6, n_bands=8)
+            )
+
+    run()  # cold
+    _release(spark)
+    t0 = time.perf_counter()
+    run()
+    sec = round(time.perf_counter() - t0, 3)
+    _release(spark)
+    return sec
+
+
 def bucket_stages(spark, sf_dir, workdir):
     from sat_bucket_spark import (
         LonLatPartitioning,
@@ -223,6 +253,8 @@ def main() -> int:
                 timings[name] = wet_curate_stage(
                     spark, scaled, os.path.join(work, "wet")
                 )
+            elif name in ("video_hash", "video_dedup"):
+                timings[name] = video_stage(spark, scaled, name)
             elif name in ("bucket_write", "bucket_merge"):
                 if "bucket_write" in timings or "bucket_merge" in timings:
                     continue

@@ -39,6 +39,7 @@ __all__ = [
     "AUDIO_FEATURE_SCHEMA",
     "IMAGE_FEATURE_SCHEMA",
     "attach_binary_metadata",
+    "build_avi_bytes",
     "decode_and_featurize_images",
     "decode_audio_features",
     "decode_bmp_pixels",
@@ -1116,6 +1117,37 @@ VIDEO_FRAME_SCHEMA = StructType(
         StructField("codec", StringType()),
     ]
 )
+
+
+def build_avi_bytes(
+    frames: "list[bytes]",
+    width: int,
+    height: int,
+    fps_us: int = 33333,
+) -> bytes:
+    """Assemble an MJPEG-in-AVI container from encoded frame payloads.
+
+    The write-side counterpart of :func:`parse_avi_frames` (same public
+    RIFF/AVI layout: ``avih`` main header + one ``00dc`` chunk per frame
+    under ``LIST movi``, word-aligned chunks) — used by bench/example
+    fixtures and anywhere a video corpus must be synthesized without
+    ffmpeg. The suite's tests keep their own independently written
+    encoder so the round trip is not self-certifying.
+    """
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cc + len(body).to_bytes(4, "little") + body + pad
+
+    avih = (
+        int(fps_us).to_bytes(4, "little") + b"\x00" * 12
+        + len(frames).to_bytes(4, "little") + b"\x00" * 12
+        + int(width).to_bytes(4, "little") + int(height).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    hdrl = b"hdrl" + chunk(b"avih", avih)
+    movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
 def parse_avi_frames(
