@@ -137,6 +137,49 @@ def main(workdir: str) -> None:
     total = curated.agg(F.sum("n_removed")).first()[0]
     print(f"span dedup removed {total} duplicated tokens across the corpus")
 
+    # 4. the RAW-archive route: crawls without a WET sidecar ship response
+    #    records with HTML bodies; read_warc_html splits the HTTP head
+    #    (honoring its charset ahead of any <meta>), strips boilerplate,
+    #    and lands the same documents shape — including a windows-1252
+    #    page that a UTF-8-only decode would have mangled
+    from sat_bucket_spark.warc import read_warc_html
+
+    raw_dir = os.path.join(workdir, "raw_crawl")
+    os.makedirs(raw_dir, exist_ok=True)
+    cp1252_body = (
+        b"<div class='nav'><a href='/'>Home</a></div>"
+        b"<p>\x93quoted\x94 content paragraph with enough plain words to "
+        b"survive the boilerplate heuristic</p>"
+    )
+    responses = [
+        {
+            "type": "response",
+            "WARC-Target-URI": "http://c.example/legacy",
+            "Content-Type": "application/http; msgtype=response",
+            "payload": (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=windows-1252\r\n\r\n"
+                + cp1252_body
+            ),
+        },
+        {
+            "type": "response",
+            "WARC-Target-URI": "http://c.example/modern",
+            "Content-Type": "application/http; msgtype=response",
+            "payload": (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + "<p>modern utf-8 page with café and enough words to "
+                "keep</p>".encode("utf-8")
+            ),
+        },
+    ]
+    with open(os.path.join(raw_dir, "raw-0.warc.gz"), "wb") as f:
+        f.write(build_warc_bytes(responses, gzip_members=True))
+    html_docs = read_warc_html(spark, raw_dir)
+    html_docs.select("url", "title", "n_kept", "text").show(truncate=60)
+    legacy = html_docs.where(F.col("url").endswith("legacy")).first()
+    assert "“quoted”" in legacy.text, "cp1252 page must decode via its header charset"
+
     spark.stop()
 
 

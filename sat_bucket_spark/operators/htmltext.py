@@ -187,28 +187,72 @@ def main_text(
     return "\n".join(kept)
 
 
-_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", re.I)
+_CHARSET_RE = re.compile(
+    # the HTML5 prescan looks only at <meta> declarations (plain or
+    # http-equiv Content-Type); a bare charset= in body text must not
+    # hijack the decode now that the sniff outranks UTF-8
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)",
+    re.I,
+)
+
+# WHATWG encoding-label mapping (the subset that matters for crawls): pages
+# declaring latin-1/ascii are decoded as windows-1252 — its strict superset
+# that real browsers use, and what the authors of such pages actually emit
+# (0x93/0x94 curly quotes etc. are cp1252, undefined in iso-8859-1 proper).
+_CHARSET_ALIASES = {
+    "iso-8859-1": "cp1252",
+    "iso8859-1": "cp1252",
+    "latin-1": "cp1252",
+    "latin1": "cp1252",
+    "l1": "cp1252",
+    "ascii": "cp1252",
+    "us-ascii": "cp1252",
+    "windows-1252": "cp1252",
+    "x-cp1252": "cp1252",
+    "unicode": "utf-16",  # legacy IE label
+}
 
 
-def decode_html_bytes(payload: bytes) -> str:
-    """Decode an HTML payload: UTF-8, declared ``charset``, latin-1.
+def _try_decode(payload: bytes, label: str) -> str | None:
+    codec = _CHARSET_ALIASES.get(label.strip().lower(), label.strip())
+    try:
+        return payload.decode(codec, errors="replace")
+    except LookupError:
+        return None
 
-    UTF-8 strict is tried first (it rejects other encodings with high
-    probability), then any ``charset=`` declared in the first 2 KiB,
-    then latin-1 — which never fails, so every payload decodes to
+
+def decode_html_bytes(payload: bytes, declared: str | None = None) -> str:
+    """Decode an HTML payload: BOM, declared charset, ``<meta charset>``,
+    UTF-8, windows-1252 — in that order, per the HTML5 precedence rules.
+
+    ``declared`` is the transport-level charset (the HTTP Content-Type
+    header a WARC record carries); it outranks the in-document ``<meta>``
+    declaration, and both outrank sniffing — a windows-1252 page whose
+    byte sequence happens to be valid UTF-8 (``0xC3 0xA9`` is cp1252
+    ``Ã©``) would otherwise silently mis-decode and degrade every
+    downstream text signal. A BOM outranks everything (it IS the
+    encoding). Labeled decodes use ``errors='replace'``; the final
+    windows-1252 fallback never fails, so every payload decodes to
     SOMETHING and malformed pages degrade instead of killing a task.
+    Unknown/bogus labels fall through to the next rule.
     """
+    if payload[:3] == b"\xef\xbb\xbf":
+        return payload[3:].decode("utf-8", errors="replace")
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return payload.decode("utf-16", errors="replace")
+    if declared:
+        out = _try_decode(payload, declared)
+        if out is not None:
+            return out
+    m = _CHARSET_RE.search(payload[:2048])
+    if m:
+        out = _try_decode(payload, m.group(1).decode("ascii", errors="replace"))
+        if out is not None:
+            return out
     try:
         return payload.decode("utf-8")
     except UnicodeDecodeError:
-        pass
-    m = _CHARSET_RE.search(payload[:2048])
-    if m:
-        try:
-            return payload.decode(m.group(1).decode("ascii"), errors="replace")
-        except (LookupError, UnicodeDecodeError):
-            pass
-    return payload.decode("latin-1")
+        return payload.decode("cp1252", errors="replace")
 
 
 def html_to_text(
@@ -220,8 +264,15 @@ def html_to_text(
     max_link_density: float = 0.4,
     meta: bool = True,
     strict: bool = False,
+    charset_col: str | None = None,
 ) -> DataFrame:
     """Extract text from an HTML column (``binary`` or ``string``).
+
+    ``charset_col`` names an optional string column carrying the
+    transport-declared charset (e.g. parsed from a WARC record's HTTP
+    ``Content-Type``); it feeds :func:`decode_html_bytes`'s precedence
+    chain ahead of the in-document ``<meta>`` declaration. NULL entries
+    mean "no declaration" for that row.
 
     ``mode='main'`` applies the boilerplate heuristic (:func:`main_text`);
     ``mode='all'`` keeps every block (:func:`html_text`).  With
@@ -259,12 +310,19 @@ def html_to_text(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts, titles, n_blocks, n_kept, densities = [], [], [], [], []
-            for raw in pdf[html_col]:
+            charsets = (
+                pdf[charset_col] if charset_col is not None else [None] * len(pdf)
+            )
+            for raw, declared in zip(pdf[html_col], charsets):
                 try:
                     if raw is None:
                         raise ValueError("null payload")
+                    if declared is not None and not isinstance(declared, str):
+                        declared = None  # NaN from a null charset cell
                     html = (
-                        decode_html_bytes(bytes(raw)) if is_binary else str(raw)
+                        decode_html_bytes(bytes(raw), declared=declared)
+                        if is_binary
+                        else str(raw)
                     )
                     blocks, title = extract_blocks(html)
                     kept = [

@@ -43,6 +43,7 @@ from sat_bucket_spark.operators.hashing import h64_expr
 __all__ = [
     "iter_warc_records",
     "read_warc",
+    "read_warc_html",
     "read_wet",
     "build_warc_bytes",
 ]
@@ -199,13 +200,25 @@ def _next_record(stream: "_RecordStream", strict: bool) -> Iterator[dict]:
         yield {"headers": headers, "payload": payload}
 
 
-def _strip_http(payload: bytes) -> bytes:
-    """Drop the HTTP response head from a ``response`` record's block."""
+def _split_http(payload: bytes) -> "tuple[str | None, bytes]":
+    """(HTTP Content-Type header value, body bytes) of a ``response``
+    record's block; ``(None, payload)`` when there is no HTTP head."""
     if payload[:5] in (b"HTTP/",):
         sep = payload.find(b"\r\n\r\n")
         if sep >= 0:
-            return payload[sep + 4 :]
-    return payload
+            ctype = None
+            for line in payload[:sep].split(b"\r\n")[1:]:
+                k, _, v = line.partition(b":")
+                if k.strip().lower() == b"content-type":
+                    ctype = v.strip().decode("latin-1") or None
+                    break
+            return ctype, payload[sep + 4 :]
+    return None, payload
+
+
+def _strip_http(payload: bytes) -> bytes:
+    """Drop the HTTP response head from a ``response`` record's block."""
+    return _split_http(payload)[1]
 
 
 def _open_input(path: str):
@@ -270,6 +283,7 @@ def read_warc(
     strict: bool = True,
     batch_records: int = 1024,
     streaming: bool = False,
+    parse_http: bool = False,
 ) -> DataFrame:
     """Distributed WARC record table over a directory of (.warc|.warc.gz).
 
@@ -278,6 +292,12 @@ def read_warc(
     ``record_types`` filters during the parse (before any batch
     materializes); ``strip_http_headers`` removes the HTTP head from
     ``response`` blocks so ``payload`` is the body bytes.
+
+    ``parse_http=True`` additionally strips the head AND appends an
+    ``http_content_type`` string column — the HTTP-level ``Content-Type``
+    header of ``response`` records (NULL elsewhere), which carries the
+    transport-declared charset that HTML decoding must honor ahead of any
+    in-document declaration (:func:`read_warc_html`).
 
     ``streaming=True`` returns a STREAMING DataFrame over the same
     directory (Structured Streaming file source: each newly-arriving
@@ -303,12 +323,13 @@ def read_warc(
     else:
         bf = spark.read.format("binaryFile").load(path)
     wanted = tuple(t.lower() for t in record_types) if record_types else None
+    out_schema = _WARC_SCHEMA + (", http_content_type string" if parse_http else "")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "record_id", "warc_type", "target_uri", "warc_date",
             "content_type", "content_length", "payload", "source_file",
-        ]
+        ] + (["http_content_type"] if parse_http else [])
         rows: list[tuple] = []
         for pdf in batches:
             for fpath in pdf["path"]:
@@ -321,20 +342,23 @@ def read_warc(
                         if wanted is not None and wtype.lower() not in wanted:
                             continue
                         payload = rec["payload"]
-                        if strip_http_headers and wtype.lower() == "response":
-                            payload = _strip_http(payload)
-                        rows.append(
-                            (
-                                h.get("warc-record-id", ""),
-                                wtype,
-                                h.get("warc-target-uri"),
-                                h.get("warc-date"),
-                                h.get("content-type"),
-                                len(payload),
-                                payload,
-                                fname,
-                            )
+                        http_ctype = None
+                        if wtype.lower() == "response":
+                            if parse_http:
+                                http_ctype, payload = _split_http(payload)
+                            elif strip_http_headers:
+                                payload = _strip_http(payload)
+                        row = (
+                            h.get("warc-record-id", ""),
+                            wtype,
+                            h.get("warc-target-uri"),
+                            h.get("warc-date"),
+                            h.get("content-type"),
+                            len(payload),
+                            payload,
+                            fname,
                         )
+                        rows.append(row + ((http_ctype,) if parse_http else ()))
                         if len(rows) >= batch_records:
                             yield pd.DataFrame(rows, columns=cols)
                             rows = []
@@ -343,7 +367,7 @@ def read_warc(
         if rows:
             yield pd.DataFrame(rows, columns=cols)
 
-    return bf.select("path").mapInPandas(parse, _WARC_SCHEMA)
+    return bf.select("path").mapInPandas(parse, out_schema)
 
 
 def read_wet(
@@ -371,6 +395,82 @@ def read_wet(
         F.col("target_uri").alias("url"),
         F.col("warc_date").alias("fetch_date"),
         F.decode(F.col("payload"), "UTF-8").alias("text"),
+        "source_file",
+    ).withColumn("doc_id", h64_expr(F.col("text")))
+
+
+def read_warc_html(
+    spark: SparkSession,
+    path: str,
+    mode: str = "main",
+    min_words: int = 5,
+    max_link_density: float = 0.4,
+    strict: bool = False,
+    streaming: bool = False,
+) -> DataFrame:
+    """Raw-WARC HTML route to the canonical documents frame.
+
+    The counterpart of :func:`read_wet` for crawls that ship only raw
+    archives (no WET sidecar): ``response`` records -> HTTP head split
+    (the header-declared charset outranks any in-document ``<meta>``,
+    operators/htmltext.decode_html_bytes) -> html_to_text boilerplate
+    removal -> ``(doc_id, url, fetch_date, text, title, n_blocks, n_kept,
+    link_density, source_file)``. Non-HTML responses (images, PDFs — by
+    either the WARC or the HTTP content type) are dropped during the
+    parse; undecodable/malformed pages yield NULL text rather than
+    failing the task (``strict=True`` raises).
+
+    Scale shape: both stages are Arrow-batched ``mapInPandas`` with
+    file-grain parallelism and no shuffle; the HTTP content-type filter
+    runs before the HTML parse so non-HTML payload bytes are dropped as
+    early as possible.
+    """
+    from sat_bucket_spark.operators.htmltext import html_to_text
+
+    recs = read_warc(
+        spark,
+        path,
+        record_types=("response",),
+        strict=True,  # container truncation is always a real error
+        streaming=streaming,
+        parse_http=True,
+    )
+    # HTML iff either layer says so; records with neither type header are
+    # kept only when the body looks like markup (crawls do omit headers)
+    ctype = F.coalesce(F.col("http_content_type"), F.col("content_type"))
+    is_html = F.when(
+        ctype.isNotNull(), F.lower(ctype).contains("html")
+    ).otherwise(F.startswith(F.ltrim(F.decode("payload", "US-ASCII")), F.lit("<")))
+    pages = recs.where(is_html).withColumn(
+        "charset",
+        F.nullif(
+            F.lower(
+                F.regexp_extract(
+                    F.col("http_content_type"), r"(?i)charset\s*=\s*\"?([A-Za-z0-9_.:-]+)", 1
+                )
+            ),
+            F.lit(""),
+        ),
+    )
+    out = html_to_text(
+        pages,
+        html_col="payload",
+        out="text",
+        mode=mode,
+        min_words=min_words,
+        max_link_density=max_link_density,
+        meta=True,
+        strict=strict,
+        charset_col="charset",
+    )
+    return out.select(
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetch_date"),
+        "text",
+        "title",
+        "n_blocks",
+        "n_kept",
+        "link_density",
         "source_file",
     ).withColumn("doc_id", h64_expr(F.col("text")))
 

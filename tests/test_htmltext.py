@@ -128,14 +128,48 @@ class TestDecode:
         raw = '<meta charset="iso-8859-1"><p>café</p>'.encode("latin-1")
         assert "café" in decode_html_bytes(raw)
 
-    def test_latin1_fallback(self):
-        # 0xFF is invalid UTF-8 and no charset declared -> latin-1 never fails
-        out = decode_html_bytes(b"\xff\xfe plain")
+    def test_fallback_never_fails(self):
+        # 0xFF alone is invalid UTF-8 and no charset declared -> the
+        # windows-1252 fallback never raises
+        out = decode_html_bytes(b"\xff plain")
         assert out.endswith(" plain")
 
     def test_bogus_declared_charset_falls_through(self):
         raw = b'<meta charset="not-a-codec"><p>\xff</p>'
-        assert decode_html_bytes(raw)  # latin-1 fallback, no raise
+        assert decode_html_bytes(raw)  # cp1252 fallback, no raise
+
+    def test_windows_1252_meta(self):
+        # curly quotes + en dash: cp1252 bytes 0x93/0x94/0x96 are INVALID
+        # UTF-8 and undefined in iso-8859-1 proper
+        raw = b'<meta charset="windows-1252"><p>\x93quoted\x94 \x96 dash</p>'
+        out = decode_html_bytes(raw)
+        assert "“quoted” – dash" in out
+
+    def test_latin1_label_upgraded_to_cp1252(self):
+        # WHATWG: pages declaring iso-8859-1 really mean windows-1252
+        raw = b'<meta charset="iso-8859-1"><p>\x93hi\x94</p>'
+        assert "“hi”" in decode_html_bytes(raw)
+
+    def test_meta_declaration_beats_utf8_sniff(self):
+        # 0xC3 0xA9 is VALID UTF-8 ("é") but the page says cp1252,
+        # where those bytes are "Ã©" — the declaration must win
+        raw = b'<meta charset="windows-1252"><p>caf\xc3\xa9</p>'
+        assert "cafÃ©" in decode_html_bytes(raw)
+
+    def test_http_header_beats_meta(self):
+        raw = b'<meta charset="utf-8"><p>\x93x\x94</p>'
+        out = decode_html_bytes(raw, declared="windows-1252")
+        assert "“x”" in out
+
+    def test_bom_beats_everything(self):
+        raw = b"\xef\xbb\xbf" + '<meta charset="iso-8859-1"><p>café</p>'.encode("utf-8")
+        assert "café" in decode_html_bytes(raw, declared="iso-8859-1")
+        utf16 = "\ufeff<p>caf\u00e9</p>".encode("utf-16-le")
+        assert "café" in decode_html_bytes(utf16)
+
+    def test_bogus_http_header_falls_to_meta(self):
+        raw = '<meta charset="utf-8"><p>café</p>'.encode("utf-8")
+        assert "café" in decode_html_bytes(raw, declared="not-a-codec")
 
 
 @pytest.fixture(scope="module")
@@ -227,3 +261,87 @@ class TestWarcComposition:
         assert rows["http://example.com/b"] == (
             "beta page body also has enough words"
         )
+
+
+class TestReadWarcHtml:
+    """Raw-WARC HTML route (warc.read_warc_html): response records ->
+    charset-aware decode -> boilerplate removal -> documents frame."""
+
+    @staticmethod
+    def _crawl(tmp_path):
+        from sat_bucket_spark.warc import build_warc_bytes
+
+        body_utf8 = (
+            '<meta charset="utf-8"><p>utf eight page body with café and '
+            "enough plain words to survive the gate</p>"
+        ).encode("utf-8")
+        # windows-1252 page: curly quotes 0x93/0x94 are INVALID UTF-8; the
+        # HTTP header is the only charset declaration
+        body_cp1252 = (
+            b"<p>\x93windows page\x94 body carries enough plain words "
+            b"to survive the quality gate</p>"
+        )
+        # header lies (none) but <meta> declares cp1252
+        body_meta_only = (
+            b'<meta charset="windows-1252"><p>\x96 meta declared page body '
+            b"with enough plain words to survive the gate</p>"
+        )
+        def resp(uri, ctype, body):
+            head = f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n".encode()
+            return {
+                "type": "response",
+                "WARC-Target-URI": uri,
+                "Content-Type": "application/http; msgtype=response",
+                "payload": head + body,
+            }
+
+        records = [
+            resp("http://x/utf8", "text/html; charset=UTF-8", body_utf8),
+            resp("http://x/cp1252", "text/html; charset=windows-1252", body_cp1252),
+            resp("http://x/meta", "text/html", body_meta_only),
+            resp("http://x/gif", "image/gif", b"GIF89a\x01\x00\x01\x00"),
+            {
+                "type": "request",
+                "WARC-Target-URI": "http://x/utf8",
+                "payload": b"GET /utf8 HTTP/1.1\r\n\r\n",
+            },
+        ]
+        path = tmp_path / "crawl.warc"
+        path.write_bytes(build_warc_bytes(records))
+        return str(path)
+
+    def test_html_route_and_charset_survival(self, spark, tmp_path):
+        from sat_bucket_spark.warc import read_warc_html
+
+        docs = read_warc_html(spark, self._crawl(tmp_path))
+        rows = {r.url: r for r in docs.collect()}
+        # the integrity gate: non-UTF-8 pages SURVIVE with correct text
+        assert set(rows) == {"http://x/utf8", "http://x/cp1252", "http://x/meta"}
+        assert "café" in rows["http://x/utf8"].text
+        assert "“windows page”" in rows["http://x/cp1252"].text
+        assert "– meta declared" in rows["http://x/meta"].text
+        # doc ids are content-derived and non-null for decoded pages
+        assert all(r.doc_id is not None for r in rows.values())
+        assert all(r.n_kept >= 1 for r in rows.values())
+
+    def test_non_html_dropped_early(self, spark, tmp_path):
+        from sat_bucket_spark.warc import read_warc_html
+
+        urls = [r.url for r in read_warc_html(spark, self._crawl(tmp_path)).collect()]
+        assert "http://x/gif" not in urls
+
+    def test_headerless_html_sniffed_by_markup(self, spark, tmp_path):
+        from sat_bucket_spark.warc import build_warc_bytes, read_warc_html
+
+        rec = {
+            "type": "response",
+            "WARC-Target-URI": "http://x/bare",
+            "payload": (
+                b"HTTP/1.1 200 OK\r\n\r\n"
+                b"<p>bare page with no content type but enough words here</p>"
+            ),
+        }
+        path = tmp_path / "bare.warc"
+        path.write_bytes(build_warc_bytes([rec]))
+        rows = read_warc_html(spark, str(path)).collect()
+        assert len(rows) == 1 and rows[0].text.startswith("bare page")
