@@ -4987,6 +4987,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     paragraph_dedup + gopher_quality), lsh_near_dup (embedding-ANN
     family held by knn_join + ivfpq_topk + semantic_dedup). All seven
     remain green in the all-registry parity suite.
+
+    Round-8 reorder (VERDICT r7 task #8): simhash_dedup — the text
+    keep-first flagship (signature-collapse posture, the 100 TB scale
+    path) — moves INTO the window, displacing its own pair-posture
+    sibling simhash_near_dup per the insertion rule (same SimHash
+    family; the banded pair engine stays driver-verified through
+    image_near_dup, which shares near_dup_pairs_by_signature).
+    simhash_near_dup remains green in the all-registry parity suite.
     """
     return {
         # ---- driver-verified window (first 50) ----
@@ -5020,7 +5028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "url_filter": q_url_filter,
         "edit_dedup": q_edit_dedup,
-        "simhash_near_dup": q_simhash_near_dup,
+        "simhash_dedup": q_simhash_dedup,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "mad_outliers": q_mad_outliers,
         "knn_join": q_knn_join,
@@ -5080,7 +5088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "pq_topk": q_pq_topk,
         "simhash": q_simhash,
-        "simhash_dedup": q_simhash_dedup,
+        "simhash_near_dup": q_simhash_near_dup,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "dedup_against_bloom": q_dedup_against_bloom,
