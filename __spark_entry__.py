@@ -1974,6 +1974,44 @@ def q_pagerank(spark, sf_dir):
     return pr.select("node", F.round("rank", 9).alias("pr")).orderBy("node")
 
 
+def q_host_rank(spark, sf_dir):
+    """Crawl host-authority: deterministic link lists -> host_link_edges
+    -> DIRECTED PageRank (exercises the dangling-mass path: hosts h40-h49
+    appear only as link targets, so their rank mass redistributes
+    uniformly every round). The oracle replays the same host derivation
+    and unrolls the identical rounds, dangling term included.
+    operators/urls.py:host_link_edges, operators/graph.py:pagerank."""
+    from sat_bucket_spark.operators.graph import pagerank
+    from sat_bucket_spark.operators.urls import host_link_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    host = lambda e: F.concat(F.lit("http://h"), e.cast("string"), F.lit(".example"))  # noqa: E731
+    pages = docs.select(
+        F.concat(host(F.col("doc_id") % 40), F.lit("/p"), "doc_id").alias("url"),
+        # irregular out-degrees (2 or 3 links, three co-prime moduli) so
+        # ranks spread across many distinct values — a regular lattice
+        # collapses to a handful of classes and tests almost nothing
+        F.filter(
+            F.array(
+                F.concat(host((F.col("doc_id") * 7 + 1) % 50), F.lit("/x")),
+                F.concat(host((F.col("doc_id") * 13 + 2) % 47), F.lit("/y")),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(host((F.col("doc_id") * 17 + 5) % 53), F.lit("/z")),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("links"),
+    )
+    pr = pagerank(
+        host_link_edges(pages), src="src_host", dst="dst_host",
+        damping=0.85, iterations=8, directed=True,
+    )
+    return pr.select(
+        F.col("node").alias("host"), F.round("rank", 9).alias("pr")
+    ).orderBy("host")
+
+
 def q_pii_scan(spark, sf_dir):
     """PII detection + redaction over documents with injected patterns.
 
@@ -3685,20 +3723,22 @@ def _pagerank_sql(damping: float = 0.85, iterations: int = 10) -> str:
          CAST(o_orderkey % 800 AS BIGINT) AS t
   FROM orders
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT DISTINCT u, v FROM (
     SELECT s AS u, t AS v FROM e0 UNION ALL SELECT t AS u, s AS v FROM e0
   ) WHERE u <> v
 ),
-nodes AS (SELECT DISTINCT u AS node FROM e),
+nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-deg AS (SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY u),
-r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+deg AS MATERIALIZED (
+  SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY u
+),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
     ]
     for i in range(1, iterations + 1):
         parts.append(
             f""",
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT nodes.node,
          (1 - {d}) / (SELECT n FROM nn) + {d} * COALESCE(c.contrib, 0) AS pr
   FROM nodes LEFT JOIN (
@@ -3718,6 +3758,69 @@ r{i} AS (
 
 
 _ORACLES["pagerank"] = _pagerank_sql()
+
+
+def _host_rank_sql(damping: float = 0.85, iterations: int = 8) -> str:
+    """Oracle mirror of q_host_rank: same host derivation, same DIRECTED
+    unrolled rounds WITH the dangling-mass term (hosts with no out-edges
+    contribute their rank uniformly — dang{i}/n joins the teleport).
+
+    Every round CTE is MATERIALIZED: r{i} references r{i-1} twice (the
+    contribution join and the dangling aggregate), so an inlining engine
+    would re-evaluate the whole chain 2^iterations times."""
+    d = repr(damping)
+    parts = [
+        """e0 AS (
+  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example' AS s,
+         'h' || CAST((doc_id * 7 + 1) % 50 AS VARCHAR) || '.example' AS t
+  FROM documents
+  UNION ALL
+  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example',
+         'h' || CAST((doc_id * 13 + 2) % 47 AS VARCHAR) || '.example'
+  FROM documents
+  UNION ALL
+  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example',
+         'h' || CAST((doc_id * 17 + 5) % 53 AS VARCHAR) || '.example'
+  FROM documents WHERE doc_id % 3 = 0
+),
+e AS MATERIALIZED (SELECT DISTINCT s AS u, t AS v FROM e0 WHERE s <> t),
+nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS MATERIALIZED (
+  SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY u
+),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+dang{i - 1} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.pr), 0) AS dang
+  FROM r{i - 1} r LEFT JOIN deg ON r.node = deg.node
+  WHERE deg.deg IS NULL
+),
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         (1 - {d}) / (SELECT n FROM nn)
+         + {d} * (COALESCE(c.contrib, 0)
+                  + (SELECT dang FROM dang{i - 1}) / (SELECT n FROM nn)) AS pr
+  FROM nodes LEFT JOIN (
+    SELECT e.v AS node, SUM(r{i - 1}.pr / deg.deg) AS contrib
+    FROM e
+    JOIN r{i - 1} ON e.u = r{i - 1}.node
+    JOIN deg ON e.u = deg.node
+    GROUP BY e.v
+  ) c ON nodes.node = c.node
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT node AS host, ROUND(pr, 9) AS pr FROM r{iterations} ORDER BY host"
+    )
+
+
+_ORACLES["host_rank"] = _host_rank_sql()
 
 _ORACLES["dup_clusters"] = f"""
 WITH RECURSIVE pairs AS ({_minhash_lsh_dedup_sql()}),
@@ -5133,6 +5236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "audio_segments": q_audio_segments,
         "pagerank": q_pagerank,
+        "host_rank": q_host_rank,
     }
 
 

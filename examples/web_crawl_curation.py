@@ -147,7 +147,8 @@ def main(workdir: str) -> None:
     raw_dir = os.path.join(workdir, "raw_crawl")
     os.makedirs(raw_dir, exist_ok=True)
     cp1252_body = (
-        b"<div class='nav'><a href='/'>Home</a></div>"
+        b"<div class='nav'><a href='/'>Home</a>"
+        b"<a href='http://d.example/ref'>source</a></div>"
         b"<p>\x93quoted\x94 content paragraph with enough plain words to "
         b"survive the boilerplate heuristic</p>"
     )
@@ -168,8 +169,11 @@ def main(workdir: str) -> None:
             "Content-Type": "application/http; msgtype=response",
             "payload": (
                 b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-                + "<p>modern utf-8 page with café and enough words to "
-                "keep</p>".encode("utf-8")
+                + (
+                    "<p>modern utf-8 page with café and enough words to "
+                    'keep</p><a href="http://d.example/ref">cite</a>'
+                    '<a href="http://c.example/legacy">sibling</a>'
+                ).encode("utf-8")
             ),
         },
     ]
@@ -179,6 +183,26 @@ def main(workdir: str) -> None:
     html_docs.select("url", "title", "n_kept", "text").show(truncate=60)
     legacy = html_docs.where(F.col("url").endswith("legacy")).first()
     assert "“quoted”" in legacy.text, "cp1252 page must decode via its header charset"
+
+    # 5. crawl authority: outgoing links -> host graph -> directed
+    #    PageRank — the quality-weighting signal (a page on a
+    #    widely-linked host outranks link-farm output even when their
+    #    text features tie)
+    from sat_bucket_spark.operators.graph import pagerank
+    from sat_bucket_spark.operators.htmltext import html_links
+    from sat_bucket_spark.operators.urls import host_link_edges
+    from sat_bucket_spark.warc import read_warc
+
+    pages = read_warc(
+        spark, raw_dir, record_types=("response",), parse_http=True
+    ).withColumnRenamed("target_uri", "url")
+    linked = html_links(pages, url_col="url")
+    authority = pagerank(
+        host_link_edges(linked), src="src_host", dst="dst_host",
+        directed=True, iterations=6,
+    )
+    print("host authority (directed PageRank over the crawl's link graph):")
+    authority.orderBy(F.desc("rank")).show(truncate=False)
 
     spark.stop()
 

@@ -33,7 +33,9 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "extract_blocks",
+    "extract_links",
     "html_text",
+    "html_links",
     "main_text",
     "decode_html_bytes",
     "html_to_text",
@@ -68,6 +70,7 @@ class _BlockParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[dict] = []
         self.title_parts: list[str] = []
+        self.hrefs: list[str] = []
         self._parts: list[str] = []
         self._chars = 0
         self._link_chars = 0
@@ -101,6 +104,10 @@ class _BlockParser(HTMLParser):
             return
         if tag == "a":
             self._a_depth += 1
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+                    break
         if tag in _BLOCK_TAGS:
             self._flush()
 
@@ -162,6 +169,91 @@ def html_text(html: str) -> str:
     """All visible text, one line per block (no boilerplate removal)."""
     blocks, _ = extract_blocks(html)
     return "\n".join(b["text"] for b in blocks)
+
+
+def extract_links(html: str, base_url: str | None = None) -> list[str]:
+    """Outgoing ``<a href>`` targets, document order, first-seen deduped.
+
+    Relative hrefs resolve against ``base_url`` when given (stdlib
+    ``urljoin``); only ``http(s)`` results are kept — mailto/javascript/
+    fragment-only links are navigation chrome, not crawl edges. Links
+    inside skipped elements (``<script>``, ``<svg>``, …) never count.
+    """
+    from urllib.parse import urljoin
+
+    parser = _BlockParser()
+    parser.feed(html)
+    parser.close()
+    seen: set[str] = set()
+    out: list[str] = []
+    for href in parser.hrefs:
+        href = href.strip()
+        if base_url is not None:
+            try:
+                href = urljoin(base_url, href)
+            except ValueError:
+                continue
+        if not href.lower().startswith(("http://", "https://")):
+            continue
+        if href not in seen:
+            seen.add(href)
+            out.append(href)
+    return out
+
+
+def html_links(
+    df: DataFrame,
+    html_col: str = "payload",
+    url_col: str | None = None,
+    out: str = "links",
+    charset_col: str | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Outgoing-link column from an HTML column (``binary`` or ``string``).
+
+    ``url_col`` names the page URL used to resolve relative hrefs (a raw
+    crawl's links are mostly relative, and a host graph without them is
+    missing its intra-site edges). Output appends ``out`` as
+    ``array<string>``; undecodable rows yield NULL (``strict=True``
+    raises). Map-only Arrow-batched stage, no shuffle — compose with
+    ``urls.host_link_edges`` + ``graph.pagerank`` for crawl authority.
+    """
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    is_binary = dict(df.dtypes)[html_col] == "binary"
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out, ArrayType(StringType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls = pdf[url_col] if url_col is not None else [None] * len(pdf)
+            charsets = (
+                pdf[charset_col] if charset_col is not None else [None] * len(pdf)
+            )
+            links: list = []
+            for raw, base, declared in zip(pdf[html_col], urls, charsets):
+                try:
+                    if raw is None:
+                        raise ValueError("null payload")
+                    if declared is not None and not isinstance(declared, str):
+                        declared = None
+                    html = (
+                        decode_html_bytes(bytes(raw), declared=declared)
+                        if is_binary
+                        else str(raw)
+                    )
+                    base = base if isinstance(base, str) else None
+                    links.append(extract_links(html, base_url=base))
+                except Exception:
+                    if strict:
+                        raise
+                    links.append(None)
+            res = pdf.copy()
+            res[out] = links
+            yield res
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def main_text(

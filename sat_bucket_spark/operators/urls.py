@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from sat_bucket_spark.operators.parallel import ensure_parallelism
 
-__all__ = ["url_host_expr", "url_quality_flags"]
+__all__ = ["host_link_edges", "url_host_expr", "url_quality_flags"]
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
 
@@ -26,6 +26,38 @@ def url_host_expr(url: Column | str) -> Column:
     """Lower-cased host part of a URL ('' when there is no scheme://host)."""
     u = F.col(url) if isinstance(url, str) else url
     return F.lower(F.regexp_extract(u, _HOST_RE, 1))
+
+
+def host_link_edges(
+    df: "DataFrame",
+    url_col: str = "url",
+    links_col: str = "links",
+) -> "DataFrame":
+    """Distinct host-level link edges ``(src_host, dst_host)`` from a page
+    table with an outgoing-links array (``htmltext.html_links``).
+
+    Self-edges (intra-site navigation) and rows with an unparseable host
+    on either side are dropped — the result is the crawl's host graph,
+    ready for ``graph.pagerank(directed=True)`` (link authority) or
+    ``graph.connected_components`` (mirror-farm discovery). All Column
+    expressions (explode + regexp), JVM-side; the DISTINCT is the only
+    shuffle and is bounded by the host-pair cardinality, not page count.
+    """
+    exploded = df.select(
+        url_host_expr(F.col(url_col)).alias("src_host"),
+        F.explode(links_col).alias("__link"),  # generators can't nest in exprs
+    )
+    return (
+        exploded.select(
+            "src_host", url_host_expr(F.col("__link")).alias("dst_host")
+        )
+        .where(
+            (F.col("src_host") != "")
+            & (F.col("dst_host") != "")
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .distinct()
+    )
 
 
 def url_quality_flags(

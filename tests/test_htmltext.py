@@ -345,3 +345,99 @@ class TestReadWarcHtml:
         path.write_bytes(build_warc_bytes([rec]))
         rows = read_warc_html(spark, str(path)).collect()
         assert len(rows) == 1 and rows[0].text.startswith("bare page")
+
+
+class TestLinks:
+    def test_extract_links_order_dedup_and_schemes(self):
+        from sat_bucket_spark.operators.htmltext import extract_links
+
+        html = (
+            '<a href="http://a.example/1">one</a>'
+            '<a href="mailto:x@y">mail</a>'
+            '<a href="javascript:void(0)">js</a>'
+            '<a href="#frag">frag</a>'
+            '<a href="http://b.example/2">two</a>'
+            '<a href="http://a.example/1">dup</a>'
+            '<script><a href="http://evil.example/x">skipped</a></script>'
+        )
+        assert extract_links(html) == ["http://a.example/1", "http://b.example/2"]
+
+    def test_relative_resolution(self):
+        from sat_bucket_spark.operators.htmltext import extract_links
+
+        html = '<a href="/about">a</a><a href="../up">b</a><a href="https://x.example/z">c</a>'
+        got = extract_links(html, base_url="http://site.example/dir/page.html")
+        assert got == [
+            "http://site.example/about",
+            "http://site.example/up",
+            "https://x.example/z",
+        ]
+
+    def test_html_links_operator(self, spark):
+        from sat_bucket_spark.operators.htmltext import html_links
+
+        df = spark.createDataFrame(
+            [
+                (1, "http://s.example/p", '<a href="/rel">r</a><a href="http://t.example/q">t</a>'),
+                (2, "http://s.example/q", None),
+            ],
+            "doc_id long, url string, payload string",
+        )
+        rows = {r.doc_id: r.links for r in html_links(df, url_col="url").collect()}
+        assert rows[1] == ["http://s.example/rel", "http://t.example/q"]
+        assert rows[2] is None
+
+    def test_host_link_edges(self, spark):
+        from sat_bucket_spark.operators.urls import host_link_edges
+
+        df = spark.createDataFrame(
+            [
+                ("http://A.example/p", ["http://b.example/x", "http://a.example/self", "nota url"]),
+                ("http://a.example/q", ["http://b.example/y"]),  # same host edge -> distinct
+                ("http://c.example/r", None),
+            ],
+            "url string, links array<string>",
+        )
+        edges = sorted(
+            (r.src_host, r.dst_host) for r in host_link_edges(df).collect()
+        )
+        # hosts lowercase; self-edge dropped; null links row contributes nothing
+        assert edges == [("a.example", "b.example")]
+
+    def test_crawl_to_pagerank_composition(self, spark, tmp_path):
+        """Raw crawl -> html_links -> host graph -> directed PageRank:
+        the authority pipeline end to end on a hand-built link structure."""
+        from sat_bucket_spark.operators.graph import pagerank
+        from sat_bucket_spark.operators.htmltext import html_links
+        from sat_bucket_spark.operators.urls import host_link_edges
+        from sat_bucket_spark.warc import build_warc_bytes, read_warc
+
+        def page(host, links):
+            body = "".join(f'<a href="{u}">l</a>' for u in links).encode()
+            return {
+                "type": "response",
+                "WARC-Target-URI": f"http://{host}/",
+                "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body,
+            }
+
+        # hub.example is linked by everyone; leaf.example links out only
+        recs = [
+            page("a.example", ["http://hub.example/x"]),
+            page("b.example", ["http://hub.example/y", "http://a.example/"]),
+            page("leaf.example", ["http://hub.example/z"]),
+        ]
+        p = tmp_path / "c.warc"
+        p.write_bytes(build_warc_bytes(recs))
+        pages = read_warc(
+            spark, str(p), record_types=("response",), parse_http=True
+        ).withColumnRenamed("target_uri", "url")
+        linked = html_links(pages, url_col="url")
+        pr = {
+            r.node: r.rank
+            for r in pagerank(
+                host_link_edges(linked), src="src_host", dst="dst_host",
+                directed=True, iterations=6,
+            ).collect()
+        }
+        assert pr["hub.example"] == max(pr.values())  # everyone links the hub
+        assert abs(sum(pr.values()) - 1.0) < 1e-9  # dangling hub mass conserved
