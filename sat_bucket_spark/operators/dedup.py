@@ -393,29 +393,84 @@ def minhash_lsh_dedup_pairs(
     no shingle-level self-join). This is the shape that survives 100 TB —
     all-pairs verification (``ngram_jaccard_pairs``) is the small-scale oracle.
 
-    Returns (id_a, id_b, jaccard) for candidates with jaccard >= min_jaccard.
+    Like :func:`near_dup_pairs_by_signature` and
+    :func:`edit_distance_pairs`, the pairs split into two classes over
+    DISTINCT texts (the r8 sf1 probe caught the row-level version at
+    ~30x for 10x data on a duplicate-heavy corpus — every copy of a text
+    re-shingled, re-signed, re-banded, and re-verified pairs that are
+    jaccard 1.0 by construction):
+
+    - WITHIN a text (identical bytes): a direct equi-self-join on the md5
+      text id — jaccard is exactly 1.0 (identical shingle sets), no
+      banding, no verify. Texts with no shingles (shorter than
+      ``shingle_size``) never pair, matching the signature path, which
+      drops them at the group-by.
+    - ACROSS texts: signatures, banding, DISTINCT, and the exact-jaccard
+      verify all run over the distinct-text table — bounded by distinct
+      text cardinality, not row count — and the surviving text pairs
+      expand to id pairs by two hash joins.
+
+    Returns (id_a, id_b, jaccard) for candidates with jaccard >=
+    min_jaccard. PRECONDITION: ``id_col`` unique, as everywhere in this
+    module's pair engines.
     """
+    tid = F.md5(F.col(text_col))
+    ids = stage_cache(
+        df.select(F.col(id_col), tid.alias("__tid")).where(tid.isNotNull())
+    )
+    dtex = stage_cache(
+        _ensure_parallelism(df)
+        .select(F.col(text_col))
+        .where(F.col(text_col).isNotNull())
+        .distinct()
+        .select(F.md5(F.col(text_col)).alias("__tid"), F.col(text_col))
+    )
     sigs = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+        dtex, id_col="__tid", text_col=text_col, n_hashes=n_hashes,
         shingle_size=shingle_size, seed=seed,
     ).transform(stage_cache)  # signatures are tiny; never recompute them
     cands = lsh_candidate_pairs(
-        sigs, id_col=id_col, n_bands=n_bands, n_hashes=n_hashes, with_estimate=False
+        sigs, id_col="__tid", n_bands=n_bands, n_hashes=n_hashes, with_estimate=False
+    ).toDF("__tid_a", "__tid_b")
+    sets = dtex.select(
+        "__tid", shingles_expr(text_col, k=shingle_size).alias("sh_set")
     )
-    sets = _ensure_parallelism(df).select(
-        F.col(id_col), shingles_expr(text_col, k=shingle_size).alias("sh_set")
-    )
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
+    a = sets.select(F.col("__tid").alias("__tid_a"), F.col("sh_set").alias("set_a"))
+    b = sets.select(F.col("__tid").alias("__tid_b"), F.col("sh_set").alias("set_b"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+    verified = (
+        cands.join(a, "__tid_a")
+        .join(b, "__tid_b")
         .withColumn("jaccard", F.round(inter / union.cast("double"), 6))
         .where(F.col("jaccard") >= F.lit(min_jaccard))
-        .select("id_a", "id_b", "jaccard")
+        .select("__tid_a", "__tid_b", "jaccard")
     )
+    across = (
+        verified.join(
+            ids.select(F.col(id_col).alias("__ia"), F.col("__tid").alias("__tid_a")),
+            "__tid_a",
+        )
+        .join(
+            ids.select(F.col(id_col).alias("__ib"), F.col("__tid").alias("__tid_b")),
+            "__tid_b",
+        )
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    if min_jaccard > 1.0:  # degenerate threshold: even exact copies fail it
+        return across
+    shingled = ids.join(sigs.select("__tid"), "__tid", "left_semi")
+    within = (
+        shingled.select(F.col(id_col).alias("id_a"), "__tid")
+        .join(shingled.select(F.col(id_col).alias("id_b"), "__tid"), "__tid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return within.unionByName(across)
 
 
 def dedup_exact_against(
@@ -1379,47 +1434,78 @@ def edit_distance_pairs(
     position shifted by at most ``d``, between strings whose lengths differ
     by at most ``d``.
 
-    Plan (all JVM-side expressions, one equi-join + one verify join):
+    Like :func:`near_dup_pairs_by_signature`, the pairs split into two
+    disjoint classes, both computed over DISTINCT normalized keys (the r8
+    sf1 probe caught the row-level version at ~170x for 10x data on a
+    duplicate-heavy corpus — every 10-copy cluster paid a 10x10 candidate
+    join and 45 Levenshtein verifies for pairs that are distance 0 by
+    construction):
 
-    1. normalize: ``lower(trim(text))`` capped at ``max_len`` chars;
-    2. index side: each string emits its ``d+1`` even-partition chunks as
-       ``(len, chunk_idx, chunk)`` rows (explode over a constant sequence);
-    3. probe side: each string emits, for every candidate indexed length
-       ``la`` in ``[len-d, len]``, chunk index, and shift in ``[-d, d]``,
-       the same-length substring at the shifted chunk position — a constant
-       ``(d+1)^2 (2d+1)``-ish fan-out per row (45 rows at d=2);
-    4. candidates: equi-join on ``(la, chunk_idx, chunk)`` — shorter side
-       indexed, equal lengths tie-broken by id so each pair arises once —
-       then DISTINCT pair ids;
-    5. verify: join the normalized keys back and keep
-       ``levenshtein(key_a, key_b) <= d`` exactly.
+    - WITHIN a key (identical normalized text, distance 0 — the bulk of
+      a crawl's near-dup mass): a direct equi-self-join on the md5 key
+      id. No chunking, no candidate distinct, no verify.
+    - ACROSS keys: the PassJoin pipeline over the DISTINCT-key table —
+      1. normalize: ``lower(trim(text))`` capped at ``max_len`` chars;
+      2. index side: each distinct key emits its ``d+1`` even-partition
+         chunks as ``(len, chunk_idx, chunk)`` rows;
+      3. probe side: each distinct key emits, for every candidate indexed
+         length ``la`` in ``[len-d, len]``, chunk index, and shift in
+         ``[-d, d]``, the same-length substring at the shifted position —
+         a constant ``(d+1)^2 (2d+1)``-ish fan-out (45 rows at d=2);
+      4. candidates: equi-join on ``(la, chunk_idx, chunk)`` — shorter
+         side indexed, equal lengths tie-broken by key id — DISTINCT;
+      5. verify: ``levenshtein(key_a, key_b) <= d`` exactly, once per
+         DISTINCT key pair;
+      6. expand the surviving key pairs back to id pairs by two hash
+         joins on the md5 key id.
 
-    100 TB design: the candidate join is a hash equi-join on bounded-width
-    string keys with constant per-row fan-out; no cross product, no
-    driver-side state. Chunks shorter than ~``log_sigma(n)`` chars go hot
-    (every row shares them) — keep documents capped at ``max_len`` well
-    above ``(d+1) *`` a few chars, and rely on AQE skew splitting for
-    pathological key collisions. DISTINCT and the verify join carry only
-    ids + capped keys. Verification is O(max_len^2) per surviving pair
-    (Spark's codegen'd ``levenshtein``), bounded by ``max_len``.
+    100 TB design: chunking, candidate join, DISTINCT, and verification
+    are all bounded by DISTINCT-key cardinality, not row count; the only
+    row-count-sized work is the md5 projection, the within equi-join,
+    and the final expansion (whose size is the output's own pair
+    semantics). Key ids are md5 (128-bit) so collisions are not a
+    realistic failure mode at any corpus size. Chunks shorter than
+    ~``log_sigma(n)`` chars go hot — keep ``max_len`` well above
+    ``(d+1) *`` a few chars and rely on AQE skew splitting.
 
-    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``.
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``. PRECONDITION:
+    ``id_col`` unique (one row per document), as everywhere in this
+    module's pair engines.
 
     Reference scope: beyond sat-bucket (no string-similarity join there);
     candidate recall is exact per the pigeonhole argument above (shifts
     cover insertions/deletions), verification is exact.
     """
+    from sat_bucket_spark.caching import stage_cache
+
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance}")
     d = int(max_distance)
     n_chunks = d + 1
 
     key = F.substring(F.lower(F.trim(F.col(text_col))), 1, max_len)
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        key.alias("__key"),
-        F.length(key).alias("__len"),
-    ).where(F.col("__len") > 0)
+    ids = stage_cache(
+        df.select(F.col(id_col).alias("__id"), key.alias("__key"))
+        .where(F.length("__key") > 0)
+        .select("__id", F.md5("__key").alias("__kid"))
+    )
+    within = (
+        ids.select(F.col("__id").alias("id_a"), "__kid")
+        .join(ids.select(F.col("__id").alias("id_b"), "__kid"), "__kid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("long").alias("dist"))
+    )
+
+    base = stage_cache(
+        df.select(key.alias("__key"))
+        .where(F.length("__key") > 0)
+        .distinct()
+        .select(
+            F.md5("__key").alias("__id"),  # key id stands in for the row id
+            "__key",
+            F.length("__key").alias("__len"),
+        )
+    )
 
     # Even partition of a length-L string into d+1 chunks:
     #   floor = L div (d+1), rem = L mod (d+1)
@@ -1511,7 +1597,25 @@ def edit_distance_pairs(
         .where(F.col("dist") <= d)
         .select("id_a", "id_b", "dist")
     )
-    return verified
+    # expand the surviving DISTINCT-key pairs to row-id pairs; each row has
+    # exactly one key, so no further dedup is needed, and the two classes
+    # are disjoint (within: same key; across: different keys)
+    across = (
+        verified.join(
+            ids.select(F.col("__id").alias("__ia"), F.col("__kid").alias("id_a")),
+            "id_a",
+        )
+        .join(
+            ids.select(F.col("__id").alias("__ib"), F.col("__kid").alias("id_b")),
+            "id_b",
+        )
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "dist",
+        )
+    )
+    return within.unionByName(across)
 
 
 def keep_first_by_signature(

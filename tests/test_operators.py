@@ -191,6 +191,44 @@ class TestMinHash:
         est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
         assert est[(1, 2)] > 0.5
 
+    def test_dedup_pairs_duplicate_heavy_corpus(self, spark):
+        """r8 distinct-text engine: exact copies take the within class
+        (jaccard exactly 1.0, no banding), near-dups the across class;
+        short texts (no shingles) never pair even when duplicated —
+        matching the signature path, which drops them at the group-by."""
+        from sat_bucket_spark.operators.dedup import (
+            minhash_lsh_dedup_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        texts = [base, base + " extra words here", "zz unrelated corpus row qq", "shrt"]
+        rows = [(10 * i + c, t) for i, t in enumerate(texts) for c in range(4)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_dedup_pairs(
+                df, n_hashes=16, n_bands=8, shingle_size=8, min_jaccard=0.1
+            ).collect()
+        }
+        # every copy pair of every text at exactly 1.0 — including 'shrt',
+        # whose sub-k text yields one whole-text shingle by contract
+        for i in (0, 10, 20, 30):
+            for a in range(4):
+                for b in range(a + 1, 4):
+                    assert got[(i + a, i + b)] == 1.0
+        # …but 'shrt' never pairs ACROSS with any other text
+        assert not any(
+            (30 <= a < 40) != (30 <= b < 40) for a, b in got
+        )
+        # across-class jaccards equal the exact all-pairs truth
+        truth = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, shingle_size=8).collect()
+        }
+        for (a, b), j in got.items():
+            assert truth[(a, b)] == j
+
     def test_minhash_estimates_jaccard(self, spark, documents):
         # MinHash estimate should correlate with exact n-gram Jaccard
         docs = documents.limit(30)

@@ -229,6 +229,29 @@ class TestEditDistancePairs:
         }
         assert got == _brute_pairs(docs, 2)
 
+    def test_duplicate_heavy_corpus_matches_brute(self, spark):
+        """r8 distinct-key engine: exact copies take the within class
+        (direct key equi-join, no PassJoin work), near-dups the across
+        class — output must equal brute force on a corpus where every
+        text appears 4x."""
+        texts = [
+            "the quick brown fox",
+            "the quick brown fx",      # distance 1 from the first
+            "a different sentence",
+            "a different sentenc",     # distance 1 from the third
+            "unrelated content here",
+        ]
+        rows = [(10 * i + c, t) for i, t in enumerate(texts) for c in range(4)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(df, max_distance=2).collect()
+        }
+        truth = _brute_pairs(rows, 2)
+        assert got == truth
+        # non-vacuous: both classes fired (dist-0 copies and dist-1 pairs)
+        assert {d for _, _, d in got} == {0, 1}
+
     def test_bad_distance(self, spark):
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="max_distance"):
