@@ -19,13 +19,17 @@ from pyspark.sql import functions as F
 from sat_bucket_spark.caching import stage_cache
 
 __all__ = [
+    "append_to_ivfpq_index",
     "brute_force_topk",
+    "build_ivfpq_index",
     "cosine_expr",
     "dot_expr",
     "embedding_decontamination",
     "norm_expr",
     "ivf_topk",
+    "ivfpq_index_topk",
     "ivfpq_topk",
+    "load_ivfpq_index",
     "l2_normalize",
     "lsh_dedup_against",
     "lsh_near_dup_pairs",
@@ -871,6 +875,194 @@ def ivfpq_topk(
         lambda acc, x: acc + x,
     )
     joined = v.join(F.broadcast(q), "__cluster").select(
+        F.col(query_id_col), F.col(id_col), F.round(score, 6).alias("adist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adist", "rank")
+    )
+
+
+def build_ivfpq_index(
+    vectors: DataFrame,
+    index_dir: str,
+    dim: int,
+    n_clusters: int = 16,
+    m: int = 4,
+    ksub: int = 16,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist an IVFADC index: encode the corpus ONCE, search many times.
+
+    :func:`ivfpq_topk` re-encodes the corpus on every call — right for a
+    one-shot query, wrong for a standing corpus serving query batch after
+    query batch (the production posture its docstring promises: codes
+    "computed ONCE at ingest and persisted next to the table"). This
+    writes that index:
+
+    - ``codes/``: ``(id, pq_code)`` parquet PARTITIONED BY the coarse
+      cluster — a query batch that probes ``n_probe`` lists reads ONLY
+      those partitions (:func:`ivfpq_index_topk` prunes statically), so
+      search I/O is ~``n_probe / n_clusters`` of the corpus codes, which
+      are themselves m small ints per row.
+    - ``meta/``: one-row parquet carrying dim/m/ksub/seed and the two
+      float64 codebooks verbatim (parquet doubles are exact, so a search
+      from the loaded index replays :func:`ivfpq_topk` bit for bit).
+
+    Rebuild (or encode-and-append new rows with the SAME codebooks) when
+    the corpus drifts; like any IVF index, recall degrades if the data
+    distribution leaves the trained centroids behind.
+    """
+    import os
+
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, dim, n_clusters=n_clusters, vec_col=vec_col, seed=seed
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            vectors, dim, m=m, ksub=ksub, vec_col=vec_col, seed=seed
+        )
+    cents = np.asarray(centroids, dtype="float64")
+    books = np.asarray(codebooks, dtype="float64")
+    m, ksub, _dsub = books.shape
+
+    codes = pq_encode(
+        ensure_parallelism(vectors).withColumn(
+            "__cluster", _nearest_centroid_expr(vec_col, cents)
+        ),
+        books,
+        vec_col=vec_col,
+    ).select(F.col(id_col), F.col("__cluster").cast("int"), F.col("pq_code"))
+    codes.write.mode("overwrite").partitionBy("__cluster").parquet(
+        os.path.join(index_dir, "codes")
+    )
+
+    spark = vectors.sparkSession
+    meta = spark.createDataFrame(
+        [
+            (
+                int(dim), int(len(cents)), int(m), int(ksub), int(seed),
+                id_col, cents.tolist(), books.tolist(),
+            )
+        ],
+        "dim int, n_clusters int, m int, ksub int, seed int, id_col string, "
+        "centroids array<array<double>>, codebooks array<array<array<double>>>",
+    )
+    meta.write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+
+
+def append_to_ivfpq_index(
+    vectors: DataFrame,
+    index_dir: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Encode NEW corpus rows with the index's existing codebooks and
+    append their codes — the incremental-ingest path (a nightly batch
+    joins a standing index without retraining or re-encoding the corpus).
+
+    The codebooks stay fixed by design: mixed-codebook codes would be
+    unsearchable, and IVF recall under distribution drift is a rebuild
+    decision, not an append decision. Appended rows land in their coarse
+    cluster's partition, so search pruning is unaffected.
+    """
+    import os
+
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    spark = vectors.sparkSession
+    params, cents, books, _codes = load_ivfpq_index(spark, index_dir)
+    codes = pq_encode(
+        ensure_parallelism(vectors).withColumn(
+            "__cluster", _nearest_centroid_expr(vec_col, cents)
+        ),
+        books,
+        vec_col=vec_col,
+    ).select(
+        F.col(params["id_col"]), F.col("__cluster").cast("int"), F.col("pq_code")
+    )
+    codes.write.mode("append").partitionBy("__cluster").parquet(
+        os.path.join(index_dir, "codes")
+    )
+
+
+def load_ivfpq_index(spark, index_dir: str):
+    """(params dict, centroids ndarray, codebooks ndarray, codes DataFrame)
+    for an index written by :func:`build_ivfpq_index`."""
+    import os
+
+    row = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    params = {
+        k: row[k] for k in ("dim", "n_clusters", "m", "ksub", "seed", "id_col")
+    }
+    centroids = np.asarray(row["centroids"], dtype="float64")
+    codebooks = np.asarray(row["codebooks"], dtype="float64")
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    return params, centroids, codebooks, codes
+
+
+def ivfpq_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVFADC search against a persisted index — same scores, same ranks
+    as :func:`ivfpq_topk` with the index's codebooks, but the corpus is
+    never re-encoded and only the PROBED cluster partitions are read.
+
+    Pruning is static and guaranteed: the query batch's probed-cluster
+    set is collected first (bounded by ``n_clusters`` values — a caller-
+    bounded collect, never corpus-sized) and applied as an ``isin``
+    partition filter on the codes scan, so the parquet reader lists only
+    those directories. The LUT/score/rank stage is identical to
+    :func:`ivfpq_topk`.
+    """
+    params, cents, books, codes = load_ivfpq_index(spark, index_dir)
+    m, ksub, dsub = books.shape
+    id_col = params["id_col"]
+
+    d2 = ((cents[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probe_order = d2.argsort(axis=1)[:, :n_probe]
+    probes = [(int(c), int(p)) for c in range(len(cents)) for p in probe_order[c]]
+    probe_df = spark.createDataFrame(probes, ["__qcluster", "__cluster"])
+
+    qv = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    lut = F.array(
+        *[
+            _subspace_scores_expr(F.slice(qv, j * dsub + 1, dsub), books[j])
+            for j in range(m)
+        ]
+    )
+    q = stage_cache(
+        queries.withColumn("__qcluster", _nearest_centroid_expr(query_vec_col, cents))
+        .withColumn("__lut", lut)
+        .join(F.broadcast(probe_df), "__qcluster")
+        .select(F.col(query_id_col), F.col("__cluster"), F.col("__lut"))
+    )
+    # bounded collect: at most n_clusters ints, independent of corpus size
+    probed = [r["__cluster"] for r in q.select("__cluster").distinct().collect()]
+    pruned = codes.where(F.col("__cluster").isin(probed))
+
+    score = F.aggregate(
+        F.zip_with(F.col("pq_code"), F.col("__lut"), lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    joined = pruned.join(F.broadcast(q), "__cluster").select(
         F.col(query_id_col), F.col(id_col), F.round(score, 6).alias("adist")
     )
     w = Window.partitionBy(query_id_col).orderBy(

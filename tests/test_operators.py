@@ -1803,3 +1803,118 @@ class TestSimhashDedup:
             simhash_dedup(documents, max_hamming=4, n_bands=4)
         with pytest.raises(ValueError, match="divisible"):
             simhash_dedup(documents, n_bits=24, n_bands=5)
+
+
+class TestIvfpqIndexPersistence:
+    """build_ivfpq_index / ivfpq_index_topk: train-once, search-many."""
+
+    @staticmethod
+    def _fixed(spark, embeddings):
+        import numpy as np
+
+        from sat_bucket_spark.operators.similarity import _hyperplanes
+
+        cents = _hyperplanes(8, 64, seed=7)
+        books = np.stack([_hyperplanes(8, 16, seed=11 + j) for j in range(4)])
+        emb = embeddings.limit(200).withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return cents, books, emb, queries
+
+    def test_index_search_equals_inline(self, spark, embeddings, tmp_path):
+        from sat_bucket_spark.operators.similarity import (
+            build_ivfpq_index,
+            ivfpq_index_topk,
+            ivfpq_topk,
+        )
+
+        cents, books, emb, queries = self._fixed(spark, embeddings)
+        idx = str(tmp_path / "ann_index")
+        build_ivfpq_index(
+            emb, idx, dim=64, centroids=cents, codebooks=books
+        )
+        inline = sorted(
+            tuple(r) for r in ivfpq_topk(
+                emb, queries, dim=64, k=5, n_probe=2,
+                centroids=cents, codebooks=books,
+            ).collect()
+        )
+        from_index = sorted(
+            tuple(r) for r in ivfpq_index_topk(
+                spark, idx, queries, k=5, n_probe=2
+            ).collect()
+        )
+        assert from_index == inline and len(inline) > 0
+
+    def test_codebooks_roundtrip_exact(self, spark, embeddings, tmp_path):
+        import numpy as np
+
+        from sat_bucket_spark.operators.similarity import (
+            build_ivfpq_index,
+            load_ivfpq_index,
+        )
+
+        cents, books, emb, _ = self._fixed(spark, embeddings)
+        idx = str(tmp_path / "ann_exact")
+        build_ivfpq_index(emb, idx, dim=64, centroids=cents, codebooks=books)
+        params, lc, lb, codes = load_ivfpq_index(spark, idx)
+        assert params["dim"] == 64 and params["id_col"] == "vec_id"
+        assert np.array_equal(lc, np.asarray(cents, dtype="float64"))  # bit-exact
+        assert np.array_equal(lb, np.asarray(books, dtype="float64"))
+        assert codes.count() == emb.count()
+
+    def test_search_prunes_partitions(self, spark, embeddings, tmp_path):
+        """The probed-cluster isin filter must reach the parquet scan: a
+        1-query search reads only its n_probe cluster directories."""
+        from sat_bucket_spark.operators.similarity import (
+            build_ivfpq_index,
+            ivfpq_index_topk,
+            load_ivfpq_index,
+        )
+
+        cents, books, emb, queries = self._fixed(spark, embeddings)
+        idx = str(tmp_path / "ann_prune")
+        build_ivfpq_index(emb, idx, dim=64, centroids=cents, codebooks=books)
+        _, _, _, codes = load_ivfpq_index(spark, idx)
+        n_all = len({f.rsplit("/", 2)[-2] for f in codes.inputFiles()})
+        one_query = queries.limit(1)
+        out = ivfpq_index_topk(spark, idx, one_query, k=5, n_probe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+
+        m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "__cluster" in m.group(1), plan[:2000]
+        assert n_all > 2  # the fixture really spreads over many clusters
+
+    def test_append_then_search_finds_new_rows(self, spark, embeddings, tmp_path):
+        """Incremental-ingest path: append encodes with the EXISTING
+        codebooks; an appended exact copy of a query vector must surface
+        as its own nearest neighbor (ADC distance ties the original)."""
+        from sat_bucket_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            build_ivfpq_index,
+            ivfpq_index_topk,
+            ivfpq_topk,
+        )
+
+        cents, books, emb, queries = self._fixed(spark, embeddings)
+        idx = str(tmp_path / "ann_append")
+        first = emb.where(F.col("vec_id") < 150)
+        extra = emb.where(F.col("vec_id") >= 150)
+        build_ivfpq_index(first, idx, dim=64, centroids=cents, codebooks=books)
+        append_to_ivfpq_index(extra, idx)
+        from_index = sorted(
+            tuple(r)
+            for r in ivfpq_index_topk(spark, idx, queries, k=5, n_probe=2).collect()
+        )
+        inline = sorted(
+            tuple(r)
+            for r in ivfpq_topk(
+                emb, queries, dim=64, k=5, n_probe=2,
+                centroids=cents, codebooks=books,
+            ).collect()
+        )
+        assert from_index == inline
