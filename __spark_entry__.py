@@ -2012,6 +2012,31 @@ def q_host_rank(spark, sf_dir):
     ).orderBy("host")
 
 
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization + keep-first URL dedup (urls.py:
+    normalize_url_expr / url_dedup). Four deterministic spellings of the
+    same page (case-mangled scheme/host, default port, duplicate/trailing
+    slashes, shuffled + tracking-polluted query, fragment) must collapse
+    to one canonical key; the https variant keys separately. The oracle
+    replays the derivation AND the full normalization algorithm in SQL
+    (regex steps global where Spark's regexp_replace is global)."""
+    from sat_bucket_spark.operators.urls import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    c = (F.col("doc_id") % 100).cast("string")
+    h = ((F.col("doc_id") % 100) % 25).cast("string")
+    v = F.floor(F.col("doc_id") / 100) % 4
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://Host"), h, F.lit(".EXAMPLE/p"), c, F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("HTTP://host"), h, F.lit(".example:80/p"), c, F.lit("/?a=1&b=2&utm_source=s"), did))
+        .when(v == 2, F.concat(F.lit("http://host"), h, F.lit(".example//p"), c, F.lit("?fbclid="), did, F.lit("&b=2&a=1#f"), did))
+        .otherwise(F.concat(F.lit("https://host"), h, F.lit(".example:443/p"), c, F.lit("?a=1&b=2")))
+    )
+    out = url_dedup(docs.withColumn("url", url))
+    return out.select("doc_id", "norm_url", "n_copies", "kept").orderBy("doc_id")
+
+
 def q_pii_scan(spark, sf_dir):
     """PII detection + redaction over documents with injected patterns.
 
@@ -3822,6 +3847,78 @@ r{i} AS MATERIALIZED (
 
 _ORACLES["host_rank"] = _host_rank_sql()
 
+# url_normalize: replay the messy-URL derivation and the FULL
+# canonicalization algorithm (not just its result on these fixtures).
+# DuckDB regexp_replace is first-match-only, so every step Spark applies
+# globally carries the 'g' flag.
+_ORACLES["url_normalize"] = """
+WITH raw AS (
+  SELECT doc_id,
+    CASE CAST((doc_id // 100) % 4 AS INT)
+      WHEN 0 THEN 'http://Host' || CAST((doc_id % 100) % 25 AS VARCHAR)
+        || '.EXAMPLE/p' || CAST(doc_id % 100 AS VARCHAR) || '?b=2&a=1'
+      WHEN 1 THEN 'HTTP://host' || CAST((doc_id % 100) % 25 AS VARCHAR)
+        || '.example:80/p' || CAST(doc_id % 100 AS VARCHAR)
+        || '/?a=1&b=2&utm_source=s' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'http://host' || CAST((doc_id % 100) % 25 AS VARCHAR)
+        || '.example//p' || CAST(doc_id % 100 AS VARCHAR)
+        || '?fbclid=' || CAST(doc_id AS VARCHAR) || '&b=2&a=1#f' || CAST(doc_id AS VARCHAR)
+      ELSE 'https://host' || CAST((doc_id % 100) % 25 AS VARCHAR)
+        || '.example:443/p' || CAST(doc_id % 100 AS VARCHAR) || '?a=1&b=2'
+    END AS url
+  FROM documents
+),
+t1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '', 'g') AS u FROM raw),
+p1 AS (
+  SELECT *, lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+  FROM t1
+),
+p2 AS (SELECT *, lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport FROM p1),
+p3 AS (
+  SELECT *,
+    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+         ELSE hostport END AS host,
+    substring(rest, length(hostport) + 1) AS pathq
+  FROM p2
+),
+p4 AS (
+  SELECT *,
+    regexp_replace(regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                                  '/{2,}', '/', 'g'), '/+$', '') AS path,
+    CASE WHEN length(pathq) > length(regexp_extract(pathq, '^([^?]*)', 1))
+         THEN substring(pathq, length(regexp_extract(pathq, '^([^?]*)', 1)) + 2)
+         ELSE '' END AS qs
+  FROM p3
+),
+p5 AS (
+  SELECT *,
+    list_sort(list_filter(string_split(qs, '&'),
+      p -> p <> ''
+        AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+        AND NOT starts_with(split_part(p, '=', 1), 'fbclid')
+        AND NOT starts_with(split_part(p, '=', 1), 'gclid')
+        AND NOT starts_with(split_part(p, '=', 1), 'msclkid')
+        AND NOT starts_with(split_part(p, '=', 1), 'mc_eid'))) AS params
+  FROM p4
+),
+p6 AS (
+  SELECT doc_id,
+    CASE WHEN scheme = '' OR host = '' THEN u
+         ELSE scheme || '://' || host || path ||
+           CASE WHEN len(params) > 0
+                THEN '?' || COALESCE(array_to_string(params, '&'), '')
+                ELSE '' END
+    END AS norm_url
+  FROM p5
+)
+SELECT doc_id, norm_url,
+  CAST(COUNT(*) OVER (PARTITION BY norm_url) AS BIGINT) AS n_copies,
+  doc_id = MIN(doc_id) OVER (PARTITION BY norm_url) AS kept
+FROM p6 ORDER BY doc_id
+"""
+
 _ORACLES["dup_clusters"] = f"""
 WITH RECURSIVE pairs AS ({_minhash_lsh_dedup_sql()}),
 und AS (
@@ -5237,6 +5334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": q_audio_segments,
         "pagerank": q_pagerank,
         "host_rank": q_host_rank,
+        "url_normalize": q_url_normalize,
     }
 
 

@@ -17,7 +17,15 @@ from pyspark.sql import functions as F
 
 from sat_bucket_spark.operators.parallel import ensure_parallelism
 
-__all__ = ["host_link_edges", "url_host_expr", "url_quality_flags"]
+__all__ = [
+    "host_link_edges",
+    "normalize_url_expr",
+    "url_dedup",
+    "url_host_expr",
+    "url_quality_flags",
+]
+
+DEFAULT_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid")
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
 
@@ -26,6 +34,102 @@ def url_host_expr(url: Column | str) -> Column:
     """Lower-cased host part of a URL ('' when there is no scheme://host)."""
     u = F.col(url) if isinstance(url, str) else url
     return F.lower(F.regexp_extract(u, _HOST_RE, 1))
+
+
+def normalize_url_expr(
+    url: Column | str,
+    drop_param_prefixes: tuple[str, ...] = DEFAULT_TRACKING_PREFIXES,
+    strip_www: bool = False,
+) -> Column:
+    """Canonical form of a URL — the key URL-level dedup groups on.
+
+    The same page is crawled under dozens of spellings; grouping on the
+    raw string misses them all. Canonicalization (all Column expressions,
+    portable to a SQL oracle):
+
+    - fragment dropped (never sent to the server);
+    - scheme and host lowercased; the scheme's default port (``:80`` for
+      http, ``:443`` for https) dropped; optional leading ``www.`` strip;
+    - path: duplicate slashes collapsed, trailing slashes dropped (the
+      root path becomes empty, so ``http://h/`` == ``http://h``);
+    - query: parameters whose NAME starts with any ``drop_param_prefixes``
+      entry (tracking noise: utm_*, fbclid, …) removed, the survivors
+      SORTED (param order is not semantic), ``?`` dropped when none
+      survive.
+
+    Percent-encoding normalization is out of scope (it needs a decode
+    table; the common crawl dup classes above dominate). Inputs without a
+    ``scheme://host`` pass through as ``trim(url)`` unchanged.
+    """
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    u = F.regexp_replace(u, r"#.*", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host = F.when(
+        scheme == "http", F.regexp_replace(hostport, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.regexp_replace(path, r"/+$", "")
+    qs = F.when(
+        F.length(pathq) > F.length(F.regexp_extract(pathq, r"^([^?]*)", 1)),
+        F.substring(
+            pathq,
+            F.length(F.regexp_extract(pathq, r"^([^?]*)", 1)) + 2,
+            F.lit(1 << 30),
+        ),
+    ).otherwise(F.lit(""))
+
+    def _keep(p: Column) -> Column:
+        name = F.substring_index(p, "=", 1)
+        cond = p != ""
+        for pref in drop_param_prefixes:
+            cond = cond & ~name.startswith(pref)
+        return cond
+
+    params = F.array_sort(F.filter(F.split(qs, "&"), _keep))
+    query = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    rebuilt = F.concat(scheme, F.lit("://"), host, path, query)
+    return F.when((scheme == "") | (host == ""), u).otherwise(rebuilt)
+
+
+def url_dedup(
+    df: "DataFrame",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    out: str = "norm_url",
+    drop_param_prefixes: tuple[str, ...] = DEFAULT_TRACKING_PREFIXES,
+    strip_www: bool = False,
+) -> DataFrame:
+    """Keep-first URL-level dedup: one survivor per canonical URL.
+
+    The cheapest dedup in a crawl pipeline — it runs on the URL string
+    alone, BEFORE any payload is parsed or shipped. Returns every input
+    row with ``(norm_url, n_copies, kept)``; ``kept`` marks the minimum
+    ``id_col`` of the group (keep-min-id, like every keep-first operator
+    in this suite). One shuffle, keyed on the canonical URL.
+    """
+    from pyspark.sql import Window
+
+    norm = normalize_url_expr(
+        F.col(url_col),
+        drop_param_prefixes=drop_param_prefixes,
+        strip_www=strip_www,
+    )
+    w = Window.partitionBy(out)
+    return (
+        df.withColumn(out, norm)
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn("kept", F.col(id_col) == F.min(id_col).over(w))
+    )
 
 
 def host_link_edges(

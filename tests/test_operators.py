@@ -1918,3 +1918,54 @@ class TestIvfpqIndexPersistence:
             ).collect()
         )
         assert from_index == inline
+
+
+class TestUrlNormalize:
+    def _norm(self, spark, urls, **kw):
+        from sat_bucket_spark.operators.urls import normalize_url_expr
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [r.n for r in df.select(normalize_url_expr("url", **kw).alias("n")).collect()]
+
+    def test_spelling_variants_collapse(self, spark):
+        variants = [
+            "HTTP://WwW.Site.Example:80/A//b/c/?utm_source=x&b=2&a=1&fbclid=z#frag",
+            "http://www.site.example/A/b/c?a=1&b=2",
+            "http://www.site.example:80/A/b//c/#x",
+        ]
+        got = self._norm(spark, variants)
+        assert got[0] == got[1] == "http://www.site.example/A/b/c?a=1&b=2"
+        assert got[2] == "http://www.site.example/A/b/c"
+
+    def test_scheme_rules(self, spark):
+        got = self._norm(
+            spark,
+            ["https://Host.Example:443/", "https://host.example",
+             "ftp://H.example:80/x/",  # non-http scheme: port kept
+             "not a url", "relative/path?x=1"],
+        )
+        assert got[0] == got[1] == "https://host.example"
+        assert got[2] == "ftp://h.example:80/x"
+        assert got[3] == "not a url"       # schemeless: pass through
+        assert got[4] == "relative/path?x=1"
+
+    def test_all_params_dropped_loses_question_mark(self, spark):
+        assert self._norm(spark, ["http://h.example/p?utm_a=1&utm_b=2"]) == [
+            "http://h.example/p"
+        ]
+
+    def test_strip_www_knob(self, spark):
+        got = self._norm(spark, ["http://www.h.example/p"], strip_www=True)
+        assert got == ["http://h.example/p"]
+
+    def test_url_dedup_keep_first(self, spark):
+        from sat_bucket_spark.operators.urls import url_dedup
+
+        rows = [
+            (1, "http://h.example/p?b=2&a=1"),
+            (2, "HTTP://H.EXAMPLE:80/p/?a=1&b=2&utm_x=1"),
+            (3, "http://h.example/other"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {r.doc_id: (r.n_copies, r.kept) for r in url_dedup(df).collect()}
+        assert got == {1: (2, True), 2: (2, False), 3: (1, True)}
