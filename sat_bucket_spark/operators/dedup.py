@@ -384,6 +384,8 @@ def minhash_lsh_dedup_pairs(
     shingle_size: int = 8,
     min_jaccard: float = 0.1,
     seed: int = 42,
+    collapse: "str | bool" = "auto",
+    collapse_threshold: float = 0.15,
 ) -> DataFrame:
     """The production near-dup pipeline: MinHash -> LSH banding -> exact verify.
 
@@ -393,32 +395,75 @@ def minhash_lsh_dedup_pairs(
     no shingle-level self-join). This is the shape that survives 100 TB —
     all-pairs verification (``ngram_jaccard_pairs``) is the small-scale oracle.
 
-    Like :func:`near_dup_pairs_by_signature` and
-    :func:`edit_distance_pairs`, the pairs split into two classes over
-    DISTINCT texts (the r8 sf1 probe caught the row-level version at
-    ~30x for 10x data on a duplicate-heavy corpus — every copy of a text
-    re-shingled, re-signed, re-banded, and re-verified pairs that are
-    jaccard 1.0 by construction):
+    TWO physical strategies, identical output (pinned by tests + the
+    driver oracle), routed by corpus redundancy:
 
-    - WITHIN a text (identical bytes): a direct equi-self-join on the md5
-      text id — jaccard is exactly 1.0 (identical shingle sets), no
-      banding, no verify. Texts with no shingles (shorter than
-      ``shingle_size``) never pair, matching the signature path, which
-      drops them at the group-by.
-    - ACROSS texts: signatures, banding, DISTINCT, and the exact-jaccard
-      verify all run over the distinct-text table — bounded by distinct
-      text cardinality, not row count — and the surviving text pairs
-      expand to id pairs by two hash joins.
+    - ``collapse=True``: the distinct-text engine. Pairs split into
+      WITHIN a text (identical bytes — md5-key equi-self-join, jaccard
+      exactly 1.0, no banding, no verify; sub-shingle texts still carry
+      their one whole-text shingle, matching the signature path) and
+      ACROSS texts (signatures, banding, candidate DISTINCT, and the
+      exact-jaccard verify over the distinct-text table — bounded by
+      distinct-text cardinality — expanded to id pairs by two hash
+      joins). The r8 sf1 probe caught the row-level pipeline at ~30x for
+      10x data on a 10-copy corpus; this engine reads 20x faster there.
+    - ``collapse=False``: the row-level pipeline. On a mostly-UNIQUE
+      corpus the collapse engine's extra joins/exchanges are pure
+      overhead (~3x warm at sf0.1, measured) — when there is nothing to
+      collapse, banding rows directly is strictly cheaper.
+    - ``collapse='auto'`` (default): one cheap aggregate measures the
+      duplicate fraction (``approx_count_distinct`` over the text md5)
+      and picks the engine at ``collapse_threshold`` (default: collapse
+      when >15% of rows are byte-identical copies). The probe scan is a
+      single pass over the text column — noise next to the pipeline's
+      own shingling passes.
 
     Returns (id_a, id_b, jaccard) for candidates with jaccard >=
     min_jaccard. PRECONDITION: ``id_col`` unique, as everywhere in this
     module's pair engines.
     """
+    if collapse == "auto":
+        row = df.agg(
+            F.count(text_col).alias("n"),
+            F.approx_count_distinct(text_col).alias("d"),
+        ).collect()[0]
+        n = row["n"] or 0
+        # approx_count_distinct can overshoot slightly; clamp at 0
+        dup_frac = max(0.0, 1.0 - (row["d"] / n)) if n else 0.0
+        collapse = dup_frac >= collapse_threshold
+    if not collapse:
+        sigs = minhash_signatures(
+            df, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+            shingle_size=shingle_size, seed=seed,
+        ).transform(stage_cache)
+        cands = lsh_candidate_pairs(
+            sigs, id_col=id_col, n_bands=n_bands, n_hashes=n_hashes,
+            with_estimate=False,
+        )
+        sets = _ensure_parallelism(df).select(
+            F.col(id_col), shingles_expr(text_col, k=shingle_size).alias("sh_set")
+        )
+        a = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
+        b = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
+        inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+        union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
+        return (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("jaccard", F.round(inter / union.cast("double"), 6))
+            .where(F.col("jaccard") >= F.lit(min_jaccard))
+            .select("id_a", "id_b", "jaccard")
+        )
+
     tid = F.md5(F.col(text_col))
     ids = stage_cache(
         df.select(F.col(id_col), tid.alias("__tid")).where(tid.isNotNull())
     )
-    dtex = stage_cache(
+    # dtex is NOT stage-cached on purpose: a localCheckpoint would write
+    # the full distinct-text payload to executor disk, which costs more
+    # than recomputing the (map-combined) distinct in each branch
+    # (measured ~2s of a 7s warm run at sf0.1)
+    dtex = (
         _ensure_parallelism(df)
         .select(F.col(text_col))
         .where(F.col(text_col).isNotNull())
@@ -1420,6 +1465,8 @@ def edit_distance_pairs(
     text_col: str = "text",
     max_distance: int = 2,
     max_len: int = 256,
+    collapse: "str | bool" = "auto",
+    collapse_threshold: float = 0.15,
 ) -> DataFrame:
     """Typo-level near-duplicate pairs: edit distance <= ``max_distance``
     via PassJoin-style partition signatures + exact Levenshtein verify.
@@ -1468,6 +1515,13 @@ def edit_distance_pairs(
     ~``log_sigma(n)`` chars go hot — keep ``max_len`` well above
     ``(d+1) *`` a few chars and rely on AQE skew splitting.
 
+    Routing mirrors :func:`minhash_lsh_dedup_pairs`: ``collapse=True``
+    forces the distinct-key engine above, ``collapse=False`` runs
+    PassJoin directly over rows (cheaper on mostly-unique corpora, where
+    the distinct/expansion joins are pure overhead), and ``'auto'``
+    (default) measures the duplicate fraction with one aggregate and
+    picks at ``collapse_threshold``. Output is identical either way.
+
     Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``. PRECONDITION:
     ``id_col`` unique (one row per document), as everywhere in this
     module's pair engines.
@@ -1484,28 +1538,46 @@ def edit_distance_pairs(
     n_chunks = d + 1
 
     key = F.substring(F.lower(F.trim(F.col(text_col))), 1, max_len)
-    ids = stage_cache(
-        df.select(F.col(id_col).alias("__id"), key.alias("__key"))
-        .where(F.length("__key") > 0)
-        .select("__id", F.md5("__key").alias("__kid"))
-    )
-    within = (
-        ids.select(F.col("__id").alias("id_a"), "__kid")
-        .join(ids.select(F.col("__id").alias("id_b"), "__kid"), "__kid")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(0).cast("long").alias("dist"))
-    )
-
-    base = stage_cache(
-        df.select(key.alias("__key"))
-        .where(F.length("__key") > 0)
-        .distinct()
-        .select(
-            F.md5("__key").alias("__id"),  # key id stands in for the row id
-            "__key",
-            F.length("__key").alias("__len"),
+    if collapse == "auto":
+        # raw text as the proxy for the normalized key: byte-identical
+        # rows are key-identical, which is the duplication this routes on
+        row = df.agg(
+            F.count(text_col).alias("n"),
+            F.approx_count_distinct(text_col).alias("d"),
+        ).collect()[0]
+        n = row["n"] or 0
+        dup_frac = max(0.0, 1.0 - (row["d"] / n)) if n else 0.0
+        collapse = dup_frac >= collapse_threshold
+    if collapse:
+        ids = stage_cache(
+            df.select(F.col(id_col).alias("__id"), key.alias("__key"))
+            .where(F.length("__key") > 0)
+            .select("__id", F.md5("__key").alias("__kid"))
         )
-    )
+        within = (
+            ids.select(F.col("__id").alias("id_a"), "__kid")
+            .join(ids.select(F.col("__id").alias("id_b"), "__kid"), "__kid")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(0).cast("long").alias("dist"))
+        )
+        base = stage_cache(
+            df.select(key.alias("__key"))
+            .where(F.length("__key") > 0)
+            .distinct()
+            .select(
+                F.md5("__key").alias("__id"),  # key id stands in for the row id
+                "__key",
+                F.length("__key").alias("__len"),
+            )
+        )
+    else:
+        # mostly-unique corpus: PassJoin directly over rows — the
+        # collapse engine's distinct/expansion joins would be overhead
+        base = df.select(
+            F.col(id_col).alias("__id"),
+            key.alias("__key"),
+            F.length(key).alias("__len"),
+        ).where(F.col("__len") > 0)
 
     # Even partition of a length-L string into d+1 chunks:
     #   floor = L div (d+1), rem = L mod (d+1)
@@ -1597,6 +1669,8 @@ def edit_distance_pairs(
         .where(F.col("dist") <= d)
         .select("id_a", "id_b", "dist")
     )
+    if not collapse:
+        return verified
     # expand the surviving DISTINCT-key pairs to row-id pairs; each row has
     # exactly one key, so no further dedup is needed, and the two classes
     # are disjoint (within: same key; across: different keys)

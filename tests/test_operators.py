@@ -1969,3 +1969,17 @@ class TestUrlNormalize:
         df = spark.createDataFrame(rows, "doc_id long, url string")
         got = {r.doc_id: (r.n_copies, r.kept) for r in url_dedup(df).collect()}
         assert got == {1: (2, True), 2: (2, False), 3: (1, True)}
+
+
+class TestMinhashCollapseRouting:
+    def test_forced_modes_identical(self, spark):
+        from sat_bucket_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        texts = [base, base + " extra words", "zz unrelated corpus row qq"]
+        rows = [(10 * i + c, t) for i, t in enumerate(texts) for c in range(3)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        kw = dict(n_hashes=16, n_bands=8, shingle_size=8, min_jaccard=0.1)
+        a = sorted(tuple(r) for r in minhash_lsh_dedup_pairs(df, collapse=True, **kw).collect())
+        b = sorted(tuple(r) for r in minhash_lsh_dedup_pairs(df, collapse=False, **kw).collect())
+        assert a == b and len(a) > 0

@@ -392,3 +392,15 @@ class TestEditDistanceRecallProperty:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestEditCollapseRouting:
+    def test_forced_modes_identical(self, spark):
+        from sat_bucket_spark.operators.dedup import edit_distance_pairs
+
+        texts = ["the quick brown fox", "the quick brown fx", "other text", "other test"]
+        rows = [(10 * i + c, t) for i, t in enumerate(texts) for c in range(3)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        a = sorted(tuple(r) for r in edit_distance_pairs(df, max_distance=2, collapse=True).collect())
+        b = sorted(tuple(r) for r in edit_distance_pairs(df, max_distance=2, collapse=False).collect())
+        assert a == b and len(a) > 0
