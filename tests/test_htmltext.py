@@ -441,3 +441,35 @@ class TestLinks:
         }
         assert pr["hub.example"] == max(pr.values())  # everyone links the hub
         assert abs(sum(pr.values()) - 1.0) < 1e-9  # dangling hub mass conserved
+
+
+class TestReadWarcHtmlStreaming:
+    def test_streaming_matches_batch(self, spark, tmp_path):
+        """The raw-HTML route in Structured Streaming: same mapInPandas
+        stages, availableNow trigger, output equals the batch read."""
+        from sat_bucket_spark.warc import read_warc_html
+
+        crawl_path = TestReadWarcHtml._crawl(tmp_path)
+        import os, shutil
+
+        crawl = tmp_path / "crawl_dir"
+        crawl.mkdir()
+        shutil.copy(crawl_path, crawl / "seg-0.warc")
+
+        batch = {
+            (r.url, r.text)
+            for r in read_warc_html(spark, str(crawl)).collect()
+        }
+        stream = read_warc_html(spark, str(crawl), streaming=True)
+        assert stream.isStreaming
+        out = str(tmp_path / "out")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r.url, r.text) for r in spark.read.parquet(out).collect()}
+        assert got == batch and len(got) == 3
