@@ -200,4 +200,10 @@ def audio_quality_features(
                 )
             yield _pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(_features, schema=schema)
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    # single-file inputs otherwise decode serially in one Python worker;
+    # no-op when the source is already split (see ensure_parallelism)
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        _features, schema=schema
+    )

@@ -253,7 +253,11 @@ def html_links(
             res[out] = links
             yield res
 
-    return df.mapInPandas(run, schema=out_schema)
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    # single-file inputs otherwise decode serially in one Python worker;
+    # no-op when the source is already split (see ensure_parallelism)
+    return ensure_parallelism(df).mapInPandas(run, schema=out_schema)
 
 
 def main_text(
@@ -451,4 +455,8 @@ def html_to_text(
                 res["link_density"] = pd.array(densities, dtype="float64")
             yield res
 
-    return df.mapInPandas(run, schema=out_schema)
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    # single-file inputs otherwise decode serially in one Python worker;
+    # no-op when the source is already split (see ensure_parallelism)
+    return ensure_parallelism(df).mapInPandas(run, schema=out_schema)

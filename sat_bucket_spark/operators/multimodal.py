@@ -874,7 +874,13 @@ def decode_and_featurize_images(
                 out["feature"].append(feat)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(_decode, schema=IMAGE_FEATURE_SCHEMA)
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    # single-file inputs otherwise decode serially in one Python worker;
+    # no-op when the source is already split (see ensure_parallelism)
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        _decode, schema=IMAGE_FEATURE_SCHEMA
+    )
 
 
 AUDIO_FEATURE_SCHEMA = StructType(
@@ -1003,7 +1009,13 @@ def decode_audio_features(
                 out["rms_energy"].append(rms)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(_decode, schema=AUDIO_FEATURE_SCHEMA)
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    # single-file inputs otherwise decode serially in one Python worker;
+    # no-op when the source is already split (see ensure_parallelism)
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        _decode, schema=AUDIO_FEATURE_SCHEMA
+    )
 
 
 def parse_mp4(payload: bytes | None) -> tuple[str, float, int] | None:
@@ -1347,7 +1359,11 @@ def resize_images(
                 out["payload"].append(payload)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(_resize, RESIZE_SCHEMA)
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    # single-file inputs otherwise decode serially in one Python worker;
+    # no-op when the source is already split (see ensure_parallelism)
+    return ensure_parallelism(df).mapInPandas(_resize, RESIZE_SCHEMA)
 
 
 def _wav_fmt_and_data(payload: bytes) -> tuple[bytes, tuple[int, int], bytes] | None:
@@ -1483,7 +1499,11 @@ def segment_audio(
                     out["payload"].append(wav)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(_segment, SEGMENT_SCHEMA)
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    # single-file inputs otherwise decode serially in one Python worker;
+    # no-op when the source is already split (see ensure_parallelism)
+    return ensure_parallelism(df).mapInPandas(_segment, SEGMENT_SCHEMA)
 
 
 def _mp4_boxes(buf: bytes, pos: int, end: int):
