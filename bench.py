@@ -403,6 +403,102 @@ def main() -> None:
         _shutil.rmtree(wwork, ignore_errors=True)
     _release_state(spark)
 
+    # Raw-archive HTML curation stage: the crawls-without-a-WET-sidecar
+    # counterpart of wet_curate — response records with HTML bodies (1 in
+    # 13 pages windows-1252 with an HTTP-header charset and curly-quote
+    # bytes that are INVALID UTF-8) -> read_warc_html (HTTP head split,
+    # charset-honoring decode, boilerplate removal) -> quality gate ->
+    # span dedup -> export. Gates: ingest completeness, non-UTF-8
+    # survival (the curly quotes must reach the export intact), funnel
+    # monotone, export read-back, job bound.
+    from sat_bucket_spark.warc import read_warc_html
+
+    hwork = _tempfile.mkdtemp(prefix="bench_html_")
+    try:
+        hcrawl = os.path.join(hwork, "crawl")
+        os.makedirs(hcrawl)
+        hfixture = docs.select(
+            "doc_id",
+            F.concat("text", F.lit(" htmldoc"), F.col("doc_id")).alias("text"),
+        ).collect()
+        n_hfix = len(hfixture)
+
+        def _resp(doc_id, text):
+            nav = b"<div class='nav'><a href='/'>Home</a> <a href='/a'>A</a></div>"
+            if doc_id % 13 == 0:
+                body = (
+                    b"<p>\x93legacy\x94 "
+                    + text.encode("cp1252", errors="replace")
+                    + b"</p>"
+                )
+                ctype = "text/html; charset=windows-1252"
+            else:
+                body = b"<p>" + text.encode() + b"</p>"
+                ctype = "text/html; charset=utf-8"
+            head = f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n".encode()
+            return {
+                "type": "response",
+                "WARC-Target-URI": f"http://h{doc_id % 13}.example/d{doc_id}",
+                "Content-Type": "application/http; msgtype=response",
+                "payload": head + nav + body,
+            }
+
+        n_hseg = 8
+        for s in range(n_hseg):
+            recs = [
+                _resp(r["doc_id"], r["text"])
+                for i, r in enumerate(hfixture)
+                if i % n_hseg == s
+            ]
+            with open(os.path.join(hcrawl, f"seg-{s}.warc.gz"), "wb") as fh:
+                fh.write(build_warc_bytes(recs, gzip_members=True))
+
+        hstaging = os.path.join(hwork, "staged")
+        hexport = os.path.join(hwork, "export")
+        t0 = time.perf_counter()
+        sc.setJobGroup("html-curate", "html ingest + funnel + export")
+        read_warc_html(spark, hcrawl).write.parquet(hstaging)
+        hstaged = spark.read.parquet(hstaging)
+        hfunnel = observe_funnel(
+            hstaged.select("doc_id", "url", "text"),
+            [
+                (
+                    "quality",
+                    lambda d: gopher_quality_flags(
+                        d, min_words=20, min_stopword_hits=1,
+                        passthrough=("url", "text"),
+                    ).where("keep").select("doc_id", "url", "text"),
+                ),
+                (
+                    "dup_spans",
+                    lambda d: remove_duplicate_spans(
+                        d, k=4, min_count=2, removed_count_col="n_removed"
+                    ),
+                ),
+            ],
+        )
+        write_jsonl_shards(hfunnel.df, hexport, n_shards=8, compression=None)
+        sc.setJobGroup("html-curate-done", "")
+        timings["warc_html_curate"] = round(time.perf_counter() - t0, 3)
+        hcounts = hfunnel.counts()
+        if hcounts["input"] != n_hfix:
+            raise AssertionError(f"html ingest lost pages: {hcounts} != {n_hfix}")
+        if not (hcounts["input"] >= hcounts["quality"] >= 0):
+            raise AssertionError(f"html funnel not monotone: {hcounts}")
+        back = spark.read.json(os.path.join(hexport, "shard=*"))
+        n_hexp = back.count()
+        if n_hexp != hcounts["quality"]:
+            raise AssertionError(f"html export mismatch: {n_hexp} != {hcounts}")
+        n_legacy = back.where(F.col("text").contains("“legacy”")).count()
+        if n_legacy == 0:
+            raise AssertionError("no windows-1252 page survived with intact quotes")
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("html-curate"))
+        if n_jobs > 18:
+            raise AssertionError(f"warc_html_curate launched {n_jobs} jobs (> 18)")
+    finally:
+        _shutil.rmtree(hwork, ignore_errors=True)
+    _release_state(spark)
+
     # Multimodal end-to-end curation stage: the media flagship as ONE
     # measured number, mirroring wet_curate's shape — payload staging ->
     # per-modality REAL-decode quality gates (pixel mean/std for images,
