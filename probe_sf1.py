@@ -50,6 +50,7 @@ DEFAULT_KEYS = [
     "video_hash",
     "video_dedup",
     "wet_curate",
+    "warc_html_curate",
     "bucket_write",
     "bucket_merge",
 ]
@@ -203,6 +204,91 @@ def video_stage(spark, sf_dir, key):
     return sec
 
 
+def html_curate_stage(spark, sf_dir, workdir):
+    """Mirrors bench.py's warc_html_curate stage at the scaled corpus
+    (same library calls, same gates; crawl fixture built OUTSIDE the
+    timed window; 32 segments at sf1 scale like wet_curate's)."""
+    from sat_bucket_spark.operators.dedup import remove_duplicate_spans
+    from sat_bucket_spark.operators.metrics import observe_funnel
+    from sat_bucket_spark.operators.text import gopher_quality_flags
+    from sat_bucket_spark.warc import build_warc_bytes, read_warc_html
+    from sat_bucket_spark.writers import write_jsonl_shards
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    crawl = os.path.join(workdir, "crawl")
+    os.makedirs(crawl, exist_ok=True)
+    fixture = docs.select(
+        "doc_id",
+        F.concat("text", F.lit(" htmldoc"), F.col("doc_id")).alias("text"),
+    ).collect()
+    n_fix = len(fixture)
+
+    def _resp(doc_id, text):
+        nav = b"<div class='nav'><a href='/'>Home</a> <a href='/a'>A</a></div>"
+        if doc_id % 13 == 0:
+            body = (
+                b"<p>\x93legacy\x94 " + text.encode("cp1252", errors="replace") + b"</p>"
+            )
+            ctype = "text/html; charset=windows-1252"
+        else:
+            body = b"<p>" + text.encode() + b"</p>"
+            ctype = "text/html; charset=utf-8"
+        head = f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n".encode()
+        return {
+            "type": "response",
+            "WARC-Target-URI": f"http://h{doc_id % 13}.example/d{doc_id}",
+            "Content-Type": "application/http; msgtype=response",
+            "payload": head + nav + body,
+        }
+
+    n_seg = 32
+    for s in range(n_seg):
+        recs = [
+            _resp(r["doc_id"], r["text"])
+            for i, r in enumerate(fixture)
+            if i % n_seg == s
+        ]
+        with open(os.path.join(crawl, f"seg-{s}.warc.gz"), "wb") as fh:
+            fh.write(build_warc_bytes(recs, gzip_members=True))
+
+    staging = os.path.join(workdir, "staged")
+    export = os.path.join(workdir, "export")
+    t0 = time.perf_counter()
+    read_warc_html(spark, crawl).write.parquet(staging)
+    staged = spark.read.parquet(staging)
+    funnel = observe_funnel(
+        staged.select("doc_id", "url", "text"),
+        [
+            (
+                "quality",
+                lambda d: gopher_quality_flags(
+                    d, min_words=20, min_stopword_hits=1,
+                    passthrough=("url", "text"),
+                ).where("keep").select("doc_id", "url", "text"),
+            ),
+            (
+                "dup_spans",
+                lambda d: remove_duplicate_spans(
+                    d, k=4, min_count=2, removed_count_col="n_removed"
+                ),
+            ),
+        ],
+    )
+    write_jsonl_shards(funnel.df, export, n_shards=8, compression=None)
+    sec = round(time.perf_counter() - t0, 3)
+    counts = funnel.counts()
+    if counts["input"] != n_fix:
+        raise AssertionError(f"html ingest lost pages: {counts} != {n_fix}")
+    n_legacy = (
+        spark.read.json(os.path.join(export, "shard=*"))
+        .where(F.col("text").contains("“legacy”"))
+        .count()
+    )
+    if n_legacy == 0:
+        raise AssertionError("no windows-1252 page survived with intact quotes")
+    return sec
+
+
 def bucket_stages(spark, sf_dir, workdir):
     from sat_bucket_spark import (
         LonLatPartitioning,
@@ -252,6 +338,10 @@ def main() -> int:
             if name == "wet_curate":
                 timings[name] = wet_curate_stage(
                     spark, scaled, os.path.join(work, "wet")
+                )
+            elif name == "warc_html_curate":
+                timings[name] = html_curate_stage(
+                    spark, scaled, os.path.join(work, "html")
                 )
             elif name in ("video_hash", "video_dedup"):
                 timings[name] = video_stage(spark, scaled, name)
