@@ -141,19 +141,53 @@ def round_cache(df: DataFrame) -> DataFrame:
 
 
 def release_stage_cache(df: DataFrame) -> None:
-    """Release a frame previously returned by :func:`stage_cache` once an
-    iterative loop no longer needs it.
+    """Release the storage held by a :func:`stage_cache` or
+    :func:`round_cache` frame once an iterative loop no longer needs it.
 
-    Only ``persist`` mode holds executor storage that outlives the round
-    (``localCheckpoint``/``checkpoint`` blocks are owned by their RDD and
-    reclaimed with it), so only persisted frames are unpersisted — and
-    non-blocking, so the loop never waits on block eviction. Callers must
-    release round k's frame only AFTER round k+1 is materialized: under
-    ``persist`` the new round's lineage reaches through the old frame, and
-    dropping it first would force a full upstream recompute.
+    Three storage shapes, all handled:
+
+    - ``persist`` stage frames are registered in the cache manager and
+      released with a non-blocking ``unpersist`` (lineage kept, so the
+      frame stays usable).
+    - ``localCheckpoint`` round frames hold executor blocks that the cache
+      manager does NOT track (``df.storageLevel`` reads as NONE); without
+      an explicit release they are reclaimed only when the driver GCs the
+      RDD reference — on a long loop with an idle driver heap that means
+      every round's blocks accumulate. The blocks are freed directly
+      through the plan's ``LogicalRDD``.
+    - ``checkpoint`` (reliable) round frames write one directory per round
+      under the checkpoint dir that Spark never deletes; the files are
+      removed through the Hadoop filesystem API.
+
+    A released ROUND frame is unusable afterwards — its lineage was
+    truncated at materialization, so there is no recompute fallback
+    (``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`` on access). Callers must
+    release round k only AFTER round k+1 is eagerly materialized and must
+    not reference round k again; the graph loops satisfy both by
+    construction. If Spark's internals move and the ``LogicalRDD`` probe
+    fails, this degrades to the GC-driven cleanup, never an error.
     """
     if df.storageLevel.useMemory or df.storageLevel.useDisk:
         df.unpersist(blocking=False)
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return
+        rdd = plan.rdd()
+        level = rdd.getStorageLevel()
+        if level.useMemory() or level.useDisk():
+            rdd.unpersist(False)
+        if rdd.isCheckpointed() and rdd.getCheckpointFile().isDefined():
+            path_str = rdd.getCheckpointFile().get()
+            jvm = df.sparkSession._jvm
+            path = jvm.org.apache.hadoop.fs.Path(path_str)
+            fs = path.getFileSystem(
+                df.sparkSession._jsc.hadoopConfiguration()
+            )
+            fs.delete(path, True)
+    except Exception:
+        return
 
 
 def _raise_no_checkpoint_dir() -> None:

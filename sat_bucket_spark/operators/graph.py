@@ -176,9 +176,10 @@ def connected_components(
     for _ in range(max_iterations):
         prev_frame = e
         e = _small_star(_large_star(e)).transform(_eager_cache)
-        # The new round is materialized; under 'persist' mode the old
-        # round's blocks would otherwise accumulate across the whole loop
-        # (and they are only a recompute fallback now, not an input).
+        # The new round is eagerly materialized with truncated lineage, so
+        # the old round's blocks (or reliable-checkpoint files) are no
+        # longer an input — free them now instead of waiting for driver GC
+        # to reclaim the RDD reference (caching.release_stage_cache).
         release_stage_cache(prev_frame)
         cur = _fingerprint(e)
         if cur == prev:

@@ -438,8 +438,10 @@ def read_warc_html(
     # HTML iff either layer says so; records with neither type header are
     # kept only when the body looks like markup (crawls do omit headers)
     ctype = F.coalesce(F.col("http_content_type"), F.col("content_type"))
-    # markup sniff decodes only a 64-byte prefix, not the whole payload
-    head = F.decode(F.expr("substring(payload, 1, 64)"), "US-ASCII")
+    # markup sniff decodes only a 64-byte prefix, not the whole payload;
+    # ISO-8859-1 maps every byte, so a headerless binary record (e.g. an
+    # image served with no Content-Type) can never abort the job
+    head = F.decode(F.expr("substring(payload, 1, 64)"), "ISO-8859-1")
     is_html = F.when(
         ctype.isNotNull(), F.lower(ctype).contains("html")
     ).otherwise(F.startswith(F.ltrim(head), F.lit("<")))

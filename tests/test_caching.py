@@ -100,3 +100,62 @@ class TestKnob:
             assert out.storageLevel.useMemory
             assert out.count() == 10
             out.unpersist()
+
+
+class TestRoundRelease:
+    """release_stage_cache must actually free round-frame storage (it is
+    invisible to the cache manager) and leave the loops correct."""
+
+    def test_local_checkpoint_blocks_freed(self, spark):
+        from sat_bucket_spark.caching import release_stage_cache, round_cache
+
+        jsc = spark.sparkContext._jsc.sc()
+
+        def cached_ids():
+            return {i.id() for i in jsc.getRDDStorageInfo()}
+
+        before = cached_ids()
+        rc = round_cache(spark.range(10_000).selectExpr("id", "id * 2 as y"))
+        held = cached_ids() - before
+        assert held, "round_cache should hold executor blocks"
+        release_stage_cache(rc)
+        assert not (cached_ids() & held), "release must free the blocks"
+
+    def test_reliable_checkpoint_files_deleted(self, spark, tmp_path):
+        from sat_bucket_spark.caching import (
+            release_stage_cache,
+            round_cache,
+            stage_cache_mode,
+        )
+
+        ckpt = tmp_path / "ckpt_release"
+        spark.sparkContext.setCheckpointDir(str(ckpt))
+        with stage_cache_mode("reliable_checkpoint"):
+            rc = round_cache(spark.range(1000).selectExpr("id"))
+        files_before = [p for p in ckpt.rglob("*") if p.is_file()]
+        assert files_before, "checkpoint should have written files"
+        release_stage_cache(rc)
+        assert not [p for p in ckpt.rglob("*") if p.is_file()], (
+            "release must delete the round's checkpoint files"
+        )
+
+    def test_persist_mode_loop_releases_rounds(self, spark, tmp_path):
+        # persist mode + checkpoint dir => round_cache writes one reliable
+        # checkpoint per round; the loop must clean all but the last round
+        from sat_bucket_spark.caching import stage_cache_mode
+        from sat_bucket_spark.operators.graph import pagerank
+
+        ckpt = tmp_path / "ckpt_loop"
+        spark.sparkContext.setCheckpointDir(str(ckpt))
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % 8) for i in range(8)], "src long, dst long"
+        )
+        with stage_cache_mode("persist"):
+            ranks = pagerank(edges, iterations=5, directed=True)
+            got = {r["node"]: r["rank"] for r in ranks.collect()}
+        # ring graph: uniform stationary distribution
+        assert all(abs(v - 1 / 8) < 1e-9 for v in got.values())
+        round_dirs = {p.parent for p in ckpt.rglob("*") if p.is_file()}
+        # pagerank materializes a handful of loop-invariant frames (edges,
+        # nodes, degrees) plus ONE live round; released rounds must be gone
+        assert len(round_dirs) <= 4, sorted(round_dirs)

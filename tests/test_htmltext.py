@@ -346,6 +346,36 @@ class TestReadWarcHtml:
         rows = read_warc_html(spark, str(path)).collect()
         assert len(rows) == 1 and rows[0].text.startswith("bare page")
 
+    def test_headerless_binary_record_never_aborts(self, spark, tmp_path):
+        # A headerless response whose body is raw binary (e.g. an image
+        # served without a Content-Type) hits the markup sniff; the 64-byte
+        # prefix decode must map every byte (ISO-8859-1), not raise
+        # MALFORMED_CHARACTER_CODING and abort the whole job.
+        from sat_bucket_spark.warc import build_warc_bytes, read_warc_html
+
+        records = [
+            {
+                "type": "response",
+                "WARC-Target-URI": "http://x/noisy",
+                "payload": (
+                    b"HTTP/1.1 200 OK\r\n\r\n"
+                    b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + bytes(range(256))
+                ),
+            },
+            {
+                "type": "response",
+                "WARC-Target-URI": "http://x/ok",
+                "payload": (
+                    b"HTTP/1.1 200 OK\r\n\r\n"
+                    b"<p>good page beside the binary one with enough words</p>"
+                ),
+            },
+        ]
+        path = tmp_path / "noisy.warc"
+        path.write_bytes(build_warc_bytes(records))
+        rows = read_warc_html(spark, str(path)).collect()
+        assert [r.url for r in rows] == ["http://x/ok"]
+
 
 class TestLinks:
     def test_extract_links_order_dedup_and_schemes(self):

@@ -404,3 +404,21 @@ class TestEditCollapseRouting:
         a = sorted(tuple(r) for r in edit_distance_pairs(df, max_distance=2, collapse=True).collect())
         b = sorted(tuple(r) for r in edit_distance_pairs(df, max_distance=2, collapse=False).collect())
         assert a == b and len(a) > 0
+
+    def test_routing_modes_emit_identical_schema(self, spark):
+        # the dist dtype must not flip with the route: collapse='auto'
+        # picks a physical plan from measured duplicate fraction, and a
+        # data-dependent schema breaks fixed-schema parquet appends
+        from sat_bucket_spark.operators.dedup import edit_distance_pairs
+
+        df = spark.createDataFrame(
+            [(1, "hello"), (2, "hello"), (3, "hallo"), (4, "world")],
+            ["doc_id", "text"],
+        )
+        schemas = {
+            str(mode): edit_distance_pairs(
+                df, max_distance=1, collapse=mode
+            ).schema.simpleString()
+            for mode in (True, False, "auto")
+        }
+        assert len(set(schemas.values())) == 1, schemas
