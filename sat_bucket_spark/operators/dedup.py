@@ -48,6 +48,7 @@ __all__ = [
     "exact_duplicate_groups",
     "lsh_candidate_pairs",
     "lsh_params_for_threshold",
+    "measured_duplicate_fraction",
     "minhash_dedup_against",
     "minhash_lsh_dedup_pairs",
     "minhash_signatures",
@@ -375,6 +376,52 @@ def lsh_params_for_threshold(
     return best[1]
 
 
+_ROUTE_SAMPLE_MIN_ROWS = 1000
+
+
+def measured_duplicate_fraction(
+    df: DataFrame,
+    text_col: str,
+    sample_mod: int = 64,
+) -> float:
+    """Estimated fraction of rows that are byte-identical copies of some
+    other row — the routing probe behind the ``collapse='auto'`` pair
+    engines.
+
+    Samples by CONTENT hash (``pmod(xxhash64(text), sample_mod) = 0``) so
+    every copy of a sampled text lands in the sample together: per-text
+    copy counts survive intact and the ``1 - distinct/count`` ratio stays
+    an unbiased duplicate-fraction estimator. Row-level Bernoulli sampling
+    would instead dilute each text's copies and systematically undercount
+    duplication. At 100 TB this turns the probe from a full corpus scan
+    into a ``1/sample_mod`` scan whose aggregate is still map-side
+    combined (filter + approx_count_distinct, no shuffle of data rows).
+
+    Samples smaller than ``_ROUTE_SAMPLE_MIN_ROWS`` rows rerun the exact
+    full-column aggregate: tiny corpora make the sampled estimator pure
+    noise, and their full pass is as cheap as the sample was. Pass
+    ``sample_mod <= 1`` to force the exact full scan.
+    """
+    if sample_mod > 1:
+        sampled = df.where(
+            F.pmod(F.xxhash64(F.col(text_col)), F.lit(int(sample_mod))) == 0
+        )
+        row = sampled.agg(
+            F.count(text_col).alias("n"),
+            F.approx_count_distinct(text_col).alias("d"),
+        ).collect()[0]
+        n = row["n"] or 0
+        if n >= _ROUTE_SAMPLE_MIN_ROWS:
+            # approx_count_distinct can overshoot slightly; clamp at 0
+            return max(0.0, 1.0 - (row["d"] / n))
+    row = df.agg(
+        F.count(text_col).alias("n"),
+        F.approx_count_distinct(text_col).alias("d"),
+    ).collect()[0]
+    n = row["n"] or 0
+    return max(0.0, 1.0 - (row["d"] / n)) if n else 0.0
+
+
 def minhash_lsh_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -386,6 +433,7 @@ def minhash_lsh_dedup_pairs(
     seed: int = 42,
     collapse: "str | bool" = "auto",
     collapse_threshold: float = 0.15,
+    dup_fraction_prior: "float | None" = None,
 ) -> DataFrame:
     """The production near-dup pipeline: MinHash -> LSH banding -> exact verify.
 
@@ -411,25 +459,26 @@ def minhash_lsh_dedup_pairs(
       corpus the collapse engine's extra joins/exchanges are pure
       overhead (~3x warm at sf0.1, measured) — when there is nothing to
       collapse, banding rows directly is strictly cheaper.
-    - ``collapse='auto'`` (default): one cheap aggregate measures the
-      duplicate fraction (``approx_count_distinct`` over the text md5)
-      and picks the engine at ``collapse_threshold`` (default: collapse
-      when >15% of rows are byte-identical copies). The probe scan is a
-      single pass over the text column — noise next to the pipeline's
-      own shingling passes.
+    - ``collapse='auto'`` (default): the duplicate fraction is measured
+      by :func:`measured_duplicate_fraction` — a content-hash-sampled
+      ``approx_count_distinct`` probe (1/64 of the corpus; exact rerun
+      under 1000 sampled rows) — and the engine picked at
+      ``collapse_threshold`` (default: collapse when >15% of rows are
+      byte-identical copies). A caller who already knows the corpus
+      redundancy passes ``dup_fraction_prior`` to skip the probe job
+      entirely (at 100 TB even the sampled scan is a job worth saving
+      when the answer is known).
 
     Returns (id_a, id_b, jaccard) for candidates with jaccard >=
     min_jaccard. PRECONDITION: ``id_col`` unique, as everywhere in this
     module's pair engines.
     """
     if collapse == "auto":
-        row = df.agg(
-            F.count(text_col).alias("n"),
-            F.approx_count_distinct(text_col).alias("d"),
-        ).collect()[0]
-        n = row["n"] or 0
-        # approx_count_distinct can overshoot slightly; clamp at 0
-        dup_frac = max(0.0, 1.0 - (row["d"] / n)) if n else 0.0
+        dup_frac = (
+            dup_fraction_prior
+            if dup_fraction_prior is not None
+            else measured_duplicate_fraction(df, text_col)
+        )
         collapse = dup_frac >= collapse_threshold
     if not collapse:
         sigs = minhash_signatures(
@@ -1467,6 +1516,7 @@ def edit_distance_pairs(
     max_len: int = 256,
     collapse: "str | bool" = "auto",
     collapse_threshold: float = 0.15,
+    dup_fraction_prior: "float | None" = None,
 ) -> DataFrame:
     """Typo-level near-duplicate pairs: edit distance <= ``max_distance``
     via PassJoin-style partition signatures + exact Levenshtein verify.
@@ -1541,12 +1591,11 @@ def edit_distance_pairs(
     if collapse == "auto":
         # raw text as the proxy for the normalized key: byte-identical
         # rows are key-identical, which is the duplication this routes on
-        row = df.agg(
-            F.count(text_col).alias("n"),
-            F.approx_count_distinct(text_col).alias("d"),
-        ).collect()[0]
-        n = row["n"] or 0
-        dup_frac = max(0.0, 1.0 - (row["d"] / n)) if n else 0.0
+        dup_frac = (
+            dup_fraction_prior
+            if dup_fraction_prior is not None
+            else measured_duplicate_fraction(df, text_col)
+        )
         collapse = dup_frac >= collapse_threshold
     if collapse:
         ids = stage_cache(

@@ -1983,3 +1983,61 @@ class TestMinhashCollapseRouting:
         a = sorted(tuple(r) for r in minhash_lsh_dedup_pairs(df, collapse=True, **kw).collect())
         b = sorted(tuple(r) for r in minhash_lsh_dedup_pairs(df, collapse=False, **kw).collect())
         assert a == b and len(a) > 0
+
+
+class TestSampledRoutingProbe:
+    """measured_duplicate_fraction: the collapse='auto' probe must stay
+    O(sample) at scale while making the same routing decision the exact
+    full-column aggregate made (r8 shipped the full scan; r9 samples by
+    content hash, which keeps per-text copy counts intact)."""
+
+    def _corpus(self, spark, n_distinct, copies):
+        rows = [
+            (i * copies + c, f"distinct document body number {i} padded text")
+            for i in range(n_distinct)
+            for c in range(copies)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_sampled_matches_exact_on_duplicate_heavy(self, spark):
+        from sat_bucket_spark.operators.dedup import measured_duplicate_fraction
+
+        df = self._corpus(spark, n_distinct=800, copies=5)  # true frac 0.8
+        exact = measured_duplicate_fraction(df, "text", sample_mod=1)
+        sampled = measured_duplicate_fraction(df, "text", sample_mod=2)
+        assert abs(exact - 0.8) < 0.05
+        # same routing decision at the 0.15 threshold, and close in value
+        assert (sampled >= 0.15) == (exact >= 0.15)
+        assert abs(sampled - exact) < 0.1
+
+    def test_sampled_matches_exact_on_unique(self, spark):
+        from sat_bucket_spark.operators.dedup import measured_duplicate_fraction
+
+        df = self._corpus(spark, n_distinct=4000, copies=1)  # true frac 0.0
+        exact = measured_duplicate_fraction(df, "text", sample_mod=1)
+        sampled = measured_duplicate_fraction(df, "text", sample_mod=2)
+        assert (sampled >= 0.15) == (exact >= 0.15) == False  # noqa: E712
+        assert abs(sampled - exact) < 0.1
+
+    def test_tiny_corpus_falls_back_to_exact(self, spark):
+        # under _ROUTE_SAMPLE_MIN_ROWS sampled rows the probe reruns the
+        # exact aggregate, so tiny fixtures keep r8's routing decisions
+        from sat_bucket_spark.operators.dedup import measured_duplicate_fraction
+
+        df = self._corpus(spark, n_distinct=10, copies=5)
+        assert abs(measured_duplicate_fraction(df, "text") - 0.8) < 1e-9
+
+    def test_prior_skips_the_probe_job(self, spark, monkeypatch):
+        import sat_bucket_spark.operators.dedup as dd
+
+        def _boom(*a, **k):
+            raise AssertionError("probe must not run when a prior is given")
+
+        monkeypatch.setattr(dd, "measured_duplicate_fraction", _boom)
+        df = self._corpus(spark, n_distinct=4, copies=3)
+        out = dd.minhash_lsh_dedup_pairs(
+            df, n_hashes=8, n_bands=4, dup_fraction_prior=0.9
+        )
+        assert out.count() > 0
+        out2 = dd.edit_distance_pairs(df, max_distance=1, dup_fraction_prior=0.0)
+        assert out2.count() >= 0
