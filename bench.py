@@ -281,6 +281,20 @@ def main() -> None:
         n_res = res.groupBy("query_id").count().count()
         if n_res != n_q:
             raise AssertionError(f"search lost queries: {n_res} != {n_q}")
+        # recall gate (untimed): plan gates can't see a wrong centroid
+        # assignment or stale-codebook encode — those stay partition-pruned
+        # while returning near-chance neighbors (chance = k/N ~ 0.005 at
+        # sf0.1). Floor pinned from the healthy index on this corpus
+        # (uniform random vectors, the PQ worst case).
+        from sat_bucket_spark.operators.similarity import (
+            brute_force_topk,
+            recall_at_k,
+        )
+
+        exact = brute_force_topk(emb, queries, k=10, metric="l2")
+        rec = recall_at_k(res, exact)
+        if not rec >= 0.10:
+            raise AssertionError(f"ann_index_search recall@10 degraded: {rec:.3f}")
     finally:
         _shutil0.rmtree(awork, ignore_errors=True)
     _release_state(spark)

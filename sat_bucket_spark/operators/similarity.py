@@ -38,6 +38,7 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "random_hyperplane_signature",
+    "recall_at_k",
     "train_ivf_centroids",
     "train_pq_codebooks",
     "lsh_topk",
@@ -126,30 +127,85 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     dim: int | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k of every query against the vector table.
+    """Exact top-k of every query against the vector table.
 
     The query side is broadcast (top-k makes no sense for a huge query set in
     one job), so the join is map-side: each vector partition scans the
     broadcast queries — no shuffle of the big table. Ranking uses
-    ``row_number`` partitioned by query with a deterministic (similarity desc,
+    ``row_number`` partitioned by query with a deterministic (best-first,
     id asc) tiebreak.
+
+    ``metric='cosine'`` (default) ranks by cosine similarity descending and
+    emits a ``cosine`` column; ``metric='l2'`` ranks by exact SQUARED
+    Euclidean distance ascending and emits ``l2dist`` — the ground truth
+    for the IVFADC family, whose ADC scores approximate squared L2 (use it
+    for :func:`recall_at_k` gates; cosine ground truth only agrees on
+    L2-normalized corpora).
     """
     from sat_bucket_spark.operators.parallel import ensure_parallelism
 
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    if metric == "cosine":
+        score = F.round(cosine_expr(vec_col, query_vec_col, dim), 6).alias("cosine")
+        order = [F.col("cosine").desc(), F.col(id_col).asc()]
+        cols = [query_id_col, id_col, "cosine", "rank"]
+    else:
+        sq = F.zip_with(
+            F.col(vec_col),
+            F.col(query_vec_col),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        score = F.round(
+            F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("l2dist")
+        order = [F.col("l2dist").asc(), F.col(id_col).asc()]
+        cols = [query_id_col, id_col, "l2dist", "rank"]
     # Broadcast joins inherit the stream side's partitioning; spread a
-    # single-split vectors scan before the N x Q cosine work.
+    # single-split vectors scan before the N x Q distance work.
     joined = ensure_parallelism(vectors).crossJoin(F.broadcast(queries)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine_expr(vec_col, query_vec_col, dim), 6).alias("cosine"),
+        F.col(query_id_col), F.col(id_col), score
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    w = Window.partitionBy(query_id_col).orderBy(*order)
     return (
         joined.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
+        .select(*cols)
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> float:
+    """Mean per-query recall of an approximate top-k frame against exact
+    ground truth (both shaped like the ``*_topk`` outputs: one row per
+    (query, neighbor)).
+
+    The gate for the persisted-ANN path: a pruning or encode bug that
+    stays plan-shaped (wrong centroid assignment after an append, stale
+    codebooks) passes every plan gate while silently returning poor
+    neighbors — recall against :func:`brute_force_topk` with
+    ``metric='l2'`` is what catches it. Distributed: one broadcast-sized
+    semi-join over the two top-k frames (each |queries| * k rows) and two
+    tiny aggregates; never touches the corpus.
+    """
+    e = exact.select(F.col(query_id_col).alias("__q"), F.col(id_col).alias("__i"))
+    a = approx.select(F.col(query_id_col).alias("__q"), F.col(id_col).alias("__i"))
+    hits = e.join(a, ["__q", "__i"], "left_semi")
+    per_query = (
+        e.groupBy("__q")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(hits.groupBy("__q").agg(F.count(F.lit(1)).alias("h")), "__q", "left")
+        .select((F.coalesce(F.col("h"), F.lit(0)) / F.col("n")).alias("r"))
+    )
+    row = per_query.agg(F.avg("r").alias("recall")).collect()[0]
+    return float(row["recall"]) if row["recall"] is not None else float("nan")
 
 
 def pairwise_near_duplicates(

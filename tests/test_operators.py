@@ -1889,6 +1889,80 @@ class TestIvfpqIndexPersistence:
         assert m and "__cluster" in m.group(1), plan[:2000]
         assert n_all > 2  # the fixture really spreads over many clusters
 
+    def test_recall_floor_after_build_and_append(self, spark, embeddings, tmp_path):
+        """recall@10 vs exact-L2 brute force must clear a fixtured floor
+        after build AND after append — the plan gates cannot see a wrong
+        centroid assignment or stale-codebook encode (they stay
+        plan-shaped while returning near-chance neighbors; chance here is
+        k/N = 0.02, measured healthy recall ~0.25 on this corpus: random
+        uniform vectors are the PQ worst case, m=4/ksub=16 is 16 bits)."""
+        from sat_bucket_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            build_ivfpq_index,
+            brute_force_topk,
+            ivfpq_index_topk,
+            recall_at_k,
+        )
+
+        emb = embeddings.withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        queries = emb.where(F.col("vec_id") % 41 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = brute_force_topk(emb, queries, k=10, metric="l2")
+
+        idx = str(tmp_path / "ann_recall")
+        build_ivfpq_index(emb, idx, dim=64, n_clusters=8, m=4, ksub=16)
+        r_build = recall_at_k(
+            ivfpq_index_topk(spark, idx, queries, k=10, n_probe=2), exact
+        )
+        assert r_build >= 0.15, r_build
+
+        # rebuild from 80% of the corpus, append the rest: the appended
+        # rows are encoded with the index's FIXED codebooks; ground truth
+        # stays the full corpus, so a broken append drags recall down
+        idx2 = str(tmp_path / "ann_recall_append")
+        base = emb.where(F.col("vec_id") % 5 != 0)
+        rest = emb.where(F.col("vec_id") % 5 == 0)
+        build_ivfpq_index(base, idx2, dim=64, n_clusters=8, m=4, ksub=16)
+        append_to_ivfpq_index(rest, idx2)
+        r_append = recall_at_k(
+            ivfpq_index_topk(spark, idx2, queries, k=10, n_probe=2), exact
+        )
+        assert r_append >= 0.15, r_append
+        # the appended index searches the same corpus; recall must be in
+        # the same band as the one-shot build, not degraded by the append
+        assert r_append >= r_build - 0.1, (r_build, r_append)
+
+    def test_l2_brute_force_matches_numpy(self, spark, embeddings):
+        import numpy as np
+
+        from sat_bucket_spark.operators.similarity import brute_force_topk
+
+        emb = embeddings.limit(80).withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        queries = emb.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        got = brute_force_topk(emb, queries, k=5, metric="l2").collect()
+        mat = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+        for qid in {r["query_id"] for r in got}:
+            q = mat[qid]
+            dists = sorted(
+                (round(float(((v - q) ** 2).sum()), 6), i) for i, v in mat.items()
+            )
+            want = [i for _, i in dists[:5]]
+            have = [
+                r["vec_id"]
+                for r in sorted(
+                    (r for r in got if r["query_id"] == qid),
+                    key=lambda r: r["rank"],
+                )
+            ]
+            assert have == want, (qid, have, want)
+
     def test_append_then_search_finds_new_rows(self, spark, embeddings, tmp_path):
         """Incremental-ingest path: append encodes with the EXISTING
         codebooks; an appended exact copy of a query vector must surface
