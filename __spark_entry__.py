@@ -5195,6 +5195,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     family; the banded pair engine stays driver-verified through
     image_near_dup, which shares near_dup_pairs_by_signature).
     simhash_near_dup remains green in the all-registry parity suite.
+
+    Round-9 reorder (VERDICT r8 task #2): host_rank — the crawl
+    host-graph authority flagship (link derivation + directed PageRank
+    with dangling mass, oracle unrolling identical rounds) — and
+    url_normalize (canonical-URL dedup family, oracle replaying the full
+    normalization in SQL) move INTO the window. Displaced, per the
+    insertion rule: mad_outliers (robust median/MAD family held by
+    profile_table) and exif_meta (multimodal metadata family held by
+    image_meta + audio_quality). pagerank stays in the parity suite —
+    host_rank drives the same iterative engine plus the dangling-mass
+    path. Both demoted keys remain green in the all-registry parity
+    suite.
     """
     return {
         # ---- driver-verified window (first 50) ----
@@ -5230,7 +5242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_dedup": q_edit_dedup,
         "simhash_dedup": q_simhash_dedup,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "mad_outliers": q_mad_outliers,
+        "host_rank": q_host_rank,
         "knn_join": q_knn_join,
         "ivfpq_topk": q_ivfpq_topk,
         "semantic_dedup": q_semantic_dedup,
@@ -5245,13 +5257,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist": q_blocklist,
         "nfc_normalize": q_nfc_normalize,
         "audio_quality": q_audio_quality,
-        "exif_meta": q_exif_meta,
+        "url_normalize": q_url_normalize,
         "image_near_dup": q_image_near_dup,
         "image_dedup": q_image_dedup,
         # ---- beyond the driver window: parity-suite verified ----
         # (dup_spans demoted in favor of html_extract: the hashed variant
         # in-window is the same span-dedup family's production posture)
         "dup_spans": q_dup_spans,
+        "mad_outliers": q_mad_outliers,
+        "exif_meta": q_exif_meta,
         "sorted_limit": q_sorted_limit,
         "extent_filter": q_extent_filter,
         "centroids": q_centroids,
@@ -5333,8 +5347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "audio_segments": q_audio_segments,
         "pagerank": q_pagerank,
-        "host_rank": q_host_rank,
-        "url_normalize": q_url_normalize,
     }
 
 
