@@ -421,10 +421,17 @@ def main() -> None:
     # counterpart of wet_curate — response records with HTML bodies (1 in
     # 13 pages windows-1252 with an HTTP-header charset and curly-quote
     # bytes that are INVALID UTF-8) -> read_warc_html (HTTP head split,
-    # charset-honoring decode, boilerplate removal) -> quality gate ->
-    # span dedup -> export. Gates: ingest completeness, non-UTF-8
-    # survival (the curly quotes must reach the export intact), funnel
-    # monotone, export read-back, job bound.
+    # charset-honoring decode, boilerplate removal, link extraction in
+    # the SAME decode pass) -> quality gate -> canonical-URL keep-first
+    # dedup (1 in 9 pages has a planted mirror: tracking params + case +
+    # trailing-slash spelling of the same URL) -> host-authority gate
+    # (host link graph -> directed PageRank; host h12 gets no inlinks by
+    # construction, so its teleport-floor rank is the drop) -> span dedup
+    # -> export. Gates: ingest completeness, non-UTF-8 survival (the
+    # curly quotes must reach the export intact), funnel monotone, URL +
+    # authority stages each actually fire, export read-back, job bound.
+    from sat_bucket_spark.operators.graph import pagerank
+    from sat_bucket_spark.operators.urls import host_link_edges, url_dedup, url_host_expr
     from sat_bucket_spark.warc import read_warc_html
 
     hwork = _tempfile.mkdtemp(prefix="bench_html_")
@@ -436,9 +443,17 @@ def main() -> None:
             F.concat("text", F.lit(" htmldoc"), F.col("doc_id")).alias("text"),
         ).collect()
         n_hfix = len(hfixture)
+        n_mirror = sum(1 for r in hfixture if r["doc_id"] % 9 == 0)
 
         def _resp(doc_id, text):
-            nav = b"<div class='nav'><a href='/'>Home</a> <a href='/a'>A</a></div>"
+            # cross-host nav link: target (doc_id*7+1) % 12 covers hosts
+            # h0..h11 uniformly, so h12 never receives an inlink — the
+            # authority gate's deterministic drop
+            ref = f"http://h{(doc_id * 7 + 1) % 12}.example/x".encode()
+            nav = (
+                b"<div class='nav'><a href='/'>Home</a> <a href='/a'>A</a>"
+                b" <a href='" + ref + b"'>Ref</a></div>"
+            )
             if doc_id % 13 == 0:
                 body = (
                     b"<p>\x93legacy\x94 "
@@ -457,13 +472,30 @@ def main() -> None:
                 "payload": head + nav + body,
             }
 
+        def _mirror(rec, doc_id):
+            # the same page crawled under another spelling: upper-cased
+            # host, trailing slash, tracking params, fragment — all of
+            # which normalize_url_expr strips back to rec's URL; the body
+            # differs (a mirror banner) so the content hash can't collapse
+            # it — only the canonical-URL keep-first can
+            out = dict(rec)
+            out["WARC-Target-URI"] = (
+                f"http://H{doc_id % 13}.EXAMPLE/d{doc_id}/"
+                "?utm_source=probe&gclid=x#m"
+            )
+            out["payload"] = rec["payload"] + b"<p>mirror of this page</p>"
+            return out
+
         n_hseg = 8
         for s in range(n_hseg):
-            recs = [
-                _resp(r["doc_id"], r["text"])
-                for i, r in enumerate(hfixture)
-                if i % n_hseg == s
-            ]
+            recs = []
+            for i, r in enumerate(hfixture):
+                if i % n_hseg != s:
+                    continue
+                rec = _resp(r["doc_id"], r["text"])
+                recs.append(rec)
+                if r["doc_id"] % 9 == 0:
+                    recs.append(_mirror(rec, r["doc_id"]))
             with open(os.path.join(hcrawl, f"seg-{s}.warc.gz"), "wb") as fh:
                 fh.write(build_warc_bytes(recs, gzip_members=True))
 
@@ -471,17 +503,45 @@ def main() -> None:
         hexport = os.path.join(hwork, "export")
         t0 = time.perf_counter()
         sc.setJobGroup("html-curate", "html ingest + funnel + export")
-        read_warc_html(spark, hcrawl).write.parquet(hstaging)
+        read_warc_html(spark, hcrawl, links=True).write.parquet(hstaging)
         hstaged = spark.read.parquet(hstaging)
+        # crawl authority: host link graph (explode + DISTINCT, bounded by
+        # host-pair cardinality) -> directed PageRank over 13 hosts; h12
+        # never receives an inlink, so its rank is the teleport floor
+        # (0.15/13 ~ 0.0115) while every linked host sits near 1/12
+        hedges = host_link_edges(hstaged, url_col="url", links_col="links")
+        hranks = pagerank(
+            hedges, src="src_host", dst="dst_host",
+            damping=0.85, iterations=4, directed=True,
+        )
+        keep_hosts = hranks.where(F.col("rank") >= 0.02).select(
+            F.col("node").alias("__keep_host")
+        )
         hfunnel = observe_funnel(
             hstaged.select("doc_id", "url", "text"),
             [
+                (
+                    # cheapest filter first: collapse crawl spellings of
+                    # the same canonical URL before any text is scored
+                    "url_dedup",
+                    lambda d: url_dedup(d, url_col="url", id_col="doc_id")
+                    .where("kept")
+                    .select("doc_id", "url", "text"),
+                ),
                 (
                     "quality",
                     lambda d: gopher_quality_flags(
                         d, min_words=20, min_stopword_hits=1,
                         passthrough=("url", "text"),
                     ).where("keep").select("doc_id", "url", "text"),
+                ),
+                (
+                    "authority",
+                    lambda d: d.join(
+                        F.broadcast(keep_hosts),
+                        url_host_expr(F.col("url")) == F.col("__keep_host"),
+                        "left_semi",
+                    ),
                 ),
                 (
                     "dup_spans",
@@ -495,20 +555,33 @@ def main() -> None:
         sc.setJobGroup("html-curate-done", "")
         timings["warc_html_curate"] = round(time.perf_counter() - t0, 3)
         hcounts = hfunnel.counts()
-        if hcounts["input"] != n_hfix:
-            raise AssertionError(f"html ingest lost pages: {hcounts} != {n_hfix}")
-        if not (hcounts["input"] >= hcounts["quality"] >= 0):
+        if hcounts["input"] != n_hfix + n_mirror:
+            raise AssertionError(
+                f"html ingest lost pages: {hcounts} != {n_hfix}+{n_mirror}"
+            )
+        # keep-first collapses each planted mirror pair to one survivor
+        if hcounts["url_dedup"] != n_hfix:
+            raise AssertionError(f"URL dedup vacuous/lossy: {hcounts} != {n_hfix}")
+        if not (hcounts["url_dedup"] >= hcounts["quality"] >= hcounts["authority"]):
             raise AssertionError(f"html funnel not monotone: {hcounts}")
+        if not 0 < hcounts["authority"] < hcounts["quality"]:
+            raise AssertionError(f"authority gate vacuous: {hcounts}")
         back = spark.read.json(os.path.join(hexport, "shard=*"))
         n_hexp = back.count()
-        if n_hexp != hcounts["quality"]:
+        if n_hexp != hcounts["authority"]:
             raise AssertionError(f"html export mismatch: {n_hexp} != {hcounts}")
         n_legacy = back.where(F.col("text").contains("“legacy”")).count()
         if n_legacy == 0:
             raise AssertionError("no windows-1252 page survived with intact quotes")
         n_jobs = len(sc.statusTracker().getJobIdsForGroup("html-curate"))
-        if n_jobs > 18:
-            raise AssertionError(f"warc_html_curate launched {n_jobs} jobs (> 18)")
+        # the authority stage adds 3 jobs (edge-frame localCheckpoint,
+        # route-gate count, driver-route collect — 13 hosts is far below
+        # pagerank's driver_threshold) plus the URL window's AQE
+        # exchanges: measured 20 at sf0.01; the bound catches
+        # per-row/per-stage job growth, and a distributed-PageRank
+        # routing regression (the eager rounds alone would add 7+)
+        if n_jobs > 26:
+            raise AssertionError(f"warc_html_curate launched {n_jobs} jobs (> 26)")
     finally:
         _shutil.rmtree(hwork, ignore_errors=True)
     _release_state(spark)

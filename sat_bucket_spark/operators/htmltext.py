@@ -361,6 +361,8 @@ def html_to_text(
     meta: bool = True,
     strict: bool = False,
     charset_col: str | None = None,
+    links_col: str | None = None,
+    links_base_col: str | None = None,
 ) -> DataFrame:
     """Extract text from an HTML column (``binary`` or ``string``).
 
@@ -369,6 +371,12 @@ def html_to_text(
     ``Content-Type``); it feeds :func:`decode_html_bytes`'s precedence
     chain ahead of the in-document ``<meta>`` declaration. NULL entries
     mean "no declaration" for that row.
+
+    ``links_col`` additionally emits the page's outgoing links
+    (``array<string>``, :func:`extract_links`, relative hrefs resolved
+    against ``links_base_col``) from the SAME decode — a crawl pipeline
+    that wants both text and the link graph must not pay a second
+    payload decode pass (that is :func:`html_links`'s standalone cost).
 
     ``mode='main'`` applies the boilerplate heuristic (:func:`main_text`);
     ``mode='all'`` keeps every block (:func:`html_text`).  With
@@ -400,16 +408,26 @@ def html_to_text(
             StructField("n_kept", IntegerType()),
             StructField("link_density", DoubleType()),
         ]
+    if links_col is not None:
+        from pyspark.sql.types import ArrayType
+
+        fields += [StructField(links_col, ArrayType(StringType()))]
     out_schema = StructType(fields)
     keep_all = mode == "all"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts, titles, n_blocks, n_kept, densities = [], [], [], [], []
+            out_links: list = []
             charsets = (
                 pdf[charset_col] if charset_col is not None else [None] * len(pdf)
             )
-            for raw, declared in zip(pdf[html_col], charsets):
+            bases = (
+                pdf[links_base_col]
+                if links_base_col is not None
+                else [None] * len(pdf)
+            )
+            for raw, declared, base in zip(pdf[html_col], charsets, bases):
                 try:
                     if raw is None:
                         raise ValueError("null payload")
@@ -419,6 +437,13 @@ def html_to_text(
                         decode_html_bytes(bytes(raw), declared=declared)
                         if is_binary
                         else str(raw)
+                    )
+                    row_links = (
+                        extract_links(
+                            html, base_url=base if isinstance(base, str) else None
+                        )
+                        if links_col is not None
+                        else None
                     )
                     blocks, title = extract_blocks(html)
                     kept = [
@@ -438,6 +463,7 @@ def html_to_text(
                     n_blocks.append(len(blocks))
                     n_kept.append(len(kept))
                     densities.append(links / chars if chars else 0.0)
+                    out_links.append(row_links)
                 except Exception:
                     if strict:
                         raise
@@ -446,6 +472,7 @@ def html_to_text(
                     n_blocks.append(None)
                     n_kept.append(None)
                     densities.append(None)
+                    out_links.append(None)
             res = pdf.copy()
             res[out] = texts
             if meta:
@@ -453,6 +480,8 @@ def html_to_text(
                 res["n_blocks"] = pd.array(n_blocks, dtype="Int32")
                 res["n_kept"] = pd.array(n_kept, dtype="Int32")
                 res["link_density"] = pd.array(densities, dtype="float64")
+            if links_col is not None:
+                res[links_col] = out_links
             yield res
 
     from sat_bucket_spark.operators.parallel import ensure_parallelism

@@ -113,9 +113,16 @@ def url_dedup(
 
     The cheapest dedup in a crawl pipeline — it runs on the URL string
     alone, BEFORE any payload is parsed or shipped. Returns every input
-    row with ``(norm_url, n_copies, kept)``; ``kept`` marks the minimum
-    ``id_col`` of the group (keep-min-id, like every keep-first operator
-    in this suite). One shuffle, keyed on the canonical URL.
+    row with ``(norm_url, n_copies, kept)``; ``kept`` marks EXACTLY ONE
+    row per group — the minimum ``id_col`` (keep-min-id, like every
+    keep-first operator in this suite), with the raw URL string breaking
+    id ties. Ties are the common case here, not a corner: crawl
+    pipelines derive ``id_col`` from a content hash, and the same page
+    fetched under two spellings of one canonical URL hashes identically
+    — a min-id-only flag would mark BOTH copies kept and the dedup
+    would pass its most typical duplicate straight through (caught by
+    the bench funnel's URL gate). One shuffle, keyed on the canonical
+    URL (the rank sort rides the same exchange).
     """
     from pyspark.sql import Window
 
@@ -125,10 +132,11 @@ def url_dedup(
         strip_www=strip_www,
     )
     w = Window.partitionBy(out)
+    w_rank = Window.partitionBy(out).orderBy(F.col(id_col), F.col(url_col))
     return (
         df.withColumn(out, norm)
         .withColumn("n_copies", F.count(F.lit(1)).over(w))
-        .withColumn("kept", F.col(id_col) == F.min(id_col).over(w))
+        .withColumn("kept", F.row_number().over(w_rank) == 1)
     )
 
 

@@ -407,6 +407,7 @@ def read_warc_html(
     max_link_density: float = 0.4,
     strict: bool = False,
     streaming: bool = False,
+    links: bool = False,
 ) -> DataFrame:
     """Raw-WARC HTML route to the canonical documents frame.
 
@@ -418,7 +419,11 @@ def read_warc_html(
     link_density, source_file)``. Non-HTML responses (images, PDFs — by
     either the WARC or the HTTP content type) are dropped during the
     parse; undecodable/malformed pages yield NULL text rather than
-    failing the task (``strict=True`` raises).
+    failing the task (``strict=True`` raises). ``links=True`` adds the
+    page's outgoing links (``array<string>``, relative hrefs resolved
+    against the record URI) extracted in the SAME decode pass — feed
+    them to ``urls.host_link_edges`` + ``graph.pagerank`` for crawl
+    authority without a second payload scan.
 
     Scale shape: both stages are Arrow-batched ``mapInPandas`` with
     file-grain parallelism and no shuffle; the HTTP content-type filter
@@ -466,8 +471,10 @@ def read_warc_html(
         meta=True,
         strict=strict,
         charset_col="charset",
+        links_col="links" if links else None,
+        links_base_col="target_uri" if links else None,
     )
-    return out.select(
+    cols = [
         F.col("target_uri").alias("url"),
         F.col("warc_date").alias("fetch_date"),
         "text",
@@ -476,7 +483,10 @@ def read_warc_html(
         "n_kept",
         "link_density",
         "source_file",
-    ).withColumn("doc_id", h64_expr(F.col("text")))
+    ]
+    if links:
+        cols.append("links")
+    return out.select(*cols).withColumn("doc_id", h64_expr(F.col("text")))
 
 
 def build_warc_bytes(

@@ -151,7 +151,9 @@ class TestRoundRelease:
             [(i, (i + 1) % 8) for i in range(8)], "src long, dst long"
         )
         with stage_cache_mode("persist"):
-            ranks = pagerank(edges, iterations=5, directed=True)
+            # driver_threshold=0: the round-release contract under test
+            # only exists on the distributed loop
+            ranks = pagerank(edges, iterations=5, directed=True, driver_threshold=0)
             got = {r["node"]: r["rank"] for r in ranks.collect()}
         # ring graph: uniform stationary distribution
         assert all(abs(v - 1 / 8) < 1e-9 for v in got.values())

@@ -212,6 +212,37 @@ class TestPagerank:
         for k in base:
             assert abs(base[k] - noisy[k]) < 1e-12
 
+    def test_driver_and_distributed_routes_identical(self, spark):
+        """driver_threshold routes small graphs to the numpy power
+        iteration; ranks must equal the distributed loop's to 1e-12 on
+        both directed (dangling present) and undirected graphs."""
+        import random
+
+        rng = random.Random(11)
+        edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(70)]
+        edges = [(a, b) for a, b in edges if a != b]
+        for directed in (False, True):
+            fast = self._run(spark, edges, iterations=6, directed=directed)
+            dist = self._run(
+                spark, edges, iterations=6, directed=directed, driver_threshold=0
+            )
+            assert fast.keys() == dist.keys()
+            for k in fast:
+                assert abs(fast[k] - dist[k]) < 1e-12
+
+    def test_driver_route_string_nodes(self, spark):
+        """Host-authority graphs key on strings; the driver route must
+        handle non-numeric node ids (index-mapped) identically."""
+        edges = [("a.example", "hub.example"), ("b.example", "hub.example")]
+        got = self._run(spark, edges, iterations=4, directed=True)
+        dist = self._run(
+            spark, edges, iterations=4, directed=True, driver_threshold=0
+        )
+        assert got.keys() == dist.keys() == {"a.example", "b.example", "hub.example"}
+        for k in got:
+            assert abs(got[k] - dist[k]) < 1e-12
+        assert got["hub.example"] == max(got.values())
+
     def test_validation(self, spark):
         from sat_bucket_spark.operators.graph import pagerank
 

@@ -417,6 +417,57 @@ class TestLinks:
         assert rows[1] == ["http://s.example/rel", "http://t.example/q"]
         assert rows[2] is None
 
+    def test_html_to_text_links_same_decode(self, spark):
+        """html_to_text(links_col=...) emits the SAME links html_links
+        would — one decode pass instead of two — and a malformed payload
+        yields NULL links alongside NULL text."""
+        from sat_bucket_spark.operators.htmltext import html_links, html_to_text
+
+        df = spark.createDataFrame(
+            [
+                (
+                    1,
+                    "http://s.example/p",
+                    '<a href="/rel">r</a><p>body</p><a href="http://t.example/q">t</a>',
+                ),
+                (2, "http://s.example/q", None),
+            ],
+            "doc_id long, url string, payload string",
+        )
+        combined = {
+            r.doc_id: (r.links, r.text)
+            for r in html_to_text(
+                df, links_col="links", links_base_col="url", min_words=1
+            ).collect()
+        }
+        standalone = {
+            r.doc_id: r.links for r in html_links(df, url_col="url").collect()
+        }
+        assert combined[1][0] == standalone[1]
+        assert combined[1][0] == ["http://s.example/rel", "http://t.example/q"]
+        assert combined[2] == (None, None)
+
+    def test_read_warc_html_links(self, spark, tmp_path):
+        """links=True resolves relative hrefs against the record URI in
+        the same decode pass; links=False keeps the r8 schema."""
+        from sat_bucket_spark.warc import build_warc_bytes, read_warc_html
+
+        body = (
+            b'<a href="/nav">n</a><p>page body with enough plain words '
+            b'to survive</p><a href="http://other.example/x">o</a>'
+        )
+        rec = {
+            "type": "response",
+            "WARC-Target-URI": "http://site.example/a/b",
+            "Content-Type": "application/http; msgtype=response",
+            "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body,
+        }
+        p = tmp_path / "c.warc"
+        p.write_bytes(build_warc_bytes([rec]))
+        row = read_warc_html(spark, str(p), links=True).collect()[0]
+        assert row.links == ["http://site.example/nav", "http://other.example/x"]
+        assert "links" not in read_warc_html(spark, str(p)).columns
+
     def test_host_link_edges(self, spark):
         from sat_bucket_spark.operators.urls import host_link_edges
 

@@ -2044,6 +2044,29 @@ class TestUrlNormalize:
         got = {r.doc_id: (r.n_copies, r.kept) for r in url_dedup(df).collect()}
         assert got == {1: (2, True), 2: (2, False), 3: (1, True)}
 
+    def test_url_dedup_content_hash_id_ties(self, spark):
+        """The crawl common case: id_col is a content hash, so the same
+        page under two spellings of one canonical URL carries the SAME
+        id — exactly one copy must be kept (a min-id-only flag marks
+        both)."""
+        from sat_bucket_spark.operators.urls import url_dedup
+
+        rows = [
+            (7, "http://h.example/p"),
+            (7, "http://H.EXAMPLE/p/?utm_x=1#f"),
+            (7, "http://h.example/q"),  # same hash, DIFFERENT canonical url
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = url_dedup(df).collect()
+        kept_by_norm = {}
+        for r in out:
+            kept_by_norm.setdefault(r.norm_url, []).append(r.kept)
+        assert sorted(kept_by_norm["http://h.example/p"]) == [False, True]
+        assert kept_by_norm["http://h.example/q"] == [True]
+        # deterministic survivor: the lexicographically smaller raw url
+        survivor = [r.url for r in out if r.kept and r.norm_url == "http://h.example/p"]
+        assert survivor == ["http://H.EXAMPLE/p/?utm_x=1#f"]
+
 
 class TestMinhashCollapseRouting:
     def test_forced_modes_identical(self, spark):
