@@ -22,6 +22,14 @@ Caveats, by design (record them with the readings in BASELINE.md):
   show the divergence.
 - wet_curate / bucket stages mirror bench.py's composed pipelines
   (same library calls); the fixture build is outside the timed window.
+- Graph keys: ``pagerank`` runs 10x the edge volume over a bounded node
+  set (custkeys + 800 order buckets), so it measures per-round shuffle
+  growth; ``host_rank``'s host set is fixed by the derivation moduli, so
+  it measures the explode+DISTINCT edge extraction at 10x pages; the
+  replicated documents make every text a 10-copy cluster, which pushes
+  ``dup_clusters``' pair volume past the 200k driver union-find
+  threshold onto the distributed star rounds — the routing flip this
+  probe exists to observe.
 
 Usage: python probe_sf1.py [--replicas 10] [--keys k1,k2,...]
 """
@@ -51,6 +59,10 @@ DEFAULT_KEYS = [
     "video_dedup",
     "wet_curate",
     "warc_html_curate",
+    "media_curate",
+    "pagerank",
+    "host_rank",
+    "dup_clusters",
     "bucket_write",
     "bucket_merge",
 ]
@@ -206,11 +218,19 @@ def video_stage(spark, sf_dir, key):
 
 def html_curate_stage(spark, sf_dir, workdir):
     """Mirrors bench.py's warc_html_curate stage at the scaled corpus
-    (same library calls, same gates; crawl fixture built OUTSIDE the
-    timed window; 32 segments at sf1 scale like wet_curate's)."""
+    (same library calls, same funnel: URL keep-first dedup -> quality ->
+    host-authority gate -> span dedup; same integrity gates; crawl
+    fixture built OUTSIDE the timed window; 32 segments at sf1 scale
+    like wet_curate's)."""
     from sat_bucket_spark.operators.dedup import remove_duplicate_spans
+    from sat_bucket_spark.operators.graph import pagerank
     from sat_bucket_spark.operators.metrics import observe_funnel
     from sat_bucket_spark.operators.text import gopher_quality_flags
+    from sat_bucket_spark.operators.urls import (
+        host_link_edges,
+        url_dedup,
+        url_host_expr,
+    )
     from sat_bucket_spark.warc import build_warc_bytes, read_warc_html
     from sat_bucket_spark.writers import write_jsonl_shards
 
@@ -222,9 +242,14 @@ def html_curate_stage(spark, sf_dir, workdir):
         F.concat("text", F.lit(" htmldoc"), F.col("doc_id")).alias("text"),
     ).collect()
     n_fix = len(fixture)
+    n_mirror = sum(1 for r in fixture if r["doc_id"] % 9 == 0)
 
     def _resp(doc_id, text):
-        nav = b"<div class='nav'><a href='/'>Home</a> <a href='/a'>A</a></div>"
+        ref = f"http://h{(doc_id * 7 + 1) % 12}.example/x".encode()
+        nav = (
+            b"<div class='nav'><a href='/'>Home</a> <a href='/a'>A</a>"
+            b" <a href='" + ref + b"'>Ref</a></div>"
+        )
         if doc_id % 13 == 0:
             body = (
                 b"<p>\x93legacy\x94 " + text.encode("cp1252", errors="replace") + b"</p>"
@@ -241,30 +266,63 @@ def html_curate_stage(spark, sf_dir, workdir):
             "payload": head + nav + body,
         }
 
+    def _mirror(rec, doc_id):
+        out = dict(rec)
+        out["WARC-Target-URI"] = (
+            f"http://H{doc_id % 13}.EXAMPLE/d{doc_id}/?utm_source=probe&gclid=x#m"
+        )
+        out["payload"] = rec["payload"] + b"<p>mirror of this page</p>"
+        return out
+
     n_seg = 32
     for s in range(n_seg):
-        recs = [
-            _resp(r["doc_id"], r["text"])
-            for i, r in enumerate(fixture)
-            if i % n_seg == s
-        ]
+        recs = []
+        for i, r in enumerate(fixture):
+            if i % n_seg != s:
+                continue
+            rec = _resp(r["doc_id"], r["text"])
+            recs.append(rec)
+            if r["doc_id"] % 9 == 0:
+                recs.append(_mirror(rec, r["doc_id"]))
         with open(os.path.join(crawl, f"seg-{s}.warc.gz"), "wb") as fh:
             fh.write(build_warc_bytes(recs, gzip_members=True))
 
     staging = os.path.join(workdir, "staged")
     export = os.path.join(workdir, "export")
     t0 = time.perf_counter()
-    read_warc_html(spark, crawl).write.parquet(staging)
+    read_warc_html(spark, crawl, links=True).write.parquet(staging)
     staged = spark.read.parquet(staging)
+    hedges = host_link_edges(staged, url_col="url", links_col="links")
+    hranks = pagerank(
+        hedges, src="src_host", dst="dst_host",
+        damping=0.85, iterations=4, directed=True,
+    )
+    keep_hosts = hranks.where(F.col("rank") >= 0.02).select(
+        F.col("node").alias("__keep_host")
+    )
     funnel = observe_funnel(
         staged.select("doc_id", "url", "text"),
         [
+            (
+                "url_dedup",
+                lambda d: url_dedup(d, url_col="url", id_col="doc_id")
+                .where("kept")
+                .select("doc_id", "url", "text"),
+            ),
             (
                 "quality",
                 lambda d: gopher_quality_flags(
                     d, min_words=20, min_stopword_hits=1,
                     passthrough=("url", "text"),
                 ).where("keep").select("doc_id", "url", "text"),
+            ),
+            (
+                "authority",
+                lambda d: d.join(
+                    F.broadcast(keep_hosts),
+                    url_host_expr(F.col("url")) == F.col("__keep_host"),
+                    "left_semi",
+                ),
             ),
             (
                 "dup_spans",
@@ -277,8 +335,12 @@ def html_curate_stage(spark, sf_dir, workdir):
     write_jsonl_shards(funnel.df, export, n_shards=8, compression=None)
     sec = round(time.perf_counter() - t0, 3)
     counts = funnel.counts()
-    if counts["input"] != n_fix:
-        raise AssertionError(f"html ingest lost pages: {counts} != {n_fix}")
+    if counts["input"] != n_fix + n_mirror:
+        raise AssertionError(f"html ingest lost pages: {counts} != {n_fix}+{n_mirror}")
+    if counts["url_dedup"] != n_fix:
+        raise AssertionError(f"URL dedup vacuous/lossy: {counts} != {n_fix}")
+    if not 0 < counts["authority"] < counts["quality"]:
+        raise AssertionError(f"authority gate vacuous: {counts}")
     n_legacy = (
         spark.read.json(os.path.join(export, "shard=*"))
         .where(F.col("text").contains("“legacy”"))
@@ -286,6 +348,85 @@ def html_curate_stage(spark, sf_dir, workdir):
     )
     if n_legacy == 0:
         raise AssertionError("no windows-1252 page survived with intact quotes")
+    return sec
+
+
+def media_curate_stage(spark, sf_dir, workdir):
+    """Mirrors bench.py's media_curate stage at the scaled corpus (same
+    library calls, same thresholds, same funnel shape): payload staging
+    -> per-modality REAL-decode quality gates -> keep-first perceptual
+    dedup (images, videos) -> survivor export. Replication shifts
+    doc_ids, but every payload derivation is doc_id%50 / md5(text) /
+    doc_id-ordinal bounded, so the planted duplicate CLUSTERS grow
+    replicas x while the distinct-signature cardinality stays fixed —
+    the keep-first collapse (signature-bounded by design) is exactly
+    what this row watches. Single shot like the composed crawl stages
+    (the cost is decode + two writes, not JVM warmup)."""
+    import __spark_entry__ as entry_mod
+    from bench import video_corpus
+    from sat_bucket_spark.operators.audio import audio_quality_features
+    from sat_bucket_spark.operators.imagehash import image_dedup, video_dedup
+    from sat_bucket_spark.operators.multimodal import decode_and_featurize_images
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    vcorpus = video_corpus(docs)
+    images = docs.select(
+        "doc_id", F.lit("image").alias("kind"),
+        entry_mod._bmp_payload_expr().alias("payload"),
+    )
+    audio = docs.select(
+        "doc_id", F.lit("audio").alias("kind"),
+        entry_mod._wav_payload_expr().alias("payload"),
+    )
+    videos = vcorpus.select("doc_id", F.lit("video").alias("kind"), "payload")
+    mstage = os.path.join(workdir, "staged")
+    mexport = os.path.join(workdir, "export")
+
+    t0 = time.perf_counter()
+    images.unionByName(audio).unionByName(videos).write.parquet(mstage)
+    staged = spark.read.parquet(mstage)
+    img = staged.where(F.col("kind") == "image")
+    feats = decode_and_featurize_images(img)
+    img_pass = feats.where(
+        (F.element_at("feature", 1) < 104.0 / 255)
+        & (F.element_at("feature", 2) >= 57.5 / 255)
+    ).select("doc_id")
+    img_kept = (
+        image_dedup(img.join(img_pass, "doc_id"), max_hamming=6, n_bands=8)
+        .where("kept")
+        .select("doc_id", F.lit("image").alias("kind"))
+    )
+    aud_kept = (
+        audio_quality_features(staged.where(F.col("kind") == "audio"))
+        .where((F.col("silence_frac") < 0.5) & (F.col("duration_s") >= 0.08))
+        .select("doc_id", F.lit("audio").alias("kind"))
+    )
+    vid_kept = (
+        video_dedup(
+            staged.where(F.col("kind") == "video"),
+            every_n=1, n_frames=3, max_hamming=6, n_bands=8,
+        )
+        .where("kept")
+        .select("doc_id", F.lit("video").alias("kind"))
+    )
+    img_kept.unionByName(aud_kept).unionByName(vid_kept).write.partitionBy(
+        "kind"
+    ).parquet(mexport)
+    sec = round(time.perf_counter() - t0, 3)
+
+    # integrity gates (outside the timed window), bench.py's minus the
+    # audio-export equality (vacuous to recheck here)
+    n_docs = docs.count()
+    if staged.count() != 2 * n_docs + vcorpus.count():
+        raise AssertionError("media staging lost rows")
+    back = spark.read.parquet(mexport).groupBy("kind").count().collect()
+    by_kind = {r["kind"]: r["count"] for r in back}
+    if by_kind.get("image", 0) > 30:
+        raise AssertionError(f"image keep-first did not collapse: {by_kind}")
+    if not 1 <= by_kind.get("video", 0) <= 24:
+        raise AssertionError(f"video keep-first did not collapse: {by_kind}")
+    if not 0 < by_kind.get("audio", 0) < n_docs:
+        raise AssertionError(f"audio silence gate vacuous: {by_kind}")
     return sec
 
 
@@ -333,6 +474,8 @@ def main() -> int:
         scaled = os.path.join(work, "scaled")
         replicate_table(spark, base, scaled, "documents", "doc_id", args.replicas)
         replicate_table(spark, base, scaled, "events", None, args.replicas)
+        if "pagerank" in keys:
+            replicate_table(spark, base, scaled, "orders", "o_orderkey", args.replicas)
 
         for name in keys:
             if name == "wet_curate":
@@ -342,6 +485,10 @@ def main() -> int:
             elif name == "warc_html_curate":
                 timings[name] = html_curate_stage(
                     spark, scaled, os.path.join(work, "html")
+                )
+            elif name == "media_curate":
+                timings[name] = media_curate_stage(
+                    spark, scaled, os.path.join(work, "media")
                 )
             elif name in ("video_hash", "video_dedup"):
                 timings[name] = video_stage(spark, scaled, name)
