@@ -554,3 +554,68 @@ class TestReadWarcHtmlStreaming:
         q.awaitTermination(120)
         got = {(r.url, r.text) for r in spark.read.parquet(out).collect()}
         assert got == batch and len(got) == 3
+
+    def test_streaming_authority_gate(self, spark, tmp_path):
+        """The crawl-authority pattern under Structured Streaming: rank
+        the host graph BATCH-side (PageRank is iterative — not a
+        streaming operator), then gate the streamed pages with a
+        stream-static semi-join against the small rank table. Mirrors
+        bench.py's warc_html_curate authority stage."""
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.operators.graph import pagerank
+        from sat_bucket_spark.operators.urls import host_link_edges, url_host_expr
+        from sat_bucket_spark.warc import build_warc_bytes, read_warc_html
+
+        def page(host, links):
+            body = (
+                "".join(f'<a href="{u}">l</a>' for u in links)
+                + "<p>a body with several plain words in it</p>"
+            ).encode()
+            return {
+                "type": "response",
+                "WARC-Target-URI": f"http://{host}/p",
+                "Content-Type": "application/http; msgtype=response",
+                "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body,
+            }
+
+        # nobody links noise.example; everyone links hub.example
+        recs = [
+            page("a.example", ["http://hub.example/x"]),
+            page("b.example", ["http://hub.example/y", "http://a.example/"]),
+            page("noise.example", ["http://hub.example/z", "http://a.example/"]),
+            page("hub.example", ["http://a.example/", "http://b.example/"]),
+        ]
+        crawl = tmp_path / "crawl"
+        crawl.mkdir()
+        (crawl / "seg-0.warc").write_bytes(build_warc_bytes(recs))
+
+        ranked = pagerank(
+            host_link_edges(read_warc_html(spark, str(crawl), links=True)),
+            src="src_host", dst="dst_host", directed=True, iterations=4,
+        )
+        floor = 0.15 / 4 + 1e-9  # teleport floor of the 4-host graph
+        keep = ranked.where(F.col("rank") > floor).select(
+            F.col("node").alias("__keep_host")
+        )
+        stream = read_warc_html(spark, str(crawl), streaming=True).join(
+            F.broadcast(keep),
+            url_host_expr(F.col("url")) == F.col("__keep_host"),
+            "left_semi",
+        )
+        out = str(tmp_path / "out")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        kept_urls = {r.url for r in spark.read.parquet(out).collect()}
+        assert kept_urls == {
+            "http://a.example/p",
+            "http://b.example/p",
+            "http://hub.example/p",
+        }
