@@ -313,7 +313,10 @@ def _try_decode(payload: bytes, label: str) -> str | None:
     codec = _CHARSET_ALIASES.get(label.strip().lower(), label.strip())
     try:
         return payload.decode(codec, errors="replace")
-    except LookupError:
+    except (LookupError, ValueError):
+        # LookupError: unknown label. ValueError: labels the codec
+        # machinery rejects outright (an embedded NUL, e.g. from a
+        # mangled header) — same contract, fall through to the next rule
         return None
 
 
