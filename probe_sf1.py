@@ -63,6 +63,7 @@ DEFAULT_KEYS = [
     "pagerank",
     "host_rank",
     "dup_clusters",
+    "ann_index_search",
     "bucket_write",
     "bucket_merge",
 ]
@@ -430,6 +431,49 @@ def media_curate_stage(spark, sf_dir, workdir):
     return sec
 
 
+def ann_index_stages(spark, sf_dir, workdir, replicas):
+    """IVFADC persisted-index rows (VERDICT r8 task #3 'probe row if
+    cheap'): ``ann_index_build`` = train + corpus encode + partitioned
+    write over the replicated vectors; ``ann_index_search`` mirrors
+    bench.py's serving stage (LUT + probed-partition scan + ADC rank)
+    with the SAME plan gates. The query modulus scales with replicas so
+    the query count stays fixed and the search row isolates corpus
+    growth (10x vectors per probed cluster), not query-batch growth."""
+    from pyspark.sql import functions as F
+
+    from sat_bucket_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    aidx = os.path.join(workdir, "index")
+    t0 = time.perf_counter()
+    build_ivfpq_index(emb, aidx, dim=64, n_clusters=16, m=4, ksub=16)
+    build_sec = round(time.perf_counter() - t0, 3)
+
+    queries = emb.where(F.col("vec_id") % (97 * replicas) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    t0 = time.perf_counter()
+    res = ivfpq_index_topk(spark, aidx, queries, k=10, n_probe=2)
+    _materialize(res)
+    search_sec = round(time.perf_counter() - t0, 3)
+
+    import re as _re
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    if not pf or "__cluster" not in pf.group(1):
+        raise AssertionError("index search scan is not partition-pruned")
+    n_q = queries.count()
+    if res.groupBy("query_id").count().count() != n_q:
+        raise AssertionError("search lost queries")
+    return build_sec, search_sec
+
+
 def bucket_stages(spark, sf_dir, workdir):
     from sat_bucket_spark import (
         LonLatPartitioning,
@@ -476,6 +520,10 @@ def main() -> int:
         replicate_table(spark, base, scaled, "events", None, args.replicas)
         if "pagerank" in keys:
             replicate_table(spark, base, scaled, "orders", "o_orderkey", args.replicas)
+        if "ann_index_search" in keys or "ann_index_build" in keys:
+            replicate_table(
+                spark, base, scaled, "embeddings", "vec_id", args.replicas
+            )
 
         for name in keys:
             if name == "wet_curate":
@@ -492,6 +540,13 @@ def main() -> int:
                 )
             elif name in ("video_hash", "video_dedup"):
                 timings[name] = video_stage(spark, scaled, name)
+            elif name in ("ann_index_build", "ann_index_search"):
+                if "ann_index_search" in timings:
+                    continue
+                b, srch = ann_index_stages(
+                    spark, scaled, os.path.join(work, "ann"), args.replicas
+                )
+                timings["ann_index_build"], timings["ann_index_search"] = b, srch
             elif name in ("bucket_write", "bucket_merge"):
                 if "bucket_write" in timings or "bucket_merge" in timings:
                     continue
