@@ -1181,6 +1181,32 @@ def q_image_dhash(spark, sf_dir):
     return image_hash_table(docs.withColumn("payload", _bmp_payload_expr()))
 
 
+def q_image_profile(spark, sf_dir):
+    """Fused decode: ONE pixel pass emits the quality features AND the
+    perceptual hash (imagehash.image_profile_table) — the media pipeline
+    previously paid two full decodes per image (featurize for the gate,
+    hash for the dedup). Same in-plan BMP payloads as q_image_dhash; the
+    oracle recomputes the dhash relationally (the q_image_dhash SQL) AND
+    the pixel statistics from the identical derivation with the pinned
+    IEEE formula (m = s/n; var = q/n - m*m; sqrt) — the 3 BGR channels
+    repeat each gray value, and equal rationals round to bit-identical
+    doubles, so no decimal rounding is needed on either side."""
+    from sat_bucket_spark.operators.imagehash import image_profile_table
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = image_profile_table(
+        docs.withColumn("payload", _bmp_payload_expr()), strict=True
+    )
+    return out.select(
+        "doc_id", "width", "height", "channels",
+        F.element_at("feature", 1).alias("px_mean"),
+        F.element_at("feature", 2).alias("px_std"),
+        F.element_at("feature", 3).alias("px_min"),
+        F.element_at("feature", 4).alias("px_max"),
+        "phash",
+    )
+
+
 def q_image_near_dup(spark, sf_dir):
     """Image near-duplicate pairs via banded perceptual-hash join.
 
@@ -2860,6 +2886,52 @@ SELECT doc_id,
   CAST(18 AS INTEGER) AS width,
   CAST(16 AS INTEGER) AS height
 FROM bits GROUP BY doc_id
+""",
+    # Fused decode profile: pixel stats (pinned IEEE formula over the BMP
+    # derivation; the 3 equal BGR channels leave every rational unchanged)
+    # joined with the q_image_dhash hash recompute
+    "image_profile": """
+WITH px AS (
+  SELECT d.doc_id, gy.y AS y, gx.x AS x,
+    ((gx.x*7 + gy.y*13 + (d.doc_id % 50)*29) % 200 + (d.doc_id*37) % 11) AS v
+  FROM documents d, generate_series(0, 15) gy(y), generate_series(0, 17) gx(x)
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sv, CAST(SUM(v*v) AS BIGINT) AS qv,
+         CAST(COUNT(*) AS BIGINT) AS n, MIN(v) AS mn, MAX(v) AS mx
+  FROM px GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, y // 2 AS gi, x // 2 AS gj, SUM(v) AS s
+  FROM px GROUP BY doc_id, y // 2, x // 2
+),
+bits AS (
+  SELECT a.doc_id, a.gi, a.gj,
+    CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+  FROM blocks a JOIN blocks b
+    ON a.doc_id = b.doc_id AND a.gi = b.gi AND b.gj = a.gj + 1
+  WHERE a.gj < 8
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(
+      (CASE WHEN MAX(CASE WHEN gi = 0 AND gj = 0 THEN bit END) = 1
+            THEN -9223372036854775808::HUGEINT ELSE 0::HUGEINT END)
+      + SUM(CASE WHEN NOT (gi = 0 AND gj = 0)
+                 THEN bit * (1::HUGEINT << (63 - (gi*8 + gj)))
+                 ELSE 0::HUGEINT END)
+      AS BIGINT) AS phash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id, CAST(18 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  (CAST(sv AS DOUBLE) / n) / 255.0 AS px_mean,
+  sqrt(CAST(qv AS DOUBLE) / n
+       - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)) / 255.0 AS px_std,
+  CAST(mn AS DOUBLE) / 255.0 AS px_min,
+  CAST(mx AS DOUBLE) / 255.0 AS px_max,
+  h.phash
+FROM agg a JOIN hashes h USING (doc_id)
 """,
     # Banded near-dup join == brute-force xor/bit_count over the same hashes
     "image_near_dup": """
@@ -5347,6 +5419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "audio_segments": q_audio_segments,
         "pagerank": q_pagerank,
+        "image_profile": q_image_profile,
     }
 
 

@@ -591,16 +591,17 @@ def main() -> None:
     # per-modality REAL-decode quality gates (pixel mean/std for images,
     # PCM silence for audio) -> keep-first perceptual dedup (images,
     # videos) -> survivor export. NOT comparable to the per-operator keys
-    # (it pays the staging write, two decode passes over images — one for
-    # the feature gate, one for the hash — and the export). Payload
+    # (it pays the staging write, the decode passes, and the export; the
+    # image decode runs ONCE — image_profile_table emits the gate
+    # features and the dedup hash from the same pass). Payload
     # fixtures are the entry file's in-plan BMP/WAV derivations plus the
     # shared AVI corpus; thresholds are non-vacuous by construction
     # (pixel mean <104 passes ~half the brightness shifts, std >=57.5
     # passes 30/50 pattern classes, silence v<=32 is ~1/8 of clips) and
     # the gates assert they actually fired.
     from sat_bucket_spark.operators.audio import audio_quality_features
-    from sat_bucket_spark.operators.imagehash import image_dedup
-    from sat_bucket_spark.operators.multimodal import decode_and_featurize_images
+    from sat_bucket_spark.operators.dedup import keep_first_by_signature
+    from sat_bucket_spark.operators.imagehash import image_profile_table
 
     mwork = _tempfile.mkdtemp(prefix="bench_media_")
     try:
@@ -624,15 +625,20 @@ def main() -> None:
         staged = spark.read.parquet(mstage)
 
         img = staged.where(F.col("kind") == "image")
-        feats = decode_and_featurize_images(img)
+        # ONE decode pass emits both the quality features and the dedup
+        # signature (image_profile_table) — the r8 shape paid a second
+        # full decode (featurize for the gate, hash for the dedup)
+        prof = image_profile_table(img)
         # features are [mean, std, min, max] scaled by 1/255
-        img_pass = feats.where(
+        img_pass = prof.where(
             (F.element_at("feature", 1) < 104.0 / 255)
             & (F.element_at("feature", 2) >= 57.5 / 255)
-        ).select("doc_id")
+        ).select("doc_id", "phash")
         img_kept = (
-            image_dedup(
-                img.join(img_pass, "doc_id"), max_hamming=6, n_bands=8
+            keep_first_by_signature(
+                img_pass.where(F.col("phash").isNotNull()),
+                id_col="doc_id", sig_col="phash",
+                n_bits=64, max_hamming=6, n_bands=8,
             )
             .where("kept")
             .select("doc_id", F.lit("image").alias("kind"))

@@ -366,8 +366,8 @@ def media_curate_stage(spark, sf_dir, workdir):
     import __spark_entry__ as entry_mod
     from bench import video_corpus
     from sat_bucket_spark.operators.audio import audio_quality_features
-    from sat_bucket_spark.operators.imagehash import image_dedup, video_dedup
-    from sat_bucket_spark.operators.multimodal import decode_and_featurize_images
+    from sat_bucket_spark.operators.dedup import keep_first_by_signature
+    from sat_bucket_spark.operators.imagehash import image_profile_table, video_dedup
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     vcorpus = video_corpus(docs)
@@ -387,13 +387,17 @@ def media_curate_stage(spark, sf_dir, workdir):
     images.unionByName(audio).unionByName(videos).write.parquet(mstage)
     staged = spark.read.parquet(mstage)
     img = staged.where(F.col("kind") == "image")
-    feats = decode_and_featurize_images(img)
-    img_pass = feats.where(
+    prof = image_profile_table(img)
+    img_pass = prof.where(
         (F.element_at("feature", 1) < 104.0 / 255)
         & (F.element_at("feature", 2) >= 57.5 / 255)
-    ).select("doc_id")
+    ).select("doc_id", "phash")
     img_kept = (
-        image_dedup(img.join(img_pass, "doc_id"), max_hamming=6, n_bands=8)
+        keep_first_by_signature(
+            img_pass.where(F.col("phash").isNotNull()),
+            id_col="doc_id", sig_col="phash",
+            n_bits=64, max_hamming=6, n_bands=8,
+        )
         .where("kept")
         .select("doc_id", F.lit("image").alias("kind"))
     )

@@ -46,6 +46,7 @@ __all__ = [
     "image_dedup",
     "image_hash_table",
     "image_near_dup_pairs",
+    "image_profile_table",
     "video_dedup",
     "video_hash_table",
 ]
@@ -214,6 +215,113 @@ def image_hash_table(
     return (
         ensure_parallelism(df.select(id_col, payload_col))
         .mapInPandas(_hash, schema=schema)
+    )
+
+
+def image_profile_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "dhash",
+    hash_size: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """One decode, both signals: ``(id, width, height, channels,
+    feature, phash)``.
+
+    A curation pipeline wants a quality gate (pixel features) AND a
+    keep-first dedup signature (perceptual hash) over the same corpus;
+    composing ``multimodal.decode_and_featurize_images`` with
+    :func:`image_hash_table` decodes every payload TWICE, and at scale
+    the decode IS the cost. This fuses them into one Arrow-batched pass:
+    ``feature`` follows decode_and_featurize_images exactly (real pixel
+    stats when the pixels decode, the md5 stub when only the header
+    parses, the deterministic fake otherwise), ``phash`` follows
+    image_hash_table exactly (NULL when the pixels don't decode) —
+    equality with both is pinned by test. ``strict=True`` raises where
+    EITHER parent would (unparseable header or undecodable pixels).
+
+    Compose with ``dedup.keep_first_by_signature`` on the gated rows for
+    the dedup verdict — no second decode (see bench.py's media stage).
+    """
+    if method not in _HASHERS:
+        raise ValueError(f"method must be one of {sorted(_HASHERS)}, got {method!r}")
+    if not 2 <= hash_size <= 8:
+        raise ValueError("hash_size must be in [2, 8] (<= 64-bit signatures)")
+    from pyspark.sql import types as T
+
+    hasher = _HASHERS[method]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("width", T.LongType(), True),
+            T.StructField("height", T.LongType(), True),
+            T.StructField("channels", T.LongType(), True),
+            T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+            T.StructField("phash", T.LongType(), True),
+        ]
+    )
+
+    def _profile(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        from sat_bucket_spark.operators.multimodal import (
+            _fake_decode,
+            _pixel_features,
+            decode_image_pixels,
+            parse_image_header,
+        )
+
+        for pdf in batches:
+            out = {
+                id_col: [], "width": [], "height": [], "channels": [],
+                "feature": [], "phash": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else None
+                px = decode_image_pixels(payload)
+                hdr = parse_image_header(payload)
+                if hdr is not None:
+                    w, h, c = hdr
+                    if px is not None:
+                        h, w, c = (int(d) for d in px.shape)
+                        feat = _pixel_features(px)
+                    else:
+                        if strict:
+                            raise NotImplementedError(
+                                "payload did not decode (lossy VP8/arithmetic "
+                                "JPEG need a codec library)"
+                            )
+                        digest = _hashlib.md5(payload).digest()
+                        feat = [b / 255.0 for b in digest[:8]]
+                elif strict:
+                    raise NotImplementedError(
+                        "payload is not a parseable PNG/JPEG/GIF/WebP/BMP/TIFF; "
+                        "other formats require a codec library (PIL/libvips), "
+                        "unavailable here"
+                    )
+                else:
+                    w, h, c, feat = _fake_decode(payload)
+                out[id_col].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["feature"].append(feat)
+                out["phash"].append(
+                    hasher(px, hash_size=hash_size) if px is not None else None
+                )
+            res = _pd.DataFrame(out)
+            res["phash"] = _pd.array(res["phash"], dtype="Int64")
+            yield res
+
+    from sat_bucket_spark.operators.parallel import ensure_parallelism
+
+    # real decode work: single-file inputs otherwise run serially (one
+    # scan partition -> one Python worker); no-op when already split
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        _profile, schema=schema
     )
 
 

@@ -164,6 +164,36 @@ class TestSparkStages:
         with pytest.raises(Exception, match="did not decode"):
             image_hash_table(df, strict=True).collect()
 
+    def test_profile_table_equals_both_parents(self, spark):
+        """image_profile_table is the fused decode: its feature columns
+        must equal decode_and_featurize_images and its phash must equal
+        image_hash_table, row for row, on decodable / header-only-ish /
+        garbage / NULL payloads."""
+        from sat_bucket_spark.operators.imagehash import image_profile_table
+        from sat_bucket_spark.operators.multimodal import (
+            decode_and_featurize_images,
+        )
+
+        px = rng_rgb(9, 9, 8)
+        rows = [
+            (1, bmp_bytes(px)),
+            (2, b"not an image at all"),
+            (3, None),
+            (4, bmp_bytes(rng_rgb(16, 7, 5))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        fused = {r["doc_id"]: r for r in image_profile_table(df).collect()}
+        feats = {r["doc_id"]: r for r in decode_and_featurize_images(df).collect()}
+        hashes = {r["doc_id"]: r for r in image_hash_table(df).collect()}
+        assert fused.keys() == feats.keys() == hashes.keys()
+        for k in fused:
+            for col in ("width", "height", "channels", "feature"):
+                assert fused[k][col] == feats[k][col], (k, col)
+            assert fused[k]["phash"] == hashes[k]["phash"], k
+        assert fused[1]["phash"] == dhash_bits(px)
+        with pytest.raises(Exception, match="not a parseable"):
+            image_profile_table(df, strict=True).collect()
+
     def test_near_dup_pairs_exact_vs_brute_force(self, spark):
         """Planted near-dups (same picture cross-format + a noised copy)
         among distinct randoms: banded result == brute force, exactly."""
