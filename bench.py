@@ -394,11 +394,11 @@ def main() -> None:
             raise AssertionError(f"funnel not monotone: {counts}")
         if counts["url"] >= counts["quality"]:
             raise AssertionError(f"URL gate vacuous: {counts}")
-        # the dup_spans observation sits between the span join and the
-        # export's repartitionByRange, whose range-sampling pass re-executes
-        # that plan region — it can read 2x (the observe re-execution
-        # caveat, see observe_funnel docs); the export read-back below is
-        # the ground truth that span dedup rebuilt rather than dropped rows
+        # since the r9 writer fix (preimage-routed hash exchange, no
+        # range-sampling pass) the dup_spans observation reads exactly 1x;
+        # the >= comparison tolerates the historical 2x shape, and the
+        # export read-back below stays the ground truth that span dedup
+        # rebuilt rather than dropped rows
         if counts["dup_spans"] < counts["url"]:
             raise AssertionError(f"span dedup dropped rows (must rebuild): {counts}")
         n_exported = spark.read.json(os.path.join(export, "shard=*")).count()

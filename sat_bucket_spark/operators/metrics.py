@@ -80,7 +80,9 @@ def observe_funnel(
     whose range-sampling pass re-runs the un-materialized region (metrics
     upstream of a shuffle boundary are immune: the shuffle materializes
     once). Treat such a stage's count as an at-least bound, or read the
-    sink back for the exact number.
+    sink back for the exact number. (This suite's own shard exporter,
+    ``writers.write_jsonl_shards``, routes shards through hash preimages
+    precisely to avoid that sampling pass — its funnels read exact.)
     """
     seq = next(_FUNNEL_SEQ)
     obs_in = Observation(f"funnel{seq}_input")

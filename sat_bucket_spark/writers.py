@@ -283,6 +283,39 @@ def write_colocated_table(
     writer.mode(mode).saveAsTable(name)
 
 
+_PREIMAGE_CACHE: dict = {}
+
+
+def _shard_hash_preimages(spark, n: int) -> list:
+    """For each shard k in [0, n): the smallest small int p with
+    ``pmod(murmur3(p), n) == k`` under Spark's hash (int32 input, seed
+    42) — the value that routes shard k to partition k under plain hash
+    partitioning. One tiny job over a constant relation (n*64 ints,
+    ~e^-16 chance of a miss per k), cached per process and per n."""
+    got = _PREIMAGE_CACHE.get(n)
+    if got is not None:
+        return got
+    out: list = [None] * n
+    width = 64
+    while True:
+        rows = (
+            spark.range(n * width)
+            .select(
+                F.col("id").cast("int").alias("p"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("k"),
+            )
+            .collect()
+        )
+        for r in rows:
+            if out[r["k"]] is None or r["p"] < out[r["k"]]:
+                out[r["k"]] = r["p"]
+        if all(v is not None for v in out):
+            break
+        width *= 4  # astronomically unlikely with 64 candidates per shard
+    _PREIMAGE_CACHE[n] = out
+    return out
+
+
 def write_jsonl_shards(
     df,
     path: str,
@@ -321,14 +354,25 @@ def write_jsonl_shards(
     sid = F.col(id_col).cast("string")
     shard = (h31_expr(F.concat(F.lit(salt), sid)) % n_shards).cast("int")
     order = h31_expr(F.concat(F.lit(salt + ":order"), sid))
+    # One shard per task WITHOUT range partitioning: plain hash(shard) % n
+    # collides distinct shard values into one task (~1/e of tasks idle),
+    # but repartitionByRange learns its boundaries by SAMPLING the input —
+    # a second full execution of the upstream plan (a curation funnel over
+    # 100 TB would run twice; observed as doubled funnel observations).
+    # The shard domain is dense and known (0..n-1), so boundaries carry no
+    # information: route shard k through a hash PREIMAGE p_k with
+    # pmod(murmur3(p_k), n) == k (found once per n by a driver job over a
+    # constant relation, microseconds) and hash-repartition on p_k — every
+    # shard lands alone in its own task, nothing is sampled, and the
+    # written bytes are unchanged (same rows per shard, same in-shard
+    # sort).
+    route = F.element_at(
+        F.array(*[F.lit(p) for p in _shard_hash_preimages(df.sparkSession, n_shards)]),
+        F.col("shard") + 1,
+    )
     writer = (
         df.withColumn("shard", shard)
-        # repartitionByRange, not hash: hash(shard) % n collides distinct
-        # shard values into one task (~1/e of tasks idle); range boundaries
-        # over the dense 0..n-1 keys give one shard per task and never split
-        # equal keys. The id tie-break keeps byte-reproducibility when two
-        # docs in a shard collide on the 31-bit order hash.
-        .repartitionByRange(n_shards, "shard")
+        .repartition(n_shards, route)
         .sortWithinPartitions("shard", order, F.col(id_col))
         .write.partitionBy("shard")
         .mode(mode)

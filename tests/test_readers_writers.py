@@ -245,6 +245,43 @@ class TestJsonlShardExport:
         with pytest.raises(ValueError, match="n_shards"):
             write_jsonl_shards(docs, "/tmp/x", n_shards=0)
 
+    def test_export_executes_upstream_exactly_once(self, spark, tmp_path):
+        """The r8 writer's repartitionByRange learned its boundaries by
+        SAMPLING the input — a second full execution of the upstream
+        plan. The preimage-routed hash exchange must read the input
+        exactly once: an observe() on the input counts N, not 2N."""
+        from pyspark.sql import Observation
+
+        from sat_bucket_spark.writers import write_jsonl_shards
+
+        docs = spark.range(500).withColumnRenamed("id", "doc_id").withColumn(
+            "text", F.concat(F.lit("t"), F.col("doc_id"))
+        )
+        obs = Observation("export_input")
+        write_jsonl_shards(
+            docs.observe(obs, F.count(F.lit(1)).alias("rows")),
+            str(tmp_path / "once"),
+            n_shards=4,
+            compression=None,
+        )
+        assert obs.get["rows"] == 500
+
+    def test_every_shard_own_partition(self, spark, tmp_path):
+        """The preimage routing must keep the range writer's guarantee:
+        n_shards exchange partitions, each holding exactly one shard
+        (plain hash(shard) %% n would collide ~1/e of them)."""
+        from sat_bucket_spark.writers import _shard_hash_preimages
+
+        for n in (1, 4, 7, 16, 64):
+            pre = _shard_hash_preimages(spark, n)
+            assert len(pre) == n and len(set(pre)) == n
+            got = (
+                spark.createDataFrame([(p,) for p in pre], "p int")
+                .select(F.pmod(F.hash("p"), F.lit(n)).alias("k"))
+                .collect()
+            )
+            assert sorted(r["k"] for r in got) == list(range(n))
+
 
 class TestSchemaDrift:
     def test_merge_schema_unions_drifted_columns(self, spark, tmp_path):
