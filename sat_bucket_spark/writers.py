@@ -455,7 +455,20 @@ def write_webdataset_shards(
     sid = F.col(id_col).cast("string")
     shard = (h31_expr(F.concat(F.lit(salt), sid)) % n_shards).cast("int")
     order = h31_expr(F.concat(F.lit(salt + ":order"), sid))
-    staged = df.withColumn("__shard", shard).withColumn("__ord", order)
+    # group on the hash PREIMAGE of the shard id (bijective), not the id:
+    # HashPartitioning(__route, n) then lands every shard alone in its own
+    # task — the one-tar-per-task layout the old repartitionByRange gave,
+    # WITHOUT range partitioning's boundary-sampling pass, which re-executed
+    # the whole upstream plan (see write_jsonl_shards)
+    route = F.element_at(
+        F.array(*[F.lit(p) for p in _shard_hash_preimages(df.sparkSession, n_shards)]),
+        shard + 1,
+    )
+    staged = (
+        df.withColumn("__shard", shard)
+        .withColumn("__ord", order)
+        .withColumn("__route", route)
+    )
     data_cols = list(df.columns)
     # member extensions must be unique per sample: a bare 'txt'/'bin' only
     # when one column of that Spark type exists, else column-qualified
@@ -502,8 +515,8 @@ def write_webdataset_shards(
         return _pd.DataFrame({"shard": [k], "n_samples": [len(pdf)]})
 
     manifest = (
-        staged.repartitionByRange(n_shards, "__shard")
-        .groupBy("__shard")
+        staged.repartition(n_shards, "__route")
+        .groupBy("__route")
         .applyInPandas(_write_shard, "shard int, n_samples long")
         .collect()
     )

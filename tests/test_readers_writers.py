@@ -362,6 +362,26 @@ class TestWebdatasetExport:
         with pytest.raises(ValueError, match="n_shards"):
             write_webdataset_shards(df, "/tmp/x", n_shards=0)
 
+    def test_tar_export_executes_upstream_exactly_once(self, spark, tmp_path):
+        """Same contract as the JSONL writer: the preimage-grouped tar
+        export must not re-execute its input (the old range exchange's
+        sampling pass read it twice)."""
+        from pyspark.sql import Observation
+
+        from sat_bucket_spark.writers import write_webdataset_shards
+
+        docs = spark.range(300).withColumnRenamed("id", "doc_id").withColumn(
+            "text", F.concat(F.lit("t"), F.col("doc_id"))
+        )
+        obs = Observation("tar_input")
+        manifest = write_webdataset_shards(
+            docs.observe(obs, F.count(F.lit(1)).alias("rows")),
+            str(tmp_path / "wds"),
+            n_shards=4,
+        )
+        assert obs.get["rows"] == 300
+        assert sum(n for _, n in manifest) == 300
+
 
 class TestWebdatasetHardening:
     def test_multiple_string_and_binary_columns_stay_distinct(self, spark, tmp_path):
