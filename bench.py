@@ -96,6 +96,10 @@ HEADLINE = [
     "audio_quality",       # real-PCM quality gate incl. FFT spectral shape (added r6)
     "exif_meta",           # JPEG APP1/TIFF walk, both byte orders, map-only (added r6)
     "html_extract",        # real HTML parse + boilerplate heuristic, map-only (added r7)
+    "url_normalize",       # canonical-URL dedup: map-only normalize + one window (added r9)
+    "host_rank",           # crawl host authority: link derivation + routed PageRank (added r9)
+    "pagerank",            # order-graph PageRank: 298k edges -> distributed rounds (added r9)
+    "image_profile",       # fused decode: features + perceptual hash in ONE pass (added r9)
 ]
 
 
