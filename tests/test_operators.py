@@ -2044,6 +2044,39 @@ class TestUrlNormalize:
         got = {r.doc_id: (r.n_copies, r.kept) for r in url_dedup(df).collect()}
         assert got == {1: (2, True), 2: (2, False), 3: (1, True)}
 
+    def test_normalize_idempotent_and_total(self, spark):
+        """A canonicalizer that is not idempotent corrupts keep-first
+        dedup across re-crawls (the stored norm_url would re-normalize
+        to a different key). Sweep a messy generated corpus: one pass
+        must be a fixed point, and no input may produce NULL."""
+        import itertools
+        import random
+
+        from sat_bucket_spark.operators.urls import normalize_url_expr
+
+        rng = random.Random(99)
+        schemes = ["http", "HTTP", "https", "ftp", ""]
+        hosts = ["h.example", "H.EXAMPLE", "h.example:80", "h.example:443",
+                 "www.H.example", "h.example:8080", ""]
+        paths = ["", "/", "/a", "/a/", "//a///b//", "/a//b/", "/%7Euser"]
+        queries = ["", "?", "?a=1", "?b=2&a=1", "?utm_source=x&a=1",
+                   "?gclid=1", "?a=1&a=0", "?=v", "?a"]
+        frags = ["", "#f", "#a?b=2", "##x"]
+        combos = list(itertools.product(schemes, hosts, paths, queries, frags))
+        urls = []
+        for s, h, p, q, f in rng.sample(combos, 400):
+            base = f"{s}://{h}" if s else h
+            urls.append(base + p + q + f)
+        urls += ["", "   ", "not a url", "a://", "://x", "http://"]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = normalize_url_expr(F.col("url"))
+        out = df.select(
+            "url", once.alias("n1"), normalize_url_expr(once).alias("n2")
+        ).collect()
+        for r in out:
+            assert r.n1 is not None, r.url
+            assert r.n1 == r.n2, (r.url, r.n1, r.n2)
+
     def test_url_dedup_content_hash_id_ties(self, spark):
         """The crawl common case: id_col is a content hash, so the same
         page under two spellings of one canonical URL carries the SAME
