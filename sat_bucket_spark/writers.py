@@ -337,9 +337,10 @@ def write_jsonl_shards(
     trainer reading shards sequentially sees no source/date drift within
     an epoch.
 
-    Scale shape: shard assignment is map-only; the one exchange keys rows
-    to their shard and sorts within it (``repartition(shard)`` +
-    ``sortWithinPartitions``), so files per shard stay contiguous in
+    Scale shape: shard assignment is map-only; the ONE exchange routes
+    each shard to its own task (hash-preimage repartition — no range
+    partitioning, so no boundary-sampling re-execution of the input
+    plan) and sorts within it, so files per shard stay contiguous in
     training order and the write parallelism is ``n_shards``. Pick
     ``n_shards`` for the TRAINER (data-loader workers x hosts), not for
     Spark — the exchange handles any corpus size either way.
