@@ -165,6 +165,9 @@ def connected_components(
         pairs = [(r["u"], r["v"]) for r in e.collect()]
         assignment = _union_find_local(pairs)
         node_type = e.schema["u"].dataType
+        # the eager-cached edge frame is not an input of the returned
+        # local result — free its blocks now instead of waiting on GC
+        release_stage_cache(e)
         schema = StructType(
             [
                 StructField("node", node_type, False),
