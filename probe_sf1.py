@@ -52,6 +52,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from sat_bucket_spark.session import get_spark  # noqa: E402
 
 DEFAULT_KEYS = [
+    "minhash_lsh_dedup",
+    "edit_dedup",
     "dup_spans_hashed",
     "image_near_dup",
     "image_dedup",
