@@ -1983,31 +1983,20 @@ def q_dup_clusters(spark, sf_dir):
     return near_duplicate_clusters(pairs.select("id_a", "id_b"))
 
 
-def q_pagerank(spark, sf_dir):
-    """Fixed-iteration PageRank (graph.py:pagerank) over a deterministic
-    customer/order-bucket graph: edges (o_custkey, o_orderkey % 800),
-    symmetrized. 10 power rounds, one shuffle per round; the oracle
-    unrolls the identical rounds as chained CTEs. Scores rounded to 9
-    decimals on both sides (float-association noise is ~1e-17)."""
-    from sat_bucket_spark.operators.graph import pagerank
-
+def _pagerank_fixture_edges(spark, sf_dir):
+    """q_pagerank's edge derivation, shared with the boundary-margin pin
+    test (tests/test_graph.py) so the knife-edge check measures the SAME
+    fixture the driver gate hashes."""
     orders = _t(spark, sf_dir, "orders")
-    edges = orders.select(
+    return orders.select(
         F.col("o_custkey").cast("long").alias("src"),
         (F.col("o_orderkey") % 800).cast("long").alias("dst"),
     )
-    pr = pagerank(edges, damping=0.85, iterations=10, directed=False)
-    return pr.select("node", F.round("rank", 9).alias("pr")).orderBy("node")
 
 
-def q_host_rank(spark, sf_dir):
-    """Crawl host-authority: deterministic link lists -> host_link_edges
-    -> DIRECTED PageRank (exercises the dangling-mass path: hosts h40-h49
-    appear only as link targets, so their rank mass redistributes
-    uniformly every round). The oracle replays the same host derivation
-    and unrolls the identical rounds, dangling term included.
-    operators/urls.py:host_link_edges, operators/graph.py:pagerank."""
-    from sat_bucket_spark.operators.graph import pagerank
+def _host_rank_fixture_edges(spark, sf_dir):
+    """q_host_rank's host-graph derivation (pages -> host_link_edges),
+    shared with the boundary-margin pin test for the same reason."""
     from sat_bucket_spark.operators.urls import host_link_edges
 
     docs = _t(spark, sf_dir, "documents")
@@ -2029,8 +2018,49 @@ def q_host_rank(spark, sf_dir):
             lambda x: x.isNotNull(),
         ).alias("links"),
     )
+    return host_link_edges(pages)
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (graph.py:pagerank) over a deterministic
+    customer/order-bucket graph: edges (o_custkey, o_orderkey % 800),
+    symmetrized. 10 power rounds, one shuffle per round; the oracle
+    unrolls the identical rounds as chained CTEs. Scores rounded to 9
+    decimals on both sides. Rounding knife-edge (r9 advisor): three
+    float accumulation orders are compared (numpy driver route, Spark
+    distributed sums, DuckDB unrolled CTEs); measured cross-order delta
+    is ≤1e-18 while the closest fixture rank sits 7.6e-15 from a
+    9th-decimal half boundary (sf0.1; 7.6e-13 at sf0.01) — a ≥5000×
+    cushion, pinned by tests/test_graph.py's boundary-margin test so a
+    fixture or testdata change cannot silently land on the knife edge.
+    driver_threshold=0 forces the DISTRIBUTED iterative loop so the
+    driver window verifies the scale path (round caching, broadcast N,
+    per-round release) — host_rank's in-window run covers the driver
+    route and the dangling-mass term."""
+    from sat_bucket_spark.operators.graph import pagerank
+
     pr = pagerank(
-        host_link_edges(pages), src="src_host", dst="dst_host",
+        _pagerank_fixture_edges(spark, sf_dir),
+        damping=0.85, iterations=10, directed=False, driver_threshold=0,
+    )
+    return pr.select("node", F.round("rank", 9).alias("pr")).orderBy("node")
+
+
+def q_host_rank(spark, sf_dir):
+    """Crawl host-authority: deterministic link lists -> host_link_edges
+    -> DIRECTED PageRank (exercises the dangling-mass path: hosts h40-h49
+    appear only as link targets, so their rank mass redistributes
+    uniformly every round). The oracle replays the same host derivation
+    and unrolls the identical rounds, dangling term included. Exercises
+    the DRIVER route (53 hosts — the small-graph fast path), while
+    q_pagerank forces the distributed loop; rounding knife-edge pinned
+    alongside q_pagerank's (closest rank 1.2e-12 from a 9th-decimal half
+    boundary vs ≤1e-18 cross-order delta). operators/urls.py:
+    host_link_edges, operators/graph.py:pagerank."""
+    from sat_bucket_spark.operators.graph import pagerank
+
+    pr = pagerank(
+        _host_rank_fixture_edges(spark, sf_dir), src="src_host", dst="dst_host",
         damping=0.85, iterations=8, directed=True,
     )
     return pr.select(
@@ -5275,10 +5305,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     normalization in SQL) move INTO the window. Displaced, per the
     insertion rule: mad_outliers (robust median/MAD family held by
     profile_table) and exif_meta (multimodal metadata family held by
-    image_meta + audio_quality). pagerank stays in the parity suite —
-    host_rank drives the same iterative engine plus the dangling-mass
-    path. Both demoted keys remain green in the all-registry parity
-    suite.
+    image_meta + audio_quality). Both demoted keys remain green in the
+    all-registry parity suite.
+
+    Round-10 reorder (VERDICT r9 task #2 + advisor): pagerank — with
+    driver_threshold=0 forcing the DISTRIBUTED iterative loop (round
+    caching, broadcast N + dangling mass, per-round release) — moves
+    INTO the window so the scale path itself is oracle-verified; until
+    now both in-window graph keys fell under the 200k driver threshold
+    and the distributed rounds were covered only indirectly by the
+    1e-12 route-equality unit test. host_rank (in-window) covers the
+    driver route + dangling mass. Displaced, per the insertion rule:
+    simhash_dedup — its keep-first signature-collapse engine
+    (keep_first_by_signature) stays driver-verified through image_dedup,
+    and the SimHash family through image_near_dup's shared banded pair
+    engine. simhash_dedup remains green in the all-registry parity
+    suite. The full promotion/demotion ledger lives in COVERAGE.md.
     """
     return {
         # ---- driver-verified window (first 50) ----
@@ -5312,7 +5354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "url_filter": q_url_filter,
         "edit_dedup": q_edit_dedup,
-        "simhash_dedup": q_simhash_dedup,
+        "pagerank": q_pagerank,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "host_rank": q_host_rank,
         "knn_join": q_knn_join,
@@ -5418,7 +5460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "image_resize": q_image_resize,
         "audio_segments": q_audio_segments,
-        "pagerank": q_pagerank,
+        "simhash_dedup": q_simhash_dedup,
         "image_profile": q_image_profile,
     }
 

@@ -149,6 +149,68 @@ def video_corpus(docs, n_clips: int = 24, subset_mod: int = 3):
     )
 
 
+# --- host-factor canary (VERDICT r9 task #1) -------------------------------
+# A FROZEN pure-Spark workload whose plan cannot drift with repo code: its
+# timing moves only when the HOST does (co-tenant load, CPU contention).
+# r9 burned four full bench runs on a uniform ~1.28x co-tenant shift that
+# took a manual worktree re-bench of the r8 commit to attribute; with the
+# canary, every BENCH_rN carries its own host reading and closing
+# comparisons self-normalize (host_factor = canary median / pinned ref).
+# DO NOT change the workload, rep count, or CANARY_REF_SEC without
+# re-pinning the reference and noting it in BASELINE.md — the factor is
+# only meaningful against a fixed definition.
+#
+# Workload: 32-partition hash aggregate over 20M synthetic rows (shuffle +
+# whole-stage codegen arithmetic) + an 8-partition 2M-row parquet write
+# (task scheduling + local I/O) — the two cost classes the query set pays.
+# Pure pyspark.sql; no repo imports.
+CANARY_REPS = 3
+# Pinned 2026-08-15 (r10 session): median of 6 warm reps on this host at
+# 5/15-min load 2.6/2.4 (quiet by the r9 protocol's uptime check); reps
+# spanned 1.75-2.80 s — single-rep jitter is ±25%, which is why the factor
+# uses pre+post medians of CANARY_REPS each, not one shot.
+CANARY_REF_SEC = 2.36
+
+
+def _canary_sec(spark, out_dir: str) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    row = (
+        spark.range(0, 20_000_000, 1, 32)
+        .select(
+            ((F.col("id") * 2654435761) % 1_000_003).alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("s").alias("sv"),
+            F.sum("c").alias("sc"),
+            F.count(F.lit(1)).alias("nk"),
+        )
+        .collect()[0]
+    )
+    # fixed-output integrity pin: a changed result means the workload
+    # definition drifted and the factor is no longer comparable
+    assert (row["sc"], row["nk"]) == (20_000_000, 1_000_003), row
+    (
+        spark.range(0, 2_000_000, 1, 8)
+        .selectExpr("id", "id * 3 as y")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "canary_write"))
+    )
+    return time.perf_counter() - t0
+
+
+def _canary_median(spark, out_dir: str) -> float:
+    import statistics
+
+    return round(
+        statistics.median(_canary_sec(spark, out_dir) for _ in range(CANARY_REPS)), 3
+    )
+
+
 def _release_state(spark) -> None:
     """Benchmark hygiene: measure every query from a clean executor state.
 
@@ -178,6 +240,12 @@ def main() -> None:
     queries = entry_mod.queries()
     # JVM/codegen warmup on a tiny query so q1 isn't charged for startup
     _materialize(queries["distinct_sort"](spark, sf_dir))
+
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    canary_dir = _tempfile.mkdtemp(prefix="bench_canary_")
+    canary_pre = _canary_median(spark, canary_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -773,6 +841,20 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    canary_post = _canary_median(spark, canary_dir)
+    _shutil.rmtree(canary_dir, ignore_errors=True)
+    canary_med = round((canary_pre + canary_post) / 2, 3)
+    canary = {
+        "pre_sec": canary_pre,
+        "post_sec": canary_post,
+        "ref_sec": CANARY_REF_SEC,
+        # >1 means the host ran SLOWER than the pinned quiet-host
+        # reference; divide recorded timings by this to compare rounds
+        "host_factor": (
+            round(canary_med / CANARY_REF_SEC, 3) if CANARY_REF_SEC else None
+        ),
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -782,6 +864,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "canary": canary,
             }
         )
     )

@@ -140,35 +140,42 @@ def round_cache(df: DataFrame) -> DataFrame:
     return stage_cache(df, eager=True)
 
 
-def release_stage_cache(df: DataFrame) -> None:
+def release_stage_cache(df: DataFrame, destructive: bool = False) -> None:
     """Release the storage held by a :func:`stage_cache` or
     :func:`round_cache` frame once an iterative loop no longer needs it.
 
-    Three storage shapes, all handled:
+    Three storage shapes:
 
     - ``persist`` stage frames are registered in the cache manager and
       released with a non-blocking ``unpersist`` (lineage kept, so the
-      frame stays usable).
+      frame stays usable — always safe, the default handles it).
     - ``localCheckpoint`` round frames hold executor blocks that the cache
       manager does NOT track (``df.storageLevel`` reads as NONE); without
       an explicit release they are reclaimed only when the driver GCs the
       RDD reference — on a long loop with an idle driver heap that means
-      every round's blocks accumulate. The blocks are freed directly
-      through the plan's ``LogicalRDD``.
+      every round's blocks accumulate. With ``destructive=True`` the
+      blocks are freed directly through the plan's ``LogicalRDD``.
     - ``checkpoint`` (reliable) round frames write one directory per round
-      under the checkpoint dir that Spark never deletes; the files are
-      removed through the Hadoop filesystem API.
+      under the checkpoint dir that Spark never deletes; with
+      ``destructive=True`` the files are removed through the Hadoop
+      filesystem API.
 
-    A released ROUND frame is unusable afterwards — its lineage was
-    truncated at materialization, so there is no recompute fallback
-    (``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`` on access). Callers must
-    release round k only AFTER round k+1 is eagerly materialized and must
-    not reference round k again; the graph loops satisfy both by
-    construction. If Spark's internals move and the ``LogicalRDD`` probe
-    fails, this degrades to the GC-driven cleanup, never an error.
+    The last two shapes have NO recompute fallback — lineage was truncated
+    at materialization, so a released frame raises
+    ``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`` on next access. They therefore
+    run only under ``destructive=True``; the default call is a safe hint
+    that releases persisted (lineage-kept) frames and leaves checkpointed
+    frames untouched, matching this function's original contract.
+    Destructive callers must release round k only AFTER round k+1 is
+    eagerly materialized and must not reference round k again; the graph
+    loops satisfy both by construction. If Spark's internals move and the
+    ``LogicalRDD`` probe fails, this degrades to the GC-driven cleanup,
+    never an error.
     """
     if df.storageLevel.useMemory or df.storageLevel.useDisk:
         df.unpersist(blocking=False)
+        return
+    if not destructive:
         return
     try:
         plan = df._jdf.queryExecution().analyzed()

@@ -31,7 +31,7 @@ keep-lowest-id dedup policy consumes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from sat_bucket_spark.caching import release_stage_cache, round_cache
@@ -42,6 +42,27 @@ def _eager_cache(df: DataFrame) -> DataFrame:
     eager and always lineage-truncating — see caching.round_cache for why
     plain persist is not an option here (exponential plan growth)."""
     return round_cache(df)
+
+
+def _cached_with_fingerprint(df: DataFrame, cols=("u", "v")):
+    """Eager-cache ``df`` and return ``(cached, (count, hash))`` where the
+    fingerprint rides the materialization job itself as Spark observed
+    metrics — no separate aggregate action. Both iterative loops route on
+    the count (driver threshold) and ``connected_components`` additionally
+    uses the order-independent xor-fold hash as its convergence state, so
+    each round costs exactly ONE job. All three stage-cache shapes
+    (localCheckpoint / persist / reliable checkpoint) materialize through
+    Dataset actions, which fire observations."""
+    obs = Observation()
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        # xor-fold: order-independent and overflow-free (ANSI mode)
+        F.bit_xor(F.xxhash64(*cols)).alias("h"),
+    )
+    cached = _eager_cache(observed)
+    metrics = obs.get
+    return cached, (metrics["n"], metrics["h"])
 
 __all__ = ["connected_components", "near_duplicate_clusters", "pagerank"]
 
@@ -133,32 +154,23 @@ def connected_components(
     Set ``driver_threshold=0`` to force the distributed path.
 
     The distributed loop stops when a full large+small round leaves the
-    edge set unchanged (count + commutative hash fingerprint — one
-    aggregate action); at that point the graph is a star forest, which both
-    passes map to itself.
+    edge set unchanged (count + commutative hash fingerprint, read as
+    observed metrics off the round's own materialization job — no extra
+    action); at that point the graph is a star forest, which both passes
+    map to itself.
     """
-    e = (
+    # The fingerprint (count + xor-fold hash) rides the materialization job
+    # as observed metrics and serves BOTH the driver-threshold gate (its
+    # count) and the distributed loop's round-0 convergence state — no
+    # aggregate action at all just to decide the route.
+    e, prev = _cached_with_fingerprint(
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
             F.least(F.col(src), F.col(dst)).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .transform(_eager_cache)
     )
-
-    def _fingerprint(df: DataFrame) -> tuple:
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            # xor-fold: order-independent and overflow-free (ANSI mode)
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
-    # One aggregate serves BOTH the driver-threshold gate (its count) and
-    # the distributed loop's round-0 convergence state — no separate
-    # e.count() job just to decide the route.
-    prev = _fingerprint(e)
     if driver_threshold and prev[0] <= driver_threshold:
         from pyspark.sql.types import StructField, StructType
 
@@ -167,7 +179,7 @@ def connected_components(
         node_type = e.schema["u"].dataType
         # the eager-cached edge frame is not an input of the returned
         # local result — free its blocks now instead of waiting on GC
-        release_stage_cache(e)
+        release_stage_cache(e, destructive=True)
         schema = StructType(
             [
                 StructField("node", node_type, False),
@@ -178,13 +190,12 @@ def connected_components(
 
     for _ in range(max_iterations):
         prev_frame = e
-        e = _small_star(_large_star(e)).transform(_eager_cache)
+        e, cur = _cached_with_fingerprint(_small_star(_large_star(e)))
         # The new round is eagerly materialized with truncated lineage, so
         # the old round's blocks (or reliable-checkpoint files) are no
         # longer an input — free them now instead of waiting for driver GC
         # to reclaim the RDD reference (caching.release_stage_cache).
-        release_stage_cache(prev_frame)
-        cur = _fingerprint(e)
+        release_stage_cache(prev_frame, destructive=True)
         if cur == prev:
             break
         prev = cur
@@ -295,8 +306,16 @@ def pagerank(
     13-host crawl-authority graph paid ~1.3 s/round for microseconds of
     math). Both routes apply the same formula; a test pins their ranks
     equal to 1e-12. Set ``driver_threshold=0`` to force the distributed
-    loop. The route gate costs one count on the already-materialized
-    edge frame.
+    loop. The route gate is free: the edge count rides the edge frame's
+    materialization job as an observed metric (shared with
+    ``connected_components``' fingerprint probe).
+
+    Note this function is EAGER at call time: the route gate materializes
+    the edge frame when called (jobs fire at construction, not first
+    action), and below the threshold the result is a collected local
+    relation — it does not re-derive if the upstream frame's source data
+    changes, unlike a lazy plan. Callers composing lazy pipelines should
+    expect Spark jobs during construction.
 
     Returns ``(node, rank)``; ranks sum to 1 (within float tolerance).
     """
@@ -308,16 +327,20 @@ def pagerank(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if not directed:
         e = _bidir(e)
-    e = e.where(F.col("u") != F.col("v")).distinct().transform(_eager_cache)
+    # Routing count rides the materialization job (same probe as
+    # connected_components) — no separate e.count() action for the gate.
+    e, (n_edges, _) = _cached_with_fingerprint(
+        e.where(F.col("u") != F.col("v")).distinct()
+    )
 
-    if driver_threshold and e.count() <= driver_threshold:
+    if driver_threshold and n_edges <= driver_threshold:
         from pyspark.sql.types import DoubleType, StructField, StructType
 
         pairs = [(r["u"], r["v"]) for r in e.collect()]
         node_type = e.schema["u"].dataType
         # the eager-cached edge frame is not an input of the returned
         # local result — free its blocks now instead of waiting on GC
-        release_stage_cache(e)
+        release_stage_cache(e, destructive=True)
         schema = StructType(
             [
                 StructField("node", node_type, False),
@@ -381,6 +404,6 @@ def pagerank(
             .transform(_eager_cache)
         )
         if ranks is not None:
-            release_stage_cache(ranks)
+            release_stage_cache(ranks, destructive=True)
         ranks = new_ranks
     return ranks

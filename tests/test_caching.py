@@ -118,8 +118,12 @@ class TestRoundRelease:
         rc = round_cache(spark.range(10_000).selectExpr("id", "id * 2 as y"))
         held = cached_ids() - before
         assert held, "round_cache should hold executor blocks"
+        # non-destructive default must be a safe no-op on a lineage-less frame
         release_stage_cache(rc)
-        assert not (cached_ids() & held), "release must free the blocks"
+        assert cached_ids() & held, "default call must NOT free checkpoint blocks"
+        assert rc.count() == 10_000
+        release_stage_cache(rc, destructive=True)
+        assert not (cached_ids() & held), "destructive release must free the blocks"
 
     def test_reliable_checkpoint_files_deleted(self, spark, tmp_path):
         from sat_bucket_spark.caching import (
@@ -134,9 +138,15 @@ class TestRoundRelease:
             rc = round_cache(spark.range(1000).selectExpr("id"))
         files_before = [p for p in ckpt.rglob("*") if p.is_file()]
         assert files_before, "checkpoint should have written files"
+        # non-destructive default must leave the checkpoint files intact
         release_stage_cache(rc)
+        assert [p for p in ckpt.rglob("*") if p.is_file()], (
+            "default call must NOT delete checkpoint files"
+        )
+        assert rc.count() == 1000
+        release_stage_cache(rc, destructive=True)
         assert not [p for p in ckpt.rglob("*") if p.is_file()], (
-            "release must delete the round's checkpoint files"
+            "destructive release must delete the round's checkpoint files"
         )
 
     def test_persist_mode_loop_releases_rounds(self, spark, tmp_path):

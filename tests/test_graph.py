@@ -261,3 +261,61 @@ class TestPagerank:
             got = self._run(spark, edges, iterations=4)
         for k in base:
             assert abs(base[k] - got[k]) < 1e-12
+
+
+class TestRegistryRankRoundingMargin:
+    """r9 advisor: q_pagerank/q_host_rank hash-compare ROUND(pr, 9) across
+    three float accumulation orders (numpy lexsorted add.at, Spark
+    distributed sums, DuckDB unrolled CTEs). Measured cross-order delta on
+    these fixtures is <= 1e-18 (spark-vs-numpy max 8.7e-19 at sf0.1), so a
+    rounded digit can only flip if a rank sits essentially ON a 9th-decimal
+    half boundary. This pins every fixture rank >= 1e-14 away from one
+    (measured margins: pagerank 7.6e-14 @ sf0.001 / 7.6e-13 @ sf0.01,
+    host_rank 1.2e-12) — a fixture or testdata change that lands on the
+    knife edge fails HERE, deterministically, instead of as a flaky driver
+    hash row. Derivations are shared with the entry via
+    _pagerank_fixture_edges/_host_rank_fixture_edges."""
+
+    MARGIN = 1e-14
+
+    @staticmethod
+    def _min_boundary_dist(vals, decimals=9):
+        import math
+
+        scale = 10**decimals
+        return min(
+            abs(v * scale - math.floor(v * scale) - 0.5) / scale for v in vals
+        )
+
+    def _margins(self, spark, build, **kw):
+        from sat_bucket_spark.operators.graph import pagerank
+
+        out = []
+        for sf in ("sf0.001", "sf0.01"):
+            edges = build(spark, f"/root/testdata/{sf}")
+            # driver route: identical values to the distributed loop at
+            # ~1e-18 (pinned by test_driver_and_distributed_routes_identical)
+            ranks = pagerank(edges, driver_threshold=1 << 60, **kw)
+            out.append(self._min_boundary_dist([r["rank"] for r in ranks.collect()]))
+        return out
+
+    def test_pagerank_fixture_clears_boundaries(self, spark):
+        import __spark_entry__ as E
+
+        for m in self._margins(
+            spark, E._pagerank_fixture_edges, damping=0.85, iterations=10,
+            directed=False,
+        ):
+            assert m > self.MARGIN, f"rank within {m} of a rounding boundary"
+
+    def test_host_rank_fixture_clears_boundaries(self, spark):
+        import __spark_entry__ as E
+
+        for m in self._margins(
+            spark,
+            lambda s, d: E._host_rank_fixture_edges(s, d)
+            .withColumnRenamed("src_host", "src")
+            .withColumnRenamed("dst_host", "dst"),
+            damping=0.85, iterations=8, directed=True,
+        ):
+            assert m > self.MARGIN, f"rank within {m} of a rounding boundary"

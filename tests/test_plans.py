@@ -246,11 +246,12 @@ def test_lsh_candidates_no_probe_job(spark):
 
 
 def test_connected_components_gate_costs_no_extra_job(spark):
-    """The driver-threshold gate must reuse the convergence fingerprint's
-    count instead of a separate e.count() action. Measured job anatomy
+    """The driver-threshold gate must read the fingerprint (count + hash)
+    off the edge frame's materialization job as OBSERVED METRICS — no
+    aggregate action at all for routing/convergence. Measured job anatomy
     under AQE (each shuffle materializes as its own job): localCheckpoint
-    of the deduped edges = 2, fingerprint aggregate = 2, edge collect = 1
-    — 5 total on the driver path; the old separate count added 2 more."""
+    of the deduped edges = 2, edge collect = 1 — 3 total on the driver
+    path; a separate fingerprint aggregate would add 2 more."""
     from sat_bucket_spark.operators.graph import connected_components
 
     edges = spark.createDataFrame(
@@ -260,6 +261,28 @@ def test_connected_components_gate_costs_no_extra_job(spark):
     sc.setJobGroup("cc-gate", "route gate + collect")
     out = connected_components(edges)
     sc.setJobGroup("cc-gate-done", "")
-    assert _jobs_in_group(spark, "cc-gate") <= 5
+    assert _jobs_in_group(spark, "cc-gate") <= 3
     rows = {(r["node"], r["component"]) for r in out.collect()}
     assert rows == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_pagerank_gate_costs_no_extra_job(spark):
+    """pagerank's driver-threshold gate must share connected_components'
+    observed-metrics probe instead of a bare e.count() action (the r9
+    verdict's 'extra routing job'). Same anatomy as the CC gate test:
+    localCheckpoint of the symmetrized deduped edges = 2 jobs, edge
+    collect = 1 — 3 total on the driver path; the old separate count
+    added 2 more."""
+    from sat_bucket_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("pr-gate", "route gate + collect")
+    out = pagerank(edges, iterations=3)
+    sc.setJobGroup("pr-gate-done", "")
+    assert _jobs_in_group(spark, "pr-gate") <= 3
+    ranks = {r["node"]: r["rank"] for r in out.collect()}
+    assert set(ranks) == {1, 2, 3, 10, 11}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9

@@ -282,6 +282,41 @@ class TestJsonlShardExport:
             )
             assert sorted(r["k"] for r in got) == list(range(n))
 
+    def test_preimage_routing_pins_physical_placement(self, spark):
+        """r9 advisor: the preimage design assumes (a) repartition(n, col)
+        physically places a row at pmod(Murmur3Hash(col, seed=42), n) —
+        i.e. F.hash and HashPartitioning agree — and (b) AQE never
+        coalesces an explicit repartition. Neither is part of Spark's
+        documented contract; if an upgrade changes either, shards silently
+        collide into shared tasks (bytes stay correct, the
+        one-shard-per-task claim and metrics.py's 'funnels read exact'
+        note quietly stop holding). Pin END-TO-END: after
+        repartition(n, preimage(shard)), spark_partition_id() == shard for
+        every row and the partition count is exactly n."""
+        from sat_bucket_spark.writers import _shard_hash_preimages
+
+        for n in (5, 16, 64):
+            pre = _shard_hash_preimages(spark, n)
+            route = F.element_at(
+                F.array(*[F.lit(p) for p in pre]), F.col("shard") + 1
+            )
+            routed = (
+                spark.range(n * 20)
+                .select((F.col("id") % n).cast("int").alias("shard"))
+                .repartition(n, route)
+            )
+            assert routed.rdd.getNumPartitions() == n, (
+                f"n={n}: AQE coalesced the explicit repartition"
+            )
+            strays = (
+                routed.select("shard", F.spark_partition_id().alias("pid"))
+                .where(F.col("shard") != F.col("pid"))
+                .count()
+            )
+            assert strays == 0, (
+                f"n={n}: HashPartitioning no longer matches pmod(F.hash, n)"
+            )
+
 
 class TestSchemaDrift:
     def test_merge_schema_unions_drifted_columns(self, spark, tmp_path):
