@@ -69,8 +69,17 @@ class _RecordStream:
 
             source = _io.BytesIO(bytes(source))
         self._src = source
-        # sniff the gzip magic; whatever was read stays pending
-        self._pending = source.read(2) or b""
+        # sniff the gzip magic; whatever was read stays pending. read(n)
+        # may SHORT-READ on stream-like sources (network, pyarrow input
+        # streams return "at most n") — loop until 2 bytes or true EOF,
+        # else a 1-byte first read misclassifies a gzip stream as plain.
+        pending = source.read(2) or b""
+        while len(pending) < 2:
+            more = source.read(2 - len(pending))
+            if not more:
+                break
+            pending += more
+        self._pending = pending
         self._gz = self._pending == _GZIP_MAGIC
         self._buf = bytearray()
         self._dec = zlib.decompressobj(16 + zlib.MAX_WBITS) if self._gz else None
