@@ -68,7 +68,14 @@ DEFAULT_KEYS = [
     "ann_index_search",
     "bucket_write",
     "bucket_merge",
+    "bucket_stream_ingest",
 ]
+
+# Recall@10 floor for the persisted-ANN rows, after build AND after
+# append. Pinned from the measured healthy value on the replicated
+# corpus shape (see ann_index_stages docstring for the tie caveat);
+# chance level is k/N ~ 2e-4 at 10 replicas.
+ANN_RECALL_FLOOR = 0.10
 
 
 def _materialize(df):
@@ -444,12 +451,28 @@ def ann_index_stages(spark, sf_dir, workdir, replicas):
     bench.py's serving stage (LUT + probed-partition scan + ADC rank)
     with the SAME plan gates. The query modulus scales with replicas so
     the query count stays fixed and the search row isolates corpus
-    growth (10x vectors per probed cluster), not query-batch growth."""
+    growth (10x vectors per probed cluster), not query-batch growth.
+
+    Recall rows (VERDICT r9 task #6, UNTIMED): recall@10 vs brute-force
+    squared-L2 ground truth over the live corpus, measured on the timed
+    search result AND again after ``append_to_ivfpq_index`` of a fresh
+    id-shifted slice — IVF recall under data growth at fixed n_clusters
+    is the known silent-drift mode, and a stale-codebook or
+    wrong-centroid append stays plan-shaped while returning near-chance
+    neighbors. Caveat recorded with the readings: the replicated corpus
+    makes every vector an exact R-copy, so ground-truth top-10 is
+    tie-heavy (both sides break ties deterministically by id); the floor
+    is pinned from the measured healthy value on THIS corpus shape, not
+    from bench.py's non-replicated sf0.1 floor.
+    """
     from pyspark.sql import functions as F
 
     from sat_bucket_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        brute_force_topk,
         build_ivfpq_index,
         ivfpq_index_topk,
+        recall_at_k,
     )
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).withColumn(
@@ -477,7 +500,75 @@ def ann_index_stages(spark, sf_dir, workdir, replicas):
     n_q = queries.count()
     if res.groupBy("query_id").count().count() != n_q:
         raise AssertionError("search lost queries")
-    return build_sec, search_sec
+
+    # ---- untimed recall gates ----
+    recall_build = recall_at_k(res, brute_force_topk(emb, queries, k=10, metric="l2"))
+    # append a fresh slice: the same vectors under NEW ids (one more
+    # replica arriving as a nightly batch) — encoded with the FIXED
+    # codebooks, landing in existing cluster partitions
+    offset = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    appendix = emb.withColumn("vec_id", (F.col("vec_id") + F.lit(offset)).cast("long"))
+    append_to_ivfpq_index(appendix, aidx)
+    full = emb.unionByName(appendix)
+    res2 = ivfpq_index_topk(spark, aidx, queries, k=10, n_probe=2)
+    recall_append = recall_at_k(res2, brute_force_topk(full, queries, k=10, metric="l2"))
+    return build_sec, search_sec, round(recall_build, 4), round(recall_append, 4)
+
+
+def stream_ingest_stage(spark, sf_dir, workdir, replicas):
+    """Streaming ingest -> compaction at 10x (VERDICT r9 task #3): the
+    last composed stage without a growth reading. Mirrors bench.py's
+    bucket_stream_ingest (same library calls, availableNow trigger,
+    repartition=8 keyed micro-batch writes) but the SOURCE FILE COUNT
+    scales with replicas (4 per replica, one file per trigger) — the
+    scale-faithful model of a stream: 10x data arrives as 10x
+    micro-batches of the same size, so the row resolves the
+    fixed-vs-linear split of per-batch commit + sink-log overhead
+    (seconds/batch flat = linear; growing = sink-log scan cost rising
+    with batch count — the drift mode availableNow can't amortize).
+    Reference semantics: incremental bucket update,
+    /root/reference/satbucket/routines.py:580-587."""
+    import glob as _glob
+
+    from sat_bucket_spark import LonLatPartitioning, merge_granule_buckets
+    from sat_bucket_spark.streaming.ingest import stream_write_bucket
+
+    ev = entry_mod._with_coords(entry_mod._events(spark, sf_dir)).withColumnRenamed(
+        "ts", "time"
+    )
+    p = LonLatPartitioning(size=(10, 10))
+    src = os.path.join(workdir, "stream_src")
+    ev.repartition(4 * replicas).write.parquet(src)
+    n_src = spark.read.parquet(src).count()
+    sbucket = os.path.join(workdir, "stream_bucket")
+    smerged = os.path.join(workdir, "stream_merged")
+    t0 = time.perf_counter()
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_write_bucket(
+        stream, sbucket, p, checkpoint_dir=os.path.join(workdir, "ckpt"),
+        x="lon", y="lat", trigger={"availableNow": True}, repartition=8,
+    )
+    q.awaitTermination()
+    merge_granule_buckets(spark, sbucket, smerged, temporal_partitioning="month")
+    sec = round(time.perf_counter() - t0, 3)
+
+    # integrity gates (outside the timed window), bench.py's contract
+    n_stream = spark.read.parquet(sbucket).count()
+    n_merged = (
+        spark.read.option("pathGlobFilter", "*.parquet").parquet(smerged).count()
+    )
+    if not (n_stream == n_merged == n_src):
+        raise AssertionError(
+            f"stream-ingest round trip diverged: src={n_src} "
+            f"stream={n_stream} merged={n_merged}"
+        )
+    if not _glob.glob(f"{smerged}/**/*.parquet", recursive=True):
+        raise AssertionError("stream merge produced no files")
+    return sec
 
 
 def bucket_stages(spark, sf_dir, workdir):
@@ -520,6 +611,7 @@ def main() -> int:
 
     work = tempfile.mkdtemp(prefix="probe_sf1_")
     timings: dict[str, float] = {}
+    recalls: dict[str, float] = {}
     try:
         scaled = os.path.join(work, "scaled")
         replicate_table(spark, base, scaled, "documents", "doc_id", args.replicas)
@@ -549,15 +641,27 @@ def main() -> int:
             elif name in ("ann_index_build", "ann_index_search"):
                 if "ann_index_search" in timings:
                     continue
-                b, srch = ann_index_stages(
+                b, srch, rec_b, rec_a = ann_index_stages(
                     spark, scaled, os.path.join(work, "ann"), args.replicas
                 )
                 timings["ann_index_build"], timings["ann_index_search"] = b, srch
+                recalls["ann_recall_build"] = rec_b
+                recalls["ann_recall_append"] = rec_a
+                for label, rec in recalls.items():
+                    if not rec >= ANN_RECALL_FLOOR:
+                        raise AssertionError(
+                            f"{label} recall@10 degraded at {args.replicas}x: "
+                            f"{rec:.4f} < {ANN_RECALL_FLOOR}"
+                        )
             elif name in ("bucket_write", "bucket_merge"):
                 if "bucket_write" in timings or "bucket_merge" in timings:
                     continue
                 w, m = bucket_stages(spark, scaled, os.path.join(work, "bucket"))
                 timings["bucket_write"], timings["bucket_merge"] = w, m
+            elif name == "bucket_stream_ingest":
+                timings[name] = stream_ingest_stage(
+                    spark, scaled, os.path.join(work, "stream"), args.replicas
+                )
             else:
                 timings[name] = timed_entry(spark, name, scaled)
             _release(spark)
@@ -571,6 +675,7 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "recall": recalls,
                 "replicas": args.replicas,
                 "base_sf": 0.1,
             }
