@@ -163,7 +163,10 @@ def video_corpus(docs, n_clips: int = 24, subset_mod: int = 3):
 # Workload: 32-partition hash aggregate over 20M synthetic rows (shuffle +
 # whole-stage codegen arithmetic) + an 8-partition 2M-row parquet write
 # (task scheduling + local I/O) — the two cost classes the query set pays.
-# Pure pyspark.sql; no repo imports.
+# Pure pyspark.sql; no repo imports. The factor is comparable ONLY at the
+# standard session shape (local[32], the driver default): fewer cores slow
+# the canary exactly like they slow the queries, which is correct for
+# within-run normalization but not against the 32-core reference pin.
 CANARY_REPS = 3
 # Pinned 2026-08-15 (r10 session): median of 6 warm reps on this host at
 # 5/15-min load 2.6/2.4 (quiet by the r9 protocol's uptime check); reps

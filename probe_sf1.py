@@ -512,6 +512,20 @@ def ann_index_stages(spark, sf_dir, workdir, replicas):
     full = emb.unionByName(appendix)
     res2 = ivfpq_index_topk(spark, aidx, queries, k=10, n_probe=2)
     recall_append = recall_at_k(res2, brute_force_topk(full, queries, k=10, metric="l2"))
+
+    # maintenance gate: compacting the append-fragmented cluster partitions
+    # must rewrite at least one partition and leave search results IDENTICAL
+    from sat_bucket_spark.operators.similarity import compact_ivfpq_index
+
+    before = sorted(tuple(r) for r in res2.collect())
+    if compact_ivfpq_index(spark, aidx) < 1:
+        raise AssertionError("append left no fragmented cluster to compact")
+    after = sorted(
+        tuple(r)
+        for r in ivfpq_index_topk(spark, aidx, queries, k=10, n_probe=2).collect()
+    )
+    if after != before:
+        raise AssertionError("compaction changed search results")
     return build_sec, search_sec, round(recall_build, 4), round(recall_append, 4)
 
 
@@ -609,7 +623,13 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # host-factor canary shared with bench.py (same frozen workload, same
+    # pinned reference) — probe readings carry the same co-tenant noise as
+    # bench readings, so they get the same self-normalization
+    from bench import CANARY_REF_SEC, _canary_median
+
     work = tempfile.mkdtemp(prefix="probe_sf1_")
+    canary_pre = _canary_median(spark, work)
     timings: dict[str, float] = {}
     recalls: dict[str, float] = {}
     try:
@@ -665,9 +685,11 @@ def main() -> int:
             else:
                 timings[name] = timed_entry(spark, name, scaled)
             _release(spark)
+        canary_post = _canary_median(spark, work)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    canary_med = round((canary_pre + canary_post) / 2, 3)
     print(
         json.dumps(
             {
@@ -678,6 +700,16 @@ def main() -> int:
                 "recall": recalls,
                 "replicas": args.replicas,
                 "base_sf": 0.1,
+                "canary": {
+                    "pre_sec": canary_pre,
+                    "post_sec": canary_post,
+                    "ref_sec": CANARY_REF_SEC,
+                    "host_factor": (
+                        round(canary_med / CANARY_REF_SEC, 3)
+                        if CANARY_REF_SEC
+                        else None
+                    ),
+                },
             }
         )
     )

@@ -22,6 +22,7 @@ __all__ = [
     "append_to_ivfpq_index",
     "brute_force_topk",
     "build_ivfpq_index",
+    "compact_ivfpq_index",
     "cosine_expr",
     "dot_expr",
     "embedding_decontamination",
@@ -1049,6 +1050,45 @@ def append_to_ivfpq_index(
     )
     codes.write.mode("append").partitionBy("__cluster").parquet(
         os.path.join(index_dir, "codes")
+    )
+
+
+def compact_ivfpq_index(
+    spark,
+    index_dir: str,
+    target_file_size: str | int = "64MB",
+    min_files: int = 2,
+) -> int:
+    """Compact the codes partitions fragmented by incremental appends.
+
+    Every :func:`append_to_ivfpq_index` batch writes at least one new file
+    into each coarse-cluster partition it touches; after N nightly appends
+    a probed cluster pays N file opens (plus undersized row groups and
+    weaker codec ratios) on EVERY search. This is the maintenance half of
+    the incremental-ingest story: measure fragmentation from parquet file
+    metadata only (no data pages read), then rewrite ONLY the cluster
+    partitions whose mean file size is under ``target_file_size`` with at
+    least ``min_files`` files — dynamic partition overwrite, so untouched
+    clusters' files are never opened and a failed job leaves them intact
+    (the same selective posture as :func:`sat_bucket_spark.maintenance.
+    compact_bucket`, which this delegates to with the index's
+    ``__cluster`` partitioning).
+
+    Codes are content-identical after compaction — same (id, cluster,
+    pq_code) rows in fewer files — so search results are unchanged (a test
+    pins search equality across an append + compact cycle). Returns the
+    number of cluster partitions rewritten.
+    """
+    import os
+
+    from sat_bucket_spark.maintenance import compact_bucket
+
+    return compact_bucket(
+        spark,
+        os.path.join(index_dir, "codes"),
+        target_file_size=target_file_size,
+        min_files=min_files,
+        partition_cols=["__cluster"],
     )
 
 

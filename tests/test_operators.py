@@ -1935,6 +1935,58 @@ class TestIvfpqIndexPersistence:
         # the same band as the one-shot build, not degraded by the append
         assert r_append >= r_build - 0.1, (r_build, r_append)
 
+    def test_compact_after_appends_preserves_search(self, spark, embeddings, tmp_path):
+        """compact_ivfpq_index: nightly appends leave one file per cluster
+        per batch; compaction must rewrite ONLY fragmented cluster
+        partitions, strictly reduce their file counts, leave search results
+        IDENTICAL, and be idempotent (second call rewrites nothing)."""
+        import glob
+
+        from sat_bucket_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            build_ivfpq_index,
+            compact_ivfpq_index,
+            ivfpq_index_topk,
+        )
+
+        cents, books, emb, queries = self._fixed(spark, embeddings)
+        idx = str(tmp_path / "ann_compact")
+        build_ivfpq_index(
+            emb.where(F.col("vec_id") < 80), idx, dim=64,
+            centroids=cents, codebooks=books,
+        )
+        for lo, hi in ((80, 120), (120, 160), (160, 200)):
+            append_to_ivfpq_index(
+                emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), idx
+            )
+
+        def files_per_cluster():
+            out: dict[str, int] = {}
+            for f in glob.glob(f"{idx}/codes/__cluster=*/*.parquet"):
+                part = f.rsplit("/", 2)[1]
+                out[part] = out.get(part, 0) + 1
+            return out
+
+        before_files = files_per_cluster()
+        assert max(before_files.values()) >= 3, before_files  # really fragmented
+        before = sorted(
+            tuple(r)
+            for r in ivfpq_index_topk(spark, idx, queries, k=5, n_probe=3).collect()
+        )
+        n = compact_ivfpq_index(spark, idx, target_file_size="64MB", min_files=2)
+        assert n == sum(1 for v in before_files.values() if v >= 2)
+        after_files = files_per_cluster()
+        assert set(after_files) == set(before_files)  # no cluster lost
+        for part, cnt in before_files.items():
+            if cnt >= 2:
+                assert after_files[part] < cnt, (part, cnt, after_files[part])
+        after = sorted(
+            tuple(r)
+            for r in ivfpq_index_topk(spark, idx, queries, k=5, n_probe=3).collect()
+        )
+        assert after == before
+        assert compact_ivfpq_index(spark, idx, target_file_size="64MB") == 0
+
     def test_l2_brute_force_matches_numpy(self, spark, embeddings):
         import numpy as np
 
