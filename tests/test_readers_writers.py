@@ -245,6 +245,46 @@ class TestJsonlShardExport:
         with pytest.raises(ValueError, match="n_shards"):
             write_jsonl_shards(docs, "/tmp/x", n_shards=0)
 
+    def test_adversarial_text_survives_jsonl_framing(self, spark, tmp_path):
+        """Trainer-facing contract: one JSON object per PHYSICAL line, and
+        every text round-trips exactly through plain json.loads — raw
+        newlines/controls in documents must be escaped by the writer, not
+        break the line framing; unicode (astral, decomposed, bidi) and
+        JSON metacharacters must survive byte-exact."""
+        import glob
+        import json
+
+        from sat_bucket_spark.writers import write_jsonl_shards
+
+        texts = [
+            "plain",
+            "embedded\nnewline and\r carriage\r\n pair",
+            'quotes " and \\ backslash and / slash',
+            "tab\tand controls \x00\x01\x1f\x7f",
+            "astral \U0001f600 and surrogate-adjacent ퟿ ",
+            "decomposed é vs composed é",
+            "bidi ‮RTL‬ and zero-width​",
+            "trailing newline\n",
+            "",
+            "long " + "x" * 5000,
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        out = str(tmp_path / "adversarial")
+        write_jsonl_shards(docs, out, n_shards=2, compression=None)
+
+        got = {}
+        n_lines = 0
+        for f in glob.glob(f"{out}/shard=*/part-*.json"):
+            with open(f, encoding="utf-8") as fh:
+                for line in fh.read().splitlines():
+                    n_lines += 1
+                    rec = json.loads(line)  # every line is standalone JSON
+                    got[rec["doc_id"]] = rec["text"]
+        assert n_lines == len(texts)
+        assert got == {i: t for i, t in enumerate(texts)}
+
     def test_export_executes_upstream_exactly_once(self, spark, tmp_path):
         """The r8 writer's repartitionByRange learned its boundaries by
         SAMPLING the input — a second full execution of the upstream
