@@ -2,10 +2,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "total_sec", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "total_sec", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "canary": {"pre_sec": ..., "post_sec": ..., "ref_sec": ...,
+   "host_factor": ...}}
 
 Queries are materialized with the noop sink (full execution, no driver
-collect), so timings measure the engine, not result transfer.
+collect), so timings measure the engine, not result transfer. The canary
+block is the host-factor reading (see the canary section below and
+BASELINE.md "Bench notes"); it is NOT part of "value".
 """
 
 from __future__ import annotations

@@ -8,7 +8,13 @@ the flagship COMPOSED keys once cold and once warm, reporting the warm
 reading. One JSON line, mirroring bench.py's contract:
 
   {"metric": "probe_total_sec", "value": N, "unit": "sec",
-   "queries": {...}, "replicas": R, "base_sf": 0.1}
+   "queries": {...}, "recall": {"ann_recall_build": ..,
+   "ann_recall_append": ..}, "replicas": R, "base_sf": 0.1,
+   "canary": {...}}
+
+The recall block is UNTIMED gates (floor-asserted in-run); the canary
+block is the host-factor reading shared with bench.py. Neither is part
+of "value".
 
 Caveats, by design (record them with the readings in BASELINE.md):
 
@@ -455,15 +461,22 @@ def ann_index_stages(spark, sf_dir, workdir, replicas):
 
     Recall rows (VERDICT r9 task #6, UNTIMED): recall@10 vs brute-force
     squared-L2 ground truth over the live corpus, measured on the timed
-    search result AND again after ``append_to_ivfpq_index`` of a fresh
-    id-shifted slice — IVF recall under data growth at fixed n_clusters
-    is the known silent-drift mode, and a stale-codebook or
-    wrong-centroid append stays plan-shaped while returning near-chance
-    neighbors. Caveat recorded with the readings: the replicated corpus
-    makes every vector an exact R-copy, so ground-truth top-10 is
-    tie-heavy (both sides break ties deterministically by id); the floor
-    is pinned from the measured healthy value on THIS corpus shape, not
-    from bench.py's non-replicated sf0.1 floor.
+    search result AND again after ``append_to_ivfpq_index`` — IVF recall
+    under data growth at fixed n_clusters is the known silent-drift mode.
+    Tie structure, measured before pinning the gates (queries are corpus
+    MEMBERS and replication makes every vector an exact R-copy): at
+    R >= k each query's ground-truth top-k is its own k copies and a
+    healthy index returns exactly those (identical codes, id-asc
+    tiebreak), so recall saturates at 1.0 — a naive recall-after-append
+    gate is VACUOUS (a broken append only drops one copy: 1.0 -> 0.9,
+    and with the appended slice id-shifted ABOVE the originals it loses
+    every tie and recall stays 1.0 no matter what the append wrote). The
+    sharp append gate is therefore PRESENCE: the index is built on
+    copies 2..R, copy 1 — the tie-WINNING smallest ids — arrives as the
+    append batch, and EVERY query's appended first-copy id must appear
+    in its post-append top-k (healthy: rank 1 by the id-asc tiebreak;
+    wrong cluster or stale codebook: absent). recall_append is still
+    reported for the drift record; the hit-rate assertion is the teeth.
     """
     from pyspark.sql import functions as F
 
@@ -503,26 +516,43 @@ def ann_index_stages(spark, sf_dir, workdir, replicas):
 
     # ---- untimed recall gates ----
     recall_build = recall_at_k(res, brute_force_topk(emb, queries, k=10, metric="l2"))
-    # append a fresh slice: the same vectors under NEW ids (one more
-    # replica arriving as a nightly batch) — encoded with the FIXED
-    # codebooks, landing in existing cluster partitions
-    offset = emb.agg(F.max("vec_id")).collect()[0][0] + 1
-    appendix = emb.withColumn("vec_id", (F.col("vec_id") + F.lit(offset)).cast("long"))
-    append_to_ivfpq_index(appendix, aidx)
-    full = emb.unionByName(appendix)
-    res2 = ivfpq_index_topk(spark, aidx, queries, k=10, n_probe=2)
-    recall_append = recall_at_k(res2, brute_force_topk(full, queries, k=10, metric="l2"))
+    # append gate (tie design per docstring): index built WITHOUT copy 1,
+    # then copy 1 — the tie-WINNING smallest ids — arrives as the append
+    # batch, encoded with the fixed codebooks
+    if replicas < 2:
+        raise ValueError("the ANN append/compaction gates need --replicas >= 2")
+    stride = (emb.agg(F.max("vec_id")).collect()[0][0] + 1) // replicas
+    first_copy = emb.where(F.col("vec_id") < stride)
+    aidx2 = os.path.join(workdir, "index_append")
+    build_ivfpq_index(
+        emb.where(F.col("vec_id") >= stride), aidx2, dim=64,
+        n_clusters=16, m=4, ksub=16,
+    )
+    append_to_ivfpq_index(first_copy, aidx2)
+    res2 = ivfpq_index_topk(spark, aidx2, queries, k=10, n_probe=2)
+    recall_append = recall_at_k(res2, brute_force_topk(emb, queries, k=10, metric="l2"))
+    # presence gate (the sharp one — see docstring): every query's appended
+    # first-copy id must surface in its post-append top-k
+    expected = queries.select(
+        "query_id", (F.col("query_id") % stride).alias("vec_id")
+    )
+    n_hits = res2.join(expected, ["query_id", "vec_id"], "left_semi").count()
+    if n_hits != n_q:
+        raise AssertionError(
+            f"appended copies missing from post-append search: "
+            f"{n_hits}/{n_q} queries surfaced their appended id"
+        )
 
     # maintenance gate: compacting the append-fragmented cluster partitions
     # must rewrite at least one partition and leave search results IDENTICAL
     from sat_bucket_spark.operators.similarity import compact_ivfpq_index
 
     before = sorted(tuple(r) for r in res2.collect())
-    if compact_ivfpq_index(spark, aidx) < 1:
+    if compact_ivfpq_index(spark, aidx2) < 1:
         raise AssertionError("append left no fragmented cluster to compact")
     after = sorted(
         tuple(r)
-        for r in ivfpq_index_topk(spark, aidx, queries, k=10, n_probe=2).collect()
+        for r in ivfpq_index_topk(spark, aidx2, queries, k=10, n_probe=2).collect()
     )
     if after != before:
         raise AssertionError("compaction changed search results")
