@@ -292,11 +292,17 @@ def pagerank(
     appear — union them in from the vertex table if needed.
 
     Scale shape: each round is ONE shuffle (groupBy dst of the
-    contribution join); ranks and degrees join on the same node key; the
-    dangling mass and N are 1-row broadcast frames, never a driver
-    collect inside the loop. Rounds materialize eagerly via the
-    stage-cache policy (caching.py) so the Catalyst plan stays bounded,
-    and each round releases the previous round's blocks.
+    contribution join) and ONE node-keyed join (the round frame carries
+    ``deg`` alongside ``rank``, so degrees never re-join separately). N
+    is read once, before the loop, off the node frame's materialization
+    job (observed metric) and folded into the round expressions as a
+    literal; the dangling mass — the only per-round scalar — stays a
+    1-row broadcast frame, and is SKIPPED entirely for undirected graphs
+    (symmetrization leaves no dangling node; dang = 0.0 is bit-identical
+    to the term's absence). Never a driver collect inside the loop.
+    Rounds materialize eagerly via the stage-cache policy (caching.py)
+    so the Catalyst plan stays bounded, and each round releases the
+    previous round's blocks.
 
     Edge sets at or below ``driver_threshold`` (after dedup) run the
     identical power iteration driver-side on numpy — the same small-side
@@ -355,25 +361,37 @@ def pagerank(
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
-        .transform(_eager_cache)
     )
     outdeg = e.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("deg")
     )
-    # Degrees are reused every round and keyed like ranks: materialize once.
-    ranked0 = nodes.join(outdeg, "node", "left").transform(_eager_cache)
+    # Degrees travel WITH the rank in the round frame (node, deg, rank):
+    # one node-keyed join per round (base ⋈ contrib) instead of the r9
+    # shape's two (deg ⋈ ranks, then nodes ⋈ contrib). N rides the base
+    # materialization as an observed metric — one long collected ONCE
+    # before the loop, folded into the round expressions as a literal, so
+    # the per-round plan carries no 1-row crossJoins for it.
+    base, (n_nodes, _) = _cached_with_fingerprint(
+        nodes.join(outdeg, "node", "left"), cols=("node",)
+    )
+    if n_nodes == 0:
+        return base.select("node", F.lit(0.0).alias("rank"))
+    teleport_term = (1.0 - damping) / n_nodes
 
-    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
-    teleport = (1.0 - damping)
+    # Undirected graphs cannot have dangling nodes — symmetrization gives
+    # every node an out-edge — so the per-round dangling aggregate (one
+    # broadcast job per round) and its crossJoin are dropped; with
+    # dang = 0.0 the formula is bit-identical (x + 0.0/n == x for the
+    # non-negative contrib sums), pinned by the route-equality test.
+    has_dangling = directed
 
-    ranks = None  # round 0 rank is the literal 1/N, folded into ranked0
-    for i in range(iterations):
-        if ranks is None:
-            cur = ranked0.crossJoin(n_row).select(
-                "node", "deg", (F.lit(1.0) / F.col("n")).alias("rank"), "n"
-            )
-        else:
-            cur = ranked0.join(ranks, "node").crossJoin(n_row)
+    ranks = None  # round frame (node, deg, rank); round 0 folds 1/N
+    for _ in range(iterations):
+        cur = (
+            base.select("node", "deg", F.lit(1.0 / n_nodes).alias("rank"))
+            if ranks is None
+            else ranks
+        )
         contrib = (
             e.join(
                 cur.where(F.col("deg").isNotNull()).select(
@@ -384,26 +402,22 @@ def pagerank(
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum("share").alias("contrib"))
         )
-        dangling = F.broadcast(
-            cur.where(F.col("deg").isNull()).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+        new = base.join(contrib, "node", "left")
+        rank_expr = F.coalesce(F.col("contrib"), F.lit(0.0))
+        if has_dangling:
+            dangling = F.broadcast(
+                cur.where(F.col("deg").isNull()).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+                )
             )
-        )
-        new_ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(dangling)
-            .crossJoin(n_row)
-            .select(
-                "node",
-                (
-                    F.lit(teleport) / F.col("n")
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / F.col("n"))
-                ).alias("rank"),
-            )
-            .transform(_eager_cache)
-        )
+            new = new.crossJoin(dangling)
+            rank_expr = rank_expr + F.col("dang") / F.lit(float(n_nodes))
+        new_ranks = new.select(
+            "node",
+            "deg",
+            (F.lit(teleport_term) + F.lit(damping) * rank_expr).alias("rank"),
+        ).transform(_eager_cache)
         if ranks is not None:
             release_stage_cache(ranks, destructive=True)
         ranks = new_ranks
-    return ranks
+    return ranks.select("node", "rank")
