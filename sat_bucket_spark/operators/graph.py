@@ -420,4 +420,9 @@ def pagerank(
         if ranks is not None:
             release_stage_cache(ranks, destructive=True)
         ranks = new_ranks
+    # the returned frame's lineage is truncated at the final round cache,
+    # so the edge and base frames are no longer inputs — free them now
+    # (the edge frame is the BIG one at scale) instead of waiting on GC
+    release_stage_cache(e, destructive=True)
+    release_stage_cache(base, destructive=True)
     return ranks.select("node", "rank")

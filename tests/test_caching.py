@@ -168,6 +168,6 @@ class TestRoundRelease:
         # ring graph: uniform stationary distribution
         assert all(abs(v - 1 / 8) < 1e-9 for v in got.values())
         round_dirs = {p.parent for p in ckpt.rglob("*") if p.is_file()}
-        # pagerank materializes a handful of loop-invariant frames (edges,
-        # nodes, degrees) plus ONE live round; released rounds must be gone
-        assert len(round_dirs) <= 4, sorted(round_dirs)
+        # r10: the loop releases its loop-invariant frames (edges, base)
+        # on exit too — only the ONE live final round may remain
+        assert len(round_dirs) <= 1, sorted(round_dirs)
