@@ -1031,7 +1031,10 @@ def append_to_ivfpq_index(
     The codebooks stay fixed by design: mixed-codebook codes would be
     unsearchable, and IVF recall under distribution drift is a rebuild
     decision, not an append decision. Appended rows land in their coarse
-    cluster's partition, so search pruning is unaffected.
+    cluster's partition, so search pruning is unaffected. Each append
+    batch adds >= 1 file per touched cluster partition — run
+    :func:`compact_ivfpq_index` periodically so searches don't accumulate
+    per-cluster file-open costs.
     """
     import os
 
