@@ -53,7 +53,16 @@ def load_bench(path: str) -> dict:
         hm = re.search(r'"host_factor"\s*:\s*([0-9.]+)', raw)
         if hm:
             hf = float(hm.group(1))
-        return {"queries": queries, "host_factor": hf, "label": path}
+        # the wrapper's "tail" string truncates the HEAD of the bench line,
+        # so the first few registry keys may be unrecoverable — mark the
+        # side truncated so the key-diff below doesn't misreport them as
+        # added/removed between rounds
+        return {
+            "queries": queries,
+            "host_factor": hf,
+            "label": path,
+            "truncated": "queries" not in doc,
+        }
     canary = doc.get("canary") or {}
     return {
         "queries": {k: float(v) for k, v in doc.get("queries", {}).items()},
@@ -102,10 +111,16 @@ def main() -> int:
             print(f"  {ratio:5.2f}x  {k}: {ra:.2f} -> {rb:.2f}")
     else:
         print(f"\nno per-key drift beyond {args.flag}x")
+    trunc_note = (
+        " (one side is a truncated driver wrapper — head keys may be "
+        "missing there, not genuinely added/removed)"
+        if a.get("truncated") or b.get("truncated")
+        else ""
+    )
     if only_a:
-        print(f"\nremoved keys: {', '.join(only_a)}")
+        print(f"\nremoved keys{trunc_note}: {', '.join(only_a)}")
     if only_b:
-        print(f"added keys: {', '.join(only_b)}")
+        print(f"added keys{trunc_note}: {', '.join(only_b)}")
     return 0
 
 
