@@ -251,6 +251,26 @@ class TestPagerank:
             pagerank(df, damping=1.0)
         with pytest.raises(ValueError, match="iterations"):
             pagerank(df, iterations=0)
+        with pytest.raises(ValueError, match="invariant_cache"):
+            pagerank(df, driver_threshold=0, invariant_cache="nope")
+
+    def test_invariant_cache_modes_identical(self, spark):
+        """The two loop-invariant storage shapes (round cache vs
+        partitioned persist) are output-identical to float-accumulation
+        noise — only the physical plan differs (see the docstring's
+        measured trade)."""
+        edges = [(i, (i * 5 + 2) % 23) for i in range(60)]
+        for directed in (False, True):
+            a = self._run(
+                spark, edges, iterations=5, directed=directed, driver_threshold=0
+            )
+            b = self._run(
+                spark, edges, iterations=5, directed=directed,
+                driver_threshold=0, invariant_cache="partitioned",
+            )
+            assert a.keys() == b.keys()
+            for k in a:
+                assert abs(a[k] - b[k]) < 1e-12
 
     def test_persist_mode_loop(self, spark):
         from sat_bucket_spark.caching import stage_cache_mode
