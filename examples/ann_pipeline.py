@@ -98,6 +98,40 @@ def main(workdir: str) -> None:
     a2 = {(r["query_id"], r["vec_id"]) for r in top.collect()}
     print(f"shortlist-50 + exact re-rank recall@10: {len(a2 & e) / len(e):.2f}")
 
+    # --- persisted-index lifecycle: build -> nightly appends -> compact ----
+    # The standing-index story: train + encode ONCE, append new batches with
+    # the frozen codebooks, and periodically compact the cluster partitions
+    # the appends fragmented (every probed search pays one file open per
+    # append batch otherwise). Compaction rewrites only fragmented clusters
+    # and leaves search results identical.
+    from sat_bucket_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    idx_dir = os.path.join(workdir, "index")
+    standing = emb.where(F.col("vec_id") % 4 != 0)
+    build_ivfpq_index(standing, idx_dir, dim=DIM, n_clusters=8, m=8, ksub=16)
+    for night in (1, 2, 3):  # three nightly batches
+        batch = emb.where(
+            (F.col("vec_id") % 4 == 0) & (F.col("vec_id") % 3 == night % 3)
+        )
+        append_to_ivfpq_index(batch, idx_dir)
+    before = sorted(
+        tuple(r)
+        for r in ivfpq_index_topk(spark, idx_dir, queries, k=10, n_probe=4).collect()
+    )
+    n_compacted = compact_ivfpq_index(spark, idx_dir, target_file_size="64MB")
+    after = sorted(
+        tuple(r)
+        for r in ivfpq_index_topk(spark, idx_dir, queries, k=10, n_probe=4).collect()
+    )
+    assert after == before, "compaction must not change search results"
+    print(f"index lifecycle: 3 appends, {n_compacted} cluster partitions "
+          f"compacted, search results identical")
+
 
 if __name__ == "__main__":
     work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="ann_")
