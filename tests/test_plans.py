@@ -286,3 +286,23 @@ def test_pagerank_gate_costs_no_extra_job(spark):
     ranks = {r["node"]: r["rank"] for r in out.collect()}
     assert set(ranks) == {1, 2, 3, 10, 11}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_registry_wide_no_row_python(spark):
+    """Standing sweep over EVERY registry entry: no BatchEvalPython node in
+    any executed plan. Row-at-a-time Python is the one never-acceptable
+    plan shape in this engine (Arrow-batched MapInPandas/ArrowEvalPython
+    are the sanctioned Python paths for codecs/HTML/BPE/Vincenty); until
+    now this was re-verified by ad-hoc grep each round — this pins it as
+    a test. Uses sf0.001 so eager-at-construction keys (graph routes,
+    dedup routing probes, LM training) stay cheap."""
+    offenders = []
+    for name, fn in E.queries().items():
+        try:
+            plan = _plan(fn(spark, SF_DIR))
+        except Exception as exc:  # construction failure is its own signal
+            offenders.append((name, f"construction failed: {exc}"))
+            continue
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython in plan"))
+    assert not offenders, offenders
