@@ -1983,6 +1983,26 @@ def q_dup_clusters(spark, sf_dir):
     return near_duplicate_clusters(pairs.select("id_a", "id_b"))
 
 
+def q_leakage_splits(spark, sf_dir):
+    """Leakage-safe train/val/test splits (sampling.leakage_safe_splits):
+    the split hash keys on the near-dup CLUSTER id (connected components
+    of the same MinHash-LSH pairs as dup_clusters; singletons key on
+    their own id), so near-duplicates can never straddle train and test.
+    The oracle composes the dup_clusters recursive-CTE components with
+    split_assign's md5-h31 interval rule on the group key."""
+    from sat_bucket_spark.operators.dedup import minhash_lsh_dedup_pairs
+    from sat_bucket_spark.operators.sampling import leakage_safe_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(
+        docs, n_hashes=16, n_bands=4, shingle_size=8, min_jaccard=0.1
+    )
+    return leakage_safe_splits(
+        docs, pairs.select("id_a", "id_b"),
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "split_group", "split")
+
+
 def _pagerank_fixture_edges(spark, sf_dir):
     """q_pagerank's edge derivation, shared with the boundary-margin pin
     test (tests/test_graph.py) so the knife-edge check measures the SAME
@@ -4036,6 +4056,33 @@ reach AS (
 comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
 SELECT node AS doc_id, cluster_id, node = cluster_id AS is_kept FROM comp
 """
+_ORACLES["leakage_splits"] = f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_dedup_sql()}),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS r FROM und
+  UNION
+  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+grouped AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS split_group
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, split_group,
+  CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, split_group,
+    CAST(CAST(('0x' || substr(md5(CAST(split_group AS VARCHAR)), 1, 15)) AS BIGINT)
+      % {MERSENNE_P} AS DOUBLE) / {MERSENNE_P}.0 AS f
+  FROM grouped
+) t
+"""
+
 _ORACLES["ivf_topk"] = _ivf_topk_sql()
 
 
@@ -5462,6 +5509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": q_audio_segments,
         "simhash_dedup": q_simhash_dedup,
         "image_profile": q_image_profile,
+        "leakage_splits": q_leakage_splits,
     }
 
 

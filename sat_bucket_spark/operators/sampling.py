@@ -25,6 +25,7 @@ __all__ = [
     "assign_shards",
     "assign_splits",
     "assign_quality_buckets",
+    "leakage_safe_splits",
     "cap_per_group",
     "filter_by_group_quantile",
     "hash_fraction_expr",
@@ -96,6 +97,52 @@ def assign_splits(
     last = labels[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out, expr)
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    out: str = "split",
+    group_out: str = "split_group",
+) -> DataFrame:
+    """Train/val/test splits that near-duplicates cannot straddle.
+
+    :func:`assign_splits` hashes each row's OWN id, so two near-duplicate
+    documents can land in train and test — the eval-set contamination the
+    dedup pipeline exists to prevent, reintroduced at split time. This
+    keys the split hash on the row's DUPLICATE-CLUSTER id instead:
+    connected components of ``pairs`` (near-dup candidate pairs from any
+    of the MinHash/SimHash/embedding engines) give every clustered
+    document its cluster's minimum id as ``group_out``; documents in no
+    pair fall back to their own id (for them the assignment is IDENTICAL
+    to :func:`assign_splits`, pinned by test). Every cluster member then
+    receives the same label by construction — zero straddling clusters,
+    also pinned by test.
+
+    Scale shape: the cluster map comes from
+    :func:`~sat_bucket_spark.operators.graph.connected_components`
+    (driver union-find below its edge threshold, alternating star rounds
+    above); mapping it onto the corpus is ONE left join on the id (the
+    cluster side is dedup-output-sized, usually broadcastable); the label
+    itself is a map-only expression on the group key. Composes with the
+    same ``weights``/``salt`` conventions as :func:`assign_splits`.
+    """
+    from sat_bucket_spark.operators.graph import connected_components
+
+    cc = connected_components(pairs, src=id_a, dst=id_b).withColumnRenamed(
+        "node", id_col
+    )
+    grouped = (
+        df.join(cc, id_col, "left")
+        .withColumn(group_out, F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+    )
+    return assign_splits(grouped, group_out, weights=weights, salt=salt, out=out)
 
 
 def stratified_hash_sample(

@@ -78,6 +78,59 @@ class TestAssignSplits:
         assert "Python" not in plan and "Exchange" not in plan  # no shuffle, no UDF
 
 
+class TestLeakageSafeSplits:
+    def _pairs(self, spark, rows):
+        return spark.createDataFrame(rows, ["id_a", "id_b"])
+
+    def test_no_cluster_straddles_splits(self, spark, documents):
+        from sat_bucket_spark.operators.sampling import leakage_safe_splits
+
+        # chain clusters spanning wide id ranges — the shapes most likely
+        # to straddle under per-id hashing
+        rows = [(i, i + 250) for i in range(0, 200, 3)] + [(5, 490), (8, 321)]
+        out = leakage_safe_splits(documents, self._pairs(spark, rows)).select(
+            "doc_id", "split_group", "split"
+        )
+        per_group = (
+            out.groupBy("split_group")
+            .agg(F.countDistinct("split").alias("k"))
+            .where(F.col("k") > 1)
+            .count()
+        )
+        assert per_group == 0  # the whole point
+        labels = {r["split"] for r in out.select("split").distinct().collect()}
+        assert labels <= {"train", "val", "test"} and len(labels) >= 2
+
+    def test_singletons_match_assign_splits_exactly(self, spark, documents):
+        from sat_bucket_spark.operators.sampling import (
+            assign_splits,
+            leakage_safe_splits,
+        )
+
+        pairs = self._pairs(spark, [(1, 2), (2, 3)])
+        safe = leakage_safe_splits(documents, pairs).select("doc_id", "split")
+        plain = assign_splits(documents, "doc_id").select(
+            "doc_id", F.col("split").alias("plain")
+        )
+        diff = (
+            safe.join(plain, "doc_id")
+            .where(~F.col("doc_id").isin(1, 2, 3))
+            .where(F.col("split") != F.col("plain"))
+            .count()
+        )
+        assert diff == 0  # unclustered docs: identical to per-id assignment
+
+    def test_cluster_members_share_the_min_id_key(self, spark, documents):
+        from sat_bucket_spark.operators.sampling import leakage_safe_splits
+
+        out = leakage_safe_splits(documents, self._pairs(spark, [(7, 9), (9, 11)]))
+        got = {
+            r["doc_id"]: r["split_group"]
+            for r in out.where(F.col("doc_id").isin(7, 9, 11)).collect()
+        }
+        assert got == {7: 7, 9: 7, 11: 7}
+
+
 class TestMixSources:
     def _docs(self, spark):
         rows = [(i, f"s{i % 4}") for i in range(400)] + [(1000 + i, "other") for i in range(50)]
