@@ -2003,6 +2003,40 @@ def q_leakage_splits(spark, sf_dir):
     ).select("doc_id", "split_group", "split")
 
 
+def _pagerank_directed_fixture_edges(spark, sf_dir):
+    """q_pagerank_directed's edge derivation (shared with the
+    boundary-margin pin test): custkey -> 1_000_000 + order bucket,
+    DIRECTED — every bucket node is strictly dangling (the offset keeps
+    bucket ids out of the custkey range), so each distributed round's
+    dangling-mass broadcast aggregate carries real mass."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.lit(1_000_000) + F.col("o_orderkey") % 800).cast("long").alias("dst"),
+    )
+
+
+def q_pagerank_directed(spark, sf_dir):
+    """DIRECTED distributed PageRank with real dangling mass
+    (graph.py:pagerank, driver_threshold=0): closes the oracle-coverage
+    gap the round-10 review found — in-window q_pagerank is undirected
+    (dangling skipped as provably zero) and host_rank's dangling run
+    takes the driver route, so the distributed loop's per-round
+    dangling-mass broadcast aggregate was verified only by the 1e-12
+    route-equality unit test. Here all 800 bucket nodes dangle by
+    construction and the oracle unrolls the same rounds WITH the
+    dang{i}/n term. Margin pin: closest rank 4.9e-14 from a 9th-decimal
+    half boundary at sf0.01 (vs <=1e-18 cross-order delta), asserted by
+    the shared boundary-margin test."""
+    from sat_bucket_spark.operators.graph import pagerank
+
+    pr = pagerank(
+        _pagerank_directed_fixture_edges(spark, sf_dir),
+        damping=0.85, iterations=6, directed=True, driver_threshold=0,
+    )
+    return pr.select("node", F.round("rank", 9).alias("pr")).orderBy("node")
+
+
 def _pagerank_fixture_edges(spark, sf_dir):
     """q_pagerank's edge derivation, shared with the boundary-margin pin
     test (tests/test_graph.py) so the knife-edge check measures the SAME
@@ -2054,9 +2088,13 @@ def q_pagerank(spark, sf_dir):
     cushion, pinned by tests/test_graph.py's boundary-margin test so a
     fixture or testdata change cannot silently land on the knife edge.
     driver_threshold=0 forces the DISTRIBUTED iterative loop so the
-    driver window verifies the scale path (round caching, broadcast N,
-    per-round release) — host_rank's in-window run covers the driver
-    route and the dangling-mass term."""
+    driver window verifies the scale path (round caching, per-round
+    release; N folds to a literal off the observed metric). This fixture
+    is undirected, so it provably has NO dangling node and the loop skips
+    that branch — the distributed dangling-mass aggregate is
+    oracle-verified by the parity entry pagerank_directed and pinned to
+    the driver route by the route-equality test; host_rank's in-window
+    run covers the driver route."""
     from sat_bucket_spark.operators.graph import pagerank
 
     pr = pagerank(
@@ -3969,6 +4007,58 @@ r{i} AS MATERIALIZED (
 
 _ORACLES["host_rank"] = _host_rank_sql()
 
+
+def _pagerank_directed_sql(damping: float = 0.85, iterations: int = 6) -> str:
+    """Oracle mirror of q_pagerank_directed: the host_rank unrolling
+    pattern (directed rounds WITH the dangling term, every round CTE
+    MATERIALIZED — r{i} is referenced twice) over the orders-derived
+    directed graph whose 800 offset bucket nodes all dangle."""
+    d = repr(damping)
+    parts = [
+        """e0 AS (
+  SELECT CAST(o_custkey AS BIGINT) AS s,
+         CAST(1000000 + (o_orderkey % 800) AS BIGINT) AS t
+  FROM orders
+),
+e AS MATERIALIZED (SELECT DISTINCT s AS u, t AS v FROM e0 WHERE s <> t),
+nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS MATERIALIZED (
+  SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY u
+),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+dang{i - 1} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.pr), 0) AS dang
+  FROM r{i - 1} r LEFT JOIN deg ON r.node = deg.node
+  WHERE deg.deg IS NULL
+),
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         (1 - {d}) / (SELECT n FROM nn)
+         + {d} * (COALESCE(c.contrib, 0)
+                  + (SELECT dang FROM dang{i - 1}) / (SELECT n FROM nn)) AS pr
+  FROM nodes LEFT JOIN (
+    SELECT e.v AS node, SUM(r{i - 1}.pr / deg.deg) AS contrib
+    FROM e
+    JOIN r{i - 1} ON e.u = r{i - 1}.node
+    JOIN deg ON e.u = deg.node
+    GROUP BY e.v
+  ) c ON nodes.node = c.node
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT node, ROUND(pr, 9) AS pr FROM r{iterations} ORDER BY node"
+    )
+
+
+_ORACLES["pagerank_directed"] = _pagerank_directed_sql()
+
 # url_normalize: replay the messy-URL derivation and the FULL
 # canonicalization algorithm (not just its result on these fixtures).
 # DuckDB regexp_replace is first-match-only, so every step Spark applies
@@ -5357,7 +5447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-10 reorder (VERDICT r9 task #2 + advisor): pagerank — with
     driver_threshold=0 forcing the DISTRIBUTED iterative loop (round
-    caching, broadcast N + dangling mass, per-round release) — moves
+    caching, per-round release, literal-folded N) — moves
     INTO the window so the scale path itself is oracle-verified; until
     now both in-window graph keys fell under the 200k driver threshold
     and the distributed rounds were covered only indirectly by the
@@ -5367,7 +5457,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (keep_first_by_signature) stays driver-verified through image_dedup,
     and the SimHash family through image_near_dup's shared banded pair
     engine. simhash_dedup remains green in the all-registry parity
-    suite. The full promotion/demotion ledger lives in COVERAGE.md.
+    suite. The in-window fixture is undirected (no dangling node by
+    construction); the distributed loop's DIRECTED dangling-mass branch
+    is oracle-verified by the parity entry pagerank_directed (forced
+    distributed, 800 strictly-dangling nodes). The full
+    promotion/demotion ledger lives in COVERAGE.md.
     """
     return {
         # ---- driver-verified window (first 50) ----
@@ -5510,6 +5604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "image_profile": q_image_profile,
         "leakage_splits": q_leakage_splits,
+        "pagerank_directed": q_pagerank_directed,
     }
 
 

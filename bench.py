@@ -252,6 +252,11 @@ def main() -> None:
     import tempfile as _tempfile
 
     canary_dir = _tempfile.mkdtemp(prefix="bench_canary_")
+    # a failed bench run (integrity-gate AssertionError, query error) exits
+    # before the explicit rmtree below — don't leak the canary's parquet
+    import atexit as _atexit
+
+    _atexit.register(_shutil.rmtree, canary_dir, ignore_errors=True)
     canary_pre = _canary_median(spark, canary_dir)
 
     timings: dict[str, float] = {}

@@ -35,14 +35,15 @@ def load_bench(path: str) -> dict:
         raw = fh.read()
     doc = json.loads(raw)
     if "queries" not in doc and "tail" in doc:
-        # driver wrapper: the bench line is truncated into a "tail" string;
-        # recover the queries dict (and canary, if the line carried one)
+        # driver wrapper: the bench line is truncated into a "tail" string.
+        # All regexes must run on the DECODED tail — in the raw file the
+        # tail's quotes are JSON-escaped (\"host_factor\") and never match.
+        body = doc["tail"]
         m = re.search(r'"queries"\s*:\s*(\{.*?\})(?=,\s*"(?:sf|recall|canary)")',
-                      raw, re.S)
+                      body, re.S)
         queries = json.loads(m.group(1)) if m else {}
         if not queries:
             # tail may START mid-dict; reconstruct from key-value pairs
-            body = doc["tail"]
             queries = {
                 k: float(v)
                 for k, v in re.findall(r'"([a-z0-9_]+)"\s*:\s*([0-9.]+)', body)
@@ -50,7 +51,7 @@ def load_bench(path: str) -> dict:
                              "value", "n", "rc", "cpus")
             }
         hf = None
-        hm = re.search(r'"host_factor"\s*:\s*([0-9.]+)', raw)
+        hm = re.search(r'"host_factor"\s*:\s*([0-9.]+)', body)
         if hm:
             hf = float(hm.group(1))
         # the wrapper's "tail" string truncates the HEAD of the bench line,

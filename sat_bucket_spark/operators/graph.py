@@ -44,6 +44,31 @@ def _eager_cache(df: DataFrame) -> DataFrame:
     return round_cache(df)
 
 
+def _fingerprint_exprs(cols):
+    """The ONE definition of the loop fingerprint: row count + an
+    order-independent xor-fold hash (overflow-free under ANSI mode).
+    Shared by the observed-metrics fast path and the exact-aggregate
+    fallback so the two can never diverge."""
+    return (
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*cols)).alias("h"),
+    )
+
+
+def _exact_fingerprint(df: DataFrame, cols=("u", "v")) -> tuple:
+    """Fingerprint via a dedicated aggregate action — exactly-once by
+    construction (aggregates recompute on task retry, unlike observation
+    accumulators). The slow path: used only to double-check a suspected
+    non-convergence before raising (see connected_components)."""
+    row = df.agg(*_fingerprint_exprs(cols)).collect()[0]
+    return (row["n"], row["h"])
+
+
+def _observed(df: DataFrame, cols):
+    obs = Observation()
+    return df.observe(obs, *_fingerprint_exprs(cols)), obs
+
+
 def _cached_with_fingerprint(df: DataFrame, cols=("u", "v")):
     """Eager-cache ``df`` and return ``(cached, (count, hash))`` where the
     fingerprint rides the materialization job itself as Spark observed
@@ -52,14 +77,17 @@ def _cached_with_fingerprint(df: DataFrame, cols=("u", "v")):
     uses the order-independent xor-fold hash as its convergence state, so
     each round costs exactly ONE job. All three stage-cache shapes
     (localCheckpoint / persist / reliable checkpoint) materialize through
-    Dataset actions, which fire observations."""
-    obs = Observation()
-    observed = df.observe(
-        obs,
-        F.count(F.lit(1)).alias("n"),
-        # xor-fold: order-independent and overflow-free (ANSI mode)
-        F.bit_xor(F.xxhash64(*cols)).alias("h"),
-    )
+    Dataset actions, which fire observations.
+
+    Retry caveat: observation accumulators can double-apply when a stage
+    is retried after executor loss, so a fingerprint may over-count on a
+    faulty cluster. Routing consequences are benign (over-count can only
+    push a small graph onto the distributed path, never a huge graph onto
+    the driver); convergence consequences are fail-safe (a corrupted
+    fingerprint compares UNEQUAL, forcing extra rounds, and
+    connected_components re-verifies with :func:`_exact_fingerprint`
+    before declaring non-convergence)."""
+    observed, obs = _observed(df, cols)
     cached = _eager_cache(observed)
     metrics = obs.get
     return cached, (metrics["n"], metrics["h"])
@@ -82,16 +110,12 @@ def _persisted_with_fingerprint(df: DataFrame, cols=("u", "v")):
       stage-cache mode, and the release is the cache-manager unpersist.
 
     The (count, hash) fingerprint rides the eager count job as observed
-    metrics, same as :func:`_cached_with_fingerprint`.
+    metrics, same as :func:`_cached_with_fingerprint` (whose retry caveat
+    applies equally).
     """
     from pyspark import StorageLevel
 
-    obs = Observation()
-    observed = df.observe(
-        obs,
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64(*cols)).alias("h"),
-    )
+    observed, obs = _observed(df, cols)
     cached = observed.persist(StorageLevel.MEMORY_AND_DISK)
     cached.count()
     metrics = obs.get
@@ -233,9 +257,17 @@ def connected_components(
             break
         prev = cur
     else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds"
-        )
+        # Observation accumulators can over-count under task retries (see
+        # _cached_with_fingerprint), which would read as perpetual
+        # non-convergence on a converged graph. Before raising, verify
+        # with exactly-once aggregates: one more large+small round, both
+        # sides fingerprinted by dedicated agg actions. If they match the
+        # graph IS a star forest (the observed fingerprints were the
+        # corruption) and the loop proceeds with the final frame.
+        if _exact_fingerprint(_small_star(_large_star(e))) != _exact_fingerprint(e):
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} rounds"
+            )
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = (
         e.select(F.col("v").alias("node"))

@@ -328,6 +328,17 @@ class TestRegistryRankRoundingMargin:
         ):
             assert m > self.MARGIN, f"rank within {m} of a rounding boundary"
 
+    def test_pagerank_directed_fixture_clears_boundaries(self, spark):
+        """pagerank_directed (distributed dangling-branch oracle): measured
+        margins 5.5e-12 @ sf0.001 / 4.9e-14 @ sf0.01."""
+        import __spark_entry__ as E
+
+        for m in self._margins(
+            spark, E._pagerank_directed_fixture_edges, damping=0.85,
+            iterations=6, directed=True,
+        ):
+            assert m > self.MARGIN, f"rank within {m} of a rounding boundary"
+
     def test_host_rank_fixture_clears_boundaries(self, spark):
         import __spark_entry__ as E
 

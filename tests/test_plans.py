@@ -297,12 +297,19 @@ def test_registry_wide_no_row_python(spark):
     a test. Uses sf0.001 so eager-at-construction keys (graph routes,
     dedup routing probes, LM training) stay cheap."""
     offenders = []
-    for name, fn in E.queries().items():
-        try:
-            plan = _plan(fn(spark, SF_DIR))
-        except Exception as exc:  # construction failure is its own signal
-            offenders.append((name, f"construction failed: {exc}"))
-            continue
-        if "BatchEvalPython" in plan:
-            offenders.append((name, "BatchEvalPython in plan"))
+    try:
+        for name, fn in E.queries().items():
+            try:
+                plan = _plan(fn(spark, SF_DIR))
+            except Exception as exc:  # construction failure is its own signal
+                offenders.append((name, f"construction failed: {exc}"))
+                continue
+            if "BatchEvalPython" in plan:
+                offenders.append((name, "BatchEvalPython in plan"))
+    finally:
+        # eager keys (graph routes, dedup routing probes) pin stage-cache
+        # blocks at construction; don't carry them into the shared session
+        spark.catalog.clearCache()
+        for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+            rdd.unpersist()
     assert not offenders, offenders
