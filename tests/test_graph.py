@@ -83,6 +83,31 @@ class TestConnectedComponents:
         }
         assert got == expected
 
+    def test_exhausted_loop_verifies_convergence_before_raising(self, spark):
+        """The 1-2-3 path converges to a star in ONE round, but the loop
+        needs a SECOND round just to observe fingerprint equality; with
+        max_iterations=1 the pre-r10 code raised on an actually-converged
+        graph. The exactly-once aggregate fallback (also the guard against
+        observation accumulators double-applying under task retries) must
+        verify and return the correct components instead."""
+        df = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+        out = {
+            (r["node"], r["component"])
+            for r in connected_components(
+                df, driver_threshold=0, max_iterations=1
+            ).collect()
+        }
+        assert out == {(1, 1), (2, 1), (3, 1)}
+
+    def test_genuinely_unconverged_still_raises(self, spark):
+        """The fallback must not mask REAL non-convergence: a 9-node chain
+        is not a star forest after one round."""
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 9)], ["src", "dst"]
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, driver_threshold=0, max_iterations=1)
+
 
 class TestNearDuplicateClusters:
     def test_clusters_and_keep_flag(self, spark):
