@@ -30,7 +30,9 @@ Caveats, by design (record them with the readings in BASELINE.md):
   (same library calls); the fixture build is outside the timed window.
 - Graph keys: ``pagerank`` runs 10x the edge volume over a bounded node
   set (custkeys + 800 order buckets), so it measures per-round shuffle
-  growth; ``host_rank``'s host set is fixed by the derivation moduli, so
+  growth; ``pagerank_directed`` does the same for the DIRECTED loop with
+  real per-round dangling-mass broadcasts (800 strictly-dangling
+  nodes); ``host_rank``'s host set is fixed by the derivation moduli, so
   it measures the explode+DISTINCT edge extraction at 10x pages; the
   replicated documents make every text a 10-copy cluster, which pushes
   ``dup_clusters``' pair volume past the 200k driver union-find
@@ -69,6 +71,7 @@ DEFAULT_KEYS = [
     "warc_html_curate",
     "media_curate",
     "pagerank",
+    "pagerank_directed",
     "host_rank",
     "dup_clusters",
     "ann_index_search",
@@ -675,7 +678,7 @@ def main() -> int:
         scaled = os.path.join(work, "scaled")
         replicate_table(spark, base, scaled, "documents", "doc_id", args.replicas)
         replicate_table(spark, base, scaled, "events", None, args.replicas)
-        if "pagerank" in keys:
+        if "pagerank" in keys or "pagerank_directed" in keys:
             replicate_table(spark, base, scaled, "orders", "o_orderkey", args.replicas)
         if "ann_index_search" in keys or "ann_index_build" in keys:
             replicate_table(
