@@ -46,10 +46,14 @@ __all__ = [
     "dedup_exact_against_bloom",
     "duplicate_spans",
     "exact_duplicate_groups",
+    "append_to_minhash_index",
+    "build_minhash_index",
+    "load_minhash_index",
     "lsh_candidate_pairs",
     "lsh_params_for_threshold",
     "measured_duplicate_fraction",
     "minhash_dedup_against",
+    "minhash_dedup_against_index",
     "minhash_lsh_dedup_pairs",
     "minhash_signatures",
     "near_dup_pairs_by_signature",
@@ -733,6 +737,166 @@ def minhash_dedup_against(
     set_c = _ensure_parallelism(corpus).select(
         F.col(id_col).alias("__cid"), shingles_expr(text_col, k=shingle_size).alias("__set_c")
     )
+    inter = F.size(F.array_intersect(F.col("__set_b"), F.col("__set_c")))
+    union = F.size(F.col("__set_b")) + F.size(F.col("__set_c")) - inter
+    contaminated = (
+        cands.join(set_b, "__bid")
+        .join(set_c, "__cid")
+        .where(F.round(inter / union.cast("double"), 6) >= F.lit(min_jaccard))
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    return batch.join(contaminated, id_col, "left_anti")
+
+
+def _hashed_shingles_expr(text_col, k: int):
+    """Distinct shingles as 60-bit md5-prefix longs (the dup_spans_hashed
+    idiom, WITHOUT the 31-bit modulus — at corpus-scale shingle counts a
+    31-bit space would inflate Jaccard intersections with real collision
+    mass; 60 bits keeps them measure-zero)."""
+    return F.transform(
+        shingles_expr(text_col, k=k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_size: int = 8,
+    seed: int = 42,
+) -> None:
+    """Persist the standing corpus's dedup state ONCE — the nightly-ingest
+    posture :func:`minhash_dedup_against` can't reach: that operator
+    re-signatures (and re-shingles) the WHOLE corpus on every batch, which
+    at 100 TB is the dominant cost repeated nightly. The index stores
+
+    - ``bands/``: one row per (doc, band) with the banded MinHash
+      signature, parquet partitioned by ``band_idx`` — what candidate
+      generation equi-joins against;
+    - ``shingles/``: each doc's distinct shingle set as 60-bit hashes —
+      what the exact-Jaccard verify gathers CANDIDATE rows from (the scan
+      is filtered by a broadcast of batch-bounded candidate ids, so the
+      nightly probe never rescans corpus text at all);
+    - ``meta/``: the signature parameters, so appends and probes can never
+      drift from the build (mixed-seed bands would be unsearchable — the
+      same frozen-codebook reasoning as ``append_to_ivfpq_index``).
+
+    Verify semantics vs :func:`minhash_dedup_against`: Jaccard over hashed
+    shingles — equality modulo 60-bit collisions (equivalence pinned by
+    test on real data). Incremental growth via
+    :func:`append_to_minhash_index`; probe via
+    :func:`minhash_dedup_against_index`.
+    """
+    import os
+
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(id_col, text_col, n_hashes, n_bands, shingle_size, seed)],
+        "id_col string, text_col string, n_hashes int, n_bands int, "
+        "shingle_size int, seed int",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+    _write_minhash_index_rows(corpus, index_dir, {
+        "id_col": id_col, "text_col": text_col, "n_hashes": n_hashes,
+        "n_bands": n_bands, "shingle_size": shingle_size, "seed": seed,
+    }, mode="overwrite")
+
+
+def _write_minhash_index_rows(docs, index_dir, p, mode: str) -> None:
+    import os
+
+    sigs = minhash_signatures(
+        docs, id_col=p["id_col"], text_col=p["text_col"],
+        n_hashes=p["n_hashes"], shingle_size=p["shingle_size"], seed=p["seed"],
+    )
+    bands = _band_rows(sigs, p["id_col"], p["n_bands"], p["n_hashes"]).select(
+        F.col(p["id_col"]), "band_idx", "band_sig"
+    )
+    bands.write.mode(mode).partitionBy("band_idx").parquet(
+        os.path.join(index_dir, "bands")
+    )
+    sets = _ensure_parallelism(docs).select(
+        F.col(p["id_col"]),
+        _hashed_shingles_expr(p["text_col"], p["shingle_size"]).alias("shingle_set"),
+    )
+    sets.write.mode(mode).parquet(os.path.join(index_dir, "shingles"))
+
+
+def load_minhash_index(spark, index_dir: str):
+    """(params dict, bands DataFrame, shingle-set DataFrame) for an index
+    written by :func:`build_minhash_index`."""
+    import os
+
+    row = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    params = {
+        k: row[k]
+        for k in ("id_col", "text_col", "n_hashes", "n_bands", "shingle_size", "seed")
+    }
+    return (
+        params,
+        spark.read.parquet(os.path.join(index_dir, "bands")),
+        spark.read.parquet(os.path.join(index_dir, "shingles")),
+    )
+
+
+def append_to_minhash_index(docs: DataFrame, index_dir: str) -> None:
+    """Add new (already-accepted) docs to the standing index with the
+    BUILD's frozen signature parameters — the step after a probe keeps a
+    batch's survivors. Appends fragment the band partitions the same way
+    ANN appends fragment cluster partitions; there is no compaction need
+    yet at band-row sizes (a band row is 3 small columns), but
+    :func:`sat_bucket_spark.maintenance.compact_bucket` on ``bands/`` with
+    ``partition_cols=['band_idx']`` applies if one arises."""
+    params, _bands, _sets = load_minhash_index(docs.sparkSession, index_dir)
+    _write_minhash_index_rows(docs, index_dir, params, mode="append")
+
+
+def minhash_dedup_against_index(
+    batch: DataFrame,
+    index_dir: str,
+    min_jaccard: float = 0.1,
+) -> DataFrame:
+    """Drop batch docs near-duplicating ANY indexed doc — without touching
+    the corpus: candidates from a band equi-join against the persisted
+    band rows, exact Jaccard verify against the persisted 60-bit shingle
+    sets (the verify-side scan is filtered by the batch-bounded candidate
+    ids, broadcast). Shuffle shape: batch-sized band rows + candidates;
+    nothing corpus-sized moves. Signature parameters come from the
+    index's meta, so a probe can never drift from the build."""
+    spark = batch.sparkSession
+    p, bands_c, sets_c = load_minhash_index(spark, index_dir)
+    id_col = p["id_col"]
+    bands_b = _band_rows(
+        minhash_signatures(
+            batch, id_col=id_col, text_col=p["text_col"], n_hashes=p["n_hashes"],
+            shingle_size=p["shingle_size"], seed=p["seed"],
+        ),
+        id_col, p["n_bands"], p["n_hashes"],
+    ).select(F.col(id_col).alias("__bid"), "band_idx", "band_sig")
+    cands = (
+        bands_b.join(
+            bands_c.select(
+                F.col(id_col).alias("__cid"), "band_idx", "band_sig"
+            ),
+            ["band_idx", "band_sig"],
+        )
+        .select("__bid", "__cid")
+        .distinct()
+    )
+    set_b = _ensure_parallelism(batch).select(
+        F.col(id_col).alias("__bid"),
+        _hashed_shingles_expr(p["text_col"], p["shingle_size"]).alias("__set_b"),
+    )
+    # batch-bounded candidate ids broadcast into the corpus-set scan: only
+    # candidate rows survive the map side, nothing corpus-sized shuffles
+    cand_ids = F.broadcast(cands.select("__cid").distinct())
+    set_c = sets_c.select(
+        F.col(id_col).alias("__cid"), F.col("shingle_set").alias("__set_c")
+    ).join(cand_ids, "__cid", "left_semi")
     inter = F.size(F.array_intersect(F.col("__set_b"), F.col("__set_c")))
     union = F.size(F.col("__set_b")) + F.size(F.col("__set_c")) - inter
     contaminated = (

@@ -1035,6 +1035,109 @@ class TestLshDedupAgainst:
         assert kept == {0, 7777}
 
 
+class TestMinhashIndex:
+    """Persisted LSH dedup index: build once, probe nightly batches, append
+    survivors — without re-signaturing (or even touching) corpus text."""
+
+    def _corpus_and_batch(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        corpus = docs.where(F.col("doc_id") % 3 != 0)
+        # batch: near-dups of corpus docs (suffix edit) + genuinely new texts
+        batch = docs.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100_000).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 6 == 0, F.concat(F.col("text"), F.lit(" tail"))
+            )
+            .otherwise(F.concat(F.lit("fresh "), F.col("doc_id"), F.lit(" unseen")))
+            .alias("text"),
+        )
+        return corpus, batch
+
+    def test_probe_equals_direct_operator(self, spark, tmp_path):
+        """Survivors from the index probe must equal minhash_dedup_against
+        on the same (batch, corpus) — same seeded signatures, Jaccard over
+        60-bit hashed shingles vs exact strings (collisions measure-zero
+        on real data)."""
+        from sat_bucket_spark.operators.dedup import (
+            build_minhash_index,
+            minhash_dedup_against,
+            minhash_dedup_against_index,
+        )
+
+        corpus, batch = self._corpus_and_batch(spark)
+        # the near-dup batch half must actually be near-dups under these
+        # params for the test to be non-vacuous
+        want = {
+            r["doc_id"]
+            for r in minhash_dedup_against(
+                batch, corpus, n_hashes=8, n_bands=4, shingle_size=8,
+                min_jaccard=0.5,
+            ).collect()
+        }
+        n_batch = batch.count()
+        assert 0 < len(want) < n_batch  # some dropped, some survive
+
+        idx = str(tmp_path / "mh_index")
+        build_minhash_index(
+            corpus, idx, n_hashes=8, n_bands=4, shingle_size=8
+        )
+        got = {
+            r["doc_id"]
+            for r in minhash_dedup_against_index(
+                batch, idx, min_jaccard=0.5
+            ).collect()
+        }
+        assert got == want
+
+    def test_append_makes_new_docs_visible(self, spark, tmp_path):
+        """After appending a batch's survivors, an exact re-submission of
+        one of them must be dropped by the next probe (the nightly loop:
+        probe -> keep survivors -> append them)."""
+        from sat_bucket_spark.operators.dedup import (
+            append_to_minhash_index,
+            build_minhash_index,
+            minhash_dedup_against_index,
+        )
+
+        corpus, batch = self._corpus_and_batch(spark)
+        idx = str(tmp_path / "mh_index_app")
+        build_minhash_index(corpus, idx, n_hashes=8, n_bands=4, shingle_size=8)
+        survivors = minhash_dedup_against_index(batch, idx, min_jaccard=0.5)
+        n_surv = survivors.count()
+        assert n_surv > 0
+        append_to_minhash_index(survivors, idx)
+        resubmit = survivors.select(
+            (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+        )
+        again = minhash_dedup_against_index(resubmit, idx, min_jaccard=0.5)
+        assert again.count() == 0  # every resubmitted text now indexed
+
+    def test_probe_plan_never_reads_corpus_text(self, spark, tmp_path):
+        """The point of the index: the probe touches ONLY the batch file
+        and the index's band/shingle tables — the corpus parquet appears
+        nowhere in the probe plan (the nightly 100 TB rescan this kills)."""
+        from sat_bucket_spark.operators.dedup import (
+            build_minhash_index,
+            minhash_dedup_against_index,
+        )
+
+        corpus, batch = self._corpus_and_batch(spark)
+        idx = str(tmp_path / "mh_index_plan")
+        build_minhash_index(corpus, idx, n_hashes=8, n_bands=4, shingle_size=8)
+        # stage the batch to its own file so scan provenance is unambiguous
+        batch_path = str(tmp_path / "nightly_batch")
+        batch.write.parquet(batch_path)
+        out = minhash_dedup_against_index(
+            spark.read.parquet(batch_path), idx, min_jaccard=0.5
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "documents.parquet" not in plan  # corpus never scanned
+        # the index's two tables ARE read (plan paths truncate, so assert
+        # via their read schemas), and the probe produces survivors
+        assert "band_sig" in plan and "shingle_set" in plan
+        assert out.count() > 0
+
+
 class TestBloomRoutedDedup:
     def _data(self, spark):
         corpus = spark.createDataFrame(
