@@ -383,6 +383,50 @@ def main() -> None:
         _shutil0.rmtree(awork, ignore_errors=True)
     _release_state(spark)
 
+    # Persisted MinHash dedup index (added r10): the text analog of the
+    # ANN index rows — build the standing corpus's band rows + 60-bit
+    # shingle sets once, then probe a nightly batch WITHOUT touching
+    # corpus text. Integrity gates: the probe drops some but not all of
+    # the batch (half are planted near-dups), and its plan never scans
+    # the corpus parquet.
+    from sat_bucket_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_dedup_against_index,
+    )
+
+    mwork0 = _tempfile0.mkdtemp(prefix="bench_mhidx_")
+    try:
+        corpus = docs.where(F.col("doc_id") % 3 != 0)
+        batch_path = os.path.join(mwork0, "batch")
+        docs.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 6 == 0, F.concat(F.col("text"), F.lit(" tail"))
+            )
+            .otherwise(F.concat(F.lit("fresh "), F.col("doc_id"), F.lit(" unseen")))
+            .alias("text"),
+        ).write.parquet(batch_path)
+        midx = os.path.join(mwork0, "index")
+        t0 = time.perf_counter()
+        build_minhash_index(corpus, midx, n_hashes=8, n_bands=4, shingle_size=8)
+        timings["minhash_index_build"] = round(time.perf_counter() - t0, 3)
+        batch = spark.read.parquet(batch_path)
+        t0 = time.perf_counter()
+        surv = minhash_dedup_against_index(batch, midx, min_jaccard=0.5)
+        n_surv = surv.count()
+        timings["minhash_index_probe"] = round(time.perf_counter() - t0, 3)
+        n_batch = batch.count()
+        if not 0 < n_surv < n_batch:
+            raise AssertionError(
+                f"index probe vacuous: {n_surv}/{n_batch} survivors"
+            )
+        plan = surv._jdf.queryExecution().executedPlan().toString()
+        if "documents.parquet" in plan:
+            raise AssertionError("index probe scanned the corpus parquet")
+    finally:
+        _shutil0.rmtree(mwork0, ignore_errors=True)
+    _release_state(spark)
+
     # WET end-to-end curation stage: the flagship LLM-pipeline story as ONE
     # measured number — WET ingest -> parquet staging -> (gopher quality +
     # URL gate + substring-span dedup) funnel -> JSONL shard export. NOT
