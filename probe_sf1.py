@@ -75,6 +75,7 @@ DEFAULT_KEYS = [
     "host_rank",
     "dup_clusters",
     "ann_index_search",
+    "minhash_index_probe",
     "bucket_write",
     "bucket_merge",
     "bucket_stream_ingest",
@@ -562,6 +563,45 @@ def ann_index_stages(spark, sf_dir, workdir, replicas):
     return build_sec, search_sec, round(recall_build, 4), round(recall_append, 4)
 
 
+def minhash_index_stages(spark, sf_dir, workdir):
+    """Persisted MinHash dedup index at the replicated corpus (r10): build
+    the standing index once over a corpus where EVERY text is an R-copy
+    cluster (the band-collision worst case), then probe a nightly batch
+    (half planted near-dups, half fresh). Gates: the probe drops exactly
+    the near-dup half's texts (non-vacuous both ways) and its plan never
+    scans the corpus parquet."""
+    from sat_bucket_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_dedup_against_index,
+    )
+
+    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    batch_path = os.path.join(workdir, "batch")
+    corpus.where(F.col("doc_id") % 101 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(" tail")))
+        .otherwise(F.concat(F.lit("fresh "), F.col("doc_id"))).alias("text"),
+    ).write.parquet(batch_path)
+    batch = spark.read.parquet(batch_path)
+    n_batch = batch.count()
+
+    idx = os.path.join(workdir, "index")
+    t0 = time.perf_counter()
+    build_minhash_index(corpus, idx, n_hashes=8, n_bands=4, shingle_size=8)
+    build_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    surv = minhash_dedup_against_index(batch, idx, min_jaccard=0.5)
+    n_surv = surv.count()
+    probe_sec = round(time.perf_counter() - t0, 3)
+
+    if not 0 < n_surv < n_batch:
+        raise AssertionError(f"index probe vacuous: {n_surv}/{n_batch}")
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    if "documents.parquet" in plan:
+        raise AssertionError("index probe scanned the corpus parquet")
+    return build_sec, probe_sec
+
+
 def stream_ingest_stage(spark, sf_dir, workdir, replicas):
     """Streaming ingest -> compaction at 10x (VERDICT r9 task #3): the
     last composed stage without a growth reading. Mirrors bench.py's
@@ -715,6 +755,12 @@ def main() -> int:
                             f"{label} recall@10 degraded at {args.replicas}x: "
                             f"{rec:.4f} < {ANN_RECALL_FLOOR}"
                         )
+            elif name == "minhash_index_probe":
+                b, pr = minhash_index_stages(
+                    spark, scaled, os.path.join(work, "mhidx")
+                )
+                timings["minhash_index_build"] = b
+                timings["minhash_index_probe"] = pr
             elif name in ("bucket_write", "bucket_merge"):
                 if "bucket_write" in timings or "bucket_merge" in timings:
                     continue
