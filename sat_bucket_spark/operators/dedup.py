@@ -791,19 +791,38 @@ def build_minhash_index(
     test on real data). Incremental growth via
     :func:`append_to_minhash_index`; probe via
     :func:`minhash_dedup_against_index`.
+
+    Commit protocol: ``meta/`` presence is the index validity marker. A
+    rebuild over an existing index first INVALIDATES it (delete meta),
+    then writes ``bands/`` and ``shingles/``, and commits ``meta/`` LAST —
+    so a failure mid-rebuild leaves no meta and probes/appends fail loudly
+    at :func:`load_minhash_index` instead of silently mixing signature
+    parameters across index generations.
     """
     import os
 
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(id_col, text_col, n_hashes, n_bands, shingle_size, seed)],
-        "id_col string, text_col string, n_hashes int, n_bands int, "
-        "shingle_size int, seed int",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+    meta_path = os.path.join(index_dir, "meta")
+    _fs_delete(spark, meta_path)
     _write_minhash_index_rows(corpus, index_dir, {
         "id_col": id_col, "text_col": text_col, "n_hashes": n_hashes,
         "n_bands": n_bands, "shingle_size": shingle_size, "seed": seed,
     }, mode="overwrite")
+    spark.createDataFrame(
+        [(id_col, text_col, n_hashes, n_bands, shingle_size, seed)],
+        "id_col string, text_col string, n_hashes int, n_bands int, "
+        "shingle_size int, seed int",
+    ).write.mode("overwrite").parquet(meta_path)
+
+
+def _fs_delete(spark, path: str) -> None:
+    """Recursive delete through the Hadoop filesystem API — works on the
+    local FS, HDFS, and object stores alike; a missing path is a no-op."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def _write_minhash_index_rows(docs, index_dir, p, mode: str) -> None:
@@ -859,14 +878,35 @@ def minhash_dedup_against_index(
     batch: DataFrame,
     index_dir: str,
     min_jaccard: float = 0.1,
+    broadcast_candidates_max: int = 1_000_000,
 ) -> DataFrame:
     """Drop batch docs near-duplicating ANY indexed doc — without touching
     the corpus: candidates from a band equi-join against the persisted
     band rows, exact Jaccard verify against the persisted 60-bit shingle
     sets (the verify-side scan is filtered by the batch-bounded candidate
-    ids, broadcast). Shuffle shape: batch-sized band rows + candidates;
-    nothing corpus-sized moves. Signature parameters come from the
-    index's meta, so a probe can never drift from the build."""
+    ids). Shuffle shape: batch-sized band rows + candidates; nothing
+    corpus-sized moves. Signature parameters come from the index's meta,
+    so a probe can never drift from the build.
+
+    The candidate-id filter is BROADCAST into the shingle-set scan only
+    while the candidate-pair count (measured, not assumed — it rides the
+    candidate materialization as an observed metric) stays at or below
+    ``broadcast_candidates_max``; a backfill-sized batch hitting hot bands
+    (boilerplate-heavy corpora can match one band_sig to millions of
+    corpus docs) falls back to a shuffled left-semi join instead of
+    building an unbounded id set on the driver. Both postures are the
+    same logical plan minus the hint — output-identical, pinned by test.
+    The default bound (1M pairs) keeps the broadcast tens of MBs even
+    with long string ids, far under Spark's 8 GB broadcast ceiling.
+
+    Eager at call time: the candidate set materializes when called (it is
+    consumed by both the verify join and the id filter, and its count
+    gates the broadcast posture), so Spark jobs fire during construction —
+    same caveat as ``graph.pagerank``."""
+    from pyspark.sql import Observation
+
+    from sat_bucket_spark.caching import stage_cache
+
     spark = batch.sparkSession
     p, bands_c, sets_c = load_minhash_index(spark, index_dir)
     id_col = p["id_col"]
@@ -887,13 +927,26 @@ def minhash_dedup_against_index(
         .select("__bid", "__cid")
         .distinct()
     )
+    # cands feeds TWO consumers (the verify join and the candidate-id
+    # filter) and its count gates the broadcast posture, so materialize it
+    # once under the stage-cache policy with the count riding the
+    # materialization job as an observed metric — no second band join, no
+    # separate aggregate action.
+    obs = Observation()
+    cands = stage_cache(
+        cands.observe(obs, F.count(F.lit(1)).alias("n")), eager=True
+    )
+    n_cands = obs.get["n"]
     set_b = _ensure_parallelism(batch).select(
         F.col(id_col).alias("__bid"),
         _hashed_shingles_expr(p["text_col"], p["shingle_size"]).alias("__set_b"),
     )
-    # batch-bounded candidate ids broadcast into the corpus-set scan: only
-    # candidate rows survive the map side, nothing corpus-sized shuffles
-    cand_ids = F.broadcast(cands.select("__cid").distinct())
+    # candidate ids filter the corpus-set scan: only candidate rows survive
+    # the map side, nothing corpus-sized shuffles. Broadcast only when the
+    # measured candidate count is nightly-sized (see docstring).
+    cand_ids = cands.select("__cid").distinct()
+    if n_cands <= broadcast_candidates_max:
+        cand_ids = F.broadcast(cand_ids)
     set_c = sets_c.select(
         F.col(id_col).alias("__cid"), F.col("shingle_set").alias("__set_c")
     ).join(cand_ids, "__cid", "left_semi")

@@ -475,8 +475,38 @@ def pagerank(
         )
     else:
         base, (n_nodes, _) = _cached_with_fingerprint(base, cols=("node",))
+    # N is FOLDED into the rank formula (teleport term, 1/N init, dangling
+    # mass split), so an observation over-count under stage retries would
+    # make every rank silently wrong (mass no longer sums to 1) — unlike
+    # the routing/convergence uses, where corruption is fail-safe. Verify
+    # with an exact aggregate action against the just-cached base: the
+    # count scans cached blocks (no recompute), costs one cheap job ONCE
+    # before the loop, and aggregates recompute exactly on task retry.
+    # Mirrors connected_components' _exact_fingerprint re-verification.
+    n_exact = base.count()
+    if n_exact != n_nodes:
+        n_nodes = n_exact
     if n_nodes == 0:
-        return base.select("node", F.lit(0.0).alias("rank"))
+        # empty edge set (reachable with driver_threshold=0): free the
+        # eager-cached invariants before returning — they are not inputs
+        # of the empty local result, so waiting on driver GC just leaks
+        # their checkpoint blocks/files (same reasoning as the loop-exit
+        # releases below).
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        node_type = base.schema["node"].dataType
+        empty = edges.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("node", node_type, False),
+                    StructField("rank", DoubleType(), False),
+                ]
+            ),
+        )
+        release_stage_cache(e, destructive=True)
+        release_stage_cache(base, destructive=True)
+        return empty
     teleport_term = (1.0 - damping) / n_nodes
 
     # Undirected graphs cannot have dangling nodes — symmetrization gives

@@ -268,6 +268,51 @@ class TestPagerank:
             assert abs(got[k] - dist[k]) < 1e-12
         assert got["hub.example"] == max(got.values())
 
+    def test_empty_edges_distributed_route(self, spark):
+        """Self-loop-only input with driver_threshold=0 hits the
+        distributed path's n_nodes == 0 early return: an empty (node,
+        rank) frame with the right types, and the eager-cached invariants
+        released (no error, no leaked-block dependency in the result)."""
+        from pyspark.sql.types import DoubleType, LongType
+
+        from sat_bucket_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([(1, 1), (2, 2)], ["src", "dst"])
+        out = pagerank(df, driver_threshold=0)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["node", "rank"]
+        assert isinstance(out.schema["node"].dataType, LongType)
+        assert isinstance(out.schema["rank"].dataType, DoubleType)
+
+    def test_corrupted_node_observation_still_exact(self, spark):
+        """N is folded into the rank formula, so it must survive the
+        observed-metric retry caveat (accumulators can over-count under
+        stage retries): corrupt the base frame's observed count and the
+        ranks must still match the clean run exactly — the exact-aggregate
+        cross-check (graph.py) catches the drift."""
+        from sat_bucket_spark.operators import graph
+
+        edges = [(1, 2), (2, 3), (3, 1), (1, 4)]
+        clean = self._run(spark, edges, iterations=4, driver_threshold=0)
+
+        real = graph._cached_with_fingerprint
+
+        def corrupt(df, cols=("u", "v")):
+            cached, (n, h) = real(df, cols)
+            if tuple(cols) == ("node",):  # the base frame — N's source
+                n += 7
+            return cached, (n, h)
+
+        graph._cached_with_fingerprint = corrupt
+        try:
+            got = self._run(spark, edges, iterations=4, driver_threshold=0)
+        finally:
+            graph._cached_with_fingerprint = real
+        assert got.keys() == clean.keys()
+        for k in clean:
+            assert abs(got[k] - clean[k]) < 1e-15
+        assert abs(sum(got.values()) - 1.0) < 1e-12
+
     def test_validation(self, spark):
         from sat_bucket_spark.operators.graph import pagerank
 

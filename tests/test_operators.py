@@ -1132,10 +1132,70 @@ class TestMinhashIndex:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "documents.parquet" not in plan  # corpus never scanned
-        # the index's two tables ARE read (plan paths truncate, so assert
-        # via their read schemas), and the probe produces survivors
-        assert "band_sig" in plan and "shingle_set" in plan
+        # the shingle table IS read lazily in the verify join (plan paths
+        # truncate, so assert via its read schema); the band equi-join ran
+        # at call time (the candidate set is eagerly stage-cached so its
+        # count can gate the broadcast posture) and so feeds the plan as a
+        # materialized scan, not a parquet read
+        assert "shingle_set" in plan
         assert out.count() > 0
+
+    def test_probe_broadcast_guard(self, spark, tmp_path):
+        """Above ``broadcast_candidates_max`` the candidate-id filter must
+        NOT be hinted broadcast (a backfill batch could exceed the 8 GB
+        broadcast ceiling) — and both postures are output-identical."""
+        from sat_bucket_spark.operators.dedup import (
+            build_minhash_index,
+            minhash_dedup_against_index,
+        )
+
+        corpus, batch = self._corpus_and_batch(spark)
+        idx = str(tmp_path / "mh_index_guard")
+        build_minhash_index(corpus, idx, n_hashes=8, n_bands=4, shingle_size=8)
+        hinted = minhash_dedup_against_index(batch, idx, min_jaccard=0.5)
+        guarded = minhash_dedup_against_index(
+            batch, idx, min_jaccard=0.5, broadcast_candidates_max=0
+        )
+        # the guarded plan carries no user broadcast hint (AQE may still
+        # choose broadcast from runtime stats — that is the safe, bounded
+        # path; the hazard is the unconditional hint)
+        analyzed = guarded._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed
+        hinted_analyzed = hinted._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" in hinted_analyzed  # non-vacuous
+        got_h = {r["doc_id"] for r in hinted.collect()}
+        got_g = {r["doc_id"] for r in guarded.collect()}
+        assert got_h == got_g and 0 < len(got_h) < batch.count()
+
+    def test_rebuild_failure_leaves_no_valid_meta(self, spark, tmp_path):
+        """Commit protocol: meta/ is written LAST, and a rebuild over an
+        existing index invalidates the old meta FIRST — a crash mid-rebuild
+        must leave load_minhash_index failing loudly, never a stale meta
+        pointing at mixed-generation band/shingle data."""
+        from sat_bucket_spark.operators import dedup
+
+        corpus, _ = self._corpus_and_batch(spark)
+        idx = str(tmp_path / "mh_index_crash")
+        dedup.build_minhash_index(corpus, idx, n_hashes=8, n_bands=4)
+
+        real_write = dedup._write_minhash_index_rows
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated mid-rebuild failure")
+
+        dedup._write_minhash_index_rows = boom
+        try:
+            with pytest.raises(RuntimeError, match="mid-rebuild"):
+                dedup.build_minhash_index(corpus, idx, n_hashes=4, n_bands=2)
+        finally:
+            dedup._write_minhash_index_rows = real_write
+        # the old meta was invalidated before any data write: loads fail
+        with pytest.raises(Exception):
+            dedup.load_minhash_index(spark, idx)
+        # and a clean rebuild restores a loadable, probe-able index
+        dedup.build_minhash_index(corpus, idx, n_hashes=8, n_bands=4)
+        p, _, _ = dedup.load_minhash_index(spark, idx)
+        assert p["n_hashes"] == 8
 
 
 class TestBloomRoutedDedup:
