@@ -1,31 +1,54 @@
 #!/usr/bin/env python
-"""Host-adjusted cross-round bench comparison (companion to the canary).
+"""Host-aware cross-round bench comparison (companion to the canary).
 
-Usage: python bench_compare.py BENCH_rA.json BENCH_rB.json [--flag 1.4]
+Two modes:
 
-Loads two bench artifacts (either the driver's wrapper format, whose
-per-query JSON lives in a "tail" string, or bench.py's raw one-line
-output), divides each side's timings by its recorded canary
-``host_factor`` when present (r10+; older artifacts carry no canary and
-pass through raw, flagged as such), and prints:
+``python bench_compare.py BENCH_rA.json BENCH_rB.json [--flag 1.4]``
+    Two-artifact compare. Prints shared-key totals and per-key ratios
+    beyond ``--flag`` (default 1.4x, BASELINE.md's review threshold),
+    worst-first, plus keys present on only one side.
 
-- shared-key totals, raw and host-adjusted, with the overall ratio;
-- per-key ratios beyond ``--flag`` (default 1.4x), the review threshold
-  BASELINE.md's noise protocol uses, sorted worst-first;
-- keys present on only one side (added/removed between rounds).
+    The canary host factor is applied under an explicit REGIME rule
+    (the r10 calibration lesson, BASELINE.md "canary caveat", now
+    executable): factor noise is ~±15% (medians-of-3 of ±25% reps), so
+    blind adjustment can OVERCORRECT a same-day comparison into a
+    phantom uniform drift. The factor is only trusted when both of:
 
-This is the comparison the r9 round burned four full bench runs doing by
-hand (and finally settled with a worktree re-bench of the prior commit);
-with per-run canaries it is one command. Single-shot per-key ratios are
-still noisy (~3x envelope on this host) — treat flagged keys as a list
-to re-measure with interleaved warm medians, not as verdicts.
+    - the raw shared-key totals diverge >= 1.2x (there is a large shift
+      to explain), and
+    - the per-key raw ratios are UNIFORM (>= 70% of shared keys within
+      1.25x of the median per-key ratio — the co-tenant signature: the
+      whole run moves together; code changes move specific keys).
+
+    Otherwise the comparison stays on RAW timings. The regime in use and
+    why is printed with every run. Either way, flagged keys are a list to
+    re-measure with interleaved warm medians, not verdicts.
+
+``python bench_compare.py --bands [TARGET.json] [--flag 2.0] [--dir DIR]``
+    Historical per-key band check — the ratchet detector the one-round-back
+    protocol lacks (r10 lesson: five document-path keys drifted ~1.3-1.6x
+    PER ROUND for two rounds; each step passed the 1.4x review threshold
+    while compounding to 2-3.3x their r8 band). Loads every
+    ``BENCH_r*.json`` in ``--dir`` (default: the target's directory),
+    takes the newest as the target unless one is named, and flags every
+    key whose raw timing exceeds ``--flag`` x (default 2.0) its MEDIAN
+    across all other recorded rounds; the min and full history are printed
+    for flagged keys. Raw values on purpose: bands span many sessions, so
+    per-run canary factors would add +-15% noise per round to the band
+    itself; a >=2x-over-median breach is outside host noise either way.
+
+Exit status: 0 clean, 2 when --bands flags at least one breach (so a
+closing-run script can gate on it).
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
+import os
 import re
+import statistics
 import sys
 
 
@@ -72,32 +95,75 @@ def load_bench(path: str) -> dict:
     }
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("old")
-    ap.add_argument("new")
-    ap.add_argument("--flag", type=float, default=1.4)
-    args = ap.parse_args()
+def pick_regime(a: dict, b: dict, shared: list[str]) -> tuple[str, str]:
+    """Decide RAW vs ADJUSTED per the module docstring. Returns
+    (regime, reason). ADJUSTED requires canaries on BOTH sides, a >=1.2x
+    raw-total divergence, and a uniform per-key shift."""
+    if a["host_factor"] is None or b["host_factor"] is None:
+        return "raw", "at least one side has no canary (pre-r10 artifact)"
+    tot_a = sum(a["queries"][k] for k in shared)
+    tot_b = sum(b["queries"][k] for k in shared)
+    if tot_a <= 0 or tot_b <= 0:
+        return "raw", "degenerate totals"
+    total_ratio = tot_b / tot_a
+    div = max(total_ratio, 1.0 / total_ratio)
+    if div < 1.2:
+        return "raw", (
+            f"raw totals diverge only {div:.2f}x (< 1.2x) — factor noise "
+            "(~±15%) would overcorrect; same-day comparisons stay raw"
+        )
+    ratios = [
+        b["queries"][k] / a["queries"][k]
+        for k in shared
+        if a["queries"][k] > 0
+    ]
+    if len(ratios) < 5:
+        return "raw", "too few shared keys to judge shift uniformity"
+    med = statistics.median(ratios)
+    frac = sum(1 for r in ratios if med / 1.25 <= r <= med * 1.25) / len(ratios)
+    if frac >= 0.70:
+        return "adjusted", (
+            f"raw totals diverge {div:.2f}x (>= 1.2x) and the shift is "
+            f"uniform ({frac:.0%} of keys within 1.25x of the {med:.2f}x "
+            "median per-key ratio — the host-shift signature)"
+        )
+    return "raw", (
+        f"raw totals diverge {div:.2f}x but the shift is NOT uniform "
+        f"(only {frac:.0%} of keys within 1.25x of the median per-key "
+        "ratio) — key-specific movement, adjust nothing; re-measure the "
+        "flagged keys with interleaved warm medians"
+    )
 
+
+def compare_two(args) -> int:
     a, b = load_bench(args.old), load_bench(args.new)
-    for side in (a, b):
-        side["adj"] = side["host_factor"] or 1.0
-        if side["host_factor"] is None:
-            print(f"note: {side['label']} has no canary (pre-r10) — raw timings")
-
     shared = sorted(set(a["queries"]) & set(b["queries"]))
     only_a = sorted(set(a["queries"]) - set(b["queries"]))
     only_b = sorted(set(b["queries"]) - set(a["queries"]))
+    if not shared:
+        print("no shared keys")
+        return 0
+
+    regime, reason = pick_regime(a, b, shared)
+    for side in (a, b):
+        side["adj"] = (side["host_factor"] or 1.0) if regime == "adjusted" else 1.0
+    print(f"regime: {regime.upper()} — {reason}")
 
     tot_a = sum(a["queries"][k] for k in shared)
     tot_b = sum(b["queries"][k] for k in shared)
-    adj_a, adj_b = tot_a / a["adj"], tot_b / b["adj"]
     print(f"shared keys: {len(shared)}")
     print(f"raw totals:  {tot_a:.1f} -> {tot_b:.1f}  (ratio {tot_b / tot_a:.3f})")
-    print(
-        f"adjusted:    {adj_a:.1f} -> {adj_b:.1f}  (ratio {adj_b / adj_a:.3f}; "
-        f"factors {a['adj']:.3f} / {b['adj']:.3f})"
-    )
+    if regime == "adjusted":
+        adj_a, adj_b = tot_a / a["adj"], tot_b / b["adj"]
+        print(
+            f"adjusted:    {adj_a:.1f} -> {adj_b:.1f}  (ratio {adj_b / adj_a:.3f}; "
+            f"factors {a['adj']:.3f} / {b['adj']:.3f})"
+        )
+    elif a["host_factor"] is not None and b["host_factor"] is not None:
+        print(
+            f"(canary factors recorded {a['host_factor']:.3f} / "
+            f"{b['host_factor']:.3f} — not applied under this regime)"
+        )
 
     flagged = []
     for k in shared:
@@ -106,7 +172,7 @@ def main() -> int:
         if ra > 0 and (rb / ra >= args.flag or ra / rb >= args.flag):
             flagged.append((rb / ra, k, ra, rb))
     if flagged:
-        print(f"\nper-key host-adjusted ratios beyond {args.flag}x "
+        print(f"\nper-key {regime} ratios beyond {args.flag}x "
               "(re-measure with warm medians before concluding):")
         for ratio, k, ra, rb in sorted(flagged, key=lambda t: -t[0]):
             print(f"  {ratio:5.2f}x  {k}: {ra:.2f} -> {rb:.2f}")
@@ -123,6 +189,98 @@ def main() -> int:
     if only_b:
         print(f"added keys{trunc_note}: {', '.join(only_b)}")
     return 0
+
+
+def _round_num(path: str) -> int:
+    m = re.search(r"BENCH_r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
+def compare_bands(args) -> int:
+    target_path = args.old  # optional positional in --bands mode
+    search_dir = args.dir or (
+        os.path.dirname(os.path.abspath(target_path)) if target_path else "."
+    )
+    recorded = sorted(
+        glob.glob(os.path.join(search_dir, "BENCH_r*.json")), key=_round_num
+    )
+    if target_path is None:
+        if not recorded:
+            print(f"no BENCH_r*.json under {search_dir}")
+            return 1
+        target_path = recorded[-1]
+    history_paths = [
+        p for p in recorded
+        if os.path.abspath(p) != os.path.abspath(target_path)
+    ]
+    if len(history_paths) < 2:
+        print("need >= 2 historical artifacts to form a band")
+        return 1
+
+    target = load_bench(target_path)
+    history: dict[str, list[tuple[int, float]]] = {}
+    for p in history_paths:
+        rnd = _round_num(p)
+        for k, v in load_bench(p)["queries"].items():
+            history.setdefault(k, []).append((rnd, v))
+
+    print(
+        f"target: {os.path.basename(target_path)}  |  band from "
+        f"{len(history_paths)} artifacts "
+        f"(r{_round_num(history_paths[0])}-r{_round_num(history_paths[-1])})"
+        f"  |  breach threshold {args.flag}x median"
+    )
+    breaches = []
+    fresh = []
+    for k, v in sorted(target["queries"].items()):
+        hist = history.get(k)
+        if not hist or len(hist) < 2:
+            fresh.append(k)
+            continue
+        vals = [x for _, x in hist]
+        med, mn = statistics.median(vals), min(vals)
+        if med > 0 and v >= args.flag * med:
+            breaches.append((v / med, k, v, med, mn, hist))
+    if breaches:
+        print(f"\nBAND BREACHES ({len(breaches)}) — keys above "
+              f"{args.flag}x their all-rounds median:")
+        for ratio, k, v, med, mn, hist in sorted(breaches, key=lambda t: -t[0]):
+            series = " ".join(f"r{r}:{x:g}" for r, x in hist)
+            print(f"  {ratio:5.2f}x med  {k}: {v:g}s  "
+                  f"(median {med:g}, min {mn:g}; {series})")
+        print("\nbreached keys compound across rounds even when every "
+              "one-round-back check read 'in band' — attribute each with "
+              "an interleaved A/B before the closing run.")
+    else:
+        print("\nno band breaches: every key within "
+              f"{args.flag}x of its all-rounds median")
+    if fresh:
+        print(f"\nkeys too new for a band (<2 recorded rounds): "
+              f"{', '.join(fresh)}")
+    return 2 if breaches else 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old", nargs="?", default=None)
+    ap.add_argument("new", nargs="?", default=None)
+    ap.add_argument("--flag", type=float, default=None)
+    ap.add_argument("--bands", action="store_true",
+                    help="historical per-key band check (see module doc)")
+    ap.add_argument("--dir", default=None,
+                    help="--bands: directory holding BENCH_r*.json "
+                         "(default: target's directory)")
+    args = ap.parse_args()
+
+    if args.bands:
+        if args.flag is None:
+            args.flag = 2.0
+        return compare_bands(args)
+    if args.old is None or args.new is None:
+        ap.error("two artifacts required (or use --bands)")
+    if args.flag is None:
+        args.flag = 1.4
+    return compare_two(args)
 
 
 if __name__ == "__main__":
