@@ -5457,10 +5457,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (keep_first_by_signature) stays driver-verified through image_dedup,
     and the SimHash family through image_near_dup's shared banded pair
     engine. simhash_dedup remains green in the all-registry parity
-    suite. The in-window fixture is undirected (no dangling node by
-    construction); the distributed loop's DIRECTED dangling-mass branch
-    is oracle-verified by the parity entry pagerank_directed (forced
-    distributed, 800 strictly-dangling nodes). The full
+    suite. Both distributed-loop branches are in-window as of r11: the
+    undirected fixture (pagerank, dangling aggregate provably skipped)
+    and the DIRECTED dangling-mass branch (pagerank_directed, forced
+    distributed, 800 strictly-dangling nodes — promoted r11, displacing
+    points_in_polygons, whose family stays driver-held through
+    points_in_polygons_big's union of both routes). The full
     promotion/demotion ledger lives in COVERAGE.md.
     """
     return {
@@ -5476,7 +5478,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "asof_join": q_asof_join,
         "salted_join": q_salted_join,
-        "points_in_polygons": q_points_in_polygons,
         "points_in_polygons_big": q_points_in_polygons_big,
         "image_meta": q_image_meta,
         "sessionize_scalable": q_sessionize_scalable,
@@ -5496,6 +5497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "edit_dedup": q_edit_dedup,
         "pagerank": q_pagerank,
+        "pagerank_directed": q_pagerank_directed,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "host_rank": q_host_rank,
         "knn_join": q_knn_join,
@@ -5604,7 +5606,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "image_profile": q_image_profile,
         "leakage_splits": q_leakage_splits,
-        "pagerank_directed": q_pagerank_directed,
+        # r11 demotion: points_in_polygons' family stays driver-held via
+        # points_in_polygons_big (which unions BOTH the unrolled and
+        # edge-aggregate routes in one entry); displaced by
+        # pagerank_directed so the distributed DANGLING branch (the one
+        # per-round broadcast aggregate) gets a driver-checked row
+        "points_in_polygons": q_points_in_polygons,
     }
 
 

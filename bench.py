@@ -545,6 +545,51 @@ def main() -> None:
         _shutil.rmtree(wwork, ignore_errors=True)
     _release_state(spark)
 
+    # Dedup -> leakage-safe-split contract as ONE stage (r11): the near-dup
+    # pairs the curation funnel produces anyway feed leakage_safe_splits,
+    # so duplicate clusters can never straddle train/eval — the eval-set
+    # contamination dedup exists to prevent, closed at split time. Timed:
+    # pair engine + connected components + split assignment + materialize.
+    # Gates (outside the window): pairs exist (straddle check non-vacuous),
+    # ZERO pairs straddle split labels, every split non-empty with train
+    # the majority.
+    from sat_bucket_spark.operators.dedup import minhash_lsh_dedup_pairs
+    from sat_bucket_spark.operators.sampling import leakage_safe_splits
+
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_dedup_pairs(
+        docs, n_hashes=16, n_bands=4, shingle_size=8, min_jaccard=0.1
+    ).select("id_a", "id_b")
+    split_df = leakage_safe_splits(
+        docs, pairs, weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split_group", "split")
+    _materialize(split_df)
+    timings["curate_and_split"] = round(time.perf_counter() - t0, 3)
+    lab = split_df.select("doc_id", "split")
+    straddle = (
+        pairs.join(lab.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("split", "split_a")
+        .join(lab.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .where(F.col("split_a") != F.col("split"))
+        .count()
+    )
+    n_pairs = pairs.count()
+    if n_pairs < 1:
+        raise AssertionError("curate_and_split vacuous: no near-dup pairs")
+    if straddle != 0:
+        raise AssertionError(
+            f"{straddle}/{n_pairs} near-dup pairs straddle split labels"
+        )
+    split_counts = {
+        r["split"]: r["n"]
+        for r in split_df.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    if set(split_counts) != {"train", "val", "test"} or (
+        split_counts["train"] <= max(split_counts["val"], split_counts["test"])
+    ):
+        raise AssertionError(f"degenerate split assignment: {split_counts}")
+    _release_state(spark)
+
     # Raw-archive HTML curation stage: the crawls-without-a-WET-sidecar
     # counterpart of wet_curate — response records with HTML bodies (1 in
     # 13 pages windows-1252 with an HTTP-header charset and curly-quote

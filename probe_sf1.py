@@ -79,6 +79,7 @@ DEFAULT_KEYS = [
     "bucket_write",
     "bucket_merge",
     "bucket_stream_ingest",
+    "stream_sessionize",
 ]
 
 # Recall@10 floor for the persisted-ANN rows, after build AND after
@@ -599,7 +600,225 @@ def minhash_index_stages(spark, sf_dir, workdir):
     plan = surv._jdf.queryExecution().executedPlan().toString()
     if "documents.parquet" in plan:
         raise AssertionError("index probe scanned the corpus parquet")
-    return build_sec, probe_sec
+
+    # maintenance gate (r11): two nightly appends fragment bands/ and
+    # shingles/; compaction must fold the files back WITHOUT changing any
+    # probe result — the same contract as the IVFPQ append+compact
+    # search-equality gate above. The gate probe mixes re-keyed known
+    # texts (all dropped: corpus + appended survivors) with novel docs
+    # (all survive), so equality is non-vacuous in both directions.
+    import glob
+
+    from sat_bucket_spark.operators.dedup import (
+        append_to_minhash_index,
+        compact_minhash_index,
+    )
+
+    def band_frag() -> int:
+        root = os.path.join(idx, "bands")
+        return max(
+            len(glob.glob(os.path.join(root, d, "*.parquet")))
+            for d in os.listdir(root)
+            if d.startswith("band_idx=")
+        )
+
+    append_to_minhash_index(surv, idx)
+    append_to_minhash_index(
+        surv.select((F.col("doc_id") + 20_000_000).alias("doc_id"), "text"),
+        idx,
+    )
+    novel = spark.range(200).select(
+        (F.col("id") + 40_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("novel probe content block "), F.col("id"),
+            F.lit(" with enough running words to shingle"),
+        ).alias("text"),
+    )
+    gate_probe = batch.select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"), "text"
+    ).unionByName(novel)
+    before = sorted(
+        r["doc_id"]
+        for r in minhash_dedup_against_index(
+            gate_probe, idx, min_jaccard=0.5
+        ).collect()
+    )
+    if not before:
+        raise AssertionError("maintenance-gate probe vacuous (no survivors)")
+    frag_before = band_frag()
+    t0 = time.perf_counter()
+    stats = compact_minhash_index(spark, idx)
+    compact_sec = round(time.perf_counter() - t0, 3)
+    frag_after = band_frag()
+    if stats["band_partitions"] < 1:
+        raise AssertionError("appends left no fragmented band to compact")
+    if not frag_after < frag_before:
+        raise AssertionError(
+            f"band fragmentation did not drop: {frag_before} -> {frag_after}"
+        )
+    sh_before, sh_after = stats["shingle_files"]
+    if not sh_after < sh_before:
+        raise AssertionError(
+            f"shingle fragmentation did not drop: {sh_before} -> {sh_after}"
+        )
+    after = sorted(
+        r["doc_id"]
+        for r in minhash_dedup_against_index(
+            gate_probe, idx, min_jaccard=0.5
+        ).collect()
+    )
+    if after != before:
+        raise AssertionError("compaction changed probe results")
+    return build_sec, probe_sec, compact_sec, frag_before, frag_after
+
+
+def stream_sessionize_stage(spark, sf_dir, workdir, replicas):
+    """Streaming stateful sessionization at 10x (VERDICT r10 "What's
+    missing" #3): the last stateful component with only fixture-scale
+    tests. Source: the scaled events table keyed by user, written as
+    ``4 * replicas`` TIME-ORDERED files (range-sliced on event time,
+    mtimes staggered) so with ``maxFilesPerTrigger=1`` the BATCH COUNT
+    scales with replicas — the scale-faithful stream model, same
+    convention as :func:`stream_ingest_stage`; ordered slices keep a
+    0-second watermark exact (nothing late), so correctness gates stay
+    sharp. Runs cold + warm, reports the WARM reading plus per-batch cost
+    and PEAK STATE ROWS (from stateOperators progress) — the
+    fixed-vs-linear split: per-batch cost flat/falling with batch count =
+    linear; growing = state-store overhead rising with batches.
+
+    Gates (outside the timed window): emitted sessions are a SUBSET of
+    the batch lag-window sessionization of the same rows (same gap rule:
+    > gap splits), and a SUPERSET of the sessions the watermark provably
+    closed (end + gap strictly before the global max event time) — the
+    emit-on-close contract from both directions, plus non-vacuity.
+    Reference semantics: W1 gap sessionization,
+    /root/reference/satbucket/analysis.py:258-288."""
+    from pyspark.sql import Window
+
+    from sat_bucket_spark.streaming.sessions import streaming_sessionize_stateful
+
+    gap_s = 600.0
+    n_files = 4 * replicas
+    ev = entry_mod._events(spark, sf_dir).select(
+        "user_id", F.col("ts").alias("time")
+    )
+
+    # time-ordered slices: exact range bucketing on the event time (min/max
+    # from one aggregate), one file per slice via a slice-keyed repartition
+    src = os.path.join(workdir, "sess_src")
+    staged = os.path.join(workdir, "sess_sliced")
+    lo, hi = ev.agg(
+        F.min(F.col("time").cast("double")), F.max(F.col("time").cast("double"))
+    ).collect()[0]
+    span = max(hi - lo, 1e-9)
+    sliced = ev.withColumn(
+        "slice",
+        F.least(
+            F.lit(n_files - 1),
+            F.floor((F.col("time").cast("double") - F.lit(lo)) / F.lit(span)
+                    * F.lit(n_files)).cast("int"),
+        ),
+    )
+    sliced.repartition(n_files, "slice").write.partitionBy("slice").parquet(staged)
+    os.makedirs(src)
+    moved = 0
+    for d in sorted(os.listdir(staged)):
+        if not d.startswith("slice="):
+            continue
+        i = int(d.split("=")[1])
+        parts = sorted(
+            f for f in os.listdir(os.path.join(staged, d))
+            if f.endswith(".parquet")
+        )
+        for j, f in enumerate(parts):
+            dst = os.path.join(src, f"{i:04d}_{j}.parquet")
+            os.rename(os.path.join(staged, d, f), dst)
+            os.utime(dst, (1e9 + i * 100, 1e9 + i * 100))
+            moved += 1
+    schema = spark.read.parquet(src).schema
+    n_src = spark.read.parquet(src).count()
+
+    sec = n_batches = peak_state = None
+    emitted_name = None
+    for attempt in ("cold", "warm"):
+        name = f"sess_probe_{attempt}"
+        t0 = time.perf_counter()
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_sessionize_stateful(
+            stream, ["user_id"], time="time", gap=gap_s, watermark="0 seconds"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sec = round(time.perf_counter() - t0, 3)
+        progress = q.recentProgress
+        n_batches = sum(1 for p in progress if p["numInputRows"] > 0) or len(progress)
+        peak_state = max(
+            (p["stateOperators"][0]["numRowsTotal"]
+             for p in progress if p.get("stateOperators")),
+            default=0,
+        )
+        emitted_name = name
+        _release(spark)
+
+    emitted = spark.sql(f"SELECT * FROM {emitted_name}")
+    n_emitted = emitted.count()
+    if not 0 < n_emitted:
+        raise AssertionError("stream sessionize emitted nothing")
+    # batch oracle: lag-window gap sessionization over the SAME rows
+    rows = spark.read.parquet(src)
+    if rows.count() != n_src:
+        raise AssertionError("slice staging lost rows")
+    w = Window.partitionBy("user_id").orderBy("time")
+    t_us = F.col("time").cast("double")
+    batch_sessions = (
+        rows.withColumn(
+            "sid",
+            F.sum(
+                F.when(t_us - F.lag(t_us).over(w) > F.lit(gap_s), 1).otherwise(0)
+            ).over(w),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("time").alias("session_start"),
+            F.max("time").alias("session_end"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .drop("sid")
+    )
+    cols = ["user_id", "session_start", "session_end", "n_rows"]
+    phantom = emitted.select(cols).join(
+        batch_sessions.select(cols), cols, "left_anti"
+    ).count()
+    if phantom:
+        raise AssertionError(
+            f"{phantom}/{n_emitted} emitted sessions not in the batch oracle"
+        )
+    global_max = rows.agg(F.max(t_us)).collect()[0][0]
+    must_close = batch_sessions.where(
+        F.col("session_end").cast("double") + F.lit(gap_s) < F.lit(global_max)
+    )
+    n_must = must_close.count()
+    missing = must_close.select(cols).join(
+        emitted.select(cols), cols, "left_anti"
+    ).count()
+    if missing:
+        raise AssertionError(
+            f"{missing}/{n_must} watermark-closed sessions never emitted"
+        )
+    if not 0 < n_must <= n_emitted:
+        raise AssertionError(f"closure gate vacuous: must={n_must}")
+    per_batch = round(sec / max(n_batches, 1), 3)
+    return sec, n_batches, per_batch, peak_state
 
 
 def stream_ingest_stage(spark, sf_dir, workdir, replicas):
@@ -756,11 +975,16 @@ def main() -> int:
                             f"{rec:.4f} < {ANN_RECALL_FLOOR}"
                         )
             elif name == "minhash_index_probe":
-                b, pr = minhash_index_stages(
+                b, pr, cmp_sec, frag_b, frag_a = minhash_index_stages(
                     spark, scaled, os.path.join(work, "mhidx")
                 )
                 timings["minhash_index_build"] = b
                 timings["minhash_index_probe"] = pr
+                timings["minhash_index_compact"] = cmp_sec
+                # fragmentation receipt rides the recall dict (gate values,
+                # not timings): max files per band partition before/after
+                recalls["minhash_frag_before"] = frag_b
+                recalls["minhash_frag_after"] = frag_a
             elif name in ("bucket_write", "bucket_merge"):
                 if "bucket_write" in timings or "bucket_merge" in timings:
                     continue
@@ -770,6 +994,16 @@ def main() -> int:
                 timings[name] = stream_ingest_stage(
                     spark, scaled, os.path.join(work, "stream"), args.replicas
                 )
+            elif name == "stream_sessionize":
+                s_sec, s_nb, s_pb, s_state = stream_sessionize_stage(
+                    spark, scaled, os.path.join(work, "sess"), args.replicas
+                )
+                timings["stream_sessionize"] = s_sec
+                # growth receipts ride the recall dict (gate values, not
+                # timings): batch count, per-batch cost, peak state rows
+                recalls["sessionize_batches"] = s_nb
+                recalls["sessionize_per_batch_sec"] = s_pb
+                recalls["sessionize_peak_state_rows"] = s_state
             else:
                 timings[name] = timed_entry(spark, name, scaled)
             _release(spark)

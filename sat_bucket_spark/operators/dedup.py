@@ -865,13 +865,96 @@ def load_minhash_index(spark, index_dir: str):
 def append_to_minhash_index(docs: DataFrame, index_dir: str) -> None:
     """Add new (already-accepted) docs to the standing index with the
     BUILD's frozen signature parameters — the step after a probe keeps a
-    batch's survivors. Appends fragment the band partitions the same way
-    ANN appends fragment cluster partitions; there is no compaction need
-    yet at band-row sizes (a band row is 3 small columns), but
-    :func:`sat_bucket_spark.maintenance.compact_bucket` on ``bands/`` with
-    ``partition_cols=['band_idx']`` applies if one arises."""
+    batch's survivors. Every append writes at least one new file into
+    each band partition it touches (and one more shingle file), so after
+    a year of nightly appends a probe pays ~365 file opens per band
+    partition; run :func:`compact_minhash_index` on a maintenance cadence
+    to fold them back — probe results are pinned identical across an
+    append + compact cycle."""
     params, _bands, _sets = load_minhash_index(docs.sparkSession, index_dir)
     _write_minhash_index_rows(docs, index_dir, params, mode="append")
+
+
+def compact_minhash_index(
+    spark,
+    index_dir: str,
+    target_file_size: str | int = "64MB",
+    min_files: int = 2,
+) -> dict:
+    """Defragment a MinHash index after nightly appends — the maintenance
+    half of the incremental-dedup story, mirroring
+    :func:`sat_bucket_spark.operators.similarity.compact_ivfpq_index`.
+
+    - ``bands/`` is hive-partitioned by ``band_idx``, so it delegates to
+      :func:`sat_bucket_spark.maintenance.compact_bucket`: fragmentation
+      is measured from parquet file metadata only, and ONLY partitions
+      with >= ``min_files`` files averaging under ``target_file_size``
+      are rewritten via dynamic partition overwrite (untouched partitions'
+      files are never opened; a failed job leaves them intact).
+    - ``shingles/`` is unpartitioned, so selective overwrite can't apply:
+      when fragmented by the same criterion it is rewritten whole into a
+      temp sibling directory sized to the target, then swapped in through
+      the Hadoop FS API. The temp-dir staging avoids the self-overwrite
+      hazard (a lazy read plan consuming files the write is deleting);
+      the swap's crash window leaves a missing/partial ``shingles/`` that
+      probes fail loudly on — never silently mixed generations (meta/ is
+      untouched throughout, and index CONTENT is unchanged, so validity
+      semantics are preserved).
+
+    Returns ``{"band_partitions": rewritten, "shingle_files": (before,
+    after)}``. Probe equality across build -> appends -> compact is pinned
+    by test and by the sf1 probe's maintenance gate.
+    """
+    import math
+    import os
+
+    from sat_bucket_spark.maintenance import compact_bucket
+    from sat_bucket_spark.writers import parse_size
+
+    n_bands = compact_bucket(
+        spark,
+        os.path.join(index_dir, "bands"),
+        target_file_size=target_file_size,
+        min_files=min_files,
+        partition_cols=["band_idx"],
+    )
+
+    target = parse_size(target_file_size)
+    shingle_dir = os.path.join(index_dir, "shingles")
+    n_before, total_bytes = _fs_parquet_stats(spark, shingle_dir)
+    n_after = n_before
+    if n_before >= min_files and total_bytes / n_before < target:
+        df = spark.read.parquet(shingle_dir)
+        tmp = shingle_dir + ".compact"
+        n_out = max(1, math.ceil(total_bytes / target))
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        _fs_delete(spark, shingle_dir)
+        _fs_rename(spark, tmp, shingle_dir)
+        n_after, _ = _fs_parquet_stats(spark, shingle_dir)
+    return {"band_partitions": n_bands, "shingle_files": (n_before, n_after)}
+
+
+def _fs_parquet_stats(spark, path: str) -> tuple[int, int]:
+    """(file count, total bytes) of the parquet data files directly under
+    ``path`` — Hadoop FS metadata only, no data pages read."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    n = total = 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet"):
+            n += 1
+            total += st.getLen()
+    return n, total
+
+
+def _fs_rename(spark, src: str, dst: str) -> None:
+    jvm = spark._jvm
+    sp = jvm.org.apache.hadoop.fs.Path(src)
+    fs = sp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.rename(sp, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise IOError(f"rename {src} -> {dst} failed")
 
 
 def minhash_dedup_against_index(

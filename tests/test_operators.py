@@ -1167,6 +1167,76 @@ class TestMinhashIndex:
         got_g = {r["doc_id"] for r in guarded.collect()}
         assert got_h == got_g and 0 < len(got_h) < batch.count()
 
+    def test_compact_preserves_probe_and_defragments(self, spark, tmp_path):
+        """build -> 2 nightly appends -> compact: probe results IDENTICAL
+        across the cycle (same contract as compact_ivfpq_index's
+        search-equality gate), and fragmentation actually drops — fewer
+        files per band partition and fewer shingle files."""
+        import glob
+        import os
+
+        from sat_bucket_spark.operators.dedup import (
+            append_to_minhash_index,
+            build_minhash_index,
+            compact_minhash_index,
+            minhash_dedup_against_index,
+        )
+
+        corpus, batch = self._corpus_and_batch(spark)
+        idx = str(tmp_path / "mh_index_cmp")
+        build_minhash_index(corpus, idx, n_hashes=8, n_bands=4, shingle_size=8)
+        surv = minhash_dedup_against_index(batch, idx, min_jaccard=0.5)
+        append_to_minhash_index(surv, idx)
+        append_to_minhash_index(
+            surv.select((F.col("doc_id") + 900_000).alias("doc_id"), "text"),
+            idx,
+        )
+        # probe: re-keyed batch (all dropped: near-dup half by the corpus,
+        # fresh half by the appended survivors) + genuinely novel docs
+        # (all survive) — non-vacuous both ways
+        novel = spark.range(30).select(
+            (F.col("id") + 5_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("totally novel content block "),
+                F.col("id"),
+                F.lit(" with enough words to shingle into grams"),
+            ).alias("text"),
+        )
+        probe = batch.select(
+            (F.col("doc_id") + 700_000).alias("doc_id"), "text"
+        ).unionByName(novel)
+        before = {
+            r["doc_id"]
+            for r in minhash_dedup_against_index(
+                probe, idx, min_jaccard=0.5
+            ).collect()
+        }
+        assert 0 < len(before) < probe.count()
+
+        def band_files():
+            root = os.path.join(idx, "bands")
+            return {
+                d: len(glob.glob(os.path.join(root, d, "*.parquet")))
+                for d in os.listdir(root)
+                if d.startswith("band_idx=")
+            }
+
+        frag = band_files()
+        assert max(frag.values()) >= 3  # two appends fragmented the bands
+        stats = compact_minhash_index(spark, idx)
+        assert stats["band_partitions"] >= 1
+        n_before, n_after = stats["shingle_files"]
+        assert n_after < n_before
+        compacted = band_files()
+        assert max(compacted.values()) < max(frag.values())
+        after = {
+            r["doc_id"]
+            for r in minhash_dedup_against_index(
+                probe, idx, min_jaccard=0.5
+            ).collect()
+        }
+        assert after == before
+
     def test_rebuild_failure_leaves_no_valid_meta(self, spark, tmp_path):
         """Commit protocol: meta/ is written LAST, and a rebuild over an
         existing index invalidates the old meta FIRST — a crash mid-rebuild
