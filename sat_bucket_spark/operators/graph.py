@@ -243,7 +243,18 @@ def connected_components(
                 StructField("component", node_type, False),
             ]
         )
-        return edges.sparkSession.createDataFrame(assignment, schema=schema)
+        # Broadcast-HINT the local result: a createDataFrame frame plans as
+        # LogicalRDD with UNKNOWN stats (8 EiB default), so without the hint
+        # every downstream join against it — the exact consumption pattern
+        # (cluster map joined onto the corpus: near_duplicate_clusters,
+        # leakage_safe_splits) — planned as a SortMergeJoin that SHUFFLES
+        # THE CORPUS. The hint is size-safe by the same bound that chose
+        # this route: the result is <= 2 * driver_threshold rows. The
+        # distributed route below stays unhinted (its output is unbounded;
+        # AQE decides from runtime shuffle stats).
+        return F.broadcast(
+            edges.sparkSession.createDataFrame(assignment, schema=schema)
+        )
 
     for _ in range(max_iterations):
         prev_frame = e
@@ -449,8 +460,16 @@ def pagerank(
                 StructField("rank", DoubleType(), False),
             ]
         )
-        return edges.sparkSession.createDataFrame(
-            _pagerank_local(pairs, damping, iterations), schema=schema
+        # broadcast-hinted for the same reason as connected_components'
+        # driver route: the local relation's unknown stats (LogicalRDD)
+        # would otherwise force a corpus-sized shuffle on every downstream
+        # join (e.g. host-authority rank joined back onto documents by
+        # host); rows are bounded by the driver_threshold that chose this
+        # route.
+        return F.broadcast(
+            edges.sparkSession.createDataFrame(
+                _pagerank_local(pairs, damping, iterations), schema=schema
+            )
         )
 
     nodes = (

@@ -127,8 +127,11 @@ def leakage_safe_splits(
     Scale shape: the cluster map comes from
     :func:`~sat_bucket_spark.operators.graph.connected_components`
     (driver union-find below its edge threshold, alternating star rounds
-    above); mapping it onto the corpus is ONE left join on the id (the
-    cluster side is dedup-output-sized, usually broadcastable); the label
+    above); mapping it onto the corpus is ONE left join on the id — the
+    driver route's result arrives broadcast-HINTED (its LogicalRDD plan
+    has unknown stats, which would otherwise force a corpus-sized
+    SortMergeJoin shuffle; the hint is bounded by the route's edge
+    threshold), the distributed route leaves the choice to AQE; the label
     itself is a map-only expression on the group key. Composes with the
     same ``weights``/``salt`` conventions as :func:`assign_splits`.
     """

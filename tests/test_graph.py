@@ -268,6 +268,41 @@ class TestPagerank:
             assert abs(got[k] - dist[k]) < 1e-12
         assert got["hub.example"] == max(got.values())
 
+    def test_driver_route_output_broadcasts_downstream(self, spark):
+        """Driver-route outputs (CC cluster maps, pagerank rank tables)
+        are LOCAL relations whose plans (LogicalRDD) carry unknown stats
+        (8 EiB default), so without an explicit hint every downstream
+        join against them — cluster map onto corpus, host rank onto
+        documents — planned as a SortMergeJoin that SHUFFLES THE CORPUS.
+        Both routes hint broadcast (size-safe: bounded by the
+        driver_threshold that chose the route); pin the plan with a
+        corpus side too big to be the broadcast side itself."""
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.operators.graph import (
+            connected_components,
+            pagerank,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+        )
+        big = spark.range(10_000_000).select(F.col("id").alias("node"))
+
+        cc = connected_components(pairs, src="id_a", dst="id_b")
+        plan = (
+            big.join(cc, "node", "left")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+        pr = pagerank(pairs.toDF("src", "dst"))
+        plan = (
+            big.join(pr, "node", "left")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
     def test_empty_edges_distributed_route(self, spark):
         """Self-loop-only input with driver_threshold=0 hits the
         distributed path's n_nodes == 0 early return: an empty (node,
