@@ -289,13 +289,22 @@ def test_pagerank_gate_costs_no_extra_job(spark):
 
 
 def test_registry_wide_no_row_python(spark):
-    """Standing sweep over EVERY registry entry: no BatchEvalPython node in
-    any executed plan. Row-at-a-time Python is the one never-acceptable
-    plan shape in this engine (Arrow-batched MapInPandas/ArrowEvalPython
-    are the sanctioned Python paths for codecs/HTML/BPE/Vincenty); until
-    now this was re-verified by ad-hoc grep each round — this pins it as
-    a test. Uses sf0.001 so eager-at-construction keys (graph routes,
-    dedup routing probes, LM training) stay cheap."""
+    """Standing sweep over EVERY registry entry for the two
+    never-acceptable plan shapes:
+
+    - ``BatchEvalPython``: row-at-a-time Python (Arrow-batched
+      MapInPandas/ArrowEvalPython are the sanctioned Python paths for
+      codecs/HTML/BPE/Vincenty);
+    - ``CartesianProduct``: a non-broadcast cross product — every
+      sanctioned crossJoin in the engine is against a broadcast
+      1-row/scalar/tiny frame and therefore plans as
+      BroadcastNestedLoopJoin, so a CartesianProduct node can only mean
+      a data-sized side slipped out of the broadcast path (the O(n*m)
+      shape that cannot survive any scale-up).
+
+    Until r10 both were re-verified by ad-hoc grep each round — this pins
+    them as a test. Uses sf0.001 so eager-at-construction keys (graph
+    routes, dedup routing probes, LM training) stay cheap."""
     offenders = []
     try:
         for name, fn in E.queries().items():
@@ -306,6 +315,8 @@ def test_registry_wide_no_row_python(spark):
                 continue
             if "BatchEvalPython" in plan:
                 offenders.append((name, "BatchEvalPython in plan"))
+            if "CartesianProduct" in plan:
+                offenders.append((name, "CartesianProduct in plan"))
     finally:
         # eager keys (graph routes, dedup routing probes) pin stage-cache
         # blocks at construction; don't carry them into the shared session
