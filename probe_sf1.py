@@ -710,6 +710,7 @@ def stream_sessionize_stage(spark, sf_dir, workdir, replicas):
     lo, hi = ev.agg(
         F.min(F.col("time").cast("double")), F.max(F.col("time").cast("double"))
     ).collect()[0]
+    n_ev = ev.count()
     span = max(hi - lo, 1e-9)
     sliced = ev.withColumn(
         "slice",
@@ -774,10 +775,12 @@ def stream_sessionize_stage(spark, sf_dir, workdir, replicas):
     n_emitted = emitted.count()
     if not 0 < n_emitted:
         raise AssertionError("stream sessionize emitted nothing")
-    # batch oracle: lag-window gap sessionization over the SAME rows
+    # batch oracle: lag-window gap sessionization over the SAME rows.
+    # staging-completeness compares against the ORIGINAL events frame
+    # (src vs src would be vacuous)
     rows = spark.read.parquet(src)
-    if rows.count() != n_src:
-        raise AssertionError("slice staging lost rows")
+    if n_src != n_ev:
+        raise AssertionError(f"slice staging lost rows: {n_src} != {n_ev}")
     w = Window.partitionBy("user_id").orderBy("time")
     t_us = F.col("time").cast("double")
     batch_sessions = (

@@ -1167,6 +1167,33 @@ class TestMinhashIndex:
         got_g = {r["doc_id"] for r in guarded.collect()}
         assert got_h == got_g and 0 < len(got_h) < batch.count()
 
+    def test_probe_stage_cache_modes_identical(self, spark, tmp_path):
+        """The probe's eager candidate materialization (new r11: the
+        count gates the broadcast posture) runs under the stage-cache
+        policy — survivors must be identical across local_checkpoint and
+        persist modes (reliable_checkpoint needs a checkpoint dir; the
+        caching suite covers it)."""
+        from sat_bucket_spark.caching import stage_cache_mode
+        from sat_bucket_spark.operators.dedup import (
+            build_minhash_index,
+            minhash_dedup_against_index,
+        )
+
+        corpus, batch = self._corpus_and_batch(spark)
+        idx = str(tmp_path / "mh_index_modes")
+        build_minhash_index(corpus, idx, n_hashes=8, n_bands=4, shingle_size=8)
+        results = {}
+        for mode in ("local_checkpoint", "persist"):
+            with stage_cache_mode(mode):
+                results[mode] = {
+                    r["doc_id"]
+                    for r in minhash_dedup_against_index(
+                        batch, idx, min_jaccard=0.5
+                    ).collect()
+                }
+        assert results["local_checkpoint"] == results["persist"]
+        assert 0 < len(results["persist"]) < batch.count()
+
     def test_compact_preserves_probe_and_defragments(self, spark, tmp_path):
         """build -> 2 nightly appends -> compact: probe results IDENTICAL
         across the cycle (same contract as compact_ivfpq_index's
