@@ -433,6 +433,65 @@ def main() -> None:
         _shutil0.rmtree(mwork0, ignore_errors=True)
     _release_state(spark)
 
+    # Persisted Bloom exact-dedup index (added r11): the third persisted-
+    # index leg (MinHash bands / IVFPQ codes / Bloom bitmap). Build the
+    # standing corpus's bitmap once; the nightly probe's only inputs are
+    # the batch and the few-MB bitmap — ZERO corpus access, gated on the
+    # plan. Batch: 1/3 of docs re-keyed, half exact text dups of corpus
+    # rows, half novel.
+    from sat_bucket_spark.operators.dedup import (
+        build_bloom_index,
+        dedup_exact_against_bloom_index,
+    )
+
+    bwork0 = _tempfile0.mkdtemp(prefix="bench_bloomidx_")
+    try:
+        corpus_path = os.path.join(bwork0, "corpus")
+        docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text").write.parquet(
+            corpus_path
+        )
+        batch_path = os.path.join(bwork0, "batch")
+        # dup half: corpus rows re-keyed (exact text duplicates by
+        # construction at any SF); novel half: marked texts
+        dups = docs.where(
+            (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 0)
+        ).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        novel = docs.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.lit("novel "), F.col("doc_id"), F.col("text")).alias("text"),
+        )
+        dups.unionByName(novel).write.parquet(batch_path)
+        bidx = os.path.join(bwork0, "index")
+        t0 = time.perf_counter()
+        build_bloom_index(spark.read.parquet(corpus_path), bidx, ["text"])
+        timings["bloom_index_build"] = round(time.perf_counter() - t0, 3)
+        batch = spark.read.parquet(batch_path)
+        t0 = time.perf_counter()
+        surv = dedup_exact_against_bloom_index(batch, bidx)
+        n_surv = surv.count()
+        timings["bloom_index_probe"] = round(time.perf_counter() - t0, 3)
+        n_batch = batch.count()
+        if not 0 < n_surv < n_batch:
+            raise AssertionError(
+                f"bloom index probe vacuous: {n_surv}/{n_batch} survivors"
+            )
+        plan = surv._jdf.queryExecution().executedPlan().toString()
+        if "/corpus" in plan:
+            raise AssertionError("bloom index probe scanned the corpus parquet")
+        # exactness anchor (outside the timed window): the unverified
+        # probe must agree with the corpus-verified one at this bit sizing
+        n_verified = dedup_exact_against_bloom_index(
+            batch, bidx, verify_corpus=spark.read.parquet(corpus_path)
+        ).count()
+        if n_surv != n_verified:
+            raise AssertionError(
+                f"unverified probe over-dropped: {n_surv} != {n_verified} "
+                "(resize n_bits)"
+            )
+    finally:
+        _shutil0.rmtree(bwork0, ignore_errors=True)
+    _release_state(spark)
+
     # WET end-to-end curation stage: the flagship LLM-pipeline story as ONE
     # measured number — WET ingest -> parquet staging -> (gopher quality +
     # URL gate + substring-span dedup) funnel -> JSONL shard export. NOT

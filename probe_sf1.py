@@ -80,6 +80,7 @@ DEFAULT_KEYS = [
     "bucket_merge",
     "bucket_stream_ingest",
     "stream_sessionize",
+    "bloom_index_probe",
 ]
 
 # Recall@10 floor for the persisted-ANN rows, after build AND after
@@ -672,6 +673,66 @@ def minhash_index_stages(spark, sf_dir, workdir):
     return build_sec, probe_sec, compact_sec, frag_before, frag_after
 
 
+def bloom_index_stages(spark, sf_dir, workdir):
+    """Persisted Bloom exact-dedup index at the replicated corpus (r11):
+    the bitmap is bounded at n_bits/64 rows REGARDLESS of corpus size, so
+    the scale questions are (a) the one-time build scan at 10x, (b) the
+    probe staying batch-bounded with ZERO corpus access (plan-gated), and
+    (c) the append staying bitmap-sized (no corpus rescan — its job reads
+    only the staged survivors and the few-MB bitmap). Gates: the probe
+    drops exactly the planted dup half; post-append re-submission drops
+    to zero; the probe plan never references the corpus path."""
+    from sat_bucket_spark.operators.dedup import (
+        append_to_bloom_index,
+        build_bloom_index,
+        dedup_exact_against_bloom_index,
+    )
+
+    corpus_path = os.path.join(sf_dir, "documents.parquet")
+    corpus = spark.read.parquet(corpus_path)
+    batch_path = os.path.join(workdir, "batch")
+    dups = corpus.where(F.col("doc_id") % 101 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    novel = corpus.where(F.col("doc_id") % 103 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.lit("novel "), F.col("doc_id"), F.col("text")).alias("text"),
+    )
+    dups.unionByName(novel).write.parquet(batch_path)
+    batch = spark.read.parquet(batch_path)
+    n_batch = batch.count()
+    n_novel = novel.count()
+
+    idx = os.path.join(workdir, "bloom_index")
+    t0 = time.perf_counter()
+    build_bloom_index(corpus, idx, ["text"])
+    build_sec = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    surv = dedup_exact_against_bloom_index(batch, idx)
+    n_surv = surv.count()
+    probe_sec = round(time.perf_counter() - t0, 3)
+    if n_surv != n_novel or not 0 < n_surv < n_batch:
+        raise AssertionError(
+            f"bloom probe wrong: {n_surv} survivors, expected {n_novel} of {n_batch}"
+        )
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    if "documents.parquet" in plan:
+        raise AssertionError("bloom probe scanned the corpus parquet")
+
+    surv_path = os.path.join(workdir, "bloom_survivors")
+    surv.write.parquet(surv_path)  # staged, per the append contract
+    t0 = time.perf_counter()
+    append_to_bloom_index(spark.read.parquet(surv_path), idx)
+    append_sec = round(time.perf_counter() - t0, 3)
+    resubmit = spark.read.parquet(surv_path).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"), "text"
+    )
+    if dedup_exact_against_bloom_index(resubmit, idx).count() != 0:
+        raise AssertionError("appended keys not visible to the next probe")
+    return build_sec, probe_sec, append_sec
+
+
 def stream_sessionize_stage(spark, sf_dir, workdir, replicas):
     """Streaming stateful sessionization at 10x (VERDICT r10 "What's
     missing" #3): the last stateful component with only fixture-scale
@@ -997,6 +1058,13 @@ def main() -> int:
                 timings[name] = stream_ingest_stage(
                     spark, scaled, os.path.join(work, "stream"), args.replicas
                 )
+            elif name == "bloom_index_probe":
+                b, pr, ap = bloom_index_stages(
+                    spark, scaled, os.path.join(work, "bloomidx")
+                )
+                timings["bloom_index_build"] = b
+                timings["bloom_index_probe"] = pr
+                timings["bloom_index_append"] = ap
             elif name == "stream_sessionize":
                 s_sec, s_nb, s_pb, s_state = stream_sessionize_stage(
                     spark, scaled, os.path.join(work, "sess"), args.replicas

@@ -44,10 +44,15 @@ __all__ = [
     "dedup_exact",
     "dedup_exact_against",
     "dedup_exact_against_bloom",
+    "dedup_exact_against_bloom_index",
     "duplicate_spans",
     "exact_duplicate_groups",
+    "append_to_bloom_index",
     "append_to_minhash_index",
+    "build_bloom_index",
     "build_minhash_index",
+    "compact_minhash_index",
+    "load_bloom_index",
     "load_minhash_index",
     "lsh_candidate_pairs",
     "lsh_params_for_threshold",
@@ -588,6 +593,98 @@ def dedup_exact_against(
     return batch.join(keys, key_cols, "left_anti")
 
 
+def _key_fingerprint_expr(key_cols: list[str]) -> Column:
+    """One h31 fingerprint per composite key. NULLs are encoded distinctly
+    (concat_ws would silently DROP null parts, folding ('a', NULL) and
+    (NULL, 'a') onto one fingerprint and inflating the flagged set past
+    the Bloom's sized FP rate)."""
+    parts = [
+        F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+            F.concat(F.lit("\x01"), F.col(c).cast("string"))
+        )
+        for c in key_cols
+    ]
+    return h31_expr(F.concat_ws("\x1f", *parts))
+
+
+def _key_bloom_bitmap(
+    df: DataFrame, key_cols: list[str], n_bits: int, n_hashes: int, seed: int
+) -> DataFrame:
+    """Sparse Bloom bitmap (__word, __bits) over composite-key
+    fingerprints — the same bit_or shape as :func:`build_ngram_bloom`:
+    bounded at ``n_bits / 64`` rows regardless of input size, partials
+    combine map-side, the input never shuffles."""
+    params = minhash_params(n_hashes, seed=seed)
+    return (
+        df.select(_key_fingerprint_expr(key_cols).alias("__fp"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        perm_hash_expr(F.col("__fp"), a, b) % F.lit(n_bits)
+                        for a, b in params
+                    ]
+                )
+            ).alias("__pos")
+        )
+        .select(
+            F.shiftright("__pos", 6).alias("__word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias(
+                "__mask"
+            ),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__mask").alias("__bits"))
+    )
+
+
+def _bloom_route(
+    batch: DataFrame,
+    bloom: DataFrame,
+    key_cols: list[str],
+    n_bits: int,
+    n_hashes: int,
+    seed: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``batch`` into (provably-new, flagged) against a broadcast
+    Bloom bitmap: ``n_hashes`` map-side joins; a row missing ANY bit is
+    provably absent from the filtered set and routes to the clean side
+    untouched — the common case for an ingest batch. The flagged side
+    holds true duplicates plus the filter's sized FP rate."""
+    params = minhash_params(n_hashes, seed=seed)
+    probed = batch.withColumn("__fp", _key_fingerprint_expr(key_cols))
+    flagged = F.lit(True)
+    drop_cols = ["__fp"]
+    for i, (a, b) in enumerate(params):
+        p, w, m, bits = f"__p{i}", f"__w{i}", f"__m{i}", f"__b{i}"
+        probed = (
+            probed.withColumn(p, perm_hash_expr(F.col("__fp"), a, b) % F.lit(n_bits))
+            .withColumn(w, F.shiftright(F.col(p), 6))
+            .withColumn(
+                m,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))"),
+            )
+            .join(
+                F.broadcast(
+                    bloom.select(
+                        F.col("__word").alias(w), F.col("__bits").alias(bits)
+                    )
+                ),
+                w,
+                "left",
+            )
+        )
+        flagged = flagged & F.coalesce(
+            F.col(bits).bitwiseAND(F.col(m)) == F.col(m), F.lit(False)
+        )
+        drop_cols += [p, w, m, bits]
+    probed = probed.withColumn("__flagged", flagged)
+    drop_cols.append("__flagged")
+    clean = probed.where(~F.col("__flagged")).drop(*drop_cols)
+    cand = probed.where(F.col("__flagged")).drop(*drop_cols)
+    return clean, cand
+
+
 def dedup_exact_against_bloom(
     batch: DataFrame,
     corpus: DataFrame,
@@ -617,74 +714,15 @@ def dedup_exact_against_bloom(
     Assumes the flagged fraction is broadcastable (dup-rate ≪ batch size,
     the normal incremental-ingest regime). NULL-keyed rows never match, as
     in the exact path. Size ``n_bits ≈ 10×`` distinct corpus keys.
+
+    Nightly posture: the bitmap build (step 1) still scans the corpus
+    every call — :func:`build_bloom_index` persists it once (appends are
+    bitmap-sized unions, no corpus rescan) and
+    :func:`dedup_exact_against_bloom_index` probes it, optionally with
+    ZERO corpus access.
     """
-    params = minhash_params(n_hashes, seed=seed)
-
-    def _fp() -> Column:
-        # NULLs are encoded distinctly (concat_ws would silently DROP null
-        # parts, folding ('a', NULL) and (NULL, 'a') onto one fingerprint and
-        # inflating the flagged set past the Bloom's sized FP rate).
-        parts = [
-            F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
-                F.concat(F.lit("\x01"), F.col(c).cast("string"))
-            )
-            for c in key_cols
-        ]
-        return h31_expr(F.concat_ws("\x1f", *parts))
-
-    bloom = (
-        corpus.select(_fp().alias("__fp"))
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        perm_hash_expr(F.col("__fp"), a, b) % F.lit(n_bits)
-                        for a, b in params
-                    ]
-                )
-            ).alias("__pos")
-        )
-        .select(
-            F.shiftright("__pos", 6).alias("__word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias(
-                "__mask"
-            ),
-        )
-        .groupBy("__word")
-        .agg(F.bit_or("__mask").alias("__bits"))
-    )
-
-    probed = batch.withColumn("__fp", _fp())
-    flagged = F.lit(True)
-    drop_cols = ["__fp"]
-    for i, (a, b) in enumerate(params):
-        p, w, m, bits = f"__p{i}", f"__w{i}", f"__m{i}", f"__b{i}"
-        probed = (
-            probed.withColumn(p, perm_hash_expr(F.col("__fp"), a, b) % F.lit(n_bits))
-            .withColumn(w, F.shiftright(F.col(p), 6))
-            .withColumn(
-                m,
-                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))"),
-            )
-            .join(
-                F.broadcast(
-                    bloom.select(
-                        F.col("__word").alias(w), F.col("__bits").alias(bits)
-                    )
-                ),
-                w,
-                "left",
-            )
-        )
-        flagged = flagged & F.coalesce(
-            F.col(bits).bitwiseAND(F.col(m)) == F.col(m), F.lit(False)
-        )
-        drop_cols += [p, w, m, bits]
-
-    probed = probed.withColumn("__flagged", flagged)
-    drop_cols.append("__flagged")
-    clean = probed.where(~F.col("__flagged")).drop(*drop_cols)
-    cand = probed.where(F.col("__flagged")).drop(*drop_cols)
+    bloom = _key_bloom_bitmap(corpus, key_cols, n_bits, n_hashes, seed)
+    clean, cand = _bloom_route(batch, bloom, key_cols, n_bits, n_hashes, seed)
     flagged_keys = cand.select(*key_cols).distinct()
     confirmed = (
         corpus.join(F.broadcast(flagged_keys), key_cols, "left_semi")
@@ -692,6 +730,149 @@ def dedup_exact_against_bloom(
         .distinct()
     )
     return clean.unionByName(cand.join(F.broadcast(confirmed), key_cols, "left_anti"))
+
+
+def build_bloom_index(
+    corpus: DataFrame,
+    index_dir: str,
+    key_cols: list[str],
+    n_bits: int = 1 << 24,
+    n_hashes: int = 5,
+    seed: int = 1337,
+) -> None:
+    """Persist the corpus's exact-dedup Bloom bitmap ONCE — the third leg
+    of the persisted-index trilogy (MinHash bands for near-dup, IVFPQ
+    codes for ANN, Bloom bitmap for exact keys). The standing state is
+    ``bitmap/`` (at most ``n_bits / 64`` rows — a few MB at the default
+    2^24 bits, REGARDLESS of corpus size) plus ``meta/`` with the frozen
+    hash parameters, committed LAST as the validity marker (same crash
+    protocol as :func:`build_minhash_index`).
+
+    What this buys at 100 TB: :func:`dedup_exact_against_bloom` scans the
+    corpus twice per batch (bitmap build + verify); with the index, the
+    nightly probe scans it at most ONCE (verify only) — or NEVER with
+    ``verify_corpus=None`` — and :func:`append_to_bloom_index` folds a
+    batch in with a bitmap-sized union, no corpus rescan. Blooms are
+    closed under union, so appends are exact, not approximations.
+
+    Size ``n_bits ≈ 10×`` the EVENTUAL distinct key count (appends
+    included): a Bloom cannot be resized in place — growing it means one
+    rebuild scan.
+    """
+    import json as _json
+    import os
+
+    spark = corpus.sparkSession
+    meta_path = os.path.join(index_dir, "meta")
+    _fs_delete(spark, meta_path)
+    _key_bloom_bitmap(corpus, key_cols, n_bits, n_hashes, seed).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "bitmap"))
+    spark.createDataFrame(
+        [(_json.dumps(list(key_cols)), n_bits, n_hashes, seed)],
+        "key_cols string, n_bits long, n_hashes int, seed int",
+    ).write.mode("overwrite").parquet(meta_path)
+
+
+def load_bloom_index(spark, index_dir: str):
+    """(params dict, bitmap DataFrame) for an index written by
+    :func:`build_bloom_index`."""
+    import json as _json
+    import os
+
+    row = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    params = {
+        "key_cols": _json.loads(row["key_cols"]),
+        "n_bits": int(row["n_bits"]),
+        "n_hashes": int(row["n_hashes"]),
+        "seed": int(row["seed"]),
+    }
+    return params, spark.read.parquet(os.path.join(index_dir, "bitmap"))
+
+
+def append_to_bloom_index(docs: DataFrame, index_dir: str) -> None:
+    """Fold new (already-accepted) docs into the standing bitmap with the
+    build's frozen parameters. Bloom bitmaps are closed under bitwise OR,
+    so the merge is a bitmap-sized union + ``bit_or`` — the corpus is
+    never rescanned and the rewrite is bounded by ``n_bits / 64`` rows.
+    The merged bitmap stages into a temp sibling and swaps in through the
+    Hadoop FS API (no self-overwrite read hazard); ``meta/`` is untouched,
+    so a crash mid-swap leaves a loudly-missing bitmap, never silently
+    mixed parameters.
+
+    CONTRACT: the swap replaces the bitmap files, so LAZY frames built
+    over the index before the append (an unmaterialized probe result,
+    e.g. the survivors you are about to append) reference deleted files
+    afterwards. Materialize survivors BEFORE appending — in the nightly
+    posture they are written to the corpus store first anyway, and
+    appending from that staged copy is the supported shape (pinned by
+    test). The same live-reader caveat applies to every index swap/
+    overwrite in this engine (``compact_minhash_index``,
+    ``compact_ivfpq_index``): maintenance assumes no concurrent lazy
+    readers of the files it rewrites."""
+    import os
+
+    spark = docs.sparkSession
+    p, bitmap = load_bloom_index(spark, index_dir)
+    delta = _key_bloom_bitmap(
+        docs, p["key_cols"], p["n_bits"], p["n_hashes"], p["seed"]
+    )
+    merged = (
+        bitmap.unionByName(delta)
+        .groupBy("__word")
+        .agg(F.bit_or("__bits").alias("__bits"))
+    )
+    bitmap_dir = os.path.join(index_dir, "bitmap")
+    tmp = bitmap_dir + ".merge"
+    merged.write.mode("overwrite").parquet(tmp)
+    _fs_delete(spark, bitmap_dir)
+    _fs_rename(spark, tmp, bitmap_dir)
+
+
+def dedup_exact_against_bloom_index(
+    batch: DataFrame,
+    index_dir: str,
+    verify_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Drop batch rows whose keys the standing index has seen — without
+    rebuilding the bitmap (and, in the default mode, without touching the
+    corpus AT ALL).
+
+    Two verification postures:
+
+    - ``verify_corpus=None`` (default): rows the broadcast bitmap flags
+      are dropped outright. Zero corpus access — the probe's only inputs
+      are the batch and the few-MB bitmap — at the cost of also dropping
+      the filter's sized false-positive rate (~0.1% of UNIQUE rows at the
+      default 10x bit sizing). That trade is the standard one for
+      decontamination/dedup at ingest: over-dropping a hair of clean data
+      is safe; letting duplicates through is not.
+    - ``verify_corpus=<frame>``: flagged keys are verified against the
+      given corpus exactly as :func:`dedup_exact_against_bloom` does
+      (broadcast semi-join, FPs restored) — bit-identical to the
+      non-indexed operator, with the corpus scanned ONCE instead of
+      twice. The caller owns handing over the same corpus the index was
+      built+appended from.
+
+    Parameters come from the index's meta, so a probe can never drift
+    from the build."""
+    spark = batch.sparkSession
+    p, bitmap = load_bloom_index(spark, index_dir)
+    key_cols = p["key_cols"]
+    clean, cand = _bloom_route(
+        batch, bitmap, key_cols, p["n_bits"], p["n_hashes"], p["seed"]
+    )
+    if verify_corpus is None:
+        return clean
+    flagged_keys = cand.select(*key_cols).distinct()
+    confirmed = (
+        verify_corpus.join(F.broadcast(flagged_keys), key_cols, "left_semi")
+        .select(*key_cols)
+        .distinct()
+    )
+    return clean.unionByName(
+        cand.join(F.broadcast(confirmed), key_cols, "left_anti")
+    )
 
 
 def minhash_dedup_against(

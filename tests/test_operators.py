@@ -1295,6 +1295,149 @@ class TestMinhashIndex:
         assert p["n_hashes"] == 8
 
 
+class TestBloomIndex:
+    """Persisted Bloom index — the third persisted-index leg (MinHash
+    bands / IVFPQ codes / Bloom bitmap): build once over the standing
+    corpus, append batches with a bitmap-sized union (no corpus rescan),
+    probe nightly with zero corpus access (or exactly once with verify)."""
+
+    def _data(self, spark):
+        corpus = spark.createDataFrame(
+            [(i, f"doc {i % 40}") for i in range(200)], ["cid", "text"]
+        )
+        batch = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(30, 90)], ["bid", "text"]
+        )
+        return batch, corpus
+
+    def test_verified_probe_equals_direct_operator(self, spark, tmp_path):
+        from sat_bucket_spark.operators.dedup import (
+            build_bloom_index,
+            dedup_exact_against_bloom,
+            dedup_exact_against_bloom_index,
+        )
+
+        batch, corpus = self._data(spark)
+        want = {
+            r["bid"]
+            for r in dedup_exact_against_bloom(batch, corpus, ["text"]).collect()
+        }
+        idx = str(tmp_path / "bloom_idx")
+        build_bloom_index(corpus, idx, ["text"])
+        got = {
+            r["bid"]
+            for r in dedup_exact_against_bloom_index(
+                batch, idx, verify_corpus=corpus
+            ).collect()
+        }
+        assert got == want == set(range(40, 90))
+
+    def test_unverified_probe_zero_corpus_access(self, spark, tmp_path):
+        """Default posture: the probe's only inputs are the batch and the
+        bitmap — the corpus parquet appears nowhere in the plan. At the
+        default 10x bit sizing on this fixture there are no FPs, so the
+        result equals the exact one; the FP trade is pinned separately by
+        the saturated-filter test below."""
+        from sat_bucket_spark.operators.dedup import (
+            build_bloom_index,
+            dedup_exact_against_bloom_index,
+        )
+
+        batch, corpus = self._data(spark)
+        corpus_path = str(tmp_path / "bloom_corpus")
+        corpus.write.parquet(corpus_path)
+        idx = str(tmp_path / "bloom_idx0")
+        build_bloom_index(spark.read.parquet(corpus_path), idx, ["text"])
+        out = dedup_exact_against_bloom_index(batch, idx)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_corpus" not in plan  # corpus never scanned
+        got = {r["bid"] for r in out.collect()}
+        assert got == set(range(40, 90))
+
+    def test_unverified_probe_overdrops_on_saturated_filter(self, spark, tmp_path):
+        """The documented FP trade: a deliberately tiny 64-bit filter
+        produces real false positives, so the unverified probe's
+        survivors are a STRICT subset of the truly-clean set (it only
+        ever over-drops — never lets a duplicate through), while the
+        verified probe restores the false positives exactly."""
+        from sat_bucket_spark.operators.dedup import (
+            build_bloom_index,
+            dedup_exact_against_bloom_index,
+        )
+
+        batch, corpus = self._data(spark)
+        idx = str(tmp_path / "bloom_idx64")
+        build_bloom_index(corpus, idx, ["text"], n_bits=64)
+        unverified = {
+            r["bid"]
+            for r in dedup_exact_against_bloom_index(batch, idx).collect()
+        }
+        verified = {
+            r["bid"]
+            for r in dedup_exact_against_bloom_index(
+                batch, idx, verify_corpus=corpus
+            ).collect()
+        }
+        assert verified == set(range(40, 90))
+        assert unverified < verified  # FPs over-dropped, nothing leaked
+
+    def test_append_makes_keys_visible_without_corpus(self, spark, tmp_path):
+        """The nightly loop: probe -> STAGE survivors -> append them — the
+        append touches only the staged survivors and the bitmap (union
+        closure), and a re-submission is then dropped with zero corpus
+        access. Staging is the documented contract: the append's bitmap
+        swap invalidates lazy frames built over the OLD bitmap, and in
+        production survivors land in the corpus store before the index
+        learns them anyway."""
+        from sat_bucket_spark.operators.dedup import (
+            append_to_bloom_index,
+            build_bloom_index,
+            dedup_exact_against_bloom_index,
+        )
+
+        batch, corpus = self._data(spark)
+        idx = str(tmp_path / "bloom_idx_app")
+        build_bloom_index(corpus, idx, ["text"])
+        surv_path = str(tmp_path / "bloom_survivors")
+        dedup_exact_against_bloom_index(batch, idx).write.parquet(surv_path)
+        surv = spark.read.parquet(surv_path)
+        assert surv.count() == 50
+        append_to_bloom_index(surv, idx)
+        resubmit = surv.select((F.col("bid") + 1000).alias("bid"), "text")
+        assert dedup_exact_against_bloom_index(resubmit, idx).count() == 0
+        # genuinely new keys still pass after the append
+        fresh = spark.createDataFrame(
+            [(i, f"doc fresh {i}") for i in range(10)], ["bid", "text"]
+        )
+        assert dedup_exact_against_bloom_index(fresh, idx).count() == 10
+
+    def test_rebuild_failure_leaves_no_valid_meta(self, spark, tmp_path):
+        """Same commit protocol as the MinHash index: meta/ is written
+        LAST and invalidated FIRST on rebuild."""
+        from sat_bucket_spark.operators import dedup
+
+        batch, corpus = self._data(spark)
+        idx = str(tmp_path / "bloom_idx_crash")
+        dedup.build_bloom_index(corpus, idx, ["text"])
+
+        real = dedup._key_bloom_bitmap
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated mid-rebuild failure")
+
+        dedup._key_bloom_bitmap = boom
+        try:
+            with pytest.raises(RuntimeError, match="mid-rebuild"):
+                dedup.build_bloom_index(corpus, idx, ["text"], n_bits=1 << 20)
+        finally:
+            dedup._key_bloom_bitmap = real
+        with pytest.raises(Exception):
+            dedup.load_bloom_index(spark, idx)
+        dedup.build_bloom_index(corpus, idx, ["text"])
+        p, _ = dedup.load_bloom_index(spark, idx)
+        assert p["n_bits"] == 1 << 24 and p["key_cols"] == ["text"]
+
+
 class TestBloomRoutedDedup:
     def _data(self, spark):
         corpus = spark.createDataFrame(
