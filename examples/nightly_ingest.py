@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Nightly-ingest loop over the persisted dedup indexes — the standing-corpus
+posture where the corpus is 100 TB and the nightly batch is not:
+
+    ONE-TIME  build_bloom_index        (exact keys -> few-MB bitmap)
+              build_minhash_index      (near-dup bands + 60-bit shingle sets)
+    NIGHTLY   exact dedup via the Bloom index      -- ZERO corpus access
+              near-dup dedup via the MinHash index -- corpus text never rescanned
+              stage survivors (they land in the corpus store anyway)
+              append survivors to BOTH indexes     -- bitmap-sized / batch-sized
+    CADENCE   compact_minhash_index    (fold append fragmentation back;
+                                        probe results pinned identical)
+
+The point: neither nightly step's cost grows with the corpus. The inline
+operators (`dedup_exact_against_bloom`, `minhash_dedup_against`) re-scan the
+corpus every batch — correct, but at 100 TB that is the dominant nightly
+cost; the indexes pay it once at build time.
+
+Run: python examples/nightly_ingest.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sat_bucket_spark import get_spark
+from sat_bucket_spark.operators.dedup import (
+    append_to_bloom_index,
+    append_to_minhash_index,
+    build_bloom_index,
+    build_minhash_index,
+    compact_minhash_index,
+    dedup_exact_against_bloom_index,
+    minhash_dedup_against_index,
+)
+
+
+def main(sf_dir: str) -> None:
+    spark = get_spark(app_name="nightly-ingest-example")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="nightly_ingest_")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+
+    # ---- one-time: persist the standing corpus's dedup state ----------
+    bloom_idx = os.path.join(work, "bloom_index")
+    mh_idx = os.path.join(work, "minhash_index")
+    build_bloom_index(corpus, bloom_idx, key_cols=["text"])
+    build_minhash_index(corpus, mh_idx, n_hashes=8, n_bands=4, shingle_size=8)
+    print(f"indexes built under {work}")
+
+    # ---- a nightly batch: exact dups + near-dups + genuinely new ------
+    batch = (
+        corpus.where(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")  # exact dups
+        .unionByName(
+            docs.where(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.when(
+                    F.col("doc_id") % 6 == 0,
+                    F.concat(F.col("text"), F.lit(" tail")),  # near-dups
+                ).otherwise(
+                    F.concat(F.lit("fresh "), F.col("doc_id"), F.lit(" unseen"))
+                ).alias("text"),
+            )
+        )
+    )
+    n_batch = batch.count()
+
+    # 1. exact gate first — cheapest, zero corpus access: the probe's only
+    #    inputs are the batch and the broadcast bitmap
+    after_exact = dedup_exact_against_bloom_index(batch, bloom_idx)
+    n_exact = after_exact.count()
+
+    # 2. near-dup gate — candidates from the persisted band rows, verify
+    #    against the persisted shingle sets; corpus text never rescanned
+    survivors = minhash_dedup_against_index(after_exact, mh_idx, min_jaccard=0.5)
+
+    # 3. stage survivors (the corpus store write you do anyway), then let
+    #    the indexes learn them — staging first is the documented contract:
+    #    index appends swap files under any still-lazy probe plan
+    surv_path = os.path.join(work, "accepted")
+    survivors.write.parquet(surv_path)
+    accepted = spark.read.parquet(surv_path)
+    n_accepted = accepted.count()
+    append_to_bloom_index(accepted, bloom_idx)
+    append_to_minhash_index(accepted, mh_idx)
+    print(
+        f"nightly: {n_batch} submitted -> {n_exact} past exact gate -> "
+        f"{n_accepted} accepted and appended"
+    )
+
+    # an exact re-submission of accepted docs is now rejected by the
+    # FIRST (cheapest) gate — no near-dup machinery even runs
+    resubmit = accepted.select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+    n_resub = dedup_exact_against_bloom_index(resubmit, bloom_idx).count()
+    print(f"re-submission survivors through the Bloom gate alone: {n_resub}")
+
+    # ---- maintenance cadence: fold append fragmentation back ----------
+    stats = compact_minhash_index(spark, mh_idx)
+    print(
+        f"compaction: {stats['band_partitions']} band partitions rewritten, "
+        f"shingle files {stats['shingle_files'][0]} -> {stats['shingle_files'][1]}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

@@ -843,8 +843,10 @@ def dedup_exact_against_bloom_index(
     - ``verify_corpus=None`` (default): rows the broadcast bitmap flags
       are dropped outright. Zero corpus access — the probe's only inputs
       are the batch and the few-MB bitmap — at the cost of also dropping
-      the filter's sized false-positive rate (~0.1% of UNIQUE rows at the
-      default 10x bit sizing). That trade is the standard one for
+      the filter's sized false-positive rate: ~1% of UNIQUE rows when the
+      filter is loaded to its design point (k=5 hashes at 10 bits/key
+      gives (1-e^(-1/2))^5 ≈ 0.9%), vanishingly less while the key count
+      is far below n_bits/10. That trade is the standard one for
       decontamination/dedup at ingest: over-dropping a hair of clean data
       is safe; letting duplicates through is not.
     - ``verify_corpus=<frame>``: flagged keys are verified against the
