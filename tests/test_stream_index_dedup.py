@@ -1,0 +1,122 @@
+"""stream_dedup_against_indexes: continuous dedup against the STANDING
+archive via the persisted Bloom + MinHash indexes — the piece
+streaming_curate's watermark-bounded state explicitly defers. With
+learn=True the gate appends each batch's survivors back, so a duplicate
+arriving in a LATER micro-batch is dropped by the standing state."""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _long(tag: str) -> str:
+    """A long text whose every shingle contains the tag, so texts with
+    different tags share (essentially) no shingles — distinct docs are
+    genuinely distinct under MinHash, while a suffix edit stays a
+    near-dup (~0.95 Jaccard)."""
+    return f"{tag} " + " ".join(f"{tag}{i}" for i in range(20))
+
+
+def _mk_batches(spark, tmp_path, batches):
+    """One file per batch, mtimes staggered so the file source processes
+    them as ordered micro-batches (maxFilesPerTrigger=1)."""
+    d = str(tmp_path / "stream_src")
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(batches):
+        sub = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sub)
+        src = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(sub, src), os.path.join(d, f"{i:03d}.parquet"))
+        os.utime(os.path.join(d, f"{i:03d}.parquet"), (1e9 + i * 100, 1e9 + i * 100))
+    return d
+
+
+class TestStreamDedupAgainstIndexes:
+    def _indexes(self, spark, tmp_path):
+        from sat_bucket_spark.operators.dedup import (
+            build_bloom_index,
+            build_minhash_index,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, _long(f"corpus{i}")) for i in range(20)], ["doc_id", "text"]
+        )
+        bidx = str(tmp_path / "bloom_idx")
+        midx = str(tmp_path / "mh_idx")
+        build_bloom_index(corpus, bidx, ["text"])
+        build_minhash_index(corpus, midx, n_hashes=8, n_bands=4, shingle_size=8)
+        return bidx, midx
+
+    def _run(self, spark, tmp_path, batches, learn):
+        from sat_bucket_spark.streaming.curation import (
+            stream_dedup_against_indexes,
+        )
+
+        bidx, midx = self._indexes(spark, tmp_path)
+        src = _mk_batches(spark, tmp_path, batches)
+        sink = str(tmp_path / f"sink_{learn}")
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_dedup_against_indexes(
+            stream,
+            sink,
+            str(tmp_path / f"ckpt_{learn}"),
+            bloom_index_dir=bidx,
+            minhash_index_dir=midx,
+            min_jaccard=0.5,
+            learn=learn,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(300)
+        return {
+            r["doc_id"]
+            for r in spark.read.option("basePath", sink)
+            .parquet(f"{sink}/batch=*")
+            .collect()
+        }
+
+    def test_learn_drops_cross_batch_and_corpus_dups(self, spark, tmp_path):
+        batches = [
+            # b0: two novel docs
+            [(100, _long("novelX")), (101, _long("novelY"))],
+            # b1: exact copy of X (new id) — only catchable via learn;
+            # plus an exact corpus dup and a novel doc
+            [(200, _long("novelX")), (201, _long("corpus3")), (202, _long("novelZ"))],
+            # b2: near-dup of Y (suffix edit) + a novel doc
+            [(300, _long("novelY") + " tail"), (301, _long("novelW"))],
+        ]
+        kept = self._run(spark, tmp_path, batches, learn=True)
+        assert kept == {100, 101, 202, 301}
+
+    def test_without_learn_only_standing_corpus_gates(self, spark, tmp_path):
+        batches = [
+            [(100, _long("novelX"))],
+            # exact cross-batch copy passes without learn (no watermark
+            # state here — that is streaming_curate's job upstream), but
+            # the corpus dup still drops
+            [(200, _long("novelX")), (201, _long("corpus3"))],
+        ]
+        kept = self._run(spark, tmp_path, batches, learn=False)
+        assert kept == {100, 200}
+
+    def test_requires_an_index(self, spark, tmp_path):
+        import pytest
+
+        from sat_bucket_spark.streaming.curation import (
+            stream_dedup_against_indexes,
+        )
+
+        with pytest.raises(ValueError, match="at least one"):
+            stream_dedup_against_indexes(
+                spark.readStream.schema("doc_id long, text string").parquet(
+                    str(tmp_path)
+                ),
+                str(tmp_path / "s"),
+                str(tmp_path / "c"),
+            )
