@@ -102,6 +102,15 @@ def stream_dedup_against_indexes(
     Within-batch duplicates are NOT this gate's job — compose
     :func:`streaming_curate` (fingerprint dedup) upstream. Returns the
     started StreamingQuery; at least one index dir is required.
+
+    Trigger-frequency economics: the Bloom gate's per-batch cost is
+    corpus-size-INDEPENDENT (fixed-size bitmap), but the MinHash gate
+    scans the index's 3-column bands table once per probe — measured
+    sub-linear but growing (probe 2.8 s at 1x corpus -> 5.0 s at 10x on
+    the standing sf1 rows). Size the trigger so batches amortize that
+    scan (availableNow / minutes-level micro-batches for big corpora,
+    not per-second triggers); the Bloom-first ordering already keeps
+    exact dups out of the MinHash gate's input for free.
     """
     if bloom_index_dir is None and minhash_index_dir is None:
         raise ValueError("at least one of bloom/minhash index dirs is required")
