@@ -765,6 +765,12 @@ def build_bloom_index(
     spark = corpus.sparkSession
     meta_path = os.path.join(index_dir, "meta")
     _fs_delete(spark, meta_path)
+    if _fs_is_dir(spark, index_dir):
+        gen, stale = _bloom_generations(spark, index_dir)
+        for old in stale:
+            _fs_delete(spark, old)
+        if gen:
+            _fs_delete(spark, os.path.join(index_dir, f"bitmap.v{gen}"))
     _key_bloom_bitmap(corpus, key_cols, n_bits, n_hashes, seed).write.mode(
         "overwrite"
     ).parquet(os.path.join(index_dir, "bitmap"))
@@ -776,7 +782,9 @@ def build_bloom_index(
 
 def load_bloom_index(spark, index_dir: str):
     """(params dict, bitmap DataFrame) for an index written by
-    :func:`build_bloom_index`."""
+    :func:`build_bloom_index` — the bitmap read from the highest COMPLETE
+    generation (the build's ``bitmap/`` or an append's ``bitmap.v<N>/``;
+    see :func:`append_to_bloom_index` for the crash protocol)."""
     import json as _json
     import os
 
@@ -787,7 +795,9 @@ def load_bloom_index(spark, index_dir: str):
         "n_hashes": int(row["n_hashes"]),
         "seed": int(row["seed"]),
     }
-    return params, spark.read.parquet(os.path.join(index_dir, "bitmap"))
+    gen, _stale = _bloom_generations(spark, index_dir)
+    sub = "bitmap" if gen == 0 else f"bitmap.v{gen}"
+    return params, spark.read.parquet(os.path.join(index_dir, sub))
 
 
 def append_to_bloom_index(docs: DataFrame, index_dir: str) -> None:
@@ -800,12 +810,24 @@ def append_to_bloom_index(docs: DataFrame, index_dir: str) -> None:
     so a crash mid-swap leaves a loudly-missing bitmap, never silently
     mixed parameters.
 
-    CONTRACT: the swap replaces the bitmap files, so LAZY frames built
-    over the index before the append (an unmaterialized probe result,
-    e.g. the survivors you are about to append) reference deleted files
-    afterwards. Materialize survivors BEFORE appending — in the nightly
-    posture they are written to the corpus store first anyway, and
-    appending from that staged copy is the supported shape (pinned by
+    Crash safety: appends are GENERATIONAL. The merged bitmap is written
+    to a fresh ``bitmap.v<N+1>/`` sibling and becomes current the moment
+    its ``_SUCCESS`` marker lands (the write's own atomic commit);
+    :func:`load_bloom_index` resolves the HIGHEST complete generation, so
+    a crash mid-append leaves the previous generation intact and the
+    append simply re-runs — never a window where the index has no bitmap
+    (the delete-then-rename swap this replaces could crash into exactly
+    that, and recovery was the full corpus rebuild the index exists to
+    avoid). Superseded generations are cleaned up AFTER the new one
+    commits; a crash mid-cleanup leaves stale dirs the next append
+    removes.
+
+    CONTRACT: cleanup removes the superseded bitmap files, so LAZY frames
+    built over the index before the append (an unmaterialized probe
+    result, e.g. the survivors you are about to append) reference deleted
+    files afterwards. Materialize survivors BEFORE appending — in the
+    nightly posture they are written to the corpus store first anyway,
+    and appending from that staged copy is the supported shape (pinned by
     test). The same live-reader caveat applies to every index swap/
     overwrite in this engine (``compact_minhash_index``,
     ``compact_ivfpq_index``): maintenance assumes no concurrent lazy
@@ -822,11 +844,49 @@ def append_to_bloom_index(docs: DataFrame, index_dir: str) -> None:
         .groupBy("__word")
         .agg(F.bit_or("__bits").alias("__bits"))
     )
-    bitmap_dir = os.path.join(index_dir, "bitmap")
-    tmp = bitmap_dir + ".merge"
-    merged.write.mode("overwrite").parquet(tmp)
-    _fs_delete(spark, bitmap_dir)
-    _fs_rename(spark, tmp, bitmap_dir)
+    gen, stale = _bloom_generations(spark, index_dir)
+    # stale = crashed-append debris / missed cleanup, never the current
+    # generation — safe to clear anytime (and one may occupy gen+1)
+    for old in stale:
+        _fs_delete(spark, old)
+    nxt = os.path.join(index_dir, f"bitmap.v{gen + 1}")
+    merged.write.mode("overwrite").parquet(nxt)
+    # the _SUCCESS marker written above IS the commit point; the
+    # superseded generation retires only after it (crash-tolerant: a
+    # crash here leaves both, and load resolves the newest complete one)
+    if gen == 0:
+        _fs_delete(spark, os.path.join(index_dir, "bitmap"))
+    else:
+        _fs_delete(spark, os.path.join(index_dir, f"bitmap.v{gen}"))
+
+
+def _bloom_generations(spark, index_dir: str) -> tuple[int, list[str]]:
+    """(current generation number, stale generation paths) for a Bloom
+    index. Generation 0 is the build's plain ``bitmap/``; appends write
+    ``bitmap.v<N>/``. Current = the highest generation with a complete
+    (``_SUCCESS``-marked) write; anything newer without a marker is a
+    crashed append's debris and anything older was superseded — both are
+    returned for cleanup."""
+    import os
+    import re
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    gens: dict[int, str] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        m = re.fullmatch(r"bitmap\.v(\d+)", name)
+        if m and st.isDirectory():
+            gens[int(m.group(1))] = os.path.join(index_dir, name)
+    current = 0
+    for n in sorted(gens, reverse=True):
+        ok = jvm.org.apache.hadoop.fs.Path(os.path.join(gens[n], "_SUCCESS"))
+        if fs.exists(ok):
+            current = n
+            break
+    stale = [p for n, p in gens.items() if n != current]
+    return current, stale
 
 
 def dedup_exact_against_bloom_index(
@@ -848,7 +908,14 @@ def dedup_exact_against_bloom_index(
       gives (1-e^(-1/2))^5 ≈ 0.9%), vanishingly less while the key count
       is far below n_bits/10. That trade is the standard one for
       decontamination/dedup at ingest: over-dropping a hair of clean data
-      is safe; letting duplicates through is not.
+      is safe; letting duplicates through is not. Rows with ANY NULL key
+      column bypass the bitmap entirely and pass through: the exact
+      semantics say NULL-keyed rows never match, but the fingerprint
+      encodes NULL patterns, so without the bypass a NULL-keyed batch row
+      whose pattern matched a NULL-keyed corpus row would be dropped
+      DETERMINISTICALLY — not as part of the sized FP rate. (The verify
+      posture restores such rows anyway: NULL keys never survive the
+      equi-semi-join into ``confirmed``.)
     - ``verify_corpus=<frame>``: flagged keys are verified against the
       given corpus exactly as :func:`dedup_exact_against_bloom` does
       (broadcast semi-join, FPs restored) — bit-identical to the
@@ -861,11 +928,19 @@ def dedup_exact_against_bloom_index(
     spark = batch.sparkSession
     p, bitmap = load_bloom_index(spark, index_dir)
     key_cols = p["key_cols"]
+    if verify_corpus is None:
+        # NULL-keyed rows route straight to the clean side (see docstring)
+        null_key = F.lit(False)
+        for c in key_cols:
+            null_key = null_key | F.col(c).isNull()
+        clean, _cand = _bloom_route(
+            batch.where(~null_key), bitmap, key_cols,
+            p["n_bits"], p["n_hashes"], p["seed"],
+        )
+        return clean.unionByName(batch.where(null_key))
     clean, cand = _bloom_route(
         batch, bitmap, key_cols, p["n_bits"], p["n_hashes"], p["seed"]
     )
-    if verify_corpus is None:
-        return clean
     flagged_keys = cand.select(*key_cols).distinct()
     confirmed = (
         verify_corpus.join(F.broadcast(flagged_keys), key_cols, "left_semi")
@@ -1008,6 +1083,13 @@ def _fs_delete(spark, path: str) -> None:
         fs.delete(p, True)
 
 
+def _fs_is_dir(spark, path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(p) and fs.getFileStatus(p).isDirectory()
+
+
 def _write_minhash_index_rows(docs, index_dir, p, mode: str) -> None:
     import os
 
@@ -1145,6 +1227,7 @@ def minhash_dedup_against_index(
     index_dir: str,
     min_jaccard: float = 0.1,
     broadcast_candidates_max: int = 1_000_000,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Drop batch docs near-duplicating ANY indexed doc — without touching
     the corpus: candidates from a band equi-join against the persisted
@@ -1168,7 +1251,19 @@ def minhash_dedup_against_index(
     Eager at call time: the candidate set materializes when called (it is
     consumed by both the verify join and the id filter, and its count
     gates the broadcast posture), so Spark jobs fire during construction —
-    same caveat as ``graph.pagerank``."""
+    same caveat as ``graph.pagerank``.
+
+    Cache lifetime: the materialized candidate frame is a stage cache
+    that — under the default ``local_checkpoint`` policy — the cache
+    manager does NOT track, so it lingers until driver GC. For a one-shot
+    nightly probe that is fine; a LONG-RUNNING caller invoking this per
+    micro-batch (the streaming archive gate) would accumulate executor
+    storage across batches. Such callers pass ``cache_registry=[]``: the
+    cached frame is appended to it, and once the returned frame is
+    MATERIALIZED (written/collected — not before: the verify join reads
+    the cache lazily) the caller releases it via
+    :func:`sat_bucket_spark.caching.release_stage_cache` with
+    ``destructive=True``."""
     from pyspark.sql import Observation
 
     from sat_bucket_spark.caching import stage_cache
@@ -1202,6 +1297,8 @@ def minhash_dedup_against_index(
     cands = stage_cache(
         cands.observe(obs, F.count(F.lit(1)).alias("n")), eager=True
     )
+    if cache_registry is not None:
+        cache_registry.append(cands)
     n_cands = obs.get["n"]
     set_b = _ensure_parallelism(batch).select(
         F.col(id_col).alias("__bid"),

@@ -60,6 +60,15 @@ def streaming_curate(
     return streaming_dedup_exact(out, ["fingerprint"], time=time, watermark=watermark)
 
 
+def _committed(spark, path: str) -> bool:
+    """True when ``path`` holds a COMPLETE batch write (its ``_SUCCESS``
+    marker exists) — the archive gate's per-batch idempotence token."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(p)
+
+
 def stream_dedup_against_indexes(
     stream: DataFrame,
     sink_dir: str,
@@ -85,19 +94,25 @@ def stream_dedup_against_indexes(
        the filter's sized FP rate over-drops, the safe direction);
     2. near-dup gate: :func:`~sat_bucket_spark.operators.dedup.
        minhash_dedup_against_index` on what survives;
-    3. survivors land in ``sink_dir/batch=<id>`` via per-batch dynamic
-       overwrite — a REPLAYED batch (foreachBatch is at-least-once)
-       rewrites its own partition instead of appending duplicates, so the
-       sink is exactly-once by construction;
+    3. survivors land in ``sink_dir/batch=<id>`` — and the batch's
+       ``_SUCCESS`` marker is the gate's IDEMPOTENCE token: a REPLAYED
+       batch (foreachBatch is at-least-once) whose partition already
+       committed SKIPS the probe-and-write entirely. The skip is what
+       makes ``learn=True`` replay-safe end-to-end: a replay that
+       re-probed would see its OWN survivors in the just-appended
+       indexes, drop every row, and overwrite the committed partition
+       with an empty one — silent data loss. With the skip, the sink is
+       exactly-once by construction whichever side of the checkpoint
+       commit the crash fell on;
     4. with ``learn=True``, the STAGED survivors (re-read from the sink —
        the index-append lazy-reader contract) are appended to both
-       indexes, so a duplicate arriving in a LATER micro-batch is dropped
-       by the standing state, not just by the watermark window. Replays
-       are correctness-safe here too: Bloom appends are idempotent (OR),
-       and duplicate MinHash band/shingle rows only add redundant
-       candidates — candidate sets are DISTINCT and survivors come from a
-       left-anti join, so probe results are unchanged (only fragmentation
-       grows; :func:`compact_minhash_index` reclaims it).
+       indexes. The appends run on the replay path too (the crash may
+       have landed between the sink commit and the appends), which is
+       correctness-safe: Bloom appends are idempotent (OR), and duplicate
+       MinHash band/shingle rows only add redundant candidates —
+       candidate sets are DISTINCT and survivors come from a left-anti
+       join, so probe results are unchanged (only fragmentation grows;
+       :func:`compact_minhash_index` reclaims it).
 
     Within-batch duplicates are NOT this gate's job — compose
     :func:`streaming_curate` (fingerprint dedup) upstream. Returns the
@@ -114,7 +129,27 @@ def stream_dedup_against_indexes(
     """
     if bloom_index_dir is None and minhash_index_dir is None:
         raise ValueError("at least one of bloom/minhash index dirs is required")
+    _gate = _make_gate(
+        sink_dir, bloom_index_dir, minhash_index_dir, min_jaccard, learn
+    )
+    writer = stream.writeStream.foreachBatch(_gate).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
 
+
+def _make_gate(
+    sink_dir: str,
+    bloom_index_dir: str | None,
+    minhash_index_dir: str | None,
+    min_jaccard: float,
+    learn: bool,
+):
+    """The archive gate's per-batch body as a standalone callable, so the
+    replay contract (same batch_id twice == once) is testable without a
+    running stream."""
     from sat_bucket_spark.operators.dedup import (
         append_to_bloom_index,
         append_to_minhash_index,
@@ -123,30 +158,41 @@ def stream_dedup_against_indexes(
     )
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
+        from sat_bucket_spark.caching import release_stage_cache
+
         spark = batch_df.sparkSession
-        surv = batch_df
-        if bloom_index_dir is not None:
-            surv = dedup_exact_against_bloom_index(surv, bloom_index_dir)
-        if minhash_index_dir is not None:
-            surv = minhash_dedup_against_index(
-                surv, minhash_index_dir, min_jaccard=min_jaccard
-            )
-        # idempotent sink: the batch owns its partition; a replay
-        # overwrites it rather than appending a second copy
         batch_sink = f"{sink_dir}/batch={batch_id}"
-        surv.write.mode("overwrite").parquet(batch_sink)
+        n_surv: int | None = None
+        if not _committed(spark, batch_sink):
+            surv = batch_df
+            if bloom_index_dir is not None:
+                surv = dedup_exact_against_bloom_index(surv, bloom_index_dir)
+            probe_caches: list = []
+            if minhash_index_dir is not None:
+                surv = minhash_dedup_against_index(
+                    surv, minhash_index_dir, min_jaccard=min_jaccard,
+                    cache_registry=probe_caches,
+                )
+            # the survivor count rides the sink write as an observed
+            # metric — no separate isEmpty job per batch
+            obs = Observation()
+            surv = surv.observe(obs, F.count(F.lit(1)).alias("n"))
+            surv.write.mode("overwrite").parquet(batch_sink)
+            n_surv = int(obs.get["n"])
+            # the write materialized the result, so the probe's candidate
+            # stage cache is dead weight — release it now, or a long-running
+            # query accumulates untracked executor blocks every batch
+            for cached in probe_caches:
+                release_stage_cache(cached, destructive=True)
         if learn:
             staged = spark.read.parquet(batch_sink)
-            if staged.isEmpty():
+            if n_surv == 0 or (n_surv is None and staged.isEmpty()):
                 return
             if bloom_index_dir is not None:
                 append_to_bloom_index(staged, bloom_index_dir)
             if minhash_index_dir is not None:
                 append_to_minhash_index(staged, minhash_index_dir)
 
-    writer = stream.writeStream.foreachBatch(_gate).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if trigger:
-        writer = writer.trigger(**trigger)
-    return writer.start()
+    return _gate

@@ -1411,6 +1411,85 @@ class TestBloomIndex:
         )
         assert dedup_exact_against_bloom_index(fresh, idx).count() == 10
 
+    def test_append_generations_survive_crashed_append(self, spark, tmp_path):
+        """Appends are generational: the new bitmap commits as
+        bitmap.v<N+1> (its _SUCCESS is the commit point) and the previous
+        generation retires only after — so a crashed append leaves the
+        index fully usable (load resolves the newest COMPLETE generation)
+        and the next append clears the debris. The delete-then-rename
+        swap this replaced had a window with NO bitmap at all, whose
+        recovery was the full corpus rebuild the index exists to avoid."""
+        import os
+
+        from sat_bucket_spark.operators.dedup import (
+            append_to_bloom_index,
+            build_bloom_index,
+            dedup_exact_against_bloom_index,
+        )
+
+        batch, corpus = self._data(spark)
+        idx = str(tmp_path / "bloom_idx_gen")
+        build_bloom_index(corpus, idx, ["text"])
+        surv_path = str(tmp_path / "bloom_gen_surv")
+        dedup_exact_against_bloom_index(batch, idx).write.parquet(surv_path)
+        surv = spark.read.parquet(surv_path)
+        append_to_bloom_index(surv, idx)
+        # generation 1 committed, generation 0 retired
+        assert os.path.exists(os.path.join(idx, "bitmap.v1", "_SUCCESS"))
+        assert not os.path.exists(os.path.join(idx, "bitmap"))
+        # simulate an append that crashed mid-write: v2 exists, no _SUCCESS
+        debris = os.path.join(idx, "bitmap.v2")
+        os.makedirs(debris)
+        with open(os.path.join(debris, "part-junk.parquet"), "wb") as f:
+            f.write(b"not parquet")
+        # the index stays fully usable on the previous generation
+        resubmit = surv.select((F.col("bid") + 1000).alias("bid"), "text")
+        assert dedup_exact_against_bloom_index(resubmit, idx).count() == 0
+        # re-running the crashed append clears the debris and commits v2
+        extra = spark.createDataFrame(
+            [(i, f"doc gen2 {i}") for i in range(5)], ["bid", "text"]
+        )
+        append_to_bloom_index(extra, idx)
+        assert os.path.exists(os.path.join(debris, "_SUCCESS"))
+        assert not os.path.exists(os.path.join(idx, "bitmap.v1"))
+        assert dedup_exact_against_bloom_index(extra, idx).count() == 0
+        assert dedup_exact_against_bloom_index(resubmit, idx).count() == 0
+
+    def test_unverified_probe_passes_null_keyed_rows(self, spark, tmp_path):
+        """Exact-dedup semantics say NULL-keyed rows never match — but the
+        key fingerprint encodes NULL patterns, so without an explicit
+        bypass an unverified probe would DETERMINISTICALLY drop a
+        NULL-keyed batch row whenever the corpus had one with the same
+        null pattern (not an FP-rate event). Both postures must keep it."""
+        from sat_bucket_spark.operators.dedup import (
+            build_bloom_index,
+            dedup_exact_against_bloom,
+            dedup_exact_against_bloom_index,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "doc a"), (2, None), (3, "doc b")], ["cid", "text"]
+        )
+        batch = spark.createDataFrame(
+            [(10, None), (11, "doc a"), (12, "doc new")], ["bid", "text"]
+        )
+        idx = str(tmp_path / "bloom_idx_null")
+        build_bloom_index(corpus, idx, ["text"])
+        unverified = {
+            r["bid"] for r in dedup_exact_against_bloom_index(batch, idx).collect()
+        }
+        verified = {
+            r["bid"]
+            for r in dedup_exact_against_bloom_index(
+                batch, idx, verify_corpus=corpus
+            ).collect()
+        }
+        direct = {
+            r["bid"]
+            for r in dedup_exact_against_bloom(batch, corpus, ["text"]).collect()
+        }
+        assert unverified == verified == direct == {10, 12}
+
     def test_rebuild_failure_leaves_no_valid_meta(self, spark, tmp_path):
         """Same commit protocol as the MinHash index: meta/ is written
         LAST and invalidated FIRST on rebuild."""

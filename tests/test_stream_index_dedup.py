@@ -105,6 +105,45 @@ class TestStreamDedupAgainstIndexes:
         kept = self._run(spark, tmp_path, batches, learn=False)
         assert kept == {100, 200}
 
+    def test_gate_replay_same_batch_id_is_idempotent(self, spark, tmp_path):
+        """foreachBatch is at-least-once: a batch that fully staged (sink
+        write + learn appends) but crashed BEFORE the checkpoint offset
+        commit is replayed. The replay must NOT re-probe — with learn=True
+        the indexes now contain the batch's own survivors, so a re-probe
+        drops every row and the overwrite would replace the committed
+        partition with an EMPTY one (silent data loss). The _SUCCESS
+        marker skips the probe-and-write; the learn appends re-run
+        idempotently (the crash may also have landed between sink commit
+        and appends)."""
+        from sat_bucket_spark.streaming.curation import _make_gate
+
+        bidx, midx = self._indexes(spark, tmp_path)
+        sink = str(tmp_path / "sink_replay")
+        gate = _make_gate(sink, bidx, midx, 0.5, True)
+        batch = spark.createDataFrame(
+            [(100, _long("novelX")), (101, _long("corpus3"))],
+            ["doc_id", "text"],
+        )
+        gate(batch, 0)
+        kept_once = {
+            r["doc_id"] for r in spark.read.parquet(f"{sink}/batch=0").collect()
+        }
+        assert kept_once == {100}  # corpus dup dropped, novel doc staged
+        # the replay: same batch, same id, indexes already learned doc 100
+        gate(batch, 0)
+        kept_again = {
+            r["doc_id"] for r in spark.read.parquet(f"{sink}/batch=0").collect()
+        }
+        assert kept_again == {100}  # NOT empty — the committed stage survives
+        # and the standing state still gates a later batch's duplicate
+        later = spark.createDataFrame(
+            [(300, _long("novelX")), (301, _long("novelQ"))], ["doc_id", "text"]
+        )
+        gate(later, 1)
+        assert {
+            r["doc_id"] for r in spark.read.parquet(f"{sink}/batch=1").collect()
+        } == {301}
+
     def test_requires_an_index(self, spark, tmp_path):
         import pytest
 
