@@ -1559,6 +1559,37 @@ def q_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q_dedup_against_bloom_index(spark, sf_dir):
+    """Persisted Bloom exact-dedup index, VERIFIED posture — the engine's
+    standing-archive exact gate (reference analogue: incremental update,
+    satbucket/routines.py:580-587, re-expressed as a build-once index).
+
+    Builds the corpus's few-MB bitmap into a per-call temp dir (ONE corpus
+    scan — the thing the index amortizes away nightly), then probes a
+    batch whose rows split into texts the corpus has seen (doc_id%6==1 —
+    dropped) and texts it has not (doc_id%6==3 — kept). ``verify_corpus``
+    restores Bloom false positives exactly, so the result is bit-identical
+    to the exact anti-join the DuckDB oracle replays — which is what makes
+    the three-persisted-index posture's exact leg hash-verifiable.
+    """
+    import tempfile
+
+    from sat_bucket_spark.operators.dedup import (
+        build_bloom_index,
+        dedup_exact_against_bloom_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = docs.where((F.col("doc_id") % 6).isin(1, 3)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    idx = tempfile.mkdtemp(prefix="sbs_bloom_idx_")
+    build_bloom_index(corpus, idx, ["text"], n_bits=1 << 20)
+    out = dedup_exact_against_bloom_index(batch, idx, verify_corpus=corpus)
+    return out.select("doc_id", "text")
+
+
 def q_idw_grid(spark, sf_dir):
     """Inverse-distance-weighted resampling onto the 10° grid.
 
@@ -4710,6 +4741,22 @@ _BLOOM_POS_LIST = (
     )
     + "]"
 )
+# dedup_against_bloom_index: verify_corpus restores Bloom FPs exactly, so
+# the indexed probe is bit-identical to the plain exact anti-join (NULL
+# keys never match on either side — NOT EXISTS equi-predicate).
+_ORACLES["dedup_against_bloom_index"] = """
+WITH batch AS (
+  SELECT doc_id + 100000 AS doc_id, text
+  FROM documents WHERE doc_id % 6 IN (1, 3)
+)
+SELECT b.doc_id, b.text
+FROM batch b
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents c
+  WHERE c.doc_id % 3 <> 0 AND c.text = b.text
+)
+"""
+
 _ORACLES["decontaminate_bloom"] = f"""
 WITH toks AS (
   SELECT doc_id, {_tokens_sql("lower(text)")} AS toks FROM documents
@@ -5510,7 +5557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "alpha_mix": q_alpha_mix,
         "quality_filter": q_quality_filter,
-        "lsh_dedup_against": q_lsh_dedup_against,
+        "dedup_against_bloom_index": q_dedup_against_bloom_index,
         "blocklist": q_blocklist,
         "nfc_normalize": q_nfc_normalize,
         "audio_quality": q_audio_quality,
@@ -5519,7 +5566,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup": q_image_dedup,
         # ---- beyond the driver window: parity-suite verified ----
         # (dup_spans demoted in favor of html_extract: the hashed variant
-        # in-window is the same span-dedup family's production posture)
+        # in-window is the same span-dedup family's production posture;
+        # lsh_dedup_against demoted r12 for dedup_against_bloom_index —
+        # its embedding cross-corpus family stays in-window via
+        # semantic_dedup + knn_join + ivfpq_topk, while the persisted-index
+        # probe leg had NO hash-verified representative)
+        "lsh_dedup_against": q_lsh_dedup_against,
         "dup_spans": q_dup_spans,
         "mad_outliers": q_mad_outliers,
         "exif_meta": q_exif_meta,

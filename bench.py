@@ -224,6 +224,53 @@ def _canary_median(spark, out_dir: str) -> float:
     )
 
 
+# --- write canary (VERDICT r11 task #6) -------------------------------------
+# The CPU canary above is BLIND to heavy-write disk contention: its workload
+# is a CPU aggregate plus one small (~30 MB) parquet write, so an r11 final
+# run carried a 39.7 s bucket_write I/O stall (band 2.3-4.6) at a benign CPU
+# factor of 0.726 and the discard needed a manual 5-rep re-measure. This
+# SEPARATE frozen workload writes ~100 MB of incompressible parquet (md5-hex
+# strings defeat snappy) across 8 tasks — its timing moves with storage
+# pressure, not repo code. Kept apart from _canary_sec so the established
+# CPU factor stays comparable with every r9+ record; a wild bucket/ingest
+# key with a benign CPU factor but an elevated WRITE factor is a
+# storage-stall discard, receipted same-session.
+WRITE_CANARY_REPS = 3
+# Pinned 2026-08-15 (r12 session): median of 5 warm reps 1.31-1.60 s on
+# this host at 5/15-min load 4.6/4.0 (~208 MB written per rep; cold first
+# rep 5.64 s excluded — the median-of-3 absorbs one cold shot). See
+# BASELINE.md "Bench notes" for the pin protocol and the load caveat.
+WRITE_CANARY_REF_SEC = 1.50
+
+
+def _write_canary_sec(spark, out_dir: str) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 3_000_000, 1, 8)
+        .select(
+            "id",
+            F.md5(F.col("id").cast("string")).alias("a"),
+            F.md5((F.col("id") + 7).cast("string")).alias("b"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "canary_write_io"))
+    )
+    return time.perf_counter() - t0
+
+
+def _write_canary_median(spark, out_dir: str) -> float:
+    import statistics
+
+    return round(
+        statistics.median(
+            _write_canary_sec(spark, out_dir) for _ in range(WRITE_CANARY_REPS)
+        ),
+        3,
+    )
+
+
 def _release_state(spark) -> None:
     """Benchmark hygiene: measure every query from a clean executor state.
 
@@ -264,6 +311,7 @@ def main() -> None:
 
     _atexit.register(_shutil.rmtree, canary_dir, ignore_errors=True)
     canary_pre = _canary_median(spark, canary_dir)
+    write_pre = _write_canary_median(spark, canary_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -1008,8 +1056,10 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     canary_post = _canary_median(spark, canary_dir)
+    write_post = _write_canary_median(spark, canary_dir)
     _shutil.rmtree(canary_dir, ignore_errors=True)
     canary_med = round((canary_pre + canary_post) / 2, 3)
+    write_med = round((write_pre + write_post) / 2, 3)
     canary = {
         "pre_sec": canary_pre,
         "post_sec": canary_post,
@@ -1018,6 +1068,17 @@ def main() -> None:
         # reference; divide recorded timings by this to compare rounds
         "host_factor": (
             round(canary_med / CANARY_REF_SEC, 3) if CANARY_REF_SEC else None
+        ),
+        # storage-pressure reading (r12): a wild bucket/ingest key with a
+        # benign host_factor but elevated write_factor is an I/O-stall
+        # discard — re-measure, don't adjust
+        "write_pre_sec": write_pre,
+        "write_post_sec": write_post,
+        "write_ref_sec": WRITE_CANARY_REF_SEC,
+        "write_factor": (
+            round(write_med / WRITE_CANARY_REF_SEC, 3)
+            if WRITE_CANARY_REF_SEC
+            else None
         ),
     }
 

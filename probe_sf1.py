@@ -81,6 +81,7 @@ DEFAULT_KEYS = [
     "bucket_stream_ingest",
     "stream_sessionize",
     "bloom_index_probe",
+    "stream_archive_gate",
 ]
 
 # Recall@10 floor for the persisted-ANN rows, after build AND after
@@ -950,6 +951,204 @@ def stream_ingest_stage(spark, sf_dir, workdir, replicas):
     return sec
 
 
+def archive_gate_stage(spark, sf_dir, workdir, replicas):
+    """stream_dedup_against_indexes(learn=True) growth row (VERDICT r11
+    task #3): the archive gate appends to the MinHash index at TRIGGER
+    frequency, so fragmentation grows much faster than the nightly
+    posture the compaction receipts assume. This row runs ~4x``replicas``
+    learn micro-batches (one file per trigger) against indexes built over
+    the replicated corpus and resolves three questions:
+
+    - per-batch cost trend (first-5 vs last-5 trigger durations from the
+      query's own progress records — flat = the per-batch probe cost is
+      fixed; growing = index fragmentation or state is leaking into the
+      hot path);
+    - band-partition file-count growth across the learn appends (the
+      fragmentation the in-stream compaction cadence must reclaim);
+    - an IN-STREAM compaction receipt: the stream is split into two
+      availableNow segments sharing one checkpoint; between them,
+      ``compact_minhash_index`` runs and a fixed gate-probe must return
+      BIT-IDENTICAL survivors across the compaction, then segment B
+      resumes learning from the same checkpoint (mid-stream maintenance
+      is exactly how a production gate would run it — triggers pause,
+      compaction folds the fragments, the query restarts from offsets).
+
+    Correctness gates (all non-vacuous both ways): exact corpus dups drop
+    at the Bloom leg, near-dups drop at the MinHash leg, copies of an
+    EARLIER batch's survivors drop only via learn, and every novel doc
+    survives — pinned by exact id-set equality over the whole run.
+    Reference analogue: incremental update,
+    /root/reference/satbucket/routines.py:580-587.
+    """
+    import glob as _glob
+
+    from sat_bucket_spark.operators.dedup import (
+        build_bloom_index,
+        build_minhash_index,
+        compact_minhash_index,
+        minhash_dedup_against_index,
+    )
+    from sat_bucket_spark.streaming.curation import stream_dedup_against_indexes
+
+    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    # near-dup seeds must be long enough that a suffix edit stays >= 0.5
+    # Jaccard — one short doc would break the drop gate
+    seeds = corpus.where(F.length("text") >= 200)
+    bidx = os.path.join(workdir, "bloom_idx")
+    midx = os.path.join(workdir, "mh_idx")
+    build_bloom_index(corpus, bidx, ["text"])
+    build_minhash_index(corpus, midx, n_hashes=8, n_bands=4, shingle_size=8)
+
+    def band_frag() -> int:
+        root = os.path.join(midx, "bands")
+        return max(
+            len(_glob.glob(os.path.join(root, d, "*.parquet")))
+            for d in os.listdir(root)
+            if d.startswith("band_idx=")
+        )
+
+    # micro-batch source: one file per trigger. Batch i carries
+    #   2 exact corpus dups      -> Bloom leg drops
+    #   2 near-dups of corpus    -> MinHash leg drops
+    #   2 copies of batch i-1's novels -> LEARN drops (standing state)
+    #   6 novel docs             -> survive (and get learned)
+    n_batches = 4 * replicas
+    seed_rows = seeds.orderBy("doc_id").limit(2 * n_batches + 2).collect()
+    if len(seed_rows) < 2 * n_batches + 2:
+        raise AssertionError("not enough long docs to seed the gate batches")
+    src = os.path.join(workdir, "src")
+    os.makedirs(src, exist_ok=True)
+
+    def novel_text(i: int, j: int) -> str:
+        return f"novelgate b{i} d{j} " + " ".join(
+            f"tok{i}x{j}y{w}" for w in range(18)
+        )
+
+    expected_kept: set[int] = set()
+    for i in range(n_batches):
+        rows = []
+        for j in range(2):  # exact corpus dups
+            r = seed_rows[2 * i + j]
+            rows.append((1_000_000 + 100 * i + j, r["text"]))
+        for j in range(2):  # near-dups of corpus (suffix edit)
+            r = seed_rows[2 * i + j]
+            rows.append((2_000_000 + 100 * i + j, r["text"] + " tailtok"))
+        if i > 0:  # exact copies of the previous batch's novels
+            for j in range(2):
+                rows.append((3_000_000 + 100 * i + j, novel_text(i - 1, j)))
+        for j in range(6):  # novel docs
+            doc_id = 4_000_000 + 100 * i + j
+            rows.append((doc_id, novel_text(i, j)))
+            expected_kept.add(doc_id)
+        sub = os.path.join(workdir, f"b{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(sub, part), os.path.join(src, f"{i:04d}.parquet"))
+        os.utime(
+            os.path.join(src, f"{i:04d}.parquet"), (1e9 + i * 100, 1e9 + i * 100)
+        )
+
+    # two segments sharing one checkpoint; segment split by hiding the
+    # second half of the files until segment B
+    half = n_batches // 2
+    hidden = os.path.join(workdir, "hidden")
+    os.makedirs(hidden, exist_ok=True)
+    for i in range(half, n_batches):
+        os.rename(
+            os.path.join(src, f"{i:04d}.parquet"),
+            os.path.join(hidden, f"{i:04d}.parquet"),
+        )
+
+    sink = os.path.join(workdir, "sink")
+    ckpt = os.path.join(workdir, "ckpt")
+    schema = "doc_id long, text string"
+    durations: list[float] = []
+
+    def run_segment() -> float:
+        t0 = time.perf_counter()
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_dedup_against_indexes(
+            stream, sink, ckpt,
+            bloom_index_dir=bidx, minhash_index_dir=midx,
+            min_jaccard=0.5, learn=True, trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+        for prog in q.recentProgress:
+            d = (prog.get("durationMs") or {}).get("triggerExecution")
+            if d is not None and prog.get("numInputRows", 0) > 0:
+                durations.append(d / 1000.0)
+        return time.perf_counter() - t0
+
+    sec_a = run_segment()
+    frag_mid = band_frag()
+
+    # in-stream compaction receipt: fixed gate probe bit-identical across
+    # compact_minhash_index, then the stream RESUMES from the checkpoint
+    gate_rows = (
+        [(9_000_000 + j, novel_text(0, j)) for j in range(4)]  # learned in seg A
+        + [(9_100_000 + j, seed_rows[j]["text"] + " tailtok") for j in range(4)]
+        + [(9_200_000 + j, f"gateprobe fresh {j} " + " ".join(f"g{j}w{w}" for w in range(18))) for j in range(4)]
+    )
+    gate_probe = spark.createDataFrame(gate_rows, schema)
+    before = sorted(
+        r["doc_id"]
+        for r in minhash_dedup_against_index(gate_probe, midx, min_jaccard=0.5).collect()
+    )
+    t0 = time.perf_counter()
+    stats = compact_minhash_index(spark, midx)
+    compact_sec = round(time.perf_counter() - t0, 3)
+    frag_compacted = band_frag()
+    after = sorted(
+        r["doc_id"]
+        for r in minhash_dedup_against_index(gate_probe, midx, min_jaccard=0.5).collect()
+    )
+    if after != before or not before:
+        raise AssertionError("in-stream compaction changed gate-probe results")
+    if stats["band_partitions"] < 1 or not frag_compacted < frag_mid:
+        raise AssertionError(
+            f"learn appends did not fragment / compaction did not fold: "
+            f"{frag_mid} -> {frag_compacted}"
+        )
+
+    for i in range(half, n_batches):
+        os.rename(
+            os.path.join(hidden, f"{i:04d}.parquet"),
+            os.path.join(src, f"{i:04d}.parquet"),
+        )
+    sec_b = run_segment()
+    frag_end = band_frag()
+
+    kept = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", sink)
+        .parquet(f"{sink}/batch=*")
+        .collect()
+    }
+    if kept != expected_kept:
+        extra = sorted(kept - expected_kept)[:5]
+        missing = sorted(expected_kept - kept)[:5]
+        raise AssertionError(
+            f"archive gate diverged: {len(kept)} kept vs "
+            f"{len(expected_kept)} expected (extra={extra} missing={missing})"
+        )
+    k = max(1, min(5, len(durations) // 2))
+    per_batch_first = round(sum(durations[:k]) / k, 3)
+    per_batch_last = round(sum(durations[-k:]) / k, 3)
+    total = round(sec_a + compact_sec + sec_b, 3)
+    return (
+        total, n_batches, per_batch_first, per_batch_last,
+        frag_mid, frag_compacted, frag_end, compact_sec,
+    )
+
+
 def bucket_stages(spark, sf_dir, workdir):
     from sat_bucket_spark import (
         LonLatPartitioning,
@@ -991,10 +1190,16 @@ def main() -> int:
     # host-factor canary shared with bench.py (same frozen workload, same
     # pinned reference) — probe readings carry the same co-tenant noise as
     # bench readings, so they get the same self-normalization
-    from bench import CANARY_REF_SEC, _canary_median
+    from bench import (
+        CANARY_REF_SEC,
+        WRITE_CANARY_REF_SEC,
+        _canary_median,
+        _write_canary_median,
+    )
 
     work = tempfile.mkdtemp(prefix="probe_sf1_")
     canary_pre = _canary_median(spark, work)
+    write_pre = _write_canary_median(spark, work)
     timings: dict[str, float] = {}
     recalls: dict[str, float] = {}
     try:
@@ -1065,6 +1270,23 @@ def main() -> int:
                 timings["bloom_index_build"] = b
                 timings["bloom_index_probe"] = pr
                 timings["bloom_index_append"] = ap
+            elif name == "stream_archive_gate":
+                (
+                    g_total, g_nb, g_first, g_last,
+                    g_frag_mid, g_frag_cmp, g_frag_end, g_cmp_sec,
+                ) = archive_gate_stage(
+                    spark, scaled, os.path.join(work, "gate"), args.replicas
+                )
+                timings["stream_archive_gate"] = g_total
+                timings["stream_archive_compact"] = g_cmp_sec
+                # growth receipts ride the recall dict (gate values, not
+                # timings): per-batch trend + band fragmentation trajectory
+                recalls["gate_batches"] = g_nb
+                recalls["gate_per_batch_first"] = g_first
+                recalls["gate_per_batch_last"] = g_last
+                recalls["gate_frag_mid"] = g_frag_mid
+                recalls["gate_frag_compacted"] = g_frag_cmp
+                recalls["gate_frag_end"] = g_frag_end
             elif name == "stream_sessionize":
                 s_sec, s_nb, s_pb, s_state = stream_sessionize_stage(
                     spark, scaled, os.path.join(work, "sess"), args.replicas
@@ -1079,10 +1301,12 @@ def main() -> int:
                 timings[name] = timed_entry(spark, name, scaled)
             _release(spark)
         canary_post = _canary_median(spark, work)
+        write_post = _write_canary_median(spark, work)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
     canary_med = round((canary_pre + canary_post) / 2, 3)
+    write_med = round((write_pre + write_post) / 2, 3)
     print(
         json.dumps(
             {
@@ -1100,6 +1324,14 @@ def main() -> int:
                     "host_factor": (
                         round(canary_med / CANARY_REF_SEC, 3)
                         if CANARY_REF_SEC
+                        else None
+                    ),
+                    "write_pre_sec": write_pre,
+                    "write_post_sec": write_post,
+                    "write_ref_sec": WRITE_CANARY_REF_SEC,
+                    "write_factor": (
+                        round(write_med / WRITE_CANARY_REF_SEC, 3)
+                        if WRITE_CANARY_REF_SEC
                         else None
                     ),
                 },

@@ -1033,13 +1033,17 @@ def build_minhash_index(
     re-signatures (and re-shingles) the WHOLE corpus on every batch, which
     at 100 TB is the dominant cost repeated nightly. The index stores
 
-    - ``bands/``: one row per (doc, band) with the banded MinHash
-      signature, parquet partitioned by ``band_idx`` — what candidate
-      generation equi-joins against;
-    - ``shingles/``: each doc's distinct shingle set as 60-bit hashes —
-      what the exact-Jaccard verify gathers CANDIDATE rows from (the scan
-      is filtered by a broadcast of batch-bounded candidate ids, so the
-      nightly probe never rescans corpus text at all);
+    - ``bands/``: one row per (DISTINCT text, band) with the banded
+      MinHash signature, keyed by a 64-bit ``content_id`` text hash,
+      parquet partitioned by ``band_idx`` and sig-sorted within files —
+      what candidate generation equi-joins against (content addressing:
+      see :func:`_write_minhash_index_rows` — index size and probe cost
+      are invariant to the corpus's duplication factor);
+    - ``shingles/``: each distinct text's shingle set as 60-bit hashes,
+      keyed by ``content_id`` — what the exact-Jaccard verify gathers
+      CANDIDATE rows from (the scan is pruned by the batch-bounded
+      candidate-id set, so the nightly probe never rescans corpus text
+      at all);
     - ``meta/``: the signature parameters, so appends and probes can never
       drift from the build (mixed-seed bands would be unsearchable — the
       same frozen-codebook reasoning as ``append_to_ivfpq_index``).
@@ -1067,9 +1071,9 @@ def build_minhash_index(
         "n_bands": n_bands, "shingle_size": shingle_size, "seed": seed,
     }, mode="overwrite")
     spark.createDataFrame(
-        [(id_col, text_col, n_hashes, n_bands, shingle_size, seed)],
+        [(id_col, text_col, n_hashes, n_bands, shingle_size, seed, "content-v2")],
         "id_col string, text_col string, n_hashes int, n_bands int, "
-        "shingle_size int, seed int",
+        "shingle_size int, seed int, fmt string",
     ).write.mode("overwrite").parquet(meta_path)
 
 
@@ -1091,31 +1095,87 @@ def _fs_is_dir(spark, path: str) -> bool:
 
 
 def _write_minhash_index_rows(docs, index_dir, p, mode: str) -> None:
+    """CONTENT-ADDRESSED index rows: bands/ and shingles/ are keyed by a
+    64-bit text hash (``content_id``), NOT by doc id, and exact-duplicate
+    texts collapse to ONE entry before anything expensive runs.
+
+    Why: the probe's output is "which BATCH docs near-match ANYTHING
+    indexed" — it never needs to know WHICH corpus doc matched, so
+    storing one row set per corpus COPY is pure waste that compounds: on
+    an R-fold duplicated corpus a doc-keyed index is R× larger, and every
+    near-dup batch doc generates R× the candidate pairs, each paying the
+    exact-Jaccard verify (profiled r12: the verify dominated the probe at
+    6.1 s of 6.9 s at 30× duplication; bands+shingles scans were ~1.5 s).
+    Content addressing makes index size AND probe cost invariant to the
+    corpus's duplication factor — only DISTINCT content costs anything.
+
+    64-bit collisions (two different texts sharing a content_id) drop one
+    text's rows — the same measure-zero accept already documented for the
+    60-bit hashed shingles. Appends dedupe within their own batch; a
+    re-append of standing content adds redundant rows that the probe's
+    candidate DISTINCT absorbs and compaction folds away.
+
+    Band files are written sorted by ``band_sig`` within each band_idx
+    partition, so the probe's pushed In-filter (see
+    :func:`minhash_dedup_against_index`) can skip row groups via parquet
+    min/max stats; shingle files are sorted by ``content_id`` for the
+    same reason on the verify side.
+    """
     import os
 
+    from sat_bucket_spark.writers import write_partitioned_dataset
+
+    distinct = (
+        _ensure_parallelism(docs)
+        .select(
+            F.xxhash64(F.col(p["text_col"])).alias("__content_id"),
+            F.col(p["text_col"]),
+        )
+        .dropDuplicates(["__content_id"])
+    )
     sigs = minhash_signatures(
-        docs, id_col=p["id_col"], text_col=p["text_col"],
+        distinct, id_col="__content_id", text_col=p["text_col"],
         n_hashes=p["n_hashes"], shingle_size=p["shingle_size"], seed=p["seed"],
     )
-    bands = _band_rows(sigs, p["id_col"], p["n_bands"], p["n_hashes"]).select(
-        F.col(p["id_col"]), "band_idx", "band_sig"
+    # band_sig (an int-array signature slice) is stored as a single
+    # xxhash64 long: sortable, parquet-stat-prunable, and a cheaper join
+    # key. Hash collisions can only ADD candidates (identical slices
+    # always agree), and the exact-Jaccard verify removes them — the
+    # probe's output is unchanged.
+    bands = _band_rows(sigs, "__content_id", p["n_bands"], p["n_hashes"]).select(
+        F.col("__content_id").alias("content_id"),
+        "band_idx",
+        F.xxhash64(F.col("band_sig")).alias("band_sig"),
     )
-    bands.write.mode(mode).partitionBy("band_idx").parquet(
-        os.path.join(index_dir, "bands")
+    write_partitioned_dataset(
+        bands,
+        os.path.join(index_dir, "bands"),
+        partitions=["band_idx"],
+        mode=mode,
+        sort_within_by=["band_sig"],
     )
-    sets = _ensure_parallelism(docs).select(
-        F.col(p["id_col"]),
+    sets = distinct.select(
+        F.col("__content_id").alias("content_id"),
         _hashed_shingles_expr(p["text_col"], p["shingle_size"]).alias("shingle_set"),
-    )
+    ).sortWithinPartitions("content_id")
     sets.write.mode(mode).parquet(os.path.join(index_dir, "shingles"))
 
 
 def load_minhash_index(spark, index_dir: str):
     """(params dict, bands DataFrame, shingle-set DataFrame) for an index
-    written by :func:`build_minhash_index`."""
+    written by :func:`build_minhash_index`. Bands and shingles are keyed
+    by ``content_id`` (content-addressed layout, format ``content-v2``);
+    an index built by an older engine fails loudly here with a rebuild
+    instruction instead of silently joining on the wrong key."""
     import os
 
     row = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    fmt = row.asDict().get("fmt", "doc-v1")
+    if fmt != "content-v2":
+        raise ValueError(
+            f"MinHash index at {index_dir} has format {fmt!r}; this engine "
+            "reads 'content-v2' — rebuild it with build_minhash_index"
+        )
     params = {
         k: row[k]
         for k in ("id_col", "text_col", "n_hashes", "n_bands", "shingle_size", "seed")
@@ -1182,6 +1242,9 @@ def compact_minhash_index(
         target_file_size=target_file_size,
         min_files=min_files,
         partition_cols=["band_idx"],
+        # compacted files must stay band_sig-sorted — the probe's pushed
+        # In-filter prunes row groups via min/max stats (build contract)
+        sort_within_by=["band_sig"],
     )
 
     target = parse_size(target_file_size)
@@ -1192,7 +1255,11 @@ def compact_minhash_index(
         df = spark.read.parquet(shingle_dir)
         tmp = shingle_dir + ".compact"
         n_out = max(1, math.ceil(total_bytes / target))
-        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        # re-sort after coalesce (concatenated sorted runs are not sorted):
+        # probe pushdown prunes shingle row groups by content_id stats
+        df.coalesce(n_out).sortWithinPartitions("content_id").write.mode(
+            "overwrite"
+        ).parquet(tmp)
         _fs_delete(spark, shingle_dir)
         _fs_rename(spark, tmp, shingle_dir)
         n_after, _ = _fs_parquet_stats(spark, shingle_dir)
@@ -1228,14 +1295,39 @@ def minhash_dedup_against_index(
     min_jaccard: float = 0.1,
     broadcast_candidates_max: int = 1_000_000,
     cache_registry: list | None = None,
+    pushdown_max_rows: int = 0,
 ) -> DataFrame:
     """Drop batch docs near-duplicating ANY indexed doc — without touching
     the corpus: candidates from a band equi-join against the persisted
     band rows, exact Jaccard verify against the persisted 60-bit shingle
-    sets (the verify-side scan is filtered by the batch-bounded candidate
-    ids). Shuffle shape: batch-sized band rows + candidates; nothing
+    sets. The index is CONTENT-ADDRESSED (one entry per distinct text —
+    see :func:`_write_minhash_index_rows`), so candidates pair each batch
+    doc with distinct matching CONTENT, never with every corpus copy of
+    it. Shuffle shape: batch-sized band rows + candidates; nothing
     corpus-sized moves. Signature parameters come from the index's meta,
     so a probe can never drift from the build.
+
+    Scan pruning (``pushdown_max_rows``, OPT-IN): when set > 0 and the
+    batch's band rows fit under it, they are collected once (one
+    batch-bounded driver job) and (a) the batch's distinct band sigs are
+    pushed into the bands read as an ``In(band_sig, ...)`` parquet
+    filter, (b) the collected rows re-enter the join as a
+    broadcast-hinted local relation — no second signature computation;
+    the same mechanism pushes the measured candidate-id set into the
+    shingle-set read. Band files are sig-sorted (and shingle files
+    id-sorted) at build/append/compact time, so the pushed In prunes ROW
+    GROUPS via min/max stats — but only when the batch's distinct sig
+    count is BELOW the archive's row-group count (each sorted row group
+    covers a narrow slice of uniform-hash sig space, so S sigs touch at
+    most S row groups). That is the small-continuous-batch vs
+    huge-standing-archive regime. DEFAULT OFF after measurement: at test
+    scale the two driver collects plus two ~2k-literal In predicates cost
+    a fixed ~3.3 s per probe and prune nothing (r12 interleaved A/B at
+    30x duplication: fallback 1.88 s flat vs pushdown 5.19 s; the
+    content-addressed layout is what flattened the probe — 20.3 s -> 1.9
+    s — not the pushdown). Both postures are output-identical, pinned by
+    test; enable for point-lookup-shaped probes where batch sigs ≪
+    archive row groups.
 
     The candidate-id filter is BROADCAST into the shingle-set scan only
     while the candidate-pair count (measured, not assumed — it rides the
@@ -1277,11 +1369,29 @@ def minhash_dedup_against_index(
             shingle_size=p["shingle_size"], seed=p["seed"],
         ),
         id_col, p["n_bands"], p["n_hashes"],
-    ).select(F.col(id_col).alias("__bid"), "band_idx", "band_sig")
+    ).select(
+        F.col(id_col).alias("__bid"),
+        "band_idx",
+        # same scalar banding key as the index write (see
+        # _write_minhash_index_rows — hash collisions only add candidates)
+        F.xxhash64(F.col("band_sig")).alias("band_sig"),
+    )
+    if pushdown_max_rows > 0:
+        # nightly posture: the batch's band rows are driver-tiny — collect
+        # them once, push the distinct sigs into the sig-sorted bands read
+        # (parquet row-group skipping), and re-enter the join with the
+        # SAME collected rows broadcast-hinted (a local relation carries
+        # unknown stats, so without the hint the filtered corpus side
+        # would be SMJ-shuffled)
+        local = bands_b.limit(pushdown_max_rows + 1).collect()
+        if 0 < len(local) <= pushdown_max_rows:
+            sigs = sorted({r["band_sig"] for r in local})
+            bands_b = F.broadcast(spark.createDataFrame(local, bands_b.schema))
+            bands_c = bands_c.where(F.col("band_sig").isin(sigs))
     cands = (
         bands_b.join(
             bands_c.select(
-                F.col(id_col).alias("__cid"), "band_idx", "band_sig"
+                F.col("content_id").alias("__cid"), "band_idx", "band_sig"
             ),
             ["band_idx", "band_sig"],
         )
@@ -1305,14 +1415,24 @@ def minhash_dedup_against_index(
         _hashed_shingles_expr(p["text_col"], p["shingle_size"]).alias("__set_b"),
     )
     # candidate ids filter the corpus-set scan: only candidate rows survive
-    # the map side, nothing corpus-sized shuffles. Broadcast only when the
-    # measured candidate count is nightly-sized (see docstring).
-    cand_ids = cands.select("__cid").distinct()
-    if n_cands <= broadcast_candidates_max:
-        cand_ids = F.broadcast(cand_ids)
+    # the map side, nothing corpus-sized shuffles. With a nightly-sized
+    # measured candidate count the id set is collected off the (already
+    # materialized) candidate cache and PUSHED into the content_id-sorted
+    # shingle read — parquet prunes row groups before the fat array column
+    # decodes; otherwise broadcast/shuffle semi-join fallbacks (docstring).
     set_c = sets_c.select(
-        F.col(id_col).alias("__cid"), F.col("shingle_set").alias("__set_c")
-    ).join(cand_ids, "__cid", "left_semi")
+        F.col("content_id").alias("__cid"), F.col("shingle_set").alias("__set_c")
+    )
+    if 0 < n_cands <= min(pushdown_max_rows, broadcast_candidates_max):
+        cids = sorted(
+            r["__cid"] for r in cands.select("__cid").distinct().collect()
+        )
+        set_c = set_c.where(F.col("__cid").isin(cids))
+    else:
+        cand_ids = cands.select("__cid").distinct()
+        if n_cands <= broadcast_candidates_max:
+            cand_ids = F.broadcast(cand_ids)
+        set_c = set_c.join(cand_ids, "__cid", "left_semi")
     inter = F.size(F.array_intersect(F.col("__set_b"), F.col("__set_c")))
     union = F.size(F.col("__set_b")) + F.size(F.col("__set_c")) - inter
     contaminated = (
