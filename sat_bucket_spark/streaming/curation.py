@@ -119,13 +119,20 @@ def stream_dedup_against_indexes(
     started StreamingQuery; at least one index dir is required.
 
     Trigger-frequency economics: the Bloom gate's per-batch cost is
-    corpus-size-INDEPENDENT (fixed-size bitmap), but the MinHash gate
-    scans the index's 3-column bands table once per probe — measured
-    sub-linear but growing (probe 2.8 s at 1x corpus -> 5.0 s at 10x on
-    the standing sf1 rows). Size the trigger so batches amortize that
-    scan (availableNow / minutes-level micro-batches for big corpora,
-    not per-second triggers); the Bloom-first ordering already keeps
-    exact dups out of the MinHash gate's input for free.
+    corpus-size-INDEPENDENT (fixed-size bitmap); the MinHash gate scans
+    the index's bands table once per probe — since r12 the index is
+    CONTENT-ADDRESSED (one entry per distinct text), so that scan and
+    the verify are invariant to the archive's duplication factor and
+    grow only with distinct content (measured flat 2.3 -> 1.9 s at
+    1x -> 30x duplication). Still: size the trigger so batches amortize
+    the per-probe fixed cost (availableNow / minutes-level micro-batches,
+    not per-second triggers), because ``learn=True`` appends fragment the
+    index at TRIGGER frequency — run :func:`compact_minhash_index`
+    between segments on a maintenance cadence (the probe_sf1
+    ``stream_archive_gate`` row receipts the mid-stream compaction:
+    gate-probe results bit-identical across it, fragmentation folded,
+    stream resumes from the same checkpoint). The Bloom-first ordering
+    keeps exact dups out of the MinHash gate's input for free.
     """
     if bloom_index_dir is None and minhash_index_dir is None:
         raise ValueError("at least one of bloom/minhash index dirs is required")
