@@ -25,6 +25,27 @@ def _write(path, queries, host_factor=None):
 BASE = {f"q{i}": 1.0 for i in range(10)}
 
 
+class TestTailReconstruction:
+    def test_write_canary_fields_not_parsed_as_queries(self, tmp_path):
+        """The driver-wrapper 'tail' fallback reconstructs queries from
+        key:number pairs; the r12 write-canary fields must be excluded or
+        they surface as phantom bench keys (write_pre_sec etc.)."""
+        tail = (
+            '_dedup": 1.23, "bucket_write": 2.5}, "sf": 0.1, "canary": '
+            '{"pre_sec": 2.0, "post_sec": 2.1, "ref_sec": 2.36, '
+            '"host_factor": 0.87, "write_pre_sec": 1.4, '
+            '"write_post_sec": 1.6, "write_ref_sec": 1.5, '
+            '"write_factor": 1.0}}'
+        )
+        p = tmp_path / "wrapped.json"
+        p.write_text(json.dumps({"tail": tail}))
+        side = bench_compare.load_bench(str(p))
+        assert side["queries"].get("bucket_write") == 2.5
+        assert not any(k.startswith("write_") for k in side["queries"])
+        assert side["host_factor"] == 0.87
+        assert side["truncated"]
+
+
 class TestRegime:
     def _pick(self, qa, qb, fa, fb):
         a = {"queries": qa, "host_factor": fa}
