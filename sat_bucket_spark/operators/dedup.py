@@ -1125,16 +1125,16 @@ def _write_minhash_index_rows(docs, index_dir, p, mode: str) -> None:
 
     from sat_bucket_spark.writers import write_partitioned_dataset
 
-    distinct = (
-        _ensure_parallelism(docs)
-        .select(
-            F.xxhash64(F.col(p["text_col"])).alias("__content_id"),
-            F.col(p["text_col"]),
-        )
-        .dropDuplicates(["__content_id"])
+    keyed = _ensure_parallelism(docs).select(
+        F.xxhash64(F.col(p["text_col"])).alias("__content_id"),
+        F.col(p["text_col"]),
     )
+    # the bands path needs NO pre-dedup: minhash_signatures ends in a
+    # groupBy(content_id), so duplicate texts collapse there for free
+    # (identical shingle hashes, map-side partial min) — one row per
+    # distinct content with zero extra shuffles
     sigs = minhash_signatures(
-        distinct, id_col="__content_id", text_col=p["text_col"],
+        keyed, id_col="__content_id", text_col=p["text_col"],
         n_hashes=p["n_hashes"], shingle_size=p["shingle_size"], seed=p["seed"],
     )
     # band_sig (an int-array signature slice) is stored as a single
@@ -1147,17 +1147,49 @@ def _write_minhash_index_rows(docs, index_dir, p, mode: str) -> None:
         "band_idx",
         F.xxhash64(F.col("band_sig")).alias("band_sig"),
     )
+    # repartition_by_levels=False: the sort contract is PER FILE (row-group
+    # min/max stats), which sortWithinPartitions satisfies on the scan
+    # partitioning — the REBALANCE shuffle would buy fewer files per band,
+    # but compaction already owns file-count hygiene and the shuffle costs
+    # more than it saves (r12 closing bench: build 4.94 s with it)
     write_partitioned_dataset(
         bands,
         os.path.join(index_dir, "bands"),
         partitions=["band_idx"],
         mode=mode,
         sort_within_by=["band_sig"],
+        repartition_by_levels=False,
     )
-    sets = distinct.select(
-        F.col("__content_id").alias("content_id"),
-        _hashed_shingles_expr(p["text_col"], p["shingle_size"]).alias("shingle_set"),
-    ).sortWithinPartitions("content_id")
+    # the sets path DOES need one dedup (R duplicate shingle rows would
+    # re-multiply verify candidates R-fold) — dedup the TEXT first so the
+    # shuffle carries text, not the fatter shingle arrays, and the shingle
+    # expression runs once per distinct content
+    # the sets path needs one dedup shuffle — and then an EXPLICIT
+    # re-widen: AQE coalesces the tiny post-dedup shuffle output (rows,
+    # not cost, drive the advisory size), which would serialize the
+    # expensive shingle projection onto one task (measured 0.6 -> 3.6 s
+    # at sf0.1 — a 6x hit from lost parallelism, and the same trap at any
+    # scale where rows are few but per-row work is heavy). The explicit
+    # repartition(n) is AQE-exempt; the shingle arrays are projected
+    # AFTER the sort so files stay content_id-sorted (Project over Sort
+    # preserves order) without buffering arrays through the sorter.
+    n_tasks = docs.sparkSession.sparkContext.defaultParallelism
+    sets = (
+        keyed.dropDuplicates(["__content_id"])
+        # ROUND-ROBIN repartition(n), not repartition(n, col): under AQE,
+        # hash-repartition-with-N is a coalescible shuffle (measured: 32
+        # requested -> 1 non-empty partition on a 5k-row input, Spark
+        # 4.1), while round-robin with explicit N is exempt — the whole
+        # point here is pinning the parallelism
+        .repartition(n_tasks)
+        .sortWithinPartitions("__content_id")
+        .select(
+            F.col("__content_id").alias("content_id"),
+            _hashed_shingles_expr(p["text_col"], p["shingle_size"]).alias(
+                "shingle_set"
+            ),
+        )
+    )
     sets.write.mode(mode).parquet(os.path.join(index_dir, "shingles"))
 
 
