@@ -83,6 +83,7 @@ HEADLINE = [
     "nearest_grid",        # min_by over the same fan-out (added r4)
     "decontaminate_bloom", # bounded-bitmap broadcast probe (added r4)
     "dedup_against_bloom", # bloom-routed incremental dedup (added r4)
+    "dedup_against_bloom_index",  # persisted-index probe, VERIFIED posture (added r12)
     "mix_sources_tokens",  # token-mass mixture (added r4)
     "lm_score",            # bigram-LM perplexity-style scoring (added r4)
     "knn_join",            # large-large shuffled kNN join, no broadcast side (added r5)
