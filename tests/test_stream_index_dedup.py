@@ -144,6 +144,69 @@ class TestStreamDedupAgainstIndexes:
             r["doc_id"] for r in spark.read.parquet(f"{sink}/batch=1").collect()
         } == {301}
 
+    def test_compact_every_bounds_fragmentation_output_identical(
+        self, spark, tmp_path
+    ):
+        """compact_every=N runs compact_minhash_index inside the gate
+        every N learned batches: the kept id-set must be IDENTICAL to the
+        uncompacted run (compaction is content-preserving maintenance)
+        while band fragmentation stays bounded instead of growing one
+        file per learn batch."""
+        import glob
+
+        from sat_bucket_spark.streaming.curation import _make_gate
+
+        def band_frag(midx):
+            root = os.path.join(midx, "bands")
+            return max(
+                len(glob.glob(os.path.join(root, d, "*.parquet")))
+                for d in os.listdir(root)
+                if d.startswith("band_idx=")
+            )
+
+        batches = [
+            [(100 + 10 * i + j, _long(f"novel{i}_{j}")) for j in range(2)]
+            for i in range(6)
+        ]
+        kept = {}
+        frag = {}
+        for cadence in (None, 2):
+            bidx, midx = self._indexes(spark, tmp_path / f"c{cadence}")
+            sink = str(tmp_path / f"sink_c{cadence}")
+            gate = _make_gate(sink, bidx, midx, 0.5, True, cadence)
+            for i, rows in enumerate(batches):
+                gate(spark.createDataFrame(rows, ["doc_id", "text"]), i)
+            kept[cadence] = {
+                r["doc_id"]
+                for r in spark.read.option("basePath", sink)
+                .parquet(f"{sink}/batch=*")
+                .collect()
+            }
+            frag[cadence] = band_frag(midx)
+        assert kept[2] == kept[None] == {
+            100 + 10 * i + j for i in range(6) for j in range(2)
+        }
+        # 6 learn appends on a 1-file build: uncompacted = 7 files/band;
+        # with cadence 2 the periodic folds keep it strictly lower
+        assert frag[2] < frag[None]
+
+    def test_compact_every_requires_learn_and_minhash(self, spark, tmp_path):
+        import pytest
+
+        from sat_bucket_spark.streaming.curation import (
+            stream_dedup_against_indexes,
+        )
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(tmp_path)
+        )
+        with pytest.raises(ValueError, match="compact_every"):
+            stream_dedup_against_indexes(
+                stream, str(tmp_path / "s"), str(tmp_path / "c"),
+                bloom_index_dir=str(tmp_path / "b"), learn=True,
+                compact_every=2,
+            )
+
     def test_requires_an_index(self, spark, tmp_path):
         import pytest
 
