@@ -535,9 +535,12 @@ def minhash_lsh_dedup_pairs(
     cands = lsh_candidate_pairs(
         sigs, id_col="__tid", n_bands=n_bands, n_hashes=n_hashes, with_estimate=False
     ).toDF("__tid_a", "__tid_b")
-    sets = dtex.select(
-        "__tid", shingles_expr(text_col, k=shingle_size).alias("sh_set")
-    )
+    # re-widen the post-distinct stage before the shingle projection: AQE's
+    # bytes-based coalesce under-parallelizes the per-row-expensive expr
+    # (same trap as the index build; round-robin N is the AQE-exempt form)
+    sets = dtex.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).select("__tid", shingles_expr(text_col, k=shingle_size).alias("sh_set"))
     a = sets.select(F.col("__tid").alias("__tid_a"), F.col("sh_set").alias("set_a"))
     b = sets.select(F.col("__tid").alias("__tid_b"), F.col("sh_set").alias("set_b"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
