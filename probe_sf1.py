@@ -971,7 +971,14 @@ def archive_gate_stage(spark, sf_dir, workdir, replicas):
       BIT-IDENTICAL survivors across the compaction, then segment B
       resumes learning from the same checkpoint (mid-stream maintenance
       is exactly how a production gate would run it — triggers pause,
-      compaction folds the fragments, the query restarts from offsets).
+      compaction folds the fragments, the query restarts from offsets);
+    - the ``compact_every`` cadence receipt: segment A runs WITHOUT
+      maintenance (measuring the raw fragmentation-driven growth term —
+      r12 first reading: per-batch 3.76 -> 5.18 s over 20 uncompacted
+      learn batches), segment B runs WITH the gate's own in-stream
+      cadence, and the stage GATES that segment B's tail per-batch cost
+      does not ratchet past segment A's uncompacted tail (1.25x bound —
+      the cadence compactions ride inside B's own trigger durations).
 
     Correctness gates (all non-vacuous both ways): exact corpus dups drop
     at the Bloom leg, near-dups drop at the MinHash leg, copies of an
@@ -1066,9 +1073,9 @@ def archive_gate_stage(spark, sf_dir, workdir, replicas):
     sink = os.path.join(workdir, "sink")
     ckpt = os.path.join(workdir, "ckpt")
     schema = "doc_id long, text string"
-    durations: list[float] = []
+    seg_durations: dict[str, list[float]] = {}
 
-    def run_segment() -> float:
+    def run_segment(tag: str, compact_every: int | None = None) -> float:
         t0 = time.perf_counter()
         stream = (
             spark.readStream.schema(schema)
@@ -1079,15 +1086,19 @@ def archive_gate_stage(spark, sf_dir, workdir, replicas):
             stream, sink, ckpt,
             bloom_index_dir=bidx, minhash_index_dir=midx,
             min_jaccard=0.5, learn=True, trigger={"availableNow": True},
+            compact_every=compact_every,
         )
         q.awaitTermination()
+        durations = seg_durations.setdefault(tag, [])
         for prog in q.recentProgress:
             d = (prog.get("durationMs") or {}).get("triggerExecution")
             if d is not None and prog.get("numInputRows", 0) > 0:
                 durations.append(d / 1000.0)
         return time.perf_counter() - t0
 
-    sec_a = run_segment()
+    # segment A runs WITHOUT in-stream maintenance — it measures the raw
+    # growth term (per-batch cost vs accumulating fragmentation)
+    sec_a = run_segment("a")
     frag_mid = band_frag()
 
     # in-stream compaction receipt: fixed gate probe bit-identical across
@@ -1123,7 +1134,9 @@ def archive_gate_stage(spark, sf_dir, workdir, replicas):
             os.path.join(hidden, f"{i:04d}.parquet"),
             os.path.join(src, f"{i:04d}.parquet"),
         )
-    sec_b = run_segment()
+    # segment B runs WITH the gate's own compaction cadence — it receipts
+    # the knob: per-batch cost should stay bounded instead of re-ratcheting
+    sec_b = run_segment("b", compact_every=max(half // 4, 2))
     frag_end = band_frag()
 
     kept = {
@@ -1139,12 +1152,23 @@ def archive_gate_stage(spark, sf_dir, workdir, replicas):
             f"archive gate diverged: {len(kept)} kept vs "
             f"{len(expected_kept)} expected (extra={extra} missing={missing})"
         )
-    k = max(1, min(5, len(durations) // 2))
-    per_batch_first = round(sum(durations[:k]) / k, 3)
-    per_batch_last = round(sum(durations[-k:]) / k, 3)
+    dur_a, dur_b = seg_durations.get("a", []), seg_durations.get("b", [])
+    k = max(1, min(5, len(dur_a) // 2))
+    per_batch_first = round(sum(dur_a[:k]) / k, 3)
+    per_batch_last = round(sum(dur_a[-k:]) / k, 3)
+    kb = max(1, min(5, len(dur_b) // 2))
+    per_batch_b_last = round(sum(dur_b[-kb:]) / kb, 3)
+    # the cadence must keep segment B's tail from re-ratcheting past
+    # segment A's uncompacted tail (generous 1.25x: host noise, and the
+    # cadence compactions themselves ride inside B's trigger durations)
+    if per_batch_b_last > 1.25 * max(per_batch_last, 0.001):
+        raise AssertionError(
+            f"compact_every did not bound per-batch growth: segment B tail "
+            f"{per_batch_b_last} vs segment A tail {per_batch_last}"
+        )
     total = round(sec_a + compact_sec + sec_b, 3)
     return (
-        total, n_batches, per_batch_first, per_batch_last,
+        total, n_batches, per_batch_first, per_batch_last, per_batch_b_last,
         frag_mid, frag_compacted, frag_end, compact_sec,
     )
 
@@ -1272,7 +1296,7 @@ def main() -> int:
                 timings["bloom_index_append"] = ap
             elif name == "stream_archive_gate":
                 (
-                    g_total, g_nb, g_first, g_last,
+                    g_total, g_nb, g_first, g_last, g_b_last,
                     g_frag_mid, g_frag_cmp, g_frag_end, g_cmp_sec,
                 ) = archive_gate_stage(
                     spark, scaled, os.path.join(work, "gate"), args.replicas
@@ -1280,10 +1304,13 @@ def main() -> int:
                 timings["stream_archive_gate"] = g_total
                 timings["stream_archive_compact"] = g_cmp_sec
                 # growth receipts ride the recall dict (gate values, not
-                # timings): per-batch trend + band fragmentation trajectory
+                # timings): per-batch trend + band fragmentation trajectory;
+                # segment A = no maintenance (raw growth), segment B =
+                # compact_every cadence (bounded tail)
                 recalls["gate_batches"] = g_nb
                 recalls["gate_per_batch_first"] = g_first
                 recalls["gate_per_batch_last"] = g_last
+                recalls["gate_per_batch_cadenced"] = g_b_last
                 recalls["gate_frag_mid"] = g_frag_mid
                 recalls["gate_frag_compacted"] = g_frag_cmp
                 recalls["gate_frag_end"] = g_frag_end
