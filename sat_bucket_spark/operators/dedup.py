@@ -791,7 +791,7 @@ def load_bloom_index(spark, index_dir: str):
     import json as _json
     import os
 
-    row = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    row = _load_meta_row(spark, index_dir)
     params = {
         "key_cols": _json.loads(row["key_cols"]),
         "n_bits": int(row["n_bits"]),
@@ -1090,6 +1090,42 @@ def _fs_delete(spark, path: str) -> None:
         fs.delete(p, True)
 
 
+_META_CACHE: dict = {}
+
+
+def _load_meta_row(spark, index_dir: str):
+    """The index's single meta row, with an mtime-guarded process cache.
+
+    Meta is immutable after build (appends/compactions never touch it;
+    only a REBUILD rewrites it, which changes the directory's
+    modification time and invalidates the entry) — but reading it through
+    a Spark job costs ~0.15-0.2 s of scheduling latency PER CALL, and the
+    streaming archive gate loads each index twice per micro-batch (probe
+    + append): ~0.7 s/batch of pure meta re-reads at trigger frequency.
+    The cache trades one driver-side FS stat for that job. Any failure in
+    the stat path falls back to the uncached read so a missing/invalid
+    meta still fails with the loud canonical error."""
+    import os
+
+    meta_path = os.path.join(index_dir, "meta")
+    key = os.path.abspath(meta_path)
+    mtime = None
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(meta_path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        mtime = fs.getFileStatus(p).getModificationTime()
+        hit = _META_CACHE.get(key)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+    except Exception:
+        mtime = None
+    row = spark.read.parquet(meta_path).collect()[0]
+    if mtime is not None:
+        _META_CACHE[key] = (mtime, row)
+    return row
+
+
 def _fs_is_dir(spark, path: str) -> bool:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -1204,7 +1240,7 @@ def load_minhash_index(spark, index_dir: str):
     instruction instead of silently joining on the wrong key."""
     import os
 
-    row = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    row = _load_meta_row(spark, index_dir)
     fmt = row.asDict().get("fmt", "doc-v1")
     if fmt != "content-v2":
         raise ValueError(

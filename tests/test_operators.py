@@ -1575,6 +1575,27 @@ class TestBloomIndex:
         }
         assert unverified == verified == direct == {10, 12}
 
+    def test_meta_cache_invalidates_on_rebuild(self, spark, tmp_path):
+        """load_* meta reads are process-cached behind the meta dir's
+        mtime (the streaming gate loads each index twice per micro-batch;
+        a Spark job per load is ~0.2 s of pure scheduling). A REBUILD
+        rewrites meta and must invalidate the cache — stale frozen
+        parameters would silently mis-hash every probe."""
+        from sat_bucket_spark.operators.dedup import (
+            build_bloom_index,
+            load_bloom_index,
+        )
+
+        batch, corpus = self._data(spark)
+        idx = str(tmp_path / "bloom_idx_cache")
+        build_bloom_index(corpus, idx, ["text"], n_bits=1 << 20)
+        p1, _ = load_bloom_index(spark, idx)
+        p2, _ = load_bloom_index(spark, idx)  # cache hit
+        assert p1 == p2 and p1["n_bits"] == 1 << 20
+        build_bloom_index(corpus, idx, ["text"], n_bits=1 << 21)
+        p3, _ = load_bloom_index(spark, idx)
+        assert p3["n_bits"] == 1 << 21  # rebuild invalidated the cache
+
     def test_rebuild_failure_leaves_no_valid_meta(self, spark, tmp_path):
         """Same commit protocol as the MinHash index: meta/ is written
         LAST and invalidated FIRST on rebuild."""
