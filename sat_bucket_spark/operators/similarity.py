@@ -1097,10 +1097,14 @@ def compact_ivfpq_index(
 
 def load_ivfpq_index(spark, index_dir: str):
     """(params dict, centroids ndarray, codebooks ndarray, codes DataFrame)
-    for an index written by :func:`build_ivfpq_index`."""
+    for an index written by :func:`build_ivfpq_index`. The meta row
+    (frozen params + codebooks) is mtime-cache-guarded like the dedup
+    indexes' — immutable after build, rebuilds invalidate."""
     import os
 
-    row = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    from sat_bucket_spark.operators.dedup import _load_meta_row
+
+    row = _load_meta_row(spark, index_dir)
     params = {
         k: row[k] for k in ("dim", "n_clusters", "m", "ksub", "seed", "id_col")
     }
