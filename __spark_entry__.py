@@ -1948,6 +1948,29 @@ def q_semantic_dedup(spark, sf_dir):
     return out.select("vec_id", F.col("label").cast("int").alias("label"))
 
 
+def q_bm25_index_topk(spark, sf_dir):
+    """Persisted BM25 retrieval index — the fourth persisted-index leg
+    (exact keys -> Bloom, near-dup -> MinHash bands, semantic -> IVFPQ,
+    retrieval -> BM25 postings). Builds term-sorted postings + per-term
+    df + corpus stats in a per-call temp dir (the one-time tokenize the
+    index amortizes away), then scores a 3-term query as a pure term
+    point-lookup: zero corpus access, pushed In(term) into the sorted
+    posting files. ``k=None`` returns every match so the DuckDB oracle
+    replays the full scored set (same Lucene-form IDF, decimal-exact sum,
+    round 6 — bit-identical to ``bm25_scores``, pinned by test)."""
+    import tempfile
+
+    from sat_bucket_spark.operators.relevance import (
+        bm25_index_topk,
+        build_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="sbs_bm25_idx_")
+    build_bm25_index(docs, idx)
+    return bm25_index_topk(spark, idx, ["data", "model", "the"], k=None)
+
+
 def q_tf_idf(spark, sf_dir):
     """TF-IDF relevance scores for a 3-term query over the corpus."""
     from sat_bucket_spark.operators.relevance import tf_idf_scores
@@ -3403,6 +3426,40 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
   list_sort(list(doc_id)) AS postings
 FROM e GROUP BY term
 HAVING COUNT(*) >= 3 AND COUNT(*) <= 400
+""",
+    # bm25_index_topk: replays the persisted-index probe exactly — Lucene
+    # IDF ln((N - df + 0.5)/(df + 0.5) + 1), k1=1.2 / b=0.75 saturation,
+    # avgdl over tokenizable docs, decimal-exact sum, round 6 (same
+    # knife-edge protocol as tf_idf: the decimal(28,10) cast quantizes
+    # before the sum so sub-1e-10 engine float noise cannot move it)
+    "bm25_index_topk": f"""
+WITH matched AS (
+  SELECT doc_id, unnest(list_filter({_tokens_sql("lower(text)")},
+         t -> t IN ('data', 'model', 'the'))) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM matched GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(len({_tokens_sql("lower(text)")}) AS DOUBLE) AS dl
+       FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(CAST(len({_tokens_sql("lower(text)")}) AS DOUBLE)) AS avgdl
+  FROM documents
+),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM matched GROUP BY term)
+SELECT tf.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_matched,
+  round(CAST(SUM(CAST(
+    ln((CAST(stats.n AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+    * (tf.tf * 2.2)
+    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+    AS DECIMAL(28,10))) AS DOUBLE), 6) AS score
+FROM tf
+JOIN dfreq ON tf.term = dfreq.term
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
 """,
     "tf_idf": f"""
 WITH matched AS (
@@ -5572,6 +5629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantic_dedup + knn_join + ivfpq_topk, while the persisted-index
         # probe leg had NO hash-verified representative)
         "lsh_dedup_against": q_lsh_dedup_against,
+        "bm25_index_topk": q_bm25_index_topk,
         "dup_spans": q_dup_spans,
         "mad_outliers": q_mad_outliers,
         "exif_meta": q_exif_meta,

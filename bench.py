@@ -84,6 +84,7 @@ HEADLINE = [
     "decontaminate_bloom", # bounded-bitmap broadcast probe (added r4)
     "dedup_against_bloom", # bloom-routed incremental dedup (added r4)
     "dedup_against_bloom_index",  # persisted-index probe, VERIFIED posture (added r12)
+    "bm25_index_topk",     # persisted BM25 retrieval index: build + term point-lookup (added r12)
     "mix_sources_tokens",  # token-mass mixture (added r4)
     "lm_score",            # bigram-LM perplexity-style scoring (added r4)
     "knn_join",            # large-large shuffled kNN join, no broadcast side (added r5)

@@ -29,7 +29,15 @@ from pyspark.sql import functions as F
 from sat_bucket_spark.operators.parallel import ensure_parallelism
 from sat_bucket_spark.operators.text import tokens_expr
 
-__all__ = ["bm25_scores", "inverted_index", "tf_idf_scores"]
+__all__ = [
+    "append_to_bm25_index",
+    "bm25_index_topk",
+    "bm25_scores",
+    "build_bm25_index",
+    "inverted_index",
+    "load_bm25_index",
+    "tf_idf_scores",
+]
 
 
 def _doc_terms(df: DataFrame, id_col: str, text: str, terms: list[str]) -> DataFrame:
@@ -151,6 +159,297 @@ def tf_idf_scores(
             ).alias("score"),
         )
     )
+
+
+# --- persisted BM25 index: the retrieval leg of the persisted-index family
+# (exact keys -> Bloom bitmap, near-dup -> MinHash bands, semantic -> IVFPQ
+# codes, RETRIEVAL -> BM25 postings). bm25_scores re-tokenizes the WHOLE
+# corpus per query batch; at 100 TB that is the dominant cost repeated for
+# every decontamination-by-retrieval / quality-audit lookup. The index pays
+# the tokenize ONCE and makes each query a term point-lookup.
+#
+# Layout (reference analogue: incremental update,
+# /root/reference/satbucket/routines.py:580-587 — re-expressed as
+# build-once/append-increments state like the other three legs):
+#   postings/       (term, doc_id, tf, dl) — one row per (doc, distinct
+#                   term), files SORTED BY TERM. Query terms are always
+#                   a handful, so a pushed In(term) prunes row groups by
+#                   min/max string stats — this is the true point-lookup
+#                   regime (probe keys << row groups), unlike the MinHash
+#                   batch-sig case where pushdown is opt-in.
+#   gen.v<N>/terms/ (term, df) — per-term document frequency.
+#   gen.v<N>/stats/ (n_docs, total_dl) — the corpus constants.
+#                   terms+stats are GENERATIONAL because appends must
+#                   update them exactly (df/N/avgdl drift with the corpus,
+#                   unlike the other legs' frozen state): an append writes
+#                   gen.v<N+1> (stats LAST — its _SUCCESS is the commit
+#                   point) and then retires v<N>; a crash leaves the old
+#                   generation serving. Postings appends are plain file
+#                   appends (no rewrite, no stale rows — df lives only in
+#                   terms/).
+#   meta/           frozen tokenizer params + fmt, committed LAST at build
+#                   (same validity-marker protocol as the other legs).
+#
+# Appends are EXACT, not approximations: df, n_docs, and total_dl are all
+# sums, so build(A) + append(B) == build(A ∪ B) row for row (pinned by
+# test) — scores never drift from the batch operator.
+
+
+def _bm25_gen(spark, index_dir: str) -> tuple[int, list[str]]:
+    """(current generation, stale generation paths) for the mutable
+    terms/stats state — highest gen.v<N> whose stats/_SUCCESS exists."""
+    import os
+    import re
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    gens: dict[int, str] = {}
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            m = re.fullmatch(r"gen\.v(\d+)", name)
+            if m and st.isDirectory():
+                gens[int(m.group(1))] = os.path.join(index_dir, name)
+    current = 0
+    for n in sorted(gens, reverse=True):
+        ok = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(gens[n], "stats", "_SUCCESS")
+        )
+        if fs.exists(ok):
+            current = n
+            break
+    stale = [p for n, p in gens.items() if n != current]
+    return current, stale
+
+
+def _bm25_posting_rows(docs: DataFrame, id_col: str, text: str) -> DataFrame:
+    """(term, doc_id, tf, dl) rows + the doc-length frame, token rules
+    shared with :func:`bm25_scores` (lowercased ``tokens_expr``)."""
+    toks = tokens_expr(F.lower(F.col(text)))
+    exploded = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("double").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    return exploded.groupBy("term", "doc_id", "dl").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+
+
+def _write_bm25_generation(spark, index_dir: str, terms: DataFrame,
+                           n_docs: int, total_dl: float, n_dl: int,
+                           gen: int) -> None:
+    import os
+
+    from sat_bucket_spark.operators.dedup import _fs_delete
+
+    nxt = os.path.join(index_dir, f"gen.v{gen + 1}")
+    terms.sortWithinPartitions("term").write.mode("overwrite").parquet(
+        os.path.join(nxt, "terms")
+    )
+    # stats is the generation's COMMIT point — written last. n_dl (docs
+    # with a tokenizable text) is kept SEPARATE from n_docs: bm25_scores'
+    # avgdl averages over non-NULL docs while its N counts all rows —
+    # the index replays both denominators exactly.
+    spark.createDataFrame(
+        [(int(n_docs), float(total_dl), int(n_dl))],
+        "n_docs long, total_dl double, n_dl long",
+    ).write.mode("overwrite").parquet(os.path.join(nxt, "stats"))
+    if gen > 0:
+        _fs_delete(spark, os.path.join(index_dir, f"gen.v{gen}"))
+
+
+def build_bm25_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> None:
+    """Persist the corpus's BM25 state once (see the family note above).
+
+    One tokenize scan builds term-sorted postings; one aggregate builds
+    per-term df; one aggregate builds (n_docs, total_dl). ``meta/`` is
+    invalidated first and committed LAST, so a mid-build crash leaves a
+    loudly-invalid index, never mixed tokenizer generations.
+    """
+    import os
+
+    from sat_bucket_spark.operators.dedup import _fs_delete
+
+    spark = corpus.sparkSession
+    meta_path = os.path.join(index_dir, "meta")
+    _fs_delete(spark, meta_path)
+    gen, stale = _bm25_gen(spark, index_dir)
+    for old in stale:
+        _fs_delete(spark, old)
+    if gen:
+        _fs_delete(spark, os.path.join(index_dir, f"gen.v{gen}"))
+    _fs_delete(spark, os.path.join(index_dir, "postings"))
+
+    rows = _bm25_posting_rows(corpus, id_col, text)
+    rows.sortWithinPartitions("term").write.mode("overwrite").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    posted = spark.read.parquet(os.path.join(index_dir, "postings"))
+    terms = posted.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dl_col = F.size(tokens_expr(F.lower(F.col(text)))).cast("double")
+    st = corpus.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dl_col).alias("dl"),
+        F.count(dl_col).alias("n_dl"),
+    ).collect()[0]
+    _write_bm25_generation(
+        spark, index_dir, terms, st["n"], float(st["dl"] or 0.0),
+        int(st["n_dl"]), 0,
+    )
+    spark.createDataFrame(
+        [(id_col, text, "bm25-v1")], "id_col string, text string, fmt string"
+    ).write.mode("overwrite").parquet(meta_path)
+
+
+def load_bm25_index(spark, index_dir: str):
+    """(params dict, postings DataFrame, terms DataFrame, stats row)."""
+    import os
+
+    from sat_bucket_spark.operators.dedup import _load_meta_row
+
+    row = _load_meta_row(spark, index_dir)
+    fmt = row.asDict().get("fmt")
+    if fmt != "bm25-v1":
+        raise ValueError(
+            f"BM25 index at {index_dir} has format {fmt!r}; this engine "
+            "reads 'bm25-v1' — rebuild it with build_bm25_index"
+        )
+    params = {"id_col": row["id_col"], "text": row["text"]}
+    gen, _stale = _bm25_gen(spark, index_dir)
+    gen_dir = os.path.join(index_dir, f"gen.v{gen}")
+    stats = spark.read.parquet(os.path.join(gen_dir, "stats")).collect()[0]
+    return (
+        params,
+        spark.read.parquet(os.path.join(index_dir, "postings")),
+        spark.read.parquet(os.path.join(gen_dir, "terms")),
+        stats,
+    )
+
+
+def append_to_bm25_index(docs: DataFrame, index_dir: str) -> None:
+    """Fold new docs in EXACTLY: postings rows append as new files (no
+    rewrite — per-row state is immutable), while df/n_docs/total_dl are
+    sums and re-commit as the next terms/stats generation (stats-last
+    crash protocol; a failed append leaves the previous generation
+    serving and simply re-runs). ``build(A); append(B)`` equals
+    ``build(A ∪ B)`` — pinned by test, so index scores can never drift
+    from :func:`bm25_scores` on the same corpus.
+
+    Same live-reader caveat as every index append in this engine:
+    materialize anything derived from the OLD generation before
+    appending."""
+    import os
+
+    spark = docs.sparkSession
+    p, _postings, terms, stats = load_bm25_index(spark, index_dir)
+    rows = _bm25_posting_rows(docs, p["id_col"], p["text"])
+    rows.sortWithinPartitions("term").write.mode("append").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    delta_terms = rows.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    merged = (
+        terms.unionByName(delta_terms)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    dl_col = F.size(tokens_expr(F.lower(F.col(p["text"])))).cast("double")
+    st = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dl_col).alias("dl"),
+        F.count(dl_col).alias("n_dl"),
+    ).collect()[0]
+    gen, stale = _bm25_gen(spark, index_dir)
+    from sat_bucket_spark.operators.dedup import _fs_delete
+
+    for old in stale:
+        _fs_delete(spark, old)
+    _write_bm25_generation(
+        spark, index_dir,
+        merged,
+        int(stats["n_docs"]) + int(st["n"]),
+        float(stats["total_dl"]) + float(st["dl"] or 0.0),
+        int(stats["n_dl"]) + int(st["n_dl"]),
+        gen,
+    )
+
+
+def bm25_index_topk(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    k: int | None = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Score documents against ``query_terms`` from the persisted index —
+    zero corpus access, zero tokenization: the probe's inputs are the
+    matched posting rows and a query-terms-sized slice of ``terms/``.
+
+    The term filter is a pushed ``In(term, ...)`` over TERM-SORTED
+    posting files, so parquet row-group min/max stats skip everything a
+    handful of query terms cannot touch — the point-lookup regime where
+    pushdown always wins (probe keys ≪ row groups; contrast the MinHash
+    probe's opt-in knob). Scoring replays :func:`bm25_scores`'s exact
+    formula — same Lucene-form IDF, same decimal-exact sum, same
+    rounding — so index results are bit-identical to the batch operator
+    (pinned by test). ``max_df`` optionally drops stopword-grade terms at
+    query time (df is known from ``terms/``, so thresholds are free and
+    never baked into the stored state). ``k=None`` returns all matches
+    (the decontamination posture); an integer k returns the top-k by
+    (score desc, doc_id asc) — a deterministic total order.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qterms = sorted({t.lower() for t in query_terms})
+    p, postings, terms, stats = load_bm25_index(spark, index_dir)
+    n_docs = int(stats["n_docs"])
+    n_dl = int(stats["n_dl"])
+    avgdl = float(stats["total_dl"]) / n_dl if n_dl else 1.0
+    dfreq = {
+        r["term"]: int(r["df"])
+        for r in terms.where(F.col("term").isin(qterms)).collect()
+    }
+    if max_df is not None:
+        qterms = [t for t in qterms if dfreq.get(t, 0) <= max_df]
+        if not qterms:
+            qterms = ["\x00__no_term__"]  # empty-result sentinel
+    idf_expr = None
+    for term in qterms:
+        df_t = dfreq.get(term, 0)
+        idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        branch = F.when(F.col("term") == F.lit(term), F.lit(idf))
+        idf_expr = branch if idf_expr is None else idf_expr.when(
+            F.col("term") == F.lit(term), F.lit(idf)
+        )
+    idf_expr = idf_expr.otherwise(F.lit(0.0))
+    matched = postings.where(F.col("term").isin(qterms))
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = idf_expr * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    scored = (
+        matched.withColumn("__c", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.round(
+                F.sum(F.col("__c").cast("decimal(28,10)")).cast("double"), 6
+            ).alias("score"),
+        )
+    )
+    if k is None:
+        return scored
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
 def inverted_index(

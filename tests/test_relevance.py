@@ -78,3 +78,160 @@ class TestInvertedIndex:
         df = spark.createDataFrame(DOCS, ["doc_id", "text"])
         terms = {r["term"] for r in inverted_index(df, min_df=2, max_df=2).collect()}
         assert terms == {"spark", "query", "engine"}
+
+
+class TestBm25Index:
+    """Persisted BM25 index — the retrieval leg of the persisted-index
+    family: build once, probe queries as term point-lookups with zero
+    corpus access, append increments EXACTLY (sums), generational
+    terms/stats with a stats-last commit point."""
+
+    def _corpus(self, spark, sf="0.01"):
+        return (
+            spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet")
+            .select("doc_id", "text")
+        )
+
+    def test_index_scores_equal_batch_operator(self, spark, tmp_path):
+        """bm25_index_topk(k=None) must be BIT-IDENTICAL to bm25_scores on
+        the same corpus and terms — same IDF form, same decimal-exact sum,
+        same rounding."""
+        from sat_bucket_spark.operators.relevance import (
+            bm25_index_topk,
+            bm25_scores,
+            build_bm25_index,
+        )
+
+        docs = self._corpus(spark)
+        terms = ["the", "data", "model"]
+        want = sorted(
+            (r["doc_id"], r["n_matched"], r["score"])
+            for r in bm25_scores(docs, terms).collect()
+        )
+        idx = str(tmp_path / "bm25_idx")
+        build_bm25_index(docs, idx)
+        got = sorted(
+            (r["doc_id"], r["n_matched"], r["score"])
+            for r in bm25_index_topk(spark, idx, terms, k=None).collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_probe_zero_corpus_access_and_pushed_term_filter(
+        self, spark, tmp_path
+    ):
+        """The probe touches ONLY the index: the corpus parquet appears
+        nowhere in the plan, and the term filter reaches the postings scan
+        as a pushed In(term) — the point-lookup pruning the term-sorted
+        files exist for."""
+        from sat_bucket_spark.operators.relevance import (
+            bm25_index_topk,
+            build_bm25_index,
+        )
+
+        docs = self._corpus(spark)
+        idx = str(tmp_path / "bm25_idx_plan")
+        build_bm25_index(docs, idx)
+        out = bm25_index_topk(spark, idx, ["data", "model"], k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "documents.parquet" not in plan
+        assert "PushedFilters: [In(term" in plan
+
+    def test_append_equals_rebuild(self, spark, tmp_path):
+        """build(A) + append(B) == build(A ∪ B) row for row: df, n_docs,
+        and doc lengths are sums, so the incremental index can never
+        drift from the batch result."""
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.operators.relevance import (
+            append_to_bm25_index,
+            bm25_index_topk,
+            build_bm25_index,
+        )
+
+        docs = self._corpus(spark)
+        part_a = docs.where(F.col("doc_id") % 3 != 0)
+        part_b = docs.where(F.col("doc_id") % 3 == 0)
+        terms = ["the", "data", "model"]
+        inc = str(tmp_path / "bm25_inc")
+        full = str(tmp_path / "bm25_full")
+        build_bm25_index(part_a, inc)
+        append_to_bm25_index(part_b, inc)
+        build_bm25_index(docs, full)
+        got_inc = sorted(
+            map(tuple, bm25_index_topk(spark, inc, terms, k=None).collect())
+        )
+        got_full = sorted(
+            map(tuple, bm25_index_topk(spark, full, terms, k=None).collect())
+        )
+        assert got_inc == got_full and len(got_inc) > 0
+
+    def test_crashed_append_leaves_previous_generation_serving(
+        self, spark, tmp_path
+    ):
+        """gen.v<N+1> without its stats/_SUCCESS is debris: load resolves
+        the previous complete generation and the next append clears it."""
+        import os
+
+        from sat_bucket_spark.operators.relevance import (
+            append_to_bm25_index,
+            bm25_index_topk,
+            build_bm25_index,
+            load_bm25_index,
+        )
+        from pyspark.sql import functions as F
+
+        docs = self._corpus(spark)
+        idx = str(tmp_path / "bm25_gen")
+        build_bm25_index(docs.where(F.col("doc_id") % 2 == 0), idx)
+        _, _, _, stats0 = load_bm25_index(spark, idx)
+        # plant a crashed append's debris: gen.v2 with terms but no stats
+        # (the build committed gen.v1)
+        debris = os.path.join(idx, "gen.v2", "terms")
+        os.makedirs(debris)
+        with open(os.path.join(debris, "junk.parquet"), "wb") as f:
+            f.write(b"not parquet")
+        _, _, _, stats1 = load_bm25_index(spark, idx)
+        assert int(stats1["n_docs"]) == int(stats0["n_docs"])
+        before = sorted(
+            map(tuple, bm25_index_topk(spark, idx, ["data"], k=None).collect())
+        )
+        assert before  # still serving on gen.v1
+        # the re-run append clears the debris and commits gen.v2
+        append_to_bm25_index(docs.where(F.col("doc_id") % 2 == 1), idx)
+        assert os.path.exists(os.path.join(idx, "gen.v2", "stats", "_SUCCESS"))
+        assert not os.path.exists(os.path.join(idx, "gen.v1"))
+        _, _, _, stats2 = load_bm25_index(spark, idx)
+        assert int(stats2["n_docs"]) > int(stats0["n_docs"])
+
+    def test_max_df_and_topk_order(self, spark, tmp_path):
+        """max_df drops stopword-grade terms at query time; top-k is a
+        deterministic (score desc, doc_id asc) order."""
+        from sat_bucket_spark.operators.relevance import (
+            bm25_index_topk,
+            build_bm25_index,
+            load_bm25_index,
+        )
+        from pyspark.sql import functions as F
+
+        docs = self._corpus(spark)
+        idx = str(tmp_path / "bm25_maxdf")
+        build_bm25_index(docs, idx)
+        _, _, terms_df, _ = load_bm25_index(spark, idx)
+        df_the = terms_df.where(F.col("term") == "the").collect()[0]["df"]
+        assert df_the > 10  # stopword-grade on this corpus
+        full = bm25_index_topk(spark, idx, ["the", "model"], k=None)
+        capped = bm25_index_topk(
+            spark, idx, ["the", "model"], k=None, max_df=int(df_the) - 1
+        )
+        only_model = bm25_index_topk(spark, idx, ["model"], k=None)
+        assert sorted(map(tuple, capped.collect())) == sorted(
+            map(tuple, only_model.collect())
+        )
+        assert full.count() > capped.count()
+        top = bm25_index_topk(spark, idx, ["model"], k=3).collect()
+        scores = [r["score"] for r in top]
+        assert scores == sorted(scores, reverse=True) and len(top) <= 3
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            bm25_index_topk(spark, idx, [], k=3)
