@@ -82,6 +82,7 @@ DEFAULT_KEYS = [
     "stream_sessionize",
     "bloom_index_probe",
     "stream_archive_gate",
+    "bm25_index_probe",
 ]
 
 # Recall@10 floor for the persisted-ANN rows, after build AND after
@@ -951,6 +952,58 @@ def stream_ingest_stage(spark, sf_dir, workdir, replicas):
     return sec
 
 
+def bm25_index_stages(spark, sf_dir, workdir):
+    """Persisted BM25 index at the replicated corpus (r12 — fourth leg's
+    10x row). Scale question: the probe's cost must track MATCHED POSTING
+    rows (query-term df), never corpus size — its inputs are the pushed
+    In(term) slice of the postings table plus a query-terms-sized read of
+    terms/. Gates: (a) the probe plan scans no corpus parquet and carries
+    the pushed In(term); (b) append-equals-rebuild holds at scale (build
+    on 9 replicas + append 1 == scores from the full build — df/stats are
+    exact sums); (c) results non-empty."""
+    from sat_bucket_spark.operators.relevance import (
+        append_to_bm25_index,
+        bm25_index_topk,
+        build_bm25_index,
+    )
+
+    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    terms = ["data", "model", "the"]
+    idx = os.path.join(workdir, "bm25_full")
+    t0 = time.perf_counter()
+    build_bm25_index(corpus, idx)
+    build_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    full = sorted(
+        map(tuple, bm25_index_topk(spark, idx, terms, k=None).collect())
+    )
+    probe_sec = round(time.perf_counter() - t0, 3)
+    if not full:
+        raise AssertionError("bm25 index probe vacuous: no matches")
+    out = bm25_index_topk(spark, idx, terms, k=None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "documents.parquet" in plan:
+        raise AssertionError("bm25 probe scanned the corpus parquet")
+    if "PushedFilters: [In(term" not in plan:
+        raise AssertionError("bm25 probe lost the pushed In(term) filter")
+
+    # append-equals-rebuild at scale: split one replica out by id range
+    split = corpus.agg(F.expr("percentile_approx(doc_id, 0.9)")).collect()[0][0]
+    inc = os.path.join(workdir, "bm25_inc")
+    build_bm25_index(corpus.where(F.col("doc_id") <= split), inc)
+    t0 = time.perf_counter()
+    append_to_bm25_index(corpus.where(F.col("doc_id") > split), inc)
+    append_sec = round(time.perf_counter() - t0, 3)
+    got = sorted(
+        map(tuple, bm25_index_topk(spark, inc, terms, k=None).collect())
+    )
+    if got != full:
+        raise AssertionError("bm25 append-equals-rebuild diverged at scale")
+    return build_sec, probe_sec, append_sec
+
+
 def archive_gate_stage(spark, sf_dir, workdir, replicas):
     """stream_dedup_against_indexes(learn=True) growth row (VERDICT r11
     task #3): the archive gate appends to the MinHash index at TRIGGER
@@ -1314,6 +1367,13 @@ def main() -> int:
                 recalls["gate_frag_mid"] = g_frag_mid
                 recalls["gate_frag_compacted"] = g_frag_cmp
                 recalls["gate_frag_end"] = g_frag_end
+            elif name == "bm25_index_probe":
+                b, pr, ap = bm25_index_stages(
+                    spark, scaled, os.path.join(work, "bm25idx")
+                )
+                timings["bm25_index_build"] = b
+                timings["bm25_index_probe"] = pr
+                timings["bm25_index_append"] = ap
             elif name == "stream_sessionize":
                 s_sec, s_nb, s_pb, s_state = stream_sessionize_stage(
                     spark, scaled, os.path.join(work, "sess"), args.replicas
