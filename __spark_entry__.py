@@ -5566,8 +5566,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and the DIRECTED dangling-mass branch (pagerank_directed, forced
     distributed, 800 strictly-dangling nodes — promoted r11, displacing
     points_in_polygons, whose family stays driver-held through
-    points_in_polygons_big's union of both routes). The full
-    promotion/demotion ledger lives in COVERAGE.md.
+    points_in_polygons_big's union of both routes).
+
+    Round-12 reorder (VERDICT r11 task #4): dedup_against_bloom_index —
+    the persisted-index trilogy's EXACT leg in its VERIFIED posture
+    (bit-identical to the exact anti-join the oracle replays) — moves
+    INTO the window: none of the index PROBES was DuckDB-hash-verified
+    until now (all tests/bench/plan-gated). Displaced, per the insertion
+    rule: lsh_dedup_against — its embedding cross-corpus family stays
+    in-window via semantic_dedup + knn_join + ivfpq_topk, and the
+    incremental-against-standing-state posture is now represented MORE
+    directly by the promoted probe itself. lsh_dedup_against remains
+    green in the all-registry parity suite. The full promotion/demotion
+    ledger lives in COVERAGE.md.
     """
     return {
         # ---- driver-verified window (first 50) ----
