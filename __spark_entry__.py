@@ -1590,6 +1590,52 @@ def q_dedup_against_bloom_index(spark, sf_dir):
     return out.select("doc_id", "text")
 
 
+def q_semantic_dedup_index(spark, sf_dir):
+    """Persisted-IVFPQ semantic dedup gate, VERIFIED posture — the
+    standing-archive matrix's embedding leg (Bloom = exact keys, MinHash =
+    shingles, this = embeddings; reference analogue: incremental update,
+    satbucket/routines.py:580-587).
+
+    Builds the archive's IVFPQ index into a per-call temp dir (fixed
+    seeded codebooks — both engines replay cluster assignment exactly),
+    then probes a batch of fresh rows (vec_id%3==0) plus exact copies of
+    archive rows (vec_id%3==1, shifted ids). n_probe=2 of 8 clusters: a
+    batch row sees only archive rows in its two nearest inverted lists —
+    the probed-partition pruning is the at-scale point. The ADC margin is
+    set candidate-complete (this corpus is the PQ worst case — random
+    unit vectors; ADC self-distance ~34 under the fixtured codebooks, so
+    a distance prefilter can't separate), and the exact-cosine verify
+    against the archive decides — which makes the survivor set a pure
+    function of clusters + cosine that the DuckDB oracle replays exactly.
+    """
+    import tempfile
+
+    from sat_bucket_spark.operators.similarity import (
+        build_ivfpq_index,
+        semantic_dedup_against_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    archive = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where(F.col("vec_id") % 3 == 0).unionByName(
+        emb.where(F.col("vec_id") % 3 == 1).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    idx = tempfile.mkdtemp(prefix="sbs_sem_idx_")
+    build_ivfpq_index(
+        archive, idx, dim=64, centroids=_IVF_CENTROIDS, codebooks=_PQ_BOOKS
+    )
+    out = semantic_dedup_against_index(
+        batch, idx, min_cosine=0.35, n_probe=2, adc_margin=1e6,
+        verify_vectors=archive,
+    )
+    return out.select("vec_id")
+
+
 def q_idw_grid(spark, sf_dir):
     """Inverse-distance-weighted resampling onto the 10° grid.
 
@@ -4368,6 +4414,58 @@ SELECT query_id, vec_id, adist, rank FROM (
 
 _ORACLES["ivfpq_topk"] = _ivfpq_topk_sql()
 
+
+def _semantic_dedup_index_sql(threshold: float = 0.35) -> str:
+    """Oracle mirror of q_semantic_dedup_index: literal-codebook IVF
+    cluster assignment for both sides, inlined probe pairs, exact cosine
+    over the probed (cluster-matched) candidate pairs, survivors by
+    anti-join. The entry's adc_margin=1e6 makes the ADC distance
+    prefilter mathematically vacuous (true squared-L2 on this corpus is
+    bounded by ~(1 + max ||codeword||)^2 << 1e6), so the SQL mirrors the
+    candidate set as ALL probed pairs."""
+    ivf_scores = ", ".join(
+        f"({float((c ** 2).sum())!r} - 2.0 * list_inner_product(emb, {_centroid_arr_sql(c)}))"
+        for c in _IVF_CENTROIDS
+    )
+    probes = ", ".join(f"({q}, {c})" for q, c in _IVF_PROBES)
+    cos = (
+        "round(list_inner_product(b.emb, a.emb) / "
+        "(sqrt(list_inner_product(b.emb, b.emb)) * "
+        "sqrt(list_inner_product(a.emb, a.emb))), 6)"
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+archive AS (SELECT vec_id, emb FROM emb WHERE vec_id % 3 <> 0),
+batch AS (
+  SELECT vec_id, emb FROM emb WHERE vec_id % 3 = 0
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, emb FROM emb WHERE vec_id % 3 = 1
+),
+bcl AS (
+  SELECT vec_id, emb,
+         CAST(list_position(scores, list_min(scores)) - 1 AS INT) AS qcluster
+  FROM (SELECT vec_id, emb, [{ivf_scores}] AS scores FROM batch) t
+),
+acl AS (
+  SELECT vec_id, emb,
+         CAST(list_position(scores, list_min(scores)) - 1 AS INT) AS cluster
+  FROM (SELECT vec_id, emb, [{ivf_scores}] AS scores FROM archive) t
+),
+probes(qcluster, cluster) AS (VALUES {probes}),
+contaminated AS (
+  SELECT DISTINCT b.vec_id
+  FROM bcl b
+  JOIN probes p ON p.qcluster = b.qcluster
+  JOIN acl a ON a.cluster = p.cluster
+  WHERE {cos} >= {threshold}
+)
+SELECT vec_id FROM batch
+WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)
+"""
+
+
+_ORACLES["semantic_dedup_index"] = _semantic_dedup_index_sql()
+
 _CDC_MULTS = [pow(257, j, 1_000_000_007) for j in range(8)]
 _CDC_HASH = " + ".join(f"cs[i + {j}] * {m}" for j, m in enumerate(_CDC_MULTS))
 _ORACLES["cdc_chunks"] = f"""
@@ -5579,6 +5677,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     directly by the promoted probe itself. lsh_dedup_against remains
     green in the all-registry parity suite. The full promotion/demotion
     ledger lives in COVERAGE.md.
+
+    Round-12 second reorder: semantic_dedup_index — the persisted-index
+    trilogy's EMBEDDING leg in its VERIFIED posture (candidate-complete
+    ADC margin + exact-cosine verify, a pure function of IVF clusters +
+    cosine the oracle replays) — moves INTO the window: with it, TWO of
+    the three standing-archive index probes are driver-hash-verified
+    (exact + semantic; the MinHash leg's Jaccard verify has no tractable
+    SQL mirror and stays bench/plan/test-gated). Displaced, per the
+    insertion rule: ivfpq_topk — its ADC encode/LUT ranking stays
+    verified by the all-registry parity suite (ivfpq_topk itself plus
+    pq_topk + ivf_topk replay encode, probe pairs, and LUT ranking in
+    SQL), and the persisted-index build/search path is exercised
+    in-window by the promoted probe.
     """
     return {
         # ---- driver-verified window (first 50) ----
@@ -5616,7 +5727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "host_rank": q_host_rank,
         "knn_join": q_knn_join,
-        "ivfpq_topk": q_ivfpq_topk,
+        "semantic_dedup_index": q_semantic_dedup_index,
         "semantic_dedup": q_semantic_dedup,
         "nb_classifier": q_nb_classifier,
         "dup_clusters": q_dup_clusters,
@@ -5641,6 +5752,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # probe leg had NO hash-verified representative)
         "lsh_dedup_against": q_lsh_dedup_against,
         "bm25_index_topk": q_bm25_index_topk,
+        # ivfpq_topk demoted r12 (second reorder) for semantic_dedup_index —
+        # its ADC encode/LUT machinery stays verified by the parity suite
+        # (this entry plus pq_topk + ivf_topk), and the promoted probe
+        # exercises the same persisted-index build/search path in-window
+        "ivfpq_topk": q_ivfpq_topk,
         "dup_spans": q_dup_spans,
         "mad_outliers": q_mad_outliers,
         "exif_meta": q_exif_meta,

@@ -542,6 +542,73 @@ def main() -> None:
         _shutil0.rmtree(bwork0, ignore_errors=True)
     _release_state(spark)
 
+    # Persisted IVFPQ semantic-dedup gate (added r12): the embedding leg
+    # of the standing-archive matrix. Index built OUTSIDE the timed
+    # window (ann_index_build already prices the encode); the timed probe
+    # is cluster-assign + probed-partition codes join + exact-cosine
+    # verify over candidate pairs. Candidate-complete margin because the
+    # test corpus (random unit vectors) is the PQ worst case — production
+    # corpora with trained codebooks set a finite margin and the verify
+    # is candidate-bounded. Batch: 1/5 of archive rows re-keyed (exact
+    # embedding copies — dropped) + negated vectors (cosine -1 — kept).
+    from sat_bucket_spark.operators.similarity import (
+        build_ivfpq_index,
+        semantic_dedup_against_index,
+    )
+
+    swork0 = _tempfile0.mkdtemp(prefix="bench_semidx_")
+    try:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        arch_path = os.path.join(swork0, "archive")
+        emb.where(F.col("vec_id") % 3 != 0).write.parquet(arch_path)
+        archive = spark.read.parquet(arch_path)
+        dups = archive.where(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        novel = emb.where(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+        batch_path = os.path.join(swork0, "batch")
+        dups.unionByName(novel).write.parquet(batch_path)
+        sidx = os.path.join(swork0, "index")
+        build_ivfpq_index(archive, sidx, dim=64, n_clusters=8, m=4, ksub=16)
+        batch = spark.read.parquet(batch_path)
+        t0 = time.perf_counter()
+        surv = semantic_dedup_against_index(
+            batch, sidx, min_cosine=0.9, n_probe=2, adc_margin=1e6,
+            verify_vectors=archive,
+        )
+        n_surv = surv.count()
+        timings["semantic_index_probe"] = round(time.perf_counter() - t0, 3)
+        n_batch = batch.count()
+        if not 0 < n_surv < n_batch:
+            raise AssertionError(
+                f"semantic index probe vacuous: {n_surv}/{n_batch} survivors"
+            )
+        # plan gate on the UNVERIFIED posture: the verified path eagerly
+        # materializes its candidate cache at call time, so the codes scan
+        # (where the pruning lives) is behind the cache in the final plan
+        plan = (
+            semantic_dedup_against_index(
+                batch, sidx, min_cosine=0.9, n_probe=2
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re as _re0
+
+        pfs = _re0.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if not any("__cluster" in pf and " IN " in pf for pf in pfs):
+            raise AssertionError("semantic probe lost its partition pruning")
+    finally:
+        _shutil0.rmtree(swork0, ignore_errors=True)
+    _release_state(spark)
+
     # WET end-to-end curation stage: the flagship LLM-pipeline story as ONE
     # measured number — WET ingest -> parquet staging -> (gopher quality +
     # URL gate + substring-span dedup) funnel -> JSONL shard export. NOT

@@ -47,6 +47,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import shutil
 import sys
 import tempfile
@@ -83,6 +84,7 @@ DEFAULT_KEYS = [
     "bloom_index_probe",
     "stream_archive_gate",
     "bm25_index_probe",
+    "semantic_index_probe",
 ]
 
 # Recall@10 floor for the persisted-ANN rows, after build AND after
@@ -1004,6 +1006,92 @@ def bm25_index_stages(spark, sf_dir, workdir):
     return build_sec, probe_sec, append_sec
 
 
+def semantic_index_stages(spark, sf_dir, workdir):
+    """Persisted IVFPQ semantic-dedup gate at the replicated embedding
+    corpus (r12 — the embedding leg's 10x row). Scale questions: (a) the
+    probe reads ONLY the probed clusters' code partitions (plan-gated
+    partition In) — its codes I/O is ~n_probe/n_clusters of the corpus
+    and the payload is m small ints per row; (b) the exact verify is
+    candidate-bounded (candidate-complete margin here — the replicated
+    random-vector corpus is the PQ worst case; production codebooks
+    bound candidates by a finite margin); (c) learn closure: appending
+    the survivors makes a re-keyed resubmission of the same content drop
+    to ZERO. Gates: survivors == the planted novel half exactly (copies
+    carry cosine 1.0 with a guaranteed-probed twin; negated vectors top
+    out far below the 0.9 threshold), partition pruning in the plan,
+    post-append resubmission count 0."""
+    from sat_bucket_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        semantic_dedup_against_index,
+    )
+
+    archive_path = os.path.join(sf_dir, "embeddings.parquet")
+    archive = spark.read.parquet(archive_path).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    dups = archive.where(F.col("vec_id") % 101 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    novel = archive.where(F.col("vec_id") % 103 == 0).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    batch_path = os.path.join(workdir, "batch")
+    dups.unionByName(novel).write.parquet(batch_path)
+    batch = spark.read.parquet(batch_path)
+    n_batch = batch.count()
+    n_novel = novel.count()
+
+    idx = os.path.join(workdir, "sem_index")
+    t0 = time.perf_counter()
+    build_ivfpq_index(archive, idx, dim=64, n_clusters=8, m=4, ksub=16)
+    build_sec = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    surv = semantic_dedup_against_index(
+        batch, idx, min_cosine=0.9, n_probe=2, adc_margin=1e6,
+        verify_vectors=archive,
+    )
+    n_surv = surv.count()
+    probe_sec = round(time.perf_counter() - t0, 3)
+    if n_surv != n_novel or not 0 < n_surv < n_batch:
+        raise AssertionError(
+            f"semantic probe wrong: {n_surv} survivors, expected {n_novel} "
+            f"of {n_batch}"
+        )
+    # plan gate on the UNVERIFIED posture: the verified path's eager
+    # candidate cache hides the (pruned) codes scan from the final plan
+    plan = (
+        semantic_dedup_against_index(batch, idx, min_cosine=0.9, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    if not any("__cluster" in pf and " IN " in pf for pf in pfs):
+        raise AssertionError("semantic probe lost its partition pruning")
+
+    surv_path = os.path.join(workdir, "sem_survivors")
+    surv.write.parquet(surv_path)  # staged, per the append contract
+    t0 = time.perf_counter()
+    append_to_ivfpq_index(spark.read.parquet(surv_path), idx)
+    append_sec = round(time.perf_counter() - t0, 3)
+    resubmit = spark.read.parquet(surv_path).select(
+        (F.col("vec_id") + 30_000_000).alias("vec_id"), "embedding"
+    )
+    n_re = semantic_dedup_against_index(
+        resubmit, idx, min_cosine=0.9, n_probe=2, adc_margin=1e6,
+        verify_vectors=archive.unionByName(spark.read.parquet(surv_path)),
+    ).count()
+    if n_re != 0:
+        raise AssertionError(
+            f"appended vectors not visible to the next probe ({n_re} kept)"
+        )
+    return build_sec, probe_sec, append_sec
+
+
 def archive_gate_stage(spark, sf_dir, workdir, replicas):
     """stream_dedup_against_indexes(learn=True) growth row (VERDICT r11
     task #3): the archive gate appends to the MinHash index at TRIGGER
@@ -1285,7 +1373,11 @@ def main() -> int:
         replicate_table(spark, base, scaled, "events", None, args.replicas)
         if "pagerank" in keys or "pagerank_directed" in keys:
             replicate_table(spark, base, scaled, "orders", "o_orderkey", args.replicas)
-        if "ann_index_search" in keys or "ann_index_build" in keys:
+        if (
+            "ann_index_search" in keys
+            or "ann_index_build" in keys
+            or "semantic_index_probe" in keys
+        ):
             replicate_table(
                 spark, base, scaled, "embeddings", "vec_id", args.replicas
             )
@@ -1374,6 +1466,13 @@ def main() -> int:
                 timings["bm25_index_build"] = b
                 timings["bm25_index_probe"] = pr
                 timings["bm25_index_append"] = ap
+            elif name == "semantic_index_probe":
+                b, pr, ap = semantic_index_stages(
+                    spark, scaled, os.path.join(work, "semidx")
+                )
+                timings["semantic_index_build"] = b
+                timings["semantic_index_probe"] = pr
+                timings["semantic_index_append"] = ap
             elif name == "stream_sessionize":
                 s_sec, s_nb, s_pb, s_state = stream_sessionize_stage(
                     spark, scaled, os.path.join(work, "sess"), args.replicas

@@ -40,6 +40,7 @@ __all__ = [
     "pq_topk",
     "random_hyperplane_signature",
     "recall_at_k",
+    "semantic_dedup_against_index",
     "train_ivf_centroids",
     "train_pq_codebooks",
     "lsh_topk",
@@ -1042,8 +1043,15 @@ def append_to_ivfpq_index(
 
     spark = vectors.sparkSession
     params, cents, books, _codes = load_ivfpq_index(spark, index_dir)
+    # malformed rows (NULL / wrong-length vector) never enter the index:
+    # their codes would be garbage yet DETERMINISTIC, turning later probes'
+    # sized approximation error into unconditional false matches
+    well_formed = ensure_parallelism(vectors).where(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == F.lit(int(params["dim"])))
+    )
     codes = pq_encode(
-        ensure_parallelism(vectors).withColumn(
+        well_formed.withColumn(
             "__cluster", _nearest_centroid_expr(vec_col, cents)
         ),
         books,
@@ -1176,6 +1184,186 @@ def ivfpq_index_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "adist", "rank")
     )
+
+
+def semantic_dedup_against_index(
+    batch: DataFrame,
+    index_dir: str,
+    min_cosine: float = 0.95,
+    n_probe: int = 2,
+    max_adist: float | None = None,
+    adc_margin: float = 0.2,
+    verify_vectors: DataFrame | None = None,
+    id_col: str | None = None,
+    vec_col: str = "embedding",
+    broadcast_batch_max: int = 1_000_000,
+    broadcast_candidates_max: int = 1_000_000,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Drop batch vectors that semantically duplicate ANY indexed corpus
+    vector — without touching the corpus: the probe's inputs are the
+    batch plus the persisted IVFPQ codes of the probed clusters.
+
+    The persisted-index leg of the embedding dedup axis, completing the
+    standing-archive matrix (exact keys -> ``dedup_exact_against_bloom_
+    index``; text shingles -> ``minhash_dedup_against_index``; this ->
+    embeddings). Reference analogue: incremental update against a
+    standing bucket, /root/reference/satbucket/routines.py:580-587 —
+    re-expressed as a build-once/probe-nightly index. Contrast with :func:`lsh_dedup_against`, which scans and
+    re-signs the raw corpus vectors on every call — here the archive was
+    encoded ONCE at ingest and only the probed clusters' ``(id,
+    pq_code)`` rows (m small ints per row) are read.
+
+    Two verification postures, mirroring the Bloom gate:
+
+    - ``verify_vectors=None`` (default): a batch row is dropped when ANY
+      probed code scores an ADC distance <= threshold + ``adc_margin``.
+      ADC distances are quantized approximations of squared L2, so the
+      margin leans the error toward OVER-dropping (the safe direction
+      for ingest dedup, same trade as the Bloom FP rate) — but unlike a
+      Bloom filter the error is two-sided: a true near-duplicate whose
+      quantization error exceeds the margin, or whose nearest archive
+      vector lives outside the ``n_probe`` probed clusters, passes
+      through. Size ``n_probe``/``adc_margin`` against measured recall.
+    - ``verify_vectors=<frame>``: ADC candidates are verified by EXACT
+      cosine against the given ``(id, vector)`` frame (the index-append
+      lazy-reader contract: the caller hands over the archive's raw
+      embeddings, scanned only at the candidate ids). False ADC flags
+      are restored; with ``n_probe = n_clusters`` and a generous margin
+      the result is bit-identical to the exact brute-force gate (pinned
+      by test) — which is what makes this leg hash-verifiable.
+
+    Thresholds: the primitive is ``max_adist`` (squared-L2 in ADC space);
+    when None it derives as ``2 * (1 - min_cosine)``, exact for
+    L2-NORMALIZED embeddings (``||a-b||^2 = 2 - 2 cos`` — run
+    :func:`l2_normalize` upstream if the source isn't). The exact verify
+    is plain cosine, valid for any norms.
+
+    Rows with a NULL embedding or a length != the index's dim bypass the
+    probe to the clean side (the engine's NULL-key convention: malformed
+    rows never match; :func:`_nearest_centroid_expr` over a wrong-length
+    vector would otherwise score garbage deterministically).
+
+    Scale shape: batch rows never shuffle corpus-sized data — the probed
+    codes scan is partition-pruned to the batch's probed clusters
+    (bounded collect of <= n_clusters ints), the batch's (id, cluster,
+    LUT) frame is broadcast into it while that frame's MEASURED row count
+    (batch rows x n_probe; an Observation riding the probe-cluster
+    materialization — no extra job) stays <= ``broadcast_batch_max``,
+    with a shuffled join fallback
+    above; candidate ids filter the verify scan broadcast/semi-join
+    gated the same way. Both postures of each gate are the same logical
+    plan minus the hint — output-identical.
+
+    Long-running callers (the streaming archive gate) pass
+    ``cache_registry=[]`` and release the appended stage caches once the
+    returned frame is materialized — the same lifetime contract as
+    :func:`~sat_bucket_spark.operators.dedup.minhash_dedup_against_index`.
+    """
+    from pyspark.sql import Observation
+
+    spark = batch.sparkSession
+    params, cents, books, codes = load_ivfpq_index(spark, index_dir)
+    m, ksub, dsub = books.shape
+    corpus_id = params["id_col"]
+    # like the MinHash probe, the batch defaults to the index's id column
+    id_col = corpus_id if id_col is None else id_col
+    dim = int(params["dim"])
+    thr = (2.0 * (1.0 - float(min_cosine))) if max_adist is None else float(max_adist)
+
+    malformed = F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != F.lit(dim))
+    bypass = batch.where(malformed)
+    probed_batch = batch.where(~malformed)
+
+    d2 = ((cents[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probe_order = d2.argsort(axis=1)[:, : min(int(n_probe), len(cents))]
+    probes = [(int(c), int(p)) for c in range(len(cents)) for p in probe_order[c]]
+    probe_df = spark.createDataFrame(probes, ["__qcluster", "__cluster"])
+
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lut = F.array(
+        *[
+            _subspace_scores_expr(F.slice(qv, j * dsub + 1, dsub), books[j])
+            for j in range(m)
+        ]
+    )
+    # the ADC LUT scores are ||c||^2 - 2 c.q_j (||q_j||^2 dropped — it is
+    # rank-invariant, see _subspace_scores_expr); a THRESHOLD needs true
+    # squared L2, so the query's own squared norm rides the probe frame
+    # and is added back at the comparison
+    qn2 = F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x)
+    obs = Observation()
+    q = stage_cache(
+        probed_batch.withColumn("__qcluster", _nearest_centroid_expr(vec_col, cents))
+        .withColumn("__lut", lut)
+        .withColumn("__qn2", qn2)
+        .join(F.broadcast(probe_df), "__qcluster")
+        .select(
+            F.col(id_col).alias("__bid"), F.col("__cluster"),
+            F.col("__lut"), F.col("__qn2"),
+        )
+        .observe(obs, F.count(F.lit(1)).alias("n")),
+        eager=True,
+    )
+    if cache_registry is not None:
+        cache_registry.append(q)
+    # bounded collect: at most n_clusters ints, independent of corpus size;
+    # the broadcast relation's measured row count (batch rows x n_probe —
+    # the frame actually shipped) rides the same materialization job
+    probed = [r["__cluster"] for r in q.select("__cluster").distinct().collect()]
+    n_batch = obs.get["n"]
+    pruned = codes.where(F.col("__cluster").isin(probed))
+
+    score = F.aggregate(
+        F.zip_with(F.col("pq_code"), F.col("__lut"), lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q_side = F.broadcast(q) if n_batch <= broadcast_batch_max else q
+    flagged_pairs = pruned.join(q_side, "__cluster").where(
+        F.round(score + F.col("__qn2"), 6) <= F.lit(thr + float(adc_margin))
+    )
+
+    if verify_vectors is None:
+        contaminated = flagged_pairs.select(F.col("__bid").alias(id_col)).distinct()
+        clean = probed_batch.join(contaminated, id_col, "left_anti")
+        return clean.unionByName(bypass)
+
+    # verified posture: exact cosine over the ADC candidate pairs only —
+    # the verify scan reads candidate ids, never the whole archive
+    obs_c = Observation()
+    cands = stage_cache(
+        flagged_pairs.select("__bid", F.col(corpus_id).alias("__cid"))
+        .distinct()
+        .observe(obs_c, F.count(F.lit(1)).alias("n")),
+        eager=True,
+    )
+    if cache_registry is not None:
+        cache_registry.append(cands)
+    n_cands = obs_c.get["n"]
+    cand_ids = cands.select("__cid").distinct()
+    if n_cands <= broadcast_candidates_max:
+        cand_ids = F.broadcast(cand_ids)
+    vb = probed_batch.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__va"),
+        norm_expr(vec_col, dim).alias("__na"),
+    )
+    vc = verify_vectors.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec_col).alias("__vb"),
+        norm_expr(vec_col, dim).alias("__nb"),
+    ).join(cand_ids, "__cid", "left_semi")
+    cos = _cosine_prenormed(dot_expr("__va", "__vb", dim), F.col("__na"), F.col("__nb"))
+    contaminated = (
+        cands.join(vb, "__bid")
+        .join(vc, "__cid")
+        .where(F.round(cos, 6) >= F.lit(float(min_cosine)))
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    clean = probed_batch.join(contaminated, id_col, "left_anti")
+    return clean.unionByName(bypass)
 
 
 def l2_normalize(

@@ -79,6 +79,10 @@ def stream_dedup_against_indexes(
     learn: bool = False,
     trigger: dict | None = None,
     compact_every: int | None = None,
+    ivfpq_index_dir: str | None = None,
+    min_cosine: float = 0.95,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
 ):
     """Continuous dedup against the STANDING ARCHIVE via the persisted
     indexes — the piece :func:`streaming_curate` explicitly defers
@@ -95,6 +99,15 @@ def stream_dedup_against_indexes(
        the filter's sized FP rate over-drops, the safe direction);
     2. near-dup gate: :func:`~sat_bucket_spark.operators.dedup.
        minhash_dedup_against_index` on what survives;
+    2b. semantic gate (``ivfpq_index_dir``): :func:`~sat_bucket_spark.
+       operators.similarity.semantic_dedup_against_index` on what
+       survives THAT — the third dedup axis (embeddings), completing the
+       three-index posture in-stream. The stream must carry ``vec_col``
+       (L2-normalized for the cosine threshold to be exact in ADC
+       space); its per-batch inputs are the micro-batch plus the probed
+       clusters' code rows, never the corpus. Unverified posture only
+       (the stream has no archive-vector reader) — two-sided ADC error,
+       biased to over-drop by the operator's default margin;
     3. survivors land in ``sink_dir/batch=<id>`` — and the batch's
        ``_SUCCESS`` marker is the gate's IDEMPOTENCE token: a REPLAYED
        batch (foreachBatch is at-least-once) whose partition already
@@ -106,14 +119,17 @@ def stream_dedup_against_indexes(
        exactly-once by construction whichever side of the checkpoint
        commit the crash fell on;
     4. with ``learn=True``, the STAGED survivors (re-read from the sink —
-       the index-append lazy-reader contract) are appended to both
-       indexes. The appends run on the replay path too (the crash may
-       have landed between the sink commit and the appends), which is
-       correctness-safe: Bloom appends are idempotent (OR), and duplicate
-       MinHash band/shingle rows only add redundant candidates —
-       candidate sets are DISTINCT and survivors come from a left-anti
+       the index-append lazy-reader contract) are appended to every
+       configured index. The appends run on the replay path too (the
+       crash may have landed between the sink commit and the appends),
+       which is correctness-safe: Bloom appends are idempotent (OR),
+       duplicate MinHash band/shingle rows only add redundant candidates
+       — candidate sets are DISTINCT and survivors come from a left-anti
        join, so probe results are unchanged (only fragmentation grows;
-       :func:`compact_minhash_index` reclaims it).
+       :func:`compact_minhash_index` reclaims it) — and duplicate IVFPQ
+       code rows likewise only repeat a flagged pair (the semantic gate's
+       contaminated set is DISTINCT ids; :func:`compact_ivfpq_index`
+       folds the file growth).
 
     Within-batch duplicates are NOT this gate's job — compose
     :func:`streaming_curate` (fingerprint dedup) upstream. Returns the
@@ -151,18 +167,22 @@ def stream_dedup_against_indexes(
     stream resumes from the same checkpoint). The Bloom-first ordering
     keeps exact dups out of the MinHash gate's input for free.
     """
-    if bloom_index_dir is None and minhash_index_dir is None:
-        raise ValueError("at least one of bloom/minhash index dirs is required")
+    if bloom_index_dir is None and minhash_index_dir is None and ivfpq_index_dir is None:
+        raise ValueError(
+            "at least one of bloom/minhash/ivfpq index dirs is required"
+        )
     if compact_every is not None and (
-        minhash_index_dir is None or not learn or compact_every < 1
+        (minhash_index_dir is None and ivfpq_index_dir is None)
+        or not learn
+        or compact_every < 1
     ):
         raise ValueError(
-            "compact_every requires learn=True and a minhash_index_dir, "
-            "and must be >= 1"
+            "compact_every requires learn=True and a minhash or ivfpq "
+            "index dir, and must be >= 1"
         )
     _gate = _make_gate(
         sink_dir, bloom_index_dir, minhash_index_dir, min_jaccard, learn,
-        compact_every,
+        compact_every, ivfpq_index_dir, min_cosine, n_probe, vec_col,
     )
     writer = stream.writeStream.foreachBatch(_gate).option(
         "checkpointLocation", checkpoint_dir
@@ -179,6 +199,10 @@ def _make_gate(
     min_jaccard: float,
     learn: bool,
     compact_every: int | None = None,
+    ivfpq_index_dir: str | None = None,
+    min_cosine: float = 0.95,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
 ):
     """The archive gate's per-batch body as a standalone callable, so the
     replay contract (same batch_id twice == once) is testable without a
@@ -189,6 +213,11 @@ def _make_gate(
         compact_minhash_index,
         dedup_exact_against_bloom_index,
         minhash_dedup_against_index,
+    )
+    from sat_bucket_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        compact_ivfpq_index,
+        semantic_dedup_against_index,
     )
 
     learned_batches = {"n": 0}
@@ -211,15 +240,21 @@ def _make_gate(
                     surv, minhash_index_dir, min_jaccard=min_jaccard,
                     cache_registry=probe_caches,
                 )
+            if ivfpq_index_dir is not None:
+                surv = semantic_dedup_against_index(
+                    surv, ivfpq_index_dir, min_cosine=min_cosine,
+                    n_probe=n_probe, vec_col=vec_col,
+                    cache_registry=probe_caches,
+                )
             # the survivor count rides the sink write as an observed
             # metric — no separate isEmpty job per batch
             obs = Observation()
             surv = surv.observe(obs, F.count(F.lit(1)).alias("n"))
             surv.write.mode("overwrite").parquet(batch_sink)
             n_surv = int(obs.get["n"])
-            # the write materialized the result, so the probe's candidate
-            # stage cache is dead weight — release it now, or a long-running
-            # query accumulates untracked executor blocks every batch
+            # the write materialized the result, so the probes' candidate
+            # stage caches are dead weight — release them now, or a long-
+            # running query accumulates untracked executor blocks per batch
             for cached in probe_caches:
                 release_stage_cache(cached, destructive=True)
         if learn:
@@ -228,10 +263,16 @@ def _make_gate(
                 return
             if bloom_index_dir is not None:
                 append_to_bloom_index(staged, bloom_index_dir)
+            if ivfpq_index_dir is not None:
+                append_to_ivfpq_index(staged, ivfpq_index_dir, vec_col=vec_col)
             if minhash_index_dir is not None:
                 append_to_minhash_index(staged, minhash_index_dir)
+            if minhash_index_dir is not None or ivfpq_index_dir is not None:
                 learned_batches["n"] += 1
                 if compact_every and learned_batches["n"] % compact_every == 0:
-                    compact_minhash_index(spark, minhash_index_dir)
+                    if minhash_index_dir is not None:
+                        compact_minhash_index(spark, minhash_index_dir)
+                    if ivfpq_index_dir is not None:
+                        compact_ivfpq_index(spark, ivfpq_index_dir)
 
     return _gate

@@ -2634,6 +2634,227 @@ class TestIvfpqIndexPersistence:
         assert from_index == inline
 
 
+class TestSemanticDedupAgainstIndex:
+    """semantic_dedup_against_index: the persisted-index embedding leg of
+    the standing-archive dedup matrix (Bloom = exact, MinHash = shingles,
+    this = embeddings)."""
+
+    @staticmethod
+    def _fixed_books(spark):
+        import numpy as np
+
+        from sat_bucket_spark.operators.similarity import _hyperplanes
+
+        cents = _hyperplanes(8, 64, seed=7)
+        books = np.stack([_hyperplanes(8, 16, seed=11 + j) for j in range(4)])
+        return cents, books
+
+    @classmethod
+    def _codebook_exact_rows(cls, spark, books, first_codes, id_start):
+        """Vectors that PQ encodes EXACTLY (each 64-dim vector concatenates
+        one row per subspace codebook), so an exact copy's ADC distance is
+        exactly 0 and any differing code tuple scores a large distance.
+        ``first_codes`` disjointness keeps archive/fresh tuples apart."""
+        import numpy as np
+
+        rng = np.random.default_rng(5 + id_start)
+        rows = []
+        for i, c0 in enumerate(first_codes):
+            tup = [c0] + [int(x) for x in rng.integers(0, 8, size=3)]
+            v = np.concatenate([books[j][tup[j]] for j in range(4)])
+            rows.append((id_start + i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_unverified_drops_copies_keeps_fresh(self, spark, tmp_path):
+        from sat_bucket_spark.operators.similarity import (
+            build_ivfpq_index,
+            semantic_dedup_against_index,
+        )
+
+        cents, books = self._fixed_books(spark)
+        archive = self._codebook_exact_rows(
+            spark, books, [i % 4 for i in range(40)], 0
+        )
+        idx = str(tmp_path / "sem_idx")
+        build_ivfpq_index(archive, idx, dim=64, centroids=cents, codebooks=books)
+        copies = archive.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        )
+        fresh = self._codebook_exact_rows(
+            spark, books, [4 + i % 4 for i in range(10)], 2000
+        )
+        batch = copies.unionByName(fresh)
+        out = semantic_dedup_against_index(
+            batch, idx, max_adist=0.001, adc_margin=0.0
+        )
+        got = sorted(r["vec_id"] for r in out.collect())
+        assert got == sorted(r["vec_id"] for r in fresh.collect())
+
+    def test_verified_full_probe_equals_brute_force(self, spark, embeddings, tmp_path):
+        """n_probe = n_clusters + an unbounded ADC margin makes the verified
+        posture candidate-complete, so the result must be IDENTICAL to the
+        exact brute-force gate (max cosine vs archive >= threshold)."""
+        from sat_bucket_spark.operators.similarity import (
+            _cosine_prenormed,
+            build_ivfpq_index,
+            dot_expr,
+            norm_expr,
+            semantic_dedup_against_index,
+        )
+
+        cents, books = self._fixed_books(spark)
+        emb = embeddings.limit(200).select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        archive = emb.where(F.col("vec_id") >= 50)
+        batch = emb.where(F.col("vec_id") < 40).unionByName(
+            archive.where(F.col("vec_id") < 60).select(
+                (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+            )
+        )
+        idx = str(tmp_path / "sem_full")
+        build_ivfpq_index(archive, idx, dim=64, centroids=cents, codebooks=books)
+        # 0.34 sits mid-distribution for this corpus (measured max-cos
+        # percentiles 0.265..0.428), so both sides stay populated
+        thr = 0.34
+        out = semantic_dedup_against_index(
+            batch, idx, min_cosine=thr, n_probe=8, adc_margin=1e12,
+            verify_vectors=archive,
+        )
+        got = sorted(r["vec_id"] for r in out.collect())
+
+        vb = batch.select(
+            F.col("vec_id").alias("__bid"),
+            F.col("embedding").alias("__va"),
+            norm_expr("embedding", 64).alias("__na"),
+        )
+        vc = archive.select(
+            F.col("embedding").alias("__vb"), norm_expr("embedding", 64).alias("__nb")
+        )
+        cos = _cosine_prenormed(
+            dot_expr("__va", "__vb", 64), F.col("__na"), F.col("__nb")
+        )
+        hit = (
+            vb.crossJoin(vc)
+            .where(F.round(cos, 6) >= F.lit(thr))
+            .select("__bid")
+            .distinct()
+        )
+        expected = sorted(
+            r["vec_id"]
+            for r in batch.join(
+                hit, batch["vec_id"] == hit["__bid"], "left_anti"
+            ).collect()
+        )
+        # the copies MUST be dropped (cosine 1.0), so the gate is non-trivial
+        assert expected and len(expected) < batch.count()
+        assert got == expected
+
+    def test_malformed_vectors_bypass(self, spark, tmp_path):
+        from sat_bucket_spark.operators.similarity import (
+            build_ivfpq_index,
+            semantic_dedup_against_index,
+        )
+
+        cents, books = self._fixed_books(spark)
+        archive = self._codebook_exact_rows(
+            spark, books, [i % 4 for i in range(20)], 0
+        )
+        idx = str(tmp_path / "sem_null")
+        build_ivfpq_index(archive, idx, dim=64, centroids=cents, codebooks=books)
+        batch = spark.createDataFrame(
+            [(9001, None), (9002, [1.0, 2.0, 3.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = sorted(
+            r["vec_id"]
+            for r in semantic_dedup_against_index(batch, idx).collect()
+        )
+        assert got == [9001, 9002]
+
+    def test_fallback_postures_identical(self, spark, embeddings, tmp_path):
+        """Forcing the shuffled-join + semi-join fallbacks (both broadcast
+        gates at 0) must not change the survivor set."""
+        from sat_bucket_spark.operators.similarity import (
+            build_ivfpq_index,
+            semantic_dedup_against_index,
+        )
+
+        cents, books = self._fixed_books(spark)
+        emb = embeddings.limit(150).select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        archive = emb.where(F.col("vec_id") >= 40)
+        batch = emb.where(F.col("vec_id") < 30).unionByName(
+            archive.where(F.col("vec_id") < 50).select(
+                (F.col("vec_id") + 7000).alias("vec_id"), "embedding"
+            )
+        )
+        idx = str(tmp_path / "sem_fb")
+        build_ivfpq_index(archive, idx, dim=64, centroids=cents, codebooks=books)
+        kw = dict(min_cosine=0.3, n_probe=8, adc_margin=1e12, verify_vectors=archive)
+        default = sorted(
+            r["vec_id"]
+            for r in semantic_dedup_against_index(batch, idx, **kw).collect()
+        )
+        fallback = sorted(
+            r["vec_id"]
+            for r in semantic_dedup_against_index(
+                batch, idx, broadcast_batch_max=0,
+                broadcast_candidates_max=0, **kw,
+            ).collect()
+        )
+        assert default == fallback
+
+    def test_probe_prunes_code_partitions(self, spark, embeddings, tmp_path):
+        """The probed-cluster isin must reach the codes scan as a partition
+        filter — the 100 TB posture: a batch reads only its probed lists."""
+        from sat_bucket_spark.operators.similarity import (
+            build_ivfpq_index,
+            semantic_dedup_against_index,
+        )
+
+        cents, books = self._fixed_books(spark)
+        emb = embeddings.limit(200).withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        idx = str(tmp_path / "sem_prune")
+        build_ivfpq_index(emb, idx, dim=64, centroids=cents, codebooks=books)
+        batch = emb.limit(1).select(
+            (F.col("vec_id") + 8000).alias("vec_id"), "embedding"
+        )
+        out = semantic_dedup_against_index(batch, idx, n_probe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+
+        # the batch's own parquet scan has no partition filter — the codes
+        # scan (some FileScan in the plan) must carry the probed-cluster IN
+        pfs = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert any("__cluster" in pf and " IN " in pf for pf in pfs), plan[:2000]
+
+    def test_cache_registry_lifetime(self, spark, embeddings, tmp_path):
+        from sat_bucket_spark.caching import release_stage_cache
+        from sat_bucket_spark.operators.similarity import (
+            build_ivfpq_index,
+            semantic_dedup_against_index,
+        )
+
+        cents, books = self._fixed_books(spark)
+        emb = embeddings.limit(100).withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        idx = str(tmp_path / "sem_reg")
+        build_ivfpq_index(emb, idx, dim=64, centroids=cents, codebooks=books)
+        reg: list = []
+        out = semantic_dedup_against_index(
+            emb.limit(10), idx, verify_vectors=emb, cache_registry=reg
+        )
+        out.count()
+        assert len(reg) == 2  # probe frame + candidate set
+        for cached in reg:
+            release_stage_cache(cached, destructive=True)
+
+
 class TestUrlNormalize:
     def _norm(self, spark, urls, **kw):
         from sat_bucket_spark.operators.urls import normalize_url_expr

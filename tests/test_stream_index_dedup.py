@@ -207,6 +207,140 @@ class TestStreamDedupAgainstIndexes:
                 compact_every=2,
             )
 
+    def test_semantic_leg_drops_archive_and_learned_dups(self, spark, tmp_path):
+        """The third dedup axis in-stream: an IVFPQ-only gate drops exact
+        embedding copies of the standing archive, and with learn=True a
+        later batch's copy of an earlier batch's survivor."""
+        import numpy as np
+
+        from sat_bucket_spark.operators.similarity import (
+            _hyperplanes,
+            build_ivfpq_index,
+        )
+        from sat_bucket_spark.streaming.curation import _make_gate
+
+        cents = _hyperplanes(8, 64, seed=7)
+        books = np.stack([_hyperplanes(8, 16, seed=11 + j) for j in range(4)])
+
+        def vec(tup):
+            # codebook-exact vectors: ADC self-distance is exactly 0, any
+            # differing tuple scores >= the min codebook-row separation
+            # (measured ~12.6 — far above the 0.3 gate threshold)
+            return [float(x) for x in np.concatenate([books[j][tup[j]] for j in range(4)])]
+
+        corpus = spark.createDataFrame(
+            [(i, vec((i % 4, (i + 1) % 8, (i + 2) % 8, (i + 3) % 8))) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        vidx = str(tmp_path / "sem_idx")
+        build_ivfpq_index(corpus, vidx, dim=64, centroids=cents, codebooks=books)
+
+        sink = str(tmp_path / "sink_sem")
+        gate = _make_gate(sink, None, None, 0.5, True, None, vidx)
+        b0 = spark.createDataFrame(
+            [
+                (200, vec((3, 4, 5, 6))),   # copy of corpus vec_id=3
+                (201, vec((4, 0, 0, 0))),   # fresh (first code 4..7 never in corpus)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        gate(b0, 0)
+        assert {
+            r["vec_id"] for r in spark.read.parquet(f"{sink}/batch=0").collect()
+        } == {201}
+        b1 = spark.createDataFrame(
+            [
+                (300, vec((4, 0, 0, 0))),   # copy of b0's survivor — learn catches it
+                (301, vec((5, 1, 1, 1))),   # fresh
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        gate(b1, 1)
+        assert {
+            r["vec_id"] for r in spark.read.parquet(f"{sink}/batch=1").collect()
+        } == {301}
+
+    def test_compact_every_covers_ivfpq(self, spark, tmp_path):
+        """The in-stream compaction cadence folds the semantic index's
+        per-learn-batch code files too, with the kept id-set identical."""
+        import glob
+
+        import numpy as np
+
+        from sat_bucket_spark.operators.similarity import (
+            _hyperplanes,
+            build_ivfpq_index,
+        )
+        from sat_bucket_spark.streaming.curation import _make_gate
+
+        cents = _hyperplanes(8, 64, seed=7)
+        books = np.stack([_hyperplanes(8, 16, seed=11 + j) for j in range(4)])
+
+        def vec(tup):
+            return [float(x) for x in np.concatenate([books[j][tup[j]] for j in range(4)])]
+
+        def code_frag(vidx):
+            root = os.path.join(vidx, "codes")
+            return max(
+                len(glob.glob(os.path.join(root, d, "*.parquet")))
+                for d in os.listdir(root)
+                if d.startswith("__cluster=")
+            )
+
+        batches = [
+            [(100 + 10 * i + j, vec((4 + (i + j) % 4, i % 8, j % 8, (i + j) % 8)))
+             for j in range(2)]
+            for i in range(6)
+        ]
+        kept = {}
+        frag = {}
+        for cadence in (None, 2):
+            corpus = spark.createDataFrame(
+                [(i, vec((i % 4, i % 8, (i + 1) % 8, (i + 2) % 8))) for i in range(12)],
+                "vec_id long, embedding array<double>",
+            )
+            vidx = str(tmp_path / f"vc{cadence}")
+            build_ivfpq_index(corpus, vidx, dim=64, centroids=cents, codebooks=books)
+            sink = str(tmp_path / f"sink_vc{cadence}")
+            gate = _make_gate(sink, None, None, 0.5, True, cadence, vidx)
+            for i, rows in enumerate(batches):
+                gate(
+                    spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+                    i,
+                )
+            kept[cadence] = {
+                r["vec_id"]
+                for r in spark.read.option("basePath", sink)
+                .parquet(f"{sink}/batch=*")
+                .collect()
+            }
+            frag[cadence] = code_frag(vidx)
+        assert kept[2] == kept[None]
+        # within-batch duplicate embeddings are not the gate's job, so every
+        # first-seen id survives; cross-batch copies of survivors are dropped
+        assert len(kept[None]) > 0
+        assert frag[2] < frag[None]
+
+    def test_compact_every_accepts_ivfpq_only(self, spark, tmp_path):
+        from sat_bucket_spark.streaming.curation import (
+            stream_dedup_against_indexes,
+        )
+
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(str(tmp_path))
+        # must NOT raise: ivfpq is a compactable index leg
+        q = None
+        try:
+            q = stream_dedup_against_indexes(
+                stream, str(tmp_path / "s2"), str(tmp_path / "c2"),
+                ivfpq_index_dir=str(tmp_path / "v"), learn=True,
+                compact_every=2, trigger={"availableNow": True},
+            )
+        finally:
+            if q is not None:
+                q.stop()
+
     def test_requires_an_index(self, spark, tmp_path):
         import pytest
 
