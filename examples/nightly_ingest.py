@@ -4,12 +4,14 @@ posture where the corpus is 100 TB and the nightly batch is not:
 
     ONE-TIME  build_bloom_index        (exact keys -> few-MB bitmap)
               build_minhash_index      (near-dup bands + 60-bit shingle sets)
+              build_ivfpq_index        (embeddings -> coarse-clustered PQ codes)
     NIGHTLY   exact dedup via the Bloom index      -- ZERO corpus access
               near-dup dedup via the MinHash index -- corpus text never rescanned
+              semantic dedup via the IVFPQ index   -- probed code partitions only
               stage survivors (they land in the corpus store anyway)
-              append survivors to BOTH indexes     -- bitmap-sized / batch-sized
+              append survivors to ALL indexes      -- bitmap/batch-sized
     CADENCE   compact_minhash_index    (fold append fragmentation back;
-                                        probe results pinned identical)
+              compact_ivfpq_index       probe results pinned identical)
 
 The point: neither nightly step's cost grows with the corpus. The inline
 operators (`dedup_exact_against_bloom`, `minhash_dedup_against`) re-scan the
@@ -108,6 +110,46 @@ def main(sf_dir: str) -> None:
     print(
         f"compaction: {stats['band_partitions']} band partitions rewritten, "
         f"shingle files {stats['shingle_files'][0]} -> {stats['shingle_files'][1]}"
+    )
+
+    # ---- the THIRD axis: semantic dedup over the embedding table ------
+    # same posture, different key space: the archive's embeddings were
+    # PQ-encoded once; a nightly vector batch reads only its probed
+    # clusters' (id, code) partitions, never the raw corpus vectors
+    from sat_bucket_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        semantic_dedup_against_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    archive = emb.where(F.col("vec_id") % 3 != 0)
+    v_idx = os.path.join(work, "ivfpq_index")
+    build_ivfpq_index(archive, v_idx, dim=64, n_clusters=8, m=4, ksub=16)
+    vbatch = archive.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"  # exact copies
+    ).unionByName(
+        emb.where(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),  # novel
+        )
+    )
+    v_surv = semantic_dedup_against_index(
+        vbatch, v_idx, min_cosine=0.9, n_probe=2, adc_margin=1e6,
+        verify_vectors=archive,  # exact-cosine verify over ADC candidates
+    )
+    v_path = os.path.join(work, "accepted_vecs")
+    v_surv.write.parquet(v_path)
+    n_vb, n_vs = vbatch.count(), spark.read.parquet(v_path).count()
+    append_to_ivfpq_index(spark.read.parquet(v_path), v_idx)
+    n_vc = compact_ivfpq_index(spark, v_idx)
+    print(
+        f"semantic nightly: {n_vb} vectors submitted -> {n_vs} accepted and "
+        f"appended; {n_vc} code partitions compacted"
     )
     spark.stop()
 
