@@ -35,7 +35,12 @@ from sat_bucket_spark.io import (
 )
 from sat_bucket_spark.writers import parse_size, write_partitioned_dataset
 
-__all__ = ["bucket_file_stats", "compact_bucket", "flatten_time_partitions"]
+__all__ = [
+    "bucket_file_stats",
+    "compact_bucket",
+    "flatten_time_partitions",
+    "index_report",
+]
 
 
 def _read_hive(spark: SparkSession, bucket_dir: str) -> DataFrame:
@@ -248,3 +253,165 @@ def flatten_time_partitions(bucket_dir: str, time_level: str = "time_part") -> i
         # don't descend into (now removed) time dirs
         dirs[:] = [d for d in dirs if not d.startswith(prefix)]
     return moved
+
+
+def _fs_subdirs(spark: SparkSession, path: str) -> list[str]:
+    """Names of the child DIRECTORIES of ``path`` (Hadoop FS metadata
+    only); empty when the path is missing."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().getName() for st in fs.listStatus(p) if st.isDirectory()
+    ]
+
+
+def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dict:
+    """Health report for a persisted index directory — the fsck of the
+    four standing-archive legs (Bloom bitmap / MinHash bands / IVFPQ
+    codes / BM25 postings).
+
+    The 100 TB posture makes the indexes long-lived operational state
+    maintained by nightly appends, streaming learn appends, compactions,
+    and (rarely) crash recovery — this inspects that state WITHOUT
+    scanning data pages: kind detection from the layout, meta
+    loadability, current-vs-stale generations for the generational legs,
+    per-component file counts/bytes, and per-partition fragmentation for
+    the partitioned legs (the number compaction cadences watch). Pass
+    ``scan=True`` to add row-level facts that require reading the index
+    (component row counts; duplicate IVFPQ code rows from replayed
+    appends — the thing :func:`~sat_bucket_spark.operators.similarity.
+    dedupe_ivfpq_index` heals; Bloom bitmap row bound vs n_bits/64).
+
+    Returns a dict: ``kind``, ``healthy`` (no issues found), ``issues``
+    (list of strings — stale generations, unloadable meta, missing
+    components, scan-level findings), ``components`` (name -> {files,
+    bytes, max_files_per_partition?, rows?}), and kind-specific facts
+    (``generation``, ``stale_generations``). Raises ValueError when the
+    directory matches no known index layout."""
+    import os
+
+    from sat_bucket_spark.operators.dedup import (
+        _bloom_generations,
+        _fs_parquet_stats,
+        _load_meta_row,
+    )
+
+    subdirs = set(_fs_subdirs(spark, index_dir))
+    if "codes" in subdirs:
+        kind = "ivfpq"
+    elif "bands" in subdirs and "shingles" in subdirs:
+        kind = "minhash"
+    elif "postings" in subdirs:
+        kind = "bm25"
+    elif "bitmap" in subdirs or any(s.startswith("bitmap.v") for s in subdirs):
+        kind = "bloom"
+    else:
+        raise ValueError(
+            f"{index_dir}: no known index layout (children: {sorted(subdirs)})"
+        )
+
+    issues: list[str] = []
+    report: dict = {"kind": kind, "issues": issues, "components": {}}
+
+    params = None
+    try:
+        row = _load_meta_row(spark, index_dir)
+        params = row.asDict()
+        report["params_ok"] = True
+    except Exception as exc:  # meta missing/corrupt: the index is unusable
+        report["params_ok"] = False
+        issues.append(f"meta unloadable: {exc}")
+
+    def _component(name: str, path: str, partition_prefix: str | None = None):
+        comp: dict = {}
+        if partition_prefix is None:
+            comp["files"], comp["bytes"] = _fs_parquet_stats(spark, path)
+        else:
+            per = {
+                d: _fs_parquet_stats(spark, os.path.join(path, d))
+                for d in _fs_subdirs(spark, path)
+                if d.startswith(partition_prefix)
+            }
+            comp["files"] = sum(v[0] for v in per.values())
+            comp["bytes"] = sum(v[1] for v in per.values())
+            comp["partitions"] = len(per)
+            comp["max_files_per_partition"] = max(
+                (v[0] for v in per.values()), default=0
+            )
+        if comp["files"] == 0:
+            issues.append(f"{name}: no parquet files")
+        report["components"][name] = comp
+        return comp
+
+    if kind == "ivfpq":
+        _component("codes", os.path.join(index_dir, "codes"), "__cluster=")
+    elif kind == "minhash":
+        _component("bands", os.path.join(index_dir, "bands"), "band_idx=")
+        _component("shingles", os.path.join(index_dir, "shingles"))
+    elif kind == "bloom":
+        gen, stale = _bloom_generations(spark, index_dir)
+        report["generation"] = gen
+        report["stale_generations"] = stale
+        if stale:
+            issues.append(
+                f"{len(stale)} stale bitmap generation(s) awaiting cleanup"
+            )
+        cur = "bitmap" if gen == 0 else f"bitmap.v{gen}"
+        _component("bitmap", os.path.join(index_dir, cur))
+    elif kind == "bm25":
+        from sat_bucket_spark.operators.relevance import _bm25_gen
+
+        gen, stale = _bm25_gen(spark, index_dir)
+        report["generation"] = gen
+        report["stale_generations"] = stale
+        if stale:
+            issues.append(
+                f"{len(stale)} stale terms/stats generation(s) awaiting cleanup"
+            )
+        _component("postings", os.path.join(index_dir, "postings"))
+        gen_dir = os.path.join(index_dir, f"gen.v{gen}")
+        _component("terms", os.path.join(gen_dir, "terms"))
+        _component("stats", os.path.join(gen_dir, "stats"))
+
+    if scan:
+        for name, comp in report["components"].items():
+            sub = {
+                "bitmap": "bitmap" if report.get("generation", 0) == 0
+                else f"bitmap.v{report['generation']}",
+                "terms": f"gen.v{report.get('generation', 0)}/terms",
+                "stats": f"gen.v{report.get('generation', 0)}/stats",
+            }.get(name, name)
+            try:
+                comp["rows"] = spark.read.parquet(
+                    os.path.join(index_dir, sub)
+                ).count()
+            except Exception as exc:
+                issues.append(f"{name}: unreadable ({exc})")
+        if kind == "ivfpq":
+            codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+            id_col = (params or {}).get("id_col", "vec_id")
+            n_dup = (
+                codes.groupBy(id_col, "__cluster", "pq_code")
+                .count()
+                .where(F.col("count") > 1)
+                .count()
+            )
+            report["duplicate_code_groups"] = n_dup
+            if n_dup:
+                issues.append(
+                    f"{n_dup} replay-duplicated code group(s) — run "
+                    "dedupe_ivfpq_index"
+                )
+        if kind == "bloom" and params is not None:
+            bound = int(params["n_bits"]) // 64
+            rows = report["components"]["bitmap"].get("rows", 0)
+            if rows > bound:
+                issues.append(
+                    f"bitmap rows {rows} exceed the n_bits/64 bound {bound}"
+                )
+
+    report["healthy"] = not issues
+    return report

@@ -24,6 +24,7 @@ __all__ = [
     "build_ivfpq_index",
     "compact_ivfpq_index",
     "cosine_expr",
+    "dedupe_ivfpq_index",
     "dot_expr",
     "embedding_decontamination",
     "norm_expr",
@@ -1101,6 +1102,61 @@ def compact_ivfpq_index(
         min_files=min_files,
         partition_cols=["__cluster"],
     )
+
+
+def dedupe_ivfpq_index(spark, index_dir: str) -> int:
+    """Heal duplicate code rows left by REPLAYED appends — rewrite only the
+    cluster partitions that actually contain them.
+
+    ``append_to_ivfpq_index`` is not idempotent: an at-least-once caller
+    (the streaming archive gate's learn path replaying a batch whose crash
+    fell between the sink commit and the checkpoint offset) appends the
+    same rows twice. Codebooks are frozen, so the replays produce
+    IDENTICAL ``(id, __cluster, pq_code)`` rows — harmless to the dedup
+    GATE (its contaminated set is DISTINCT ids) but visible to ranked
+    search: a duplicated id occupies two ``row_number`` slots in
+    :func:`ivfpq_index_topk`, displacing a legitimate k-th neighbor.
+
+    Detection is one scan of the narrow codes table (id + cluster ints, a
+    map-side-combined count); healing reads back ONLY the clusters that
+    hold duplicates (partition-pruned) and rewrites them via dynamic
+    partition overwrite with exact-duplicate rows dropped. Clean indexes
+    — the common case — pay the detection scan and rewrite nothing.
+    Returns the number of cluster partitions rewritten.
+
+    Ids are assumed unique per vector: the same id re-ingested with a
+    DIFFERENT embedding produces distinct code rows this function keeps
+    (both are "real" entries; resolving them is an upsert policy, not
+    replay healing)."""
+    import os
+
+    spark_codes_path = os.path.join(index_dir, "codes")
+    params, _cents, _books, codes = load_ivfpq_index(spark, index_dir)
+    id_col = params["id_col"]
+    dup_clusters = [
+        r["__cluster"]
+        for r in codes.groupBy(id_col, "__cluster", "pq_code")
+        .count()
+        .where(F.col("count") > 1)
+        .select("__cluster")
+        .distinct()
+        .collect()
+    ]
+    if not dup_clusters:
+        return 0
+    healed = (
+        codes.where(F.col("__cluster").isin(dup_clusters))
+        .dropDuplicates([id_col, "__cluster", "pq_code"])
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        healed.write.mode("overwrite").partitionBy("__cluster").parquet(
+            spark_codes_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(dup_clusters)
 
 
 def load_ivfpq_index(spark, index_dir: str):

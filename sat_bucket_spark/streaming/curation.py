@@ -129,7 +129,10 @@ def stream_dedup_against_indexes(
        :func:`compact_minhash_index` reclaims it) — and duplicate IVFPQ
        code rows likewise only repeat a flagged pair (the semantic gate's
        contaminated set is DISTINCT ids; :func:`compact_ivfpq_index`
-       folds the file growth).
+       folds the file growth, and if the index is ALSO served to ranked
+       search, :func:`~sat_bucket_spark.operators.similarity.
+       dedupe_ivfpq_index` heals the replay-duplicated rows that would
+       otherwise occupy two top-k slots per duplicated id).
 
     Within-batch duplicates are NOT this gate's job — compose
     :func:`streaming_curate` (fingerprint dedup) upstream. Returns the

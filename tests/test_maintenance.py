@@ -168,3 +168,126 @@ class TestFlattenValidation:
         # nothing moved, nothing clobbered
         assert (root / "2021_0.parquet").read_bytes() == b"old"
         assert (td / "part-0000.parquet").read_bytes() == b"new"
+
+
+class TestIndexReport:
+    """index_report: the fsck of the four persisted-index legs."""
+
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+
+    @pytest.fixture()
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+
+    def test_bloom_generations_and_bound(self, spark, docs, tmp_path):
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.dedup import (
+            append_to_bloom_index,
+            build_bloom_index,
+        )
+
+        idx = str(tmp_path / "bloom")
+        build_bloom_index(docs, idx, ["text"], n_bits=1 << 16)
+        r = index_report(spark, idx, scan=True)
+        assert r["kind"] == "bloom" and r["healthy"], r["issues"]
+        assert r["generation"] == 0 and r["stale_generations"] == []
+        assert 0 < r["components"]["bitmap"]["rows"] <= (1 << 16) // 64
+
+        extra = docs.select(
+            (F.col("doc_id") + 50_000).alias("doc_id"),
+            F.concat(F.lit("x"), F.col("text")).alias("text"),
+        )
+        append_to_bloom_index(extra, idx)
+        r2 = index_report(spark, idx)
+        assert r2["kind"] == "bloom" and r2["generation"] == 1
+        # appends retire the old generation, so a clean append stays healthy
+        assert r2["healthy"], r2["issues"]
+
+    def test_minhash_fragmentation_tracks_appends(self, spark, docs, tmp_path):
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.dedup import (
+            append_to_minhash_index,
+            build_minhash_index,
+            compact_minhash_index,
+        )
+
+        idx = str(tmp_path / "mh")
+        build_minhash_index(
+            docs.where(F.col("doc_id") % 2 == 0), idx,
+            n_hashes=8, n_bands=4, shingle_size=8,
+        )
+        before = index_report(spark, idx)
+        assert before["kind"] == "minhash" and before["healthy"]
+        append_to_minhash_index(
+            docs.where(F.col("doc_id") % 2 == 1).select(
+                (F.col("doc_id") + 50_000).alias("doc_id"), "text"
+            ),
+            idx,
+        )
+        frag = index_report(spark, idx)["components"]["bands"][
+            "max_files_per_partition"
+        ]
+        assert frag > before["components"]["bands"]["max_files_per_partition"]
+        compact_minhash_index(spark, idx)
+        after = index_report(spark, idx)
+        assert (
+            after["components"]["bands"]["max_files_per_partition"] < frag
+        )
+
+    def test_ivfpq_scan_flags_replay_duplicates(self, spark, emb, tmp_path):
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            build_ivfpq_index,
+            dedupe_ivfpq_index,
+        )
+
+        idx = str(tmp_path / "ivf")
+        build_ivfpq_index(
+            emb.where(F.col("vec_id") >= 20), idx, dim=64,
+            n_clusters=8, m=4, ksub=16,
+        )
+        batch = emb.where(F.col("vec_id") < 20)
+        append_to_ivfpq_index(batch, idx)
+        append_to_ivfpq_index(batch, idx)  # the replay
+        r = index_report(spark, idx, scan=True)
+        assert r["kind"] == "ivfpq"
+        assert r["duplicate_code_groups"] > 0 and not r["healthy"]
+        assert any("dedupe_ivfpq_index" in i for i in r["issues"])
+        dedupe_ivfpq_index(spark, idx)
+        healed = index_report(spark, idx, scan=True)
+        assert healed["duplicate_code_groups"] == 0 and healed["healthy"]
+
+    def test_bm25_and_unknown_layout(self, spark, docs, tmp_path):
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.relevance import build_bm25_index
+
+        idx = str(tmp_path / "bm25")
+        build_bm25_index(docs, idx)
+        r = index_report(spark, idx, scan=True)
+        assert r["kind"] == "bm25" and r["healthy"], r["issues"]
+        assert r["components"]["postings"]["rows"] > 0
+        assert r["components"]["stats"]["rows"] == 1
+
+        with pytest.raises(ValueError, match="no known index layout"):
+            index_report(spark, str(tmp_path))
+
+    def test_unloadable_meta_is_an_issue(self, spark, docs, tmp_path):
+        import shutil
+
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.dedup import build_bloom_index
+
+        idx = str(tmp_path / "bloom_broken")
+        build_bloom_index(docs, idx, ["text"], n_bits=1 << 16)
+        shutil.rmtree(os.path.join(idx, "meta"))
+        r = index_report(spark, idx)
+        assert not r["healthy"] and not r["params_ok"]
+        assert any("meta unloadable" in i for i in r["issues"])

@@ -2523,6 +2523,53 @@ class TestIvfpqIndexPersistence:
         # the same band as the one-shot build, not degraded by the append
         assert r_append >= r_build - 0.1, (r_build, r_append)
 
+    def test_dedupe_heals_replayed_append(self, spark, embeddings, tmp_path):
+        """An at-least-once caller replaying an append duplicates code rows;
+        the duplicated ids then occupy two row_number slots in top-k.
+        dedupe_ivfpq_index must restore search results to the never-replayed
+        reference, rewrite only the affected clusters, and be a no-op (0)
+        on a clean index."""
+        from sat_bucket_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            build_ivfpq_index,
+            dedupe_ivfpq_index,
+            ivfpq_index_topk,
+        )
+
+        cents, books, emb, queries = self._fixed(spark, embeddings)
+        # the replayed rows get the LOWEST ids: this fixture's adist ties
+        # break by id asc, so low duplicated ids are guaranteed top-k hits
+        base = emb.where(F.col("vec_id") >= 50)
+        batch = emb.where(F.col("vec_id") < 50)
+
+        ref_idx = str(tmp_path / "ann_ref")
+        build_ivfpq_index(base, ref_idx, dim=64, centroids=cents, codebooks=books)
+        append_to_ivfpq_index(batch, ref_idx)
+        ref = sorted(
+            tuple(r)
+            for r in ivfpq_index_topk(spark, ref_idx, queries, k=5, n_probe=8).collect()
+        )
+
+        idx = str(tmp_path / "ann_replay")
+        build_ivfpq_index(base, idx, dim=64, centroids=cents, codebooks=books)
+        append_to_ivfpq_index(batch, idx)
+        append_to_ivfpq_index(batch, idx)  # the replay
+        # the distortion is real: some duplicated id occupies two slots
+        distorted = sorted(
+            tuple(r)
+            for r in ivfpq_index_topk(spark, idx, queries, k=5, n_probe=8).collect()
+        )
+        assert distorted != ref
+        assert dedupe_ivfpq_index(spark, idx) > 0
+        healed = sorted(
+            tuple(r)
+            for r in ivfpq_index_topk(spark, idx, queries, k=5, n_probe=8).collect()
+        )
+        assert healed == ref
+        # clean index: detection scan only, nothing rewritten
+        assert dedupe_ivfpq_index(spark, idx) == 0
+        assert dedupe_ivfpq_index(spark, ref_idx) == 0
+
     def test_compact_after_appends_preserves_search(self, spark, embeddings, tmp_path):
         """compact_ivfpq_index: nightly appends leave one file per cluster
         per batch; compaction must rewrite ONLY fragmented cluster
