@@ -1601,12 +1601,13 @@ def q_semantic_dedup_index(spark, sf_dir):
     then probes a batch of fresh rows (vec_id%3==0) plus exact copies of
     archive rows (vec_id%3==1, shifted ids). n_probe=2 of 8 clusters: a
     batch row sees only archive rows in its two nearest inverted lists —
-    the probed-partition pruning is the at-scale point. The ADC margin is
-    set candidate-complete (this corpus is the PQ worst case — random
-    unit vectors; ADC self-distance ~34 under the fixtured codebooks, so
-    a distance prefilter can't separate), and the exact-cosine verify
-    against the archive decides — which makes the survivor set a pure
-    function of clusters + cosine that the DuckDB oracle replays exactly.
+    the probed-partition pruning is the at-scale point. The explicit
+    candidate-complete posture (``adc_margin=None`` — this corpus is the
+    PQ worst case: random unit vectors, ADC self-distance ~34 under the
+    fixtured codebooks, so a distance prefilter can't separate) skips the
+    ADC scoring, and the exact-cosine verify against the archive decides
+    — which makes the survivor set a pure function of clusters + cosine
+    that the DuckDB oracle replays exactly.
     """
     import tempfile
 
@@ -1630,7 +1631,7 @@ def q_semantic_dedup_index(spark, sf_dir):
         archive, idx, dim=64, centroids=_IVF_CENTROIDS, codebooks=_PQ_BOOKS
     )
     out = semantic_dedup_against_index(
-        batch, idx, min_cosine=0.35, n_probe=2, adc_margin=1e6,
+        batch, idx, min_cosine=0.35, n_probe=2, adc_margin=None,
         verify_vectors=archive,
     )
     return out.select("vec_id")
@@ -4419,9 +4420,8 @@ def _semantic_dedup_index_sql(threshold: float = 0.35) -> str:
     """Oracle mirror of q_semantic_dedup_index: literal-codebook IVF
     cluster assignment for both sides, inlined probe pairs, exact cosine
     over the probed (cluster-matched) candidate pairs, survivors by
-    anti-join. The entry's adc_margin=1e6 makes the ADC distance
-    prefilter mathematically vacuous (true squared-L2 on this corpus is
-    bounded by ~(1 + max ||codeword||)^2 << 1e6), so the SQL mirrors the
+    anti-join. The entry's adc_margin=None is the explicit candidate-
+    complete posture (no ADC prefilter at all), so the SQL mirrors the
     candidate set as ALL probed pairs."""
     ivf_scores = ", ".join(
         f"({float((c ** 2).sum())!r} - 2.0 * list_inner_product(emb, {_centroid_arr_sql(c)}))"

@@ -579,7 +579,7 @@ def main() -> None:
         batch = spark.read.parquet(batch_path)
         t0 = time.perf_counter()
         surv = semantic_dedup_against_index(
-            batch, sidx, min_cosine=0.9, n_probe=2, adc_margin=1e6,
+            batch, sidx, min_cosine=0.9, n_probe=2, adc_margin=None,
             verify_vectors=archive,
         )
         n_surv = surv.count()

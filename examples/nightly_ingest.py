@@ -139,7 +139,7 @@ def main(sf_dir: str) -> None:
         )
     )
     v_surv = semantic_dedup_against_index(
-        vbatch, v_idx, min_cosine=0.9, n_probe=2, adc_margin=1e6,
+        vbatch, v_idx, min_cosine=0.9, n_probe=2, adc_margin=None,
         verify_vectors=archive,  # exact-cosine verify over ADC candidates
     )
     v_path = os.path.join(work, "accepted_vecs")

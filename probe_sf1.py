@@ -1051,7 +1051,7 @@ def semantic_index_stages(spark, sf_dir, workdir):
 
     t0 = time.perf_counter()
     surv = semantic_dedup_against_index(
-        batch, idx, min_cosine=0.9, n_probe=2, adc_margin=1e6,
+        batch, idx, min_cosine=0.9, n_probe=2, adc_margin=None,
         verify_vectors=archive,
     )
     n_surv = surv.count()
@@ -1082,7 +1082,7 @@ def semantic_index_stages(spark, sf_dir, workdir):
         (F.col("vec_id") + 30_000_000).alias("vec_id"), "embedding"
     )
     n_re = semantic_dedup_against_index(
-        resubmit, idx, min_cosine=0.9, n_probe=2, adc_margin=1e6,
+        resubmit, idx, min_cosine=0.9, n_probe=2, adc_margin=None,
         verify_vectors=archive.unionByName(spark.read.parquet(surv_path)),
     ).count()
     if n_re != 0:

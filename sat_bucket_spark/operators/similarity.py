@@ -1248,7 +1248,7 @@ def semantic_dedup_against_index(
     min_cosine: float = 0.95,
     n_probe: int = 2,
     max_adist: float | None = None,
-    adc_margin: float = 0.2,
+    adc_margin: float | None = 0.2,
     verify_vectors: DataFrame | None = None,
     id_col: str | None = None,
     vec_col: str = "embedding",
@@ -1288,6 +1288,16 @@ def semantic_dedup_against_index(
       are restored; with ``n_probe = n_clusters`` and a generous margin
       the result is bit-identical to the exact brute-force gate (pinned
       by test) — which is what makes this leg hash-verifiable.
+
+    ``adc_margin=None`` is the explicit CANDIDATE-COMPLETE posture
+    (requires ``verify_vectors``): every probed pair goes to the exact
+    verify and the ADC scoring is SKIPPED ENTIRELY — no LUT, no per-pair
+    fold, a slimmer broadcast frame. Same output as an unbounded finite
+    margin (pinned by test), measurably cheaper. Use it when the
+    codebooks can't separate at the working threshold (e.g. this
+    repo's random-unit-vector test corpus — the PQ worst case); a
+    finite margin is the production posture once trained codebooks
+    bound the candidate volume.
 
     Thresholds: the primitive is ``max_adist`` (squared-L2 in ADC space);
     when None it derives as ``2 * (1 - min_cosine)``, exact for
@@ -1336,28 +1346,34 @@ def semantic_dedup_against_index(
     probes = [(int(c), int(p)) for c in range(len(cents)) for p in probe_order[c]]
     probe_df = spark.createDataFrame(probes, ["__qcluster", "__cluster"])
 
-    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    lut = F.array(
-        *[
-            _subspace_scores_expr(F.slice(qv, j * dsub + 1, dsub), books[j])
-            for j in range(m)
-        ]
+    if adc_margin is None and verify_vectors is None:
+        raise ValueError(
+            "adc_margin=None (candidate-complete) requires verify_vectors: "
+            "without the exact verify every probed pair would be dropped"
+        )
+    q_cols = [F.col(id_col).alias("__bid"), F.col("__cluster")]
+    q_base = probed_batch.withColumn(
+        "__qcluster", _nearest_centroid_expr(vec_col, cents)
     )
-    # the ADC LUT scores are ||c||^2 - 2 c.q_j (||q_j||^2 dropped — it is
-    # rank-invariant, see _subspace_scores_expr); a THRESHOLD needs true
-    # squared L2, so the query's own squared norm rides the probe frame
-    # and is added back at the comparison
-    qn2 = F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x)
+    if adc_margin is not None:
+        qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        lut = F.array(
+            *[
+                _subspace_scores_expr(F.slice(qv, j * dsub + 1, dsub), books[j])
+                for j in range(m)
+            ]
+        )
+        # the ADC LUT scores are ||c||^2 - 2 c.q_j (||q_j||^2 dropped — it
+        # is rank-invariant, see _subspace_scores_expr); a THRESHOLD needs
+        # true squared L2, so the query's own squared norm rides the probe
+        # frame and is added back at the comparison
+        qn2 = F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x)
+        q_base = q_base.withColumn("__lut", lut).withColumn("__qn2", qn2)
+        q_cols += [F.col("__lut"), F.col("__qn2")]
     obs = Observation()
     q = stage_cache(
-        probed_batch.withColumn("__qcluster", _nearest_centroid_expr(vec_col, cents))
-        .withColumn("__lut", lut)
-        .withColumn("__qn2", qn2)
-        .join(F.broadcast(probe_df), "__qcluster")
-        .select(
-            F.col(id_col).alias("__bid"), F.col("__cluster"),
-            F.col("__lut"), F.col("__qn2"),
-        )
+        q_base.join(F.broadcast(probe_df), "__qcluster")
+        .select(*q_cols)
         .observe(obs, F.count(F.lit(1)).alias("n")),
         eager=True,
     )
@@ -1370,15 +1386,20 @@ def semantic_dedup_against_index(
     n_batch = obs.get["n"]
     pruned = codes.where(F.col("__cluster").isin(probed))
 
-    score = F.aggregate(
-        F.zip_with(F.col("pq_code"), F.col("__lut"), lambda c, l: F.element_at(l, c + 1)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     q_side = F.broadcast(q) if n_batch <= broadcast_batch_max else q
-    flagged_pairs = pruned.join(q_side, "__cluster").where(
-        F.round(score + F.col("__qn2"), 6) <= F.lit(thr + float(adc_margin))
-    )
+    flagged_pairs = pruned.join(q_side, "__cluster")
+    if adc_margin is not None:
+        score = F.aggregate(
+            F.zip_with(
+                F.col("pq_code"), F.col("__lut"),
+                lambda c, l: F.element_at(l, c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        flagged_pairs = flagged_pairs.where(
+            F.round(score + F.col("__qn2"), 6) <= F.lit(thr + float(adc_margin))
+        )
 
     if verify_vectors is None:
         contaminated = flagged_pairs.select(F.col("__bid").alias(id_col)).distinct()
@@ -1386,11 +1407,12 @@ def semantic_dedup_against_index(
         return clean.unionByName(bypass)
 
     # verified posture: exact cosine over the ADC candidate pairs only —
-    # the verify scan reads candidate ids, never the whole archive
+    # the verify scan reads candidate ids, never the whole archive. The
+    # pairs are already unique (a corpus id lives in exactly ONE cluster,
+    # which a batch row probes at most once), so no dedup shuffle here.
     obs_c = Observation()
     cands = stage_cache(
         flagged_pairs.select("__bid", F.col(corpus_id).alias("__cid"))
-        .distinct()
         .observe(obs_c, F.count(F.lit(1)).alias("n")),
         eager=True,
     )

@@ -2769,6 +2769,16 @@ class TestSemanticDedupAgainstIndex:
             verify_vectors=archive,
         )
         got = sorted(r["vec_id"] for r in out.collect())
+        # adc_margin=None (explicit candidate-complete: ADC scoring skipped
+        # entirely) must equal the unbounded finite margin
+        got_cc = sorted(
+            r["vec_id"]
+            for r in semantic_dedup_against_index(
+                batch, idx, min_cosine=thr, n_probe=8, adc_margin=None,
+                verify_vectors=archive,
+            ).collect()
+        )
+        assert got_cc == got
 
         vb = batch.select(
             F.col("vec_id").alias("__bid"),
@@ -2796,6 +2806,23 @@ class TestSemanticDedupAgainstIndex:
         # the copies MUST be dropped (cosine 1.0), so the gate is non-trivial
         assert expected and len(expected) < batch.count()
         assert got == expected
+
+    def test_candidate_complete_requires_verify(self, spark, tmp_path):
+        import pytest
+
+        from sat_bucket_spark.operators.similarity import (
+            build_ivfpq_index,
+            semantic_dedup_against_index,
+        )
+
+        cents, books = self._fixed_books(spark)
+        archive = self._codebook_exact_rows(
+            spark, books, [i % 4 for i in range(20)], 0
+        )
+        idx = str(tmp_path / "sem_cc")
+        build_ivfpq_index(archive, idx, dim=64, centroids=cents, codebooks=books)
+        with pytest.raises(ValueError, match="candidate-complete"):
+            semantic_dedup_against_index(archive, idx, adc_margin=None)
 
     def test_malformed_vectors_bypass(self, spark, tmp_path):
         from sat_bucket_spark.operators.similarity import (
