@@ -1637,6 +1637,48 @@ def q_semantic_dedup_index(spark, sf_dir):
     return out.select("vec_id")
 
 
+def q_cc_update(spark, sf_dir):
+    """Incremental connected-components maintenance: merge a batch of new
+    edges into a standing cluster map with one broadcast pass (reference
+    analogue: incremental update, satbucket/routines.py:580-587).
+
+    Standing state: buckets-of-4 components over doc ids. The new batch
+    exercises all three merge shapes — old-old edges joining adjacent
+    buckets, new nodes attaching to standing components, and a pure-new
+    cluster. Output is pinned row-identical to a full recompute over the
+    union (the operator's exactness contract); the oracle replays that
+    full recompute as a recursive reachability CTE.
+    """
+    from sat_bucket_spark.operators.graph import (
+        connected_components,
+        update_connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    old = docs.select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") - F.col("doc_id") % 4).alias("dst"),
+    )
+    standing = connected_components(old)
+    new = (
+        docs.where(F.col("doc_id") % 8 == 0)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 4).alias("dst"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("src"),
+                (F.col("doc_id") - F.col("doc_id") % 4).alias("dst"),
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("src"),
+                (F.col("doc_id") + 2_000_001).alias("dst"),
+            )
+        )
+    )
+    return update_connected_components(standing, new).select("node", "component")
+
+
 def q_idw_grid(spark, sf_dir):
     """Inverse-distance-weighted resampling onto the 10° grid.
 
@@ -4466,6 +4508,37 @@ WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)
 
 _ORACLES["semantic_dedup_index"] = _semantic_dedup_index_sql()
 
+# cc_update: the incremental map must equal a FULL recompute over
+# (standing-as-edges ∪ new edges) — which, because standing reproduces the
+# old components exactly, equals CC over (old ∪ new). Self-loops filtered
+# (a <> b) to match the operator's u != v drop: a self-loop-only node
+# appears in neither engine's output.
+_ORACLES["cc_update"] = """
+WITH RECURSIVE all_edges AS (
+  SELECT doc_id AS a, doc_id - (doc_id % 4) AS b FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id + 4 FROM documents WHERE doc_id % 8 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, doc_id - (doc_id % 4) FROM documents
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, doc_id + 2000001 FROM documents
+  WHERE doc_id % 25 = 0
+),
+und AS (
+  SELECT a, b FROM all_edges WHERE a <> b
+  UNION
+  SELECT b, a FROM all_edges WHERE a <> b
+),
+reach AS (
+  SELECT a AS node, a AS r FROM und
+  UNION
+  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.node
+),
+SELECTED AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT node, component FROM SELECTED
+"""
+
 _CDC_MULTS = [pow(257, j, 1_000_000_007) for j in range(8)]
 _CDC_HASH = " + ".join(f"cs[i + {j}] * {m}" for j, m in enumerate(_CDC_MULTS))
 _ORACLES["cdc_chunks"] = f"""
@@ -5757,6 +5830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (this entry plus pq_topk + ivf_topk), and the promoted probe
         # exercises the same persisted-index build/search path in-window
         "ivfpq_topk": q_ivfpq_topk,
+        "cc_update": q_cc_update,
         "dup_spans": q_dup_spans,
         "mad_outliers": q_mad_outliers,
         "exif_meta": q_exif_meta,

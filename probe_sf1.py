@@ -85,6 +85,7 @@ DEFAULT_KEYS = [
     "stream_archive_gate",
     "bm25_index_probe",
     "semantic_index_probe",
+    "cc_update",
 ]
 
 # Recall@10 floor for the persisted-ANN rows, after build AND after
@@ -1092,6 +1093,65 @@ def semantic_index_stages(spark, sf_dir, workdir):
     return build_sec, probe_sec, append_sec
 
 
+def cc_update_stages(spark, sf_dir, workdir):
+    """Incremental cluster-map maintenance at the replicated corpus (r12).
+    Scale question: a nightly batch's merge into a CORPUS-SIZED standing
+    map must not recompute components over the corpus's accumulated edge
+    history. The update contracts standing components to their
+    representatives (batch-sized solve — legitimately driver-routed) and
+    applies the merges with ONE broadcast pass over the standing map; the
+    comparison number is the full recompute over (old ∪ new) on the
+    DISTRIBUTED route — the only route a corpus-scale edge history has
+    (forced driver_threshold=0, same framing as the pagerank probe).
+    Gates: the updated map equals the full recompute map exactly."""
+    from sat_bucket_spark.operators.graph import (
+        connected_components,
+        update_connected_components,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+    old = docs.select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") - F.col("doc_id") % 4).alias("dst"),
+    )
+    standing_path = os.path.join(workdir, "standing")
+    connected_components(old).write.parquet(standing_path)
+    standing = spark.read.parquet(standing_path)
+    # the nightly batch: FIXED size regardless of replicas (base-id window)
+    base = docs.where(F.col("doc_id") < 4000)
+    new = (
+        base.where(F.col("doc_id") % 8 == 0)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 4).alias("dst"))
+        .unionByName(
+            base.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("src"),
+                (F.col("doc_id") - F.col("doc_id") % 4).alias("dst"),
+            )
+        )
+    )
+
+    t0 = time.perf_counter()
+    upd = update_connected_components(standing, new)
+    got = {r["node"]: r["component"] for r in upd.collect()}
+    update_sec = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    full = connected_components(
+        old.unionByName(new), driver_threshold=0
+    )
+    expected = {r["node"]: r["component"] for r in full.collect()}
+    full_sec = round(time.perf_counter() - t0, 3)
+    if got != expected:
+        diff = {k for k in expected if got.get(k) != expected[k]}
+        raise AssertionError(
+            f"incremental map diverged from full recompute on {len(diff)} "
+            f"nodes (e.g. {sorted(diff)[:5]})"
+        )
+    return update_sec, full_sec
+
+
 def archive_gate_stage(spark, sf_dir, workdir, replicas):
     """stream_dedup_against_indexes(learn=True) growth row (VERDICT r11
     task #3): the archive gate appends to the MinHash index at TRIGGER
@@ -1473,6 +1533,12 @@ def main() -> int:
                 timings["semantic_index_build"] = b
                 timings["semantic_index_probe"] = pr
                 timings["semantic_index_append"] = ap
+            elif name == "cc_update":
+                u, fu = cc_update_stages(
+                    spark, scaled, os.path.join(work, "ccupd")
+                )
+                timings["cc_update"] = u
+                timings["cc_update_full"] = fu
             elif name == "stream_sessionize":
                 s_sec, s_nb, s_pb, s_state = stream_sessionize_stage(
                     spark, scaled, os.path.join(work, "sess"), args.replicas

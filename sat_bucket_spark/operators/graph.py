@@ -34,7 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from sat_bucket_spark.caching import release_stage_cache, round_cache
+from sat_bucket_spark.caching import (
+    release_stage_cache,
+    round_cache,
+    stage_cache,
+)
 
 
 def _eager_cache(df: DataFrame) -> DataFrame:
@@ -121,7 +125,12 @@ def _persisted_with_fingerprint(df: DataFrame, cols=("u", "v")):
     metrics = obs.get
     return cached, (metrics["n"], metrics["h"])
 
-__all__ = ["connected_components", "near_duplicate_clusters", "pagerank"]
+__all__ = [
+    "connected_components",
+    "near_duplicate_clusters",
+    "pagerank",
+    "update_connected_components",
+]
 
 
 def _bidir(e: DataFrame) -> DataFrame:
@@ -286,6 +295,105 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     return members.unionByName(roots).distinct()
+
+
+def update_connected_components(
+    standing: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    component_col: str = "component",
+    max_iterations: int = 50,
+    driver_threshold: int = 200_000,
+    broadcast_merge_max: int = 10_000_000,
+) -> DataFrame:
+    """Merge a NEW batch of edges into a standing ``(node, component)``
+    map — without recomputing components over the corpus.
+
+    The incremental leg of the dup-cluster pipeline (reference analogue:
+    incremental update against standing state,
+    /root/reference/satbucket/routines.py:580-587): at 100 TB the cluster
+    map is corpus-sized standing state, and re-running
+    :func:`connected_components` over ALL accumulated pairs per nightly
+    batch re-shuffles the corpus's edge history every night. Instead,
+    CONTRACT each standing component to its representative (the map
+    already stores it), route the batch's edge endpoints through the map
+    (unseen nodes represent themselves), solve components over the
+    CONTRACTED edge set — batch-sized, so it usually takes the driver
+    union-find route — and apply the resulting representative merges back
+    with ONE broadcast-hash join over the standing map. The corpus-sized
+    side is touched exactly once, map-side, with no shuffle.
+
+    Exactness: a standing representative is the MIN id of its old
+    component, so the contracted solve's min over (representatives ∪ new
+    node ids) is the true min over all merged members — the output is
+    row-identical to a full recompute over (standing-map-as-edges ∪ new
+    edges), pinned by test and by the DuckDB oracle. Batch edges between
+    two members of the same standing component contract to self-loops and
+    drop; components they don't touch keep their rows bit-for-bit.
+
+    Returns the UPDATED full map: every standing node (component possibly
+    remapped) plus every previously-unseen endpoint of ``new_edges``
+    (unseen nodes with only self-loop edges are excluded, matching
+    :func:`connected_components`' isolated-node convention).
+    The merge map is broadcast while its measured row count (bounded by
+    2x the batch's distinct endpoints, never corpus-sized) stays at or
+    below ``broadcast_merge_max``, with a shuffled-join fallback above —
+    same measured-gate convention as the index probes.
+    """
+    m = standing.select(
+        F.col(node_col).alias("__n"), F.col(component_col).alias("__c")
+    )
+    e = new_edges.select(F.col(src).alias("__eu"), F.col(dst).alias("__ev"))
+    # contract endpoints through the standing map; unseen nodes are their
+    # own representatives. The map side of these joins is only as big as
+    # the standing map, but the OUTPUT is batch-sized (left join on edges).
+    cu = (
+        e.join(m.withColumnRenamed("__n", "__eu"), "__eu", "left")
+        .select(
+            F.coalesce("__c", "__eu").alias("cu"), F.col("__ev")
+        )
+    )
+    contracted_edges = (
+        cu.join(m.withColumnRenamed("__n", "__ev"), "__ev", "left")
+        .select(F.col("cu"), F.coalesce("__c", "__ev").alias("cv"))
+    )
+    merge = connected_components(
+        contracted_edges, src="cu", dst="cv",
+        max_iterations=max_iterations, driver_threshold=driver_threshold,
+    ).select(F.col("node").alias("__rep"), F.col("component").alias("__final"))
+    # batch-bounded count: contracted CC output rows <= 2x distinct batch
+    # endpoints. One cheap action on small data gates the broadcast.
+    merge = stage_cache(merge, eager=True)
+    n_merge = merge.count()
+    merge_b = F.broadcast(merge) if n_merge <= broadcast_merge_max else merge
+
+    updated_standing = (
+        standing.select(
+            F.col(node_col).alias("__un"), F.col(component_col).alias("__uc")
+        )
+        .join(merge_b, F.col("__uc") == F.col("__rep"), "left")
+        .select(
+            F.col("__un").alias(node_col),
+            F.coalesce(F.col("__final"), F.col("__uc")).alias(component_col),
+        )
+    )
+    # previously-unseen endpoints: they appear in the contracted solve
+    # under their own ids — their component is the solve's answer
+    new_nodes = (
+        e.select(F.col("__eu").alias("__un"))
+        .unionByName(e.select(F.col("__ev").alias("__un")))
+        .distinct()
+        .join(m.withColumnRenamed("__n", "__un"), "__un", "left_anti")
+    )
+    new_map = new_nodes.join(
+        merge_b, F.col("__un") == F.col("__rep"), "inner"
+    ).select(
+        F.col("__un").alias(node_col),
+        F.col("__final").alias(component_col),
+    )
+    return updated_standing.unionByName(new_map)
 
 
 def near_duplicate_clusters(

@@ -455,3 +455,125 @@ class TestRegistryRankRoundingMargin:
             damping=0.85, iterations=8, directed=True,
         ):
             assert m > self.MARGIN, f"rank within {m} of a rounding boundary"
+
+
+class TestUpdateConnectedComponents:
+    """update_connected_components: incremental maintenance of a standing
+    (node, component) map — must equal a full recompute row for row."""
+
+    @staticmethod
+    def _full(spark, edges):
+        from sat_bucket_spark.operators.graph import connected_components
+
+        return {
+            r["node"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(edges, ["src", "dst"])
+            ).collect()
+        }
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("threshold", [200_000, 0])
+    def test_update_equals_full_recompute(self, spark, seed, threshold):
+        from sat_bucket_spark.operators.graph import (
+            connected_components,
+            update_connected_components,
+        )
+
+        rng = np.random.default_rng(seed)
+        n = 300
+        old = [
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, 200), rng.integers(0, n, 200))
+            if a != b
+        ]
+        # new edges: old-old (merges standing components), old-new, new-new
+        new = [
+            (int(a), int(b))
+            for a, b in zip(
+                rng.integers(0, n + 80, 120), rng.integers(0, n + 80, 120)
+            )
+            if a != b
+        ]
+        standing = connected_components(
+            spark.createDataFrame(old, ["src", "dst"])
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in update_connected_components(
+                standing,
+                spark.createDataFrame(new, ["src", "dst"]),
+                driver_threshold=threshold,
+            ).collect()
+        }
+        # ground truth: full recompute over (standing-map-as-edges ∪ new).
+        # Standing-map edges (node -> component) reproduce exactly the old
+        # components, so this equals CC over (old ∪ new) restricted to
+        # nodes that appear in old or new
+        expected = self._full(
+            spark,
+            old + new,
+        )
+        assert got == expected
+
+    def test_untouched_components_and_pure_new_cluster(self, spark):
+        from sat_bucket_spark.operators.graph import (
+            connected_components,
+            update_connected_components,
+        )
+
+        old = [(1, 2), (2, 3), (10, 11), (20, 21)]
+        standing = connected_components(
+            spark.createDataFrame(old, ["src", "dst"])
+        )
+        new = [(3, 10), (100, 101), (101, 102)]
+        got = {
+            r["node"]: r["component"]
+            for r in update_connected_components(
+                standing, spark.createDataFrame(new, ["src", "dst"])
+            ).collect()
+        }
+        assert got == {
+            1: 1, 2: 1, 3: 1, 10: 1, 11: 1,   # merged via the 3-10 edge
+            20: 20, 21: 20,                    # untouched component intact
+            100: 100, 101: 100, 102: 100,      # brand-new cluster
+        }
+
+    def test_new_node_with_smaller_id_becomes_representative(self, spark):
+        from sat_bucket_spark.operators.graph import (
+            connected_components,
+            update_connected_components,
+        )
+
+        standing = connected_components(
+            spark.createDataFrame([(5, 6)], ["src", "dst"])
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in update_connected_components(
+                standing, spark.createDataFrame([(0, 6)], ["src", "dst"])
+            ).collect()
+        }
+        assert got == {0: 0, 5: 0, 6: 0}
+
+    def test_standing_side_joins_broadcast(self, spark, tmp_path):
+        """The corpus-sized standing map must be consumed by ONE
+        broadcast-hash join pass — no SortMergeJoin, no exchange of the
+        standing side in the merge-application join."""
+        from sat_bucket_spark.operators.graph import (
+            connected_components,
+            update_connected_components,
+        )
+
+        old = [(i, i + 1) for i in range(0, 400, 2)]
+        standing_path = str(tmp_path / "standing")
+        connected_components(
+            spark.createDataFrame(old, ["src", "dst"])
+        ).write.parquet(standing_path)
+        standing = spark.read.parquet(standing_path)
+        out = update_connected_components(
+            standing, spark.createDataFrame([(1, 3), (401, 402)], ["src", "dst"])
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan[:2000]
+        assert "BroadcastHashJoin" in plan
