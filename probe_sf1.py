@@ -86,6 +86,7 @@ DEFAULT_KEYS = [
     "bm25_index_probe",
     "semantic_index_probe",
     "cc_update",
+    "stream_vector_gate",
 ]
 
 # Recall@10 floor for the persisted-ANN rows, after build AND after
@@ -1374,6 +1375,215 @@ def archive_gate_stage(spark, sf_dir, workdir, replicas):
     )
 
 
+def vector_gate_stage(spark, sf_dir, workdir, replicas):
+    """The streaming archive gate's SEMANTIC leg under trigger frequency
+    (r12 — the vector analogue of the text gate's growth row): an
+    ivfpq-only ``stream_dedup_against_indexes(learn=True)`` over
+    2x``replicas`` vector micro-batches against an index built on the
+    replicated embedding corpus. Resolves the same three questions as the
+    text row — per-batch cost trend, code-partition fragmentation under
+    learn appends, and an in-stream ``compact_ivfpq_index`` receipt
+    (fixed gate probe bit-identical across the compaction, stream resumes
+    from the same checkpoint, segment B under the gate's own
+    ``compact_every`` cadence). Correctness gates: exact copies of the
+    archive drop, copies of an EARLIER batch's survivors drop only via
+    learn, every novel vector survives — exact id-set equality."""
+    import glob as _glob
+
+    from sat_bucket_spark.operators.similarity import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        semantic_dedup_against_index,
+    )
+    from sat_bucket_spark.streaming.curation import stream_dedup_against_indexes
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    vidx = os.path.join(workdir, "ivfpq_idx")
+    build_ivfpq_index(emb, vidx, dim=64, n_clusters=8, m=4, ksub=16)
+
+    def code_frag() -> int:
+        root = os.path.join(vidx, "codes")
+        return max(
+            len(_glob.glob(os.path.join(root, d, "*.parquet")))
+            for d in os.listdir(root)
+            if d.startswith("__cluster=")
+        )
+
+    n_batches = 2 * replicas
+    seed_rows = emb.orderBy("vec_id").limit(2 * n_batches + 8).collect()
+
+    # batch i: 2 exact archive copies (drop), 2 copies of batch i-1's
+    # novels (drop via learn), 2 novel vectors (survive + learn)
+    src = os.path.join(workdir, "src")
+    os.makedirs(src, exist_ok=True)
+    expected_kept: set[int] = set()
+    novel_cache: dict[tuple, list[float]] = {}
+
+    def novel(i: int, j: int) -> list[float]:
+        key = (i, j)
+        if key not in novel_cache:
+            base = seed_rows[(2 * i + j) % (2 * n_batches)]["embedding"]
+            # a deterministic sign-flip pattern unique to (i, j): flips
+            # of disjoint coordinate blocks keep mutual cosines far from
+            # 1.0 while staying unit-norm
+            v = list(base)
+            start = (7 * i + 13 * j) % 48
+            for w in range(start, start + 16):
+                v[w] = -v[w]
+            novel_cache[key] = [-x for x in v]
+        return novel_cache[key]
+
+    for i in range(n_batches):
+        rows = []
+        for j in range(2):  # exact archive copies
+            r = seed_rows[2 * i + j]
+            rows.append((1_000_000 + 100 * i + j, r["embedding"]))
+        if i > 0:  # copies of the previous batch's novels
+            for j in range(2):
+                rows.append((3_000_000 + 100 * i + j, novel(i - 1, j)))
+        for j in range(2):  # novel vectors
+            vec_id = 4_000_000 + 100 * i + j
+            rows.append((vec_id, novel(i, j)))
+            expected_kept.add(vec_id)
+        sub = os.path.join(workdir, f"vb{i}")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(sub, part), os.path.join(src, f"{i:04d}.parquet"))
+        os.utime(
+            os.path.join(src, f"{i:04d}.parquet"), (1e9 + i * 100, 1e9 + i * 100)
+        )
+
+    half = n_batches // 2
+    hidden = os.path.join(workdir, "hidden")
+    os.makedirs(hidden, exist_ok=True)
+    for i in range(half, n_batches):
+        os.rename(
+            os.path.join(src, f"{i:04d}.parquet"),
+            os.path.join(hidden, f"{i:04d}.parquet"),
+        )
+
+    sink = os.path.join(workdir, "sink")
+    ckpt = os.path.join(workdir, "ckpt")
+    schema = "vec_id long, embedding array<double>"
+    durations: dict[str, list[float]] = {}
+
+    def verify_frame(sp):
+        # the exact-verify reader: the archive's raw vectors plus the
+        # sink's learned survivors (the index stores CODES only; learned
+        # raw vectors live in the sink partitions). Candidate-bounded at
+        # probe time — the gate semi-joins it on candidate ids.
+        base = sp.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        import glob as _g
+
+        if _g.glob(os.path.join(sink, "batch=*")):
+            base = base.unionByName(
+                sp.read.option("basePath", sink)
+                .parquet(f"{sink}/batch=*")
+                .select("vec_id", "embedding")
+            )
+        return base
+
+    def run_segment(tag: str, compact_every: int | None = None) -> float:
+        t0 = time.perf_counter()
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_dedup_against_indexes(
+            stream, sink, ckpt,
+            ivfpq_index_dir=vidx, min_cosine=0.9, n_probe=2,
+            ivfpq_verify=verify_frame, adc_margin=None,
+            learn=True, trigger={"availableNow": True},
+            compact_every=compact_every,
+        )
+        q.awaitTermination()
+        ds = durations.setdefault(tag, [])
+        for prog in q.recentProgress:
+            d = (prog.get("durationMs") or {}).get("triggerExecution")
+            if d is not None and prog.get("numInputRows", 0) > 0:
+                ds.append(d / 1000.0)
+        return time.perf_counter() - t0
+
+    run_segment("a")
+    frag_mid = code_frag()
+
+    # in-stream compaction receipt: a fixed semantic probe (learned novels
+    # + archive copies + fresh) must return bit-identical survivors across
+    # compact_ivfpq_index, then the stream resumes from the checkpoint
+    probe_rows = (
+        [(9_000_000 + j, novel(0, j)) for j in range(2)]       # learned in seg A
+        + [(9_100_000 + j, seed_rows[j]["embedding"]) for j in range(2)]  # archive copies
+        + [(9_200_000 + j, novel(n_batches + 1 + j, 0)) for j in range(2)]  # fresh
+    )
+    gate_probe = spark.createDataFrame(probe_rows, schema)
+
+    def probe_ids():
+        return sorted(
+            r["vec_id"]
+            for r in semantic_dedup_against_index(
+                gate_probe, vidx, min_cosine=0.9, n_probe=2,
+                adc_margin=None, verify_vectors=verify_frame(spark),
+            ).collect()
+        )
+
+    before = probe_ids()
+    # non-vacuous: learned seg-A novels AND archive copies drop, fresh keep
+    if before != [9_200_000, 9_200_001]:
+        raise AssertionError(f"gate probe not discriminating: {before}")
+    t0 = time.perf_counter()
+    n_comp = compact_ivfpq_index(spark, vidx)
+    compact_sec = round(time.perf_counter() - t0, 3)
+    frag_comp = code_frag()
+    after = probe_ids()
+    if after != before or not before:
+        raise AssertionError("in-stream IVFPQ compaction changed probe results")
+    if n_comp < 1 or not frag_comp < frag_mid:
+        raise AssertionError(
+            f"learn appends did not fragment / compaction did not fold: "
+            f"{frag_mid} -> {frag_comp}"
+        )
+
+    for i in range(half, n_batches):
+        os.rename(
+            os.path.join(hidden, f"{i:04d}.parquet"),
+            os.path.join(src, f"{i:04d}.parquet"),
+        )
+    run_segment("b", compact_every=max(half // 4, 2))
+    frag_end = code_frag()
+
+    kept = {
+        r["vec_id"]
+        for r in spark.read.option("basePath", sink)
+        .parquet(f"{sink}/batch=*")
+        .collect()
+    }
+    if kept != expected_kept:
+        extra = sorted(kept - expected_kept)[:5]
+        missing = sorted(expected_kept - kept)[:5]
+        raise AssertionError(
+            f"vector gate diverged: {len(kept)} kept vs "
+            f"{len(expected_kept)} expected (extra={extra} missing={missing})"
+        )
+    total = round(sum(sum(v) for v in durations.values()), 3)
+    d_all = durations.get("a", []) + durations.get("b", [])
+    first = round(sum(d_all[:3]) / max(len(d_all[:3]), 1), 3)
+    last = round(sum(d_all[-3:]) / max(len(d_all[-3:]), 1), 3)
+    return total, n_batches, first, last, frag_mid, frag_comp, frag_end, compact_sec
+
+
 def bucket_stages(spark, sf_dir, workdir):
     from sat_bucket_spark import (
         LonLatPartitioning,
@@ -1437,6 +1647,7 @@ def main() -> int:
             "ann_index_search" in keys
             or "ann_index_build" in keys
             or "semantic_index_probe" in keys
+            or "stream_vector_gate" in keys
         ):
             replicate_table(
                 spark, base, scaled, "embeddings", "vec_id", args.replicas
@@ -1539,6 +1750,21 @@ def main() -> int:
                 )
                 timings["cc_update"] = u
                 timings["cc_update_full"] = fu
+            elif name == "stream_vector_gate":
+                (
+                    v_total, v_nb, v_first, v_last,
+                    v_frag_mid, v_frag_cmp, v_frag_end, v_cmp_sec,
+                ) = vector_gate_stage(
+                    spark, scaled, os.path.join(work, "vgate"), args.replicas
+                )
+                timings["stream_vector_gate"] = v_total
+                timings["stream_vector_compact"] = v_cmp_sec
+                recalls["vgate_batches"] = v_nb
+                recalls["vgate_per_batch_first"] = v_first
+                recalls["vgate_per_batch_last"] = v_last
+                recalls["vgate_frag_mid"] = v_frag_mid
+                recalls["vgate_frag_compacted"] = v_frag_cmp
+                recalls["vgate_frag_end"] = v_frag_end
             elif name == "stream_sessionize":
                 s_sec, s_nb, s_pb, s_state = stream_sessionize_stage(
                     spark, scaled, os.path.join(work, "sess"), args.replicas

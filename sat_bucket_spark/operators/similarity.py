@@ -1060,9 +1060,15 @@ def append_to_ivfpq_index(
     ).select(
         F.col(params["id_col"]), F.col("__cluster").cast("int"), F.col("pq_code")
     )
-    codes.write.mode("append").partitionBy("__cluster").parquet(
-        os.path.join(index_dir, "codes")
-    )
+    # cluster the write: without this each append leaves up to
+    # shuffle.partitions files PER cluster partition (measured 33 files
+    # per cluster after two trigger-frequency learn appends); one
+    # batch-sized hash exchange makes it ~one file per touched cluster.
+    # AQE may coalesce the small shuffle further — fewer files, fine here
+    # (the downstream is only the write).
+    codes.repartition("__cluster").write.mode("append").partitionBy(
+        "__cluster"
+    ).parquet(os.path.join(index_dir, "codes"))
 
 
 def compact_ivfpq_index(

@@ -83,6 +83,8 @@ def stream_dedup_against_indexes(
     min_cosine: float = 0.95,
     n_probe: int = 2,
     vec_col: str = "embedding",
+    ivfpq_verify=None,
+    adc_margin: float | None = 0.2,
 ):
     """Continuous dedup against the STANDING ARCHIVE via the persisted
     indexes — the piece :func:`streaming_curate` explicitly defers
@@ -105,9 +107,17 @@ def stream_dedup_against_indexes(
        three-index posture in-stream. The stream must carry ``vec_col``
        (L2-normalized for the cosine threshold to be exact in ADC
        space); its per-batch inputs are the micro-batch plus the probed
-       clusters' code rows, never the corpus. Unverified posture only
-       (the stream has no archive-vector reader) — two-sided ADC error,
-       biased to over-drop by the operator's default margin;
+       clusters' code rows, never the corpus. Default posture is
+       unverified (two-sided ADC error, biased to over-drop by the
+       operator's default margin). Pass ``ivfpq_verify`` for the EXACT
+       posture: a DataFrame of archive ``(id, vector)`` rows — or, with
+       ``learn=True``, a CALLABLE ``spark -> DataFrame`` re-resolved per
+       batch so it can union in the sink's learned survivors (their raw
+       vectors live in the sink partitions; the index stores only
+       codes). The verify scan stays candidate-bounded (semi-joined on
+       candidate ids), and ``adc_margin=None`` selects the
+       candidate-complete prefilter for corpora the codebooks can't
+       separate;
     3. survivors land in ``sink_dir/batch=<id>`` — and the batch's
        ``_SUCCESS`` marker is the gate's IDEMPOTENCE token: a REPLAYED
        batch (foreachBatch is at-least-once) whose partition already
@@ -183,9 +193,14 @@ def stream_dedup_against_indexes(
             "compact_every requires learn=True and a minhash or ivfpq "
             "index dir, and must be >= 1"
         )
+    if adc_margin is None and ivfpq_verify is None and ivfpq_index_dir is not None:
+        raise ValueError(
+            "adc_margin=None (candidate-complete) requires ivfpq_verify"
+        )
     _gate = _make_gate(
         sink_dir, bloom_index_dir, minhash_index_dir, min_jaccard, learn,
         compact_every, ivfpq_index_dir, min_cosine, n_probe, vec_col,
+        ivfpq_verify, adc_margin,
     )
     writer = stream.writeStream.foreachBatch(_gate).option(
         "checkpointLocation", checkpoint_dir
@@ -206,6 +221,8 @@ def _make_gate(
     min_cosine: float = 0.95,
     n_probe: int = 2,
     vec_col: str = "embedding",
+    ivfpq_verify=None,
+    adc_margin: float | None = 0.2,
 ):
     """The archive gate's per-batch body as a standalone callable, so the
     replay contract (same batch_id twice == once) is testable without a
@@ -244,9 +261,14 @@ def _make_gate(
                     cache_registry=probe_caches,
                 )
             if ivfpq_index_dir is not None:
+                verify = (
+                    ivfpq_verify(spark) if callable(ivfpq_verify)
+                    else ivfpq_verify
+                )
                 surv = semantic_dedup_against_index(
                     surv, ivfpq_index_dir, min_cosine=min_cosine,
                     n_probe=n_probe, vec_col=vec_col,
+                    verify_vectors=verify, adc_margin=adc_margin,
                     cache_registry=probe_caches,
                 )
             # the survivor count rides the sink write as an observed

@@ -321,6 +321,86 @@ class TestStreamDedupAgainstIndexes:
         assert len(kept[None]) > 0
         assert frag[2] < frag[None]
 
+    def test_semantic_leg_verified_posture_with_sink_reader(self, spark, tmp_path):
+        """ivfpq_verify as a CALLABLE re-resolved per batch: the exact
+        verify must see the sink's learned survivors, so a later batch's
+        copy of an earlier survivor drops under adc_margin=None even
+        though the index stores only codes."""
+        import numpy as np
+
+        from sat_bucket_spark.operators.similarity import (
+            _hyperplanes,
+            build_ivfpq_index,
+        )
+        from sat_bucket_spark.streaming.curation import _make_gate
+
+        cents = _hyperplanes(8, 64, seed=7)
+        books = np.stack([_hyperplanes(8, 16, seed=11 + j) for j in range(4)])
+
+        def vec(tup):
+            return [float(x) for x in np.concatenate([books[j][tup[j]] for j in range(4)])]
+
+        corpus = spark.createDataFrame(
+            [(i, vec((i % 4, i % 8, (i + 1) % 8, (i + 2) % 8))) for i in range(16)],
+            "vec_id long, embedding array<double>",
+        )
+        arch_path = str(tmp_path / "arch")
+        corpus.write.parquet(arch_path)
+        vidx = str(tmp_path / "sem_v_idx")
+        build_ivfpq_index(corpus, vidx, dim=64, centroids=cents, codebooks=books)
+        sink = str(tmp_path / "sink_verified")
+
+        def verify(sp):
+            import glob
+
+            base = sp.read.parquet(arch_path)
+            if glob.glob(f"{sink}/batch=*"):
+                base = base.unionByName(
+                    sp.read.option("basePath", sink)
+                    .parquet(f"{sink}/batch=*")
+                    .select("vec_id", "embedding")
+                )
+            return base
+
+        gate = _make_gate(
+            sink, None, None, 0.5, True, None, vidx, 0.95, 2, "embedding",
+            verify, None,
+        )
+        b0 = spark.createDataFrame(
+            # (3,3,4,5) = corpus row 3's exact tuple; (4,0,0,0) is novel
+            # (corpus first codes are 0..3)
+            [(200, vec((3, 3, 4, 5))), (201, vec((4, 0, 0, 0)))],
+            "vec_id long, embedding array<double>",
+        )
+        gate(b0, 0)
+        assert {
+            r["vec_id"] for r in spark.read.parquet(f"{sink}/batch=0").collect()
+        } == {201}
+        b1 = spark.createDataFrame(
+            [(300, vec((4, 0, 0, 0))), (301, vec((5, 1, 1, 1)))],
+            "vec_id long, embedding array<double>",
+        )
+        gate(b1, 1)
+        assert {
+            r["vec_id"] for r in spark.read.parquet(f"{sink}/batch=1").collect()
+        } == {301}
+
+    def test_candidate_complete_gate_requires_verify(self, spark, tmp_path):
+        import pytest
+
+        from sat_bucket_spark.streaming.curation import (
+            stream_dedup_against_indexes,
+        )
+
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(str(tmp_path))
+        with pytest.raises(ValueError, match="ivfpq_verify"):
+            stream_dedup_against_indexes(
+                stream, str(tmp_path / "s3"), str(tmp_path / "c3"),
+                ivfpq_index_dir=str(tmp_path / "v3"), adc_margin=None,
+            )
+
     def test_compact_every_accepts_ivfpq_only(self, spark, tmp_path):
         from sat_bucket_spark.streaming.curation import (
             stream_dedup_against_indexes,
