@@ -21,6 +21,7 @@ from sat_bucket_spark.operators.dedup import (
 from sat_bucket_spark.operators.graph import (
     connected_components,
     near_duplicate_clusters,
+    update_connected_components,
 )
 from sat_bucket_spark.operators.packing import pack_sequences
 from sat_bucket_spark.operators.relevance import bm25_scores, inverted_index, tf_idf_scores
@@ -37,9 +38,11 @@ from sat_bucket_spark.operators.sketches import (
 )
 from sat_bucket_spark.operators.similarity import (
     brute_force_topk,
+    dedupe_ivfpq_index,
     lsh_topk,
     pairwise_near_duplicates,
     random_hyperplane_signature,
+    semantic_dedup_against_index,
 )
 from sat_bucket_spark.operators.text import (
     add_fingerprint,
@@ -68,6 +71,7 @@ __all__ = [
     "connected_components",
     "decontamination_report",
     "dedup_exact",
+    "dedupe_ivfpq_index",
     "exact_duplicate_groups",
     "hash_sample",
     "heavy_hitters",
@@ -86,7 +90,9 @@ __all__ = [
     "random_hyperplane_signature",
     "redact_pii",
     "repetition_signals",
+    "semantic_dedup_against_index",
     "stratified_hash_sample",
     "tf_idf_scores",
+    "update_connected_components",
     "vocabulary",
 ]
