@@ -576,12 +576,15 @@ def main() -> None:
         batch_path = os.path.join(swork0, "batch")
         dups.unionByName(novel).write.parquet(batch_path)
         sidx = os.path.join(swork0, "index")
-        build_ivfpq_index(archive, sidx, dim=64, n_clusters=8, m=4, ksub=16)
+        build_ivfpq_index(
+            archive, sidx, dim=64, n_clusters=8, m=4, ksub=16,
+            store_vectors=True,
+        )
         batch = spark.read.parquet(batch_path)
         t0 = time.perf_counter()
         surv = semantic_dedup_against_index(
             batch, sidx, min_cosine=0.9, n_probe=2, adc_margin=None,
-            verify_vectors=archive,
+            verify_vectors="index",
         )
         n_surv = surv.count()
         timings["semantic_index_probe"] = round(time.perf_counter() - t0, 3)

@@ -1048,13 +1048,15 @@ def semantic_index_stages(spark, sf_dir, workdir):
 
     idx = os.path.join(workdir, "sem_index")
     t0 = time.perf_counter()
-    build_ivfpq_index(archive, idx, dim=64, n_clusters=8, m=4, ksub=16)
+    build_ivfpq_index(
+        archive, idx, dim=64, n_clusters=8, m=4, ksub=16, store_vectors=True
+    )
     build_sec = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     surv = semantic_dedup_against_index(
         batch, idx, min_cosine=0.9, n_probe=2, adc_margin=None,
-        verify_vectors=archive,
+        verify_vectors="index",
     )
     n_surv = surv.count()
     probe_sec = round(time.perf_counter() - t0, 3)
@@ -1085,7 +1087,7 @@ def semantic_index_stages(spark, sf_dir, workdir):
     )
     n_re = semantic_dedup_against_index(
         resubmit, idx, min_cosine=0.9, n_probe=2, adc_margin=None,
-        verify_vectors=archive.unionByName(spark.read.parquet(surv_path)),
+        verify_vectors="index",  # the appended store carries the survivors
     ).count()
     if n_re != 0:
         raise AssertionError(
@@ -1402,7 +1404,9 @@ def vector_gate_stage(spark, sf_dir, workdir, replicas):
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     vidx = os.path.join(workdir, "ivfpq_idx")
-    build_ivfpq_index(emb, vidx, dim=64, n_clusters=8, m=4, ksub=16)
+    build_ivfpq_index(
+        emb, vidx, dim=64, n_clusters=8, m=4, ksub=16, store_vectors=True
+    )
 
     def code_frag() -> int:
         root = os.path.join(vidx, "codes")
@@ -1472,29 +1476,6 @@ def vector_gate_stage(spark, sf_dir, workdir, replicas):
     schema = "vec_id long, embedding array<double>"
     durations: dict[str, list[float]] = {}
 
-    def verify_frame(sp):
-        # the exact-verify reader: the archive's raw vectors plus the
-        # sink's learned survivors (the index stores CODES only; learned
-        # raw vectors live in the sink partitions). Candidate-bounded at
-        # probe time — the gate semi-joins it on candidate ids.
-        base = sp.read.parquet(
-            os.path.join(sf_dir, "embeddings.parquet")
-        ).select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias(
-                "embedding"
-            ),
-        )
-        import glob as _g
-
-        if _g.glob(os.path.join(sink, "batch=*")):
-            base = base.unionByName(
-                sp.read.option("basePath", sink)
-                .parquet(f"{sink}/batch=*")
-                .select("vec_id", "embedding")
-            )
-        return base
-
     def run_segment(tag: str, compact_every: int | None = None) -> float:
         t0 = time.perf_counter()
         stream = (
@@ -1505,7 +1486,7 @@ def vector_gate_stage(spark, sf_dir, workdir, replicas):
         q = stream_dedup_against_indexes(
             stream, sink, ckpt,
             ivfpq_index_dir=vidx, min_cosine=0.9, n_probe=2,
-            ivfpq_verify=verify_frame, adc_margin=None,
+            ivfpq_verify="index", adc_margin=None,
             learn=True, trigger={"availableNow": True},
             compact_every=compact_every,
         )
@@ -1535,7 +1516,7 @@ def vector_gate_stage(spark, sf_dir, workdir, replicas):
             r["vec_id"]
             for r in semantic_dedup_against_index(
                 gate_probe, vidx, min_cosine=0.9, n_probe=2,
-                adc_margin=None, verify_vectors=verify_frame(spark),
+                adc_margin=None, verify_vectors="index",
             ).collect()
         )
 

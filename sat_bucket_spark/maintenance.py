@@ -348,6 +348,10 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
 
     if kind == "ivfpq":
         _component("codes", os.path.join(index_dir, "codes"), "__cluster=")
+        if "vectors" in subdirs:  # the refine store (store_vectors=True)
+            _component(
+                "vectors", os.path.join(index_dir, "vectors"), "__cluster="
+            )
     elif kind == "minhash":
         _component("bands", os.path.join(index_dir, "bands"), "band_idx=")
         _component("shingles", os.path.join(index_dir, "shingles"))

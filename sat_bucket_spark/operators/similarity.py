@@ -958,6 +958,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    store_vectors: bool = False,
 ) -> None:
     """Persist an IVFADC index: encode the corpus ONCE, search many times.
 
@@ -979,10 +980,24 @@ def build_ivfpq_index(
     Rebuild (or encode-and-append new rows with the SAME codebooks) when
     the corpus drifts; like any IVF index, recall degrades if the data
     distribution leaves the trained centroids behind.
+
+    ``store_vectors=True`` additionally persists a REFINE STORE —
+    ``vectors/``: ``(id, raw vector)`` parquet partitioned by the coarse
+    cluster and SORTED WITHIN files BY id. This is FAISS's refine idea
+    re-expressed as parquet layout: the exact verify of
+    :func:`semantic_dedup_against_index` (``verify_vectors="index"``)
+    then reads ONLY the probed clusters' vector partitions, with the
+    candidate-id set pushed as an ``In`` so id-sorted row groups prune —
+    the verify's I/O becomes candidate-bounded instead of scanning a
+    caller-provided archive frame. Cost: the store is the corpus's
+    vector bytes again (dim x 8 per row here; float32 upstream halves
+    it) — pay it when the gate needs the exact posture without a
+    corpus-side reader.
     """
     import os
 
     from sat_bucket_spark.operators.parallel import ensure_parallelism
+    from sat_bucket_spark.writers import write_partitioned_dataset
 
     if centroids is None:
         centroids = train_ivf_centroids(
@@ -996,26 +1011,37 @@ def build_ivfpq_index(
     books = np.asarray(codebooks, dtype="float64")
     m, ksub, _dsub = books.shape
 
-    codes = pq_encode(
-        ensure_parallelism(vectors).withColumn(
-            "__cluster", _nearest_centroid_expr(vec_col, cents)
-        ),
-        books,
-        vec_col=vec_col,
-    ).select(F.col(id_col), F.col("__cluster").cast("int"), F.col("pq_code"))
+    clustered = ensure_parallelism(vectors).withColumn(
+        "__cluster", _nearest_centroid_expr(vec_col, cents)
+    )
+    codes = pq_encode(clustered, books, vec_col=vec_col).select(
+        F.col(id_col), F.col("__cluster").cast("int"), F.col("pq_code")
+    )
     codes.write.mode("overwrite").partitionBy("__cluster").parquet(
         os.path.join(index_dir, "codes")
     )
+    if store_vectors:
+        write_partitioned_dataset(
+            clustered.select(
+                F.col(id_col), F.col("__cluster").cast("int"), F.col(vec_col)
+            ),
+            os.path.join(index_dir, "vectors"),
+            partitions=["__cluster"],
+            sort_within_by=[id_col],
+            mode="overwrite",
+        )
 
     spark = vectors.sparkSession
     meta = spark.createDataFrame(
         [
             (
                 int(dim), int(len(cents)), int(m), int(ksub), int(seed),
-                id_col, cents.tolist(), books.tolist(),
+                id_col, bool(store_vectors), vec_col,
+                cents.tolist(), books.tolist(),
             )
         ],
         "dim int, n_clusters int, m int, ksub int, seed int, id_col string, "
+        "store_vectors boolean, vec_col string, "
         "centroids array<array<double>>, codebooks array<array<array<double>>>",
     )
     meta.write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
@@ -1069,6 +1095,21 @@ def append_to_ivfpq_index(
     codes.repartition("__cluster").write.mode("append").partitionBy(
         "__cluster"
     ).parquet(os.path.join(index_dir, "codes"))
+    if params["store_vectors"]:
+        from sat_bucket_spark.writers import write_partitioned_dataset
+
+        write_partitioned_dataset(
+            well_formed.withColumn(
+                "__cluster", _nearest_centroid_expr(vec_col, cents).cast("int")
+            ).select(
+                F.col(params["id_col"]), F.col("__cluster"),
+                F.col(vec_col).alias(params["vec_col"]),
+            ),
+            os.path.join(index_dir, "vectors"),
+            partitions=["__cluster"],
+            sort_within_by=[params["id_col"]],
+            mode="append",
+        )
 
 
 def compact_ivfpq_index(
@@ -1101,13 +1142,27 @@ def compact_ivfpq_index(
 
     from sat_bucket_spark.maintenance import compact_bucket
 
-    return compact_bucket(
+    n = compact_bucket(
         spark,
         os.path.join(index_dir, "codes"),
         target_file_size=target_file_size,
         min_files=min_files,
         partition_cols=["__cluster"],
     )
+    params, _c, _b, _codes = load_ivfpq_index(spark, index_dir)
+    if params["store_vectors"]:
+        # the refine store fragments with the same appends; its rewrite
+        # must stay id-SORTED within files — the sort is what lets the
+        # verify's pushed candidate-id In prune row groups
+        n += compact_bucket(
+            spark,
+            os.path.join(index_dir, "vectors"),
+            target_file_size=target_file_size,
+            min_files=min_files,
+            partition_cols=["__cluster"],
+            sort_within_by=[params["id_col"]],
+        )
+    return n
 
 
 def dedupe_ivfpq_index(spark, index_dir: str) -> int:
@@ -1160,6 +1215,21 @@ def dedupe_ivfpq_index(spark, index_dir: str) -> int:
         healed.write.mode("overwrite").partitionBy("__cluster").parquet(
             spark_codes_path
         )
+        if params["store_vectors"]:
+            # the refine store replays the same appends — heal it in the
+            # same clusters, keeping files id-sorted for the verify's
+            # pushed-In row-group pruning
+            vec_path = os.path.join(index_dir, "vectors")
+            vecs = spark.read.parquet(vec_path)
+            (
+                vecs.where(F.col("__cluster").isin(dup_clusters))
+                .dropDuplicates([id_col, "__cluster", params["vec_col"]])
+                .repartition("__cluster")
+                .sortWithinPartitions(id_col)
+                .write.mode("overwrite")
+                .partitionBy("__cluster")
+                .parquet(vec_path)
+            )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return len(dup_clusters)
@@ -1178,6 +1248,10 @@ def load_ivfpq_index(spark, index_dir: str):
     params = {
         k: row[k] for k in ("dim", "n_clusters", "m", "ksub", "seed", "id_col")
     }
+    d = row.asDict()
+    # fields added r12 (refine store) — older metas simply lack them
+    params["store_vectors"] = bool(d.get("store_vectors", False))
+    params["vec_col"] = d.get("vec_col", "embedding")
     centroids = np.asarray(row["centroids"], dtype="float64")
     codebooks = np.asarray(row["codebooks"], dtype="float64")
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
@@ -1255,11 +1329,12 @@ def semantic_dedup_against_index(
     n_probe: int = 2,
     max_adist: float | None = None,
     adc_margin: float | None = 0.2,
-    verify_vectors: DataFrame | None = None,
+    verify_vectors: DataFrame | str | None = None,
     id_col: str | None = None,
     vec_col: str = "embedding",
     broadcast_batch_max: int = 1_000_000,
     broadcast_candidates_max: int = 1_000_000,
+    pushdown_max_ids: int = 0,
     cache_registry: list | None = None,
 ) -> DataFrame:
     """Drop batch vectors that semantically duplicate ANY indexed corpus
@@ -1294,6 +1369,20 @@ def semantic_dedup_against_index(
       are restored; with ``n_probe = n_clusters`` and a generous margin
       the result is bit-identical to the exact brute-force gate (pinned
       by test) — which is what makes this leg hash-verifiable.
+    - ``verify_vectors="index"``: the exact verify reads the index's own
+      REFINE STORE (``build_ivfpq_index(store_vectors=True)``): the
+      vectors scan is partition-pruned to the PROBED clusters and
+      semi-joined on candidate ids — the verify never touches a
+      caller-provided archive frame, so a learn-mode streaming gate is
+      self-contained in the exact posture (appends keep the store in
+      sync). Output-identical to passing the archive frame explicitly
+      (pinned by test). ``pushdown_max_ids`` (OPT-IN, default 0 — same
+      measured decision as the MinHash probe's sig pushdown) swaps the
+      semi-join for a pushed ``In`` over the id-sorted files when the
+      candidate-id count is point-lookup-small; with a candidate-complete
+      margin the candidate set is every id in the probed clusters, where
+      a measured 12k-50k-literal In cost ~14 s/probe in planning alone —
+      leave it off unless a finite margin keeps candidates tiny.
 
     ``adc_margin=None`` is the explicit CANDIDATE-COMPLETE posture
     (requires ``verify_vectors``): every probed pair goes to the exact
@@ -1357,6 +1446,17 @@ def semantic_dedup_against_index(
             "adc_margin=None (candidate-complete) requires verify_vectors: "
             "without the exact verify every probed pair would be dropped"
         )
+    if isinstance(verify_vectors, str):
+        if verify_vectors != "index":
+            raise ValueError(
+                f"verify_vectors={verify_vectors!r}: pass a DataFrame, "
+                "None, or the literal 'index' (refine store)"
+            )
+        if not params["store_vectors"]:
+            raise ValueError(
+                "verify_vectors='index' requires an index built with "
+                "store_vectors=True"
+            )
     q_cols = [F.col(id_col).alias("__bid"), F.col("__cluster")]
     q_base = probed_batch.withColumn(
         "__qcluster", _nearest_centroid_expr(vec_col, cents)
@@ -1425,19 +1525,48 @@ def semantic_dedup_against_index(
     if cache_registry is not None:
         cache_registry.append(cands)
     n_cands = obs_c.get["n"]
-    cand_ids = cands.select("__cid").distinct()
-    if n_cands <= broadcast_candidates_max:
-        cand_ids = F.broadcast(cand_ids)
     vb = probed_batch.select(
         F.col(id_col).alias("__bid"),
         F.col(vec_col).alias("__va"),
         norm_expr(vec_col, dim).alias("__na"),
     )
-    vc = verify_vectors.select(
-        F.col(corpus_id).alias("__cid"),
-        F.col(vec_col).alias("__vb"),
-        norm_expr(vec_col, dim).alias("__nb"),
-    ).join(cand_ids, "__cid", "left_semi")
+    if isinstance(verify_vectors, str):  # "index": the refine store
+        import os
+
+        store_vec = params["vec_col"]
+        base = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
+            F.col("__cluster").isin(probed)
+        )
+        if 0 < n_cands <= pushdown_max_ids:
+            # bounded collect off the already-materialized candidate cache;
+            # the pushed In prunes id-sorted row groups inside the probed
+            # partitions — verify I/O is candidate-bounded
+            cids = sorted(
+                r["__cid"] for r in cands.select("__cid").distinct().collect()
+            )
+            base = base.where(F.col(corpus_id).isin(cids))
+        else:
+            cand_ids = cands.select("__cid").distinct()
+            if n_cands <= broadcast_candidates_max:
+                cand_ids = F.broadcast(cand_ids)
+            base = base.join(
+                cand_ids.withColumnRenamed("__cid", corpus_id),
+                corpus_id, "left_semi",
+            )
+        vc = base.select(
+            F.col(corpus_id).alias("__cid"),
+            F.col(store_vec).alias("__vb"),
+            norm_expr(store_vec, dim).alias("__nb"),
+        )
+    else:
+        cand_ids = cands.select("__cid").distinct()
+        if n_cands <= broadcast_candidates_max:
+            cand_ids = F.broadcast(cand_ids)
+        vc = verify_vectors.select(
+            F.col(corpus_id).alias("__cid"),
+            F.col(vec_col).alias("__vb"),
+            norm_expr(vec_col, dim).alias("__nb"),
+        ).join(cand_ids, "__cid", "left_semi")
     cos = _cosine_prenormed(dot_expr("__va", "__vb", dim), F.col("__na"), F.col("__nb"))
     contaminated = (
         cands.join(vb, "__bid")

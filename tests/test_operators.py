@@ -2906,6 +2906,126 @@ class TestSemanticDedupAgainstIndex:
         pfs = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert any("__cluster" in pf and " IN " in pf for pf in pfs), plan[:2000]
 
+    def test_refine_store_verify_equals_explicit_frame(
+        self, spark, embeddings, tmp_path
+    ):
+        """verify_vectors='index' (the refine store) must produce the same
+        survivors as handing the archive frame in explicitly, its vectors
+        scan must be partition-pruned AND carry the pushed candidate-id
+        In, and appends must keep the store in sync (a copy of an
+        appended vector drops)."""
+        import re as _re
+
+        from sat_bucket_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            build_ivfpq_index,
+            semantic_dedup_against_index,
+        )
+
+        cents, books = self._fixed_books(spark)
+        emb = embeddings.limit(200).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        archive = emb.where(F.col("vec_id") >= 50)
+        batch = emb.where(F.col("vec_id") < 40).unionByName(
+            archive.where(F.col("vec_id") < 60).select(
+                (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+            )
+        )
+        idx = str(tmp_path / "sem_store")
+        build_ivfpq_index(
+            archive, idx, dim=64, centroids=cents, codebooks=books,
+            store_vectors=True,
+        )
+        kw = dict(min_cosine=0.34, n_probe=8, adc_margin=None)
+        explicit = sorted(
+            r["vec_id"]
+            for r in semantic_dedup_against_index(
+                batch, idx, verify_vectors=archive, **kw
+            ).collect()
+        )
+        # default posture: partition-pruned store scan + candidate semi-join
+        got_semi = sorted(
+            r["vec_id"]
+            for r in semantic_dedup_against_index(
+                batch, idx, verify_vectors="index", **kw
+            ).collect()
+        )
+        assert got_semi == explicit and 0 < len(got_semi) < batch.count()
+        # opt-in pushdown posture (point-lookup-small candidate ids)
+        from_store = semantic_dedup_against_index(
+            batch, idx, verify_vectors="index", pushdown_max_ids=100_000, **kw
+        )
+        got = sorted(r["vec_id"] for r in from_store.collect())
+        assert got == explicit
+
+        # plan: the store scan is partition-pruned and id-pushed. The
+        # candidate cache hides it from the FINAL plan, so check the
+        # verify side via a fresh un-collected frame's executed plan
+        plan = from_store._jdf.queryExecution().executedPlan().toString()
+        pfs = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        pushed = _re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any("__cluster" in pf and " IN " in pf for pf in pfs), plan[:3000]
+        assert any("In(vec_id" in pd for pd in pushed), plan[:3000]
+
+        # append keeps the store in sync: a re-keyed copy of an appended
+        # vector is caught by the index-store verify
+        novel = emb.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+        )
+        append_to_ivfpq_index(novel, idx)
+        resubmit = novel.select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+        kept = semantic_dedup_against_index(
+            resubmit, idx, min_cosine=0.95, n_probe=8, adc_margin=None,
+            verify_vectors="index",
+        ).count()
+        assert kept == 0
+
+    def test_refine_store_validation_and_healing(self, spark, embeddings, tmp_path):
+        import pytest
+
+        from sat_bucket_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            build_ivfpq_index,
+            dedupe_ivfpq_index,
+            semantic_dedup_against_index,
+        )
+
+        cents, books = self._fixed_books(spark)
+        emb = embeddings.limit(100).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        bare = str(tmp_path / "sem_bare")
+        build_ivfpq_index(emb, bare, dim=64, centroids=cents, codebooks=books)
+        with pytest.raises(ValueError, match="store_vectors=True"):
+            semantic_dedup_against_index(
+                emb.limit(1), bare, verify_vectors="index"
+            )
+        with pytest.raises(ValueError, match="literal 'index'"):
+            semantic_dedup_against_index(
+                emb.limit(1), bare, verify_vectors="bogus"
+            )
+
+        # healing covers the refine store: a replayed append duplicates
+        # vector rows too; dedupe restores exact row counts
+        idx = str(tmp_path / "sem_heal")
+        build_ivfpq_index(
+            emb.where(F.col("vec_id") >= 20), idx, dim=64,
+            centroids=cents, codebooks=books, store_vectors=True,
+        )
+        nb = emb.where(F.col("vec_id") < 20)
+        append_to_ivfpq_index(nb, idx)
+        append_to_ivfpq_index(nb, idx)  # the replay
+        vrows = spark.read.parquet(f"{idx}/vectors").count()
+        assert vrows == 100 + 20  # duplicated
+        assert dedupe_ivfpq_index(spark, idx) > 0
+        assert spark.read.parquet(f"{idx}/vectors").count() == 100
+        assert spark.read.parquet(f"{idx}/codes").count() == 100
+
     def test_cache_registry_lifetime(self, spark, embeddings, tmp_path):
         from sat_bucket_spark.caching import release_stage_cache
         from sat_bucket_spark.operators.similarity import (
