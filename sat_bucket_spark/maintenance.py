@@ -409,6 +409,20 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
                     f"{n_dup} replay-duplicated code group(s) — run "
                     "dedupe_ivfpq_index"
                 )
+        if kind == "bm25":
+            postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+            n_dup = (
+                postings.groupBy("term", "doc_id")
+                .count()
+                .where(F.col("count") > 1)
+                .count()
+            )
+            report["duplicate_posting_groups"] = n_dup
+            if n_dup:
+                issues.append(
+                    f"{n_dup} replay-duplicated posting group(s) — run "
+                    "dedupe_bm25_index"
+                )
         if kind == "bloom" and params is not None:
             bound = int(params["n_bits"]) // 64
             rows = report["components"]["bitmap"].get("rows", 0)

@@ -869,7 +869,10 @@ def _bloom_generations(spark, index_dir: str) -> tuple[int, list[str]]:
     ``bitmap.v<N>/``. Current = the highest generation with a complete
     (``_SUCCESS``-marked) write; anything newer without a marker is a
     crashed append's debris and anything older was superseded — both are
-    returned for cleanup."""
+    returned for cleanup. The plain ``bitmap/`` dir is tracked as
+    generation 0 here so an append that crashed between the v1 commit and
+    the gen-0 retire leaves an orphan a LATER append's stale sweep (or a
+    rebuild) removes — not a permanent full-bitmap disk leak."""
     import os
     import re
 
@@ -879,6 +882,9 @@ def _bloom_generations(spark, index_dir: str) -> tuple[int, list[str]]:
     gens: dict[int, str] = {}
     for st in fs.listStatus(root):
         name = st.getPath().getName()
+        if name == "bitmap" and st.isDirectory():
+            gens[0] = os.path.join(index_dir, name)
+            continue
         m = re.fullmatch(r"bitmap\.v(\d+)", name)
         if m and st.isDirectory():
             gens[int(m.group(1))] = os.path.join(index_dir, name)
@@ -1094,35 +1100,51 @@ _META_CACHE: dict = {}
 
 
 def _load_meta_row(spark, index_dir: str):
-    """The index's single meta row, with an mtime-guarded process cache.
+    """The index's single meta row, with a fingerprint-guarded process
+    cache.
 
     Meta is immutable after build (appends/compactions never touch it;
-    only a REBUILD rewrites it, which changes the directory's
-    modification time and invalidates the entry) — but reading it through
-    a Spark job costs ~0.15-0.2 s of scheduling latency PER CALL, and the
-    streaming archive gate loads each index twice per micro-batch (probe
-    + append): ~0.7 s/batch of pure meta re-reads at trigger frequency.
-    The cache trades one driver-side FS stat for that job. Any failure in
-    the stat path falls back to the uncached read so a missing/invalid
-    meta still fails with the loud canonical error."""
+    only a REBUILD rewrites it, which invalidates the entry) — but
+    reading it through a Spark job costs ~0.15-0.2 s of scheduling
+    latency PER CALL, and the streaming archive gate loads each index
+    twice per micro-batch (probe + append): ~0.7 s/batch of pure meta
+    re-reads at trigger frequency. The cache trades one driver-side FS
+    listing for that job.
+
+    The guard fingerprints the meta directory's CHILD FILES (name, size,
+    mtime) rather than the directory's own mtime: object stores
+    (S3A-style) synthesize directory entries whose modification time
+    never changes when children are rewritten, so a dir-mtime guard would
+    serve a STALE meta row forever after a rebuild — e.g. a Bloom probe
+    hashing with the old seed against the new bitmap, silently passing
+    every true duplicate. File-level stats change on every rewrite on
+    every store (new objects). Any failure in the listing path falls back
+    to the uncached read so a missing/invalid meta still fails with the
+    loud canonical error."""
     import os
 
     meta_path = os.path.join(index_dir, "meta")
     key = os.path.abspath(meta_path)
-    mtime = None
+    fingerprint = None
     try:
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(meta_path)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        mtime = fs.getFileStatus(p).getModificationTime()
+        fingerprint = tuple(
+            sorted(
+                (st.getPath().getName(), st.getLen(), st.getModificationTime())
+                for st in fs.listStatus(p)
+                if st.isFile()
+            )
+        )
         hit = _META_CACHE.get(key)
-        if hit is not None and hit[0] == mtime:
+        if hit is not None and hit[0] == fingerprint:
             return hit[1]
     except Exception:
-        mtime = None
+        fingerprint = None
     row = spark.read.parquet(meta_path).collect()[0]
-    if mtime is not None:
-        _META_CACHE[key] = (mtime, row)
+    if fingerprint is not None:
+        _META_CACHE[key] = (fingerprint, row)
     return row
 
 

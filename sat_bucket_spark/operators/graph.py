@@ -307,6 +307,7 @@ def update_connected_components(
     max_iterations: int = 50,
     driver_threshold: int = 200_000,
     broadcast_merge_max: int = 10_000_000,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Merge a NEW batch of edges into a standing ``(node, component)``
     map — without recomputing components over the corpus.
@@ -338,9 +339,19 @@ def update_connected_components(
     (unseen nodes with only self-loop edges are excluded, matching
     :func:`connected_components`' isolated-node convention).
     The merge map is broadcast while its measured row count (bounded by
-    2x the batch's distinct endpoints, never corpus-sized) stays at or
+    2x the batch's distinct endpoints, never corpus-sized; an Observation
+    riding the merge frame's materialization — no extra job) stays at or
     below ``broadcast_merge_max``, with a shuffled-join fallback above —
     same measured-gate convention as the index probes.
+
+    Cache lifetime: the merge frame is an eager stage cache consumed by
+    both output joins. Long-lived callers running repeated merges (the
+    nightly/streaming maintenance this exists for) pass
+    ``cache_registry=[]`` and release via
+    :func:`sat_bucket_spark.caching.release_stage_cache` once the
+    returned frame is materialized — the same contract as the index
+    probes; one-shot callers may rely on driver GC (documented hazard in
+    caching.py).
     """
     m = standing.select(
         F.col(node_col).alias("__n"), F.col(component_col).alias("__c")
@@ -363,10 +374,18 @@ def update_connected_components(
         contracted_edges, src="cu", dst="cv",
         max_iterations=max_iterations, driver_threshold=driver_threshold,
     ).select(F.col("node").alias("__rep"), F.col("component").alias("__final"))
-    # batch-bounded count: contracted CC output rows <= 2x distinct batch
-    # endpoints. One cheap action on small data gates the broadcast.
-    merge = stage_cache(merge, eager=True)
-    n_merge = merge.count()
+    # batch-bounded measured gate: contracted CC output rows <= 2x distinct
+    # batch endpoints; the count rides the eager materialization as an
+    # observed metric — no separate aggregate job
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    merge = stage_cache(
+        merge.observe(obs, F.count(F.lit(1)).alias("n")), eager=True
+    )
+    if cache_registry is not None:
+        cache_registry.append(merge)
+    n_merge = obs.get["n"]
     merge_b = F.broadcast(merge) if n_merge <= broadcast_merge_max else merge
 
     updated_standing = (

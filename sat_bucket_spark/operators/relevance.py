@@ -34,6 +34,7 @@ __all__ = [
     "bm25_index_topk",
     "bm25_scores",
     "build_bm25_index",
+    "dedupe_bm25_index",
     "inverted_index",
     "load_bm25_index",
     "tf_idf_scores",
@@ -293,15 +294,20 @@ def build_bm25_index(
     )
     posted = spark.read.parquet(os.path.join(index_dir, "postings"))
     terms = posted.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    dl_col = F.size(tokens_expr(F.lower(F.col(text)))).cast("double")
-    st = corpus.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dl_col).alias("dl"),
-        F.count(dl_col).alias("n_dl"),
-    ).collect()[0]
+    # stats WITHOUT a second tokenize pass over the corpus: the written
+    # posting rows already carry each doc's dl (docs with zero or NULL
+    # tokens have no rows and contribute 0 to the sum — identical to the
+    # direct tokenize aggregate), n_docs is a plain count, and n_dl (docs
+    # with a tokenizable text) is a null-check count — tokenize runs ONCE
+    n = corpus.count()
+    n_dl = corpus.where(F.col(text).isNotNull()).count()
+    dl_row = (
+        posted.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        .agg(F.sum("dl").alias("dl"))
+        .collect()[0]
+    )
     _write_bm25_generation(
-        spark, index_dir, terms, st["n"], float(st["dl"] or 0.0),
-        int(st["n_dl"]), 0,
+        spark, index_dir, terms, n, float(dl_row["dl"] or 0.0), n_dl, 0,
     )
     spark.createDataFrame(
         [(id_col, text, "bm25-v1")], "id_col string, text string, fmt string"
@@ -342,44 +348,130 @@ def append_to_bm25_index(docs: DataFrame, index_dir: str) -> None:
     ``build(A ∪ B)`` — pinned by test, so index scores can never drift
     from :func:`bm25_scores` on the same corpus.
 
+    NOT idempotent: the postings append is visible immediately and lands
+    again if the append re-runs — a crash AFTER the postings write but
+    BEFORE the stats commit leaves the new posting rows scored with the
+    OLD generation's df/avgdl until the re-run commits, and the re-run
+    itself duplicates the batch's posting rows. :func:`dedupe_bm25_index`
+    detects and heals the duplication (``index_report(scan=True)`` flags
+    it); the stats double-count only arises when a FULLY-committed append
+    is replayed by an at-least-once scheduler — pass the corpus to the
+    healer to restore exact stats in that case.
+
     Same live-reader caveat as every index append in this engine:
     materialize anything derived from the OLD generation before
     appending."""
     import os
 
+    from sat_bucket_spark.caching import release_stage_cache, stage_cache
+
     spark = docs.sparkSession
     p, _postings, terms, stats = load_bm25_index(spark, index_dir)
-    rows = _bm25_posting_rows(docs, p["id_col"], p["text"])
-    rows.sortWithinPartitions("term").write.mode("append").parquet(
-        os.path.join(index_dir, "postings")
-    )
-    delta_terms = rows.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    merged = (
-        terms.unionByName(delta_terms)
-        .groupBy("term")
-        .agg(F.sum("df").cast("long").alias("df"))
-    )
-    dl_col = F.size(tokens_expr(F.lower(F.col(p["text"])))).cast("double")
-    st = docs.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dl_col).alias("dl"),
-        F.count(dl_col).alias("n_dl"),
-    ).collect()[0]
-    gen, stale = _bm25_gen(spark, index_dir)
-    from sat_bucket_spark.operators.dedup import _fs_delete
+    # tokenize the batch ONCE: the cached (batch-sized) posting rows feed
+    # the write, the df delta, and the dl sum
+    rows = stage_cache(_bm25_posting_rows(docs, p["id_col"], p["text"]), eager=True)
+    try:
+        rows.sortWithinPartitions("term").write.mode("append").parquet(
+            os.path.join(index_dir, "postings")
+        )
+        delta_terms = rows.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        merged = (
+            terms.unionByName(delta_terms)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        n = docs.count()
+        n_dl = docs.where(F.col(p["text"]).isNotNull()).count()
+        dl_row = (
+            rows.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+            .agg(F.sum("dl").alias("dl"))
+            .collect()[0]
+        )
+        gen, stale = _bm25_gen(spark, index_dir)
+        from sat_bucket_spark.operators.dedup import _fs_delete
 
+        for old in stale:
+            _fs_delete(spark, old)
+        _write_bm25_generation(
+            spark, index_dir,
+            merged,
+            int(stats["n_docs"]) + int(n),
+            float(stats["total_dl"]) + float(dl_row["dl"] or 0.0),
+            int(stats["n_dl"]) + int(n_dl),
+            gen,
+        )
+    finally:
+        release_stage_cache(rows, destructive=True)
+
+
+def dedupe_bm25_index(spark, index_dir: str, corpus: DataFrame | None = None) -> int:
+    """Heal duplicate posting rows left by REPLAYED appends (the
+    non-idempotence :func:`append_to_bm25_index` documents).
+
+    Detection is one narrow scan (a ``(term, doc_id)`` group count over
+    the postings — no text, no tokenize). When duplicates exist, the
+    postings are rewritten exact-duplicate-free (term-sorted, staged to a
+    sibling dir and swapped — a crash between the delete and the rename
+    is LOUD: the index serves nothing rather than wrong scores; recovery
+    is renaming ``postings.healed`` into place) and the terms/stats
+    generation is REBUILT from the healed postings: per-term df and
+    total_dl derive exactly; ``n_docs``/``n_dl`` derive exactly when the
+    ``corpus`` frame is given (two count jobs), else fall back to the
+    healed postings' distinct doc count — exact unless the corpus holds
+    docs with NULL/zero-token text (documented undercount; pass the
+    corpus when those exist). Returns the number of duplicate
+    ``(term, doc_id)`` groups healed (0 = clean, nothing rewritten).
+
+    Covers BOTH replay shapes: a crash-window replay (stats were never
+    committed, so the re-run's single delta is already right — the
+    rebuild reproduces it) and an at-least-once replay of a COMPLETED
+    append (stats were double-counted — the rebuild-from-postings undoes
+    it)."""
+    import os
+
+    from sat_bucket_spark.operators.dedup import _fs_delete, _fs_rename
+
+    p, postings, _terms, _stats = load_bm25_index(spark, index_dir)
+    n_dup = (
+        postings.groupBy("term", "doc_id")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    if n_dup == 0:
+        return 0
+    post_path = os.path.join(index_dir, "postings")
+    healed_path = post_path + ".healed"
+    _fs_delete(spark, healed_path)
+    (
+        postings.dropDuplicates(["term", "doc_id"])
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(healed_path)
+    )
+    _fs_delete(spark, post_path)
+    _fs_rename(spark, healed_path, post_path)
+    healed = spark.read.parquet(post_path)
+    terms = healed.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dl_row = (
+        healed.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        .agg(F.sum("dl").alias("dl"), F.count(F.lit(1)).alias("n_posted"))
+        .collect()[0]
+    )
+    if corpus is not None:
+        n = corpus.count()
+        n_dl = corpus.where(F.col(p["text"]).isNotNull()).count()
+    else:
+        n = n_dl = int(dl_row["n_posted"])
+    gen, stale = _bm25_gen(spark, index_dir)
     for old in stale:
         _fs_delete(spark, old)
     _write_bm25_generation(
-        spark, index_dir,
-        merged,
-        int(stats["n_docs"]) + int(st["n"]),
-        float(stats["total_dl"]) + float(st["dl"] or 0.0),
-        int(stats["n_dl"]) + int(st["n_dl"]),
-        gen,
+        spark, index_dir, terms, n, float(dl_row["dl"] or 0.0), int(n_dl), gen
     )
+    return int(n_dup)
 
 
 def bm25_index_topk(

@@ -197,6 +197,32 @@ def stream_dedup_against_indexes(
         raise ValueError(
             "adc_margin=None (candidate-complete) requires ivfpq_verify"
         )
+    # the _SUCCESS idempotence skip couples batch ids to sink partitions
+    # THROUGH the checkpoint: with a FRESH checkpoint batch ids restart at
+    # 0, so a sink left over from a previous checkpoint lifecycle would
+    # make every new batch look already-committed — the probe-and-write
+    # would be skipped for ALL new data (silent loss) and learn=True would
+    # re-append the stale rows. Refuse loudly; reprocessing means a fresh
+    # sink (or pointing at the old checkpoint).
+    spark = stream.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    ckpt_p = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+    sink_p = jvm.org.apache.hadoop.fs.Path(sink_dir)
+    ckpt_exists = ckpt_p.getFileSystem(conf).exists(ckpt_p)
+    sink_fs = sink_p.getFileSystem(conf)
+    if not ckpt_exists and sink_fs.exists(sink_p):
+        has_batches = any(
+            st.getPath().getName().startswith("batch=")
+            for st in sink_fs.listStatus(sink_p)
+        )
+        if has_batches:
+            raise ValueError(
+                f"fresh checkpoint {checkpoint_dir} but sink {sink_dir} "
+                "already holds batch=* partitions from a previous run: the "
+                "per-batch idempotence skip would silently drop every new "
+                "batch. Use a fresh sink dir (or resume the old checkpoint)."
+            )
     _gate = _make_gate(
         sink_dir, bloom_index_dir, minhash_index_dir, min_jaccard, learn,
         compact_every, ivfpq_index_dir, min_cosine, n_probe, vec_col,

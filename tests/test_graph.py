@@ -556,6 +556,28 @@ class TestUpdateConnectedComponents:
         }
         assert got == {0: 0, 5: 0, 6: 0}
 
+    def test_cache_registry_lifetime(self, spark):
+        from sat_bucket_spark.caching import release_stage_cache
+        from sat_bucket_spark.operators.graph import (
+            connected_components,
+            update_connected_components,
+        )
+
+        standing = connected_components(
+            spark.createDataFrame([(1, 2), (3, 4)], ["src", "dst"])
+        )
+        reg: list = []
+        out = update_connected_components(
+            standing,
+            spark.createDataFrame([(2, 3)], ["src", "dst"]),
+            cache_registry=reg,
+        )
+        got = {r["node"]: r["component"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+        assert len(reg) == 1  # the merge frame
+        for cached in reg:
+            release_stage_cache(cached, destructive=True)
+
     def test_standing_side_joins_broadcast(self, spark, tmp_path):
         """The corpus-sized standing map must be consumed by ONE
         broadcast-hash join pass — no SortMergeJoin, no exchange of the

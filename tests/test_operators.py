@@ -1623,6 +1623,76 @@ class TestBloomIndex:
         assert p["n_bits"] == 1 << 24 and p["key_cols"] == ["text"]
 
 
+class TestBloomGenerationOrphan:
+    """A crash between the bitmap.v<N+1> commit and the old generation's
+    retire leaves the superseded dir behind; the generation tracker must
+    list it as stale (so fsck reports it) and the next append's stale
+    sweep must remove it — never a permanent full-bitmap disk leak."""
+
+    def test_orphaned_gen0_swept_by_next_append(self, spark, tmp_path):
+        import shutil
+
+        from sat_bucket_spark.operators.dedup import (
+            _bloom_generations,
+            append_to_bloom_index,
+            build_bloom_index,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(50)], ["cid", "text"]
+        )
+        idx = str(tmp_path / "bloom_orphan")
+        build_bloom_index(corpus, idx, ["text"], n_bits=1 << 16)
+        saved = str(tmp_path / "gen0_copy")
+        shutil.copytree(os.path.join(idx, "bitmap"), saved)
+        extra = corpus.select(
+            (F.col("cid") + 1000).alias("cid"),
+            F.concat(F.lit("x"), F.col("text")).alias("text"),
+        )
+        append_to_bloom_index(extra, idx)  # commits v1, retires gen 0
+        # simulate the crash window: the retired gen-0 dir reappears
+        shutil.copytree(saved, os.path.join(idx, "bitmap"))
+        cur, stale = _bloom_generations(spark, idx)
+        assert cur == 1
+        assert [os.path.basename(s) for s in stale] == ["bitmap"]
+        from sat_bucket_spark.maintenance import index_report
+
+        r = index_report(spark, idx)
+        assert not r["healthy"] and any("stale" in i for i in r["issues"])
+        # the next append sweeps the orphan
+        append_to_bloom_index(
+            extra.select("cid", F.concat(F.lit("y"), F.col("text")).alias("text")),
+            idx,
+        )
+        assert not os.path.exists(os.path.join(idx, "bitmap"))
+        cur2, stale2 = _bloom_generations(spark, idx)
+        assert cur2 == 2 and stale2 == []
+
+
+class TestMetaCacheFingerprint:
+    """The meta cache guard must key on the meta CHILD FILES' stats, not
+    the directory mtime — object stores keep a constant dir mtime across
+    child rewrites, which would serve a stale meta row after a rebuild."""
+
+    def test_rebuild_with_frozen_dir_mtime_invalidates(self, spark, tmp_path):
+        from sat_bucket_spark.operators.dedup import (
+            _load_meta_row,
+            build_bloom_index,
+        )
+
+        corpus = spark.createDataFrame([(1, "a")], ["cid", "text"])
+        idx = str(tmp_path / "bloom_meta")
+        build_bloom_index(corpus, idx, ["text"], n_bits=1 << 10, seed=1)
+        meta_dir = os.path.join(idx, "meta")
+        st = os.stat(meta_dir)
+        assert _load_meta_row(spark, idx)["seed"] == 1
+        build_bloom_index(corpus, idx, ["text"], n_bits=1 << 10, seed=2)
+        # freeze the DIRECTORY mtime to the pre-rebuild value — the
+        # S3A-style behavior a dir-mtime guard would be fooled by
+        os.utime(meta_dir, (st.st_atime, st.st_mtime))
+        assert _load_meta_row(spark, idx)["seed"] == 2
+
+
 class TestBloomRoutedDedup:
     def _data(self, spark):
         corpus = spark.createDataFrame(

@@ -235,3 +235,61 @@ class TestBm25Index:
 
         with _pytest.raises(ValueError):
             bm25_index_topk(spark, idx, [], k=3)
+
+
+class TestBm25ReplayHealing:
+    """dedupe_bm25_index: appends are NOT idempotent — a replayed append
+    duplicates posting rows (and, when the original committed, double-
+    counts stats). The healer must restore score equality with a
+    never-replayed reference."""
+
+    def _corpus(self, spark):
+        return (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+        )
+
+    def test_replay_detected_and_healed(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.relevance import (
+            append_to_bm25_index,
+            bm25_index_topk,
+            build_bm25_index,
+            dedupe_bm25_index,
+        )
+
+        docs = self._corpus(spark)
+        base = docs.where(F.col("doc_id") % 5 != 0)
+        batch = docs.where(F.col("doc_id") % 5 == 0)
+        terms = ["the", "data", "model"]
+
+        ref_idx = str(tmp_path / "bm25_ref")
+        build_bm25_index(docs, ref_idx)
+        ref = sorted(
+            map(tuple, bm25_index_topk(spark, ref_idx, terms, k=None).collect())
+        )
+
+        idx = str(tmp_path / "bm25_replay")
+        build_bm25_index(base, idx)
+        append_to_bm25_index(batch, idx)
+        append_to_bm25_index(batch, idx)  # the replay of a COMPLETED append
+        distorted = sorted(
+            map(tuple, bm25_index_topk(spark, idx, terms, k=None).collect())
+        )
+        assert distorted != ref
+        r = index_report(spark, idx, scan=True)
+        assert r["duplicate_posting_groups"] > 0 and not r["healthy"]
+        assert any("dedupe_bm25_index" in i for i in r["issues"])
+
+        # heal with the corpus: postings deduped, terms/stats rebuilt exact
+        assert dedupe_bm25_index(spark, idx, corpus=docs) > 0
+        healed = sorted(
+            map(tuple, bm25_index_topk(spark, idx, terms, k=None).collect())
+        )
+        assert healed == ref
+        assert index_report(spark, idx, scan=True)["healthy"]
+        # clean index: detection scan only
+        assert dedupe_bm25_index(spark, idx) == 0
+        assert dedupe_bm25_index(spark, ref_idx) == 0

@@ -421,6 +421,35 @@ class TestStreamDedupAgainstIndexes:
             if q is not None:
                 q.stop()
 
+    def test_fresh_checkpoint_with_stale_sink_refuses(self, spark, tmp_path):
+        """Batch ids restart at 0 with a fresh checkpoint, so a sink left
+        over from a previous checkpoint lifecycle would make the _SUCCESS
+        idempotence skip silently drop every new batch — the gate must
+        refuse loudly instead."""
+        import pytest
+
+        from sat_bucket_spark.operators.dedup import build_bloom_index
+        from sat_bucket_spark.streaming.curation import (
+            stream_dedup_against_indexes,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, _long(f"corpus{i}")) for i in range(5)], ["doc_id", "text"]
+        )
+        bidx = str(tmp_path / "b_guard")
+        build_bloom_index(corpus, bidx, ["text"])
+        sink = str(tmp_path / "stale_sink")
+        # a committed partition from a "previous run"
+        corpus.limit(1).write.parquet(f"{sink}/batch=0")
+        src = str(tmp_path / "src_guard")
+        os.makedirs(src, exist_ok=True)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        with pytest.raises(ValueError, match="fresh checkpoint"):
+            stream_dedup_against_indexes(
+                stream, sink, str(tmp_path / "ckpt_fresh"),
+                bloom_index_dir=bidx,
+            )
+
     def test_requires_an_index(self, spark, tmp_path):
         import pytest
 
