@@ -294,18 +294,15 @@ def build_bm25_index(
     )
     posted = spark.read.parquet(os.path.join(index_dir, "postings"))
     terms = posted.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    # stats WITHOUT a second tokenize pass over the corpus: the written
-    # posting rows already carry each doc's dl (docs with zero or NULL
-    # tokens have no rows and contribute 0 to the sum — identical to the
-    # direct tokenize aggregate), n_docs is a plain count, and n_dl (docs
-    # with a tokenizable text) is a null-check count — tokenize runs ONCE
+    # stats WITHOUT a second tokenize pass over the corpus: a doc's dl is
+    # by definition the sum of its term frequencies, so total_dl is a
+    # map-side-combined SUM(tf) over the written postings (no shuffle, no
+    # tokenize; zero/NULL-token docs have no rows and contribute 0 —
+    # identical to the direct tokenize aggregate); n_docs is a plain
+    # count and n_dl (docs with a tokenizable text) a null-check count
     n = corpus.count()
     n_dl = corpus.where(F.col(text).isNotNull()).count()
-    dl_row = (
-        posted.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-        .agg(F.sum("dl").alias("dl"))
-        .collect()[0]
-    )
+    dl_row = posted.agg(F.sum("tf").alias("dl")).collect()[0]
     _write_bm25_generation(
         spark, index_dir, terms, n, float(dl_row["dl"] or 0.0), n_dl, 0,
     )
@@ -384,11 +381,9 @@ def append_to_bm25_index(docs: DataFrame, index_dir: str) -> None:
         )
         n = docs.count()
         n_dl = docs.where(F.col(p["text"]).isNotNull()).count()
-        dl_row = (
-            rows.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-            .agg(F.sum("dl").alias("dl"))
-            .collect()[0]
-        )
+        # dl == sum of the doc's tfs, so SUM(tf) over the batch's rows is
+        # the exact dl total with no per-doc shuffle
+        dl_row = rows.agg(F.sum("tf").alias("dl")).collect()[0]
         gen, stale = _bm25_gen(spark, index_dir)
         from sat_bucket_spark.operators.dedup import _fs_delete
 
@@ -455,11 +450,10 @@ def dedupe_bm25_index(spark, index_dir: str, corpus: DataFrame | None = None) ->
     _fs_rename(spark, healed_path, post_path)
     healed = spark.read.parquet(post_path)
     terms = healed.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    dl_row = (
-        healed.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-        .agg(F.sum("dl").alias("dl"), F.count(F.lit(1)).alias("n_posted"))
-        .collect()[0]
-    )
+    dl_row = healed.agg(
+        F.sum("tf").alias("dl"),
+        F.count_distinct("doc_id").alias("n_posted"),
+    ).collect()[0]
     if corpus is not None:
         n = corpus.count()
         n_dl = corpus.where(F.col(p["text"]).isNotNull()).count()
