@@ -323,8 +323,20 @@ def update_connected_components(
     (unseen nodes represent themselves), solve components over the
     CONTRACTED edge set — batch-sized, so it usually takes the driver
     union-find route — and apply the resulting representative merges back
-    with ONE broadcast-hash join over the standing map. The corpus-sized
-    side is touched exactly once, map-side, with no shuffle.
+    with ONE broadcast-hash join over the standing map.
+
+    Plan shape (the at-scale contract, pinned by a plan gate that walks
+    the physical tree): the corpus-sized map appears on the STREAM side
+    of exactly two broadcast-hash joins — the endpoint-slice join and the
+    merge-application join — and on the build side of none. No Exchange
+    node anywhere in the plan has the standing map in its subtree. The
+    contraction does NOT join the batch's edges against the full map
+    (that would put the map on the non-broadcastable build side of a
+    left-outer join and sort-merge-exchange it, twice): instead the
+    batch's distinct endpoints — batch-bounded — are broadcast into an
+    inner join that slices the map map-side down to a batch-sized
+    ``lookup`` frame, and THAT is broadcast into the two contraction
+    left-joins and the unseen-node anti-join.
 
     Exactness: a standing representative is the MIN id of its old
     component, so the contracted solve's min over (representatives ∪ new
@@ -338,36 +350,66 @@ def update_connected_components(
     remapped) plus every previously-unseen endpoint of ``new_edges``
     (unseen nodes with only self-loop edges are excluded, matching
     :func:`connected_components`' isolated-node convention).
-    The merge map is broadcast while its measured row count (bounded by
-    2x the batch's distinct endpoints, never corpus-sized; an Observation
-    riding the merge frame's materialization — no extra job) stays at or
-    below ``broadcast_merge_max``, with a shuffled-join fallback above —
-    same measured-gate convention as the index probes.
+    The endpoint and merge frames are broadcast while their measured row
+    counts (each bounded by 2x the batch's distinct endpoints, never
+    corpus-sized; Observations riding the frames' materializations — no
+    extra jobs) stay at or below ``broadcast_merge_max``, with a
+    shuffled-join fallback above — same measured-gate convention as the
+    index probes.
 
-    Cache lifetime: the merge frame is an eager stage cache consumed by
-    both output joins. Long-lived callers running repeated merges (the
-    nightly/streaming maintenance this exists for) pass
-    ``cache_registry=[]`` and release via
-    :func:`sat_bucket_spark.caching.release_stage_cache` once the
+    Cache lifetime: the endpoint, lookup-slice, and merge frames are
+    eager stage caches, each consumed by at least two downstream joins.
+    Long-lived callers running repeated merges (the nightly/streaming
+    maintenance this exists for) pass ``cache_registry=[]`` and release
+    via :func:`sat_bucket_spark.caching.release_stage_cache` once the
     returned frame is materialized — the same contract as the index
     probes; one-shot callers may rely on driver GC (documented hazard in
     caching.py).
     """
+    from pyspark.sql import Observation
+
     m = standing.select(
         F.col(node_col).alias("__n"), F.col(component_col).alias("__c")
     )
     e = new_edges.select(F.col(src).alias("__eu"), F.col(dst).alias("__ev"))
-    # contract endpoints through the standing map; unseen nodes are their
-    # own representatives. The map side of these joins is only as big as
-    # the standing map, but the OUTPUT is batch-sized (left join on edges).
+    # The batch's distinct endpoints — batch-bounded, the frame every
+    # standing-map access is keyed by. Eager-cached with an observed
+    # count so the broadcast decision is measured, not assumed.
+    obs_end = Observation()
+    endpoints = stage_cache(
+        e.select(F.col("__eu").alias("__n"))
+        .unionByName(e.select(F.col("__ev").alias("__n")))
+        .distinct()
+        .observe(obs_end, F.count(F.lit(1)).alias("n")),
+        eager=True,
+    )
+    if cache_registry is not None:
+        cache_registry.append(endpoints)
+    n_end = obs_end.get["n"]
+    small_batch = n_end <= broadcast_merge_max
+    # Slice the standing map down to the rows the batch can touch: an
+    # inner join with the BROADCAST endpoints keeps the corpus-sized map
+    # on the stream side — one map-side scan, no Exchange on it, output
+    # at most n_end rows. (Above the gate the slice join shuffles both
+    # sides — documented fallback, same as the merge-application join.)
+    lookup = stage_cache(
+        m.join(F.broadcast(endpoints) if small_batch else endpoints, "__n"),
+        eager=True,
+    )
+    if cache_registry is not None:
+        cache_registry.append(lookup)
+    lk_b = F.broadcast(lookup) if small_batch else lookup
+    # contract endpoints through the batch-sized slice; unseen nodes are
+    # their own representatives. Every join here is batch-vs-batch —
+    # the full map is never on a join's build side.
     cu = (
-        e.join(m.withColumnRenamed("__n", "__eu"), "__eu", "left")
+        e.join(lk_b.withColumnRenamed("__n", "__eu"), "__eu", "left")
         .select(
             F.coalesce("__c", "__eu").alias("cu"), F.col("__ev")
         )
     )
     contracted_edges = (
-        cu.join(m.withColumnRenamed("__n", "__ev"), "__ev", "left")
+        cu.join(lk_b.withColumnRenamed("__n", "__ev"), "__ev", "left")
         .select(F.col("cu"), F.coalesce("__c", "__ev").alias("cv"))
     )
     merge = connected_components(
@@ -377,8 +419,6 @@ def update_connected_components(
     # batch-bounded measured gate: contracted CC output rows <= 2x distinct
     # batch endpoints; the count rides the eager materialization as an
     # observed metric — no separate aggregate job
-    from pyspark.sql import Observation
-
     obs = Observation()
     merge = stage_cache(
         merge.observe(obs, F.count(F.lit(1)).alias("n")), eager=True
@@ -399,12 +439,12 @@ def update_connected_components(
         )
     )
     # previously-unseen endpoints: they appear in the contracted solve
-    # under their own ids — their component is the solve's answer
+    # under their own ids — their component is the solve's answer. The
+    # slice already holds every standing row keyed by a batch endpoint,
+    # so the anti-join runs against the batch-sized lookup, not the map.
     new_nodes = (
-        e.select(F.col("__eu").alias("__un"))
-        .unionByName(e.select(F.col("__ev").alias("__un")))
-        .distinct()
-        .join(m.withColumnRenamed("__n", "__un"), "__un", "left_anti")
+        endpoints.join(lk_b.select("__n"), "__n", "left_anti")
+        .select(F.col("__n").alias("__un"))
     )
     new_map = new_nodes.join(
         merge_b, F.col("__un") == F.col("__rep"), "inner"

@@ -574,14 +574,36 @@ class TestUpdateConnectedComponents:
         )
         got = {r["node"]: r["component"] for r in out.collect()}
         assert got == {1: 1, 2: 1, 3: 1, 4: 1}
-        assert len(reg) == 1  # the merge frame
+        assert len(reg) == 3  # endpoints, lookup slice, merge
         for cached in reg:
             release_stage_cache(cached, destructive=True)
 
+    @staticmethod
+    def _ancestors_of_scan(plan: str, needle: str):
+        """Yield the ancestor-chain lines of every plan-tree line matching
+        ``needle``, parsed from the indented toString tree (child marker
+        is 3 chars deeper than its parent)."""
+        import re
+
+        lines = plan.splitlines()
+        depth = [re.match(r"^[\s:+|-]*", l).end() for l in lines]
+        for i, line in enumerate(lines):
+            if needle not in line:
+                continue
+            d = depth[i]
+            for j in range(i - 1, -1, -1):
+                if depth[j] < d:
+                    d = depth[j]
+                    yield lines[j]
+
     def test_standing_side_joins_broadcast(self, spark, tmp_path):
-        """The corpus-sized standing map must be consumed by ONE
-        broadcast-hash join pass — no SortMergeJoin, no exchange of the
-        standing side in the merge-application join."""
+        """The at-scale plan contract: the corpus-sized standing map is on
+        the STREAM side of broadcast-hash joins only — no Exchange node
+        (shuffle OR broadcast) anywhere above a standing-map scan, and no
+        SortMergeJoin in the whole update plan. Auto-broadcast is disabled
+        so AQE can't paper over a missing explicit hint with the tiny test
+        map (the r12 advisor's finding: a ~200-row map auto-broadcasts and
+        the assertion never exercises the at-scale shape)."""
         from sat_bucket_spark.operators.graph import (
             connected_components,
             update_connected_components,
@@ -593,9 +615,36 @@ class TestUpdateConnectedComponents:
             spark.createDataFrame(old, ["src", "dst"])
         ).write.parquet(standing_path)
         standing = spark.read.parquet(standing_path)
-        out = update_connected_components(
-            standing, spark.createDataFrame([(1, 3), (401, 402)], ["src", "dst"])
-        )
-        plan = out._jdf.queryExecution().executedPlan().toString()
+        thresholds = [
+            ("spark.sql.autoBroadcastJoinThreshold", None),
+            ("spark.sql.adaptive.autoBroadcastJoinThreshold", None),
+        ]
+        for i, (k, _) in enumerate(thresholds):
+            try:
+                thresholds[i] = (k, spark.conf.get(k))
+            except Exception:
+                pass
+            spark.conf.set(k, "-1")
+        try:
+            out = update_connected_components(
+                standing,
+                spark.createDataFrame([(1, 3), (401, 402)], ["src", "dst"]),
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+        finally:
+            for k, v in thresholds:
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
         assert "SortMergeJoin" not in plan, plan[:2000]
         assert "BroadcastHashJoin" in plan
+        # the standing scan appears in the merge-application join (the
+        # lookup slice shows as a checkpointed ExistingRDD scan); the only
+        # FileScan in this plan is the standing map — Spark truncates the
+        # path in toString, so match the node type. It may not sit under
+        # any Exchange.
+        chains = list(self._ancestors_of_scan(plan, "FileScan parquet"))
+        assert chains, "standing-map scan not found in plan:\n" + plan[:2000]
+        for anc in chains:
+            assert "Exchange" not in anc, (anc, plan[:3000])
