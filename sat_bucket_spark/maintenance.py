@@ -394,42 +394,63 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
                 ).count()
             except Exception as exc:
                 issues.append(f"{name}: unreadable ({exc})")
-        if kind == "ivfpq":
-            codes = spark.read.parquet(os.path.join(index_dir, "codes"))
-            id_col = (params or {}).get("id_col", "vec_id")
-            n_dup = (
-                codes.groupBy(id_col, "__cluster", "pq_code")
-                .count()
-                .where(F.col("count") > 1)
-                .count()
-            )
-            report["duplicate_code_groups"] = n_dup
-            if n_dup:
-                issues.append(
-                    f"{n_dup} replay-duplicated code group(s) — run "
-                    "dedupe_ivfpq_index"
+        # the kind-specific scan checks depend on loadable meta (id_col,
+        # n_bits) — with params_ok False they would guess column names and
+        # crash the whole report on a custom-id index, so they are skipped
+        # (the meta issue already marks the report unhealthy) and, like the
+        # row counts above, individually guarded so one unreadable
+        # component degrades to an issue line instead of an exception.
+        if kind == "ivfpq" and params is not None:
+            try:
+                codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+                id_col = params.get("id_col", "vec_id")
+                n_dup = (
+                    codes.groupBy(id_col, "__cluster", "pq_code")
+                    .count()
+                    .where(F.col("count") > 1)
+                    .count()
                 )
-        if kind == "bm25":
-            postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-            n_dup = (
-                postings.groupBy("term", "doc_id")
-                .count()
-                .where(F.col("count") > 1)
-                .count()
-            )
-            report["duplicate_posting_groups"] = n_dup
-            if n_dup:
-                issues.append(
-                    f"{n_dup} replay-duplicated posting group(s) — run "
-                    "dedupe_bm25_index"
+                report["duplicate_code_groups"] = n_dup
+                if n_dup:
+                    issues.append(
+                        f"{n_dup} replay-duplicated code group(s) — run "
+                        "dedupe_ivfpq_index"
+                    )
+            except Exception as exc:
+                issues.append(f"codes: duplicate scan failed ({exc})")
+        if kind == "bm25" and params is not None:
+            try:
+                postings = spark.read.parquet(
+                    os.path.join(index_dir, "postings")
                 )
+                # full-row key, matching dedupe_bm25_index: rows that agree
+                # on (term, doc_id) but differ in (tf, dl) are an upsert the
+                # caller performed, not replay duplication
+                n_dup = (
+                    postings.groupBy("term", "doc_id", "tf", "dl")
+                    .count()
+                    .where(F.col("count") > 1)
+                    .count()
+                )
+                report["duplicate_posting_groups"] = n_dup
+                if n_dup:
+                    issues.append(
+                        f"{n_dup} replay-duplicated posting group(s) — run "
+                        "dedupe_bm25_index"
+                    )
+            except Exception as exc:
+                issues.append(f"postings: duplicate scan failed ({exc})")
         if kind == "bloom" and params is not None:
-            bound = int(params["n_bits"]) // 64
-            rows = report["components"]["bitmap"].get("rows", 0)
-            if rows > bound:
-                issues.append(
-                    f"bitmap rows {rows} exceed the n_bits/64 bound {bound}"
-                )
+            try:
+                bound = int(params["n_bits"]) // 64
+                rows = report["components"]["bitmap"].get("rows", 0)
+                if rows > bound:
+                    issues.append(
+                        f"bitmap rows {rows} exceed the n_bits/64 bound "
+                        f"{bound}"
+                    )
+            except Exception as exc:
+                issues.append(f"bitmap: bound check failed ({exc})")
 
     report["healthy"] = not issues
     return report

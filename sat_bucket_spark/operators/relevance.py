@@ -405,8 +405,18 @@ def dedupe_bm25_index(spark, index_dir: str, corpus: DataFrame | None = None) ->
     """Heal duplicate posting rows left by REPLAYED appends (the
     non-idempotence :func:`append_to_bm25_index` documents).
 
-    Detection is one narrow scan (a ``(term, doc_id)`` group count over
-    the postings — no text, no tokenize). When duplicates exist, the
+    Detection is one narrow scan (a FULL-ROW ``(term, doc_id, tf, dl)``
+    group count over the postings — no text, no tokenize). Keying on the
+    full row means only bit-identical replays are flagged and healed: a
+    doc legitimately re-ingested with DIFFERENT text leaves rows that
+    agree on (term, doc_id) but differ in (tf, dl) — that is an UPSERT
+    the caller performed without deleting the old doc, not replay
+    duplication, and this healer deliberately leaves it alone rather
+    than keeping an arbitrary (tf, dl) row (the same policy line
+    :func:`~sat_bucket_spark.operators.similarity.dedupe_ivfpq_index`
+    documents; such rows double-count the doc in df/score until the
+    caller rebuilds or removes the stale version). When replay
+    duplicates exist, the
     postings are rewritten exact-duplicate-free (term-sorted, staged to a
     sibling dir and swapped — a crash between the delete and the rename
     is LOUD: the index serves nothing rather than wrong scores; recovery
@@ -417,7 +427,7 @@ def dedupe_bm25_index(spark, index_dir: str, corpus: DataFrame | None = None) ->
     healed postings' distinct doc count — exact unless the corpus holds
     docs with NULL/zero-token text (documented undercount; pass the
     corpus when those exist). Returns the number of duplicate
-    ``(term, doc_id)`` groups healed (0 = clean, nothing rewritten).
+    full-row groups healed (0 = clean, nothing rewritten).
 
     Covers BOTH replay shapes: a crash-window replay (stats were never
     committed, so the re-run's single delta is already right — the
@@ -430,7 +440,7 @@ def dedupe_bm25_index(spark, index_dir: str, corpus: DataFrame | None = None) ->
 
     p, postings, _terms, _stats = load_bm25_index(spark, index_dir)
     n_dup = (
-        postings.groupBy("term", "doc_id")
+        postings.groupBy("term", "doc_id", "tf", "dl")
         .count()
         .where(F.col("count") > 1)
         .count()
@@ -441,7 +451,7 @@ def dedupe_bm25_index(spark, index_dir: str, corpus: DataFrame | None = None) ->
     healed_path = post_path + ".healed"
     _fs_delete(spark, healed_path)
     (
-        postings.dropDuplicates(["term", "doc_id"])
+        postings.dropDuplicates(["term", "doc_id", "tf", "dl"])
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(healed_path)
@@ -476,6 +486,7 @@ def bm25_index_topk(
     k1: float = 1.2,
     b: float = 0.75,
     max_df: int | None = None,
+    idf_join_threshold: int = 100,
 ) -> DataFrame:
     """Score documents against ``query_terms`` from the persisted index —
     zero corpus access, zero tokenization: the probe's inputs are the
@@ -493,6 +504,16 @@ def bm25_index_topk(
     never baked into the stored state). ``k=None`` returns all matches
     (the decontamination posture); an integer k returns the top-k by
     (score desc, doc_id asc) — a deterministic total order.
+
+    The per-term IDF constant is attached by a chained
+    ``when(term == ...)`` expression up to ``idf_join_threshold`` query
+    terms — zero extra plan nodes for the point-lookup regime this probe
+    exists for — and by a broadcast ``(term, idf)`` frame join above it:
+    the chained expression's PLAN size is linear in term count, the same
+    expression-growth class as the measured giant-In planning trap
+    (SCALE.md), while the join's plan is O(1) in term count. Both routes
+    produce bit-identical scores (pinned by a cross-threshold equality
+    test); the ``In(term)`` pushdown filter is unchanged by the routing.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -509,20 +530,34 @@ def bm25_index_topk(
         qterms = [t for t in qterms if dfreq.get(t, 0) <= max_df]
         if not qterms:
             qterms = ["\x00__no_term__"]  # empty-result sentinel
-    idf_expr = None
-    for term in qterms:
-        df_t = dfreq.get(term, 0)
-        idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
-        branch = F.when(F.col("term") == F.lit(term), F.lit(idf))
-        idf_expr = branch if idf_expr is None else idf_expr.when(
-            F.col("term") == F.lit(term), F.lit(idf)
+    idf_by_term = {
+        term: math.log(
+            (n_docs - dfreq.get(term, 0) + 0.5) / (dfreq.get(term, 0) + 0.5)
+            + 1.0
         )
-    idf_expr = idf_expr.otherwise(F.lit(0.0))
+        for term in qterms
+    }
     matched = postings.where(F.col("term").isin(qterms))
+    if len(qterms) <= idf_join_threshold:
+        idf_expr = None
+        for term in qterms:
+            idf = idf_by_term[term]
+            branch = F.when(F.col("term") == F.lit(term), F.lit(idf))
+            idf_expr = branch if idf_expr is None else idf_expr.when(
+                F.col("term") == F.lit(term), F.lit(idf)
+            )
+        idf_expr = idf_expr.otherwise(F.lit(0.0))
+        matched = matched.withColumn("__idf", idf_expr)
+    else:
+        idf_df = spark.createDataFrame(
+            [(t, idf_by_term[t]) for t in qterms],
+            schema="term string, __idf double",
+        )
+        matched = matched.join(F.broadcast(idf_df), "term")
     denom = F.col("tf") + F.lit(k1) * (
         F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
     )
-    contrib = idf_expr * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    contrib = F.col("__idf") * (F.col("tf") * F.lit(k1 + 1.0)) / denom
     scored = (
         matched.withColumn("__c", contrib)
         .groupBy("doc_id")

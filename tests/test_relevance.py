@@ -236,6 +236,47 @@ class TestBm25Index:
         with _pytest.raises(ValueError):
             bm25_index_topk(spark, idx, [], k=3)
 
+    def test_idf_routing_equal_across_threshold(self, spark, tmp_path):
+        """Above idf_join_threshold the per-term IDF rides a broadcast
+        (term, idf) frame join instead of a chained when() — plan size
+        O(1) in term count (the giant-In expression-growth class) — and
+        the two routes must score bit-identically."""
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.operators.relevance import (
+            bm25_index_topk,
+            build_bm25_index,
+            load_bm25_index,
+        )
+
+        docs = self._corpus(spark, sf="0.001")
+        idx = str(tmp_path / "bm25_route")
+        build_bm25_index(docs, idx)
+        _, _, terms_df, _ = load_bm25_index(spark, idx)
+        terms = [
+            r["term"]
+            for r in terms_df.orderBy(F.col("df").desc(), "term")
+            .limit(150)
+            .collect()
+        ]
+        # the tiny corpus has few distinct terms — pad past the routing
+        # threshold with absent terms (df=0 IDF branches that match no
+        # posting row, identical under both routes)
+        terms += [f"zzqx{i}" for i in range(150 - len(terms))]
+        assert len(terms) == 150
+        joined = bm25_index_topk(spark, idx, terms, k=None)  # join route
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("WHEN") < 10, "IDF still a chained when()"
+        via_expr = bm25_index_topk(
+            spark, idx, terms, k=None, idf_join_threshold=1000
+        )
+        expr_plan = via_expr._jdf.queryExecution().executedPlan().toString()
+        assert expr_plan.count("WHEN") >= 150  # the route the gate bounds
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, via_expr.collect())
+        )
+
 
 class TestBm25ReplayHealing:
     """dedupe_bm25_index: appends are NOT idempotent — a replayed append
@@ -293,3 +334,60 @@ class TestBm25ReplayHealing:
         # clean index: detection scan only
         assert dedupe_bm25_index(spark, idx) == 0
         assert dedupe_bm25_index(spark, ref_idx) == 0
+
+    def test_upsert_rows_are_not_replay_duplication(self, spark, tmp_path):
+        """A doc re-ingested with DIFFERENT text leaves (term, doc_id)
+        rows that differ in (tf, dl) — an upsert the caller performed,
+        not a replay. The healer keys on the FULL row and must leave
+        those rows alone (the dedupe_ivfpq_index policy line), and the
+        fsck scan must not flag them."""
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.relevance import (
+            append_to_bm25_index,
+            build_bm25_index,
+            dedupe_bm25_index,
+        )
+
+        idx = str(tmp_path / "bm25_upsert")
+        build_bm25_index(
+            spark.createDataFrame(
+                [(1, "data model data"), (2, "spark engine")],
+                ["doc_id", "text"],
+            ),
+            idx,
+        )
+        # same doc_id, different text: tf('data') changes 2 -> 1
+        append_to_bm25_index(
+            spark.createDataFrame([(1, "data engine")], ["doc_id", "text"]),
+            idx,
+        )
+        post = spark.read.parquet(f"{idx}/postings")
+        both = post.where(
+            (F.col("term") == "data") & (F.col("doc_id") == 1)
+        ).collect()
+        assert sorted(r["tf"] for r in both) == [1, 2]  # upsert rows coexist
+        assert dedupe_bm25_index(spark, idx) == 0  # nothing healed
+        r = index_report(spark, idx, scan=True)
+        assert r["duplicate_posting_groups"] == 0 and r["healthy"]
+        assert spark.read.parquet(f"{idx}/postings").count() == post.count()
+
+    def test_report_degrades_with_unloadable_meta(self, spark, tmp_path):
+        """index_report(scan=True) on an index whose meta is corrupt must
+        return an unhealthy report, not raise — the scan-level duplicate
+        checks depend on meta (id_col) and are skipped."""
+        import os
+
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.relevance import build_bm25_index
+
+        idx = str(tmp_path / "bm25_nometa")
+        build_bm25_index(self._corpus(spark), idx)
+        for f in os.listdir(os.path.join(idx, "meta")):
+            with open(os.path.join(idx, "meta", f), "wb") as fh:
+                fh.write(b"garbage")
+        r = index_report(spark, idx, scan=True)
+        assert not r["healthy"]
+        assert not r["params_ok"]
+        assert "duplicate_posting_groups" not in r  # scan check skipped
