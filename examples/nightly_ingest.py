@@ -12,6 +12,10 @@ posture where the corpus is 100 TB and the nightly batch is not:
               append survivors to ALL indexes      -- bitmap/batch-sized
     CADENCE   compact_minhash_index    (fold append fragmentation back;
               compact_ivfpq_index       probe results pinned identical)
+              compact_bm25_index
+    FSCK      index_report over all four legs, scan=True — the nightly
+              run FAILS on replay duplication / missing components /
+              stale generations, so the healers have a standing surface
 
 The point: neither nightly step's cost grows with the corpus. The inline
 operators (`dedup_exact_against_bloom`, `minhash_dedup_against`) re-scan the
@@ -151,6 +155,38 @@ def main(sf_dir: str) -> None:
         f"semantic nightly: {n_vb} vectors submitted -> {n_vs} accepted and "
         f"appended; {n_vc} code partitions compacted"
     )
+
+    # ---- the FOURTH leg: the retrieval index learns the same survivors -
+    # decontamination-by-retrieval / quality audits probe this index
+    # instead of re-tokenizing the corpus; appends are exact sums and the
+    # cadence folds posting fragmentation back (probe scores pinned
+    # identical across the compaction)
+    from sat_bucket_spark.operators.relevance import (
+        append_to_bm25_index,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+
+    bm25_idx = os.path.join(work, "bm25_index")
+    build_bm25_index(corpus, bm25_idx)
+    append_to_bm25_index(accepted, bm25_idx)
+    bstats = compact_bm25_index(spark, bm25_idx)
+    print(
+        f"bm25 leg: appended {n_accepted} docs; posting files "
+        f"{bstats['posting_files'][0]} -> {bstats['posting_files'][1]}"
+    )
+
+    # ---- standing fsck: the nightly run fails loudly on index damage ---
+    from sat_bucket_spark.maintenance import index_report
+
+    for leg, idx_dir in [
+        ("bloom", bloom_idx), ("minhash", mh_idx),
+        ("ivfpq", v_idx), ("bm25", bm25_idx),
+    ]:
+        r = index_report(spark, idx_dir, scan=True)
+        if not r["healthy"]:
+            raise SystemExit(f"nightly fsck: {leg} leg unhealthy: {r['issues']}")
+        print(f"fsck {leg}: healthy ({r['components']})")
     spark.stop()
 
 

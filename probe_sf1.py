@@ -571,6 +571,19 @@ def ann_index_stages(spark, sf_dir, workdir, replicas):
     return build_sec, search_sec, round(recall_build, 4), round(recall_append, 4)
 
 
+def _fsck_gate(spark, *index_dirs):
+    """Standing fsck gate (r13): every persisted-index leg the probe
+    builds must report healthy at the end of its stage — replay
+    duplication, missing components, or stale generations fail the run
+    loudly, giving the healers a regression surface outside unit tests."""
+    from sat_bucket_spark.maintenance import index_report
+
+    for d in index_dirs:
+        r = index_report(spark, d, scan=True)
+        if not r["healthy"]:
+            raise AssertionError(f"index fsck failed for {d}: {r['issues']}")
+
+
 def minhash_index_stages(spark, sf_dir, workdir):
     """Persisted MinHash dedup index at the replicated corpus (r10): build
     the standing index once over a corpus where EVERY text is an R-copy
@@ -676,6 +689,7 @@ def minhash_index_stages(spark, sf_dir, workdir):
     )
     if after != before:
         raise AssertionError("compaction changed probe results")
+    _fsck_gate(spark, idx)
     return build_sec, probe_sec, compact_sec, frag_before, frag_after
 
 
@@ -736,6 +750,7 @@ def bloom_index_stages(spark, sf_dir, workdir):
     )
     if dedup_exact_against_bloom_index(resubmit, idx).count() != 0:
         raise AssertionError("appended keys not visible to the next probe")
+    _fsck_gate(spark, idx)
     return build_sec, probe_sec, append_sec
 
 
@@ -1005,7 +1020,52 @@ def bm25_index_stages(spark, sf_dir, workdir):
     )
     if got != full:
         raise AssertionError("bm25 append-equals-rebuild diverged at scale")
-    return build_sec, probe_sec, append_sec
+
+    # append-heavy fragmentation row (r13): many nightly appends shrink
+    # posting files until the pushed In(term) point-lookup pays a footer
+    # open per file; compact_bm25_index must restore the few-files
+    # term-range layout with scores bit-identical to the fragmented index
+    # AND to the single build (exact-sum non-vacuity)
+    from sat_bucket_spark.maintenance import index_report
+    from sat_bucket_spark.operators.relevance import compact_bm25_index
+
+    frag_idx = os.path.join(workdir, "bm25_frag")
+    splits = 10
+    build_bm25_index(corpus.where(F.col("doc_id") % splits == 0), frag_idx)
+    for part in range(1, splits):
+        append_to_bm25_index(
+            corpus.where(F.col("doc_id") % splits == part), frag_idx
+        )
+    frag_row = index_report(spark, frag_idx)["components"]["postings"]
+    if frag_row["files"] < splits:
+        raise AssertionError(
+            f"append-heavy index unexpectedly unfragmented: {frag_row}"
+        )
+    t0 = time.perf_counter()
+    frag_scores = sorted(
+        map(tuple, bm25_index_topk(spark, frag_idx, terms, k=None).collect())
+    )
+    probe_frag_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    cstats = compact_bm25_index(spark, frag_idx)
+    compact_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    cmp_scores = sorted(
+        map(tuple, bm25_index_topk(spark, frag_idx, terms, k=None).collect())
+    )
+    probe_cmp_sec = round(time.perf_counter() - t0, 3)
+    if cmp_scores != frag_scores or cmp_scores != full:
+        raise AssertionError("bm25 compaction changed probe scores")
+    if not cstats["posting_files"][1] < cstats["posting_files"][0]:
+        raise AssertionError(
+            f"bm25 compaction did not reduce files: {cstats['posting_files']}"
+        )
+    _fsck_gate(spark, idx, inc, frag_idx)
+    return (
+        build_sec, probe_sec, append_sec,
+        probe_frag_sec, probe_cmp_sec, compact_sec,
+        cstats["posting_files"],
+    )
 
 
 def semantic_index_stages(spark, sf_dir, workdir):
@@ -1093,6 +1153,7 @@ def semantic_index_stages(spark, sf_dir, workdir):
         raise AssertionError(
             f"appended vectors not visible to the next probe ({n_re} kept)"
         )
+    _fsck_gate(spark, idx)
     return build_sec, probe_sec, append_sec
 
 
@@ -1712,12 +1773,16 @@ def main() -> int:
                 recalls["gate_frag_compacted"] = g_frag_cmp
                 recalls["gate_frag_end"] = g_frag_end
             elif name == "bm25_index_probe":
-                b, pr, ap = bm25_index_stages(
+                b, pr, ap, pf, pc, cs, pfiles = bm25_index_stages(
                     spark, scaled, os.path.join(work, "bm25idx")
                 )
                 timings["bm25_index_build"] = b
                 timings["bm25_index_probe"] = pr
                 timings["bm25_index_append"] = ap
+                timings["bm25_probe_fragmented"] = pf
+                timings["bm25_probe_compacted"] = pc
+                timings["bm25_index_compact"] = cs
+                recalls["bm25_posting_files"] = list(pfiles)
             elif name == "semantic_index_probe":
                 b, pr, ap = semantic_index_stages(
                     spark, scaled, os.path.join(work, "semidx")

@@ -343,6 +343,12 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
             )
         if comp["files"] == 0:
             issues.append(f"{name}: no parquet files")
+        else:
+            # the fragmentation row for unpartitioned legs (BM25 postings,
+            # MinHash shingles): appends shrink this toward zero until the
+            # leg's compactor runs — the number compaction cadences watch,
+            # as max_files_per_partition is for the partitioned legs
+            comp["mean_file_bytes"] = comp["bytes"] // comp["files"]
         report["components"][name] = comp
         return comp
 

@@ -34,6 +34,7 @@ __all__ = [
     "bm25_index_topk",
     "bm25_scores",
     "build_bm25_index",
+    "compact_bm25_index",
     "dedupe_bm25_index",
     "inverted_index",
     "load_bm25_index",
@@ -345,6 +346,10 @@ def append_to_bm25_index(docs: DataFrame, index_dir: str) -> None:
     ``build(A ∪ B)`` — pinned by test, so index scores can never drift
     from :func:`bm25_scores` on the same corpus.
 
+    Appends fragment ``postings/`` (each lands as new files);
+    :func:`compact_bm25_index` restores the few-files term-range layout
+    on the cadence ``index_report``'s ``mean_file_bytes`` row suggests.
+
     NOT idempotent: the postings append is visible immediately and lands
     again if the append re-runs — a crash AFTER the postings write but
     BEFORE the stats commit leaves the new posting rows scored with the
@@ -476,6 +481,74 @@ def dedupe_bm25_index(spark, index_dir: str, corpus: DataFrame | None = None) ->
         spark, index_dir, terms, n, float(dl_row["dl"] or 0.0), int(n_dl), gen
     )
     return int(n_dup)
+
+
+def compact_bm25_index(
+    spark,
+    index_dir: str,
+    target_file_size: str | int = "64MB",
+    min_files: int = 2,
+) -> dict:
+    """Defragment ``postings/`` after nightly appends — the maintenance
+    half of the fourth index leg, completing the family
+    (:func:`~sat_bucket_spark.operators.dedup.compact_minhash_index`,
+    Bloom generations,
+    :func:`~sat_bucket_spark.operators.similarity.compact_ivfpq_index`).
+
+    Appends land posting rows as plain new files — exact by design (df
+    lives only in ``terms/``), but an append-heavy index accumulates many
+    small term-sorted files: every probe opens every file's footer and
+    per-file row groups shrink until the pushed ``In(term)`` stat-pruning
+    stops paying. When ``postings/`` holds >= ``min_files`` files
+    averaging under ``target_file_size``, this rewrites them into
+    ~total/target term-RANGE-partitioned files
+    (``repartitionByRange(n, term)`` + ``sortWithinPartitions(term)`` —
+    file-level AND row-group term stats end up disjoint, strictly tighter
+    than the build's concatenation of independently-sorted runs), staged
+    to a temp sibling and swapped through the FS API. ``terms/``,
+    ``stats/`` (the current generation), and ``meta/`` are untouched:
+    content is identical row-for-row, so probe results are bit-identical
+    across build -> appends -> compact (pinned by test, the
+    compact_minhash_index gate pattern). The swap's crash window leaves a
+    missing ``postings/`` that probes fail LOUDLY on — never mixed
+    layouts; recovery is renaming ``postings.compact`` into place.
+
+    Returns ``{"posting_files": (before, after)}`` (equal when below the
+    fragmentation criterion — nothing rewritten).
+
+    Reference analogue: temporal compaction,
+    /root/reference/satbucket/routines.py:530-852.
+    """
+    import math
+    import os
+
+    from sat_bucket_spark.operators.dedup import (
+        _fs_delete,
+        _fs_parquet_stats,
+        _fs_rename,
+    )
+    from sat_bucket_spark.writers import parse_size
+
+    target = parse_size(target_file_size)
+    post_path = os.path.join(index_dir, "postings")
+    n_before, total_bytes = _fs_parquet_stats(spark, post_path)
+    if n_before < min_files or total_bytes / n_before >= target:
+        return {"posting_files": (n_before, n_before)}
+    load_bm25_index(spark, index_dir)  # only compact a loadably-valid index
+    rows = spark.read.parquet(post_path)
+    n_out = max(1, math.ceil(total_bytes / target))
+    tmp = post_path + ".compact"
+    _fs_delete(spark, tmp)
+    (
+        rows.repartitionByRange(n_out, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    _fs_delete(spark, post_path)
+    _fs_rename(spark, tmp, post_path)
+    n_after, _ = _fs_parquet_stats(spark, post_path)
+    return {"posting_files": (n_before, n_after)}
 
 
 def bm25_index_topk(

@@ -210,6 +210,43 @@ class TestIndexReport:
         # appends retire the old generation, so a clean append stays healthy
         assert r2["healthy"], r2["issues"]
 
+    def test_bloom_stale_generation_flagged(self, spark, docs, tmp_path):
+        """Distorted-index row for the Bloom leg (r13 fsck gate): a
+        bitmap generation that never committed (crash debris) must turn
+        the report unhealthy with a stale-generation issue."""
+        import os
+
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.dedup import build_bloom_index
+
+        idx = str(tmp_path / "bloom_distort")
+        build_bloom_index(docs, idx, ["text"])
+        assert index_report(spark, idx)["healthy"]
+        os.makedirs(os.path.join(idx, "bitmap.v7"))  # no _SUCCESS: debris
+        r = index_report(spark, idx)
+        assert not r["healthy"]
+        assert any("stale bitmap generation" in i for i in r["issues"])
+        assert r["generation"] == 0  # still serving the committed gen
+
+    def test_minhash_missing_component_flagged(self, spark, docs, tmp_path):
+        """Distorted-index row for the MinHash leg (r13 fsck gate): a
+        shingles/ directory emptied of parquet (a compact swap's crash
+        window) must turn the report unhealthy, not crash it."""
+        import glob
+        import os
+
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.dedup import build_minhash_index
+
+        idx = str(tmp_path / "mh_distort")
+        build_minhash_index(docs, idx, n_hashes=8, n_bands=4, shingle_size=8)
+        assert index_report(spark, idx)["healthy"]
+        for f in glob.glob(os.path.join(idx, "shingles", "*.parquet")):
+            os.remove(f)
+        r = index_report(spark, idx)
+        assert not r["healthy"]
+        assert any("shingles: no parquet files" in i for i in r["issues"])
+
     def test_minhash_fragmentation_tracks_appends(self, spark, docs, tmp_path):
         from sat_bucket_spark.maintenance import index_report
         from sat_bucket_spark.operators.dedup import (
@@ -240,6 +277,59 @@ class TestIndexReport:
         assert (
             after["components"]["bands"]["max_files_per_partition"] < frag
         )
+
+    def test_bm25_fragmentation_tracks_appends_and_compacts(
+        self, spark, docs, tmp_path
+    ):
+        """The fourth leg's maintenance story: appends shrink the
+        postings' mean file size (the fsck fragmentation row), the
+        compactor restores the few-files term-range layout, and the probe
+        is bit-identical across build -> appends -> compact."""
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.relevance import (
+            append_to_bm25_index,
+            bm25_index_topk,
+            build_bm25_index,
+            compact_bm25_index,
+        )
+
+        idx = str(tmp_path / "bm25")
+        build_bm25_index(docs.where(F.col("doc_id") % 4 == 0), idx)
+        before = index_report(spark, idx)
+        assert before["kind"] == "bm25" and before["healthy"]
+        for k in (1, 2, 3):
+            append_to_bm25_index(
+                docs.where(F.col("doc_id") % 4 == k), idx
+            )
+        frag_report = index_report(spark, idx)
+        frag = frag_report["components"]["postings"]
+        assert frag["files"] > before["components"]["postings"]["files"]
+        assert (
+            frag["mean_file_bytes"]
+            < before["components"]["postings"]["mean_file_bytes"]
+        )
+        terms = ["data", "model", "the"]
+        want = sorted(
+            map(tuple, bm25_index_topk(spark, idx, terms, k=None).collect())
+        )
+        assert want
+        stats = compact_bm25_index(spark, idx, target_file_size="64MB")
+        n_b, n_a = stats["posting_files"]
+        assert n_b == frag["files"] and n_a < n_b
+        after = index_report(spark, idx, scan=True)
+        assert after["healthy"], after["issues"]
+        assert after["generation"] == frag_report["generation"]
+        assert (
+            after["components"]["postings"]["mean_file_bytes"]
+            > frag["mean_file_bytes"]
+        )
+        got = sorted(
+            map(tuple, bm25_index_topk(spark, idx, terms, k=None).collect())
+        )
+        assert got == want  # bit-identical probe across the compaction
+        # below the fragmentation criterion: nothing rewritten
+        again = compact_bm25_index(spark, idx, target_file_size="64MB")
+        assert again["posting_files"] == (n_a, n_a)
 
     def test_ivfpq_scan_flags_replay_duplicates(self, spark, emb, tmp_path):
         from sat_bucket_spark.maintenance import index_report
