@@ -274,6 +274,58 @@ def _write_canary_median(spark, out_dir: str) -> float:
     )
 
 
+# --- small-files write canary (VERDICT r12 task #2) --------------------------
+# The bulk write canary above streams ~200 MB into 8 files — blind to
+# FILE-COUNT-bound storage pressure, which is what the bucket family
+# actually pays: bucket_write/merge/stream_ingest commit ~648 hive
+# directories of small files each (one FileOutputCommitter rename + dir
+# create per partition). The r12 verdict reproduced a 1.7-1.9x
+# bucket-family drift across two independent full runs on bit-identical
+# code with BOTH established canaries benign — exactly this blind spot.
+# This third frozen workload writes 648 partition directories x 1 small
+# (~25 KB) file from 8 tasks (the same repartition(8, col) +
+# partitionBy shape as write_bucket), so metadata/rename-storm pressure
+# is detectable in-run: a wild bucket key with benign CPU and bulk-write
+# factors but an elevated SMALLFILES factor is a storage-metadata-stall
+# discard, receipted same-session. Same comparability contract as the
+# others: do not change the workload or reps without re-pinning.
+SMALLFILES_CANARY_REPS = 3
+# Pinned 2026-08-16 (r13 session): median of 5 warm reps on this host —
+# see BASELINE.md "Bench notes" for the reps and load reading.
+SMALLFILES_CANARY_REF_SEC = 1.65
+
+
+def _smallfiles_canary_sec(spark, out_dir: str) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 648_000, 1, 8)
+        .select(
+            (F.col("id") % 648).alias("p"),
+            "id",
+            F.md5(F.col("id").cast("string")).alias("a"),
+        )
+        .repartition(8, "p")
+        .write.mode("overwrite")
+        .partitionBy("p")
+        .parquet(os.path.join(out_dir, "canary_smallfiles"))
+    )
+    return time.perf_counter() - t0
+
+
+def _smallfiles_canary_median(spark, out_dir: str) -> float:
+    import statistics
+
+    return round(
+        statistics.median(
+            _smallfiles_canary_sec(spark, out_dir)
+            for _ in range(SMALLFILES_CANARY_REPS)
+        ),
+        3,
+    )
+
+
 def _release_state(spark) -> None:
     """Benchmark hygiene: measure every query from a clean executor state.
 
@@ -315,6 +367,7 @@ def main() -> None:
     _atexit.register(_shutil.rmtree, canary_dir, ignore_errors=True)
     canary_pre = _canary_median(spark, canary_dir)
     write_pre = _write_canary_median(spark, canary_dir)
+    smallfiles_pre = _smallfiles_canary_median(spark, canary_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -1130,9 +1183,11 @@ def main() -> None:
 
     canary_post = _canary_median(spark, canary_dir)
     write_post = _write_canary_median(spark, canary_dir)
+    smallfiles_post = _smallfiles_canary_median(spark, canary_dir)
     _shutil.rmtree(canary_dir, ignore_errors=True)
     canary_med = round((canary_pre + canary_post) / 2, 3)
     write_med = round((write_pre + write_post) / 2, 3)
+    smallfiles_med = round((smallfiles_pre + smallfiles_post) / 2, 3)
     canary = {
         "pre_sec": canary_pre,
         "post_sec": canary_post,
@@ -1151,6 +1206,18 @@ def main() -> None:
         "write_factor": (
             round(write_med / WRITE_CANARY_REF_SEC, 3)
             if WRITE_CANARY_REF_SEC
+            else None
+        ),
+        # file-count-bound storage reading (r13): the bucket family's
+        # ~648-dir commits pay metadata/rename costs the bulk write canary
+        # can't see — a wild bucket key with benign host/write factors but
+        # an elevated smallfiles_factor is a metadata-stall discard
+        "smallfiles_pre_sec": smallfiles_pre,
+        "smallfiles_post_sec": smallfiles_post,
+        "smallfiles_ref_sec": SMALLFILES_CANARY_REF_SEC,
+        "smallfiles_factor": (
+            round(smallfiles_med / SMALLFILES_CANARY_REF_SEC, 3)
+            if SMALLFILES_CANARY_REF_SEC
             else None
         ),
     }

@@ -72,7 +72,9 @@ def load_bench(path: str) -> dict:
                 for k, v in re.findall(r'"([a-z0-9_]+)"\s*:\s*([0-9.]+)', body)
                 if k not in ("sf", "pre_sec", "post_sec", "ref_sec", "host_factor",
                              "value", "n", "rc", "cpus", "write_pre_sec",
-                             "write_post_sec", "write_ref_sec", "write_factor")
+                             "write_post_sec", "write_ref_sec", "write_factor",
+                             "smallfiles_pre_sec", "smallfiles_post_sec",
+                             "smallfiles_ref_sec", "smallfiles_factor")
             }
         hf = None
         hm = re.search(r'"host_factor"\s*:\s*([0-9.]+)', body)

@@ -35,13 +35,17 @@ class TestTailReconstruction:
             '{"pre_sec": 2.0, "post_sec": 2.1, "ref_sec": 2.36, '
             '"host_factor": 0.87, "write_pre_sec": 1.4, '
             '"write_post_sec": 1.6, "write_ref_sec": 1.5, '
-            '"write_factor": 1.0}}'
+            '"write_factor": 1.0, "smallfiles_pre_sec": 1.7, '
+            '"smallfiles_post_sec": 1.8, "smallfiles_ref_sec": 1.65, '
+            '"smallfiles_factor": 1.06}}'
         )
         p = tmp_path / "wrapped.json"
         p.write_text(json.dumps({"tail": tail}))
         side = bench_compare.load_bench(str(p))
         assert side["queries"].get("bucket_write") == 2.5
-        assert not any(k.startswith("write_") for k in side["queries"])
+        assert not any(
+            k.startswith(("write_", "smallfiles_")) for k in side["queries"]
+        )
         assert side["host_factor"] == 0.87
         assert side["truncated"]
 
