@@ -304,7 +304,11 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
         kind = "ivfpq"
     elif "bands" in subdirs and "shingles" in subdirs:
         kind = "minhash"
-    elif "postings" in subdirs:
+    elif "postings" in subdirs or any(s.startswith("gen.v") for s in subdirs):
+        # gen.v* alone is compact_bm25_index's documented crash window
+        # (postings/ deleted, postings.compact not yet renamed): still a
+        # BM25 index — report the missing component and the recovery,
+        # don't fail kind detection on exactly the debris fsck exists for
         kind = "bm25"
     elif "bitmap" in subdirs or any(s.startswith("bitmap.v") for s in subdirs):
         kind = "bloom"
@@ -342,7 +346,13 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
                 (v[0] for v in per.values()), default=0
             )
         if comp["files"] == 0:
-            issues.append(f"{name}: no parquet files")
+            hint = (
+                " (if a sibling .compact dir exists, a compaction crashed "
+                "mid-swap — rename it into place)"
+                if name == "postings"
+                else ""
+            )
+            issues.append(f"{name}: no parquet files{hint}")
         else:
             # the fragmentation row for unpartitioned legs (BM25 postings,
             # MinHash shingles): appends shrink this toward zero until the
@@ -449,8 +459,11 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
         if kind == "bloom" and params is not None:
             try:
                 bound = int(params["n_bits"]) // 64
-                rows = report["components"]["bitmap"].get("rows", 0)
-                if rows > bound:
+                # rows=None means the count read failed (already an issue
+                # line) — distinguish unknown from 0 so the bound check is
+                # never vacuously green on a damaged bitmap
+                rows = report["components"]["bitmap"].get("rows")
+                if rows is not None and rows > bound:
                     issues.append(
                         f"bitmap rows {rows} exceed the n_bits/64 bound "
                         f"{bound}"

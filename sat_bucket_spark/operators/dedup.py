@@ -1361,10 +1361,16 @@ def compact_minhash_index(
 
 def _fs_parquet_stats(spark, path: str) -> tuple[int, int]:
     """(file count, total bytes) of the parquet data files directly under
-    ``path`` — Hadoop FS metadata only, no data pages read."""
+    ``path`` — Hadoop FS metadata only, no data pages read. A missing
+    directory reads as ``(0, 0)``: callers treat that as "no files"
+    (compactors no-op below min_files; ``index_report`` turns it into a
+    no-parquet-files issue instead of a raw FileNotFoundException — the
+    fsck must DESCRIBE crash debris, not crash on it)."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0, 0
     n = total = 0
     for st in fs.listStatus(p):
         name = st.getPath().getName()

@@ -578,15 +578,20 @@ def bm25_index_topk(
     (the decontamination posture); an integer k returns the top-k by
     (score desc, doc_id asc) — a deterministic total order.
 
-    The per-term IDF constant is attached by a chained
-    ``when(term == ...)`` expression up to ``idf_join_threshold`` query
-    terms — zero extra plan nodes for the point-lookup regime this probe
-    exists for — and by a broadcast ``(term, idf)`` frame join above it:
-    the chained expression's PLAN size is linear in term count, the same
-    expression-growth class as the measured giant-In planning trap
-    (SCALE.md), while the join's plan is O(1) in term count. Both routes
-    produce bit-identical scores (pinned by a cross-threshold equality
-    test); the ``In(term)`` pushdown filter is unchanged by the routing.
+    Term-count routing: up to ``idf_join_threshold`` query terms (the
+    point-lookup regime this probe exists for) the plan carries per-term
+    LITERALS — the pushed ``In(term)`` filter plus a chained
+    ``when(term == ...)`` IDF expression — because literal pushdown is
+    what makes a handful-of-terms probe skip row groups. ABOVE the
+    threshold the plan carries NO per-term literals anywhere: the df
+    lookup, the posting filter, and the IDF attachment all ride one
+    broadcast ``(term, idf)`` frame inner join (the join IS the filter),
+    so plan size is O(1) in term count. That deliberately gives up
+    parquet pushdown in the large regime — a 10k-term probe touches
+    most row groups anyway, while 10k In-literals are the
+    planning-cost trap this engine has measured three times (SCALE.md).
+    Both routes produce bit-identical scores (pinned by a
+    cross-threshold equality test + literal-free plan assertion).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -595,10 +600,14 @@ def bm25_index_topk(
     n_docs = int(stats["n_docs"])
     n_dl = int(stats["n_dl"])
     avgdl = float(stats["total_dl"]) / n_dl if n_dl else 1.0
-    dfreq = {
-        r["term"]: int(r["df"])
-        for r in terms.where(F.col("term").isin(qterms)).collect()
-    }
+    if len(qterms) <= idf_join_threshold:
+        term_rows = terms.where(F.col("term").isin(qterms)).collect()
+    else:
+        qdf = spark.createDataFrame(
+            [(t,) for t in qterms], schema="term string"
+        )
+        term_rows = terms.join(F.broadcast(qdf), "term").collect()
+    dfreq = {r["term"]: int(r["df"]) for r in term_rows}
     if max_df is not None:
         qterms = [t for t in qterms if dfreq.get(t, 0) <= max_df]
         if not qterms:
@@ -610,8 +619,8 @@ def bm25_index_topk(
         )
         for term in qterms
     }
-    matched = postings.where(F.col("term").isin(qterms))
     if len(qterms) <= idf_join_threshold:
+        matched = postings.where(F.col("term").isin(qterms))
         idf_expr = None
         for term in qterms:
             idf = idf_by_term[term]
@@ -626,7 +635,9 @@ def bm25_index_topk(
             [(t, idf_by_term[t]) for t in qterms],
             schema="term string, __idf double",
         )
-        matched = matched.join(F.broadcast(idf_df), "term")
+        # the inner join IS the term filter: no In literal, no isin —
+        # zero per-term plan nodes in the large regime
+        matched = postings.join(F.broadcast(idf_df), "term")
     denom = F.col("tf") + F.lit(k1) * (
         F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
     )

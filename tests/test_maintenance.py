@@ -210,6 +210,52 @@ class TestIndexReport:
         # appends retire the old generation, so a clean append stays healthy
         assert r2["healthy"], r2["issues"]
 
+    def test_bm25_compact_crash_window_reports_not_crashes(
+        self, spark, docs, tmp_path
+    ):
+        """compact_bm25_index's documented crash window (postings/
+        deleted, postings.compact not yet renamed) must fsck as an
+        unhealthy report carrying the rename recovery hint — not a
+        ValueError from kind detection or a raw FileNotFoundException."""
+        import os
+
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.relevance import build_bm25_index
+
+        idx = str(tmp_path / "bm25_crash")
+        build_bm25_index(docs, idx)
+        os.rename(
+            os.path.join(idx, "postings"),
+            os.path.join(idx, "postings.compact"),
+        )
+        r = index_report(spark, idx, scan=True)
+        assert r["kind"] == "bm25" and not r["healthy"]
+        assert any(
+            "postings: no parquet files" in i and ".compact" in i
+            for i in r["issues"]
+        )
+
+    def test_bm25_uncommitted_build_reports_not_crashes(
+        self, spark, docs, tmp_path
+    ):
+        """A build/append that crashed before its stats commit leaves
+        only an uncommitted generation (current resolves to gen 0, whose
+        dirs do not exist) — the report must degrade to issues for the
+        missing terms/stats components, never raise on listStatus."""
+        import os
+
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.relevance import build_bm25_index
+
+        idx = str(tmp_path / "bm25_uncommitted")
+        build_bm25_index(docs, idx)
+        os.remove(os.path.join(idx, "gen.v1", "stats", "_SUCCESS"))
+        r = index_report(spark, idx, scan=True)
+        assert r["kind"] == "bm25" and not r["healthy"]
+        assert r["generation"] == 0 and r["stale_generations"]
+        assert any("terms: no parquet files" in i for i in r["issues"])
+        assert any("stats: no parquet files" in i for i in r["issues"])
+
     def test_bloom_stale_generation_flagged(self, spark, docs, tmp_path):
         """Distorted-index row for the Bloom leg (r13 fsck gate): a
         bitmap generation that never committed (crash debris) must turn

@@ -268,6 +268,11 @@ class TestBm25Index:
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert plan.count("WHEN") < 10, "IDF still a chained when()"
+        # NO per-term literals anywhere in the large regime: the broadcast
+        # join is the filter, so neither the padded terms nor an In(term)
+        # pushdown may appear in the plan
+        assert "zzqx" not in plan, "query-term literals leaked into the plan"
+        assert "In(term" not in plan and " IN (" not in plan
         via_expr = bm25_index_topk(
             spark, idx, terms, k=None, idf_join_threshold=1000
         )

@@ -20,10 +20,18 @@ runner = __file__.replace("bucket_ab.py", "bucket_ab_runner.py")
 results = {a: [], b: []}
 for i in range(pairs):
     for repo in (a, b):
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, runner, repo, sf_dir],
-            capture_output=True, text=True, check=True,
-        ).stdout.strip().splitlines()[-1]
+            capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            # preserve the receipt: the measurements already taken and the
+            # failing side's actual error, not a bare CalledProcessError
+            print(f"pair {i} {repo} FAILED (rc={proc.returncode}); "
+                  f"completed so far: {json.dumps(results)}", flush=True)
+            sys.stderr.write(proc.stderr[-4000:])
+            sys.exit(1)
+        out = proc.stdout.strip().splitlines()[-1]
         rec = json.loads(out)
         results[repo].append(rec)
         print(f"pair {i} {repo}: {rec}", flush=True)

@@ -34,7 +34,6 @@ from sat_bucket_spark import (  # noqa: E402
 )
 from sat_bucket_spark.streaming.ingest import stream_write_bucket  # noqa: E402
 
-sys.path.insert(0, repo)  # entry module lives at repo root
 import importlib  # noqa: E402
 
 entry_mod = importlib.import_module("__spark_entry__")
