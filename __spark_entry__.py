@@ -2247,6 +2247,43 @@ def q_pagerank(spark, sf_dir):
     return pr.select("node", F.round("rank", 9).alias("pr")).orderBy("node")
 
 
+def _pagerank_update_new_edges(spark, sf_dir):
+    """q_pagerank_update's nightly batch: a sparse deterministic slice of
+    orders wired into 13 previously-unseen bucket nodes (800..812), so
+    the refresh exercises both re-ranking and new-node seeding."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.where(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.col("o_orderkey") % 813).cast("long").alias("dst"),
+    )
+
+
+def q_pagerank_update(spark, sf_dir):
+    """Warm-start PageRank refresh (graph.py:update_pagerank) — the
+    incremental-maintenance leg of the rank family: standing ranks are
+    last night's 6-round pagerank over the old graph; the refresh runs 4
+    rounds over old ∪ batch seeded from the standing map (unseen nodes
+    at the MEAN standing rank, one decimal-exact renormalization). The
+    oracle unrolls the identical 6 standing rounds, replays the exact
+    seed arithmetic (same float-op order), and unrolls the 4 warm
+    rounds. driver_threshold=0 on BOTH stages so the distributed warm
+    path — the seed join, the mass/count fold, the round loop — is what
+    gets hash-verified. Undirected fixture: no dangling branch, same
+    9-decimal rounding contract as q_pagerank."""
+    from sat_bucket_spark.operators.graph import pagerank, update_pagerank
+
+    old = _pagerank_fixture_edges(spark, sf_dir)
+    full = old.unionByName(_pagerank_update_new_edges(spark, sf_dir))
+    standing = pagerank(
+        old, damping=0.85, iterations=6, directed=False, driver_threshold=0,
+    )
+    pr = update_pagerank(
+        standing, full,
+        damping=0.85, iterations=4, directed=False, driver_threshold=0,
+    )
+    return pr.select("node", F.round("rank", 9).alias("pr")).orderBy("node")
+
+
 def q_host_rank(spark, sf_dir):
     """Crawl host-authority: deterministic link lists -> host_link_edges
     -> DIRECTED PageRank (exercises the dangling-mass path: hosts h40-h49
@@ -4122,6 +4159,113 @@ r{i} AS MATERIALIZED (
 _ORACLES["pagerank"] = _pagerank_sql()
 
 
+def _pagerank_update_sql(
+    damping: float = 0.85, standing_rounds: int = 6, warm_rounds: int = 4
+) -> str:
+    """Oracle mirror of q_pagerank_update: unroll the standing rounds on
+    the OLD graph, replay the warm seed EXACTLY — known nodes from the
+    standing map, unseen nodes at the mean standing rank (m/k), one
+    renormalization by total = m + (n-k)*(m/k), the same float-op order
+    as the Spark/driver routes and the same decimal-exact mass — then
+    unroll the warm rounds on the FULL graph. Undirected both stages, so
+    the dangling term is exactly 0 on both sides."""
+    d = repr(damping)
+    parts = [
+        """eo0 AS (
+  SELECT CAST(o_custkey AS BIGINT) AS s,
+         CAST(o_orderkey % 800 AS BIGINT) AS t
+  FROM orders
+),
+en0 AS (
+  SELECT CAST(o_custkey AS BIGINT) AS s,
+         CAST(o_orderkey % 813 AS BIGINT) AS t
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+eo AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT s AS u, t AS v FROM eo0 UNION ALL SELECT t AS u, s AS v FROM eo0
+  ) WHERE u <> v
+),
+nodes_o AS MATERIALIZED (SELECT DISTINCT u AS node FROM eo),
+nno AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes_o),
+deg_o AS MATERIALIZED (
+  SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS deg FROM eo GROUP BY u
+),
+s0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT n FROM nno) AS pr FROM nodes_o
+)"""
+    ]
+    for i in range(1, standing_rounds + 1):
+        parts.append(
+            f""",
+s{i} AS MATERIALIZED (
+  SELECT nodes_o.node,
+         (1 - {d}) / (SELECT n FROM nno) + {d} * COALESCE(c.contrib, 0) AS pr
+  FROM nodes_o LEFT JOIN (
+    SELECT eo.v AS node, SUM(s{i - 1}.pr / deg_o.deg) AS contrib
+    FROM eo
+    JOIN s{i - 1} ON eo.u = s{i - 1}.node
+    JOIN deg_o ON eo.u = deg_o.node
+    GROUP BY eo.v
+  ) c ON nodes_o.node = c.node
+)"""
+        )
+    s_last = f"s{standing_rounds}"
+    parts.append(
+        f""",
+e AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT s AS u, t AS v FROM eo0 UNION ALL SELECT t AS u, s AS v FROM eo0
+    UNION ALL
+    SELECT s AS u, t AS v FROM en0 UNION ALL SELECT t AS u, s AS v FROM en0
+  ) WHERE u <> v
+),
+nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS MATERIALIZED (
+  SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY u
+),
+st AS (
+  SELECT CAST(SUM(CAST(s.pr AS DECIMAL(38, 18))) AS DOUBLE) AS m,
+         CAST(COUNT(s.pr) AS DOUBLE) AS k
+  FROM nodes LEFT JOIN {s_last} s ON nodes.node = s.node
+),
+cst AS (
+  SELECT m / k AS mean,
+         m + ((SELECT n FROM nn) - k) * (m / k) AS total
+  FROM st
+),
+r0 AS MATERIALIZED (
+  SELECT nodes.node,
+         COALESCE(s.pr, (SELECT mean FROM cst)) / (SELECT total FROM cst) AS pr
+  FROM nodes LEFT JOIN {s_last} s ON nodes.node = s.node
+)"""
+    )
+    for i in range(1, warm_rounds + 1):
+        parts.append(
+            f""",
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         (1 - {d}) / (SELECT n FROM nn) + {d} * COALESCE(c.contrib, 0) AS pr
+  FROM nodes LEFT JOIN (
+    SELECT e.v AS node, SUM(r{i - 1}.pr / deg.deg) AS contrib
+    FROM e
+    JOIN r{i - 1} ON e.u = r{i - 1}.node
+    JOIN deg ON e.u = deg.node
+    GROUP BY e.v
+  ) c ON nodes.node = c.node
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT node, ROUND(pr, 9) AS pr FROM r{warm_rounds} ORDER BY node"
+    )
+
+
+_ORACLES["pagerank_update"] = _pagerank_update_sql()
+
+
 def _host_rank_sql(damping: float = 0.85, iterations: int = 8) -> str:
     """Oracle mirror of q_host_rank: same host derivation, same DIRECTED
     unrolled rounds WITH the dangling-mass term (hosts with no out-edges
@@ -5846,6 +5990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exercises the same persisted-index build/search path in-window
         "ivfpq_topk": q_ivfpq_topk,
         "cc_update": q_cc_update,
+        "pagerank_update": q_pagerank_update,
         "dup_spans": q_dup_spans,
         "mad_outliers": q_mad_outliers,
         "exif_meta": q_exif_meta,

@@ -104,6 +104,7 @@ HEADLINE = [
     "html_extract",        # real HTML parse + boilerplate heuristic, map-only (added r7)
     "url_normalize",       # canonical-URL dedup: map-only normalize + one window (added r9)
     "cc_update",           # incremental cluster-map maintenance: contracted solve + one broadcast pass (added r12)
+    "pagerank_update",     # warm-start rank refresh: seeded distributed rounds, mean-seeded new nodes (added r13)
     "host_rank",           # crawl host authority: link derivation + routed PageRank (added r9)
     "pagerank",            # order-graph PageRank: 298k edges -> distributed rounds (added r9)
     "image_profile",       # fused decode: features + perceptual hash in ONE pass (added r9)

@@ -22,6 +22,7 @@ from sat_bucket_spark.operators.graph import (
     connected_components,
     near_duplicate_clusters,
     update_connected_components,
+    update_pagerank,
 )
 from sat_bucket_spark.operators.packing import pack_sequences
 from sat_bucket_spark.operators.relevance import bm25_scores, inverted_index, tf_idf_scores
@@ -94,5 +95,6 @@ __all__ = [
     "stratified_hash_sample",
     "tf_idf_scores",
     "update_connected_components",
+    "update_pagerank",
     "vocabulary",
 ]

@@ -130,6 +130,7 @@ __all__ = [
     "near_duplicate_clusters",
     "pagerank",
     "update_connected_components",
+    "update_pagerank",
 ]
 
 
@@ -476,12 +477,17 @@ def near_duplicate_clusters(
     )
 
 
-def _pagerank_local(pairs, damping: float, iterations: int):
+def _pagerank_local(pairs, damping: float, iterations: int, init=None):
     """Driver-side power iteration — the identical per-round formula as
     the distributed loop (teleport + damped contributions + uniform
     dangling redistribution), on a numpy index-mapped edge list. Pairs
     are lexsorted first so the float accumulation order is deterministic
-    run to run."""
+    run to run. ``init`` (node -> rank dict) replays the warm-start
+    seeding: unknown nodes take 1/N, then one exact-sum renormalization
+    (math.fsum — the driver-route mirror of the distributed route's
+    decimal-exact mass aggregate)."""
+    import math as _math
+
     import numpy as np
 
     if not pairs:
@@ -496,7 +502,23 @@ def _pagerank_local(pairs, damping: float, iterations: int):
     deg = np.bincount(u, minlength=n).astype(np.float64)
     dangling = deg == 0.0
     safe_deg = np.where(dangling, 1.0, deg)
-    ranks = np.full(n, 1.0 / n)
+    if init is None:
+        ranks = np.full(n, 1.0 / n)
+    else:
+        known = [init[node] for node in nodes if node in init]
+        m = _math.fsum(known)
+        if known and m > 0.0:
+            # unknown nodes seed at the MEAN standing rank, so the seed
+            # is purely directional: scaling the whole standing map
+            # cannot change the start vector (pinned by test). Exact sum
+            # (fsum) mirrors the distributed route's decimal aggregate.
+            mean = m / len(known)
+            total = m + (n - len(known)) * mean
+            ranks = np.array([init.get(node, mean) for node in nodes]) / total
+        else:
+            # degenerate empty/zero seed: uniform fallback, mirroring the
+            # distributed route's guard
+            ranks = np.full(n, 1.0 / n)
     teleport = 1.0 - damping
     for _ in range(iterations):
         shares = ranks / safe_deg
@@ -516,10 +538,26 @@ def pagerank(
     directed: bool = False,
     driver_threshold: int = 200_000,
     invariant_cache: str = "round",
+    init_ranks: DataFrame | None = None,
+    init_node_col: str = "node",
+    init_rank_col: str = "rank",
 ) -> DataFrame:
     """PageRank over an edge list (reference has no graph analytics; this
     extends the dedup-graph toolkit: rank duplicate-cluster members, score
     crawl-link authority for quality weighting).
+
+    ``init_ranks`` is the WARM-START hook (see :func:`update_pagerank`
+    for the standing-state framing): a ``(node, rank)`` frame seeding
+    round 0 instead of the uniform 1/N vector. Nodes absent from the
+    seed take the MEAN seed rank; seed rows for nodes not in the graph
+    drop; the seeded vector is renormalized ONCE to unit mass
+    (decimal-exact sum on the distributed route, math.fsum on the driver
+    route — pinned equal to 1e-12). Mean-seeding makes the start vector
+    purely DIRECTIONAL: an unnormalized or stale-total standing map
+    yields the identical refresh (scale invariance pinned by test), and
+    the unit-mass invariant can never be corrupted by the caller. The
+    damped chain's fixpoint is init-independent; seeding changes how
+    FAST the fixed rounds get there, never where they converge.
 
     Fixed ``iterations`` power-iteration rounds — deterministic output, no
     convergence race, and an exactly-mirrorable oracle (the driver's DuckDB
@@ -613,10 +651,32 @@ def pagerank(
     else:
         e, (n_edges, _) = _cached_with_fingerprint(e)
 
+    init = None
+    if init_ranks is not None:
+        init = init_ranks.select(
+            F.col(init_node_col).alias("node"),
+            F.col(init_rank_col).cast("double").alias("__r0"),
+        )
+
     if driver_threshold and n_edges <= driver_threshold:
         from pyspark.sql.types import DoubleType, StructField, StructType
 
         pairs = [(r["u"], r["v"]) for r in e.collect()]
+        init_map = None
+        if init is not None:
+            # collect only the seed rows this graph can use: semi-join on
+            # the graph's node set (one job) — never the full standing map,
+            # whose size is not bounded by the threshold that chose this
+            # route
+            nodes_df = (
+                e.select(F.col("u").alias("node"))
+                .unionByName(e.select(F.col("v").alias("node")))
+                .distinct()
+            )
+            init_map = {
+                r["node"]: r["__r0"]
+                for r in init.join(nodes_df, "node", "left_semi").collect()
+            }
         node_type = e.schema["u"].dataType
         # the eager-cached edge frame is not an input of the returned
         # local result — free its blocks now instead of waiting on GC
@@ -635,7 +695,8 @@ def pagerank(
         # route.
         return F.broadcast(
             edges.sparkSession.createDataFrame(
-                _pagerank_local(pairs, damping, iterations), schema=schema
+                _pagerank_local(pairs, damping, iterations, init=init_map),
+                schema=schema,
             )
         )
 
@@ -703,6 +764,41 @@ def pagerank(
     has_dangling = directed
 
     ranks = None  # round frame (node, deg, rank); round 0 folds 1/N
+    if init is not None:
+        # Warm-start round 0: one node-keyed join seeds known nodes from
+        # the standing map; previously-unseen nodes take the MEAN
+        # standing rank, so the seed is purely DIRECTIONAL — scaling the
+        # whole map (a stale total) cannot change the start vector — and
+        # the renormalization to unit mass is exact. The mass aggregate
+        # is decimal-exact (house determinism rule for float sums:
+        # partition order cannot move it), collected once and folded as
+        # literals — the only extra cost of warm starting, paid once,
+        # not per round. The standing map shuffles AT MOST once here
+        # (node-keyed join against base); at scale that single exchange
+        # buys the removal of entire corpus-wide rounds (see
+        # update_pagerank's receipt).
+        seeded = _eager_cache(base.join(init, "node", "left"))
+        srow = seeded.agg(
+            F.sum(F.col("__r0").cast("decimal(38,18)")).alias("m"),
+            F.count("__r0").alias("k"),
+        ).collect()[0]
+        k_known = int(srow["k"])
+        m_known = float(srow["m"]) if srow["m"] is not None else 0.0
+        if k_known > 0 and m_known > 0.0:
+            mean = m_known / k_known
+            total = m_known + (n_nodes - k_known) * mean
+            ranks = _eager_cache(
+                seeded.select(
+                    "node",
+                    "deg",
+                    (
+                        F.coalesce(F.col("__r0"), F.lit(mean)) / F.lit(total)
+                    ).alias("rank"),
+                )
+            )
+        # a degenerate empty/zero seed falls back to the uniform start
+        # (ranks stays None) rather than dividing by zero mass
+        release_stage_cache(seeded, destructive=True)
     for _ in range(iterations):
         cur = (
             base.select("node", "deg", F.lit(1.0 / n_nodes).alias("rank"))
@@ -743,3 +839,63 @@ def pagerank(
     release_stage_cache(e, destructive=True)
     release_stage_cache(base, destructive=True)
     return ranks.select("node", "rank")
+
+
+def update_pagerank(
+    standing_ranks: DataFrame,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    rank_col: str = "rank",
+    damping: float = 0.85,
+    iterations: int = 4,
+    directed: bool = False,
+    driver_threshold: int = 200_000,
+    invariant_cache: str = "round",
+) -> DataFrame:
+    """Refresh a STANDING rank map after the graph changed — the
+    PageRank leg of the incremental-maintenance family
+    (:func:`update_connected_components` for cluster maps, the four
+    persisted index legs for dedup state; reference analogue:
+    incremental update against standing state,
+    /root/reference/satbucket/routines.py:580-587).
+
+    Honesty note on what "incremental" can mean here: rank mass flows
+    GLOBALLY — one new edge perturbs every rank — so unlike the CC
+    contraction there is no corpus-free shortcut; every round still
+    touches the full updated edge set. What standing state buys is
+    ROUNDS: power iteration's error contracts from wherever it starts,
+    and last night's converged ranks are a far better start than the
+    uniform vector, so a nightly refresh needs a small fixed number of
+    rounds instead of a cold run's ten-plus. At 100 TB each round is a
+    corpus-sized shuffle — rounds ARE the cost, and the warm start's
+    one-time seed join (the standing map's single exchange) replaces
+    several of them. Receipt pinned by test and the sf1 probe: at equal
+    round budgets the warm refresh lands decisively closer to the
+    converged fixpoint than a cold run; the fixpoint itself is
+    init-independent, so warm results never drift from what a full
+    recompute converges to.
+
+    ``edges`` is the FULL updated edge list (standing ∪ new — callers
+    union); ``standing_ranks`` is a prior :func:`pagerank` output over
+    any earlier version of the graph. Previously-unseen nodes seed at
+    1/N; nodes that left the graph drop; the seed renormalizes to unit
+    mass exactly (decimal-exact / fsum, route-pinned), so stale totals
+    cannot corrupt the mass invariant. Same routing, caching, and
+    determinism contracts as :func:`pagerank` — this is a thin naming of
+    its ``init_ranks`` hook with the standing-state framing.
+    """
+    return pagerank(
+        edges,
+        src=src,
+        dst=dst,
+        damping=damping,
+        iterations=iterations,
+        directed=directed,
+        driver_threshold=driver_threshold,
+        invariant_cache=invariant_cache,
+        init_ranks=standing_ranks,
+        init_node_col=node_col,
+        init_rank_col=rank_col,
+    )

@@ -648,3 +648,136 @@ class TestUpdateConnectedComponents:
         assert chains, "standing-map scan not found in plan:\n" + plan[:2000]
         for anc in chains:
             assert "Exchange" not in anc, (anc, plan[:3000])
+
+
+class TestUpdatePagerank:
+    """update_pagerank: warm-start refresh of a standing rank map. The
+    fixpoint is init-independent; warm starting buys ROUNDS, and the
+    seeding itself must be exact (renormalized, route-identical)."""
+
+    @staticmethod
+    def _edges(spark, pairs):
+        return spark.createDataFrame(pairs, ["src", "dst"])
+
+    @staticmethod
+    def _ranks(df):
+        return {r["node"]: r["rank"] for r in df.collect()}
+
+    @staticmethod
+    def _graph(seed=7, n=400, m=1200, extra=0):
+        """A standing graph plus an optionally-appended NIGHTLY batch —
+        small relative to the graph (the refresh posture; a batch that
+        rewrites a third of the graph is a rebuild, not a refresh)."""
+        rng = np.random.default_rng(seed)
+        pairs = [
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+            if a != b
+        ]
+        if extra:
+            more = np.random.default_rng(seed + 1)
+            pairs += [
+                (int(a), int(b))
+                for a, b in zip(
+                    more.integers(0, n + 10, extra),
+                    more.integers(0, n + 10, extra),
+                )
+                if a != b
+            ]
+        return pairs
+
+    def test_routes_equal_with_warm_seed(self, spark):
+        from sat_bucket_spark.operators.graph import pagerank, update_pagerank
+
+        old = self._graph()
+        full = self._graph(extra=40)
+        standing = pagerank(self._edges(spark, old), iterations=6)
+        via_driver = self._ranks(
+            update_pagerank(standing, self._edges(spark, full), iterations=4)
+        )
+        via_dist = self._ranks(
+            update_pagerank(
+                standing, self._edges(spark, full), iterations=4,
+                driver_threshold=0,
+            )
+        )
+        assert via_driver.keys() == via_dist.keys()
+        for k in via_driver:
+            assert abs(via_driver[k] - via_dist[k]) < 1e-12, k
+
+    def test_warm_start_beats_cold_at_equal_rounds(self, spark):
+        """The receipt: at the same round budget, warm refresh lands
+        closer to the converged fixpoint than a cold run — in L1, and
+        not marginally."""
+        from sat_bucket_spark.operators.graph import pagerank, update_pagerank
+
+        old = self._graph()
+        full = self._graph(extra=40)
+        ef = self._edges(spark, full)
+        standing = pagerank(self._edges(spark, old), iterations=30)
+        truth = self._ranks(pagerank(ef, iterations=80))
+        warm = self._ranks(update_pagerank(standing, ef, iterations=3))
+        cold = self._ranks(pagerank(ef, iterations=3))
+        l1_warm = sum(abs(warm[k] - truth[k]) for k in truth)
+        l1_cold = sum(abs(cold[k] - truth[k]) for k in truth)
+        assert l1_warm < 0.5 * l1_cold, (l1_warm, l1_cold)
+        # and the warm result's mass invariant holds
+        assert abs(sum(warm.values()) - 1.0) < 1e-9
+
+    def test_membership_and_new_nodes(self, spark):
+        """Output covers exactly the updated graph's nodes: standing-only
+        nodes drop, previously-unseen nodes appear (seeded at 1/N)."""
+        from sat_bucket_spark.operators.graph import pagerank, update_pagerank
+
+        standing = pagerank(self._edges(spark, [(1, 2), (2, 3)]), iterations=5)
+        out = self._ranks(
+            update_pagerank(
+                standing, self._edges(spark, [(1, 2), (4, 5)]), iterations=2
+            )
+        )
+        assert set(out) == {1, 2, 4, 5}  # 3 dropped, 4/5 new
+        assert abs(sum(out.values()) - 1.0) < 1e-9
+
+    def test_seed_scale_invariance(self, spark):
+        """An unnormalized seed (stale total mass) is renormalized: a 2x
+        scaled standing map yields the identical refresh."""
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.operators.graph import pagerank, update_pagerank
+
+        old = self._graph()
+        full = self._graph(extra=40)
+        ef = self._edges(spark, full)
+        standing = pagerank(self._edges(spark, old), iterations=6)
+        doubled = standing.select(
+            "node", (F.col("rank") * 2.0).alias("rank")
+        )
+        a = self._ranks(update_pagerank(standing, ef, iterations=3))
+        b = self._ranks(update_pagerank(doubled, ef, iterations=3))
+        assert a.keys() == b.keys()
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-12, k
+
+    @pytest.mark.parametrize("threshold", [200_000, 0])
+    def test_degenerate_zero_seed_falls_back_uniform(self, spark, threshold):
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.operators.graph import pagerank, update_pagerank
+
+        full = self._graph()
+        ef = self._edges(spark, full)
+        zero = (
+            ef.select(F.col("src").alias("node"))
+            .unionByName(ef.select(F.col("dst").alias("node")))
+            .distinct()
+            .select("node", F.lit(0.0).alias("rank"))
+        )
+        got = self._ranks(
+            update_pagerank(zero, ef, iterations=3, driver_threshold=threshold)
+        )
+        want = self._ranks(
+            pagerank(ef, iterations=3, driver_threshold=threshold)
+        )
+        assert got.keys() == want.keys()
+        for k in got:
+            assert abs(got[k] - want[k]) < 1e-12, k
