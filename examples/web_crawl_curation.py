@@ -204,6 +204,24 @@ def main(workdir: str) -> None:
     print("host authority (directed PageRank over the crawl's link graph):")
     authority.orderBy(F.desc("rank")).show(truncate=False)
 
+    # 6. tomorrow's crawl arrives: refresh authority WARM instead of
+    #    re-ranking cold — the standing ranks seed the refresh, so a few
+    #    rounds land where a cold run needs many (rounds are the cost at
+    #    scale: each one shuffles the full link graph)
+    from sat_bucket_spark.operators.graph import update_pagerank
+
+    edges = host_link_edges(linked)
+    new_links = spark.createDataFrame(
+        [("hub.example", "fresh-a.example"), ("hub.example", "fresh-b.example")],
+        ["src_host", "dst_host"],
+    )
+    refreshed = update_pagerank(
+        authority, edges.unionByName(new_links),
+        src="src_host", dst="dst_host", directed=True, iterations=2,
+    )
+    print("warm-refreshed authority after the nightly link batch:")
+    refreshed.orderBy(F.desc("rank")).show(truncate=False)
+
     spark.stop()
 
 
