@@ -2249,8 +2249,12 @@ def q_pagerank(spark, sf_dir):
 
 def _pagerank_update_new_edges(spark, sf_dir):
     """q_pagerank_update's nightly batch: a sparse deterministic slice of
-    orders wired into 13 previously-unseen bucket nodes (800..812), so
-    the refresh exercises both re-ranking and new-node seeding."""
+    orders whose dst buckets extend to 812 — the buckets past 799 that no
+    old-graph custkey happens to cover are genuinely new nodes (how many
+    depends on SF: custkeys overlap the 800..812 range, so only the
+    uncovered ones are unseen), so the refresh exercises both re-ranking
+    and new-node mean-seeding without depending on an exact new-node
+    count."""
     orders = _t(spark, sf_dir, "orders")
     return orders.where(F.col("o_orderkey") % 97 == 0).select(
         F.col("o_custkey").cast("long").alias("src"),

@@ -483,7 +483,8 @@ def _pagerank_local(pairs, damping: float, iterations: int, init=None):
     dangling redistribution), on a numpy index-mapped edge list. Pairs
     are lexsorted first so the float accumulation order is deterministic
     run to run. ``init`` (node -> rank dict) replays the warm-start
-    seeding: unknown nodes take 1/N, then one exact-sum renormalization
+    seeding: unknown nodes take the MEAN seed rank, then one exact-sum
+    renormalization
     (math.fsum — the driver-route mirror of the distributed route's
     decimal-exact mass aggregate)."""
     import math as _math
@@ -651,11 +652,28 @@ def pagerank(
     else:
         e, (n_edges, _) = _cached_with_fingerprint(e)
 
+    def _node_frame(edge_frame):
+        return (
+            edge_frame.select(F.col("u").alias("node"))
+            .unionByName(edge_frame.select(F.col("v").alias("node")))
+            .distinct()
+        )
+
     init = None
     if init_ranks is not None:
-        init = init_ranks.select(
-            F.col(init_node_col).alias("node"),
-            F.col(init_rank_col).cast("double").alias("__r0"),
+        # Seed hygiene, applied ONCE so both routes see the identical
+        # cleaned seed: NULL/NaN ranks are ignored (those nodes seed as
+        # unseen — a NaN would otherwise poison every rank through the
+        # contribution sums), and duplicate node rows collapse to a
+        # deterministic max (a duplicated standing map must not
+        # double-count a node's mass or duplicate its round-frame row).
+        # The groupBy's exchange is not an extra pass at scale: its
+        # node-keyed output feeds the node-keyed seed join directly.
+        r0 = F.col(init_rank_col).cast("double")
+        init = (
+            init_ranks.where(r0.isNotNull() & ~F.isnan(r0))
+            .groupBy(F.col(init_node_col).alias("node"))
+            .agg(F.max(r0).alias("__r0"))
         )
 
     if driver_threshold and n_edges <= driver_threshold:
@@ -668,14 +686,11 @@ def pagerank(
             # the graph's node set (one job) — never the full standing map,
             # whose size is not bounded by the threshold that chose this
             # route
-            nodes_df = (
-                e.select(F.col("u").alias("node"))
-                .unionByName(e.select(F.col("v").alias("node")))
-                .distinct()
-            )
             init_map = {
                 r["node"]: r["__r0"]
-                for r in init.join(nodes_df, "node", "left_semi").collect()
+                for r in init.join(
+                    _node_frame(e), "node", "left_semi"
+                ).collect()
             }
         node_type = e.schema["u"].dataType
         # the eager-cached edge frame is not an input of the returned
@@ -700,11 +715,7 @@ def pagerank(
             )
         )
 
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .distinct()
-    )
+    nodes = _node_frame(e)
     outdeg = e.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("deg")
     )
@@ -880,7 +891,9 @@ def update_pagerank(
     ``edges`` is the FULL updated edge list (standing ∪ new — callers
     union); ``standing_ranks`` is a prior :func:`pagerank` output over
     any earlier version of the graph. Previously-unseen nodes seed at
-    1/N; nodes that left the graph drop; the seed renormalizes to unit
+    the MEAN standing rank (a purely directional seed — scale-invariant,
+    see :func:`pagerank`); nodes that left the graph drop; the seed
+    renormalizes to unit
     mass exactly (decimal-exact / fsum, route-pinned), so stale totals
     cannot corrupt the mass invariant. Same routing, caching, and
     determinism contracts as :func:`pagerank` — this is a thin naming of

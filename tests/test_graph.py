@@ -726,7 +726,7 @@ class TestUpdatePagerank:
 
     def test_membership_and_new_nodes(self, spark):
         """Output covers exactly the updated graph's nodes: standing-only
-        nodes drop, previously-unseen nodes appear (seeded at 1/N)."""
+        nodes drop, previously-unseen nodes appear (mean-seeded)."""
         from sat_bucket_spark.operators.graph import pagerank, update_pagerank
 
         standing = pagerank(self._edges(spark, [(1, 2), (2, 3)]), iterations=5)
@@ -738,9 +738,12 @@ class TestUpdatePagerank:
         assert set(out) == {1, 2, 4, 5}  # 3 dropped, 4/5 new
         assert abs(sum(out.values()) - 1.0) < 1e-9
 
-    def test_seed_scale_invariance(self, spark):
+    @pytest.mark.parametrize("threshold", [200_000, 0])
+    def test_seed_scale_invariance(self, spark, threshold):
         """An unnormalized seed (stale total mass) is renormalized: a 2x
-        scaled standing map yields the identical refresh."""
+        scaled standing map yields the identical refresh — on BOTH
+        routes (the distributed seed fold's decimal mass and literal
+        arithmetic must be as scale-blind as the driver's fsum)."""
         from pyspark.sql import functions as F
 
         from sat_bucket_spark.operators.graph import pagerank, update_pagerank
@@ -752,11 +755,69 @@ class TestUpdatePagerank:
         doubled = standing.select(
             "node", (F.col("rank") * 2.0).alias("rank")
         )
-        a = self._ranks(update_pagerank(standing, ef, iterations=3))
-        b = self._ranks(update_pagerank(doubled, ef, iterations=3))
+        a = self._ranks(
+            update_pagerank(
+                standing, ef, iterations=3, driver_threshold=threshold
+            )
+        )
+        b = self._ranks(
+            update_pagerank(
+                doubled, ef, iterations=3, driver_threshold=threshold
+            )
+        )
         assert a.keys() == b.keys()
         for k in a:
             assert abs(a[k] - b[k]) < 1e-12, k
+
+    @pytest.mark.parametrize("threshold", [200_000, 0])
+    def test_seed_hygiene_null_nan_duplicates(self, spark, threshold):
+        """NULL and NaN seed ranks are ignored (those nodes seed as
+        unseen) and duplicate node rows collapse deterministically —
+        identically on both routes. A NaN must never reach the
+        contribution sums (it would poison every rank), and a duplicated
+        standing row must not double-count a node's mass or duplicate
+        its round-frame row."""
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.operators.graph import pagerank, update_pagerank
+
+        old = self._graph()
+        full = self._graph(extra=40)
+        ef = self._edges(spark, full)
+        standing = pagerank(self._edges(spark, old), iterations=6)
+        clean = self._ranks(
+            update_pagerank(
+                standing, ef, iterations=3, driver_threshold=threshold
+            )
+        )
+        dirty = (
+            standing
+            # duplicate rows for every node, LOWER rank (max-collapse wins)
+            .unionByName(
+                standing.select("node", (F.col("rank") * 0.5).alias("rank"))
+            )
+            # a NULL-ranked and a NaN-ranked row on nodes in the graph
+            .unionByName(
+                standing.limit(2).select(
+                    "node",
+                    F.when(F.lit(False), 1.0).alias("rank"),  # NULL
+                )
+            )
+            .unionByName(
+                standing.limit(1).select(
+                    "node", F.lit(float("nan")).alias("rank")
+                )
+            )
+        )
+        got = self._ranks(
+            update_pagerank(
+                dirty, ef, iterations=3, driver_threshold=threshold
+            )
+        )
+        assert got.keys() == clean.keys()
+        for k in got:
+            assert abs(got[k] - clean[k]) < 1e-12, k
+        assert all(v == v for v in got.values())  # no NaN anywhere
 
     @pytest.mark.parametrize("threshold", [200_000, 0])
     def test_degenerate_zero_seed_falls_back_uniform(self, spark, threshold):
