@@ -302,7 +302,13 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
     subdirs = set(_fs_subdirs(spark, index_dir))
     if "codes" in subdirs:
         kind = "ivfpq"
-    elif "bands" in subdirs and "shingles" in subdirs:
+    elif "bands" in subdirs:
+        # "bands" alone (no shingles/) is compact_minhash_index's
+        # documented crash window (shingles/ deleted, shingles.compact not
+        # yet renamed) — still a MinHash index: report the missing
+        # component with the rename-recovery hint, mirroring the BM25
+        # gen.v fallback below, instead of failing kind detection on
+        # exactly the debris fsck exists for
         kind = "minhash"
     elif "postings" in subdirs or any(s.startswith("gen.v") for s in subdirs):
         # gen.v* alone is compact_bm25_index's documented crash window
@@ -349,7 +355,7 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
             hint = (
                 " (if a sibling .compact dir exists, a compaction crashed "
                 "mid-swap — rename it into place)"
-                if name == "postings"
+                if name in ("postings", "shingles")
                 else ""
             )
             issues.append(f"{name}: no parquet files{hint}")

@@ -1344,7 +1344,10 @@ def compact_minhash_index(
     shingle_dir = os.path.join(index_dir, "shingles")
     n_before, total_bytes = _fs_parquet_stats(spark, shingle_dir)
     n_after = n_before
-    if n_before >= min_files and total_bytes / n_before < target:
+    # n_before > 0 short-circuits before the mean-size division
+    # (min_files=0 on a missing/empty shingles dir)
+    if n_before > 0 and n_before >= min_files and total_bytes / n_before < target:
+        seen = _fs_parquet_names(spark, shingle_dir)
         df = spark.read.parquet(shingle_dir)
         tmp = shingle_dir + ".compact"
         n_out = max(1, math.ceil(total_bytes / target))
@@ -1353,6 +1356,16 @@ def compact_minhash_index(
         df.coalesce(n_out).sortWithinPartitions("content_id").write.mode(
             "overwrite"
         ).parquet(tmp)
+        # concurrency guard (mirrors compact_bm25_index): an append landing
+        # after the tmp rewrite would be deleted by the swap while its
+        # bands/ rows survive — abort, leave the original intact
+        if _fs_parquet_names(spark, shingle_dir) != seen:
+            _fs_delete(spark, tmp)
+            raise RuntimeError(
+                f"{shingle_dir}: file set changed during compaction "
+                "(concurrent append?) — swap aborted, original shingles "
+                "left intact; rerun compact_minhash_index"
+            )
         _fs_delete(spark, shingle_dir)
         _fs_rename(spark, tmp, shingle_dir)
         n_after, _ = _fs_parquet_stats(spark, shingle_dir)
@@ -1378,6 +1391,26 @@ def _fs_parquet_stats(spark, path: str) -> tuple[int, int]:
             n += 1
             total += st.getLen()
     return n, total
+
+
+def _fs_parquet_names(spark, path: str) -> frozenset:
+    """Names of the parquet data files directly under ``path`` — the
+    compactors' concurrency witness: captured when fragmentation is
+    measured and re-checked immediately before the delete+rename swap, so
+    an append landing mid-compaction aborts the swap instead of being
+    silently deleted (its committed stats would otherwise survive while
+    its posting/shingle rows vanish — a healthy-looking index scoring
+    over missing rows)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return frozenset()
+    return frozenset(
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
+    )
 
 
 def _fs_rename(spark, src: str, dst: str) -> None:

@@ -524,6 +524,7 @@ def compact_bm25_index(
 
     from sat_bucket_spark.operators.dedup import (
         _fs_delete,
+        _fs_parquet_names,
         _fs_parquet_stats,
         _fs_rename,
     )
@@ -532,9 +533,13 @@ def compact_bm25_index(
     target = parse_size(target_file_size)
     post_path = os.path.join(index_dir, "postings")
     n_before, total_bytes = _fs_parquet_stats(spark, post_path)
-    if n_before < min_files or total_bytes / n_before >= target:
+    # n_before == 0 short-circuits BEFORE the mean-size division: a
+    # missing/empty postings dir (crash debris, min_files=0 callers) is
+    # fsck's problem to describe, not a ZeroDivisionError here
+    if n_before == 0 or n_before < min_files or total_bytes / n_before >= target:
         return {"posting_files": (n_before, n_before)}
     load_bm25_index(spark, index_dir)  # only compact a loadably-valid index
+    seen = _fs_parquet_names(spark, post_path)
     rows = spark.read.parquet(post_path)
     n_out = max(1, math.ceil(total_bytes / target))
     tmp = post_path + ".compact"
@@ -545,6 +550,17 @@ def compact_bm25_index(
         .write.mode("overwrite")
         .parquet(tmp)
     )
+    # concurrency guard: an append landing in postings/ after the tmp
+    # rewrite read its input would be deleted by the swap while its
+    # committed terms/ stats survive — abort and leave the original
+    # intact (the next cadenced compaction picks the append up)
+    if _fs_parquet_names(spark, post_path) != seen:
+        _fs_delete(spark, tmp)
+        raise RuntimeError(
+            f"{post_path}: file set changed during compaction (concurrent "
+            "append?) — swap aborted, original postings left intact; rerun "
+            "compact_bm25_index"
+        )
     _fs_delete(spark, post_path)
     _fs_rename(spark, tmp, post_path)
     n_after, _ = _fs_parquet_stats(spark, post_path)
