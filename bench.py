@@ -115,6 +115,29 @@ def _materialize(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+# --- storage-state robustness (VERDICT r13 task #1) --------------------------
+# These keys are FILE-COUNT-bound: they commit or open hundreds of small
+# files (hive partition dirs, index posting/band/code files), so their
+# single-shot timing tracks the host's metadata-storage state, not repo
+# code — BENCH_r13.json recorded 5 band breaches (2.2-3.1x) on keys whose
+# code had not changed, in a window its own smallfiles canary read 1.80.
+# When the in-run smallfiles_factor exceeds STRESS_THRESHOLD, each of
+# these keys is recorded as the MEDIAN of STRESS_REPS in-run reps with the
+# per-rep readings kept in the artifact ("reps" field) — one metadata
+# stall can no longer enter the permanent record as the key's number, and
+# a reader of the JSON alone can see the spread that justified the median.
+FILE_COUNT_BOUND = frozenset({
+    "bucket_write", "bucket_read_extent", "bucket_read_polygon",
+    "bucket_merge", "bucket_stream_ingest",
+    "minhash_index_build", "minhash_index_probe",
+    "bloom_index_build", "bloom_index_probe",
+    "semantic_index_probe", "ann_index_search",
+    "bm25_index_topk", "dedup_against_bloom_index",
+})
+STRESS_THRESHOLD = 1.4
+STRESS_REPS = 3
+
+
 def video_corpus(docs, n_clips: int = 24, subset_mod: int = 3):
     """Deterministic MJPEG-AVI corpus over the documents table.
 
@@ -370,13 +393,41 @@ def main() -> None:
     write_pre = _write_canary_median(spark, canary_dir)
     smallfiles_pre = _smallfiles_canary_median(spark, canary_dir)
 
+    import statistics as _stats
+
+    state = {
+        "stressed": (
+            smallfiles_pre / SMALLFILES_CANARY_REF_SEC > STRESS_THRESHOLD
+            # opt-in forced reps: smoke-testing the rep machinery, or a
+            # closing run that wants the median-of-3 posture regardless
+            or os.environ.get("SPARK_GRAFT_FORCE_STRESS") == "1"
+        )
+    }
     timings: dict[str, float] = {}
+    reps_recorded: dict[str, list[float]] = {}
+
+    def _record(name: str, run_once) -> None:
+        """Record one key. ``run_once()`` must be re-runnable (fresh temp
+        dirs per rep where it writes) and return elapsed seconds. Under
+        storage stress, file-count-bound keys take the median of
+        STRESS_REPS reps; per-rep readings land in the artifact."""
+        n = STRESS_REPS if (state["stressed"] and name in FILE_COUNT_BOUND) else 1
+        secs = []
+        for _ in range(n):
+            secs.append(round(run_once(), 3))
+            _release_state(spark)
+        if n > 1:
+            reps_recorded[name] = secs
+        timings[name] = round(_stats.median(secs), 3)
+
+    def _timed(fn, *a, **kw):
+        t0 = time.perf_counter()
+        fn(*a, **kw)
+        return time.perf_counter() - t0
+
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        _materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _release_state(spark)
+        _record(name, lambda fn=fn: _timed(lambda: _materialize(fn(spark, sf_dir))))
 
     # dup_spans production posture: hashed grams. NOT comparable to the
     # `dup_spans` headline key row-for-row in bytes shuffled: same operator,
@@ -464,10 +515,15 @@ def main() -> None:
             emb.where(F.col("vec_id") % 97 == 0)
             .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
         )
-        t0 = time.perf_counter()
+        _record(
+            "ann_index_search",
+            lambda: _timed(
+                lambda: _materialize(
+                    ivfpq_index_topk(spark, aidx, queries, k=10, n_probe=2)
+                )
+            ),
+        )
         res = ivfpq_index_topk(spark, aidx, queries, k=10, n_probe=2)
-        _materialize(res)
-        timings["ann_index_search"] = round(time.perf_counter() - t0, 3)
         plan = res._jdf.queryExecution().executedPlan().toString()
         pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         if not pf or "__cluster" not in pf.group(1):
@@ -517,15 +573,29 @@ def main() -> None:
             .otherwise(F.concat(F.lit("fresh "), F.col("doc_id"), F.lit(" unseen")))
             .alias("text"),
         ).write.parquet(batch_path)
-        midx = os.path.join(mwork0, "index")
-        t0 = time.perf_counter()
-        build_minhash_index(corpus, midx, n_hashes=8, n_bands=4, shingle_size=8)
-        timings["minhash_index_build"] = round(time.perf_counter() - t0, 3)
+        mh = {"i": 0}
+
+        def _mh_build():
+            # fresh dir per rep: a rebuild into an existing index would
+            # measure append semantics, not the build
+            mh["i"] += 1
+            mh["midx"] = os.path.join(mwork0, f"index{mh['i']}")
+            return _timed(
+                build_minhash_index, corpus, mh["midx"],
+                n_hashes=8, n_bands=4, shingle_size=8,
+            )
+
+        _record("minhash_index_build", _mh_build)
         batch = spark.read.parquet(batch_path)
-        t0 = time.perf_counter()
-        surv = minhash_dedup_against_index(batch, midx, min_jaccard=0.5)
-        n_surv = surv.count()
-        timings["minhash_index_probe"] = round(time.perf_counter() - t0, 3)
+
+        def _mh_probe():
+            t0 = time.perf_counter()
+            surv = minhash_dedup_against_index(batch, mh["midx"], min_jaccard=0.5)
+            mh["surv"], mh["n_surv"] = surv, surv.count()
+            return time.perf_counter() - t0
+
+        _record("minhash_index_probe", _mh_probe)
+        surv, n_surv = mh["surv"], mh["n_surv"]
         n_batch = batch.count()
         if not 0 < n_surv < n_batch:
             raise AssertionError(
@@ -566,15 +636,28 @@ def main() -> None:
             F.concat(F.lit("novel "), F.col("doc_id"), F.col("text")).alias("text"),
         )
         dups.unionByName(novel).write.parquet(batch_path)
-        bidx = os.path.join(bwork0, "index")
-        t0 = time.perf_counter()
-        build_bloom_index(spark.read.parquet(corpus_path), bidx, ["text"])
-        timings["bloom_index_build"] = round(time.perf_counter() - t0, 3)
+        bl = {"i": 0}
+
+        def _bloom_build():
+            bl["i"] += 1
+            bl["bidx"] = os.path.join(bwork0, f"index{bl['i']}")
+            return _timed(
+                build_bloom_index,
+                spark.read.parquet(corpus_path), bl["bidx"], ["text"],
+            )
+
+        _record("bloom_index_build", _bloom_build)
+        bidx = bl["bidx"]
         batch = spark.read.parquet(batch_path)
-        t0 = time.perf_counter()
-        surv = dedup_exact_against_bloom_index(batch, bidx)
-        n_surv = surv.count()
-        timings["bloom_index_probe"] = round(time.perf_counter() - t0, 3)
+
+        def _bloom_probe():
+            t0 = time.perf_counter()
+            surv = dedup_exact_against_bloom_index(batch, bidx)
+            bl["surv"], bl["n_surv"] = surv, surv.count()
+            return time.perf_counter() - t0
+
+        _record("bloom_index_probe", _bloom_probe)
+        surv, n_surv = bl["surv"], bl["n_surv"]
         n_batch = batch.count()
         if not 0 < n_surv < n_batch:
             raise AssertionError(
@@ -635,13 +718,19 @@ def main() -> None:
             store_vectors=True,
         )
         batch = spark.read.parquet(batch_path)
-        t0 = time.perf_counter()
-        surv = semantic_dedup_against_index(
-            batch, sidx, min_cosine=0.9, n_probe=2, adc_margin=None,
-            verify_vectors="index",
-        )
-        n_surv = surv.count()
-        timings["semantic_index_probe"] = round(time.perf_counter() - t0, 3)
+        sm = {}
+
+        def _sem_probe():
+            t0 = time.perf_counter()
+            surv = semantic_dedup_against_index(
+                batch, sidx, min_cosine=0.9, n_probe=2, adc_margin=None,
+                verify_vectors="index",
+            )
+            sm["surv"], sm["n_surv"] = surv, surv.count()
+            return time.perf_counter() - t0
+
+        _record("semantic_index_probe", _sem_probe)
+        surv, n_surv = sm["surv"], sm["n_surv"]
         n_batch = batch.count()
         if not 0 < n_surv < n_batch:
             raise AssertionError(
@@ -1114,28 +1203,55 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="bench_bucket_")
     try:
+        # mid-run stress re-check: the pre-run gauge can't see pressure
+        # that arrives mid-bench, and the bucket family (the most
+        # file-count-bound section) runs LAST. One canary rep is cheap
+        # (~1.7 s quiet); single-shot noise is ±25%, so the one-shot
+        # trigger uses a slightly higher bar than the median-based pre
+        # check. Once stressed, stays stressed (reps are the safe side).
+        if not state["stressed"]:
+            mid = _smallfiles_canary_sec(spark, canary_dir)
+            state["mid_check_sec"] = round(mid, 3)
+            if mid / SMALLFILES_CANARY_REF_SEC > 1.5:
+                state["stressed"] = True
+
         ev = entry_mod._with_coords(entry_mod._events(spark, sf_dir)).withColumnRenamed(
             "ts", "time"
         )
         p = LonLatPartitioning(size=(10, 10))
-        bucket = f"{work}/bucket"
-        merged = f"{work}/merged"
-        t0 = time.perf_counter()
-        write_bucket(ev, bucket, p, x="lon", y="lat")
-        timings["bucket_write"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        read(spark, bucket, extent=[-20, 40, 0, 30]).count()
-        timings["bucket_read_extent"] = round(time.perf_counter() - t0, 3)
+        bk = {"i": 0}
+
+        def _bucket_write():
+            bk["i"] += 1
+            bk["bucket"] = f"{work}/bucket{bk['i']}"
+            return _timed(write_bucket, ev, bk["bucket"], p, x="lon", y="lat")
+
+        _record("bucket_write", _bucket_write)
+        bucket = bk["bucket"]
+        _record(
+            "bucket_read_extent",
+            lambda: _timed(
+                lambda: read(spark, bucket, extent=[-20, 40, 0, 30]).count()
+            ),
+        )
         # polygon query: cell-exact pruning keeps ~the diagonal band's cells,
         # not its bbox cross product (non-vacuous at every SF: the dart sits
         # in the events table's southern latitude band)
         poly = [(-120.0, -88.0), (0.0, -64.0), (120.0, -88.0), (0.0, -76.0)]
-        t0 = time.perf_counter()
-        read(spark, bucket, polygon=poly).count()
-        timings["bucket_read_polygon"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        merge_granule_buckets(spark, bucket, merged, temporal_partitioning="month")
-        timings["bucket_merge"] = round(time.perf_counter() - t0, 3)
+        _record(
+            "bucket_read_polygon",
+            lambda: _timed(lambda: read(spark, bucket, polygon=poly).count()),
+        )
+
+        def _bucket_merge():
+            bk["i"] += 1
+            bk["merged"] = f"{work}/merged{bk['i']}"
+            return _timed(
+                merge_granule_buckets, spark, bucket, bk["merged"],
+                temporal_partitioning="month",
+            )
+
+        _record("bucket_merge", _bucket_merge)
 
         # Streaming ingest -> compaction round trip: N micro-batches through
         # the exactly-once file sink, then the batch merge. NOT comparable to
@@ -1149,27 +1265,38 @@ def main() -> None:
         src = f"{work}/stream_src"
         ev.repartition(4).write.parquet(src)
         n_src = spark.read.parquet(src).count()
-        sbucket = f"{work}/stream_bucket"
-        smerged = f"{work}/stream_merged"
-        t0 = time.perf_counter()
-        stream = (
-            spark.readStream.schema(spark.read.parquet(src).schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        # repartition=8: micro-batches here are small (one source file), so
-        # a handful of label-keyed tasks beats both the single-task write
-        # (sequential directory creation) and a full-width shuffle (per-task
-        # dispatch for near-empty tasks). Measured 27s -> 5s at sf0.1.
-        q = stream_write_bucket(
-            stream, sbucket, p, checkpoint_dir=f"{work}/ckpt",
-            x="lon", y="lat", trigger={"availableNow": True}, repartition=8,
-        )
-        q.awaitTermination()
-        merge_granule_buckets(spark, sbucket, smerged, temporal_partitioning="month")
-        timings["bucket_stream_ingest"] = round(time.perf_counter() - t0, 3)
+
+        def _stream_ingest():
+            # fresh sink/checkpoint/merge dirs per rep: the exactly-once
+            # sink log would otherwise no-op a replayed source
+            bk["i"] += 1
+            sbucket = bk["sbucket"] = f"{work}/stream_bucket{bk['i']}"
+            smerged = bk["smerged"] = f"{work}/stream_merged{bk['i']}"
+            t0 = time.perf_counter()
+            stream = (
+                spark.readStream.schema(spark.read.parquet(src).schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            # repartition=8: micro-batches here are small (one source file),
+            # so a handful of label-keyed tasks beats both the single-task
+            # write (sequential directory creation) and a full-width shuffle
+            # (per-task dispatch for near-empty tasks). Measured 27s -> 5s
+            # at sf0.1.
+            q = stream_write_bucket(
+                stream, sbucket, p, checkpoint_dir=f"{work}/ckpt{bk['i']}",
+                x="lon", y="lat", trigger={"availableNow": True}, repartition=8,
+            )
+            q.awaitTermination()
+            merge_granule_buckets(
+                spark, sbucket, smerged, temporal_partitioning="month"
+            )
+            return time.perf_counter() - t0
+
+        _record("bucket_stream_ingest", _stream_ingest)
+        smerged = bk["smerged"]
         # integrity gate: streamed + compacted must equal the batch path
-        n_stream = spark.read.parquet(sbucket).count()
+        n_stream = spark.read.parquet(bk["sbucket"]).count()
         n_merged = spark.read.option("pathGlobFilter", "*.parquet").parquet(smerged).count()
         n_batch = spark.read.option("pathGlobFilter", "*.parquet").parquet(bucket).count()
         if not (n_stream == n_merged == n_batch == n_src):
@@ -1221,21 +1348,32 @@ def main() -> None:
             if SMALLFILES_CANARY_REF_SEC
             else None
         ),
+        # in-run storage-stress adjudication (r13 task #1): True means the
+        # file-count-bound keys above were recorded as medians of
+        # STRESS_REPS in-run reps (per-rep readings in "reps"); a band
+        # breach on those keys in a stressed artifact is storage-
+        # attributed by bench_compare --bands, not a bare breach
+        "storage_stressed": state["stressed"],
+        "stress_threshold": STRESS_THRESHOLD,
+        **(
+            {"smallfiles_mid_sec": state["mid_check_sec"]}
+            if "mid_check_sec" in state
+            else {}
+        ),
     }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "canary": canary,
-            }
-        )
-    )
+    out = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "canary": canary,
+    }
+    if reps_recorded:
+        out["reps"] = reps_recorded
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
