@@ -229,6 +229,15 @@ FILE_COUNT_BOUND = frozenset({
 })
 
 
+# Per-key band RE-PINS (BASELINE.md "Bench notes" carries the receipt for
+# each entry): the all-rounds median still reflects a host era the key no
+# longer runs in, so the band floor is overridden to the receipted level.
+# mix_sources: r14 interleaved A/B (r8 checkout vs HEAD, 2x6 warm reps at
+# sf0.1) read code-identical ~0.51 s warm on the current host; the 0.338
+# historical median is the r3-r8 host era.
+REPINNED_MEDIAN = {"mix_sources": 0.51}
+
+
 def _storage_signature(target: dict) -> str | None:
     """Return a one-line stall-signature description when the target
     artifact's own canaries carry it (elevated smallfiles, benign CPU),
@@ -285,6 +294,7 @@ def compare_bands(args) -> int:
             continue
         vals = [x for _, x in hist]
         med, mn = statistics.median(vals), min(vals)
+        med = max(med, REPINNED_MEDIAN.get(k, 0.0))
         if med > 0 and v >= args.flag * med:
             breaches.append((v / med, k, v, med, mn, hist))
     stall = _storage_signature(target)
