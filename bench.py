@@ -490,6 +490,44 @@ def main() -> None:
         )
     _release_state(spark)
 
+    # Warm-start PageRank refresh, NIGHTLY posture (r13 verdict task #5):
+    # the headline `pagerank_update` key builds its 6-round standing map
+    # in-entry (required for the DuckDB oracle to replay the whole
+    # derivation), so ~3/4 of that recorded number is standing-build cost
+    # the nightly refresh never pays. This key times the refresh ALONE
+    # against a PRE-MATERIALIZED standing map read back from parquet —
+    # the cost update_pagerank exists to minimize, and the number the
+    # operator's scale story should be judged on.
+    import shutil as _shutil1
+    import tempfile as _tempfile1
+
+    from sat_bucket_spark.operators.graph import pagerank as _pr
+    from sat_bucket_spark.operators.graph import update_pagerank as _upr
+
+    pwork = _tempfile1.mkdtemp(prefix="bench_prw_")
+    try:
+        pr_old = entry_mod._pagerank_fixture_edges(spark, sf_dir)
+        pr_full = pr_old.unionByName(
+            entry_mod._pagerank_update_new_edges(spark, sf_dir)
+        )
+        standing_path = os.path.join(pwork, "standing")
+        _pr(
+            pr_old, damping=0.85, iterations=6, directed=False,
+            driver_threshold=0,
+        ).write.parquet(standing_path)
+        standing = spark.read.parquet(standing_path)
+        t0 = time.perf_counter()
+        _materialize(
+            _upr(
+                standing, pr_full, damping=0.85, iterations=4,
+                directed=False, driver_threshold=0,
+            )
+        )
+        timings["pagerank_update_refresh"] = round(time.perf_counter() - t0, 3)
+    finally:
+        _shutil1.rmtree(pwork, ignore_errors=True)
+    _release_state(spark)
+
     # ANN index search: the train-once/search-many production posture.
     # Index build (train + corpus encode + partitioned write) happens
     # OUTSIDE the timed window — it is paid once per corpus, not per
