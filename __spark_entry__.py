@@ -5922,6 +5922,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window holder via dedup_against_bloom_index, the persisted
     VERIFIED posture of the same exact anti-join probe semantics.
     decontaminate_bloom remains green in the all-registry parity suite.
+
+    Round-14 reorder (VERDICT r13 task #6): pagerank_update — the rank
+    family's incremental-maintenance leg (warm-start refresh: standing
+    ranks seed round 0, mean-seeded unseen nodes, decimal-exact
+    renormalization, driver_threshold=0 on BOTH stages so the
+    distributed seed join + warm rounds are what gets hash-verified) —
+    moves INTO the window: it was already DuckDB-hash-equal at sf0.001
+    AND sf0.01 in the parity suite. Displaced, per the insertion rule:
+    pagerank — its undirected DISTRIBUTED loop stays driver-verified
+    through pagerank_directed (forced-distributed dangling branch) and
+    through pagerank_update itself (which runs 6 standing + 4 warm
+    forced-distributed rounds), and the driver route through host_rank.
+    pagerank remains green in the all-registry parity suite.
     """
     return {
         # ---- driver-verified window (first 50) ----
@@ -5954,7 +5967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "url_filter": q_url_filter,
         "edit_dedup": q_edit_dedup,
-        "pagerank": q_pagerank,
+        "pagerank_update": q_pagerank_update,
         "pagerank_directed": q_pagerank_directed,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "host_rank": q_host_rank,
@@ -5994,7 +6007,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exercises the same persisted-index build/search path in-window
         "ivfpq_topk": q_ivfpq_topk,
         "cc_update": q_cc_update,
-        "pagerank_update": q_pagerank_update,
+        # pagerank demoted r14 for pagerank_update — the undirected
+        # distributed loop stays driver-verified through pagerank_directed
+        # (forced-distributed dangling branch) and pagerank_update itself
+        # (driver_threshold=0 on both stages); the driver route through
+        # host_rank
+        "pagerank": q_pagerank,
         "dup_spans": q_dup_spans,
         "mad_outliers": q_mad_outliers,
         "exif_meta": q_exif_meta,
