@@ -85,6 +85,7 @@ DEFAULT_KEYS = [
     "stream_archive_gate",
     "bm25_index_probe",
     "semantic_index_probe",
+    "ivfpq_drift_retrain",
     "cc_update",
     "pagerank_update",
     "stream_vector_gate",
@@ -570,6 +571,114 @@ def ann_index_stages(spark, sf_dir, workdir, replicas):
     if after != before:
         raise AssertionError("compaction changed search results")
     return build_sec, search_sec, round(recall_build, 4), round(recall_append, 4)
+
+
+def ivfpq_drift_stage(spark, sf_dir, workdir, replicas):
+    """Codebook-drift maintenance row (r14 — VERDICT r13 task #4): the
+    ANN analogue of the BM25 compaction row. Appends keep an IVFPQ index
+    CURRENT; nothing before this round watched what appends do to
+    ACCURACY once the embedding distribution leaves the frozen codebooks
+    behind. The row: build on the base distribution, append a
+    distribution-SHIFTED batch (offset outside the base ball — it lands
+    in one stale coarse cluster and quantizes to near-constant codes),
+    gate recall@10 vs brute force DEGRADED (the drift signal a plan gate
+    cannot see), retrain_ivfpq_index from the refine store (generational
+    swap, standing index serves until the commit), gate recall RESTORED,
+    fsck green. Shifted rows carry a vec_id-derived jitter so their
+    values are DISTINCT across replica copies — the ground truth is
+    tie-free, and the replicated base's exact copies never enter a
+    shifted query's true top-k (the shifted population is far away).
+
+    Gates pinned from measurement (two drafts measured before pinning):
+    a ~8%-mass shifted blob read retrain recall 0.074 -> 0.090 — PQ
+    capacity allocation is population-proportional, so the fixture
+    gives the drifted distribution real mass (~1/3); and ABSOLUTE
+    recall shrinks with corpus size at fixed PQ capacity (0.353
+    restored at 500 vectors, 0.174 at 20k — the bench's healthy floor
+    is 0.10 at sf0.1), so the restore gate is RELATIVE: degraded
+    < 0.2 (the random-tie floor), restored >= 2.5x degraded AND >= 0.8x
+    a FRESH rebuild over the same mixed corpus (the gold standard any
+    retrain could at best achieve, measured in-stage on the same
+    queries) — "restored" means retraining recovered what a from-scratch
+    rebuild would."""
+    from sat_bucket_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        brute_force_topk,
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        recall_at_k,
+        retrain_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    idx = os.path.join(workdir, "drift_index")
+    build_ivfpq_index(
+        emb, idx, dim=64, n_clusters=16, m=4, ksub=16, store_vectors=True
+    )
+    # ~1/3 of the corpus shifts: drift maintenance is a rebuild DECISION —
+    # it fires when the new distribution carries real mass (PQ capacity
+    # allocation is population-proportional, so a 2% blob can't claim
+    # codebook range at any engine's retrain). The per-row jitter
+    # (vec_id-derived, ~1e-4) keeps values DISTINCT across replica
+    # copies, so the brute-force ground truth is tie-free while the
+    # neighbor structure stays dominated by the 0.5-scaled base spread.
+    jit = (F.col("vec_id") % 997).cast("double") * 1e-4
+    shifted = emb.where(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + max_id + 1).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.5 + 2.0 + jit).alias(
+            "embedding"
+        ),
+    )
+    shifted_path = os.path.join(workdir, "shifted")
+    shifted.write.parquet(shifted_path)
+    shifted = spark.read.parquet(shifted_path)
+    append_to_ivfpq_index(shifted, idx)
+
+    corpus = emb.unionByName(shifted)
+    # query modulus scales with replicas (the ann-stage convention): the
+    # query count stays fixed so the row isolates corpus growth
+    queries = shifted.where(F.col("vec_id") % (16 * replicas) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(corpus, queries, k=10, metric="l2")
+    r_before = recall_at_k(
+        ivfpq_index_topk(spark, idx, queries, k=10, n_probe=2), exact
+    )
+    if not r_before < 0.2:
+        raise AssertionError(
+            f"drift fixture vacuous: degraded recall reads {r_before:.3f} "
+            "(expected the random-tie floor < 0.2)"
+        )
+    t0 = time.perf_counter()
+    retrain_ivfpq_index(spark, idx)
+    retrain_sec = round(time.perf_counter() - t0, 3)
+    r_after = recall_at_k(
+        ivfpq_index_topk(spark, idx, queries, k=10, n_probe=2), exact
+    )
+    # gold-standard reference: a FRESH build over the same mixed corpus
+    # (the best any retrain could achieve), same queries, same ground
+    # truth. NOT base-distribution queries — replication makes every
+    # base vector an exact R-copy, so base queries' top-k is their own
+    # copies and recall saturates at 1.0 (the ann-stage's documented tie
+    # trap), which would gate the shifted queries against a vacuous 1.0.
+    fresh = os.path.join(workdir, "fresh_index")
+    build_ivfpq_index(
+        corpus, fresh, dim=64, n_clusters=16, m=4, ksub=16
+    )
+    r_fresh = recall_at_k(
+        ivfpq_index_topk(spark, fresh, queries, k=10, n_probe=2), exact
+    )
+    if not (r_after >= 2.5 * r_before and r_after >= 0.8 * r_fresh):
+        raise AssertionError(
+            f"retrain did not restore recall: {r_before:.3f} -> "
+            f"{r_after:.3f} (fresh-rebuild reference {r_fresh:.3f})"
+        )
+    _fsck_gate(spark, idx)
+    return retrain_sec, round(r_before, 4), round(r_after, 4), round(r_fresh, 4)
 
 
 def _fsck_gate(spark, *index_dirs):
@@ -1761,6 +1870,7 @@ def main() -> int:
             "ann_index_search" in keys
             or "ann_index_build" in keys
             or "semantic_index_probe" in keys
+            or "ivfpq_drift_retrain" in keys
             or "stream_vector_gate" in keys
         ):
             replicate_table(
@@ -1862,6 +1972,16 @@ def main() -> int:
                 timings["semantic_index_build"] = b
                 timings["semantic_index_probe"] = pr
                 timings["semantic_index_append"] = ap
+            elif name == "ivfpq_drift_retrain":
+                rt, rb, ra, rf = ivfpq_drift_stage(
+                    spark, scaled, os.path.join(work, "drift"), args.replicas
+                )
+                timings["ivfpq_retrain"] = rt
+                # drift receipt rides the recall dict (gate values, not
+                # timings): degraded, restored, fresh-rebuild reference
+                recalls["ivfpq_drift_recall_before"] = rb
+                recalls["ivfpq_drift_recall_after"] = ra
+                recalls["ivfpq_drift_recall_fresh"] = rf
             elif name == "cc_update":
                 u, fu = cc_update_stages(
                     spark, scaled, os.path.join(work, "ccupd")

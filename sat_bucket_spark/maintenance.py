@@ -300,7 +300,10 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
     )
 
     subdirs = set(_fs_subdirs(spark, index_dir))
-    if "codes" in subdirs:
+    if "codes" in subdirs or "retrain.tmp" in subdirs:
+        # retrain.tmp alone is retrain_ivfpq_index's swap crash window
+        # (codes deleted, staged codes not yet renamed): still an IVFPQ
+        # index — report the debris, don't fail kind detection on it
         kind = "ivfpq"
     elif "bands" in subdirs:
         # "bands" alone (no shingles/) is compact_minhash_index's
@@ -374,6 +377,33 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
             _component(
                 "vectors", os.path.join(index_dir, "vectors"), "__cluster="
             )
+        if "retrain.tmp" in subdirs:
+            # retrain_ivfpq_index staging debris — which recovery applies
+            # depends on whether the staged generation COMMITTED (its own
+            # meta loads: build writes meta last)
+            try:
+                _load_meta_row(spark, os.path.join(index_dir, "retrain.tmp"))
+                staged_ok = True
+            except Exception:
+                staged_ok = False
+            if staged_ok and not report["params_ok"]:
+                issues.append(
+                    "retrain crashed mid-swap (staged generation complete, "
+                    "standing meta gone) — rerun retrain_ivfpq_index to "
+                    "resume the swap"
+                )
+            elif staged_ok:
+                issues.append(
+                    "complete retrain staging awaiting swap — rerun "
+                    "retrain_ivfpq_index to finish (it resumes without "
+                    "retraining)"
+                )
+            else:
+                issues.append(
+                    "stale retrain staging (crashed mid-staging; standing "
+                    "index unaffected) — delete retrain.tmp or rerun "
+                    "retrain_ivfpq_index"
+                )
     elif kind == "minhash":
         _component("bands", os.path.join(index_dir, "bands"), "band_idx=")
         _component("shingles", os.path.join(index_dir, "shingles"))

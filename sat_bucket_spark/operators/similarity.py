@@ -41,6 +41,7 @@ __all__ = [
     "pq_topk",
     "random_hyperplane_signature",
     "recall_at_k",
+    "retrain_ivfpq_index",
     "semantic_dedup_against_index",
     "train_ivf_centroids",
     "train_pq_codebooks",
@@ -1163,6 +1164,128 @@ def compact_ivfpq_index(
             sort_within_by=[params["id_col"]],
         )
     return n
+
+
+def retrain_ivfpq_index(
+    spark,
+    index_dir: str,
+    vectors: DataFrame | None = None,
+    n_clusters: int | None = None,
+    m: int | None = None,
+    ksub: int | None = None,
+    seed: int | None = None,
+) -> dict:
+    """Retrain the codebooks over the CURRENT corpus distribution and swap
+    the index generationally — the drift-maintenance leg the append path
+    deliberately lacks (:func:`append_to_ivfpq_index` freezes codebooks
+    because mixed-codebook codes are unsearchable; recall under
+    distribution drift is a REBUILD decision). This is the ANN analogue
+    of BM25's posting compaction: appends keep the index current, this
+    keeps it ACCURATE once the embedding distribution leaves the frozen
+    centroids behind (gate the decision with
+    :func:`recall_at_k` against :func:`brute_force_topk` on a recent
+    query sample — see SCALE.md's retrain-cadence note).
+
+    Corpus source: ``vectors`` (id + raw vector frame) when given; else
+    the index's own refine store (``store_vectors=True`` builds) — an
+    index without either cannot retrain (raise, with instruction).
+
+    Swap protocol (crash-safe, resumable):
+
+    1. STAGE the full new generation under ``<index_dir>/retrain.tmp``
+       via :func:`build_ivfpq_index` (its own meta commits LAST, so a
+       loadable staging meta == staging complete). The standing index
+       serves unchanged throughout — retraining costs zero downtime
+       until the swap.
+    2. Delete the standing ``meta/`` — the validity marker — so probes
+       fail LOUDLY during the swap window instead of reading mixed
+       generations.
+    3. Per component (codes, vectors): delete the old dir, rename the
+       staged one into place. 4. Rename the staged meta into place —
+       the commit.
+
+    A crash mid-staging leaves the OLD index fully valid plus staging
+    debris (no loadable staging meta) — rerunning deletes the debris and
+    restages. A crash mid-swap leaves no meta plus a COMPLETE staged
+    generation — rerunning detects the loadable staging meta and resumes
+    the swap without retraining (``index_report`` describes both states
+    with the matching recovery hint). Returns ``{"resumed": bool,
+    "n_clusters": int, "m": int, "ksub": int}``.
+    """
+    import os
+
+    from sat_bucket_spark.operators.dedup import (
+        _fs_delete,
+        _fs_is_dir,
+        _fs_rename,
+        _load_meta_row,
+    )
+
+    staging = os.path.join(index_dir, "retrain.tmp")
+
+    def _staging_complete() -> bool:
+        try:
+            _load_meta_row(spark, staging)
+            return True
+        except Exception:
+            return False
+
+    def _swap(store_vectors: bool) -> None:
+        _fs_delete(spark, os.path.join(index_dir, "meta"))
+        comps = ["codes"] + (["vectors"] if store_vectors else [])
+        for comp in comps:
+            staged = os.path.join(staging, comp)
+            if _fs_is_dir(spark, staged):
+                _fs_delete(spark, os.path.join(index_dir, comp))
+                _fs_rename(spark, staged, os.path.join(index_dir, comp))
+        _fs_rename(
+            spark, os.path.join(staging, "meta"), os.path.join(index_dir, "meta")
+        )
+        _fs_delete(spark, staging)
+
+    if _staging_complete():
+        # a prior retrain crashed (or was killed) after staging committed:
+        # resume the swap — never retrain again on top of a complete
+        # generation (the staged one already reflects a corpus snapshot)
+        srow = _load_meta_row(spark, staging).asDict()
+        _swap(bool(srow.get("store_vectors", False)))
+        return {
+            "resumed": True,
+            "n_clusters": int(srow["n_clusters"]),
+            "m": int(srow["m"]),
+            "ksub": int(srow["ksub"]),
+        }
+    _fs_delete(spark, staging)  # mid-staging debris: old index still valid
+
+    params, _cents, _books, _codes = load_ivfpq_index(spark, index_dir)
+    if vectors is None:
+        if not params["store_vectors"]:
+            raise ValueError(
+                f"{index_dir}: no refine store (store_vectors=False) and no "
+                "vectors frame given — retraining needs raw vectors; pass "
+                "the corpus as `vectors`"
+            )
+        vectors = spark.read.parquet(os.path.join(index_dir, "vectors")).select(
+            F.col(params["id_col"]), F.col(params["vec_col"])
+        )
+    n_clusters = int(n_clusters or params["n_clusters"])
+    m = int(m or params["m"])
+    ksub = int(ksub or params["ksub"])
+    seed = int(params["seed"] if seed is None else seed)
+    build_ivfpq_index(
+        vectors,
+        staging,
+        dim=int(params["dim"]),
+        n_clusters=n_clusters,
+        m=m,
+        ksub=ksub,
+        id_col=params["id_col"],
+        vec_col=params["vec_col"],
+        seed=seed,
+        store_vectors=params["store_vectors"],
+    )
+    _swap(params["store_vectors"])
+    return {"resumed": False, "n_clusters": n_clusters, "m": m, "ksub": ksub}
 
 
 def dedupe_ivfpq_index(spark, index_dir: str) -> int:
