@@ -385,8 +385,23 @@ def train_ivf_centroids(
     The codebook is tiny (k x dim floats) and folds into Column expressions as
     literals; training on a bounded sample is the standard IVF recipe. Fully
     deterministic (seeded init, fixed iterations).
+
+    The sample is ORDER-FREE: rows ranked by a content hash of the vector
+    (TakeOrdered — per-partition top-K then a driver merge, never a full
+    sort), not ``limit(N)``. A bare limit takes the corpus's FIRST
+    partitions, and at scale those are one file / one domain / one time
+    slice — measured failure (r14): an index built over base ∪ shifted
+    populations trained its quantizer on base-only leading rows and
+    served the shifted mass at recall 0.0048 while every plan gate stayed
+    green. Hash ties are content-equal vectors, so the sampled VALUES
+    are deterministic regardless of partitioning.
     """
-    pdf = vectors.select(vec_col).limit(sample_rows).toPandas()
+    pdf = (
+        vectors.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(sample_rows)
+        .toPandas()
+    )
     X = np.array(pdf[vec_col].tolist(), dtype="float64")
     rng = np.random.default_rng(seed)
     centroids = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
@@ -664,13 +679,20 @@ def train_pq_codebooks(
     codebook in each — a vector compresses to ``m`` small ints (one byte per
     subspace at ksub<=256), an ``(m * ksub * dim/m)``-float codebook
     replaces N * dim floats at scan time. Trained on a bounded sample like
-    :func:`train_ivf_centroids`; fully deterministic (seeded init, fixed
-    iterations). Returns shape ``(m, ksub, dim // m)``.
+    :func:`train_ivf_centroids` — same ORDER-FREE content-hash ranking,
+    same reason (see that docstring's measured order-bias failure);
+    fully deterministic (seeded init, fixed iterations). Returns shape
+    ``(m, ksub, dim // m)``.
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     dsub = dim // m
-    pdf = vectors.select(vec_col).limit(sample_rows).toPandas()
+    pdf = (
+        vectors.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(sample_rows)
+        .toPandas()
+    )
     X = np.array(pdf[vec_col].tolist(), dtype="float64")
     rng = np.random.default_rng(seed)
     books = []

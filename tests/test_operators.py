@@ -2814,10 +2814,17 @@ class TestIvfpqRetrain:
         after = recall_at_k(
             ivfpq_index_topk(spark, idx, queries, k=10, n_probe=2), exact
         )
-        # retrained centroids give the shifted mass its own clusters and
-        # the codebooks allocate range there (measured 0.33+): above the
-        # corpus's healthy level and well clear of the degraded reading
-        assert after >= 0.3, after
+        # relative gates (the probe stage's shape — absolute recall on a
+        # random-unit-vector corpus is a knife-edge: measured 0.29-0.35
+        # across sampler changes): retrain must recover what a
+        # from-scratch rebuild over the same mixed corpus would, and
+        # be well clear of the degraded reading
+        fresh = str(tmp_path / "drift_fresh")
+        build_ivfpq_index(corpus, fresh, dim=64, n_clusters=8, m=4, ksub=16)
+        r_fresh = recall_at_k(
+            ivfpq_index_topk(spark, fresh, queries, k=10, n_probe=2), exact
+        )
+        assert after >= 0.8 * r_fresh, (after, r_fresh)
         assert after >= 2.5 * before, (before, after)
 
     def test_retrain_equals_fresh_build(self, spark, embeddings, tmp_path):
