@@ -1413,6 +1413,34 @@ def _fs_parquet_names(spark, path: str) -> frozenset:
     )
 
 
+def _fs_tree_signature(spark, path: str) -> frozenset:
+    """(relative-dir, file-name) pairs of all parquet data files under
+    ``path``, recursively — the concurrency witness for maintenance that
+    swaps a PARTITIONED component wholesale (retrain_ivfpq_index):
+    captured before the staged generation's source snapshot is read and
+    re-checked immediately before the swap, so an append landing
+    mid-retrain aborts the swap instead of being silently erased (the
+    staged generation was built from a pre-append snapshot)."""
+    import posixpath
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return frozenset()
+    out = []
+    stack = [(root, "")]
+    while stack:
+        p, rel = stack.pop()
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                stack.append((st.getPath(), posixpath.join(rel, name)))
+            elif st.isFile() and name.endswith(".parquet"):
+                out.append((rel, name))
+    return frozenset(out)
+
+
 def _fs_rename(spark, src: str, dst: str) -> None:
     jvm = spark._jvm
     sp = jvm.org.apache.hadoop.fs.Path(src)

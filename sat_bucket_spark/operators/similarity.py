@@ -1233,6 +1233,18 @@ def retrain_ivfpq_index(
     the swap without retraining (``index_report`` describes both states
     with the matching recovery hint). Returns ``{"resumed": bool,
     "n_clusters": int, "m": int, "ksub": int}``.
+
+    Concurrency guard (the compact_bm25_index contract): the codes tree
+    is fingerprinted BEFORE the staged generation's source snapshot is
+    read and re-checked immediately before the swap — an
+    ``append_to_ivfpq_index`` landing mid-retrain would otherwise be
+    silently ERASED (the staged generation was trained and encoded from
+    a pre-append snapshot, and the swap replaces codes/vectors
+    wholesale). On a changed tree the retrain aborts with the staging
+    left in place; rerunning resumes — which is only safe because a
+    committed staging is detected FIRST, so the abort path deletes the
+    staging before raising to keep "resume" meaning "finish a crashed
+    swap", never "install a stale snapshot over a newer append".
     """
     import os
 
@@ -1240,6 +1252,7 @@ def retrain_ivfpq_index(
         _fs_delete,
         _fs_is_dir,
         _fs_rename,
+        _fs_tree_signature,
         _load_meta_row,
     )
 
@@ -1280,6 +1293,10 @@ def retrain_ivfpq_index(
     _fs_delete(spark, staging)  # mid-staging debris: old index still valid
 
     params, _cents, _books, _codes = load_ivfpq_index(spark, index_dir)
+    # concurrency witness: captured BEFORE the source snapshot is read
+    # (every append writes codes/, so the codes tree sees all of them)
+    codes_path = os.path.join(index_dir, "codes")
+    seen = _fs_tree_signature(spark, codes_path)
     if vectors is None:
         if not params["store_vectors"]:
             raise ValueError(
@@ -1306,6 +1323,16 @@ def retrain_ivfpq_index(
         seed=seed,
         store_vectors=params["store_vectors"],
     )
+    if _fs_tree_signature(spark, codes_path) != seen:
+        # the staging MUST go: a rerun resumes any committed staging, and
+        # resuming this one would install the stale pre-append snapshot —
+        # the exact loss this guard exists to prevent
+        _fs_delete(spark, staging)
+        raise RuntimeError(
+            f"{index_dir}: codes tree changed during retraining (concurrent "
+            "append?) — swap aborted and staging discarded, standing index "
+            "left intact; rerun retrain_ivfpq_index"
+        )
     _swap(params["store_vectors"])
     return {"resumed": False, "n_clusters": n_clusters, "m": m, "ksub": ksub}
 

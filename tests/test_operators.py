@@ -2919,6 +2919,67 @@ class TestIvfpqRetrain:
         )
         assert ivfpq_index_topk(spark, idx, queries, k=5, n_probe=2).count() > 0
 
+    def test_concurrent_append_aborts_swap(self, spark, embeddings, tmp_path):
+        """An append landing between the staging snapshot and the swap
+        must abort the retrain AND discard the staging (a rerun would
+        otherwise resume it and install the stale pre-append snapshot —
+        silently erasing the append). The standing index stays intact
+        and still serves the appended rows; a rerun retrains cleanly."""
+        import os
+
+        import sat_bucket_spark.operators.dedup as dedup_mod
+        from sat_bucket_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            build_ivfpq_index,
+            ivfpq_index_topk,
+            retrain_ivfpq_index,
+        )
+
+        base, shifted = self._populations(embeddings)
+        idx = str(tmp_path / "conc")
+        build_ivfpq_index(
+            base, idx, dim=64, n_clusters=8, m=4, ksub=16, store_vectors=True
+        )
+        real = dedup_mod._fs_tree_signature
+        calls = {"n": 0}
+
+        def racing(spark_, path):
+            # 2nd codes-tree read is the pre-swap re-check: land a
+            # real concurrent append just before it runs
+            calls["n"] += 1
+            if calls["n"] == 2:
+                append_to_ivfpq_index(shifted.limit(20), idx)
+            return real(spark_, path)
+
+        dedup_mod._fs_tree_signature = racing
+        try:
+            with pytest.raises(RuntimeError, match="codes tree changed"):
+                retrain_ivfpq_index(spark, idx)
+        finally:
+            dedup_mod._fs_tree_signature = real
+        assert not os.path.exists(os.path.join(idx, "retrain.tmp"))
+        # standing index intact AND the racing append's rows are in it
+        # (presence in codes, not self-retrieval — drifted vectors
+        # quantize to near-identical codes under the base codebooks, so
+        # a top-1 search among them is tie-ambiguous by construction)
+        appended_ids = {r["vec_id"] for r in shifted.limit(20).collect()}
+        codes = spark.read.parquet(os.path.join(idx, "codes"))
+        present = (
+            codes.where(F.col("vec_id").isin(sorted(appended_ids)))
+            .select("vec_id").distinct().count()
+        )
+        assert present == 20, present
+        stats = retrain_ivfpq_index(spark, idx)
+        assert stats["resumed"] is False
+        # the clean rerun's generation was trained AFTER the append, so
+        # the appended rows survive the swap too
+        codes = spark.read.parquet(os.path.join(idx, "codes"))
+        present = (
+            codes.where(F.col("vec_id").isin(sorted(appended_ids)))
+            .select("vec_id").distinct().count()
+        )
+        assert present == 20, present
+
     def test_crash_mid_staging_is_harmless(self, spark, embeddings, tmp_path):
         """Staging debris WITHOUT a committed staging meta leaves the
         standing index fully valid: fsck flags stale staging, probes
