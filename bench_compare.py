@@ -190,8 +190,15 @@ def compare_two(args) -> int:
     if flagged:
         print(f"\nper-key {regime} ratios beyond {args.flag}x "
               "(re-measure with warm medians before concluding):")
+        stall_a, stall_b = _storage_signature(a), _storage_signature(b)
         for ratio, k, ra, rb in sorted(flagged, key=lambda t: -t[0]):
-            print(f"  {ratio:5.2f}x  {k}: {ra:.2f} -> {rb:.2f}")
+            note = ""
+            if k in FILE_COUNT_BOUND and (
+                (ratio > 1 and stall_b) or (ratio < 1 and stall_a)
+            ):
+                side = stall_b if ratio > 1 else stall_a
+                note = f"  [file-count-bound; slower side carries {side}]"
+            print(f"  {ratio:5.2f}x  {k}: {ra:.2f} -> {rb:.2f}{note}")
     else:
         print(f"\nno per-key drift beyond {args.flag}x")
     trunc_note = (
