@@ -53,9 +53,20 @@ def kmeans_fit(
     (deterministic); pass explicit centroids to resume/refine. Stops after
     ``n_iter`` rounds or when the max centroid shift falls below ``tol``.
     Empty clusters keep their previous centroid (no respawn — deterministic).
+
+    The init sample is ORDER-FREE (content-hash TakeOrdered, the
+    train_ivf_centroids fix): a bare ``limit(N)`` takes the corpus's
+    first partitions, and an init drawn from one population can strand
+    centroids even though the Lloyd's rounds run over the full dataset —
+    the same measured order-bias class as the r14 quantizer finding.
     """
     if init is None:
-        pdf = vectors.select(vec_col).limit(sample_rows).toPandas()
+        pdf = (
+            vectors.select(vec_col)
+            .orderBy(F.xxhash64(F.col(vec_col)))
+            .limit(sample_rows)
+            .toPandas()
+        )
         X = np.array(pdf[vec_col].tolist(), dtype="float64")
         rng = np.random.default_rng(seed)
         init = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]

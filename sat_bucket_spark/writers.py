@@ -67,6 +67,16 @@ def estimate_row_size(
     in-memory bytes, which overestimate by the encoding+compression factor
     (3-10x) and would make "2GB" targets produce far smaller files.
     Falls back to the in-memory estimate if Arrow encoding fails.
+
+    Deliberate trade-off: the bare ``limit(N)`` sample is ORDER-BIASED
+    (it reads the input's leading partitions — see the r14
+    train_ivf_centroids finding for where that class bites), but here it
+    short-circuits the scan, and an order-free (hash-ranked) sample would
+    force a FULL input scan before every partitioned write. File sizing
+    tolerates a skewed bytes/row estimate (files come out smaller or
+    larger, nothing is silently wrong); the write-path scan cost would be
+    paid always. Callers with pathologically ordered row sizes can
+    pre-shuffle or pass an explicit ``max_file_size`` calibration.
     """
     pdf = df.limit(sample_rows).toPandas()
     if len(pdf) == 0:
