@@ -506,6 +506,42 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
                     )
             except Exception as exc:
                 issues.append(f"bitmap: bound check failed ({exc})")
+            try:
+                # SATURATION check — the Bloom leg's accuracy-maintenance
+                # signal (IVFPQ watches codebook drift, BM25/MinHash watch
+                # fragmentation; a Bloom filter's failure mode is FILL):
+                # the zero-corpus probe's FP rate is fill^k, and appends
+                # raise fill monotonically with no plan-visible symptom —
+                # over-dropping grows silently. Design point is fill
+                # ~0.39 (n_bits ~ 10x keys, k=5 -> ~0.9% FP); 0.5 (~3% FP
+                # at k=5) is the rebuild signal. Bitmaps cannot GROW in
+                # place (bit positions are mod n_bits), so recovery is a
+                # rebuild over the corpus with larger n_bits — the same
+                # corpus-access posture as an IVFPQ retrain without a
+                # refine store.
+                cur = (
+                    "bitmap"
+                    if report.get("generation", 0) == 0
+                    else f"bitmap.v{report['generation']}"
+                )
+                bm = spark.read.parquet(os.path.join(index_dir, cur))
+                ones = bm.agg(
+                    F.sum(F.bit_count(F.col("__bits")))
+                ).collect()[0][0] or 0
+                n_bits = int(params["n_bits"])
+                k = int(params["n_hashes"])
+                fill = ones / n_bits
+                report["fill_factor"] = round(fill, 6)
+                report["est_fp_rate"] = round(fill**k, 6)
+                if fill > 0.5:
+                    issues.append(
+                        f"bitmap saturated: fill {fill:.3f} "
+                        f"(~{fill**k:.2%} FP in the zero-corpus posture) — "
+                        "rebuild with larger n_bits via build_bloom_index "
+                        "over the full corpus (bitmaps cannot grow in place)"
+                    )
+            except Exception as exc:
+                issues.append(f"bitmap: saturation scan failed ({exc})")
 
     report["healthy"] = not issues
     return report

@@ -415,6 +415,35 @@ class TestIndexReport:
         with pytest.raises(ValueError, match="no known index layout"):
             index_report(spark, str(tmp_path))
 
+    def test_bloom_saturation_flagged_and_rebuild_heals(
+        self, spark, docs, tmp_path
+    ):
+        """The Bloom leg's accuracy-maintenance signal (r14): appends
+        raise bitmap fill monotonically and the zero-corpus probe's FP
+        rate is fill^k — silent over-dropping with no plan symptom. An
+        undersized bitmap must fsck unhealthy with the rebuild hint and
+        a fill/FP reading; rebuilding with adequate n_bits heals it."""
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.dedup import build_bloom_index
+
+        idx = str(tmp_path / "bloom_sat")
+        # 500 distinct keys x 5 hashes into 1024 bits: fill ~0.9
+        build_bloom_index(docs, idx, ["text"], n_bits=1 << 10)
+        r = index_report(spark, idx, scan=True)
+        assert r["kind"] == "bloom" and not r["healthy"]
+        assert r["fill_factor"] > 0.5
+        assert r["est_fp_rate"] > 0.03
+        assert any("bitmap saturated" in i for i in r["issues"])
+        # the rebuild decision: same corpus, adequate sizing
+        build_bloom_index(docs, idx, ["text"], n_bits=1 << 16)
+        healed = index_report(spark, idx, scan=True)
+        assert healed["healthy"], healed["issues"]
+        assert healed["fill_factor"] < 0.5
+        # the reading is present (non-vacuous) on healthy indexes too
+        assert healed["est_fp_rate"] == round(
+            healed["fill_factor"] ** 5, 6
+        )
+
     def test_minhash_compact_crash_window_reports_not_crashes(
         self, spark, docs, tmp_path
     ):
