@@ -377,6 +377,14 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
             _component(
                 "vectors", os.path.join(index_dir, "vectors"), "__cluster="
             )
+        elif params is not None and params.get("store_vectors"):
+            # meta promises a refine store the layout doesn't have —
+            # exact-verify probes would fail on the missing read
+            issues.append(
+                "vectors: missing (meta says store_vectors=true) — a swap "
+                "or manual cleanup lost the refine store; rebuild or "
+                "retrain_ivfpq_index with the corpus"
+            )
         if "retrain.tmp" in subdirs:
             # retrain_ivfpq_index staging debris — which recovery applies
             # depends on whether the staged generation COMMITTED (its own
@@ -470,6 +478,79 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
                     )
             except Exception as exc:
                 issues.append(f"codes: duplicate scan failed ({exc})")
+            if params.get("store_vectors") and all(
+                report["components"].get(c, {}).get("files", 0) > 0
+                for c in ("codes", "vectors")
+            ):
+                # (component-missing states are already issue lines above;
+                # the coverage scan needs both sides readable)
+                try:
+                    # refine-store COVERAGE (r14): append_to_ivfpq_index
+                    # writes codes then vectors — a crash between leaves
+                    # code ids with no refine vector, and the
+                    # verify_vectors="index" probe's inner join silently
+                    # DROPS those candidates (under-dropping, no symptom).
+                    codes = spark.read.parquet(
+                        os.path.join(index_dir, "codes")
+                    )
+                    vecs = spark.read.parquet(
+                        os.path.join(index_dir, "vectors")
+                    )
+                    id_col = params.get("id_col", "vec_id")
+                    n_unref = (
+                        codes.select(id_col).distinct()
+                        .join(vecs.select(id_col).distinct(), id_col, "left_anti")
+                        .count()
+                    )
+                    report["codes_missing_refine_vectors"] = n_unref
+                    if n_unref:
+                        issues.append(
+                            f"{n_unref} code id(s) missing refine vectors "
+                            "(a crashed append wrote codes/ but not "
+                            "vectors/) — exact-verify probes silently skip "
+                            "them; re-run the append, then "
+                            "dedupe_ivfpq_index to fold the code replays"
+                        )
+                except Exception as exc:
+                    issues.append(f"vectors: coverage scan failed ({exc})")
+        if kind == "minhash" and all(
+            report["components"].get(c, {}).get("files", 0) > 0
+            for c in ("bands", "shingles")
+        ):
+            # (component-missing states are already issue lines above)
+            try:
+                # band/shingle COVERAGE (r14): _write_minhash_index_rows
+                # writes bands then shingles — a crash between leaves band
+                # rows whose content has no shingle set, and the probe's
+                # verify join silently DROPS those candidates: near-dups
+                # of the affected content pass the gate with no symptom.
+                # Recovery is re-appending the batch (duplicate band rows
+                # are absorbed by the probe's candidate DISTINCT and
+                # folded by compact_minhash_index).
+                bands = spark.read.parquet(os.path.join(index_dir, "bands"))
+                sets_ = spark.read.parquet(
+                    os.path.join(index_dir, "shingles")
+                )
+                n_orphan = (
+                    bands.select("content_id").distinct()
+                    .join(
+                        sets_.select("content_id").distinct(),
+                        "content_id",
+                        "left_anti",
+                    )
+                    .count()
+                )
+                report["orphaned_band_contents"] = n_orphan
+                if n_orphan:
+                    issues.append(
+                        f"{n_orphan} band content id(s) have no shingle set "
+                        "(a crashed append wrote bands/ but not shingles/) "
+                        "— the exact verify silently skips them; re-append "
+                        "the affected batch (band duplicates are absorbed "
+                        "by the probe and folded by compaction)"
+                    )
+            except Exception as exc:
+                issues.append(f"shingles: coverage scan failed ({exc})")
         if kind == "bm25" and params is not None:
             try:
                 postings = spark.read.parquet(

@@ -415,6 +415,149 @@ class TestIndexReport:
         with pytest.raises(ValueError, match="no known index layout"):
             index_report(spark, str(tmp_path))
 
+    def test_minhash_orphaned_bands_flagged_and_reappend_heals(
+        self, spark, docs, tmp_path
+    ):
+        """A crashed append writes bands/ but not shingles/ — the probe's
+        exact verify silently skips the orphaned content (under-dropping,
+        r14). fsck must count the orphans; re-appending the batch heals
+        (band duplicates are absorbed by the probe's DISTINCT)."""
+        import glob
+        import os
+
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.dedup import (
+            append_to_minhash_index,
+            build_minhash_index,
+            minhash_dedup_against_index,
+        )
+
+        corpus = docs.where(F.col("doc_id") % 3 != 0)
+        batch = docs.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 50_000).alias("doc_id"), "text"
+        )
+        idx = str(tmp_path / "mh_orphan")
+        build_minhash_index(corpus, idx, n_hashes=8, n_bands=4, shingle_size=8)
+        # reconstruct the crash state: the append's band rows landed, its
+        # shingle rows did not — rewrite shingles/ down to the build's
+        # content only
+        append_to_minhash_index(batch, idx)
+        sdir = os.path.join(idx, "shingles")
+        # drop the shingle rows whose content came from the batch
+        import pyspark.sql.functions as SF
+
+        shingles = spark.read.parquet(sdir)
+        batch_cids = shingles.join(
+            SF.broadcast(
+                batch.select(SF.xxhash64("text").alias("content_id")).distinct()
+            ),
+            "content_id",
+            "left_semi",
+        )
+        keep = shingles.join(
+            SF.broadcast(batch_cids.select("content_id").distinct()),
+            "content_id",
+            "left_anti",
+        ).collect()
+        for f in glob.glob(os.path.join(sdir, "*.parquet")):
+            os.remove(f)
+        spark.createDataFrame(keep, shingles.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(sdir)
+        r = index_report(spark, idx, scan=True)
+        assert not r["healthy"]
+        assert r["orphaned_band_contents"] > 0
+        assert any("no shingle set" in i for i in r["issues"])
+        # the documented recovery: re-append the affected batch
+        append_to_minhash_index(batch, idx)
+        healed = index_report(spark, idx, scan=True)
+        assert healed["orphaned_band_contents"] == 0
+        assert healed["healthy"], healed["issues"]
+        # probe drops a near-dup of the re-appended content again
+        dup = batch.limit(1).select(
+            (F.col("doc_id") + 1).alias("doc_id"), "text"
+        )
+        assert minhash_dedup_against_index(dup, idx, min_jaccard=0.9).count() == 0
+
+    def test_ivfpq_missing_refine_vectors_flagged(self, spark, tmp_path):
+        """A crashed append writes codes/ but not vectors/ — exact-verify
+        probes silently skip those candidates (r14). fsck must count the
+        uncovered code ids; re-running the append + dedupe heals."""
+        from pyspark.sql import functions as SF
+
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            build_ivfpq_index,
+            dedupe_ivfpq_index,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id",
+            SF.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        base = emb.where(SF.col("vec_id") % 4 != 0)
+        batch = emb.where(SF.col("vec_id") % 4 == 0)
+        idx = str(tmp_path / "ivf_cov")
+        build_ivfpq_index(
+            base, idx, dim=64, n_clusters=8, m=4, ksub=16, store_vectors=True
+        )
+        append_to_ivfpq_index(batch, idx)
+        # reconstruct the crash: remove the batch's refine vectors
+        import os
+
+        vdir = os.path.join(idx, "vectors")
+        kept = spark.read.parquet(vdir).join(
+            SF.broadcast(batch.select("vec_id")), "vec_id", "left_anti"
+        )
+        rows = kept.collect()
+        schema = kept.schema
+        import shutil
+
+        shutil.rmtree(vdir)
+        spark.createDataFrame(rows, schema).write.partitionBy(
+            "__cluster"
+        ).parquet(vdir)
+        r = index_report(spark, idx, scan=True)
+        assert not r["healthy"]
+        assert r["codes_missing_refine_vectors"] > 0
+        assert any("missing refine vectors" in i for i in r["issues"])
+        # recovery: re-run the append (codes replay), then dedupe
+        append_to_ivfpq_index(batch, idx)
+        dedupe_ivfpq_index(spark, idx)
+        healed = index_report(spark, idx, scan=True)
+        assert healed["codes_missing_refine_vectors"] == 0
+        assert healed["healthy"], healed["issues"]
+
+    def test_ivfpq_store_vectors_meta_without_dir_flagged(
+        self, spark, tmp_path
+    ):
+        """Meta promising a refine store the layout lost must be an
+        issue, not a silent pass (exact-verify probes would crash)."""
+        import shutil
+
+        from pyspark.sql import functions as SF
+
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.similarity import build_ivfpq_index
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id",
+            SF.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        idx = str(tmp_path / "ivf_novec")
+        build_ivfpq_index(
+            emb, idx, dim=64, n_clusters=8, m=4, ksub=16, store_vectors=True
+        )
+        shutil.rmtree(f"{idx}/vectors")
+        r = index_report(spark, idx)
+        assert not r["healthy"]
+        assert any("store_vectors=true" in i for i in r["issues"])
+
     def test_bloom_saturation_flagged_and_rebuild_heals(
         self, spark, docs, tmp_path
     ):
