@@ -571,6 +571,34 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
                         f"{n_dup} replay-duplicated posting group(s) — run "
                         "dedupe_bm25_index"
                     )
+                # stats COVERAGE (r14): append_to_bm25_index writes
+                # postings, then commits the stats generation LAST — a
+                # crash between leaves posting rows scored with the OLD
+                # df/avgdl (documented window, silently wrong scores
+                # until the re-run). Healthy invariant: distinct posting
+                # doc ids <= stats n_docs (docs with no qualifying terms
+                # count in n_docs but emit no postings, so only the
+                # crashed-append direction is a reliable signal).
+                if report["components"].get("stats", {}).get("files", 0) > 0:
+                    # (a missing stats generation is already a loud issue)
+                    n_post_docs = (
+                        postings.select("doc_id").distinct().count()
+                    )
+                    report["posting_doc_ids"] = n_post_docs
+                    gen = report.get("generation", 0)
+                    n_docs = int(
+                        spark.read.parquet(
+                            os.path.join(index_dir, f"gen.v{gen}", "stats")
+                        ).collect()[0]["n_docs"]
+                    )
+                    if n_post_docs > n_docs:
+                        issues.append(
+                            f"{n_post_docs - n_docs} posting doc id(s) "
+                            "beyond the committed stats generation (a "
+                            "crashed append left postings scored with the "
+                            "old df/avgdl) — re-run the append, then "
+                            "dedupe_bm25_index to fold the posting replays"
+                        )
             except Exception as exc:
                 issues.append(f"postings: duplicate scan failed ({exc})")
         if kind == "bloom" and params is not None:

@@ -479,6 +479,44 @@ class TestIndexReport:
         )
         assert minhash_dedup_against_index(dup, idx, min_jaccard=0.9).count() == 0
 
+    def test_bm25_posting_stats_coverage_flagged(self, spark, docs, tmp_path):
+        """The documented BM25 append crash window (postings landed,
+        stats generation not committed) is now DETECTED (r14): posting
+        doc ids beyond the committed n_docs flag the stale-stats state;
+        the documented recovery (re-run the append, dedupe the replays)
+        heals to a green fsck."""
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.relevance import (
+            append_to_bm25_index,
+            build_bm25_index,
+            dedupe_bm25_index,
+        )
+
+        idx = str(tmp_path / "bm25_cov")
+        build_bm25_index(docs.where(F.col("doc_id") % 2 == 0), idx)
+        assert index_report(spark, idx, scan=True)["healthy"]
+        # reconstruct the crash: run a real append, then roll the stats
+        # generation back to the build's (postings keep the batch rows)
+        import os
+        import shutil
+
+        gen1 = os.path.join(idx, "gen.v1")
+        saved = os.path.join(str(tmp_path), "gen1_saved")
+        shutil.copytree(gen1, saved)
+        append_to_bm25_index(docs.where(F.col("doc_id") % 2 == 1), idx)
+        shutil.rmtree(os.path.join(idx, "gen.v2"))
+        shutil.copytree(saved, gen1)
+        r = index_report(spark, idx, scan=True)
+        assert not r["healthy"]
+        assert any(
+            "beyond the committed stats generation" in i for i in r["issues"]
+        )
+        # recovery: re-run the append (posting replays), then dedupe
+        append_to_bm25_index(docs.where(F.col("doc_id") % 2 == 1), idx)
+        dedupe_bm25_index(spark, idx)
+        healed = index_report(spark, idx, scan=True)
+        assert healed["healthy"], healed["issues"]
+
     def test_ivfpq_missing_refine_vectors_flagged(self, spark, tmp_path):
         """A crashed append writes codes/ but not vectors/ — exact-verify
         probes silently skip those candidates (r14). fsck must count the
