@@ -332,8 +332,13 @@ def compare_bands(args) -> int:
             rep_note = (
                 f"; in-run reps {', '.join(f'{x:g}' for x in reps)}" if reps else ""
             )
+            pin_note = (
+                " [re-pinned — receipt in BASELINE.md]"
+                if k in REPINNED_MEDIAN and med == REPINNED_MEDIAN[k]
+                else ""
+            )
             print(f"  {ratio:5.2f}x med  {k}: {v:g}s  "
-                  f"(median {med:g}, min {mn:g}; {series}{rep_note})")
+                  f"(median {med:g}{pin_note}, min {mn:g}; {series}{rep_note})")
 
         if bare:
             print(f"\nBAND BREACHES ({len(bare)}) — keys above "
