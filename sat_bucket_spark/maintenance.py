@@ -300,18 +300,34 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
     )
 
     subdirs = set(_fs_subdirs(spark, index_dir))
-    if "codes" in subdirs or "retrain.tmp" in subdirs:
-        # retrain.tmp alone is retrain_ivfpq_index's swap crash window
-        # (codes deleted, staged codes not yet renamed): still an IVFPQ
-        # index — report the debris, don't fail kind detection on it
+
+    def _staged_children(name: str) -> set:
+        # corroborate a *.tmp debris marker by peeking INSIDE it (r14
+        # advisor: a directory with unrelated debris merely NAMED like a
+        # crash marker must not be misreported as a damaged index)
+        if name not in subdirs:
+            return set()
+        return set(_fs_subdirs(spark, os.path.join(index_dir, name)))
+
+    if "codes" in subdirs or _staged_children("retrain.tmp") & {
+        "codes", "meta"
+    }:
+        # retrain.tmp without standing codes/ is retrain_ivfpq_index's
+        # swap crash window (codes deleted, staged codes not yet renamed):
+        # still an IVFPQ index when the staging actually holds one —
+        # report the debris, don't fail kind detection on it
         kind = "ivfpq"
-    elif "bands" in subdirs:
-        # "bands" alone (no shingles/) is compact_minhash_index's
-        # documented crash window (shingles/ deleted, shingles.compact not
-        # yet renamed) — still a MinHash index: report the missing
-        # component with the rename-recovery hint, mirroring the BM25
-        # gen.v fallback below, instead of failing kind detection on
-        # exactly the debris fsck exists for
+    elif "bands" in subdirs and (
+        subdirs & {"shingles", "meta"}
+        or any(s.endswith(".compact") for s in subdirs)
+    ):
+        # "bands" without shingles/ is compact_minhash_index's documented
+        # crash window (shingles/ deleted, shingles.compact not yet
+        # renamed) — still a MinHash index: report the missing component
+        # with the rename-recovery hint, mirroring the BM25 gen.v fallback
+        # below. The corroborating sibling (meta/ survives compaction, or
+        # the .compact staging itself) keeps an unrelated dir that merely
+        # contains bands/ from being misreported as a damaged index.
         kind = "minhash"
     elif "postings" in subdirs or any(s.startswith("gen.v") for s in subdirs):
         # gen.v* alone is compact_bm25_index's documented crash window
@@ -319,7 +335,13 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
         # BM25 index — report the missing component and the recovery,
         # don't fail kind detection on exactly the debris fsck exists for
         kind = "bm25"
-    elif "bitmap" in subdirs or any(s.startswith("bitmap.v") for s in subdirs):
+    elif (
+        "bitmap" in subdirs
+        or any(s.startswith("bitmap.v") for s in subdirs)
+        or _staged_children("rebuild.tmp") & {"bitmap", "meta"}
+    ):
+        # rebuild.tmp without a standing bitmap is rebuild_bloom_index's
+        # swap crash window (bitmaps deleted, staged one not yet renamed)
         kind = "bloom"
     else:
         raise ValueError(
@@ -404,7 +426,9 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
                 issues.append(
                     "complete retrain staging awaiting swap — rerun "
                     "retrain_ivfpq_index to finish (it resumes without "
-                    "retraining)"
+                    "retraining when the persisted witness still matches "
+                    "the codes tree; after a post-kill append it discards "
+                    "the stale staging and retrains fresh)"
                 )
             else:
                 issues.append(
@@ -571,6 +595,9 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
                         f"{n_dup} replay-duplicated posting group(s) — run "
                         "dedupe_bm25_index"
                     )
+            except Exception as exc:
+                issues.append(f"postings: duplicate scan failed ({exc})")
+            try:
                 # stats COVERAGE (r14): append_to_bm25_index writes
                 # postings, then commits the stats generation LAST — a
                 # crash between leaves posting rows scored with the OLD
@@ -580,9 +607,13 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
                 # count in n_docs but emit no postings, so only the
                 # crashed-append direction is a reliable signal).
                 if report["components"].get("stats", {}).get("files", 0) > 0:
-                    # (a missing stats generation is already a loud issue)
+                    # (a missing stats generation is already a loud issue;
+                    # re-read postings so this block stands alone even
+                    # when the duplicate scan's read failed)
                     n_post_docs = (
-                        postings.select("doc_id").distinct().count()
+                        spark.read.parquet(
+                            os.path.join(index_dir, "postings")
+                        ).select("doc_id").distinct().count()
                     )
                     report["posting_doc_ids"] = n_post_docs
                     gen = report.get("generation", 0)
@@ -600,7 +631,9 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
                             "dedupe_bm25_index to fold the posting replays"
                         )
             except Exception as exc:
-                issues.append(f"postings: duplicate scan failed ({exc})")
+                # its own label (r15): a gen.v*/stats read failure must
+                # not masquerade as a duplicate-scan failure
+                issues.append(f"stats: coverage scan failed ({exc})")
         if kind == "bloom" and params is not None:
             try:
                 bound = int(params["n_bits"]) // 64

@@ -1322,6 +1322,16 @@ def compact_minhash_index(
     Returns ``{"band_partitions": rewritten, "shingle_files": (before,
     after)}``. Probe equality across build -> appends -> compact is pinned
     by test and by the sf1 probe's maintenance gate.
+
+    Concurrency contract: the pre-swap file-set re-check NARROWS the
+    append/compaction race but cannot close it (check-then-act over a
+    shared filesystem — an append landing between the re-check and the
+    delete+rename is still silently deleted). Running maintenance
+    concurrently with appends requires external mutual exclusion; the
+    guard exists to make violations loud, not licensed. The same contract
+    applies to :func:`~sat_bucket_spark.operators.relevance.
+    compact_bm25_index` and :func:`~sat_bucket_spark.operators.similarity.
+    retrain_ivfpq_index`.
     """
     import math
     import os

@@ -516,6 +516,14 @@ def compact_bm25_index(
     Returns ``{"posting_files": (before, after)}`` (equal when below the
     fragmentation criterion — nothing rewritten).
 
+    Concurrency contract: the pre-swap file-set re-check NARROWS the
+    append/compaction race but cannot close it (check-then-act — an
+    append landing between the re-check and the delete+rename is still
+    silently deleted while its committed stats survive). Concurrent
+    appends during maintenance require external mutual exclusion; the
+    guard makes violations loud, not licensed (same contract as
+    ``compact_minhash_index`` and ``retrain_ivfpq_index``).
+
     Reference analogue: temporal compaction,
     /root/reference/satbucket/routines.py:530-852.
     """

@@ -1245,7 +1245,27 @@ def retrain_ivfpq_index(
     committed staging is detected FIRST, so the abort path deletes the
     staging before raising to keep "resume" meaning "finish a crashed
     swap", never "install a stale snapshot over a newer append".
+
+    The witness SURVIVES the process: the pre-staging signature is
+    persisted under ``retrain.tmp/witness`` before staging begins, so a
+    kill between the staging commit and the swap cannot launder a stale
+    snapshot through the resume path. On resume the two crash states are
+    distinguished by the STANDING meta: gone = the swap already began
+    (appends fail loudly in that window — finishing the swap is the only
+    correct action); still loadable = the swap never began and the
+    standing index kept serving, so the persisted witness is re-verified
+    against the live codes tree and, on mismatch (an append landed after
+    the kill) or a missing witness, the staging is DISCARDED and the
+    retrain restarts from the current corpus instead of resuming.
+
+    The guard narrows the append/maintenance race to the instants between
+    its re-checks but cannot CLOSE it (check-then-act over a shared
+    filesystem): an append landing after the final pre-swap re-check is
+    still erased by the swap. Concurrent appends during retrain — as with
+    every maintenance swap in this engine — require external mutual
+    exclusion; the witness exists to make violations LOUD, not licensed.
     """
+    import json as _json
     import os
 
     from sat_bucket_spark.operators.dedup import (
@@ -1255,8 +1275,9 @@ def retrain_ivfpq_index(
         _fs_tree_signature,
         _load_meta_row,
     )
-
     staging = os.path.join(index_dir, "retrain.tmp")
+    witness_path = os.path.join(staging, "witness")
+    codes_path = os.path.join(index_dir, "codes")
 
     def _staging_complete() -> bool:
         try:
@@ -1264,6 +1285,15 @@ def retrain_ivfpq_index(
             return True
         except Exception:
             return False
+
+    def _read_witness():
+        # None = unreadable/absent (pre-witness staging or corrupt write):
+        # the resume decision is then unprovable, so the caller discards
+        try:
+            raw = spark.read.parquet(witness_path).collect()[0]["witness"]
+            return frozenset(tuple(x) for x in _json.loads(raw))
+        except Exception:
+            return None
 
     def _swap(store_vectors: bool) -> None:
         _fs_delete(spark, os.path.join(index_dir, "meta"))
@@ -1279,24 +1309,50 @@ def retrain_ivfpq_index(
         _fs_delete(spark, staging)
 
     if _staging_complete():
-        # a prior retrain crashed (or was killed) after staging committed:
-        # resume the swap — never retrain again on top of a complete
-        # generation (the staged one already reflects a corpus snapshot)
-        srow = _load_meta_row(spark, staging).asDict()
-        _swap(bool(srow.get("store_vectors", False)))
-        return {
-            "resumed": True,
-            "n_clusters": int(srow["n_clusters"]),
-            "m": int(srow["m"]),
-            "ksub": int(srow["ksub"]),
-        }
-    _fs_delete(spark, staging)  # mid-staging debris: old index still valid
+        standing_ok = True
+        try:
+            _load_meta_row(spark, index_dir)
+        except Exception:
+            standing_ok = False
+        resume = False
+        if not standing_ok:
+            # true mid-swap: the standing meta is already gone, so probes
+            # AND appends fail loudly in this window — nothing can have
+            # landed since the kill; finishing the swap is the only
+            # correct action (and the staged generation is the only
+            # complete one left)
+            resume = True
+        else:
+            # the swap never began: the standing index kept serving after
+            # the kill, so an append may have landed — re-verify the
+            # persisted witness against the live codes tree; mismatch (or
+            # a pre-witness staging) means resuming would install a stale
+            # snapshot over the newer append
+            w = _read_witness()
+            resume = w is not None and w == _fs_tree_signature(
+                spark, codes_path
+            )
+        if resume:
+            srow = _load_meta_row(spark, staging).asDict()
+            _swap(bool(srow.get("store_vectors", False)))
+            return {
+                "resumed": True,
+                "n_clusters": int(srow["n_clusters"]),
+                "m": int(srow["m"]),
+                "ksub": int(srow["ksub"]),
+            }
+    _fs_delete(spark, staging)  # stale/mid-staging debris: old index valid
 
     params, _cents, _books, _codes = load_ivfpq_index(spark, index_dir)
     # concurrency witness: captured BEFORE the source snapshot is read
     # (every append writes codes/, so the codes tree sees all of them)
-    codes_path = os.path.join(index_dir, "codes")
     seen = _fs_tree_signature(spark, codes_path)
+    # persist it under the staging root FIRST: build_ivfpq_index commits
+    # the staging meta last, so any staging a rerun can see as complete
+    # carries the witness its resume decision needs
+    spark.createDataFrame(
+        [(_json.dumps(sorted(list(t) for t in seen)),)], "witness string"
+    ).write.mode("overwrite").parquet(witness_path)
     if vectors is None:
         if not params["store_vectors"]:
             raise ValueError(

@@ -415,6 +415,21 @@ class TestIndexReport:
         with pytest.raises(ValueError, match="no known index layout"):
             index_report(spark, str(tmp_path))
 
+    def test_bare_debris_names_are_not_indexes(self, spark, tmp_path):
+        """r14 advisor: a directory whose children merely SHARE a crash
+        marker's name (bands/ with no corroborating sibling; an empty
+        retrain.tmp/ or rebuild.tmp/ with no index inside) must report
+        unknown layout, not a damaged index."""
+        import os
+
+        from sat_bucket_spark.maintenance import index_report
+
+        for name in ("bands", "retrain.tmp", "rebuild.tmp"):
+            d = str(tmp_path / name.replace(".", "_"))
+            os.makedirs(os.path.join(d, name))
+            with pytest.raises(ValueError, match="no known index layout"):
+                index_report(spark, d)
+
     def test_minhash_orphaned_bands_flagged_and_reappend_heals(
         self, spark, docs, tmp_path
     ):

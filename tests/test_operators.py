@@ -2980,6 +2980,99 @@ class TestIvfpqRetrain:
         )
         assert present == 20, present
 
+    def _kill_before_swap(self, spark, idx):
+        """Run retrain_ivfpq_index but die at the swap's FIRST action (the
+        standing-meta delete) — reconstructing the cross-run crash state
+        the persisted witness exists for: staging committed (meta + witness
+        on disk), standing index fully valid and still serving."""
+        import os
+
+        import sat_bucket_spark.operators.dedup as dedup_mod
+        from sat_bucket_spark.operators.similarity import retrain_ivfpq_index
+
+        real = dedup_mod._fs_delete
+        standing_meta = os.path.join(idx, "meta")
+
+        def dying(spark_, path):
+            if os.path.abspath(path) == os.path.abspath(standing_meta):
+                raise RuntimeError("killed before swap")
+            return real(spark_, path)
+
+        dedup_mod._fs_delete = dying
+        try:
+            with pytest.raises(RuntimeError, match="killed before swap"):
+                retrain_ivfpq_index(spark, idx)
+        finally:
+            dedup_mod._fs_delete = real
+
+    def test_append_after_kill_survives_rerun(
+        self, spark, embeddings, tmp_path
+    ):
+        """The cross-run race the in-process guard can't see (r14 advisor,
+        medium): kill AFTER the staging commits but BEFORE the swap begins
+        (standing meta intact, index serving), land an append, rerun. The
+        rerun must NOT resume the stale staging — the persisted witness
+        mismatches the live codes tree, so it discards the staging and
+        retrains from the CURRENT corpus; the append survives."""
+        import os
+
+        from sat_bucket_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            build_ivfpq_index,
+            retrain_ivfpq_index,
+        )
+
+        base, shifted = self._populations(embeddings)
+        idx = str(tmp_path / "xrun")
+        build_ivfpq_index(
+            base, idx, dim=64, n_clusters=8, m=4, ksub=16, store_vectors=True
+        )
+        self._kill_before_swap(spark, idx)
+        assert os.path.exists(os.path.join(idx, "retrain.tmp", "witness"))
+        assert os.path.exists(os.path.join(idx, "meta"))  # swap never began
+        # the standing index keeps serving appends across the crash window
+        append_to_ivfpq_index(shifted.limit(20), idx)
+        stats = retrain_ivfpq_index(spark, idx)
+        # witness mismatch ⇒ fresh retrain, never a resume of the stale
+        # pre-append snapshot
+        assert stats["resumed"] is False
+        assert not os.path.exists(os.path.join(idx, "retrain.tmp"))
+        appended_ids = {r["vec_id"] for r in shifted.limit(20).collect()}
+        codes = spark.read.parquet(os.path.join(idx, "codes"))
+        present = (
+            codes.where(F.col("vec_id").isin(sorted(appended_ids)))
+            .select("vec_id").distinct().count()
+        )
+        assert present == 20, present
+
+    def test_kill_without_append_resumes(self, spark, embeddings, tmp_path):
+        """Same kill point, NO append before the rerun: the persisted
+        witness matches the live codes tree, so the rerun resumes the
+        committed staging (no second retrain) — the fast path the witness
+        check must not break."""
+        import os
+
+        from sat_bucket_spark.operators.similarity import (
+            build_ivfpq_index,
+            ivfpq_index_topk,
+            retrain_ivfpq_index,
+        )
+
+        base, _ = self._populations(embeddings)
+        idx = str(tmp_path / "xrun2")
+        build_ivfpq_index(
+            base, idx, dim=64, n_clusters=8, m=4, ksub=16, store_vectors=True
+        )
+        self._kill_before_swap(spark, idx)
+        stats = retrain_ivfpq_index(spark, idx)
+        assert stats["resumed"] is True
+        assert not os.path.exists(os.path.join(idx, "retrain.tmp"))
+        queries = base.where(F.col("vec_id") % 16 == 1).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        assert ivfpq_index_topk(spark, idx, queries, k=5, n_probe=2).count() > 0
+
     def test_crash_mid_staging_is_harmless(self, spark, embeddings, tmp_path):
         """Staging debris WITHOUT a committed staging meta leaves the
         standing index fully valid: fsck flags stale staging, probes
