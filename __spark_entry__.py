@@ -6097,6 +6097,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     through dup_clusters (which runs minhash_lsh_dedup_pairs in-window)
     and through the promoted probe itself; it remains green in the
     all-registry parity suite.
+
+    Round-15 reorder (VERDICT r14 task #5): cc_update — the LAST
+    incremental-maintenance leg (connected components) without a
+    driver-hash row — moves INTO the window: the standing component map
+    updated with an edge delta must hash-equal a FULL recompute over the
+    union graph (the oracle's recursive CTE), exercising the plan-gated
+    no-shuffle contraction (standing map broadcast to the delta's
+    stream side; 10x receipt 1.57 s vs 3.32 s full recompute, r14).
+    Parity-green at both SFs since r12. Displaced, per the insertion
+    rule: idw_grid — the gridded-interpolation family stays
+    driver-verified through dense_grid and parity-verified through
+    nearest_grid + idw_grid_daily + idw_grid itself.
     """
     return {
         # ---- driver-verified window (first 50) ----
@@ -6114,7 +6126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_in_polygons_big": q_points_in_polygons_big,
         "image_meta": q_image_meta,
         "sessionize_scalable": q_sessionize_scalable,
-        "idw_grid": q_idw_grid,
+        "cc_update": q_cc_update,
         "swath_offsets": q_swath_offsets,
         "lm_score": q_lm_score,
         "bm25_index_topk": q_bm25_index_topk,
@@ -6173,7 +6185,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (which runs minhash_lsh_dedup_pairs in-window) and through the
         # promoted probe's own band join + exact verify
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "cc_update": q_cc_update,
+        # idw_grid demoted r15 for cc_update — the gridded-interpolation
+        # family stays driver-verified through dense_grid (in-window) and
+        # parity-verified through nearest_grid + idw_grid_daily + this
+        # entry itself
+        "idw_grid": q_idw_grid,
         # pagerank demoted r14 for pagerank_update — the undirected
         # distributed loop stays driver-verified through pagerank_directed
         # (forced-distributed dangling branch) and pagerank_update itself

@@ -16,6 +16,11 @@ posture where the corpus is 100 TB and the nightly batch is not:
     FSCK      index_report over all four legs, scan=True — the nightly
               run FAILS on replay duplication / missing components /
               stale generations, so the healers have a standing surface
+    ACCURACY  check_ivfpq_recall       (codebook-drift watch; baseline-
+                                        relative retrain recommendation)
+              rebuild_bloom_index      (fill > 0.5 remediation: one corpus
+                                        scan at a larger width, crash-
+                                        resumable generational swap)
 
 The point: neither nightly step's cost grows with the corpus. The inline
 operators (`dedup_exact_against_bloom`, `minhash_dedup_against`) re-scan the
@@ -133,7 +138,11 @@ def main(sf_dir: str) -> None:
     )
     archive = emb.where(F.col("vec_id") % 3 != 0)
     v_idx = os.path.join(work, "ivfpq_index")
-    build_ivfpq_index(archive, v_idx, dim=64, n_clusters=8, m=4, ksub=16)
+    # store_vectors=True: the refine store feeds the nightly recall watch
+    # (check_ivfpq_recall) and makes retrain_ivfpq_index self-sufficient
+    build_ivfpq_index(
+        archive, v_idx, dim=64, n_clusters=8, m=4, ksub=16, store_vectors=True
+    )
     vbatch = archive.where(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"  # exact copies
     ).unionByName(
@@ -187,6 +196,37 @@ def main(sf_dir: str) -> None:
         if not r["healthy"]:
             raise SystemExit(f"nightly fsck: {leg} leg unhealthy: {r['issues']}")
         print(f"fsck {leg}: healthy ({r['components']})")
+
+    # ---- accuracy watch + remediation (r15): fsck sees STRUCTURE; these
+    # see what structure can't — each leg's silent accuracy failure mode
+    from sat_bucket_spark.operators.dedup import rebuild_bloom_index
+    from sat_bucket_spark.operators.similarity import check_ivfpq_recall
+
+    # IVFPQ: codebook drift. Record tonight's reading; tomorrow's run
+    # passes it as baseline and retrains when recommended (<0.8x).
+    watch = check_ivfpq_recall(spark, v_idx, n_queries=100)
+    print(
+        f"ivfpq recall watch: {watch['recall']:.3f} @k={watch['k']} — "
+        "record as tomorrow's baseline; when a later run's "
+        "retrain_recommended fires, schedule retrain_ivfpq_index"
+    )
+    # Bloom: bitmap fill. fsck already flags fill > 0.5; the packaged
+    # remediation is one corpus scan at a larger width (generational
+    # swap — the standing index serves until the commit).
+    bloom_r = index_report(spark, bloom_idx, scan=True)
+    if bloom_r["fill_factor"] > 0.5:
+        from sat_bucket_spark.operators.dedup import load_bloom_index
+
+        full_corpus = corpus.select("doc_id", "text").unionByName(
+            spark.read.parquet(surv_path).select("doc_id", "text")
+        )
+        rebuild_bloom_index(
+            spark, bloom_idx, full_corpus,
+            n_bits=int(load_bloom_index(spark, bloom_idx)[0]["n_bits"]) * 4,
+        )
+        print("bloom leg rebuilt at 4x width")
+    else:
+        print(f"bloom fill watch: {bloom_r['fill_factor']:.3f} (healthy)")
     spark.stop()
 
 

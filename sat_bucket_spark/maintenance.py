@@ -449,6 +449,35 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
             )
         cur = "bitmap" if gen == 0 else f"bitmap.v{gen}"
         _component("bitmap", os.path.join(index_dir, cur))
+        if "rebuild.tmp" in subdirs:
+            # rebuild_bloom_index staging debris — same three states as
+            # the IVFPQ retrain staging (build writes meta last, so a
+            # loadable staging meta == the staged generation committed)
+            try:
+                _load_meta_row(spark, os.path.join(index_dir, "rebuild.tmp"))
+                staged_ok = True
+            except Exception:
+                staged_ok = False
+            if staged_ok and not report["params_ok"]:
+                issues.append(
+                    "rebuild crashed mid-swap (staged generation complete, "
+                    "standing meta gone) — rerun rebuild_bloom_index to "
+                    "resume the swap"
+                )
+            elif staged_ok:
+                issues.append(
+                    "complete rebuild staging awaiting swap — rerun "
+                    "rebuild_bloom_index to finish (it resumes without "
+                    "rebuilding when the persisted witness still matches "
+                    "the bitmap generations; after a post-kill append it "
+                    "discards the stale staging and rebuilds fresh)"
+                )
+            else:
+                issues.append(
+                    "stale rebuild staging (crashed mid-staging; standing "
+                    "index unaffected) — delete rebuild.tmp or rerun "
+                    "rebuild_bloom_index"
+                )
     elif kind == "bm25":
         from sat_bucket_spark.operators.relevance import _bm25_gen
 
@@ -679,8 +708,8 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
                     issues.append(
                         f"bitmap saturated: fill {fill:.3f} "
                         f"(~{fill**k:.2%} FP in the zero-corpus posture) — "
-                        "rebuild with larger n_bits via build_bloom_index "
-                        "over the full corpus (bitmaps cannot grow in place)"
+                        "run rebuild_bloom_index with larger n_bits over "
+                        "the full corpus (bitmaps cannot grow in place)"
                     )
             except Exception as exc:
                 issues.append(f"bitmap: saturation scan failed ({exc})")

@@ -898,6 +898,168 @@ def _bloom_generations(spark, index_dir: str) -> tuple[int, list[str]]:
     return current, stale
 
 
+def _bitmap_witness(spark, index_dir: str) -> frozenset:
+    """(generation dir name, parquet file name) pairs across ALL bitmap
+    generations — rebuild_bloom_index's concurrency witness. Every
+    :func:`append_to_bloom_index` commits a new ``bitmap.v<N>`` and
+    retires the old one, so any append between a rebuild's corpus
+    snapshot and its swap changes this set."""
+    import re
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return frozenset()
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not st.isDirectory():
+            continue
+        if name != "bitmap" and not re.fullmatch(r"bitmap\.v\d+", name):
+            continue
+        for child in fs.listStatus(st.getPath()):
+            cn = child.getPath().getName()
+            if child.isFile() and cn.endswith(".parquet"):
+                out.append((name, cn))
+    return frozenset(out)
+
+
+def rebuild_bloom_index(
+    spark,
+    index_dir: str,
+    keys: DataFrame,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
+    seed: int | None = None,
+) -> dict:
+    """Re-size a SATURATED Bloom index — the remediation for the fill
+    watch :func:`sat_bucket_spark.maintenance.index_report` runs
+    (``fill_factor > 0.5``): a bitmap cannot grow in place (bit positions
+    are ``mod n_bits``), so the only accuracy recovery is one corpus scan
+    at the new width. This packages that scan with the crash-resumable
+    generational swap :func:`~sat_bucket_spark.operators.similarity.
+    retrain_ivfpq_index` established, completing the four-leg
+    accuracy-maintenance matrix (IVFPQ drift -> retrain; BM25/MinHash
+    fragmentation -> compaction; Bloom fill -> this).
+
+    ``keys`` must cover the FULL corpus (every row whose key the index
+    should remember — typically the corpus table itself): unlike IVFPQ's
+    refine store, a Bloom index stores no keys, only bits, so the caller
+    owns corpus access. Parameters default to the standing meta's;
+    ``n_bits`` is the one you came to change (size ~10x the eventual
+    distinct key count).
+
+    Swap protocol (retrain_ivfpq_index's, verbatim): the new generation
+    stages under ``<index_dir>/rebuild.tmp`` via :func:`build_bloom_index`
+    (its meta commits LAST, so a loadable staging meta == staging
+    complete) while the standing index serves unchanged; then standing
+    ``meta/`` is deleted (probes AND appends fail loudly in the swap
+    window), all standing bitmap generations are removed, and the staged
+    bitmap + meta rename into place, meta last. A crash mid-staging
+    leaves the old index valid plus debris a rerun clears; a crash
+    mid-swap leaves a complete staging a rerun resumes without
+    rebuilding (``index_report`` describes both states).
+
+    Concurrency: the bitmap generation set is fingerprinted before the
+    corpus snapshot is read, persisted under ``rebuild.tmp/witness``, and
+    re-checked before the swap — an :func:`append_to_bloom_index` landing
+    mid-rebuild (its keys are NOT in ``keys``) aborts the swap in-run,
+    and a post-kill append invalidates the persisted witness so a rerun
+    discards the stale staging and rebuilds fresh instead of erasing the
+    append. As with every maintenance swap here the guard narrows the
+    check-then-act window but cannot close it: concurrent appends require
+    external mutual exclusion.
+
+    Returns ``{"resumed": bool, "n_bits": int, "n_hashes": int}``.
+    """
+    import json as _json
+    import os
+
+    staging = os.path.join(index_dir, "rebuild.tmp")
+    witness_path = os.path.join(staging, "witness")
+
+    def _staging_complete() -> bool:
+        try:
+            _load_meta_row(spark, staging)
+            return True
+        except Exception:
+            return False
+
+    def _read_witness():
+        try:
+            raw = spark.read.parquet(witness_path).collect()[0]["witness"]
+            return frozenset(tuple(x) for x in _json.loads(raw))
+        except Exception:
+            return None
+
+    def _swap() -> dict:
+        srow = _load_meta_row(spark, staging).asDict()
+        _fs_delete(spark, os.path.join(index_dir, "meta"))
+        staged_bm = os.path.join(staging, "bitmap")
+        if _fs_is_dir(spark, staged_bm):
+            # remove EVERY standing generation (current + stale debris) —
+            # guarded so a resume after the rename crashed doesn't delete
+            # the already-installed new bitmap
+            gen, stale = _bloom_generations(spark, index_dir)
+            for p in stale:
+                _fs_delete(spark, p)
+            cur = "bitmap" if gen == 0 else f"bitmap.v{gen}"
+            _fs_delete(spark, os.path.join(index_dir, cur))
+            _fs_rename(spark, staged_bm, os.path.join(index_dir, "bitmap"))
+        _fs_rename(
+            spark, os.path.join(staging, "meta"), os.path.join(index_dir, "meta")
+        )
+        _fs_delete(spark, staging)
+        return {
+            "resumed": True,
+            "n_bits": int(srow["n_bits"]),
+            "n_hashes": int(srow["n_hashes"]),
+        }
+
+    if _staging_complete():
+        standing_ok = True
+        try:
+            _load_meta_row(spark, index_dir)
+        except Exception:
+            standing_ok = False
+        if not standing_ok:
+            # true mid-swap: standing meta gone, probes/appends fail
+            # loudly — finish the swap
+            return _swap()
+        w = _read_witness()
+        if w is not None and w == _bitmap_witness(spark, index_dir):
+            return _swap()
+        # the standing index kept serving after the kill and its bitmap
+        # generations moved (an append landed): the staged bitmap was
+        # built without those keys — discard it and rebuild fresh below
+    _fs_delete(spark, staging)
+
+    row = _load_meta_row(spark, index_dir).asDict()
+    key_cols = _json.loads(row["key_cols"])
+    n_bits = int(row["n_bits"] if n_bits is None else n_bits)
+    n_hashes = int(row["n_hashes"] if n_hashes is None else n_hashes)
+    seed = int(row["seed"] if seed is None else seed)
+    seen = _bitmap_witness(spark, index_dir)
+    spark.createDataFrame(
+        [(_json.dumps(sorted(list(t) for t in seen)),)], "witness string"
+    ).write.mode("overwrite").parquet(witness_path)
+    build_bloom_index(
+        keys, staging, key_cols, n_bits=n_bits, n_hashes=n_hashes, seed=seed
+    )
+    if _bitmap_witness(spark, index_dir) != seen:
+        _fs_delete(spark, staging)
+        raise RuntimeError(
+            f"{index_dir}: bitmap generations changed during the rebuild "
+            "(concurrent append?) — swap aborted and staging discarded, "
+            "standing index left intact; rerun rebuild_bloom_index with "
+            "a keys frame that covers the appended rows"
+        )
+    out = _swap()
+    out["resumed"] = False
+    return out
+
+
 def dedup_exact_against_bloom_index(
     batch: DataFrame,
     index_dir: str,

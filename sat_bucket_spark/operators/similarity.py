@@ -1393,6 +1393,96 @@ def retrain_ivfpq_index(
     return {"resumed": False, "n_clusters": n_clusters, "m": m, "ksub": ksub}
 
 
+def check_ivfpq_recall(
+    spark,
+    index_dir: str,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    n_queries: int = 200,
+    n_probe: int = 2,
+    baseline: float | None = None,
+    min_ratio: float = 0.8,
+) -> dict:
+    """Measure the standing index's recall@k against exact ground truth —
+    the nightly accuracy watch that gates the
+    :func:`retrain_ivfpq_index` decision, packaged to ride next to
+    :func:`sat_bucket_spark.maintenance.index_report` (fsck watches the
+    index's STRUCTURE; this watches what structure can't show: frozen
+    codebooks silently going stale under distribution drift).
+
+    Ground truth comes from the index's own refine store
+    (``store_vectors=True`` builds): ``queries`` (or, when None, an
+    ``n_queries`` order-free sample of the refine store — content-hash
+    TakeOrdered, never ``limit(N)``; a bare limit reads the corpus's
+    leading partitions, the measured r14 sampling trap) are ranked
+    exactly by :func:`brute_force_topk` with ``metric='l2'`` (the metric
+    ADC scores approximate) and compared to
+    :func:`ivfpq_index_topk` via :func:`recall_at_k`. Cost is one scan
+    of the refine store per call (the brute-force side) — size
+    ``n_queries``/cadence accordingly; the index search itself reads only
+    probed partitions. An index without a refine store cannot self-check
+    (raise, with instruction): gate it externally with
+    ``recall_at_k(ivfpq_index_topk(...), brute_force_topk(corpus, ...))``.
+
+    Corpus-sampled queries contain their own exact copy, which a healthy
+    index retrieves — so healthy recall is biased UP, and a drop is the
+    drift signal. Gate the number RELATIVELY, never absolutely: recall at
+    fixed PQ capacity (m x ksub) shrinks as the corpus grows, so an
+    absolute floor tuned at one size misfires at another (measured r14:
+    0.353 restored at 500 vectors vs 0.174 at 20k for the SAME healthy
+    index family). Pass ``baseline`` = the reading this function returned
+    right after the last build/retrain (the caller records it — meta is
+    immutable by design); ``retrain_recommended`` is then
+    ``recall < min_ratio * baseline`` (default 0.8x, the sf1 probe's
+    drift gate re-expressed). Without a baseline the first reading IS the
+    baseline: the dict carries ``recall`` and ``retrain_recommended`` is
+    None.
+
+    Returns ``{"recall": float, "k": int, "n_queries": int, "n_probe":
+    int, "baseline": float | None, "retrain_recommended": bool | None}``.
+    SCALE.md's retrain-cadence note shows the nightly wiring.
+    """
+    import os
+
+    params, _cents, _books, _codes = load_ivfpq_index(spark, index_dir)
+    if not params["store_vectors"]:
+        raise ValueError(
+            f"{index_dir}: no refine store (store_vectors=False) — recall "
+            "needs exact ground truth; gate externally with recall_at_k("
+            "ivfpq_index_topk(...), brute_force_topk(corpus, ..., "
+            "metric='l2'))"
+        )
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    corpus = spark.read.parquet(os.path.join(index_dir, "vectors")).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    if queries is None:
+        queries = (
+            corpus.orderBy(F.xxhash64(F.col(vec_col)))
+            .limit(int(n_queries))
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("query_vec"),
+            )
+        )
+    queries = stage_cache(queries)
+    exact = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col, metric="l2"
+    )
+    approx = ivfpq_index_topk(spark, index_dir, queries, k=k, n_probe=n_probe)
+    recall = recall_at_k(approx, exact, id_col=id_col)
+    n_q = queries.count()
+    recommended = None if baseline is None else recall < min_ratio * baseline
+    return {
+        "recall": round(recall, 6),
+        "k": int(k),
+        "n_queries": int(n_q),
+        "n_probe": int(n_probe),
+        "baseline": baseline,
+        "retrain_recommended": recommended,
+    }
+
+
 def dedupe_ivfpq_index(spark, index_dir: str) -> int:
     """Heal duplicate code rows left by REPLAYED appends — rewrite only the
     cluster partitions that actually contain them.

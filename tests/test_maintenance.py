@@ -617,10 +617,16 @@ class TestIndexReport:
         """The Bloom leg's accuracy-maintenance signal (r14): appends
         raise bitmap fill monotonically and the zero-corpus probe's FP
         rate is fill^k — silent over-dropping with no plan symptom. An
-        undersized bitmap must fsck unhealthy with the rebuild hint and
-        a fill/FP reading; rebuilding with adequate n_bits heals it."""
+        undersized bitmap must fsck unhealthy with the rebuild hint;
+        rebuild_bloom_index (r15 — the packaged remediation the hint
+        names) heals it: fill back under threshold, members still
+        dropped, non-members pass modulo the freshly-sized FP rate."""
         from sat_bucket_spark.maintenance import index_report
-        from sat_bucket_spark.operators.dedup import build_bloom_index
+        from sat_bucket_spark.operators.dedup import (
+            build_bloom_index,
+            dedup_exact_against_bloom_index,
+            rebuild_bloom_index,
+        )
 
         idx = str(tmp_path / "bloom_sat")
         # 500 distinct keys x 5 hashes into 1024 bits: fill ~0.9
@@ -630,8 +636,16 @@ class TestIndexReport:
         assert r["fill_factor"] > 0.5
         assert r["est_fp_rate"] > 0.03
         assert any("bitmap saturated" in i for i in r["issues"])
-        # the rebuild decision: same corpus, adequate sizing
-        build_bloom_index(docs, idx, ["text"], n_bits=1 << 16)
+        # the saturated gate over-drops a NON-member batch at ~fill^k
+        novel = docs.select(
+            "doc_id", F.concat(F.col("text"), F.lit(" §novel")).alias("text")
+        )
+        n_novel = novel.count()
+        kept_sat = dedup_exact_against_bloom_index(novel, idx).count()
+        assert n_novel - kept_sat > 0.3 * n_novel  # fill ~0.9 ⇒ ~59% FP
+        # the packaged remediation: one corpus scan at the new width
+        stats = rebuild_bloom_index(spark, idx, docs, n_bits=1 << 16)
+        assert stats == {"resumed": False, "n_bits": 1 << 16, "n_hashes": 5}
         healed = index_report(spark, idx, scan=True)
         assert healed["healthy"], healed["issues"]
         assert healed["fill_factor"] < 0.5
@@ -639,6 +653,123 @@ class TestIndexReport:
         assert healed["est_fp_rate"] == round(
             healed["fill_factor"] ** 5, 6
         )
+        # probe semantics preserved: members dropped, non-members pass
+        # modulo the freshly-sized FP rate (~0.04% at 2^16 bits)
+        assert dedup_exact_against_bloom_index(docs, idx).count() == 0
+        kept = dedup_exact_against_bloom_index(novel, idx).count()
+        assert kept >= 0.99 * n_novel, (kept, n_novel)
+
+    def _kill_bloom_rebuild_before_swap(self, spark, idx, docs, n_bits):
+        """Drive rebuild_bloom_index into the kill-after-staging-commit
+        state: staging (bitmap+meta+witness) on disk, standing index
+        fully intact and serving."""
+        import os
+
+        import sat_bucket_spark.operators.dedup as dedup_mod
+        from sat_bucket_spark.operators.dedup import rebuild_bloom_index
+
+        real = dedup_mod._fs_delete
+        standing_meta = os.path.join(idx, "meta")
+
+        def dying(spark_, path):
+            if os.path.abspath(path) == os.path.abspath(standing_meta):
+                raise RuntimeError("killed before swap")
+            return real(spark_, path)
+
+        dedup_mod._fs_delete = dying
+        try:
+            with pytest.raises(RuntimeError, match="killed before swap"):
+                rebuild_bloom_index(spark, idx, docs, n_bits=n_bits)
+        finally:
+            dedup_mod._fs_delete = real
+
+    def test_bloom_rebuild_crash_states(self, spark, docs, tmp_path):
+        """rebuild_bloom_index rides the retrain swap protocol: fsck
+        describes the kill-after-staging-commit state, a rerun with no
+        intervening append RESUMES the staged generation, and a post-kill
+        append invalidates the persisted witness so the rerun rebuilds
+        fresh from the caller's keys instead of installing the stale
+        staging."""
+        import os
+
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.dedup import (
+            append_to_bloom_index,
+            build_bloom_index,
+            dedup_exact_against_bloom_index,
+            rebuild_bloom_index,
+        )
+
+        # --- kill, no append: resume without rebuilding
+        idx = str(tmp_path / "bloom_resume")
+        build_bloom_index(docs, idx, ["text"], n_bits=1 << 10)
+        self._kill_bloom_rebuild_before_swap(spark, idx, docs, 1 << 16)
+        assert os.path.exists(os.path.join(idx, "rebuild.tmp", "witness"))
+        r = index_report(spark, idx, scan=True)
+        assert r["kind"] == "bloom" and not r["healthy"]
+        assert any("rebuild staging awaiting swap" in i for i in r["issues"])
+        stats = rebuild_bloom_index(spark, idx, docs)
+        assert stats["resumed"] is True and stats["n_bits"] == 1 << 16
+        healed = index_report(spark, idx, scan=True)
+        assert healed["healthy"], healed["issues"]
+        assert dedup_exact_against_bloom_index(docs, idx).count() == 0
+
+        # --- kill, append lands, rerun: witness mismatch ⇒ fresh rebuild
+        # from the caller's keys (which, per contract, cover the append)
+        idx2 = str(tmp_path / "bloom_race")
+        half = docs.where(F.col("doc_id") % 2 == 0)
+        other = docs.where(F.col("doc_id") % 2 == 1)
+        build_bloom_index(half, idx2, ["text"], n_bits=1 << 10)
+        self._kill_bloom_rebuild_before_swap(spark, idx2, half, 1 << 16)
+        # the standing index keeps serving appends across the crash window
+        append_to_bloom_index(other, idx2)
+        stats = rebuild_bloom_index(spark, idx2, docs, n_bits=1 << 16)
+        assert stats["resumed"] is False  # stale staging was discarded
+        assert not os.path.exists(os.path.join(idx2, "rebuild.tmp"))
+        # the appended keys survive: the whole corpus is still dropped
+        assert dedup_exact_against_bloom_index(docs, idx2).count() == 0
+        assert index_report(spark, idx2, scan=True)["healthy"]
+
+    def test_bloom_rebuild_aborts_on_concurrent_append(
+        self, spark, docs, tmp_path
+    ):
+        """The in-run guard: an append landing between the staging
+        snapshot and the swap aborts the rebuild, discards the staging,
+        and leaves the standing index (including the append) intact."""
+        import os
+
+        import sat_bucket_spark.operators.dedup as dedup_mod
+        from sat_bucket_spark.operators.dedup import (
+            append_to_bloom_index,
+            build_bloom_index,
+            dedup_exact_against_bloom_index,
+            rebuild_bloom_index,
+        )
+
+        idx = str(tmp_path / "bloom_conc")
+        half = docs.where(F.col("doc_id") % 2 == 0)
+        other = docs.where(F.col("doc_id") % 2 == 1)
+        build_bloom_index(half, idx, ["text"], n_bits=1 << 10)
+        real = dedup_mod._bitmap_witness
+        calls = {"n": 0}
+
+        def racing(spark_, path):
+            # 2nd witness read is the pre-swap re-check: land a real
+            # concurrent append just before it runs
+            calls["n"] += 1
+            if calls["n"] == 2:
+                append_to_bloom_index(other, idx)
+            return real(spark_, path)
+
+        dedup_mod._bitmap_witness = racing
+        try:
+            with pytest.raises(RuntimeError, match="generations changed"):
+                rebuild_bloom_index(spark, idx, half, n_bits=1 << 16)
+        finally:
+            dedup_mod._bitmap_witness = real
+        assert not os.path.exists(os.path.join(idx, "rebuild.tmp"))
+        # standing index intact INCLUDING the racing append's keys
+        assert dedup_exact_against_bloom_index(docs, idx).count() == 0
 
     def test_minhash_compact_crash_window_reports_not_crashes(
         self, spark, docs, tmp_path
