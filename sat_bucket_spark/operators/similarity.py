@@ -1411,10 +1411,11 @@ def check_ivfpq_recall(
     codebooks silently going stale under distribution drift).
 
     Ground truth comes from the index's own refine store
-    (``store_vectors=True`` builds): ``queries`` (or, when None, an
-    ``n_queries`` order-free sample of the refine store — content-hash
-    TakeOrdered, never ``limit(N)``; a bare limit reads the corpus's
-    leading partitions, the measured r14 sampling trap) are ranked
+    (``store_vectors=True`` builds): ``queries`` (a
+    ``(query_id, query_vec)`` frame — the ``*_topk`` query shape; or,
+    when None, an ``n_queries`` order-free sample of the refine store —
+    content-hash TakeOrdered, never ``limit(N)``; a bare limit reads the
+    corpus's leading partitions, the measured r14 sampling trap) are ranked
     exactly by :func:`brute_force_topk` with ``metric='l2'`` (the metric
     ADC scores approximate) and compared to
     :func:`ivfpq_index_topk` via :func:`recall_at_k`. Cost is one scan

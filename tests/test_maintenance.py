@@ -708,7 +708,8 @@ class TestIndexReport:
         r = index_report(spark, idx, scan=True)
         assert r["kind"] == "bloom" and not r["healthy"]
         assert any("rebuild staging awaiting swap" in i for i in r["issues"])
-        stats = rebuild_bloom_index(spark, idx, docs)
+        # fsck's recovery hint is just "rerun" — resume needs no keys
+        stats = rebuild_bloom_index(spark, idx)
         assert stats["resumed"] is True and stats["n_bits"] == 1 << 16
         healed = index_report(spark, idx, scan=True)
         assert healed["healthy"], healed["issues"]
@@ -729,6 +730,10 @@ class TestIndexReport:
         # the appended keys survive: the whole corpus is still dropped
         assert dedup_exact_against_bloom_index(docs, idx2).count() == 0
         assert index_report(spark, idx2, scan=True)["healthy"]
+        # with nothing to resume, a keys-less call is a loud error, never
+        # a silent no-op
+        with pytest.raises(ValueError, match="no keys frame"):
+            rebuild_bloom_index(spark, idx2)
 
     def test_bloom_rebuild_aborts_on_concurrent_append(
         self, spark, docs, tmp_path
