@@ -202,14 +202,22 @@ def main(sf_dir: str) -> None:
     from sat_bucket_spark.operators.dedup import rebuild_bloom_index
     from sat_bucket_spark.operators.similarity import check_ivfpq_recall
 
-    # IVFPQ: codebook drift. Record tonight's reading; tomorrow's run
-    # passes it as baseline and retrains when recommended (<0.8x).
-    watch = check_ivfpq_recall(spark, v_idx, n_queries=100)
-    print(
-        f"ivfpq recall watch: {watch['recall']:.3f} @k={watch['k']} — "
-        "record as tomorrow's baseline; when a later run's "
-        "retrain_recommended fires, schedule retrain_ivfpq_index"
-    )
+    # IVFPQ: codebook drift. The first run records the baseline into the
+    # index dir; every later run auto-compares against it and recommends
+    # the retrain under 0.8x (the retrain swap clears the baseline, so
+    # re-record after retraining).
+    watch = check_ivfpq_recall(spark, v_idx, n_queries=100, record_baseline=True)
+    if watch["retrain_recommended"]:
+        from sat_bucket_spark.operators.similarity import retrain_ivfpq_index
+
+        retrain_ivfpq_index(spark, v_idx)
+        check_ivfpq_recall(spark, v_idx, n_queries=100, record_baseline=True)
+        print("ivfpq recall watch: retrained and baseline re-recorded")
+    else:
+        print(
+            f"ivfpq recall watch: {watch['recall']:.3f} @k={watch['k']} vs "
+            f"baseline {watch['baseline']} ({watch['baseline_source']})"
+        )
     # Bloom: bitmap fill. fsck already flags fill > 0.5; the packaged
     # remediation is one corpus scan at a larger width (generational
     # swap — the standing index serves until the commit).

@@ -379,7 +379,8 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
         if comp["files"] == 0:
             hint = (
                 " (if a sibling .compact dir exists, a compaction crashed "
-                "mid-swap — rename it into place)"
+                "mid-swap — rerun the leg's compactor, which resumes the "
+                "rename, or rename it into place by hand)"
                 if name in ("postings", "shingles")
                 else ""
             )

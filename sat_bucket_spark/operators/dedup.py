@@ -1324,6 +1324,40 @@ def _fs_is_dir(spark, path: str) -> bool:
     return fs.exists(p) and fs.getFileStatus(p).isDirectory()
 
 
+def _fs_exists(spark, path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def _resume_crashed_compact_swap(spark, live_dir: str) -> bool:
+    """Finish a compactor's crashed delete+rename swap, if that is what
+    the layout shows: the live component has NO parquet files while a
+    COMPLETE ``<live>.compact`` sibling (its write's own ``_SUCCESS``
+    marker present) sits next to it — the state a kill between the
+    delete and the rename leaves, and the only state that produces this
+    layout (an abort deletes the tmp; a crash before the delete leaves
+    the live files in place). Returns True when a rename was performed.
+
+    Before r15 the recovery was fsck's manual rename hint; the
+    compactors now call this first, so a plain rerun heals their own
+    crash window — the same self-resume contract retrain_ivfpq_index
+    and rebuild_bloom_index carry."""
+    import os
+
+    tmp = live_dir + ".compact"
+    n_live, _ = _fs_parquet_stats(spark, live_dir)
+    if n_live > 0:
+        return False
+    n_tmp, _ = _fs_parquet_stats(spark, tmp)
+    if n_tmp == 0 or not _fs_exists(spark, os.path.join(tmp, "_SUCCESS")):
+        return False
+    _fs_delete(spark, live_dir)  # an empty husk dir would break the rename
+    _fs_rename(spark, tmp, live_dir)
+    return True
+
+
 def _write_minhash_index_rows(docs, index_dir, p, mode: str) -> None:
     """CONTENT-ADDRESSED index rows: bands/ and shingles/ are keyed by a
     64-bit text hash (``content_id``), NOT by doc id, and exact-duplicate
@@ -1521,6 +1555,10 @@ def compact_minhash_index(
 
     target = parse_size(target_file_size)
     shingle_dir = os.path.join(index_dir, "shingles")
+    # a prior run killed between its delete and rename left shingles
+    # missing with a complete shingles.compact: finish that swap first,
+    # so a plain rerun heals the crash window fsck describes
+    _resume_crashed_compact_swap(spark, shingle_dir)
     n_before, total_bytes = _fs_parquet_stats(spark, shingle_dir)
     n_after = n_before
     # n_before > 0 short-circuits before the mean-size division

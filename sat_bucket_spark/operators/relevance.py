@@ -535,11 +535,16 @@ def compact_bm25_index(
         _fs_parquet_names,
         _fs_parquet_stats,
         _fs_rename,
+        _resume_crashed_compact_swap,
     )
     from sat_bucket_spark.writers import parse_size
 
     target = parse_size(target_file_size)
     post_path = os.path.join(index_dir, "postings")
+    # a prior run killed between its delete and rename left postings
+    # missing with a complete postings.compact: finish that swap first,
+    # so a plain rerun heals the crash window fsck describes
+    _resume_crashed_compact_swap(spark, post_path)
     n_before, total_bytes = _fs_parquet_stats(spark, post_path)
     # n_before == 0 short-circuits BEFORE the mean-size division: a
     # missing/empty postings dir (crash debris, min_files=0 callers) is

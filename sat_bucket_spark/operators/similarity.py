@@ -1019,8 +1019,14 @@ def build_ivfpq_index(
     """
     import os
 
+    from sat_bucket_spark.operators.dedup import _fs_delete
     from sat_bucket_spark.operators.parallel import ensure_parallelism
     from sat_bucket_spark.writers import write_partitioned_dataset
+
+    # an in-place REBUILD replaces the codebooks, so any recorded recall
+    # baseline (check_ivfpq_recall) describes a dead generation — clear it
+    # (no-op on fresh dirs and retrain stagings)
+    _fs_delete(vectors.sparkSession, os.path.join(index_dir, "recall_baseline"))
 
     if centroids is None:
         centroids = train_ivf_centroids(
@@ -1296,6 +1302,10 @@ def retrain_ivfpq_index(
             return None
 
     def _swap(store_vectors: bool) -> None:
+        # the recorded recall baseline (check_ivfpq_recall) describes the
+        # OUTGOING generation's codebooks — gating a post-retrain reading
+        # against it would compare across generations; re-record after
+        _fs_delete(spark, os.path.join(index_dir, "recall_baseline"))
         _fs_delete(spark, os.path.join(index_dir, "meta"))
         comps = ["codes"] + (["vectors"] if store_vectors else [])
         for comp in comps:
@@ -1402,6 +1412,7 @@ def check_ivfpq_recall(
     n_probe: int = 2,
     baseline: float | None = None,
     min_ratio: float = 0.8,
+    record_baseline: bool = False,
 ) -> dict:
     """Measure the standing index's recall@k against exact ground truth —
     the nightly accuracy watch that gates the
@@ -1431,17 +1442,29 @@ def check_ivfpq_recall(
     fixed PQ capacity (m x ksub) shrinks as the corpus grows, so an
     absolute floor tuned at one size misfires at another (measured r14:
     0.353 restored at 500 vectors vs 0.174 at 20k for the SAME healthy
-    index family). Pass ``baseline`` = the reading this function returned
-    right after the last build/retrain (the caller records it — meta is
-    immutable by design); ``retrain_recommended`` is then
-    ``recall < min_ratio * baseline`` (default 0.8x, the sf1 probe's
-    drift gate re-expressed). Without a baseline the first reading IS the
-    baseline: the dict carries ``recall`` and ``retrain_recommended`` is
-    None.
+    index family). The baseline = the reading taken right after the last
+    build/retrain, supplied one of two ways: pass it as ``baseline``, or
+    run once with ``record_baseline=True`` after each build/retrain — the
+    reading persists to ``<index_dir>/recall_baseline`` (its own dir;
+    meta stays immutable) and later calls pick it up automatically when
+    ``baseline`` is None and the recorded (k, n_probe) match the call's.
+    ``retrain_recommended`` is then ``recall < min_ratio * baseline``
+    (default 0.8x, the sf1 probe's drift gate re-expressed). With no
+    baseline from either source, ``retrain_recommended`` is None — the
+    first reading IS the baseline, record it.
+
+    The recorded baseline describes the CURRENT codebooks, so
+    :func:`retrain_ivfpq_index` deletes it at the swap (both the fresh
+    and resume paths): a post-retrain reading against the pre-retrain
+    generation's baseline would gate against the wrong reference —
+    re-record after every retrain. Appends deliberately do NOT clear it:
+    append-under-drift against the frozen-codebook baseline is exactly
+    the comparison this watch exists to make.
 
     Returns ``{"recall": float, "k": int, "n_queries": int, "n_probe":
-    int, "baseline": float | None, "retrain_recommended": bool | None}``.
-    SCALE.md's retrain-cadence note shows the nightly wiring.
+    int, "baseline": float | None, "baseline_source": "arg" | "recorded"
+    | None, "retrain_recommended": bool | None}``. SCALE.md's
+    retrain-cadence note shows the nightly wiring.
     """
     import os
 
@@ -1473,13 +1496,36 @@ def check_ivfpq_recall(
     approx = ivfpq_index_topk(spark, index_dir, queries, k=k, n_probe=n_probe)
     recall = recall_at_k(approx, exact, id_col=id_col)
     n_q = queries.count()
+    from sat_bucket_spark.operators.dedup import _fs_is_dir
+
+    baseline_path = os.path.join(index_dir, "recall_baseline")
+    baseline_source = None if baseline is None else "arg"
+    # existence-check first: a missing baseline is the normal first-run
+    # state, not an exception to log
+    if baseline is None and _fs_is_dir(spark, baseline_path):
+        try:
+            brow = spark.read.parquet(baseline_path).collect()[0]
+            # a baseline at different knobs is not comparable — ignore it
+            if int(brow["k"]) == int(k) and int(brow["n_probe"]) == int(
+                n_probe
+            ):
+                baseline = float(brow["recall"])
+                baseline_source = "recorded"
+        except Exception:
+            pass
     recommended = None if baseline is None else recall < min_ratio * baseline
+    if record_baseline:
+        spark.createDataFrame(
+            [(float(recall), int(k), int(n_probe), int(n_q))],
+            "recall double, k int, n_probe int, n_queries long",
+        ).write.mode("overwrite").parquet(baseline_path)
     return {
         "recall": round(recall, 6),
         "k": int(k),
         "n_queries": int(n_q),
         "n_probe": int(n_probe),
         "baseline": baseline,
+        "baseline_source": baseline_source,
         "retrain_recommended": recommended,
     }
 

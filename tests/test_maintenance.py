@@ -801,6 +801,64 @@ class TestIndexReport:
             "shingles: no parquet files" in i and ".compact" in i
             for i in r["issues"]
         )
+        # r15: a plain compactor rerun RESUMES the crashed swap (the
+        # recovery used to be fsck's manual rename hint)
+        from sat_bucket_spark.operators.dedup import compact_minhash_index
+
+        compact_minhash_index(spark, idx)
+        assert os.path.isdir(os.path.join(idx, "shingles"))
+        assert not os.path.exists(os.path.join(idx, "shingles.compact"))
+        healed = index_report(spark, idx, scan=True)
+        assert healed["healthy"], healed["issues"]
+
+    def test_compactor_rerun_heals_bm25_crash_window(
+        self, spark, docs, tmp_path
+    ):
+        """Same self-resume contract for the BM25 leg: postings/ deleted,
+        postings.compact complete — a rerun of compact_bm25_index finishes
+        the rename and probe scores are unchanged. A tmp WITHOUT its
+        _SUCCESS marker is never renamed (it cannot be the crash-window
+        state — the delete only runs after a successful tmp write)."""
+        import os
+
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.relevance import (
+            bm25_index_topk,
+            build_bm25_index,
+            compact_bm25_index,
+        )
+
+        idx = str(tmp_path / "bm25_crash")
+        build_bm25_index(docs, idx)
+        before = sorted(
+            tuple(r)
+            for r in bm25_index_topk(spark, idx, ["the", "of"], k=5).collect()
+        )
+        os.rename(
+            os.path.join(idx, "postings"),
+            os.path.join(idx, "postings.compact"),
+        )
+        r = index_report(spark, idx, scan=True)
+        assert not r["healthy"]
+        compact_bm25_index(spark, idx)
+        assert os.path.isdir(os.path.join(idx, "postings"))
+        assert not os.path.exists(os.path.join(idx, "postings.compact"))
+        assert index_report(spark, idx, scan=True)["healthy"]
+        after = sorted(
+            tuple(r)
+            for r in bm25_index_topk(spark, idx, ["the", "of"], k=5).collect()
+        )
+        assert after == before
+        # safety: an INCOMPLETE tmp (no _SUCCESS) is not swap debris and
+        # must not be installed
+        os.rename(
+            os.path.join(idx, "postings"),
+            os.path.join(idx, "postings.compact"),
+        )
+        os.remove(os.path.join(idx, "postings.compact", "_SUCCESS"))
+        stats = compact_bm25_index(spark, idx)
+        assert stats == {"posting_files": (0, 0)}  # no heal, loud fsck
+        assert not os.path.isdir(os.path.join(idx, "postings"))
 
     def test_bm25_compact_aborts_on_concurrent_append(
         self, spark, docs, tmp_path

@@ -3020,24 +3020,37 @@ class TestIvfpqRetrain:
         build_ivfpq_index(
             base, idx, dim=64, n_clusters=8, m=4, ksub=16, store_vectors=True
         )
-        healthy = check_ivfpq_recall(spark, idx, n_queries=100)
+        healthy = check_ivfpq_recall(
+            spark, idx, n_queries=100, record_baseline=True
+        )
         assert healthy["retrain_recommended"] is None  # no baseline yet
+        assert healthy["baseline_source"] is None
         assert healthy["n_queries"] == 100
         assert healthy["recall"] > 0.2  # self-copy bias keeps healthy high
         baseline = healthy["recall"]
 
         append_to_ivfpq_index(shifted, idx)
-        drifted = check_ivfpq_recall(
-            spark, idx, n_queries=100, baseline=baseline
-        )
+        # baseline=None picks up the RECORDED post-build reading
+        drifted = check_ivfpq_recall(spark, idx, n_queries=100)
+        assert drifted["baseline_source"] == "recorded"
+        assert drifted["baseline"] == baseline
         assert drifted["retrain_recommended"] is True, drifted
         assert drifted["recall"] < 0.8 * baseline
+        # a baseline at different knobs is not comparable — ignored
+        other_k = check_ivfpq_recall(spark, idx, n_queries=100, k=5)
+        assert other_k["baseline_source"] is None
+        assert other_k["retrain_recommended"] is None
 
         retrain_ivfpq_index(spark, idx)
-        fresh = check_ivfpq_recall(spark, idx, n_queries=100)
-        retrained = check_ivfpq_recall(
-            spark, idx, n_queries=100, baseline=fresh["recall"]
+        # the swap cleared the old generation's baseline: no cross-
+        # generation gating
+        post = check_ivfpq_recall(
+            spark, idx, n_queries=100, record_baseline=True
         )
+        assert post["baseline_source"] is None
+        assert post["retrain_recommended"] is None
+        retrained = check_ivfpq_recall(spark, idx, n_queries=100)
+        assert retrained["baseline_source"] == "recorded"
         assert retrained["retrain_recommended"] is False, retrained
 
     def test_check_ivfpq_recall_requires_refine_store(
