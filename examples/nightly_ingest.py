@@ -202,10 +202,11 @@ def main(sf_dir: str) -> None:
     from sat_bucket_spark.operators.dedup import rebuild_bloom_index
     from sat_bucket_spark.operators.similarity import check_ivfpq_recall
 
-    # IVFPQ: codebook drift. The first run records the baseline into the
-    # index dir; every later run auto-compares against it and recommends
-    # the retrain under 0.8x (the retrain swap clears the baseline, so
-    # re-record after retraining).
+    # IVFPQ: codebook drift. This run built the index, so it records the
+    # baseline (record_baseline=True is a BUILD/RETRAIN-night action only
+    # — a nightly re-record would ratchet the reference and compound
+    # drift would never trip the gate); later nights call without it and
+    # auto-compare against the recorded reading.
     watch = check_ivfpq_recall(spark, v_idx, n_queries=100, record_baseline=True)
     if watch["retrain_recommended"]:
         from sat_bucket_spark.operators.similarity import retrain_ivfpq_index

@@ -1461,6 +1461,12 @@ def check_ivfpq_recall(
     append-under-drift against the frozen-codebook baseline is exactly
     the comparison this watch exists to make.
 
+    Record ONLY at build/retrain time, never on the nightly watch call
+    itself: a nightly ``record_baseline=True`` RATCHETS the reference —
+    each night's (possibly drifted) reading becomes the next night's
+    baseline, so compound drift of 0.9x/night never trips a 0.8x gate.
+    The baseline is a per-GENERATION constant, not a trailing average.
+
     Returns ``{"recall": float, "k": int, "n_queries": int, "n_probe":
     int, "baseline": float | None, "baseline_source": "arg" | "recorded"
     | None, "retrain_recommended": bool | None}``. SCALE.md's

@@ -735,6 +735,39 @@ class TestIndexReport:
         with pytest.raises(ValueError, match="no keys frame"):
             rebuild_bloom_index(spark, idx2)
 
+    def test_bloom_rebuild_true_mid_swap_resumes(self, spark, docs, tmp_path):
+        """The worst point of the swap window (standing meta AND bitmaps
+        deleted, staging complete): probes fail loudly, fsck names the
+        state with the resume hint, and a keys-less rerun finishes the
+        swap — the ivfpq mid-swap contract, bloom leg."""
+        import shutil
+
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.dedup import (
+            build_bloom_index,
+            dedup_exact_against_bloom_index,
+            rebuild_bloom_index,
+        )
+
+        idx = str(tmp_path / "bloom_midswap")
+        build_bloom_index(docs, idx, ["text"], n_bits=1 << 10)
+        # stage a complete generation the way the op does, then
+        # reconstruct the post-meta-delete crash point
+        build_bloom_index(
+            docs, os.path.join(idx, "rebuild.tmp"), ["text"], n_bits=1 << 16
+        )
+        shutil.rmtree(os.path.join(idx, "meta"))
+        shutil.rmtree(os.path.join(idx, "bitmap"))
+        with pytest.raises(Exception):
+            dedup_exact_against_bloom_index(docs, idx).count()  # loud
+        r = index_report(spark, idx, scan=True)
+        assert r["kind"] == "bloom" and not r["healthy"]
+        assert any("rebuild crashed mid-swap" in i for i in r["issues"])
+        stats = rebuild_bloom_index(spark, idx)
+        assert stats["resumed"] is True and stats["n_bits"] == 1 << 16
+        assert index_report(spark, idx, scan=True)["healthy"]
+        assert dedup_exact_against_bloom_index(docs, idx).count() == 0
+
     def test_bloom_rebuild_aborts_on_concurrent_append(
         self, spark, docs, tmp_path
     ):
