@@ -898,6 +898,34 @@ def _bloom_generations(spark, index_dir: str) -> tuple[int, list[str]]:
     return current, stale
 
 
+def _write_witness(spark, witness_path: str, pairs: frozenset) -> None:
+    """Persist a maintenance concurrency witness (a frozenset of string
+    pairs) as a one-row parquet under the staging root — written BEFORE
+    the staged generation builds, so any staging a rerun can see as
+    complete (meta commits last) carries the witness its resume decision
+    needs. Shared by retrain_ivfpq_index and rebuild_bloom_index; the
+    encoding must stay identical on both paths or their resume decisions
+    diverge."""
+    import json as _json
+
+    spark.createDataFrame(
+        [(_json.dumps(sorted(list(t) for t in pairs)),)], "witness string"
+    ).write.mode("overwrite").parquet(witness_path)
+
+
+def _read_witness(spark, witness_path: str) -> frozenset | None:
+    """Counterpart of :func:`_write_witness`. None = unreadable/absent
+    (pre-witness staging or corrupt write): the resume decision is then
+    unprovable and callers discard the staging."""
+    import json as _json
+
+    try:
+        raw = spark.read.parquet(witness_path).collect()[0]["witness"]
+        return frozenset(tuple(x) for x in _json.loads(raw))
+    except Exception:
+        return None
+
+
 def _bitmap_witness(spark, index_dir: str) -> frozenset:
     """(generation dir name, parquet file name) pairs across ALL bitmap
     generations — rebuild_bloom_index's concurrency witness. Every
@@ -988,13 +1016,6 @@ def rebuild_bloom_index(
         except Exception:
             return False
 
-    def _read_witness():
-        try:
-            raw = spark.read.parquet(witness_path).collect()[0]["witness"]
-            return frozenset(tuple(x) for x in _json.loads(raw))
-        except Exception:
-            return None
-
     def _swap() -> dict:
         srow = _load_meta_row(spark, staging).asDict()
         _fs_delete(spark, os.path.join(index_dir, "meta"))
@@ -1029,18 +1050,22 @@ def rebuild_bloom_index(
             # true mid-swap: standing meta gone, probes/appends fail
             # loudly — finish the swap
             return _swap()
-        w = _read_witness()
+        w = _read_witness(spark, witness_path)
         if w is not None and w == _bitmap_witness(spark, index_dir):
             return _swap()
         # the standing index kept serving after the kill and its bitmap
         # generations moved (an append landed): the staged bitmap was
         # built without those keys — discard it and rebuild fresh below
+    # the discard precedes the keys check: a keys-less rerun against an
+    # append-invalidated staging must clear the debris (so fsck stops
+    # prescribing a resume that can never happen) before raising
+    _fs_delete(spark, staging)
     if keys is None:
         raise ValueError(
-            f"{index_dir}: nothing to resume and no keys frame given — a "
-            "bitmap rebuild needs the full corpus keys; pass them as `keys`"
+            f"{index_dir}: nothing safely resumable and no keys frame "
+            "given (any stale staging was discarded) — a bitmap rebuild "
+            "needs the full corpus keys; rerun with `keys`"
         )
-    _fs_delete(spark, staging)
 
     row = _load_meta_row(spark, index_dir).asDict()
     key_cols = _json.loads(row["key_cols"])
@@ -1048,9 +1073,7 @@ def rebuild_bloom_index(
     n_hashes = int(row["n_hashes"] if n_hashes is None else n_hashes)
     seed = int(row["seed"] if seed is None else seed)
     seen = _bitmap_witness(spark, index_dir)
-    spark.createDataFrame(
-        [(_json.dumps(sorted(list(t) for t in seen)),)], "witness string"
-    ).write.mode("overwrite").parquet(witness_path)
+    _write_witness(spark, witness_path, seen)
     build_bloom_index(
         keys, staging, key_cols, n_bits=n_bits, n_hashes=n_hashes, seed=seed
     )

@@ -1271,7 +1271,6 @@ def retrain_ivfpq_index(
     every maintenance swap in this engine — require external mutual
     exclusion; the witness exists to make violations LOUD, not licensed.
     """
-    import json as _json
     import os
 
     from sat_bucket_spark.operators.dedup import (
@@ -1280,6 +1279,8 @@ def retrain_ivfpq_index(
         _fs_rename,
         _fs_tree_signature,
         _load_meta_row,
+        _read_witness,
+        _write_witness,
     )
     staging = os.path.join(index_dir, "retrain.tmp")
     witness_path = os.path.join(staging, "witness")
@@ -1291,15 +1292,6 @@ def retrain_ivfpq_index(
             return True
         except Exception:
             return False
-
-    def _read_witness():
-        # None = unreadable/absent (pre-witness staging or corrupt write):
-        # the resume decision is then unprovable, so the caller discards
-        try:
-            raw = spark.read.parquet(witness_path).collect()[0]["witness"]
-            return frozenset(tuple(x) for x in _json.loads(raw))
-        except Exception:
-            return None
 
     def _swap(store_vectors: bool) -> None:
         # the recorded recall baseline (check_ivfpq_recall) describes the
@@ -1338,7 +1330,7 @@ def retrain_ivfpq_index(
             # persisted witness against the live codes tree; mismatch (or
             # a pre-witness staging) means resuming would install a stale
             # snapshot over the newer append
-            w = _read_witness()
+            w = _read_witness(spark, witness_path)
             resume = w is not None and w == _fs_tree_signature(
                 spark, codes_path
             )
@@ -1360,9 +1352,7 @@ def retrain_ivfpq_index(
     # persist it under the staging root FIRST: build_ivfpq_index commits
     # the staging meta last, so any staging a rerun can see as complete
     # carries the witness its resume decision needs
-    spark.createDataFrame(
-        [(_json.dumps(sorted(list(t) for t in seen)),)], "witness string"
-    ).write.mode("overwrite").parquet(witness_path)
+    _write_witness(spark, witness_path, seen)
     if vectors is None:
         if not params["store_vectors"]:
             raise ValueError(
@@ -1521,8 +1511,10 @@ def check_ivfpq_recall(
             pass
     recommended = None if baseline is None else recall < min_ratio * baseline
     if record_baseline:
+        # record the same 6-dp rounding the return dict carries, so the
+        # recorded baseline is exactly the reading the caller saw/logged
         spark.createDataFrame(
-            [(float(recall), int(k), int(n_probe), int(n_q))],
+            [(round(float(recall), 6), int(k), int(n_probe), int(n_q))],
             "recall double, k int, n_probe int, n_queries long",
         ).write.mode("overwrite").parquet(baseline_path)
     return {
