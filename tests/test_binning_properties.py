@@ -13,7 +13,7 @@ import math
 import numpy as np
 import pandas as pd
 import pytest
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from sat_bucket_spark.partitioning import XYPartitioning, get_bounds
@@ -40,6 +40,14 @@ def test_bin_index_matches_pandas_cut(spark, vmin, span, size, points):
         size = span  # single bin
     p = XYPartitioning(size=(size, size), extent=[vmin, vmax, vmin, vmax])
     bounds = get_bounds(size, vmin, vmax)
+    # Degenerate grid specs where np.arange overshoots vmax (e.g. vmin=256,
+    # span=1.1, size=0.1 -> last arange edge 257.10000000000002 > vmax, so
+    # the appended vmax makes the edges non-monotonic) are OUTSIDE the
+    # reference's domain: its identical arange+append kernel feeds the same
+    # edges to pd.cut, which raises "bins must increase monotonically" —
+    # parity there is "both reject", not an index comparison. Found by
+    # hypothesis in r15; the property compares only where pd.cut is defined.
+    assume(np.all(np.diff(bounds) > 0))
     # add the exact edge values — the risky spots
     pts = np.array(points + [vmin, vmax, *bounds[: min(len(bounds), 5)].tolist()])
     expected = _pd_cut_reference(pts, bounds)
