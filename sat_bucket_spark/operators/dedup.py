@@ -979,6 +979,14 @@ def rebuild_bloom_index(
     already holds the data); reaching the rebuild path without it
     raises. Parameters default to the standing meta's; ``n_bits`` is the
     one you came to change (size ~10x the eventual distinct key count).
+    A resumable staging whose parameters differ from EXPLICITLY-passed
+    ``n_bits``/``n_hashes``/``seed`` is discarded and the rebuild runs
+    fresh at the requested knobs (``keys`` required) — a rerun that asks
+    for a different width never silently installs the staged generation's
+    old one (r15 advisor). The one exception is the true mid-swap state
+    (standing meta already gone): the staged generation is the only
+    complete one left, so the resume installs it regardless and a knob
+    change takes another run.
 
     Swap protocol (retrain_ivfpq_index's, verbatim): the new generation
     stages under ``<index_dir>/rebuild.tmp`` via :func:`build_bloom_index`
@@ -1048,14 +1056,30 @@ def rebuild_bloom_index(
             standing_ok = False
         if not standing_ok:
             # true mid-swap: standing meta gone, probes/appends fail
-            # loudly — finish the swap
+            # loudly — finish the swap. Explicit knobs are ignored HERE
+            # by necessity (the staged generation is the only complete
+            # one left); a caller wanting a different width reruns with
+            # it after the resume completes
             return _swap()
-        w = _read_witness(spark, witness_path)
-        if w is not None and w == _bitmap_witness(spark, index_dir):
-            return _swap()
-        # the standing index kept serving after the kill and its bitmap
-        # generations moved (an append landed): the staged bitmap was
-        # built without those keys — discard it and rebuild fresh below
+        srow = _load_meta_row(spark, staging).asDict()
+        knobs_differ = any(
+            want is not None and int(want) != int(srow[name])
+            for name, want in (
+                ("n_bits", n_bits), ("n_hashes", n_hashes), ("seed", seed)
+            )
+        )
+        if not knobs_differ:
+            w = _read_witness(spark, witness_path)
+            if w is not None and w == _bitmap_witness(spark, index_dir):
+                return _swap()
+        # discard the staging and rebuild fresh below, for either reason:
+        # (a) the caller EXPLICITLY asked for different knobs than the
+        #     staged generation carries (r15 advisor: resume-wins would
+        #     silently install the old width, observable only via the
+        #     return dict), or
+        # (b) the standing index kept serving after the kill and its
+        #     bitmap generations moved (an append landed): the staged
+        #     bitmap was built without those keys
     # the discard precedes the keys check: a keys-less rerun against an
     # append-invalidated staging must clear the debris (so fsck stops
     # prescribing a resume that can never happen) before raising
@@ -1354,22 +1378,25 @@ def _fs_exists(spark, path: str) -> bool:
     return bool(fs.exists(p))
 
 
-def _resume_crashed_compact_swap(spark, live_dir: str) -> bool:
-    """Finish a compactor's crashed delete+rename swap, if that is what
-    the layout shows: the live component has NO parquet files while a
-    COMPLETE ``<live>.compact`` sibling (its write's own ``_SUCCESS``
-    marker present) sits next to it — the state a kill between the
-    delete and the rename leaves, and the only state that produces this
-    layout (an abort deletes the tmp; a crash before the delete leaves
-    the live files in place). Returns True when a rename was performed.
+def _resume_crashed_compact_swap(
+    spark, live_dir: str, suffix: str = ".compact"
+) -> bool:
+    """Finish a crashed delete+rename swap, if that is what the layout
+    shows: the live component has NO parquet files while a COMPLETE
+    ``<live><suffix>`` sibling (its write's own ``_SUCCESS`` marker
+    present) sits next to it — the state a kill between the delete and
+    the rename leaves, and the only state that produces this layout (an
+    abort deletes the tmp; a crash before the delete leaves the live
+    files in place). Returns True when a rename was performed.
 
     Before r15 the recovery was fsck's manual rename hint; the
-    compactors now call this first, so a plain rerun heals their own
-    crash window — the same self-resume contract retrain_ivfpq_index
-    and rebuild_bloom_index carry."""
+    compactors now call this first (and, r16, ``dedupe_bm25_index``
+    with ``suffix=".healed"``), so a plain rerun heals their own crash
+    window — the same self-resume contract retrain_ivfpq_index and
+    rebuild_bloom_index carry."""
     import os
 
-    tmp = live_dir + ".compact"
+    tmp = live_dir + suffix
     n_live, _ = _fs_parquet_stats(spark, live_dir)
     if n_live > 0:
         return False

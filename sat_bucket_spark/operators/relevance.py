@@ -424,15 +424,21 @@ def dedupe_bm25_index(spark, index_dir: str, corpus: DataFrame | None = None) ->
     duplicates exist, the
     postings are rewritten exact-duplicate-free (term-sorted, staged to a
     sibling dir and swapped — a crash between the delete and the rename
-    is LOUD: the index serves nothing rather than wrong scores; recovery
-    is renaming ``postings.healed`` into place) and the terms/stats
+    is LOUD, the index serves nothing rather than wrong scores, and a
+    plain RERUN self-heals it: the healer finishes the crashed rename
+    first, exactly as the compactors resume their own swap windows;
+    ``index_report`` describes the state with that hint) and the
+    terms/stats
     generation is REBUILT from the healed postings: per-term df and
     total_dl derive exactly; ``n_docs``/``n_dl`` derive exactly when the
     ``corpus`` frame is given (two count jobs), else fall back to the
     healed postings' distinct doc count — exact unless the corpus holds
     docs with NULL/zero-token text (documented undercount; pass the
     corpus when those exist). Returns the number of duplicate
-    full-row groups healed (0 = clean, nothing rewritten).
+    full-row groups healed (0 = clean, nothing rewritten — except on a
+    rerun that RESUMED a crashed heal, which still rebuilds the stats
+    generation from the already-healed rows before returning 0: the
+    crashed run died before reaching that rebuild).
 
     Covers BOTH replay shapes: a crash-window replay (stats were never
     committed, so the re-run's single delta is already right — the
@@ -441,9 +447,49 @@ def dedupe_bm25_index(spark, index_dir: str, corpus: DataFrame | None = None) ->
     it)."""
     import os
 
-    from sat_bucket_spark.operators.dedup import _fs_delete, _fs_rename
+    from sat_bucket_spark.operators.dedup import (
+        _fs_delete,
+        _fs_rename,
+        _resume_crashed_compact_swap,
+    )
 
+    # a prior heal killed between its delete and rename left postings
+    # missing with a complete postings.healed: finish that swap first,
+    # then re-detect (the healed postings may already be duplicate-free,
+    # in which case only the generation rebuild below still matters —
+    # the crashed run never reached it, so re-running the detection and
+    # rebuild from the healed rows restores exact stats)
+    resumed = _resume_crashed_compact_swap(
+        spark, os.path.join(index_dir, "postings"), suffix=".healed"
+    )
     p, postings, _terms, _stats = load_bm25_index(spark, index_dir)
+
+    def _rebuild_generation(healed) -> None:
+        terms = healed.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        dl_row = healed.agg(
+            F.sum("tf").alias("dl"),
+            F.count_distinct("doc_id").alias("n_posted"),
+        ).collect()[0]
+        if corpus is not None:
+            n = corpus.count()
+            n_dl = corpus.where(F.col(p["text"]).isNotNull()).count()
+        else:
+            n = n_dl = int(dl_row["n_posted"])
+        gen, stale = _bm25_gen(spark, index_dir)
+        for old in stale:
+            _fs_delete(spark, old)
+        _write_bm25_generation(
+            spark, index_dir, terms, n, float(dl_row["dl"] or 0.0),
+            int(n_dl), gen,
+        )
+
+    if resumed:
+        # the crashed run healed the rows but died before rebuilding the
+        # terms/stats generation from them — force that rebuild even
+        # though the rows now scan duplicate-free
+        _rebuild_generation(postings)
     n_dup = (
         postings.groupBy("term", "doc_id", "tf", "dl")
         .count()
@@ -463,23 +509,7 @@ def dedupe_bm25_index(spark, index_dir: str, corpus: DataFrame | None = None) ->
     )
     _fs_delete(spark, post_path)
     _fs_rename(spark, healed_path, post_path)
-    healed = spark.read.parquet(post_path)
-    terms = healed.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    dl_row = healed.agg(
-        F.sum("tf").alias("dl"),
-        F.count_distinct("doc_id").alias("n_posted"),
-    ).collect()[0]
-    if corpus is not None:
-        n = corpus.count()
-        n_dl = corpus.where(F.col(p["text"]).isNotNull()).count()
-    else:
-        n = n_dl = int(dl_row["n_posted"])
-    gen, stale = _bm25_gen(spark, index_dir)
-    for old in stale:
-        _fs_delete(spark, old)
-    _write_bm25_generation(
-        spark, index_dir, terms, n, float(dl_row["dl"] or 0.0), int(n_dl), gen
-    )
+    _rebuild_generation(spark.read.parquet(post_path))
     return int(n_dup)
 
 

@@ -1023,11 +1023,6 @@ def build_ivfpq_index(
     from sat_bucket_spark.operators.parallel import ensure_parallelism
     from sat_bucket_spark.writers import write_partitioned_dataset
 
-    # an in-place REBUILD replaces the codebooks, so any recorded recall
-    # baseline (check_ivfpq_recall) describes a dead generation — clear it
-    # (no-op on fresh dirs and retrain stagings)
-    _fs_delete(vectors.sparkSession, os.path.join(index_dir, "recall_baseline"))
-
     if centroids is None:
         centroids = train_ivf_centroids(
             vectors, dim, n_clusters=n_clusters, vec_col=vec_col, seed=seed
@@ -1039,6 +1034,14 @@ def build_ivfpq_index(
     cents = np.asarray(centroids, dtype="float64")
     books = np.asarray(codebooks, dtype="float64")
     m, ksub, _dsub = books.shape
+
+    # an in-place REBUILD replaces the codebooks, so any recorded recall
+    # baseline (check_ivfpq_recall) describes a dead generation — clear it
+    # AFTER training succeeds, immediately before the first destructive
+    # write (the codes overwrite): a training failure above leaves the
+    # standing index fully intact WITH its still-valid baseline (r15
+    # advisor; no-op on fresh dirs and retrain stagings)
+    _fs_delete(vectors.sparkSession, os.path.join(index_dir, "recall_baseline"))
 
     clustered = ensure_parallelism(vectors).withColumn(
         "__cluster", _nearest_centroid_expr(vec_col, cents)
@@ -1437,7 +1440,10 @@ def check_ivfpq_recall(
     run once with ``record_baseline=True`` after each build/retrain — the
     reading persists to ``<index_dir>/recall_baseline`` (its own dir;
     meta stays immutable) and later calls pick it up automatically when
-    ``baseline`` is None and the recorded (k, n_probe) match the call's.
+    ``baseline`` is None and the recorded (k, n_probe, n_queries, query
+    provenance) ALL match the call's — a baseline recorded over a
+    caller-supplied queries frame never gates a corpus-sampled watch (or
+    vice versa), and a different sample size is a different measurement.
     ``retrain_recommended`` is then ``recall < min_ratio * baseline``
     (default 0.8x, the sf1 probe's drift gate re-expressed). With no
     baseline from either source, ``retrain_recommended`` is None — the
@@ -1459,8 +1465,14 @@ def check_ivfpq_recall(
 
     Returns ``{"recall": float, "k": int, "n_queries": int, "n_probe":
     int, "baseline": float | None, "baseline_source": "arg" | "recorded"
-    | None, "retrain_recommended": bool | None}``. SCALE.md's
-    retrain-cadence note shows the nightly wiring.
+    | "unreadable" | None, "retrain_recommended": bool | None}``.
+    ``baseline_source="unreadable"`` means a recorded baseline EXISTS but
+    failed to read (a crash mid-record corrupted it) — distinguished from
+    the never-recorded None so a damaged baseline can't silently turn the
+    nightly watch into a no-op gate; ``index_report`` flags the same
+    state, and the fix is re-recording at the next build/retrain (or
+    deleting the dir). SCALE.md's retrain-cadence note shows the nightly
+    wiring.
     """
     import os
 
@@ -1476,6 +1488,7 @@ def check_ivfpq_recall(
     corpus = spark.read.parquet(os.path.join(index_dir, "vectors")).select(
         F.col(id_col), F.col(vec_col)
     )
+    query_source = "sampled" if queries is None else "supplied"
     if queries is None:
         queries = (
             corpus.orderBy(F.xxhash64(F.col(vec_col)))
@@ -1500,22 +1513,37 @@ def check_ivfpq_recall(
     # state, not an exception to log
     if baseline is None and _fs_is_dir(spark, baseline_path):
         try:
-            brow = spark.read.parquet(baseline_path).collect()[0]
-            # a baseline at different knobs is not comparable — ignore it
-            if int(brow["k"]) == int(k) and int(brow["n_probe"]) == int(
-                n_probe
+            brow = spark.read.parquet(baseline_path).collect()[0].asDict()
+            # a baseline at different knobs OR over an incomparable query
+            # sample is not a reference — ignore it (r15 advisor: a
+            # baseline recorded from a caller-supplied queries frame, or
+            # at a different sample size, would silently gate later watch
+            # runs on a different measurement; pre-provenance baselines
+            # have no query_source column and are ignored the same way)
+            if (
+                int(brow["k"]) == int(k)
+                and int(brow["n_probe"]) == int(n_probe)
+                and int(brow.get("n_queries", -1)) == int(n_q)
+                and brow.get("query_source") == query_source
             ):
                 baseline = float(brow["recall"])
                 baseline_source = "recorded"
         except Exception:
-            pass
+            # the dir EXISTS but won't read: a crash mid-record corrupted
+            # it. Surface that loudly instead of impersonating the normal
+            # never-recorded state — fsck flags the same condition
+            baseline_source = "unreadable"
     recommended = None if baseline is None else recall < min_ratio * baseline
     if record_baseline:
         # record the same 6-dp rounding the return dict carries, so the
         # recorded baseline is exactly the reading the caller saw/logged
         spark.createDataFrame(
-            [(round(float(recall), 6), int(k), int(n_probe), int(n_q))],
-            "recall double, k int, n_probe int, n_queries long",
+            [(
+                round(float(recall), 6), int(k), int(n_probe), int(n_q),
+                query_source,
+            )],
+            "recall double, k int, n_probe int, n_queries long, "
+            "query_source string",
         ).write.mode("overwrite").parquet(baseline_path)
     return {
         "recall": round(recall, 6),

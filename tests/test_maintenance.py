@@ -401,6 +401,42 @@ class TestIndexReport:
         healed = index_report(spark, idx, scan=True)
         assert healed["duplicate_code_groups"] == 0 and healed["healthy"]
 
+    def test_ivfpq_recall_baseline_watched(self, spark, emb, tmp_path):
+        """r16 (VERDICT r15 What's wrong #2): the recorded recall
+        baseline is under fsck watch — a healthy recorded baseline is
+        surfaced in the report, and a corrupted one (crash mid-record)
+        is an issue line instead of a silent no-op gate."""
+        import os
+
+        from sat_bucket_spark.maintenance import index_report
+        from sat_bucket_spark.operators.similarity import (
+            build_ivfpq_index,
+            check_ivfpq_recall,
+        )
+
+        idx = str(tmp_path / "ivf_recall_watch")
+        build_ivfpq_index(
+            emb, idx, dim=64, n_clusters=8, m=4, ksub=16, store_vectors=True
+        )
+        # no baseline yet: nothing to watch, report stays healthy
+        r0 = index_report(spark, idx)
+        assert r0["healthy"] and "recall_baseline" not in r0
+        check_ivfpq_recall(spark, idx, n_queries=50, record_baseline=True)
+        r1 = index_report(spark, idx)
+        assert r1["healthy"], r1["issues"]
+        assert r1["recall_baseline"]["k"] == 10
+        assert r1["recall_baseline"]["n_queries"] == 50
+        assert r1["recall_baseline"]["query_source"] == "sampled"
+        # corrupt it the way a crash mid-record would
+        bdir = os.path.join(idx, "recall_baseline")
+        for name in os.listdir(bdir):
+            if name.endswith(".parquet"):
+                with open(os.path.join(bdir, name), "wb") as fh:
+                    fh.write(b"not parquet")
+        r2 = index_report(spark, idx)
+        assert not r2["healthy"]
+        assert any("recall_baseline" in i for i in r2["issues"])
+
     def test_bm25_and_unknown_layout(self, spark, docs, tmp_path):
         from sat_bucket_spark.maintenance import index_report
         from sat_bucket_spark.operators.relevance import build_bm25_index
@@ -767,6 +803,43 @@ class TestIndexReport:
         assert stats["resumed"] is True and stats["n_bits"] == 1 << 16
         assert index_report(spark, idx, scan=True)["healthy"]
         assert dedup_exact_against_bloom_index(docs, idx).count() == 0
+
+    def test_bloom_rebuild_resume_honors_explicit_knobs(
+        self, spark, docs, tmp_path
+    ):
+        """r15 advisor: a rerun that EXPLICITLY asks for different
+        n_bits/n_hashes than a resumable staging carries must not
+        silently install the staged generation's old width — the staging
+        is discarded and the rebuild runs fresh at the requested knobs
+        (keys required, loudly)."""
+        from sat_bucket_spark.operators.dedup import (
+            build_bloom_index,
+            dedup_exact_against_bloom_index,
+            rebuild_bloom_index,
+        )
+
+        idx = str(tmp_path / "bloom_knobs")
+        build_bloom_index(docs, idx, ["text"], n_bits=1 << 10)
+        self._kill_bloom_rebuild_before_swap(spark, idx, docs, 1 << 16)
+        # keys-less rerun at a DIFFERENT width: the staged 2^16
+        # generation must not be installed; with the staging discarded
+        # and no keys, that is a loud error — never a silent resume-wins
+        with pytest.raises(ValueError, match="no keys frame"):
+            rebuild_bloom_index(spark, idx, n_bits=1 << 14)
+        assert not os.path.exists(os.path.join(idx, "rebuild.tmp"))
+        # the standing index is untouched throughout
+        assert dedup_exact_against_bloom_index(docs, idx).count() == 0
+        # rerun WITH keys installs the requested width, not the staged one
+        stats = rebuild_bloom_index(spark, idx, docs, n_bits=1 << 14)
+        assert stats == {"resumed": False, "n_bits": 1 << 14, "n_hashes": 5}
+        assert dedup_exact_against_bloom_index(docs, idx).count() == 0
+
+        # matching explicit knobs still resume — no pointless rebuild
+        idx2 = str(tmp_path / "bloom_knobs_match")
+        build_bloom_index(docs, idx2, ["text"], n_bits=1 << 10)
+        self._kill_bloom_rebuild_before_swap(spark, idx2, docs, 1 << 16)
+        stats = rebuild_bloom_index(spark, idx2, n_bits=1 << 16)
+        assert stats["resumed"] is True and stats["n_bits"] == 1 << 16
 
     def test_bloom_rebuild_aborts_on_concurrent_append(
         self, spark, docs, tmp_path
