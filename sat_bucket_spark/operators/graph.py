@@ -542,6 +542,7 @@ def pagerank(
     init_ranks: DataFrame | None = None,
     init_node_col: str = "node",
     init_rank_col: str = "rank",
+    fuse_rounds: int = 8,
 ) -> DataFrame:
     """PageRank over an edge list (reference has no graph analytics; this
     extends the dedup-graph toolkit: rank duplicate-cluster members, score
@@ -618,6 +619,25 @@ def pagerank(
       where shuffling the 100 TB edge set 10 times is the dominant term.
       Lineage stays intact (persist), so this shape is also safe under
       executor loss in every stage-cache mode.
+
+    ``fuse_rounds`` (r16): how many power rounds share ONE materialized
+    plan between round-boundary caches. Applies to graphs with no
+    dangling branch only (undirected, where each round references the
+    previous round frame exactly ONCE, so the fused plan grows linearly
+    in the block size; the directed loop's dangling-mass aggregate
+    references the round frame a second time — exponential growth — and
+    stays at one cache per round). Why fusing wins at both ends of the
+    scale: the invariant edge set is a ``localCheckpoint`` scan whose
+    partitioning metadata is dropped, so EVERY round's contribution join
+    re-exchanges it; inside one fused plan those per-round edge
+    exchanges are textually identical subtrees and Spark's exchange
+    reuse ships the edge shuffle ONCE per block (the plan shows
+    ``ReusedExchange`` — at 100 TB that is the corpus-sized shuffle paid
+    ``ceil(iterations/fuse_rounds)`` times instead of ``iterations``
+    times), and locally each AQE shuffle stage is a scheduled job, so a
+    10-round loop drops from ~60 jobs to ~25 (measured r16: q_pagerank
+    construction 10.9 s → see OPTIMIZATION_r16.md). ``1`` restores the
+    r15 cache-every-round behavior.
 
     Note this function is EAGER at call time: the route gate materializes
     the edge frame when called (jobs fire at construction, not first
@@ -774,7 +794,15 @@ def pagerank(
     # non-negative contrib sums), pinned by the route-equality test.
     has_dangling = directed
 
+    # Round-fusion block size (see the fuse_rounds docstring note): the
+    # dangling branch reads the round frame twice per round, so directed
+    # graphs must cache every round or the fused plan doubles per round.
+    if fuse_rounds < 1:
+        raise ValueError(f"fuse_rounds must be >= 1, got {fuse_rounds}")
+    fuse = 1 if has_dangling else fuse_rounds
+
     ranks = None  # round frame (node, deg, rank); round 0 folds 1/N
+    cached_ranks = None  # last round-boundary cache (release bookkeeping)
     if init is not None:
         # Warm-start round 0: one node-keyed join seeds known nodes from
         # the standing map; previously-unseen nodes take the MEAN
@@ -807,10 +835,11 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
+            cached_ranks = ranks
         # a degenerate empty/zero seed falls back to the uniform start
         # (ranks stays None) rather than dividing by zero mass
         release_stage_cache(seeded, destructive=True)
-    for _ in range(iterations):
+    for _i in range(iterations):
         cur = (
             base.select("node", "deg", F.lit(1.0 / n_nodes).alias("rank"))
             if ranks is None
@@ -840,9 +869,18 @@ def pagerank(
             "node",
             "deg",
             (F.lit(teleport_term) + F.lit(damping) * rank_expr).alias("rank"),
-        ).transform(_eager_cache)
-        if ranks is not None:
-            release_stage_cache(ranks, destructive=True)
+        )
+        # Round-boundary cache at block ends only (and always on the last
+        # round, so the post-loop invariant releases stay safe: the
+        # returned frame's lineage must be truncated past e/base). Inside
+        # a block the round stays LAZY — the next round chains onto its
+        # plan, and the per-round edge/base exchanges dedupe to
+        # ReusedExchange when the block materializes.
+        if (_i + 1) % fuse == 0 or _i == iterations - 1:
+            new_ranks = _eager_cache(new_ranks)
+            if cached_ranks is not None:
+                release_stage_cache(cached_ranks, destructive=True)
+            cached_ranks = new_ranks
         ranks = new_ranks
     # the returned frame's lineage is truncated at the final round cache,
     # so the edge and base frames are no longer inputs — free them now
@@ -864,6 +902,7 @@ def update_pagerank(
     directed: bool = False,
     driver_threshold: int = 200_000,
     invariant_cache: str = "round",
+    fuse_rounds: int = 8,
 ) -> DataFrame:
     """Refresh a STANDING rank map after the graph changed — the
     PageRank leg of the incremental-maintenance family
@@ -911,4 +950,5 @@ def update_pagerank(
         init_ranks=standing_ranks,
         init_node_col=node_col,
         init_rank_col=rank_col,
+        fuse_rounds=fuse_rounds,
     )
