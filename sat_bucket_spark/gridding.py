@@ -125,7 +125,21 @@ def _neighborhood_fanout(
     time_col: str | None = None,
     time_bucket: str = "day",
 ) -> DataFrame:
-    """Map-side (2r+1)² cell fan-out with centroid distance ``__d``."""
+    """Map-side (2r+1)² cell fan-out with centroid distance ``__d``.
+
+    Plan shape (r16): the candidate cells are built and bounds-checked
+    INSIDE one generator expression — ``explode(filter(array(<(2r+1)²
+    structs>)))`` — instead of exploding raw offsets and filtering the
+    fan-out afterwards. The r15 shape let Catalyst inline the (heavy)
+    bin-index CASE into both the pushed bounds Filter and the target-index
+    Project, so each input row paid ~6 CASE evaluations PER FAN-OUT ROW
+    (~54 per input row at r=1); here the bin indices are referenced only
+    inside the single Generate, whole-stage codegen's subexpression
+    elimination shares them, and the bounds check runs on the already-
+    computed struct fields. NULL bin indices yield an empty candidate
+    array, which ``explode`` drops — exactly the old NULL-index filter.
+    Same rows out, measurably less per-task work (guide §1.2 step 2).
+    """
     from sat_bucket_spark.filters import haversine_expr
     from sat_bucket_spark.partitioning import centroid_expr
 
@@ -137,14 +151,23 @@ def _neighborhood_fanout(
         for dx in range(-radius_cells, radius_cells + 1)
         for dy in range(-radius_cells, radius_cells + 1)
     ]
-    off = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx, dy in offsets
-            ]
-        )
-    ).alias("__off")
+    xi = p.x_index_expr(x)
+    yi = p.y_index_expr(y)
+    cells = F.array(
+        *[
+            F.struct(
+                (xi + F.lit(dx)).alias("txi"), (yi + F.lit(dy)).alias("tyi")
+            )
+            for dx, dy in offsets
+        ]
+    )
+    valid = F.filter(
+        cells,
+        lambda c: (c["txi"] >= 0)
+        & (c["txi"] < F.lit(p.n_x))
+        & (c["tyi"] >= 0)
+        & (c["tyi"] < F.lit(p.n_y)),
+    )
     tcols = (
         [F.date_trunc(time_bucket, F.col(time_col)).alias("__tb")]
         if time_col is not None
@@ -154,23 +177,16 @@ def _neighborhood_fanout(
         F.col(x).alias("__x"),
         F.col(y).alias("__y"),
         F.col(value_col).cast("double").alias("__v"),
-        p.x_index_expr(x).alias("__xi"),
-        p.y_index_expr(y).alias("__yi"),
         *tcols,
-        off,
-    ).where(F.col("__xi").isNotNull() & F.col("__yi").isNotNull())
+        F.explode(valid).alias("__c"),
+    )
     t = staged.select(
         "__x",
         "__y",
         "__v",
         *(["__tb"] if time_col is not None else []),
-        (F.col("__xi") + F.col("__off.dx")).alias("__txi"),
-        (F.col("__yi") + F.col("__off.dy")).alias("__tyi"),
-    ).where(
-        (F.col("__txi") >= 0)
-        & (F.col("__txi") < p.n_x)
-        & (F.col("__tyi") >= 0)
-        & (F.col("__tyi") < p.n_y)
+        F.col("__c.txi").alias("__txi"),
+        F.col("__c.tyi").alias("__tyi"),
     )
     cx = centroid_expr(F.col("__txi"), p.extent.xmin, p.extent.xmax, sx, p.n_x)
     cy = centroid_expr(F.col("__tyi"), p.extent.ymin, p.extent.ymax, sy, p.n_y)
