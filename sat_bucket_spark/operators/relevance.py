@@ -43,12 +43,21 @@ __all__ = [
 
 
 def _doc_terms(df: DataFrame, id_col: str, text: str, terms: list[str]) -> DataFrame:
-    toks = F.transform(tokens_expr(F.lower(F.col(text))), lambda t: t)
-    df = ensure_parallelism(df)
+    # tokenize ONCE per row (r16): stage the token array in a projection so
+    # size() and explode share one evaluation, and use explode_OUTER —
+    # a plain explode over a staged attribute re-enables Catalyst's
+    # InferFiltersFromGenerate, whose pushed `size(toks)>0 AND isnotnull`
+    # filter re-inlines the tokenizer TWICE below the projection (plan-
+    # verified: 4 tokenizes/row staged+inner, 2 inline, 1 outer+post-filter).
+    # Outer generates admit no inferred filter; the isin() below drops the
+    # NULL rows outer keeps for empty docs, restoring inner-explode rows.
+    df = ensure_parallelism(df).select(
+        F.col(id_col), tokens_expr(F.lower(F.col(text))).alias("__toks")
+    )
     exploded = df.select(
         F.col(id_col),
-        F.size(tokens_expr(F.lower(F.col(text)))).cast("double").alias("__dl"),
-        F.explode(toks).alias("__term"),
+        F.size("__toks").cast("double").alias("__dl"),
+        F.explode_outer("__toks").alias("__term"),
     )
     return exploded.where(F.col("__term").isin([t.lower() for t in terms]))
 
@@ -227,13 +236,21 @@ def _bm25_gen(spark, index_dir: str) -> tuple[int, list[str]]:
 
 def _bm25_posting_rows(docs: DataFrame, id_col: str, text: str) -> DataFrame:
     """(term, doc_id, tf, dl) rows + the doc-length frame, token rules
-    shared with :func:`bm25_scores` (lowercased ``tokens_expr``)."""
-    toks = tokens_expr(F.lower(F.col(text)))
-    exploded = ensure_parallelism(docs).select(
+    shared with :func:`bm25_scores` (lowercased ``tokens_expr``).
+
+    Tokenizes ONCE per row (see :func:`_doc_terms` for the plan-verified
+    shape): staged projection + explode_OUTER + NULL post-filter — inner
+    explode over the staged attribute would let InferFiltersFromGenerate
+    re-inline the tokenizer twice in a pushed filter."""
+    staged = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).cast("double").alias("dl"),
-        F.explode(toks).alias("term"),
+        tokens_expr(F.lower(F.col(text))).alias("__toks"),
     )
+    exploded = staged.select(
+        "doc_id",
+        F.size("__toks").cast("double").alias("dl"),
+        F.explode_outer("__toks").alias("term"),
+    ).where(F.col("term").isNotNull())
     return exploded.groupBy("term", "doc_id", "dl").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
@@ -301,11 +318,13 @@ def build_bm25_index(
     # tokenize; zero/NULL-token docs have no rows and contribute 0 —
     # identical to the direct tokenize aggregate); n_docs is a plain
     # count and n_dl (docs with a tokenizable text) a null-check count
-    n = corpus.count()
-    n_dl = corpus.where(F.col(text).isNotNull()).count()
+    crow = corpus.agg(
+        F.count(F.lit(1)).alias("n"), F.count(text).alias("n_dl")
+    ).collect()[0]
     dl_row = posted.agg(F.sum("tf").alias("dl")).collect()[0]
     _write_bm25_generation(
-        spark, index_dir, terms, n, float(dl_row["dl"] or 0.0), n_dl, 0,
+        spark, index_dir, terms, int(crow["n"]), float(dl_row["dl"] or 0.0),
+        int(crow["n_dl"]), 0,
     )
     spark.createDataFrame(
         [(id_col, text, "bm25-v1")], "id_col string, text string, fmt string"
@@ -384,8 +403,10 @@ def append_to_bm25_index(docs: DataFrame, index_dir: str) -> None:
             .groupBy("term")
             .agg(F.sum("df").cast("long").alias("df"))
         )
-        n = docs.count()
-        n_dl = docs.where(F.col(p["text"]).isNotNull()).count()
+        crow = docs.agg(
+            F.count(F.lit(1)).alias("n"), F.count(p["text"]).alias("n_dl")
+        ).collect()[0]
+        n, n_dl = int(crow["n"]), int(crow["n_dl"])
         # dl == sum of the doc's tfs, so SUM(tf) over the batch's rows is
         # the exact dl total with no per-doc shuffle
         dl_row = rows.agg(F.sum("tf").alias("dl")).collect()[0]
@@ -473,8 +494,10 @@ def dedupe_bm25_index(spark, index_dir: str, corpus: DataFrame | None = None) ->
             F.count_distinct("doc_id").alias("n_posted"),
         ).collect()[0]
         if corpus is not None:
-            n = corpus.count()
-            n_dl = corpus.where(F.col(p["text"]).isNotNull()).count()
+            crow = corpus.agg(
+                F.count(F.lit(1)).alias("n"), F.count(p["text"]).alias("n_dl")
+            ).collect()[0]
+            n, n_dl = int(crow["n"]), int(crow["n_dl"])
         else:
             n = n_dl = int(dl_row["n_posted"])
         gen, stale = _bm25_gen(spark, index_dir)
