@@ -152,8 +152,20 @@ def brute_force_topk(
 
     if metric not in ("cosine", "l2"):
         raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
-    if metric == "cosine":
-        score = F.round(cosine_expr(vec_col, query_vec_col, dim), 6).alias("cosine")
+    prenorm = metric == "cosine"
+    if prenorm:
+        # Norm folds run once per ROW before the pair join (value-identical
+        # to cosine_expr — see _cosine_prenormed): with Q broadcast queries
+        # every corpus row forms Q pairs, so the per-pair HOF work drops
+        # from 3 folds (dot + 2 norms) to 1 fold + 1 multiply.
+        score = F.round(
+            _cosine_prenormed(
+                dot_expr(vec_col, query_vec_col, dim),
+                F.col("__vn"),
+                F.col("__qn"),
+            ),
+            6,
+        ).alias("cosine")
         order = [F.col("cosine").desc(), F.col(id_col).asc()]
         cols = [query_id_col, id_col, "cosine", "rank"]
     else:
@@ -170,7 +182,12 @@ def brute_force_topk(
         cols = [query_id_col, id_col, "l2dist", "rank"]
     # Broadcast joins inherit the stream side's partitioning; spread a
     # single-split vectors scan before the N x Q distance work.
-    joined = ensure_parallelism(vectors).crossJoin(F.broadcast(queries)).select(
+    v = ensure_parallelism(vectors)
+    q = queries
+    if prenorm:
+        v = v.withColumn("__vn", norm_expr(vec_col, dim))
+        q = q.withColumn("__qn", norm_expr(query_vec_col, dim))
+    joined = v.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col), F.col(id_col), score
     )
     w = Window.partitionBy(query_id_col).orderBy(*order)
@@ -599,19 +616,32 @@ def ivf_topk(
         )
     from sat_bucket_spark.operators.parallel import ensure_parallelism
 
+    # Norms once per row / per query, not per candidate pair (value-identical
+    # to cosine_expr — see _cosine_prenormed): each corpus row matches
+    # ~|queries| * n_probe / n_clusters candidate pairs, and the two 64-elem
+    # norm folds were re-run for every one of them.
     v = ensure_parallelism(vectors).withColumn(
         "__cluster", _nearest_centroid_expr(vec_col, centroids)
-    )
+    ).withColumn("__vn", norm_expr(vec_col, dim))
 
     probe_df = _probe_pairs_df(vectors.sparkSession, centroids, n_probe)
 
     q = queries.withColumn(
         "__qcluster", _nearest_centroid_expr(query_vec_col, centroids)
-    ).join(F.broadcast(probe_df), "__qcluster")
+    ).withColumn("__qn", norm_expr(query_vec_col, dim)).join(
+        F.broadcast(probe_df), "__qcluster"
+    )
     joined = v.join(F.broadcast(q), "__cluster").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine_expr(vec_col, query_vec_col, dim), 6).alias("cosine"),
+        F.round(
+            _cosine_prenormed(
+                dot_expr(vec_col, query_vec_col, dim),
+                F.col("__vn"),
+                F.col("__qn"),
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -644,14 +674,23 @@ def lsh_topk(
     v = random_hyperplane_signature(
         ensure_parallelism(vectors), dim, n_planes=n_planes, vec_col=vec_col,
         out="__bucket", seed=seed,
-    )
+    ).withColumn("__vn", norm_expr(vec_col, dim))
     q = random_hyperplane_signature(
         queries, dim, n_planes=n_planes, vec_col=query_vec_col, out="__bucket", seed=seed
-    )
+    ).withColumn("__qn", norm_expr(query_vec_col, dim))
+    # Norms once per row, not per bucket-candidate pair (value-identical —
+    # see _cosine_prenormed).
     joined = v.join(F.broadcast(q), "__bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine_expr(vec_col, query_vec_col, dim), 6).alias("cosine"),
+        F.round(
+            _cosine_prenormed(
+                dot_expr(vec_col, query_vec_col, dim),
+                F.col("__vn"),
+                F.col("__qn"),
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
