@@ -387,6 +387,54 @@ class TestPagerank:
         for k in base:
             assert abs(base[k] - got[k]) < 1e-12
 
+    def test_fuse_rounds_output_identical(self, spark):
+        """r16 round fusion: chaining ``fuse_rounds`` power rounds into one
+        lazily-planned block (materialized once per block) must not change
+        the ranks. Same arithmetic, same round count — the only admissible
+        difference is float-accumulation jitter from aggregation order,
+        which a same-args rerun of fuse_rounds=1 already exhibits (~1e-17),
+        so the sibling 1e-12 tolerance applies."""
+        import random
+
+        rng = random.Random(13)
+        edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+        edges = [(a, b) for a, b in edges if a != b]
+        base = self._run(
+            spark, edges, iterations=10, driver_threshold=0, fuse_rounds=1
+        )
+        for fuse in (3, 8, 16):  # block mid-loop, default, > iterations
+            fused = self._run(
+                spark, edges, iterations=10, driver_threshold=0,
+                fuse_rounds=fuse,
+            )
+            assert fused.keys() == base.keys()
+            for k in base:
+                assert abs(fused[k] - base[k]) < 1e-12
+
+    def test_fuse_rounds_directed_forces_per_round_cache(self, spark):
+        """Directed graphs read the round frame twice per round (dangling
+        aggregate), so the loop must force fuse=1 internally — any
+        fuse_rounds value yields the cache-every-round result."""
+        edges = [(1, 2), (3, 2), (2, 4), (4, 1)]
+        a = self._run(
+            spark, edges, iterations=5, directed=True, driver_threshold=0,
+            fuse_rounds=1,
+        )
+        b = self._run(
+            spark, edges, iterations=5, directed=True, driver_threshold=0,
+            fuse_rounds=8,
+        )
+        assert a.keys() == b.keys()
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-12
+
+    def test_fuse_rounds_validation(self, spark):
+        from sat_bucket_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        with pytest.raises(ValueError, match="fuse_rounds"):
+            pagerank(df, driver_threshold=0, fuse_rounds=0)
+
 
 class TestRegistryRankRoundingMargin:
     """r9 advisor: q_pagerank/q_host_rank hash-compare ROUND(pr, 9) across

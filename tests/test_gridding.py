@@ -264,6 +264,45 @@ def test_resamplers_work_on_tile_partitioning(spark):
     assert nearest_to_grid(df, p).count() == len(idw)
 
 
+def test_fanout_candidates_built_inside_one_generator(spark):
+    """r16 fan-out restructure: the (2r+1)² candidate cells are built and
+    bounds-checked INSIDE one generator expression, so the heavy bin-index
+    CASE is referenced only in the single Generate (shared by codegen
+    subexpression elimination) and the post-explode Filter operator is
+    gone — the r15 shape carried the CASE in both a pushed Filter and the
+    target-index Project (~6 evaluations per fan-out row)."""
+    from sat_bucket_spark.gridding import idw_to_grid, nearest_to_grid
+    from sat_bucket_spark.partitioning import LonLatPartitioning
+
+    p = LonLatPartitioning(size=(10, 10))
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 1.0), (5.0, 5.0, 2.0)], ["lon", "lat", "value"]
+    )
+    for fn in (idw_to_grid, nearest_to_grid):
+        plan = fn(df, p)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Generate") == 1, fn.__name__
+        assert plan.count("Filter") == 0, fn.__name__  # bounds check is in-generator
+
+
+def test_fanout_null_coords_contribute_nothing(spark):
+    """NULL bin indices yield an empty candidate array which explode
+    drops — exactly the r15 NULL-index filter's semantics."""
+    from sat_bucket_spark.gridding import idw_to_grid
+    from sat_bucket_spark.partitioning import LonLatPartitioning
+
+    p = LonLatPartitioning(size=(10, 10))
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 1.0), (None, 0.0, 9.0), (3.0, None, 9.0)],
+        "lon double, lat double, value double",
+    )
+    rows = idw_to_grid(df, p).collect()
+    # only the valid interior point lands: 3x3 cells, one obs each, and no
+    # cell ever saw the NULL-coordinate values
+    assert len(rows) == 9
+    assert all(r["n_obs"] == 1 for r in rows)
+    assert all(abs(r["value"] - 1.0) < 1e-12 for r in rows)
+
+
 def test_edge_cases_empty_inputs(spark):
     """Empty inputs and out-of-extent polygons degrade to empty results,
     never errors."""

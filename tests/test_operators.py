@@ -456,6 +456,31 @@ class TestSimilarity:
             mine = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == qid]
             assert mine == expect, qid
 
+    def test_topk_norm_folds_once_per_row_not_per_pair(self, spark, embeddings):
+        """r16: brute/ivf top-k carry per-row norm columns (__vn/__qn) so
+        the post-join pair projection is dot + multiply + divide — the two
+        sqrt(aggregate(...)) norm folds run once per ROW below the join.
+        The r15 shape inlined cosine_expr's norms in the pair projection:
+        4 SQRT occurrences re-evaluated for every candidate pair."""
+        from sat_bucket_spark.operators.similarity import ivf_topk
+
+        emb = embeddings.limit(100)
+        queries = emb.limit(2).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        dim = len(embeddings.select("embedding").first()[0])
+        brute_plan = (
+            brute_force_topk(emb, queries, k=3, dim=dim)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        ivf_plan = (
+            ivf_topk(emb, queries, k=3, n_clusters=4, n_probe=2, dim=dim)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert brute_plan.count("SQRT") == 2  # corpus-side + query-side, per row
+        assert ivf_plan.count("SQRT") == 2
+
     def test_self_similarity_rank1(self, spark, embeddings):
         emb = embeddings.limit(50)
         queries = emb.limit(2).select(
@@ -1755,6 +1780,26 @@ class TestBloomRoutedDedup:
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
         assert "BroadcastHashJoin" in plan
         assert "Python" not in plan
+
+    def test_probe_shares_one_bitmap_broadcast(self, spark):
+        """r16: all n_hashes word lookups join the SAME broadcast frame, so
+        the bitmap aggregation — the only corpus-wide pass in a probe — is
+        materialized once and the other n_hashes-1 joins ride AQE exchange
+        reuse. The r15 shape aliased a fresh copy per hash, giving each
+        join its own BroadcastExchange subtree containing the full bitmap
+        build (5 corpus scans per probe at the default n_hashes=5)."""
+        from sat_bucket_spark.operators.dedup import (
+            _bloom_route,
+            _key_bloom_bitmap,
+        )
+
+        batch, corpus = self._data(spark)
+        bloom = _key_bloom_bitmap(corpus, ["text"], 1 << 12, 5, 1337)
+        clean, _cand = _bloom_route(batch, bloom, ["text"], 1 << 12, 5, 1337)
+        clean.collect()  # AQE applies exchange reuse in the FINAL plan
+        plan = clean._jdf.queryExecution().executedPlan().toString()
+        # 5 hash joins: 1 materialized bitmap exchange + 4 runtime reuses
+        assert plan.count("ReusedExchange") == 4
 
 
 class TestMultiSetDecontamination:

@@ -61,6 +61,42 @@ class TestBM25:
         assert rows[4] < 3 * rows[1]
 
 
+class TestTokenizeOncePlanShape:
+    """r16: the BM25/TF-IDF tokenizer lands in the plan exactly once per
+    corpus row. The r15 shape evaluated ``split(lower(text))`` twice (under
+    ``size()`` and as the Generate child); the naive fix — staging the array
+    and exploding the attribute with a plain inner ``explode`` — is WORSE:
+    InferFiltersFromGenerate pushes an inferred ``size(toks)>0 AND
+    isnotnull`` filter below the projection and re-inlines the tokenizer two
+    more times. The shipped shape (staged projection + ``explode_outer`` +
+    NULL post-filter) admits no inferred filter and keeps one evaluation."""
+
+    def test_posting_rows_single_split(self, spark):
+        from sat_bucket_spark.operators.relevance import _bm25_posting_rows
+
+        docs = spark.createDataFrame(
+            [(1, "a b c a"), (2, None), (3, "")], "doc_id long, text string"
+        )
+        pr = _bm25_posting_rows(docs, "doc_id", "text")
+        opt = pr._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("split(") == 1
+        # NULL/empty docs (explode_outer's extra NULL-term rows) are dropped
+        rows = pr.collect()
+        assert {r["doc_id"] for r in rows} == {1}
+        got = {r["term"]: r["tf"] for r in rows}
+        assert got == {"a": 2.0, "b": 1.0, "c": 1.0}
+
+    def test_doc_terms_single_split(self, spark):
+        from sat_bucket_spark.operators.relevance import _doc_terms
+
+        docs = spark.createDataFrame(
+            [(1, "a b c a"), (2, None)], "doc_id long, text string"
+        )
+        dt = _doc_terms(docs, "doc_id", "text", ["a", "c"])
+        opt = dt._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("split(") == 1
+
+
 class TestInvertedIndex:
     def test_postings(self, spark):
         from sat_bucket_spark.operators.relevance import inverted_index
