@@ -1411,7 +1411,22 @@ def main() -> None:
     }
     if reps_recorded:
         out["reps"] = reps_recorded
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # Truncation-proof copy of the SAME one-line record (VERDICT r16 task
+    # #2): the driver's BENCH_rN artifact stores only a 2000-char stdout
+    # tail, which truncated BENCH_r15 mid-JSON and broke the r16 PERF
+    # round-over-round comparison (n_common: 0). Purely additive — the
+    # stdout contract ($SPARK_GRAFT_CPUS/$SPARK_GRAFT_SF_DIR in, one JSON
+    # line out) is unchanged; a failed write must not fail the bench.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

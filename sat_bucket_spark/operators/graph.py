@@ -826,19 +826,26 @@ def pagerank(
         if k_known > 0 and m_known > 0.0:
             mean = m_known / k_known
             total = m_known + (n_nodes - k_known) * mean
-            ranks = _eager_cache(
-                seeded.select(
-                    "node",
-                    "deg",
-                    (
-                        F.coalesce(F.col("__r0"), F.lit(mean)) / F.lit(total)
-                    ).alias("rank"),
-                )
+            # Round-0 ranks stay a LAZY projection over the seeded cache
+            # (r17): re-checkpointing a trivial Project over the frame
+            # that was eagerly checkpointed two statements ago is one
+            # full N-row materialization pass per warm start for nothing
+            # — at scale, a corpus-sized write (receipt: the r16 executed
+            # captures show it as a separate non-AQE round-0 job). The
+            # seeded cache itself is the release carrier; the first block
+            # boundary frees it exactly like any previous-round frame.
+            ranks = seeded.select(
+                "node",
+                "deg",
+                (
+                    F.coalesce(F.col("__r0"), F.lit(mean)) / F.lit(total)
+                ).alias("rank"),
             )
-            cached_ranks = ranks
-        # a degenerate empty/zero seed falls back to the uniform start
-        # (ranks stays None) rather than dividing by zero mass
-        release_stage_cache(seeded, destructive=True)
+            cached_ranks = seeded
+        else:
+            # a degenerate empty/zero seed falls back to the uniform start
+            # (ranks stays None) rather than dividing by zero mass
+            release_stage_cache(seeded, destructive=True)
     for _i in range(iterations):
         cur = (
             base.select("node", "deg", F.lit(1.0 / n_nodes).alias("rank"))

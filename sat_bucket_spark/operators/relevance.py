@@ -508,17 +508,21 @@ def dedupe_bm25_index(spark, index_dir: str, corpus: DataFrame | None = None) ->
             int(n_dl), gen,
         )
 
-    if resumed:
-        # the crashed run healed the rows but died before rebuilding the
-        # terms/stats generation from them — force that rebuild even
-        # though the rows now scan duplicate-free
-        _rebuild_generation(postings)
     n_dup = (
         postings.groupBy("term", "doc_id", "tf", "dl")
         .count()
         .where(F.col("count") > 1)
         .count()
     )
+    if resumed and n_dup == 0:
+        # the crashed run healed the rows but died before rebuilding the
+        # terms/stats generation from them — force that rebuild even
+        # though the rows now scan duplicate-free. When duplicates REMAIN
+        # after the resumed swap, skip this pre-heal rebuild: the heal
+        # path below ends with the same rebuild over the final healed
+        # rows, so rebuilding here would just generate the terms/stats
+        # twice per invocation (ADVICE r16).
+        _rebuild_generation(postings)
     if n_dup == 0:
         return 0
     post_path = os.path.join(index_dir, "postings")

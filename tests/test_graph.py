@@ -435,6 +435,64 @@ class TestPagerank:
         with pytest.raises(ValueError, match="fuse_rounds"):
             pagerank(df, driver_threshold=0, fuse_rounds=0)
 
+    def test_fuse_block_reuses_exchanges_at_runtime(self, spark):
+        """r17 (VERDICT r16 #3): the fuse win's 100 TB claim is that the
+        invariant edge/base exchange subtrees inside one fused block dedupe
+        via Spark's runtime exchange reuse — the edge shuffle ships once
+        per block, not once per round. The pre-AQE plan print legitimately
+        shows no reuse (AQE applies it through its stage cache at runtime),
+        so this pins the EXECUTED block plan: capture each round-boundary
+        materialization via the loop's own _eager_cache hook and assert
+        every multi-round block resolved with AQE finalized and at least
+        ``fuse_rounds - 1`` ReusedExchange nodes (>=, not ==, per the
+        ADVICE r16 version-pinning note — exact reuse counts are an
+        AQE-version detail; the per-round reuse floor is the claim)."""
+        import random
+
+        import sat_bucket_spark.operators.graph as graph_mod
+        from pyspark.sql import functions as F
+        from sat_bucket_spark.operators.graph import pagerank
+
+        rng = random.Random(29)
+        edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(200)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+
+        fuse = 4
+        captured = []
+        real = graph_mod._eager_cache
+
+        def capturing(frame):
+            out = real(frame)
+            captured.append(frame._jdf.queryExecution().executedPlan().toString())
+            return out
+
+        graph_mod._eager_cache = capturing
+        try:
+            pagerank(
+                df, damping=0.85, iterations=2 * fuse, directed=False,
+                driver_threshold=0, fuse_rounds=fuse,
+            )
+        finally:
+            graph_mod._eager_cache = real
+
+        # captures arrive in loop order: invariant edge cache, base cache,
+        # then one per fused block — the block plans are the last
+        # iterations/fuse materializations. A block plan chains `fuse`
+        # rounds (>= 2 exchanges per round), of which the per-round
+        # edge/base subtrees past the first round must resolve as runtime
+        # reuses.
+        assert len(captured) == 4, f"expected 4 materializations, got {len(captured)}"
+        blocks = captured[-2:]
+        for plan in blocks:
+            assert "isFinalPlan=true" in plan, "block did not finalize AQE"
+            n_reused = plan.count("ReusedExchange")
+            assert n_reused >= fuse - 1, (
+                f"fused block executed with only {n_reused} ReusedExchange "
+                f"nodes (< fuse_rounds-1 = {fuse - 1}): the invariant "
+                "edge/base shuffle is being re-executed per round"
+            )
+
 
 class TestRegistryRankRoundingMargin:
     """r9 advisor: q_pagerank/q_host_rank hash-compare ROUND(pr, 9) across

@@ -445,6 +445,87 @@ class TestBm25ReplayHealing:
         assert healed == ref
         assert index_report(spark, idx, scan=True)["healthy"]
 
+    def test_resumed_heal_with_remaining_dups_rebuilds_generation_once(
+        self, spark, tmp_path
+    ):
+        """r17 (ADVICE r16): a rerun that RESUMES a crashed heal and still
+        finds duplicates (an append replayed between the crash and the
+        rerun) must rebuild the terms/stats generation exactly ONCE — from
+        the final healed rows via the heal path — not once pre-heal and
+        again post-heal. Scores must still equal the never-replayed
+        reference."""
+        from pyspark.sql import functions as F
+
+        import sat_bucket_spark.operators.dedup as dedup_mod
+        import sat_bucket_spark.operators.relevance as rel_mod
+        from sat_bucket_spark.operators.relevance import (
+            append_to_bm25_index,
+            bm25_index_topk,
+            build_bm25_index,
+            dedupe_bm25_index,
+        )
+
+        docs = self._corpus(spark)
+        base = docs.where(F.col("doc_id") % 5 != 0)
+        batch = docs.where(F.col("doc_id") % 5 == 0)
+        terms = ["the", "data", "model"]
+
+        ref_idx = str(tmp_path / "bm25_once_ref")
+        build_bm25_index(docs, ref_idx)
+        ref = sorted(
+            map(tuple, bm25_index_topk(spark, ref_idx, terms, k=None).collect())
+        )
+
+        idx = str(tmp_path / "bm25_once")
+        build_bm25_index(base, idx)
+        append_to_bm25_index(batch, idx)
+        append_to_bm25_index(batch, idx)  # replay of a COMPLETED append
+
+        real_rename = dedup_mod._fs_rename
+
+        def dying(spark_, src, dst):
+            if src.endswith("postings.healed"):
+                raise RuntimeError("killed mid-heal")
+            return real_rename(spark_, src, dst)
+
+        dedup_mod._fs_rename = dying
+        try:
+            with pytest.raises(RuntimeError, match="killed mid-heal"):
+                dedupe_bm25_index(spark, idx, corpus=docs)
+        finally:
+            dedup_mod._fs_rename = real_rename
+
+        # plant replay debris INSIDE the completed .healed sibling (a
+        # duplicated posting file — the state an at-least-once writer can
+        # leave), so the rerun's resumed postings scan WITH duplicates:
+        # resumed=True and n_dup>0 in one invocation
+        import glob
+        import shutil
+
+        healed_dir = f"{idx}/postings.healed"
+        a_file = sorted(glob.glob(f"{healed_dir}/part-*.parquet"))[0]
+        shutil.copy(a_file, f"{healed_dir}/part-replay-copy.parquet")
+
+        real_write = rel_mod._write_bm25_generation
+        calls = {"n": 0}
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return real_write(*a, **kw)
+
+        rel_mod._write_bm25_generation = counting
+        try:
+            assert dedupe_bm25_index(spark, idx, corpus=docs) > 0
+        finally:
+            rel_mod._write_bm25_generation = real_write
+        assert calls["n"] == 1, (
+            f"generation rebuilt {calls['n']}x in one heal invocation"
+        )
+        healed = sorted(
+            map(tuple, bm25_index_topk(spark, idx, terms, k=None).collect())
+        )
+        assert healed == ref
+
     def test_upsert_rows_are_not_replay_duplication(self, spark, tmp_path):
         """A doc re-ingested with DIFFERENT text leaves (term, doc_id)
         rows that differ in (tf, dl) — an upsert the caller performed,
