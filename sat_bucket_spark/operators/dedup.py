@@ -1840,7 +1840,22 @@ def minhash_dedup_against_index(
     if cache_registry is not None:
         cache_registry.append(cands)
     n_cands = obs.get["n"]
-    set_b = _ensure_parallelism(batch).select(
+    small_cands = 0 < n_cands <= broadcast_candidates_max
+    set_b_src = _ensure_parallelism(batch)
+    if small_cands:
+        # r17 (§1.2): the verify join keeps only rows with candidates, so
+        # shingling the REST of the batch is thrown-away work — pre-filter
+        # with a broadcast semi-join on the (already materialized, counted)
+        # candidate ids before the shingle projection. Map-side only, no
+        # new shuffle; gated on the same measured bound as every other
+        # candidate broadcast. Output-identical: the verify's inner join
+        # on __bid drops exactly those rows anyway.
+        set_b_src = set_b_src.join(
+            F.broadcast(cands.select(F.col("__bid").alias(id_col)).distinct()),
+            id_col,
+            "left_semi",
+        )
+    set_b = set_b_src.select(
         F.col(id_col).alias("__bid"),
         _hashed_shingles_expr(p["text_col"], p["shingle_size"]).alias("__set_b"),
     )
@@ -1865,13 +1880,27 @@ def minhash_dedup_against_index(
         set_c = set_c.join(cand_ids, "__cid", "left_semi")
     inter = F.size(F.array_intersect(F.col("__set_b"), F.col("__set_c")))
     union = F.size(F.col("__set_b")) + F.size(F.col("__set_c")) - inter
+    # the candidate pairs are the measured-bounded side of the verify
+    # joins — broadcast them under the same gate so neither shingle side
+    # is ever shuffle-planned for the verify (ids-only frame, <= n_cands
+    # rows)
     contaminated = (
-        cands.join(set_b, "__bid")
+        (F.broadcast(cands) if small_cands else cands)
+        .join(set_b, "__bid")
         .join(set_c, "__cid")
         .where(F.round(inter / union.cast("double"), 6) >= F.lit(min_jaccard))
         .select(F.col("__bid").alias(id_col))
         .distinct()
     )
+    if small_cands:
+        # r17 (§3.1): contaminated is bounded by the measured candidate
+        # count, but its aggregate-over-checkpoint subtree carries unknown
+        # stats, so the planner SMJ-shuffles the whole batch for the final
+        # anti-join; AQE demotes it to a broadcast join at runtime but
+        # only AFTER the batch's shuffle map side is written (executed
+        # plan: AQEShuffleRead local over a materialized Exchange). The
+        # hint removes that batch-sized shuffle write from the plan.
+        contaminated = F.broadcast(contaminated)
     return batch.join(contaminated, id_col, "left_anti")
 
 

@@ -1939,6 +1939,13 @@ def semantic_dedup_against_index(
 
     if verify_vectors is None:
         contaminated = flagged_pairs.select(F.col("__bid").alias(id_col)).distinct()
+        if 0 < n_batch <= broadcast_batch_max:
+            # r17 (§3.1): contaminated is bounded by the measured probe-frame
+            # row count, but without the hint the planner SMJ-shuffles the
+            # whole batch for the anti-join (AQE rescues it only after the
+            # batch's shuffle map side is written). Same measured gate as
+            # the probe-frame broadcast above.
+            contaminated = F.broadcast(contaminated)
         clean = probed_batch.join(contaminated, id_col, "left_anti")
         return clean.unionByName(bypass)
 
@@ -1955,7 +1962,23 @@ def semantic_dedup_against_index(
     if cache_registry is not None:
         cache_registry.append(cands)
     n_cands = obs_c.get["n"]
-    vb = probed_batch.select(
+    small_cands = 0 < n_cands <= broadcast_candidates_max
+    vb_src = probed_batch
+    if small_cands:
+        # r17 (§1.2): the verify join keeps only rows with ADC candidates —
+        # pre-filter the batch with a broadcast semi-join on the (already
+        # materialized, counted) candidate ids so the per-row norm fold and
+        # the vector projection run for candidates only. Map-side, no new
+        # shuffle; output-identical (the inner join on __bid drops exactly
+        # those rows anyway).
+        vb_src = probed_batch.join(
+            F.broadcast(
+                cands.select(F.col("__bid").alias(id_col)).distinct()
+            ),
+            id_col,
+            "left_semi",
+        )
+    vb = vb_src.select(
         F.col(id_col).alias("__bid"),
         F.col(vec_col).alias("__va"),
         norm_expr(vec_col, dim).alias("__na"),
@@ -1998,13 +2021,22 @@ def semantic_dedup_against_index(
             norm_expr(vec_col, dim).alias("__nb"),
         ).join(cand_ids, "__cid", "left_semi")
     cos = _cosine_prenormed(dot_expr("__va", "__vb", dim), F.col("__na"), F.col("__nb"))
+    # the candidate pairs are the measured-bounded side of the verify
+    # joins — broadcast them under the same gate so neither vb nor vc is
+    # ever shuffle-planned for the verify (ids-only frame, <= n_cands rows)
     contaminated = (
-        cands.join(vb, "__bid")
+        (F.broadcast(cands) if small_cands else cands)
+        .join(vb, "__bid")
         .join(vc, "__cid")
         .where(F.round(cos, 6) >= F.lit(float(min_cosine)))
         .select(F.col("__bid").alias(id_col))
         .distinct()
     )
+    if small_cands:
+        # r17 (§3.1): same anti-join hint as the MinHash probe — the
+        # contaminated set is candidate-bounded (measured), so planning the
+        # batch into an SMJ shuffle for the final anti-join is pure waste.
+        contaminated = F.broadcast(contaminated)
     clean = probed_batch.join(contaminated, id_col, "left_anti")
     return clean.unionByName(bypass)
 

@@ -1198,6 +1198,35 @@ class TestMinhashIndex:
         got_g = {r["doc_id"] for r in guarded.collect()}
         assert got_h == got_g and 0 < len(got_h) < batch.count()
 
+    def test_probe_avoids_batch_shuffle_and_prefilters_verify(
+        self, spark, tmp_path
+    ):
+        """r17 (§1.2/§3.1): with a measured-small candidate set, (a) the
+        final anti-join must be PLANNED as a broadcast join — without the
+        hint the planner SMJ-shuffles the whole batch and AQE only
+        rescues it after the batch's shuffle map side is written — and
+        (b) the verify-side shingle projection runs behind a LeftSemi
+        pre-filter on candidate ids, so non-candidate batch rows are
+        never shingled twice. Directional pins (>= / absence), not exact
+        node counts, per the ADVICE r16 version-pinning note."""
+        from sat_bucket_spark.operators.dedup import (
+            build_minhash_index,
+            minhash_dedup_against_index,
+        )
+
+        corpus, batch = self._corpus_and_batch(spark)
+        idx = str(tmp_path / "mh_index_noshuffle")
+        build_minhash_index(corpus, idx, n_hashes=8, n_bands=4, shingle_size=8)
+        out = minhash_dedup_against_index(batch, idx, min_jaccard=0.5)
+        out.collect()  # finalize THIS frame's QE through AQE
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, (
+            "probe batch was shuffle-planned; the measured-small "
+            "candidate path must broadcast the contaminated set"
+        )
+        assert "LeftAnti" in plan
+        assert "LeftSemi" in plan, "verify-side candidate pre-filter missing"
+
     def test_probe_pushdown_matches_full_scan_and_pushes_filters(
         self, spark, tmp_path
     ):
@@ -3400,6 +3429,55 @@ class TestSemanticDedupAgainstIndex:
         )
         got = sorted(r["vec_id"] for r in out.collect())
         assert got == sorted(r["vec_id"] for r in fresh.collect())
+
+    def test_probe_avoids_batch_shuffle_and_prefilters_verify(
+        self, spark, tmp_path
+    ):
+        """r17 (§1.2/§3.1): mirror of the MinHash-probe pin — with a
+        measured-small candidate set the final anti-join must be PLANNED
+        broadcast (no SortMergeJoin over the batch's fat vectors) and the
+        verify-side norm/vector projection must sit behind a LeftSemi
+        candidate pre-filter. Gate off (broadcast_candidates_max=0) must
+        produce identical survivors."""
+        from sat_bucket_spark.operators.similarity import (
+            build_ivfpq_index,
+            semantic_dedup_against_index,
+        )
+
+        cents, books = self._fixed_books(spark)
+        archive = self._codebook_exact_rows(
+            spark, books, [i % 4 for i in range(40)], 0
+        )
+        idx = str(tmp_path / "sem_idx_noshuffle")
+        build_ivfpq_index(
+            archive, idx, dim=64, centroids=cents, codebooks=books,
+            store_vectors=True,
+        )
+        copies = archive.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        )
+        fresh = self._codebook_exact_rows(
+            spark, books, [4 + i % 4 for i in range(10)], 2000
+        )
+        batch = copies.unionByName(fresh)
+        out = semantic_dedup_against_index(
+            batch, idx, min_cosine=0.9, n_probe=2, adc_margin=None,
+            verify_vectors="index",
+        )
+        out.collect()  # finalize THIS frame's QE through AQE
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, (
+            "probe batch was shuffle-planned; the measured-small candidate "
+            "path must broadcast the contaminated set"
+        )
+        assert "LeftAnti" in plan
+        assert "LeftSemi" in plan, "verify-side candidate pre-filter missing"
+        got = sorted(r["vec_id"] for r in out.collect())
+        ungated = semantic_dedup_against_index(
+            batch, idx, min_cosine=0.9, n_probe=2, adc_margin=None,
+            verify_vectors="index", broadcast_candidates_max=0,
+        )
+        assert sorted(r["vec_id"] for r in ungated.collect()) == got
 
     def test_verified_full_probe_equals_brute_force(self, spark, embeddings, tmp_path):
         """n_probe = n_clusters + an unbounded ADC margin makes the verified
