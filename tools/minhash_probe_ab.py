@@ -56,10 +56,82 @@ def main():
         .alias("text"),
     ).write.parquet(batch_path)
 
-    t0 = time.perf_counter()
+    # --- interleaved build A/B: r16 two-pass shape (verbatim) vs HEAD ---
+    def build_old(docs, index_dir):
+        """The r16 _write_minhash_index_rows body, mode=overwrite: bands
+        from a full-corpus signature pass (explode + groupBy min), sets
+        from a separate dedup + second shingle pass."""
+        from pyspark.sql import functions as F
+
+        from sat_bucket_spark.operators.dedup import (
+            _band_rows,
+            _ensure_parallelism,
+            _hashed_shingles_expr,
+            minhash_signatures,
+        )
+        from sat_bucket_spark.writers import write_partitioned_dataset
+
+        keyed = _ensure_parallelism(docs).select(
+            F.xxhash64(F.col("text")).alias("__content_id"), F.col("text")
+        )
+        sigs = minhash_signatures(
+            keyed, id_col="__content_id", text_col="text",
+            n_hashes=8, shingle_size=8, seed=42,
+        )
+        bands = _band_rows(sigs, "__content_id", 4, 8).select(
+            F.col("__content_id").alias("content_id"),
+            "band_idx",
+            F.xxhash64(F.col("band_sig")).alias("band_sig"),
+        )
+        write_partitioned_dataset(
+            bands, os.path.join(index_dir, "bands"), partitions=["band_idx"],
+            mode="overwrite", sort_within_by=["band_sig"],
+            repartition_by_levels=False,
+        )
+        n_tasks = docs.sparkSession.sparkContext.defaultParallelism
+        sets = (
+            keyed.dropDuplicates(["__content_id"])
+            .repartition(n_tasks)
+            .sortWithinPartitions("__content_id")
+            .select(
+                F.col("__content_id").alias("content_id"),
+                _hashed_shingles_expr("text", 8).alias("shingle_set"),
+            )
+        )
+        sets.write.mode("overwrite").parquet(os.path.join(index_dir, "shingles"))
+
+    old_s, new_s = [], []
+    bi = {"i": 0}
+
+    def one(shape_fn, label, bucket):
+        bi["i"] += 1
+        g = f"build{bi['i']}"
+        sc.setJobGroup(g, label)
+        t0 = time.perf_counter()
+        shape_fn(corpus, os.path.join(work, f"index_{label}{bi['i']}"))
+        dt = time.perf_counter() - t0
+        bucket.append(dt)
+        print(f"  {label}: {dt:.2f}s jobs="
+              f"{len(sc.statusTracker().getJobIdsForGroup(g))}")
+        _release()
+
+    def build_new(docs, index_dir):
+        build_minhash_index(docs, index_dir, n_hashes=8, n_bands=4,
+                            shingle_size=8)
+
+    one(build_new, "warmup_new", [])
+    one(build_old, "warmup_old", [])
+    for r in range(3):
+        if r % 2 == 0:
+            one(build_old, "old", old_s); one(build_new, "new", new_s)
+        else:
+            one(build_new, "new", new_s); one(build_old, "old", old_s)
+    print(f"build A/B: old median {statistics.median(old_s):.3f}s "
+          f"new median {statistics.median(new_s):.3f}s")
+    midx = os.path.join(work, f"index_new{bi['i']}" if bi['i'] % 2 == 1 else "index")
+    # rebuild a canonical index for the probe reps below
     midx = os.path.join(work, "index")
     build_minhash_index(corpus, midx, n_hashes=8, n_bands=4, shingle_size=8)
-    print(f"build: {time.perf_counter() - t0:.2f}s")
     _release()
     batch = spark.read.parquet(batch_path)
 
