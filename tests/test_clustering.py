@@ -97,6 +97,29 @@ class TestSemanticDedup:
         )
         assert got == want
 
+    def test_dedup_avoids_corpus_shuffle_when_drops_small(self, spark, emb):
+        """r17 (§3.1): the drop-id set is measured at materialization; when
+        it fits the broadcast bound, the survivor anti-join must be
+        PLANNED broadcast — without the hint the corpus (embedding
+        payloads included) was SortMergeJoin-shuffled even at a 215-row
+        drop set, and AQE did not demote it at runtime. Gate off
+        (broadcast_dropped_max=0) must yield identical survivors."""
+        df, X = emb
+        centroids = X[:6].copy()
+        out = semantic_dedup(df, centroids, threshold=self.THRESHOLD)
+        out.collect()  # finalize THIS frame's QE through AQE
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, (
+            "survivor anti-join shuffle-planned despite a measured-small "
+            "drop set"
+        )
+        assert "LeftAnti" in plan
+        got = sorted(r["vec_id"] for r in out.collect())
+        ungated = semantic_dedup(
+            df, centroids, threshold=self.THRESHOLD, broadcast_dropped_max=0
+        )
+        assert sorted(r["vec_id"] for r in ungated.collect()) == got
+
     def test_survivor_invariants(self, spark, emb):
         df, X = emb
         centroids = X[:6].copy()
