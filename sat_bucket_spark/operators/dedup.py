@@ -2904,6 +2904,7 @@ def keep_first_by_signature(
     n_bits: int = 64,
     max_hamming: int = 3,
     n_bands: int = 4,
+    broadcast_signatures_max: int = 10_000_000,
 ) -> DataFrame:
     """Keep-first verdicts over any integer bit-signature column — the
     shared engine behind :func:`simhash_dedup` and
@@ -2924,7 +2925,23 @@ def keep_first_by_signature(
     signature s'" is exactly "min_id(s') < id", the verdict is computable
     on the collapsed table. Returns ``(id, sig, n_copies, kept)``; NULL
     signatures must be filtered by the caller.
+
+    Expansion-join shape (r17, guide §3.1): the collapsed table's row
+    count rides its materialization as an observed metric, and while it
+    stays at or below ``broadcast_signatures_max`` both the groups and
+    the neighbor-verdict frames are broadcast into the step-3 expansion
+    joins — the row-count-sized ``sigs`` side is never shuffle-planned
+    for them (measured: without the hint the expansion executed as a
+    SortMergeJoin re-exchanging the full sigs frame, because the caches'
+    ``LogicalRDD`` drops the groupBy's partitioning and AQE did not
+    demote the join at runtime). Above the bound — distinct-signature
+    cardinality approaching row count — the shuffled shape is unchanged.
+    Both postures are output-identical. The groups materialization this
+    measurement rides is eager, so jobs fire at call time (the
+    probe-operator convention).
     """
+    from pyspark.sql import Observation
+
     from sat_bucket_spark.caching import stage_cache
 
     if n_bands <= max_hamming:
@@ -2938,12 +2955,18 @@ def keep_first_by_signature(
     mask = (1 << width) - 1
 
     sigs = stage_cache(sigs.select(id_col, sig_col))
+    obs = Observation()
     groups = stage_cache(
-        sigs.groupBy(sig_col).agg(
+        sigs.groupBy(sig_col)
+        .agg(
             F.min(id_col).alias("__rep_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
+        .observe(obs, F.count(F.lit(1)).alias("n")),
+        eager=True,
     )
+    n_groups = obs.get["n"]
+    small_groups = 0 < n_groups <= broadcast_signatures_max
     bands = groups.select(
         sig_col,
         "__rep_id",
@@ -2977,9 +3000,15 @@ def keep_first_by_signature(
         .groupBy(sig_col)
         .agg(F.min("__nbr_rep").alias("__min_nbr_rep"))
     )
+    # neighbors is bounded by the collapsed table (one row per distinct
+    # signature that HAS a neighbor), so the same measured gate covers it
     return (
-        sigs.join(groups, sig_col)
-        .join(neighbors, sig_col, "left")
+        sigs.join(F.broadcast(groups) if small_groups else groups, sig_col)
+        .join(
+            F.broadcast(neighbors) if small_groups else neighbors,
+            sig_col,
+            "left",
+        )
         .select(
             id_col,
             sig_col,

@@ -2497,6 +2497,35 @@ class TestSimhashDedup:
             n_dropped += not want
         assert n_dropped > 0  # non-vacuous: the fixture has near-dups
 
+    def test_expansion_joins_avoid_row_shuffle_when_sigs_small(
+        self, spark, documents
+    ):
+        """r17 (§3.1): keep_first_by_signature's step-3 expansion must be
+        PLANNED broadcast when the measured distinct-signature count fits
+        the gate — without the hint the row-sized sigs frame was
+        SortMergeJoin-re-exchanged for the groups/neighbors joins (the
+        caches' LogicalRDD drops the groupBy partitioning and AQE kept
+        the SMJ at runtime). Gate off must yield identical verdicts."""
+        from sat_bucket_spark.operators.dedup import add_simhash, simhash_dedup
+
+        docs = documents.limit(300)
+        out = simhash_dedup(docs, n_bits=24, max_hamming=3)
+        out.collect()  # finalize THIS frame's QE through AQE
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, (
+            "expansion joins shuffle-planned despite a measured-small "
+            "signature table"
+        )
+        got = sorted(map(tuple, out.collect()))
+        sigs = add_simhash(docs, n_bits=24).select("doc_id", "simhash")
+        from sat_bucket_spark.operators.dedup import keep_first_by_signature
+
+        ungated = keep_first_by_signature(
+            sigs, id_col="doc_id", sig_col="simhash", n_bits=24,
+            max_hamming=3, n_bands=4, broadcast_signatures_max=0,
+        )
+        assert sorted(map(tuple, ungated.collect())) == got
+
     def test_consistent_with_pair_list(self, spark, documents):
         from sat_bucket_spark.operators.dedup import (
             simhash_dedup,
