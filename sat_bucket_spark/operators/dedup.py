@@ -1190,6 +1190,8 @@ def minhash_dedup_against(
     shingle_size: int = 8,
     min_jaccard: float = 0.1,
     seed: int = 42,
+    broadcast_candidates_max: int = 1_000_000,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Drop batch docs that near-duplicate ANY corpus doc (cross-batch LSH).
 
@@ -1198,10 +1200,27 @@ def minhash_dedup_against(
     of batch bands against corpus bands (cross product never materializes,
     and batch-internal / corpus-internal collisions are never generated),
     the exact n-gram Jaccard verify runs only on candidates, and survivors
-    come from one left-anti join on the batch id. Corpus text is touched
-    exactly twice (signature scan + verify-side gather of candidate ids'
-    shingle sets); nothing corpus-sized ever shuffles.
+    come from one left-anti join on the batch id.
+
+    Verify-join shape (r17, guide §1.2/§3.1 — the
+    :func:`minhash_dedup_against_index` contract, applied here): the
+    candidate pairs are eagerly stage-cached with their count riding the
+    materialization as an observed metric, and while the measured count
+    fits ``broadcast_candidates_max`` (a) BOTH verify sides are
+    pre-filtered with broadcast semi-joins on the candidate ids BEFORE
+    the shingle projection — so corpus text is shingled on the verify
+    side only for candidate rows, never corpus-wide — and (b) the
+    candidate and contaminated frames are broadcast into their joins, so
+    neither the batch nor the corpus is ever shuffle-planned (measured:
+    without the gates the verify and anti joins executed as
+    SortMergeJoins shuffling full shingle arrays). Above the bound the
+    shuffled shapes are unchanged; both postures are output-identical.
+    Eager at call time (the probe-operator convention); long-running
+    callers pass ``cache_registry=[]`` and release via
+    :func:`sat_bucket_spark.caching.release_stage_cache`.
     """
+    from pyspark.sql import Observation
+
     sig_kwargs = dict(
         id_col=id_col, text_col=text_col, n_hashes=n_hashes,
         shingle_size=shingle_size, seed=seed,
@@ -1212,26 +1231,49 @@ def minhash_dedup_against(
     bands_c = _band_rows(
         minhash_signatures(corpus, **sig_kwargs), id_col, n_bands, n_hashes
     ).select(F.col(id_col).alias("__cid"), "band_idx", "band_sig")
-    cands = (
+    obs = Observation()
+    cands = stage_cache(
         bands_b.join(bands_c, ["band_idx", "band_sig"])
         .select("__bid", "__cid")
         .distinct()  # ids only through the dedup exchange
+        .observe(obs, F.count(F.lit(1)).alias("n")),
+        eager=True,
     )
-    set_b = _ensure_parallelism(batch).select(
+    if cache_registry is not None:
+        cache_registry.append(cands)
+    n_cands = obs.get["n"]
+    small_cands = 0 < n_cands <= broadcast_candidates_max
+    set_b_src = _ensure_parallelism(batch)
+    set_c_src = _ensure_parallelism(corpus)
+    if small_cands:
+        set_b_src = set_b_src.join(
+            F.broadcast(cands.select(F.col("__bid").alias(id_col)).distinct()),
+            id_col,
+            "left_semi",
+        )
+        set_c_src = set_c_src.join(
+            F.broadcast(cands.select(F.col("__cid").alias(id_col)).distinct()),
+            id_col,
+            "left_semi",
+        )
+    set_b = set_b_src.select(
         F.col(id_col).alias("__bid"), shingles_expr(text_col, k=shingle_size).alias("__set_b")
     )
-    set_c = _ensure_parallelism(corpus).select(
+    set_c = set_c_src.select(
         F.col(id_col).alias("__cid"), shingles_expr(text_col, k=shingle_size).alias("__set_c")
     )
     inter = F.size(F.array_intersect(F.col("__set_b"), F.col("__set_c")))
     union = F.size(F.col("__set_b")) + F.size(F.col("__set_c")) - inter
     contaminated = (
-        cands.join(set_b, "__bid")
+        (F.broadcast(cands) if small_cands else cands)
+        .join(set_b, "__bid")
         .join(set_c, "__cid")
         .where(F.round(inter / union.cast("double"), 6) >= F.lit(min_jaccard))
         .select(F.col("__bid").alias(id_col))
         .distinct()
     )
+    if small_cands:
+        contaminated = F.broadcast(contaminated)
     return batch.join(contaminated, id_col, "left_anti")
 
 

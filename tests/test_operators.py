@@ -1114,6 +1114,31 @@ class TestMinhashIndex:
         }
         assert got == want
 
+    def test_direct_operator_avoids_shuffles_and_matches_ungated(self, spark):
+        """r17 (§1.2/§3.1): minhash_dedup_against carries the index
+        probe's measured-gate contract — with a small candidate count the
+        verify sides are semi-pre-filtered and the verify/anti joins are
+        broadcast-planned (no SortMergeJoin over the shingle arrays).
+        Gate off (broadcast_candidates_max=0) must yield identical
+        survivors."""
+        from sat_bucket_spark.operators.dedup import minhash_dedup_against
+
+        corpus, batch = self._corpus_and_batch(spark)
+        out = minhash_dedup_against(
+            batch, corpus, n_hashes=8, n_bands=4, shingle_size=8,
+            min_jaccard=0.5,
+        )
+        out.collect()  # finalize THIS frame's QE through AQE
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "LeftSemi" in plan, "verify-side candidate pre-filter missing"
+        got = sorted(r["doc_id"] for r in out.collect())
+        ungated = minhash_dedup_against(
+            batch, corpus, n_hashes=8, n_bands=4, shingle_size=8,
+            min_jaccard=0.5, broadcast_candidates_max=0,
+        )
+        assert sorted(r["doc_id"] for r in ungated.collect()) == got
+
     def test_append_makes_new_docs_visible(self, spark, tmp_path):
         """After appending a batch's survivors, an exact re-submission of
         one of them must be dropped by the next probe (the nightly loop:
